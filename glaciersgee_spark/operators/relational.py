@@ -1,0 +1,985 @@
+"""Group B — core relational operators (SURVEY.md §2 Group B).
+
+Every query is declarative DataFrame API; Catalyst supplies pushdown,
+pruning, join selection and AQE. Aggregates over doubles use the
+exact-decimal pattern from registry.dsum so hashes are order-insensitive
+(SURVEY.md §7.4). Scale notes per query where the local-corpus shape
+would differ at 100 TB.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import types as T
+
+from glaciersgee_spark.registry import davg, dsum, query
+from glaciersgee_spark.tables import load_table
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------- scans
+
+
+@query(
+    "q_b_scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 48.0 AND l_returnflag <> 'N'
+    """,
+)
+def q_b_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection + predicate pushdown.
+
+    tests/test_plans.py asserts both predicates reach PushedFilters and
+    ReadSchema is exactly the 4 projected columns — at 100 TB this is
+    the difference between reading 4/11 columns of row-groups that
+    survive min/max skipping vs a full-table read.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_quantity") >= 48.0) & (F.col("l_returnflag") != "N")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@query(
+    "q_b_scan_json",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_b_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip (manifest-file shape).
+
+    Writes a JSON manifest derived from orders, reads it back with an
+    explicit schema (never inferred — inference is a second full scan).
+    Restricted to lossless-in-JSON types so the oracle hash-matches.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="ggee_json_")
+    subset = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    subset.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out).select(*[f.name for f in schema.fields])
+
+
+@query(
+    "q_b_scan_csv",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_mktsegment
+    FROM customer WHERE c_custkey % 3 = 0
+    """,
+)
+def q_b_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with explicit schema (| separator, no inference)."""
+    cust = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="ggee_csv_")
+    cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.col("c_nationkey").cast("long"), "c_mktsegment"
+    ).write.mode("overwrite").option("sep", "|").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_nationkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).option("sep", "|").csv(out)
+    return df.withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+
+
+@query(
+    "q_b_sink_partitioned",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {dsum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_quantity >= 47.0
+    GROUP BY l_returnflag
+    """,
+)
+def q_b_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back (partition pruning shape).
+
+    At 100 TB the partition key would be a date/ingest column so static
+    + dynamic partition pruning apply; here the round-trip proves the
+    sink preserves values exactly (partition column travels through the
+    directory encoding).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="ggee_part_")
+    li.where(F.col("l_quantity") >= 47.0).select(
+        "l_returnflag", "l_quantity"
+    ).write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(dsum("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ------------------------------------------------------- project / filter
+
+
+@query(
+    "q_b_project",
+    oracle="""
+    SELECT p_partkey AS part_id,
+           upper(p_brand) AS brand_u,
+           p_retailprice * 1.1 AS marked_up,
+           p_type || '/' || p_brand AS type_brand
+    FROM part
+    """,
+)
+def q_b_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection: select / rename / computed columns (per-row double
+    math is IEEE-deterministic, so raw doubles hash-match)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_id"),
+        F.upper("p_brand").alias("brand_u"),
+        (F.col("p_retailprice") * 1.1).alias("marked_up"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+    )
+
+
+@query(
+    "q_b_filter_complex",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus IN ('F', 'P'))
+      AND o_totalprice BETWEEN 20000.0 AND 150000.0
+      AND (o_orderpriority LIKE '%URGENT' OR o_orderpriority LIKE '2%')
+      AND NOT (o_orderkey % 7 = 0)
+      AND o_orderdate IS NOT NULL
+    """,
+)
+def q_b_filter_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean column algebra: IN / BETWEEN / LIKE / NOT / IS NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(20000.0, 150000.0)
+        & (F.col("o_orderpriority").like("%URGENT") | F.col("o_orderpriority").like("2%"))
+        & ~(F.col("o_orderkey") % 7 == 0)
+        & F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+# ----------------------------------------------------------------- joins
+
+
+@query(
+    "q_b_join_inner",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, c.c_mktsegment
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_quantity >= 45.0
+    """,
+)
+def q_b_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join chain fact→orders→customer.
+
+    Catalyst picks broadcast for customer (small) and AQE may convert
+    the orders join too at low SF; at 100 TB orders⋈lineitem becomes a
+    sort-merge join on o_orderkey — both sides hash-partition on the
+    same key so no extra exchange between the two joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45.0)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("l_orderkey", "l_linenumber", "o_orderstatus", "c_mktsegment")
+    )
+
+
+@query(
+    "q_b_join_left",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_b_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with guaranteed null-extended rows (the filtered
+    right side leaves most customers unmatched)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_b_join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey % 5 = 0
+    """,
+)
+def q_b_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (null-extension on the customer side)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000.0)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_b_join_full",
+    oracle="""
+    SELECT COALESCE(a.n_nationkey, b.n_nationkey) AS nationkey,
+           a.n_cust, b.n_supp
+    FROM (SELECT c_nationkey AS n_nationkey, COUNT(*) AS n_cust
+          FROM customer WHERE c_acctbal > 7000.0 GROUP BY c_nationkey) a
+    FULL JOIN (SELECT s_nationkey AS n_nationkey, COUNT(*) AS n_supp
+          FROM supplier GROUP BY s_nationkey) b
+      ON a.n_nationkey = b.n_nationkey
+    """,
+)
+def q_b_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two disjointly-filtered per-nation aggregates."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 7000.0)
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = c.alias("a").join(
+        s.alias("b"), F.col("a.n_nationkey") == F.col("b.n_nationkey"), "full"
+    )
+    return joined.select(
+        F.coalesce(F.col("a.n_nationkey"), F.col("b.n_nationkey")).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@query(
+    "q_b_join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_b_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — existence, no right columns, no row duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_b_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000.0)
+    """,
+)
+def q_b_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — non-existence."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_b_join_broadcast",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_b_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join on a tiny dimension.
+
+    tests/test_plans.py asserts BroadcastHashJoin appears — at 100 TB a
+    5-row region table must never shuffle the fact side.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@query(
+    "q_b_join_theta",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
+    """,
+)
+def q_b_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi component + non-equi residual.
+
+    The equi conjunct keeps this a hash/sort-merge join with the
+    inequality as a post-join residual — NOT a nested-loop cross
+    product, which is the scale trap for theta joins.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal)
+    return s.join(c, cond, "inner").select("s_suppkey", "c_custkey")
+
+
+@query(
+    "q_b_join_range",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q_b_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) self-join: purchases within 2 minutes of a click.
+
+    Equi key (user_id) bounds the blow-up; the band predicate is a
+    residual. At 100 TB the stream side would additionally be bucketed
+    by time so each partition only meets its neighbors.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").alias("a")
+    b = ev.where(F.col("event_type") == "purchase").alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTE"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b")
+    )
+
+
+@query(
+    "q_b_join_asof",
+    oracle="""
+    SELECT p_id, p_ts, c_id FROM (
+      SELECT p.event_id AS p_id, p.ts AS p_ts, c.event_id AS c_id,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def q_b_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user.
+
+    Spark has no native ASOF JOIN; the composition is range join +
+    per-left-row rank. At 100 TB this is done per user-partition with
+    a time-bucketed pre-join to bound the candidate set; event_id
+    tie-break makes equal-ts candidates deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id")) & (F.col("c.ts") <= F.col("p.ts")),
+    )
+    w = Window.partitionBy(F.col("p.event_id")).orderBy(
+        F.col("c.ts").desc(), F.col("c.event_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("p.event_id").alias("p_id"),
+            F.col("p.ts").alias("p_ts"),
+            F.col("c.event_id").alias("c_id"),
+        )
+    )
+
+
+@query(
+    "q_b_join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q_b_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian product (dims only — never fact×fact)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+# ------------------------------------------------------------ aggregates
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary (scan→filter→agg→sort).
+
+    The spine query: columnar scan with pushed date predicate, 2-key
+    hash aggregate (partial+final, map-side combine), tiny sorted
+    output. Every aggregate rides the exact-decimal pattern so the
+    oracle hash is stable under any partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= _ts("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity")).alias("sum_qty"),
+            F.expr(dsum("l_extendedprice")).alias("sum_base_price"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias(
+                "sum_charge"
+            ),
+            F.expr(davg("l_quantity")).alias("avg_qty"),
+            F.expr(davg("l_extendedprice")).alias("avg_price"),
+            F.expr(davg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+query(
+    "q_b_agg_hash",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity')} AS sum_qty,
+           {dsum('l_extendedprice')} AS sum_base_price,
+           {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg('l_quantity')} AS avg_qty,
+           {davg('l_extendedprice')} AS avg_price,
+           {davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)(pricing_summary)
+
+
+@query(
+    "q_b_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_part,
+           COUNT(DISTINCT l_suppkey) AS nd_supp,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_d_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_b_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (expand + two-phase agg under the hood)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.expr(
+            "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)"
+        ).alias("sum_d_qty"),
+    )
+
+
+@query("q_b_agg_approx")  # rows-only: HLL estimate is engine-specific
+def q_b_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++).
+
+    No oracle — sketch estimates are engine-specific by construction;
+    the exact companion lives in q_b_agg_distinct. At 100 TB this is
+    THE way to count uniques: fixed-size sketch, no expand shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part"),
+        F.countDistinct("l_partkey").alias("exact_nd_part"),
+    )
+
+
+@query(
+    "q_b_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           COUNT(*) AS n, {dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (grouping-sets family). Corpus keys are never NULL, so
+    COALESCE marks subtotal levels unambiguously in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(dsum("l_extendedprice")).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "q_b_agg_collect",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(event_type ORDER BY event_type)) AS types_all,
+           list_sort(list_distinct(list(event_type))) AS types_set
+    FROM events WHERE event_id % 17 = 0
+    GROUP BY user_id
+    """,
+)
+def q_b_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group list/set assembly, sorted for determinism.
+
+    collect_list order is partition-dependent → always sort the result
+    array before emitting (unordered collect is banned in this engine).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 17 == 0)
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_type")).alias("types_all"),
+        F.sort_array(F.collect_set("event_type")).alias("types_set"),
+    )
+
+
+@query(
+    "q_b_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8 AND {dsum('o_totalprice')} > 500000.0
+    """,
+)
+def q_b_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(dsum("o_totalprice")).alias("revenue"),
+    )
+    return agg.where((F.col("n_orders") >= 8) & (F.col("revenue") > 500000.0))
+
+
+# -------------------------------------------------------- sort / limit
+
+
+@query(
+    "q_b_sort",
+    oracle="""
+    SELECT o_orderkey, nk, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY nk ASC NULLS FIRST,
+                              o_totalprice DESC, o_orderkey ASC) AS sort_rank
+    FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS nk, o_totalprice
+          FROM orders WHERE o_orderkey % 20 = 0)
+    """,
+)
+def q_b_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement.
+
+    The value-hash is order-insensitive, so ordering is materialized as
+    a global row_number — single-partition window, acceptable only for
+    a bounded verification slice (keyed sample), never the full fact
+    table; the distributed sort itself is range-partitioned by Spark.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            F.nullif("o_orderstatus", F.lit("O")).alias("nk"),
+            "o_totalprice",
+        )
+    )
+    w = Window.orderBy(
+        F.col("nk").asc_nulls_first(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.withColumn("sort_rank", F.row_number().over(w))
+
+
+@query(
+    "q_b_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+def q_b_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject — per-partition heaps + k-row
+    driver merge, never a full global sort. Tie-break on key keeps the
+    returned SET deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(25).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_b_topk_pergroup",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_b_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window + filter (scales: one shuffle
+    on the group key; AQE handles group skew)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# --------------------------------------------------------------- set ops
+
+
+@query(
+    "q_b_union",
+    oracle="""
+    SELECT o_orderkey, 'high_value' AS src FROM orders WHERE o_totalprice > 200000.0
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_b_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name (rows overlapping on purpose — no dedup)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 200000.0).select(
+        "o_orderkey", F.lit("high_value").alias("src")
+    )
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "q_b_intersect_except",
+    oracle="""
+    SELECT o_custkey, 'both' AS tag FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+    UNION ALL
+    SELECT o_custkey, 'urgent_only' AS tag FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+    """,
+)
+def q_b_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (distinct set semantics), tagged and unioned."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.where(F.col("o_totalprice") > 200000.0).select("o_custkey")
+    both = urgent.intersect(high).select("o_custkey", F.lit("both").alias("tag"))
+    # SQL EXCEPT is distinct-set semantics: dedupe the left side first so
+    # exceptAll (multiset) degenerates to exactly that.
+    only = urgent.distinct().exceptAll(high.distinct()).select(
+        "o_custkey", F.lit("urgent_only").alias("tag")
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------- windows
+
+
+@query(
+    "q_b_window_rank",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER w1 AS rn,
+           RANK() OVER w2 AS rk,
+           DENSE_RANK() OVER w2 AS drk,
+           NTILE(4) OVER w1 AS quartile,
+           CAST(PERCENT_RANK() OVER w2 AS DOUBLE) AS prk
+    FROM orders WHERE o_orderkey % 10 = 0
+    WINDOW w1 AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC),
+           w2 AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus ASC)
+    """,
+)
+def q_b_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions. w1 is totally ordered (unique
+    tie-break) for row_number/ntile; w2 has real ties so rank vs
+    dense_rank vs percent_rank semantics differ and stay deterministic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    w1 = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(F.col("o_orderstatus").asc())
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w1).alias("rn"),
+        F.rank().over(w2).alias("rk"),
+        F.dense_rank().over(w2).alias("drk"),
+        F.ntile(4).over(w1).alias("quartile"),
+        F.percent_rank().over(w2).cast("double").alias("prk"),
+    )
+
+
+@query(
+    "q_b_window_analytic",
+    oracle="""
+    SELECT event_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(ts) OVER w AS first_ts,
+           LAST_VALUE(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_ts
+    FROM events WHERE event_id % 7 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_b_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions over a totally-ordered per-user frame."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("ts").over(wfull).alias("last_ts"),
+    )
+
+
+@query(
+    "q_b_window_frame",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_sum,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sliding_sum_10,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_10
+    FROM events WHERE event_id % 3 = 0
+    """,
+)
+def q_b_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running + sliding frames. Window SUM evaluation order differs
+    between engines (segment trees vs incremental), so frame sums use
+    the exact-decimal pattern too."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = w.rowsBetween(-9, Window.currentRow)
+    dec = F.expr("CAST(value AS DECIMAL(25,6))")
+    return ev.select(
+        "event_id",
+        F.sum(dec).over(running).cast("double").alias("running_sum"),
+        F.sum(dec).over(sliding).cast("double").alias("sliding_sum_10"),
+        F.count(F.lit(1)).over(sliding).alias("n_10"),
+    )
+
+
+# ------------------------------------------------- subquery / CTE / misc
+
+
+@query(
+    "q_b_subquery",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    JOIN (SELECT o_custkey, {davg('o_totalprice')} AS cust_avg
+          FROM orders GROUP BY o_custkey) a
+      ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.cust_avg * 1.5
+    """,
+)
+def q_b_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (orders 1.5× above their
+    customer's mean), authored in decorrelated join+agg form so both
+    engines run the identical plan shape."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_by_cust = o.groupBy("o_custkey").agg(F.expr(davg("o_totalprice")).alias("cust_avg"))
+    joined = o.alias("o").join(
+        avg_by_cust.alias("a"), F.col("o.o_custkey") == F.col("a.o_custkey")
+    )
+    return joined.where(F.col("o.o_totalprice") > F.col("a.cust_avg") * 1.5).select(
+        "o.o_orderkey", "o.o_custkey", "o.o_totalprice"
+    )
+
+
+@query(
+    "q_b_cte_pipeline",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o.o_custkey, {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    ),
+    nat AS (
+      SELECT c.c_custkey, n.n_name
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT nat.n_name, COUNT(*) AS n_cust, {dsum('rev.revenue')} AS nation_revenue
+    FROM rev JOIN nat ON rev.o_custkey = nat.c_custkey
+    GROUP BY nat.n_name
+    """,
+)
+def q_b_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage CTE-shaped pipeline: revenue per customer → nation
+    rollup. Second-stage sum re-aggregates first-stage exact doubles —
+    the decimal cast re-applies losslessly (6 dp already exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+    nat = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    return (
+        rev.join(nat, rev.o_custkey == nat.c_custkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.expr(dsum("revenue")).alias("nation_revenue"))
+    )
+
+
+@query(
+    "q_b_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_b_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide with an explicit value list (required at scale:
+    implicit pivot runs a distinct scan first)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "q_b_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long (values pass through untouched → raw doubles
+    hash-match)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "q_b_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def q_b_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten an array column with element position (1-based to match
+    SQL generate_subscripts)."""
+    em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 25 == 0)
+    ex = em.select("vec_id", F.posexplode("embedding").alias("pos0", "val"))
+    return ex.select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+@query(
+    "q_b_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE (o_orderkey * 37 + 11) % 97 < 5
+    """,
+)
+def q_b_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed sample. df.sample() is banned in declared
+    queries (partition-layout-dependent); key arithmetic gives the same
+    ~5% subset on any engine, any partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where((F.col("o_orderkey") * 37 + 11) % 97 < 5).select(
+        "o_orderkey", "o_totalprice"
+    )

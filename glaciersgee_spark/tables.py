@@ -1,0 +1,89 @@
+"""Declared schemas + loaders for the driver corpus (FIXTURES.md).
+
+Fixed, asserted schemas — never inferred — because the DuckDB oracle
+comparison is schema-sensitive (SURVEY.md §1.2). The one normalization
+applied at load: ``events.ts`` arrives as parquet TIMESTAMP(NANOS)
+(read as long under ``nanosAsLong``) and is converted to a
+microsecond TIMESTAMP_NTZ — exactly what DuckDB sees, since DuckDB's
+TIMESTAMP is µs-precision and naive.
+
+At 100 TB these loaders are where partition-level metadata (stats,
+bucketing) would be attached; on the driver corpus they are plain
+columnar parquet scans that keep projection/predicate pushdown intact
+(verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from glaciersgee_spark.session import ensure_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Expected simpleString() schema AFTER load-time normalization.
+EXPECTED = {
+    "region": "struct<r_regionkey:int,r_name:string>",
+    "nation": "struct<n_nationkey:int,n_name:string,n_regionkey:int>",
+    "customer": (
+        "struct<c_custkey:bigint,c_name:string,c_nationkey:int,"
+        "c_acctbal:double,c_mktsegment:string>"
+    ),
+    "supplier": "struct<s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double>",
+    "part": (
+        "struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string,"
+        "p_size:int,p_retailprice:double>"
+    ),
+    "orders": (
+        "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+        "o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>"
+    ),
+    "lineitem": (
+        "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,"
+        "l_linenumber:int,l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_tax:double,l_returnflag:string,"
+        "l_linestatus:string,l_shipdate:timestamp_ntz>"
+    ),
+    "events": (
+        "struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,"
+        "event_type:string,value:double,props:string>"
+    ),
+    "documents": (
+        "struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>"
+    ),
+    "embeddings": "struct<vec_id:bigint,embedding:array<float>,label:int>",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table with its declared schema asserted."""
+    ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ns → µs truncation (div floors; ts values are non-negative),
+        # then NTZ so collected values are naive like DuckDB's.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    got = df.schema.simpleString()
+    if got != EXPECTED[name]:
+        raise AssertionError(f"{name}: schema drift: {got} != {EXPECTED[name]}")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (for spark.sql paths)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
