@@ -1,1 +1,318 @@
-"""Stub — populated in a later milestone."""
+"""Group C — scalar function surface (SURVEY.md §2 Group C).
+
+One declared query per family, each exercising several functions. All
+expressions stay JVM-side (pyspark.sql.functions / expr) so they live
+inside whole-stage codegen — no Python in these paths.
+
+Cross-engine authoring rules applied here (SURVEY.md §7.4):
+  * ceil/floor: Spark returns BIGINT for double input, DuckDB DOUBLE →
+    cast both to BIGINT explicitly.
+  * round: only applied to irrational-valued expressions (sqrt/ln/exp)
+    where decimal-tie inputs can't occur; half-up vs half-even then
+    never diverges. Exact .5-tie values are never rounded.
+  * transcendentals (exp/ln/log10): libm results may differ in the
+    last ulp between JVM and C — round to 4 dp (boundary-collision
+    probability ~1e-11 per row). sqrt is IEEE-exact: no rounding.
+  * double→int casts: Spark truncates, DuckDB rounds → floor first.
+  * day-of-week: ISO formulation in both engines (1=Mon..7=Sun).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from glaciersgee_spark.registry import query
+from glaciersgee_spark.tables import load_table
+
+
+@query(
+    "q_c_string",
+    oracle="""
+    SELECT doc_id,
+           upper(substring(text, 1, 12)) AS head_u,
+           length(text) AS n_chars,
+           concat_ws('|', lang, source) AS lang_src,
+           replace(substring(text, 1, 40), 'data', 'DATA') AS replaced,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(strpos(text, 'join') AS BIGINT) AS join_pos,
+           (text LIKE '%window%') AS has_window,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+           trim(concat('  ', lang, '  ')) AS trimmed
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def q_c_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case/substring/length/concat/replace/pad/split/
+    position/LIKE/regexp (common Java↔RE2 regex subset only)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_u"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.expr("replace(substring(text, 1, 40), 'data', 'DATA')").alias("replaced"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.instr("text", "join").cast("long").alias("join_pos"),
+        F.col("text").like("%window%").alias("has_window"),
+        F.regexp_extract("text", r"([a-z]{6,})", 1).alias("first_long_word"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "q_c_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_epoch0,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1)
+             AS first_of_month
+    FROM orders WHERE o_orderkey % 8 = 0
+    """,
+)
+def q_c_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family. ISO day-of-week is derived from Spark's
+    1=Sunday dayofweek to match DuckDB's isodow (1=Mon..7=Sun)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mon"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        (((F.dayofweek(d) + 5) % 7) + 1).cast("long").alias("iso_dow"),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch0"),
+        F.unix_timestamp(d.cast("timestamp")).alias("epoch_s"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("first_of_month"),
+    )
+
+
+@query(
+    "q_c_math",
+    oracle="""
+    SELECT c_custkey,
+           abs(c_acctbal) AS abs_bal,
+           CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+           sqrt(abs(c_acctbal)) AS sqrt_bal,
+           round(ln(abs(c_acctbal) + 1.0), 4) AS ln_bal4,
+           round(exp(-abs(c_acctbal) / 10000.0), 4) AS exp_bal4,
+           round(log10(abs(c_acctbal) + 1.0), 4) AS log10_bal4,
+           pow(2.0, CAST(c_nationkey % 8 AS DOUBLE)) AS pow2,
+           ((c_custkey % 7) + 7) % 7 AS pmod7,
+           CAST(sign(c_acctbal) AS BIGINT) AS sgn,
+           greatest(c_acctbal, 0.0) AS pos_bal,
+           least(c_acctbal, 0.0) AS neg_bal
+    FROM customer
+    """,
+)
+def q_c_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE correctly-rounded (bit-identical);
+    ln/exp/log10 are rounded to 4 dp against libm last-ulp drift;
+    pow limited to exact powers of two."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.ceil(bal).cast("long").alias("ceil_bal"),
+        F.floor(bal).cast("long").alias("floor_bal"),
+        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1.0), 4).alias("ln_bal4"),
+        F.round(F.exp(-F.abs(bal) / 10000.0), 4).alias("exp_bal4"),
+        F.round(F.log10(F.abs(bal) + 1.0), 4).alias("log10_bal4"),
+        F.pow(F.lit(2.0), (F.col("c_nationkey") % 8).cast("double")).alias("pow2"),
+        (((F.col("c_custkey") % 7) + 7) % 7).alias("pmod7"),
+        F.signum(bal).cast("long").alias("sgn"),
+        F.greatest(bal, F.lit(0.0)).alias("pos_bal"),
+        F.least(bal, F.lit(0.0)).alias("neg_bal"),
+    )
+
+
+@query(
+    "q_c_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+                ELSE 'relaxed' END AS urgency,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderpriority, '5-LOW'), NULLIF(o_orderstatus, 'F'), 'fallback')
+             AS first_defined
+    FROM orders WHERE o_orderkey % 6 = 0
+    """,
+)
+def q_c_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN / coalesce / nullif / if."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 6 == 0)
+    pr = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.when(pr.isin("1-URGENT", "2-HIGH"), "expedite")
+        .when(pr == "3-MEDIUM", "normal")
+        .otherwise("relaxed")
+        .alias("urgency"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_totalprice") > 200000.0, "big").otherwise("small").alias("size_class"),
+        F.coalesce(
+            F.nullif(pr, F.lit("5-LOW")),
+            F.nullif("o_orderstatus", F.lit("F")),
+            F.lit("fallback"),
+        ).alias("first_defined"),
+    )
+
+
+@query(
+    "q_c_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS okey_str,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS okey_back,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' 06:30:00' AS TIMESTAMP)
+             AS parsed_ts,
+           CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS is_even
+    FROM orders WHERE o_orderkey % 9 = 0
+    """,
+)
+def q_c_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family incl. try_cast of unparseable strings → NULL (ANSI
+    mode makes plain cast throw — exactly why try_cast exists).
+    Double→int goes through floor(): Spark truncates, DuckDB rounds."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 9 == 0)
+    date_str = F.col("o_orderdate").cast("date").cast("string")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("okey_str"),
+        F.expr("TRY_CAST(CAST(o_orderkey AS STRING) AS BIGINT)").alias("okey_back"),
+        F.expr("TRY_CAST(o_orderpriority AS BIGINT)").alias("bad_cast"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        date_str.alias("date_str"),
+        F.concat(date_str, F.lit(" 06:30:00")).cast("timestamp_ntz").alias("parsed_ts"),
+        (F.col("o_orderkey") % 2 == 0).cast("boolean").alias("is_even"),
+    )
+
+
+@query(
+    "q_c_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS first4,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS BIGINT)
+             AS n_pos,
+           (len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) > 0) AS any_gt03,
+           list_sort(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))) AS sorted4,
+           list_transform(generate_series(1, 1 + vec_id % 3), x -> x * 10) AS seq10
+    FROM embeddings WHERE vec_id % 20 = 0
+    """,
+)
+def q_c_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family with higher-order functions (transform / filter /
+    exists / sort / sequence). Elements cast float→double (exact) so
+    both engines hash the same widths."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
+    first4 = F.expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        first4.alias("first4"),
+        F.expr("size(filter(embedding, x -> CAST(x AS DOUBLE) > 0.0d))")
+        .cast("long")
+        .alias("n_pos"),
+        F.expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.3d)").alias("any_gt03"),
+        F.array_sort(first4).alias("sorted4"),
+        F.expr("transform(sequence(1L, 1L + vec_id % 3), x -> x * 10)").alias("seq10"),
+    )
+
+
+@query(
+    "q_c_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           list_sort(json_keys(props)) AS keys_sorted,
+           list_contains(json_keys(props), 'k') AS has_k
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def q_c_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family over schema-on-read JSON props (the GEE dynamic
+    properties-dict idiom, SURVEY.md §1.2)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+    )
+
+
+@query(
+    "q_c_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k,
+           (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events WHERE event_id % 13 = 0
+    """,
+)
+def q_c_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction (string + typed) and null paths."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+@query(
+    "q_c_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(length(md5(text)) AS BIGINT) AS md5_len
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q_c_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family (content addressing for dedup). md5/sha256 are
+    standardized → SQL oracle; xxhash64 is engine-specific and lives in
+    the rows-only dedup pipeline (q_e_dedup_near)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length(F.md5("text")).cast("long").alias("md5_len"),
+    )

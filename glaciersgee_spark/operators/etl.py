@@ -1,1 +1,345 @@
-"""Stub — populated in a later milestone."""
+"""Group A — reference-equivalent metadata-ETL operators.
+
+Reconstructions of the scene-metadata operations a GEE Landsat-download
+ETL performs (SURVEY.md §2 Group A; reference checkout empty — each
+query's docstring names the public GEE API call it reconstructs, per
+SURVEY.md §0 the only citable origin). The corpus stand-ins: `events`
+plays the ImageCollection metadata view (ts = system:time_start,
+value = CLOUD_COVER, user_id = WRS path/row, props = properties dict);
+the TPC-H star plays FeatureCollection attribute tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from glaciersgee_spark.registry import davg, dsum, query
+from glaciersgee_spark.tables import load_table
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+@query(
+    "q_a_filter_date",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+    """,
+)
+def q_a_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageCollection.filterDate(start, end): half-open time range on
+    system:time_start. Pushed to the parquet scan (ts min/max row-group
+    skipping) — at 100 TB with date-partitioned layout this becomes
+    partition pruning."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") >= _ts("2024-01-05")) & (F.col("ts") < _ts("2024-01-12"))
+    ).select("event_id", "ts", "user_id", "event_type")
+
+
+@query(
+    "q_a_filter_meta",
+    oracle="""
+    SELECT event_id, value, event_type
+    FROM events
+    WHERE value < 25.0 AND event_type <> 'error'
+    """,
+)
+def q_a_filter_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filterMetadata('CLOUD_COVER','less_than',x) / ee.Filter.lt —
+    scene-property predicate (value plays CLOUD_COVER)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where((F.col("value") < 25.0) & (F.col("event_type") != "error")).select(
+        "event_id", "value", "event_type"
+    )
+
+
+@query(
+    "q_a_filter_bounds",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE EXISTS (
+      SELECT 1 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('ASIA', 'AFRICA') AND n.n_nationkey = e.user_id % 25
+    )
+    """,
+)
+def q_a_filter_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filterBounds(geometry): spatial containment as its metadata
+    analogue — scene tile key ∈ AOI key set, i.e. a broadcast semi join
+    against the (tiny) region dimension. At 100 TB the AOI key set is
+    always broadcast-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    aoi = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).where(
+        F.col("r_name").isin("ASIA", "AFRICA")
+    )
+    ev = ev.withColumn("tile_key", (F.col("user_id") % 25).cast("int"))
+    return ev.join(
+        F.broadcast(aoi), ev.tile_key == aoi.n_nationkey, "left_semi"
+    ).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "q_a_sort_first",
+    oracle="""
+    SELECT event_id, user_id, value, ts
+    FROM events
+    ORDER BY value ASC, ts ASC, event_id ASC
+    LIMIT 1
+    """,
+)
+def q_a_sort_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collection.sort('CLOUD_COVER').first() — best-scene selection.
+    Spark plans TakeOrderedAndProject (per-partition top-1 + driver
+    merge), not a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.orderBy(
+        F.col("value").asc(), F.col("ts").asc(), F.col("event_id").asc()
+    ).limit(1).select("event_id", "user_id", "value", "ts")
+
+
+@query(
+    "q_a_best_per_group",
+    oracle="""
+    SELECT user_id, day, event_id, value FROM (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY value ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_a_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-cloudy scene per (path/row, period) — the compositing
+    selection step. One shuffle on the group key; deterministic
+    tie-break on event_id."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("timestamp_ntz")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", "event_id", "value")
+    )
+
+
+@query(
+    "q_a_composite_agg",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_scenes,
+           {davg('value')} AS mean_v,
+           min(value) AS min_v,
+           max(value) AS max_v,
+           {dsum('value')} AS sum_v
+    FROM events GROUP BY user_id
+    """,
+)
+def q_a_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """imageCollection.reduce(ee.Reducer.mean/min/max) — per-group
+    composite statistics (partial aggregation = map-side combine, so
+    the shuffle carries one row per (partition, key))."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_scenes"),
+        F.expr(davg("value")).alias("mean_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.expr(dsum("value")).alias("sum_v"),
+    )
+
+
+@query(
+    "q_a_scene_count_hist",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS v_bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_a_scene_count_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_histogram(property) — scene counts by day × cloud
+    bucket (width_bucket-style binning via floor division)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("v_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_a_props_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_a_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image.get('CLOUD_COVER') — reading the dynamic properties dict:
+    schema-on-read JSON extraction then aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@query(
+    "q_a_join_aoi",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_a_join_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ee.Join against FeatureCollection attributes: scene fact joined
+    through the full dimension chain (TPC-H-Q5 shape). Dimensions are
+    broadcast; only the lineitem⋈orders join shuffles — and both sides
+    partition on the same key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_a_distinct_scenes",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+    """,
+)
+def q_a_distinct_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe path/row revisits: distinct on (tile, kind, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+    ).distinct()
+
+
+@query(
+    "q_a_date_features",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS yr,
+           CAST(month(ts) AS BIGINT) AS mon,
+           CAST(dayofyear(ts) AS BIGINT) AS doy,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow
+    FROM events WHERE event_id % 3 = 0
+    """,
+)
+def q_a_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-time feature extraction (year/month/doy/hour/dow)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("yr"),
+        F.month("ts").cast("long").alias("mon"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.hour("ts").cast("long").alias("hr"),
+        (((F.dayofweek("ts") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+    )
+
+
+@query(
+    "q_a_export_manifest",
+    oracle="""
+    SELECT p_partkey,
+           printf('s3://landsat-archive/%s/scene_%08d.tif',
+                  lower(replace(p_brand, '#', '_')), p_partkey) AS export_url,
+           printf('%s/%05d', p_type, p_partkey % 100000) AS local_path,
+           CAST(p_size AS BIGINT) * 1048576 AS approx_bytes
+    FROM part
+    """,
+)
+def q_a_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the per-scene export/download manifest (URL + target
+    path + size estimate) — the engine-side half of
+    ee.batch.Export; the HTTP orchestration itself is out of scope
+    (BASELINE.json:6, peripheral)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string(
+            "s3://landsat-archive/%s/scene_%08d.tif",
+            F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit("_"))),
+            "p_partkey",
+        ).alias("export_url"),
+        F.format_string("%s/%05d", "p_type", F.col("p_partkey") % 100000).alias(
+            "local_path"
+        ),
+        (F.col("p_size").cast("long") * 1048576).alias("approx_bytes"),
+    )
+
+
+@query(
+    "q_a_ingest_log",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part d WHERE d.p_partkey % 3 = 0 AND d.p_partkey = p.p_partkey
+    )
+    """,
+)
+def q_a_ingest_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downloaded-vs-pending tracking: manifest ANTI JOIN done-log →
+    scenes still to fetch (idempotent re-run support)."""
+    p = load_table(spark, sf_dir, "part")
+    done = p.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("d_key")
+    )
+    return p.join(done, p.p_partkey == done.d_key, "left_anti").select(
+        "p_partkey", "p_brand"
+    )
