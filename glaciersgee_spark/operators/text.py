@@ -1,1 +1,192 @@
-"""Stub — populated in a later milestone."""
+"""Group E — text analysis over the documents corpus.
+
+Tokenization, TF-IDF, corpus statistics, per-language top terms, and
+heuristic quality filtering — the standard LLM-training-pipeline text
+ops (BASELINE.json:6 mandate). Everything is built-in-function only
+(split/explode/groupBy/window); the hot paths stay in whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from glaciersgee_spark.registry import davg, query
+from glaciersgee_spark.tables import load_table
+
+# Corpus-frequent function words to drop for "top terms" (fixed literal
+# list — the corpus vocabulary is synthetic data-engine words).
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+@query(
+    "q_e_text_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 40
+    """,
+)
+def q_e_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + global token counts, top 40 (tie-broken on token so
+    the returned SET is deterministic). The explode→count is the
+    map-side-combinable wordcount shape — at 100 TB the combine step
+    collapses each partition to |vocab| rows before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(40)
+    )
+
+
+@query(
+    "q_e_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6) AS idf,
+           round(tf.tf * round(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6), 6)
+             AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    WHERE tf.doc_id % 20 = 0
+    """,
+)
+def q_e_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): smooth idf = ln((N+1)/(df+1)) + 1.
+
+    idf is rounded to 6 dp (ln is libm-dependent in the last ulp);
+    tf·idf of the rounded value is then exactly representable, so the
+    final round is deterministic in both engines. df is computed over
+    the FULL corpus; only the scored sample of docs is emitted.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar dimension, embedded as a literal
+    idf = F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    return (
+        tf.where(F.col("doc_id") % 20 == 0)
+        .join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            idf.alias("idf"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q_e_text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median_chars,
+           {davg("CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_e_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics incl. exact median (Spark
+    percentile ≡ DuckDB quantile_cont — verified bit-identical linear
+    interpolation). n_chars sums are exact integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").alias("median_chars"),
+        F.expr(davg("CAST(size(split(text, ' ')) AS DOUBLE)")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_e_lang_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS n FROM toks
+      WHERE token NOT IN ({', '.join("'" + s + "'" for s in STOPWORDS)})
+      GROUP BY lang, token
+    )
+    SELECT lang, token, n, rk FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+      FROM counts
+    ) WHERE rk <= 5
+    """,
+)
+def q_e_lang_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 stopword-filtered terms per language (token pipeline +
+    per-group ranked window)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .where(~F.col("token").isin(STOPWORDS))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+@query(
+    "q_e_quality_filter",
+    oracle="""
+    SELECT doc_id, n_tokens, distinct_ratio, avg_token_len,
+           (n_tokens BETWEEN 10 AND 200 AND distinct_ratio > 0.3) AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents
+    )
+    """,
+)
+def q_e_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic LLM-pipeline quality scoring: token count bounds,
+    type/token (distinct) ratio, mean token length — emitted with the
+    keep/drop verdict so downstream filters are a plain where()."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    out = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / n_tok).alias("distinct_ratio"),
+        ((F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok).alias("avg_token_len"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("n_tokens").between(10, 200) & (F.col("distinct_ratio") > 0.3),
+    )

@@ -1,1 +1,248 @@
-"""Stub — populated in a later milestone."""
+"""Group D — streaming operators, declared in batch-equivalent form.
+
+The t2 oracle is batch DuckDB, so each declared query is the exact
+batch equivalent of a streaming computation over `events`; the true
+Structured Streaming forms live in glaciersgee_spark.streaming.stream
+and are asserted equal to these batch results in tests/test_streaming.py
+(self-consistency, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from glaciersgee_spark.registry import dsum, query
+from glaciersgee_spark.tables import load_table
+
+
+@query(
+    "q_d_tumbling",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+           event_type,
+           COUNT(*) AS n,
+           {dsum('value')} AS sum_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_d_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows, per-type aggregates. Stream form:
+    groupBy(window(ts, '1 hour'), event_type) with a watermark; the
+    1-hour window start equals date_trunc('hour') because Spark windows
+    are epoch-aligned."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(dsum("value")).alias("sum_v"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+    )
+
+
+@query(
+    "q_d_sliding",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS ws,
+           COUNT(*) AS n,
+           {dsum('value')} AS sum_v
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
+def q_d_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, 15 min slide): every event belongs
+    to exactly 4 epoch-aligned windows; the oracle expands them
+    explicitly, Spark's window() does it natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(dsum("value")).alias("sum_v"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n", "sum_v")
+    )
+
+
+@query(
+    "q_d_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {dsum('value')} AS sum_v
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_d_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) in gaps-and-islands
+    form: lag → new-session flag → running sum = session id → per-
+    session aggregates. Stream form: session_window(ts, '30 minutes')
+    with watermark (tests/test_streaming.py proves equality)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(dsum("value")).alias("sum_v"),
+    )
+
+
+@query(
+    "q_d_watermark_late",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS watermark FROM events)
+    SELECT user_id,
+           COUNT(*) FILTER (ts < watermark) AS n_before_wm,
+           COUNT(*) FILTER (ts >= watermark) AS n_after_wm
+    FROM events CROSS JOIN wm
+    GROUP BY user_id
+    """,
+)
+def q_d_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch form: events behind max(ts)−1h vs
+    within it, per key. Stream form: withWatermark('ts', '1 hour')
+    dropping late arrivals; the scalar max is a broadcast join here."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("watermark"))
+    return (
+        ev.join(F.broadcast(wm))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("ts") < F.col("watermark"), 1)).alias("n_before_wm"),
+            F.count(F.when(F.col("ts") >= F.col("watermark"), 1)).alias("n_after_wm"),
+        )
+    )
+
+
+@query(
+    "q_d_stateful_dedup",
+    oracle="""
+    SELECT user_id, event_type, minute_b, event_id FROM (
+      SELECT user_id, event_type,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_b,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+                                ORDER BY event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_d_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup: first event per (user, type, minute). Stream
+    form: dropDuplicatesWithinWatermark — whose keep-choice is arrival-
+    order-dependent; the batch declaration pins it to min event_id so
+    the result set is deterministic."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "minute_b", F.date_trunc("minute", "ts").cast("timestamp_ntz")
+    )
+    w = Window.partitionBy("user_id", "event_type", "minute_b").orderBy(
+        F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "minute_b", "event_id")
+    )
+
+
+@query(
+    "q_d_stream_static_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT user_id AS d_user, CASE WHEN user_id % 3 = 0 THEN 'gold'
+                                     WHEN user_id % 3 = 1 THEN 'silver'
+                                     ELSE 'bronze' END AS cohort
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT cohort, event_type, COUNT(*) AS n, {dsum('value')} AS sum_v
+    FROM events e JOIN dim ON e.user_id = dim.d_user
+    GROUP BY cohort, event_type
+    """,
+)
+def q_d_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static enrichment: the dimension is broadcast to every
+    micro-batch (stream form) / task (batch form) — never shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id").distinct()
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze")
+            .alias("cohort"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.d_user)
+        .groupBy("cohort", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(dsum("value")).alias("sum_v"))
+    )
+
+
+@query(
+    "q_d_stateful_custom",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS events_so_far,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS value_so_far,
+           COUNT(*) FILTER (event_type = 'purchase') OVER w AS purchases_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_d_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key running state (counters + cumulative value) in
+    batch window form. Stream form: transformWithStateInPandas /
+    applyInPandasWithState keeping the same counters in the state store
+    (tests/test_streaming.py checks the final-state equivalence)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_so_far"),
+        F.sum(F.expr("CAST(value AS DECIMAL(25,6))")).over(w).cast("double").alias(
+            "value_so_far"
+        ),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(w).alias(
+            "purchases_so_far"
+        ),
+    )

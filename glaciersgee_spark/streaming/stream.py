@@ -1,0 +1,136 @@
+"""True Structured Streaming forms of the Group D operators.
+
+Each builder returns a *streaming* DataFrame over the events corpus
+(file source, availableNow-friendly) whose semantics match the declared
+batch-equivalent query in streaming/batch_equiv.py; the equivalence is
+asserted in tests/test_streaming.py (the oracle is batch DuckDB, so
+stream correctness is proven by self-consistency — SURVEY.md §5.2).
+
+State/scale posture: watermarks bound state for window and dedup ops;
+the custom-counter op keeps O(|keys|) state in the per-partition state
+store; checkpointing is the sink's job (tests use memory sinks with
+temp checkpoints).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from glaciersgee_spark.session import ensure_confs
+
+# Raw schema of events.parquet as the streaming file source sees it
+# (ts = TIMESTAMP(NANOS) read as long under nanosAsLong).
+_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table.
+
+    The parquet file source requires a *directory*, so the single
+    events.parquet file is staged (hard-linked) into a temp dir — the
+    corpus itself is read-only and untouched.
+    """
+    import os
+    import tempfile
+
+    ensure_confs(spark)
+    staged = os.path.join(
+        tempfile.gettempdir(), "ggee_stream_src", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(staged, exist_ok=True)
+    dst = os.path.join(staged, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(f"{sf_dir}/events.parquet", dst)
+        except OSError:  # cross-device: fall back to a copy
+            import shutil
+
+            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    raw = spark.readStream.schema(_RAW).parquet(staged)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 1-hour counts (complete mode → all windows)."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+
+def session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) with a 1-hour watermark."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup on (user, type, minute bucket)."""
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "minute_b", F.date_trunc("minute", "ts")
+    )
+    return ev.dropDuplicates(["user_id", "event_type", "minute_b"]).select(
+        "user_id", "event_type", "minute_b"
+    )
+
+
+def running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user counters via applyInPandasWithState.
+
+    State = (n_events, sum_value) per user, updated per micro-batch;
+    emits the running totals each batch (update mode). The batch
+    equivalent's final row per user equals this op's last emission.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value_6dp", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("micros", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer micro-units keep the state exact (no float drift)
+            micros += int(round(float(pdf["value"].sum()) * 1_000_000))
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_6dp": [micros]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

