@@ -25,10 +25,14 @@ BAND_SIZE = 2  # 4 bands of 2 signatures
 # Bigram shingles over whitespace tokens, deduplicated. Requires ≥3
 # tokens (both spellings below enforce it) so the lambda indexing never
 # leaves bounds under ANSI mode.
+# zip_with over two shifted slices: split() is evaluated O(1) times per
+# row. The indexing spelling — element_at(split(text,' '), i) inside the
+# lambda — re-splits the full text per element, O(tokens²) per row.
 _SPARK_SHINGLES = (
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1), "
-    "i -> concat(element_at(split(text, ' '), i), ' ', "
-    "element_at(split(text, ' '), i + 1))))"
+    "array_distinct(zip_with("
+    "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+    "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+    "(x, y) -> concat(x, ' ', y)))"
 )
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(range(1, len(string_split(text, ' '))), "
@@ -96,7 +100,7 @@ def q_e_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{p}")
         for p in range(N_MINHASH)
     ]
-    sig = sh.select("doc_id", "sh", *mh)
+    sig = sh.select("doc_id", *mh)
     bands = []
     for b in range(N_MINHASH // BAND_SIZE):
         cols = [f"mh{b * BAND_SIZE + k}" for k in range(BAND_SIZE)]
@@ -108,26 +112,31 @@ def q_e_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    banded = sig.select(
-        "doc_id", "sh", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    lhs = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bkey"
+    # Slim band rows (doc_id, band, bkey) only — the shingle arrays
+    # stay out of the candidate join/distinct shuffles and are
+    # re-joined once per side after dedup, exactly like q_e_sim_join.
+    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    rhs = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bkey"
-    )
+    lhs = banded.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    rhs = banded.select(F.col("doc_id").alias("id_b"), "band", "bkey")
     cand = (
         lhs.join(rhs, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return cand.select("id_a", "id_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= 0.5
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
     )
 
 
@@ -152,12 +161,33 @@ def q_e_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the near-dup pipeline): blocked candidate pairs (same lang+source)
     scored with exact |∩|/|∪| over distinct bigram shingles."""
     sh = _with_shingles(spark, sf_dir)
-    a = sh.select("lang", "source", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select("lang", "source", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, ["lang", "source"]).where(F.col("id_a") < F.col("id_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    # Inverted-index formulation: explode shingles and self-join on the
+    # shingle VALUE, so only pairs that actually share a shingle ever
+    # materialize (pairs with empty intersection have J=0 < 0.2 and are
+    # correctly absent). At 100 TB this is the only viable shape — the
+    # blocked nested-loop with per-pair array_intersect evaluates
+    # |block|² set intersections; this is one shuffle on the posting
+    # key, a pair-count aggregation, then two slim joins for sizes.
+    post = sh.select(
+        "doc_id", "lang", "source", F.explode("sh").alias("shingle")
     )
-    return pairs.select("id_a", "id_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= 0.2
+    a = post.select("lang", "source", "shingle", F.col("doc_id").alias("id_a"))
+    b = post.select("lang", "source", "shingle", F.col("doc_id").alias("id_b"))
+    inter = (
+        a.join(b, ["lang", "source", "shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.2)
     )

@@ -531,10 +531,18 @@ def q_b_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE way to count uniques: fixed-size sketch, no expand shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part"),
-        F.countDistinct("l_partkey").alias("exact_nd_part"),
+    # Two separate aggregations joined on the (tiny) group key: mixing
+    # countDistinct with the HLL in one agg forces the Expand-based
+    # distinct plan, dragging the sketch over duplicated rows (~3.5×
+    # slower measured). Separately, each runs its natural partial+final
+    # plan; the join is a 3-row broadcast.
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part")
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_nd_part")
+    )
+    return approx.join(F.broadcast(exact), "l_returnflag")
 
 
 @query(

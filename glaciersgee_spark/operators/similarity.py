@@ -16,18 +16,29 @@ ordinary shuffled hash joins on (band, bucket).
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import load_table
 
-# Deterministic ±1 hyperplanes: plane j, dimension i (1-based) has
-# weight +1 iff (i*31 + j*17) % 4 < 2. Fixed literals — no rand() —
-# so Spark and the SQL oracle build identical buckets (SURVEY.md §7.3.4).
-N_PLANES = 12
-N_BANDS = 4
-PLANES_PER_BAND = 3
+# Deterministic ±1 hyperplanes from a fixed seed, baked as literals —
+# no rand() — so Spark and the SQL oracle build identical buckets
+# (SURVEY.md §7.3.4). 8 bands × 8 planes (OR-construction over 8-bit
+# sign buckets): a random unrelated pair collides in a band with
+# p ≈ 2⁻⁸, so candidates stay near-linear while close pairs (cos ≥
+# ~0.8, the dedup/similarity regime) collide with high probability.
+N_BANDS = 8
+PLANES_PER_BAND = 8
+N_PLANES = N_BANDS * PLANES_PER_BAND
+DIM = 64
+
+_PLANES = np.random.RandomState(42).choice([-1.0, 1.0], size=N_PLANES * DIM)
+# One flat literal array, hoisted to a column once per plan so HOF
+# lambdas index into it instead of re-materializing the literal.
+_PF_SPARK = "array(" + ",".join(f"{w:.0f}.0D" for w in _PLANES) + ")"
+_PF_DUCK = "[" + ",".join(f"{w:.0f}.0" for w in _PLANES) + "]"
 
 _DOT_SELF = (
     "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
@@ -102,36 +113,51 @@ def q_e_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # LSH bucket pipeline fragments (Spark and DuckDB spellings of the
-# same computation; dots are sequential folds → bit-identical).
-_SPARK_DOTS = (
-    "transform(sequence(0, 11), j -> "
-    "  aggregate(transform(sequence(1, 64), i -> "
-    "    element_at(v, i) * (CASE WHEN (i * 31 + j * 17) % 4 < 2 THEN 1.0D ELSE -1.0D END)),"
-    "  CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
-)
+# same computation; dots are sequential folds → bit-identical). Both
+# reference a hoisted `pf` flat plane array (column in Spark, 1-row
+# CTE in DuckDB) so the literal is materialized once, not per lambda.
 _DUCK_DOTS = (
-    "list_transform(range(0, 12), j -> "
-    "  list_sum(list_transform(range(1, 65), i -> "
-    "    ve[i] * (CASE WHEN (i * 31 + j * 17) % 4 < 2 THEN 1.0 ELSE -1.0 END))))"
+    f"list_transform(range(0, {N_PLANES}), j -> "
+    f"  list_sum(list_transform(range(1, {DIM + 1}), i -> ve[i] * pf[j * {DIM} + i])))"
 )
+
+
+def _spark_dot(plane: str) -> str:
+    """Dot of row vector v with hyperplane `plane` (0-based expr)."""
+    return (
+        f"aggregate(zip_with(v, slice(pf, ({plane}) * {DIM} + 1, {DIM}),"
+        " (x, w) -> x * w), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+
+
+# Fused band→bucket expression: each plane's dot appears EXACTLY once.
+# An intermediate `dots` column would be inlined by CollapseProject
+# into all 64 element_at references, re-evaluating the 4096-op dot
+# array per reference — a 64× interpreted-expression blowup.
 _SPARK_BUCKETS = (
-    "transform(sequence(0, 3), b -> "
-    "  (CASE WHEN element_at(dots, b * 3 + 1) > 0.0D THEN 1 ELSE 0 END)"
-    "  + 2 * (CASE WHEN element_at(dots, b * 3 + 2) > 0.0D THEN 1 ELSE 0 END)"
-    "  + 4 * (CASE WHEN element_at(dots, b * 3 + 3) > 0.0D THEN 1 ELSE 0 END))"
+    f"transform(sequence(0, {N_BANDS - 1}), b -> "
+    + " + ".join(
+        f"(CASE WHEN {_spark_dot(f'b * {PLANES_PER_BAND} + {k}')} > 0.0D"
+        f" THEN {2 ** k} ELSE 0 END)"
+        for k in range(PLANES_PER_BAND)
+    )
+    + ")"
 )
 _DUCK_BUCKETS = (
-    "list_transform(range(0, 4), b -> "
-    "  (CASE WHEN dots[b * 3 + 1] > 0.0 THEN 1 ELSE 0 END)"
-    "  + 2 * (CASE WHEN dots[b * 3 + 2] > 0.0 THEN 1 ELSE 0 END)"
-    "  + 4 * (CASE WHEN dots[b * 3 + 3] > 0.0 THEN 1 ELSE 0 END))"
+    f"list_transform(range(0, {N_BANDS}), b -> "
+    + " + ".join(
+        f"(CASE WHEN dots[b * {PLANES_PER_BAND} + {k + 1}] > 0.0"
+        f" THEN {2 ** k} ELSE 0 END)"
+        for k in range(PLANES_PER_BAND)
+    )
+    + ")"
 )
 
 
 def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, band, bucket) — each vector lands in N_BANDS buckets."""
     v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    d = v.withColumn("dots", F.expr(_SPARK_DOTS)).withColumn(
+    d = v.withColumn("pf", F.expr(_PF_SPARK)).withColumn(
         "buckets", F.expr(_SPARK_BUCKETS)
     )
     return d.select(
@@ -142,8 +168,9 @@ def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_e_sim_join",
     oracle=f"""
-    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
-    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v),
+    WITH p AS (SELECT {_PF_DUCK} AS pf),
+    v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v, p),
     bk AS (SELECT vec_id, ve, nrm, {_DUCK_BUCKETS} AS buckets FROM d),
     bands AS (SELECT vec_id,
                      CAST(generate_subscripts(buckets, 1) - 1 AS BIGINT) AS band,
@@ -162,11 +189,11 @@ def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_e_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs similarity join above a threshold via SRP-LSH banding.
 
-    Pipeline: deterministic ±1 hyperplane dots → 3-bit sign bucket per
-    band (4 bands, OR-construction) → equi self-join on (band, bucket)
+    Pipeline: deterministic ±1 hyperplane dots → 8-bit sign bucket per
+    band (8 bands, OR-construction) → equi self-join on (band, bucket)
     → DISTINCT candidate pairs → exact cosine filter ≥ 0.25.
 
-    Recall for a pair at angle θ is 1-(1-(1-θ/π)³)⁴ (~0.42 at cos 0.3);
+    Recall for a pair at angle θ is 1-(1-(1-θ/π)⁸)⁸ (~0.94 at cos 0.9);
     banding is tuned per-corpus at scale — the declared semantics ARE
     "pairs surviving this banding", which the oracle reproduces exactly,
     so the hash-match is by construction, not by luck. At 100 TB the
