@@ -191,3 +191,184 @@ def q_e_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling hash) and SimHash near-dup — the two
+# remaining LLM-pipeline dedup primitives (BASELINE.json:6 mandate).
+
+# Polynomial rolling hash (Horner, base 31, mod 1e9+7) over the chars
+# of each 4-token shingle. Both dialects fold left-to-right in exact
+# BIGINT arithmetic → identical values.
+_FP_MOD = 1_000_000_007
+
+_SPARK_SH4 = (
+    "transform(sequence(1, size(tk) - 3), i -> concat_ws(' ', "
+    "element_at(tk, i), element_at(tk, i + 1), "
+    "element_at(tk, i + 2), element_at(tk, i + 3)))"
+)
+_SPARK_ROLL = (
+    "transform(sh4, s -> aggregate("
+    "transform(sequence(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)),"
+    f" CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_FP_MOD}))"
+)
+_DUCK_SH4 = (
+    "list_transform(range(1, len(tk) - 2), i -> "
+    "tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3])"
+)
+_DUCK_ROLL = (
+    "list_transform(sh4, s -> list_reduce("
+    "list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS BIGINT))),"
+    f" (acc, c) -> (acc * 31 + c) % {_FP_MOD}))"
+)
+
+
+@query(
+    "q_e_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    ),
+    s AS (SELECT doc_id, {_DUCK_SH4} AS sh4 FROM t),
+    h AS (SELECT doc_id, {_DUCK_ROLL} AS hs FROM s)
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_shingles,
+           list_min(hs) AS fp_min,
+           list_sort(hs)[1:4] AS fp4
+    FROM h
+    """,
+)
+def q_e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via rolling hash: 4-token shingles → Horner
+    char hash mod 1e9+7 → winnowed signature (min + 4 smallest). Pure
+    scan-side expressions, no shuffle, no Python — the winnowing-style
+    signature is what content-defined dedup indexes at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.where(F.size(F.split("text", " ")) >= 4).select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    h = t.select("doc_id", F.expr(_SPARK_SH4).alias("sh4")).select(
+        "doc_id", F.expr(_SPARK_ROLL).alias("hs")
+    )
+    return h.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_shingles"),
+        F.array_min("hs").alias("fp_min"),
+        F.slice(F.array_sort("hs"), 1, 4).alias("fp4"),
+    )
+
+
+# SimHash: 48-bit signature from per-token hash bit votes weighted by
+# term frequency. Token hash = first 60 bits of md5 (cross-engine:
+# Spark conv(hex,16,10) ≡ DuckDB '0x…' cast).
+SIMHASH_BITS = 48
+SIM_BAND_BITS = 12
+SIM_HAMMING_MAX = 2
+
+_SPARK_TOKHASH = "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_TOKHASH = "CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT)"
+
+
+def _simhash_sums(dialect_div: str) -> list[str]:
+    """Per-bit vote sums: SUM(cnt * ±1) depending on token-hash bit b."""
+    return [
+        f"SUM(cnt * (CASE WHEN (h {dialect_div} {2 ** b}) % 2 = 1"
+        " THEN 1 ELSE -1 END))"
+        for b in range(SIMHASH_BITS)
+    ]
+
+
+_SIM_FROM_SUMS = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+_BAND_KEYS = [2 ** (SIM_BAND_BITS * k) for k in range(SIMHASH_BITS // SIM_BAND_BITS)]
+
+
+@query(
+    "q_e_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, token, COUNT(*) AS cnt, {_DUCK_TOKHASH} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    sums AS (
+      SELECT doc_id,
+             {', '.join(f'{e} AS s{b}' for b, e in enumerate(_simhash_sums('//')))}
+      FROM tok GROUP BY doc_id
+    ),
+    sims AS (SELECT doc_id, {_SIM_FROM_SUMS} AS sim FROM sums),
+    bands2 AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, sim, {k} AS band, (sim // {d}) % {2 ** SIM_BAND_BITS} AS bkey FROM sims"
+          for k, d in enumerate(_BAND_KEYS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sim AS sim_a, b.sim AS sim_b
+      FROM bands2 a JOIN bands2 b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIM_HAMMING_MAX}
+    """,
+)
+def q_e_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 48-bit TF-weighted signature, 4×12-bit band
+    index, Hamming ≤ 2 verify via bit_count(xor).
+
+    Scale shape: token hashing and bit votes are one map-side-combined
+    aggregation; signatures are 8 bytes/doc; the band self-join
+    shuffles only (band, bkey, doc_id, sim). Candidates per 12-bit
+    band bucket stay near-linear, so no O(n²) stage survives."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.expr(_SPARK_TOKHASH))
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.expr(e).alias(f"s{b}")
+            for b, e in enumerate(_simhash_sums("DIV"))
+        ]
+    )
+    sims = sums.select("doc_id", F.expr(_SIM_FROM_SUMS).alias("sim"))
+    bands = sims.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.expr(
+                            f"(sim DIV {d_}) % {2 ** SIM_BAND_BITS}"
+                        ).alias("bkey"),
+                    )
+                    for k, d_ in enumerate(_BAND_KEYS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sim", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= SIM_HAMMING_MAX)
+    )

@@ -262,3 +262,59 @@ def q_e_knn_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("label", "vec_id", "score", "rk")
     )
+
+
+@query(
+    "q_e_sim_topk_lsh",
+    oracle=f"""
+    WITH p AS (SELECT {_PF_DUCK} AS pf),
+    v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v, p),
+    bk AS (SELECT vec_id, {_DUCK_BUCKETS} AS buckets FROM d),
+    bands AS (SELECT vec_id,
+                     CAST(generate_subscripts(buckets, 1) - 1 AS BIGINT) AS band,
+                     CAST(unnest(buckets) AS BIGINT) AS bucket
+              FROM bk),
+    qb AS (SELECT band, bucket FROM bands WHERE vec_id = 0),
+    cand AS (SELECT DISTINCT b.vec_id
+             FROM qb JOIN bands b ON qb.band = b.band AND qb.bucket = b.bucket
+             WHERE b.vec_id <> 0),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0)
+    SELECT v.vec_id, v.label, {_d_cos('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+    FROM cand c JOIN v ON c.vec_id = v.vec_id, q
+    ORDER BY score DESC, v.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_e_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k — the scale path for q_e_sim_topk.
+
+    Probe only the vectors sharing ≥1 SRP (band, bucket) with the query
+    vector instead of scanning all n: at 100 TB the bands table is a
+    bucket-partitioned index, the probe reads |candidates| ≈ n/2^bits ×
+    bands rows, and exact cosine re-ranks just those. Declared
+    semantics = "top-k among banding candidates" (recall < 1 by
+    construction), which the oracle reproduces exactly."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    bands = _banded(spark, sf_dir)
+    qb = bands.where(F.col("vec_id") == 0).select("band", "bucket")
+    cand = (
+        bands.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qb), ["band", "bucket"])
+        .select("vec_id")
+        .distinct()
+    )
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    return (
+        cand.join(v, "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_cos("v", "qv", "nrm", "qn")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )

@@ -190,3 +190,110 @@ def q_e_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         F.col("n_tokens").between(10, 200) & (F.col("distinct_ratio") > 0.3),
     )
+
+
+# Per-language character-trigram profiles for the n-gram language-ID
+# heuristic. Fixed literals (no training step) — real pipelines load a
+# fastText-style model; the engine shape (pure scan-side expressions,
+# zero shuffles until the final confusion rollup) is identical.
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "de": ["sch", "ein", "der", "ung"],
+    "en": ["the", "ing", "ion", " a "],
+    "es": ["ció", "los", "ent", "de "],
+    "fr": ["eau", "oux", "les", "de "],
+    "zh": ["de5", "shi", "le5", "zh"],
+}
+
+
+def _occurrences(text_expr: str, needle: str) -> str:
+    """Portable substring-occurrence count via length/replace (both
+    dialects): (len(s) - len(replace(s, t, ''))) / len(t)."""
+    lit = needle.replace("'", "''")
+    return (
+        f"CAST((length({text_expr}) - length(replace({text_expr}, '{lit}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def _lang_score(text_expr: str, lang: str) -> str:
+    return " + ".join(_occurrences(text_expr, t) for t in LANG_TRIGRAMS[lang])
+
+
+def _lang_pred_sql() -> str:
+    """argmax over scores with alphabetical tie-break (deterministic)."""
+    langs = sorted(LANG_TRIGRAMS)
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs)
+    return f"CASE {cases} END"
+
+
+_LANG_SCORES_SQL = ", ".join(
+    f"{_lang_score('lower(text)', lang)} AS s_{lang}" for lang in sorted(LANG_TRIGRAMS)
+)
+
+
+@query(
+    "q_e_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM documents
+    ),
+    pred AS (SELECT lang, {_lang_pred_sql()} AS pred_lang FROM scored)
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def q_e_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID + confusion matrix vs the labeled
+    lang column. Per doc: count occurrences of each language's profile
+    trigrams (replace-based, stays in codegen), argmax with
+    alphabetical tie-break, then a tiny groupBy(lang, pred) rollup.
+    At 100 TB this is one narrow scan stage — no shuffle until the
+    |langs|² confusion aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = sorted(LANG_TRIGRAMS)
+    scored = d.select(
+        "lang",
+        *[
+            F.expr(_lang_score("lower(text)", lang)).alias(f"s_{lang}")
+            for lang in langs
+        ],
+    )
+    pred = scored.select("lang", F.expr(_lang_pred_sql()).alias("pred_lang"))
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+# GPT-2-style pre-tokenizer regex, reduced to the RE2∩Java-regex common
+# subset (SURVEY.md §7.4 regex trap): letter runs, digit runs, single
+# non-alphanumeric marks.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q_e_token_bpe",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS total_bpe,
+           {davg(f"CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS DOUBLE)")}
+             AS avg_bpe_tokens,
+           {davg("CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS avg_ws_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_e_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer vs whitespace
+    split, aggregated per language. regexp_extract_all runs JVM-side
+    (no Python); counts are exact integers, means via the exact-decimal
+    davg pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe_n = f"CAST(size(regexp_extract_all(lower(text), '{_BPE_RE}', 0)) AS DOUBLE)"
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"SUM(size(regexp_extract_all(lower(text), '{_BPE_RE}', 0)))"
+        ).alias("total_bpe"),
+        F.expr(davg(bpe_n)).alias("avg_bpe_tokens"),
+        F.expr(davg("CAST(size(split(text, ' ')) AS DOUBLE)")).alias("avg_ws_tokens"),
+    )
