@@ -2,23 +2,33 @@
 
 Brute-force cosine top-k as the baseline; a deterministic
 sign-random-projection (SRP/SimHash) LSH bucketing as the scale path
-(SURVEY.md §2 Group E). All vector math stays JVM-side as higher-order
-array expressions — verified bit-identical to DuckDB's list_sum fold
-(both are sequential left-to-right double accumulation), so scores
-hash-match without any decimal detour.
+(SURVEY.md §2 Group E).
 
-Scale notes: the brute-force form is O(n) per query with a broadcast
-query vector (fine for query-time top-k at any n; it's one pass, no
-shuffle). The all-pairs join is where O(n²) dies at 100 TB — the LSH
-band join turns it into |bands| equi-joins that Catalyst executes as
-ordinary shuffled hash joins on (band, bucket).
+Execution strategy: dense fixed-width vector math is the one place the
+built-in expression layer is the wrong tool — higher-order functions
+(`transform`/`zip_with`/`aggregate`) are interpreted per element, so a
+64-plane × 64-dim SRP signature costs ~4k interpreted ops per row.
+Instead the kernels below are vectorized Arrow pandas UDFs: one numpy
+matmul per Arrow batch (10-100× the HOF throughput, per the standard
+Pandas-UDF guidance). That is also the 100 TB story: each executor
+core streams Arrow batches through BLAS, no shuffle added.
+
+Oracle-parity contract (SURVEY.md §7.3.2): numpy accumulates dot
+products in a different order than DuckDB's sequential `list_sum`
+fold, so raw float64 scores differ in the last ulp. Both engines
+therefore round cosine scores to 6 dp before hashing/filtering; a
+disagreement now needs a true score within ~1e-15 of a rounding
+boundary. Bucket signs are even safer: a sign flip needs |dot| below
+accumulation error (~1e-13) — never at float32-sourced magnitudes.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import load_table
@@ -35,113 +45,57 @@ N_PLANES = N_BANDS * PLANES_PER_BAND
 DIM = 64
 
 _PLANES = np.random.RandomState(42).choice([-1.0, 1.0], size=N_PLANES * DIM)
-# One flat literal array, hoisted to a column once per plan so HOF
-# lambdas index into it instead of re-materializing the literal.
-_PF_SPARK = "array(" + ",".join(f"{w:.0f}.0D" for w in _PLANES) + ")"
+_P_MAT = _PLANES.reshape(N_PLANES, DIM)  # row j = hyperplane j
+_POW2 = (2 ** np.arange(PLANES_PER_BAND)).astype(np.int64)
 _PF_DUCK = "[" + ",".join(f"{w:.0f}.0" for w in _PLANES) + "]"
 
-_DOT_SELF = (
-    "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-    " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-)
+
+def _to_mat(s: pd.Series) -> np.ndarray:
+    """Arrow list column → (n, DIM) float64 matrix (exact f32→f64)."""
+    if len(s) == 0:
+        return np.empty((0, DIM), dtype=np.float64)
+    return np.array(s.tolist(), dtype=np.float64)
 
 
-def _with_vec(df: DataFrame) -> DataFrame:
-    """Attach double-typed vector + L2 norm (sqrt is IEEE-exact)."""
-    return df.select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-        F.sqrt(F.expr(_DOT_SELF)).alias("nrm"),
-    )
+@F.pandas_udf(ArrayType(LongType()))
+def _srp_buckets(emb: pd.Series) -> pd.Series:
+    """SRP signature: 8 bands × 8 sign bits → one bucket id per band.
+
+    bucket[b] = Σ_k [v·plane(b*8+k) > 0] · 2^k, matching the oracle's
+    HOF spelling bit-for-bit in the sign domain (see module docstring).
+    """
+    v = _to_mat(emb)
+    signs = (v @ _P_MAT.T) > 0.0  # (n, N_PLANES)
+    buckets = signs.reshape(-1, N_BANDS, PLANES_PER_BAND).astype(np.int64) @ _POW2
+    return pd.Series(buckets.tolist())
 
 
-def _cos(a: str, b: str, na: str, nb: str) -> str:
-    """Cosine between two double arrays (sequential fold, bit-stable)."""
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        f" CAST(0.0 AS DOUBLE), (acc, p) -> acc + p) / ({na} * {nb})"
-    )
+@F.pandas_udf(DoubleType())
+def _cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine similarity rounded to 6 dp (the cross-engine contract)."""
+    av, bv = _to_mat(a), _to_mat(b)
+    dots = np.einsum("ij,ij->i", av, bv)
+    na = np.sqrt(np.einsum("ij,ij->i", av, av))
+    nb = np.sqrt(np.einsum("ij,ij->i", bv, bv))
+    return pd.Series(np.round(dots / (na * nb), 6))
 
 
-# DuckDB mirrors of the same expressions.
+# DuckDB mirrors: semantics are defined by these HOF spellings; the
+# Spark side reproduces them (to 6 dp / sign exactness) via numpy.
 _D_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _D_NRM = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
 
-def _d_cos(a: str, b: str, na: str, nb: str) -> str:
+def _d_cos6(a: str, b: str, na: str, nb: str) -> str:
     return (
-        f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / ({na} * {nb})"
+        f"round(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+        f" / ({na} * {nb}), 6)"
     )
 
 
-@query(
-    "q_e_sim_topk",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
-    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0)
-    SELECT v.vec_id, v.label, {_d_cos('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
-    FROM v, q
-    WHERE v.vec_id <> 0
-    ORDER BY score DESC, v.vec_id ASC
-    LIMIT 20
-    """,
-)
-def q_e_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for one query vector (vec_id 0).
-
-    Query vector is a 1-row broadcast; the scan computes one fused
-    JVM-side expression per row and TakeOrderedAndProject keeps k —
-    no shuffle of vectors, no Python. The pattern at 100 TB: broadcast
-    a small query batch and score in one pass.
-    """
-    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    q = v.where(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    return (
-        v.where(F.col("vec_id") != 0)
-        .join(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            F.expr(_cos("v", "qv", "nrm", "qn")).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
-        .limit(20)
-    )
-
-
-# LSH bucket pipeline fragments (Spark and DuckDB spellings of the
-# same computation; dots are sequential folds → bit-identical). Both
-# reference a hoisted `pf` flat plane array (column in Spark, 1-row
-# CTE in DuckDB) so the literal is materialized once, not per lambda.
 _DUCK_DOTS = (
     f"list_transform(range(0, {N_PLANES}), j -> "
     f"  list_sum(list_transform(range(1, {DIM + 1}), i -> ve[i] * pf[j * {DIM} + i])))"
-)
-
-
-def _spark_dot(plane: str) -> str:
-    """Dot of row vector v with hyperplane `plane` (0-based expr)."""
-    return (
-        f"aggregate(zip_with(v, slice(pf, ({plane}) * {DIM} + 1, {DIM}),"
-        " (x, w) -> x * w), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-    )
-
-
-# Fused band→bucket expression: each plane's dot appears EXACTLY once.
-# An intermediate `dots` column would be inlined by CollapseProject
-# into all 64 element_at references, re-evaluating the 4096-op dot
-# array per reference — a 64× interpreted-expression blowup.
-_SPARK_BUCKETS = (
-    f"transform(sequence(0, {N_BANDS - 1}), b -> "
-    + " + ".join(
-        f"(CASE WHEN {_spark_dot(f'b * {PLANES_PER_BAND} + {k}')} > 0.0D"
-        f" THEN {2 ** k} ELSE 0 END)"
-        for k in range(PLANES_PER_BAND)
-    )
-    + ")"
 )
 _DUCK_BUCKETS = (
     f"list_transform(range(0, {N_BANDS}), b -> "
@@ -154,15 +108,42 @@ _DUCK_BUCKETS = (
 )
 
 
+@query(
+    "q_e_sim_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0)
+    SELECT v.vec_id, v.label, {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+    FROM v, q
+    WHERE v.vec_id <> 0
+    ORDER BY score DESC, v.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_e_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector (vec_id 0).
+
+    Query vector is a 1-row broadcast; each Arrow batch is scored with
+    one numpy einsum and TakeOrderedAndProject keeps k — no shuffle of
+    vectors. The pattern at 100 TB: broadcast a small query batch and
+    score in one pass over the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", _cos6("embedding", "qemb").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
 def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, band, bucket) — each vector lands in N_BANDS buckets."""
-    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    d = v.withColumn("pf", F.expr(_PF_SPARK)).withColumn(
-        "buckets", F.expr(_SPARK_BUCKETS)
-    )
-    return d.select(
-        "vec_id", F.posexplode("buckets").alias("band0", "bucket")
-    ).select("vec_id", (F.col("band0")).alias("band"), "bucket")
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", _srp_buckets("embedding").alias("buckets"))
+    return d.select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
 
 
 @query(
@@ -181,17 +162,18 @@ def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                ON a.band = b.band AND a.bucket = b.bucket
               AND a.vec_id < b.vec_id)
     SELECT c.id_a, c.id_b,
-           {_d_cos('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} AS score
+           {_d_cos6('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} AS score
     FROM cand c JOIN v x ON c.id_a = x.vec_id JOIN v y ON c.id_b = y.vec_id
-    WHERE {_d_cos('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} >= 0.25
+    WHERE {_d_cos6('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} >= 0.25
     """,
 )
 def q_e_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs similarity join above a threshold via SRP-LSH banding.
 
-    Pipeline: deterministic ±1 hyperplane dots → 8-bit sign bucket per
-    band (8 bands, OR-construction) → equi self-join on (band, bucket)
-    → DISTINCT candidate pairs → exact cosine filter ≥ 0.25.
+    Pipeline: deterministic ±1 hyperplane signatures (one matmul per
+    Arrow batch) → 8-bit sign bucket per band (8 bands,
+    OR-construction) → equi self-join on (band, bucket) → DISTINCT
+    candidate pairs → exact cosine filter ≥ 0.25.
 
     Recall for a pair at angle θ is 1-(1-(1-θ/π)⁸)⁸ (~0.94 at cos 0.9);
     banding is tuned per-corpus at scale — the declared semantics ARE
@@ -200,7 +182,7 @@ def q_e_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join shuffles only (band, bucket, id) — vectors are
     re-joined afterward, keeping the wide rows out of the hot shuffle.
     """
-    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
     bands = _banded(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -213,16 +195,12 @@ def q_e_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    x = v.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    y = v.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
+    x = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    y = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     scored = (
         cand.join(x, "id_a")
         .join(y, "id_b")
-        .select("id_a", "id_b", F.expr(_cos("va", "vb", "na", "nb")).alias("score"))
+        .select("id_a", "id_b", _cos6("ea", "eb").alias("score"))
     )
     return scored.where(F.col("score") >= 0.25)
 
@@ -233,7 +211,7 @@ def q_e_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
     q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
     scored AS (
-      SELECT v.vec_id, v.label, {_d_cos('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+      SELECT v.vec_id, v.label, {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
       FROM v, q WHERE v.vec_id <> 0
     )
     SELECT label, vec_id, score, rk FROM (
@@ -247,14 +225,12 @@ def q_e_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_e_knn_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN per label group: 3 nearest to the query vector within each
     cluster label (scored scan → one shuffle on label → ranked top-k)."""
-    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    q = v.where(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
     scored = (
-        v.where(F.col("vec_id") != 0)
+        e.where(F.col("vec_id") != 0)
         .join(F.broadcast(q))
-        .select("label", "vec_id", F.expr(_cos("v", "qv", "nrm", "qn")).alias("score"))
+        .select("label", "vec_id", _cos6("embedding", "qemb").alias("score"))
     )
     w = Window.partitionBy("label").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
@@ -280,7 +256,7 @@ def q_e_knn_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM qb JOIN bands b ON qb.band = b.band AND qb.bucket = b.bucket
              WHERE b.vec_id <> 0),
     q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0)
-    SELECT v.vec_id, v.label, {_d_cos('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+    SELECT v.vec_id, v.label, {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
     FROM cand c JOIN v ON c.vec_id = v.vec_id, q
     ORDER BY score DESC, v.vec_id ASC
     LIMIT 20
@@ -295,7 +271,7 @@ def q_e_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands rows, and exact cosine re-ranks just those. Declared
     semantics = "top-k among banding candidates" (recall < 1 by
     construction), which the oracle reproduces exactly."""
-    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
     bands = _banded(spark, sf_dir)
     qb = bands.where(F.col("vec_id") == 0).select("band", "bucket")
     cand = (
@@ -304,17 +280,11 @@ def q_e_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .distinct()
     )
-    q = v.where(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
     return (
-        cand.join(v, "vec_id")
+        cand.join(e, "vec_id")
         .join(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            F.expr(_cos("v", "qv", "nrm", "qn")).alias("score"),
-        )
+        .select("vec_id", "label", _cos6("embedding", "qemb").alias("score"))
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)
     )
