@@ -13,11 +13,15 @@ candidate pairs are canonicalized (id_a < id_b); no rand() anywhere
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import ArrayType, LongType
 
+from glaciersgee_spark.operators.lsh import cobucket_pairs
 from glaciersgee_spark.registry import query
-from glaciersgee_spark.tables import load_table
+from glaciersgee_spark.tables import fan_out, load_table
 
 N_MINHASH = 8
 BAND_SIZE = 2  # 4 bands of 2 signatures
@@ -25,13 +29,15 @@ BAND_SIZE = 2  # 4 bands of 2 signatures
 # Bigram shingles over whitespace tokens, deduplicated. Requires ≥3
 # tokens (both spellings below enforce it) so the lambda indexing never
 # leaves bounds under ANSI mode.
-# zip_with over two shifted slices: split() is evaluated O(1) times per
-# row. The indexing spelling — element_at(split(text,' '), i) inside the
-# lambda — re-splits the full text per element, O(tokens²) per row.
+# The shingle expression references a PRE-PROJECTED `tk` token-array
+# column, never split(text) inline: CollapseProject inlines projection
+# expressions into every downstream reference, so an inline split would
+# re-tokenize the full text once per reference (measured 5× slower on
+# this stage at sf0.1).
 _SPARK_SHINGLES = (
     "array_distinct(zip_with("
-    "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
-    "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+    "slice(tk, 1, size(tk) - 1), "
+    "slice(tk, 2, size(tk) - 1), "
     "(x, y) -> concat(x, ' ', y)))"
 )
 _DUCK_SHINGLES = (
@@ -73,61 +79,134 @@ def q_e_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.where(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", "lang", "source", F.expr(_SPARK_SHINGLES).alias("sh")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    tk = d.select("doc_id", "lang", "source", F.split("text", " ").alias("tk")).where(
+        F.size("tk") >= 3
     )
+    return tk.select("doc_id", "lang", "source", F.expr(_SPARK_SHINGLES).alias("sh"))
 
 
-@query("q_e_dedup_near")  # rows-only: xxhash64 minhash is engine-specific
+# MinHash with universal-hash "permutations": base string hash h0,h1
+# (two independent Horner polynomials, vectorized over an Arrow batch),
+# then perm p = (A_p·h0 + B_p·h1 + C_p) mod 1e9+7. Seeded literals, no
+# rand() (SURVEY.md §7.3.4); every term < 2^61 so int64 stays exact.
+_MH_MOD1, _MH_MOD2 = 1_000_000_007, 998_244_353
+_MH_RS = np.random.RandomState(7)
+_MH_A = _MH_RS.randint(1, _MH_MOD1, size=N_MINHASH).astype(np.int64)
+_MH_B = _MH_RS.randint(1, _MH_MOD1, size=N_MINHASH).astype(np.int64)
+_MH_C = _MH_RS.randint(0, _MH_MOD1, size=N_MINHASH).astype(np.int64)
+
+
+def _horner_batch(flat: list[str], base1: int, base2: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two exact polynomial hashes per string, computed column-wise over
+    a padded byte matrix (30-ish numpy passes instead of len(flat)
+    Python loops). ASCII corpus (FIXTURES.md) → bytes == codepoints."""
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lens = np.array([len(s) for s in flat], dtype=np.int64)
+    buf = np.frombuffer(("\x00".join(flat)).encode("utf-8"), np.uint8).astype(np.int64)
+    starts = np.zeros(n, np.int64)
+    if n > 1:
+        starts[1:] = np.cumsum(lens[:-1] + 1)
+    maxlen = int(lens.max())
+    idx = np.minimum(starts[:, None] + np.arange(maxlen)[None, :], len(buf) - 1)
+    valid = np.arange(maxlen)[None, :] < lens[:, None]
+    mat = np.where(valid, buf[idx], 0)
+    h1 = np.zeros(n, np.int64)
+    h2 = np.zeros(n, np.int64)
+    for j in range(maxlen):
+        v = valid[:, j]
+        c = mat[:, j]
+        h1 = np.where(v, (h1 * base1 + c) % _MH_MOD1, h1)
+        h2 = np.where(v, (h2 * base2 + c) % _MH_MOD2, h2)
+    return h1, h2
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _minhash_bands(sh: pd.Series) -> pd.Series:
+    """4 LSH band keys per shingle array: 8 minhashes (min over the
+    universal-hash family, vectorized per Arrow batch), paired into
+    4 bands of 2, each band key packed as mh_even·(1e9+7) + mh_odd
+    (int64-exact).
+
+    Returning band keys — not the raw signature — matters on Spark:
+    a downstream projection expanding one UDF output into k columns
+    gets collapsed by CollapseProject into k copies of the UDF call
+    (measured 8× re-evaluation). One array reference keeps one call.
+    """
+    rows = sh.tolist()
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    flat = [s for r in rows for s in r]
+    h0, h1 = _horner_batch(flat, 257, 131)
+    out: list[list[int]] = []
+    if len(flat):
+        perms = (_MH_A[:, None] * h0[None, :] + _MH_B[:, None] * h1[None, :] + _MH_C[:, None]) % _MH_MOD1
+        offs = np.zeros(len(rows), np.int64)
+        if len(rows) > 1:
+            offs[1:] = np.cumsum(lens[:-1])
+        for i in range(len(rows)):
+            if lens[i] > 0:
+                mh = perms[:, offs[i] : offs[i] + lens[i]].min(axis=1)
+                out.append((mh[0::2] * _MH_MOD1 + mh[1::2]).tolist())
+            else:
+                out.append([0] * (N_MINHASH // BAND_SIZE))
+    else:
+        out = [[0] * (N_MINHASH // BAND_SIZE) for _ in rows]
+    return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _shingle_hashes(sh: pd.Series) -> pd.Series:
+    """Distinct shingles as ~60-bit int64 content hashes (h0·MOD2+h1).
+
+    The near-dup verify stage intersects these instead of the string
+    arrays: 8-byte fixed-width elements shuffle and compare far
+    cheaper than ~15-char strings, and at 250k shingles the ~60-bit
+    collision odds (~3·10⁻⁸ per pair of distinct shingles) are
+    negligible for a rows-only-checked operator."""
+    rows = sh.tolist()
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    flat = [s for r in rows for s in r]
+    h0, h1 = _horner_batch(flat, 257, 131)
+    h = h0 * _MH_MOD2 + h1
+    out: list[list[int]] = []
+    off = 0
+    for n in lens:
+        out.append(h[off : off + n].tolist())
+        off += n
+    return pd.Series(out)
+
+
+@query("q_e_dedup_near")  # rows-only: minhash permutation family is engine-local
 def q_e_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    shingle → 8 minhashes (min of xxhash64(salt ⊕ shingle)) → 4 bands
-    of 2 → band-key equi self-join → DISTINCT candidate pairs → exact
-    Jaccard ≥ 0.5. Output (id_a, id_b, jaccard).
+    shingle → 8 universal-hash minhashes (vectorized Arrow kernel) →
+    4 bands of 2 → per-bucket pair expansion (cobucket_pairs: one
+    groupBy shuffle, signature pipeline evaluated once) → DISTINCT
+    candidate pairs → exact Jaccard ≥ 0.5. Output (id_a, id_b,
+    jaccard).
 
-    Scale shape: the only shuffles are the band-key join (tiny rows:
+    Scale shape: the only shuffles are the bucket groupBy (tiny rows:
     band hash + id) and the final pair join back to shingle arrays.
     Candidates per band-bucket are bounded by banding; no O(n²) stage.
     The exact-Jaccard stage is independently oracle-checked in
     q_e_jaccard_verify.
     """
     sh = _with_shingles(spark, sf_dir)
-    mh = [
-        F.array_min(
-            F.expr(f"transform(sh, s -> xxhash64(concat(s, '#salt{p}')))")
-        ).alias(f"mh{p}")
-        for p in range(N_MINHASH)
-    ]
-    sig = sh.select("doc_id", *mh)
-    bands = []
-    for b in range(N_MINHASH // BAND_SIZE):
-        cols = [f"mh{b * BAND_SIZE + k}" for k in range(BAND_SIZE)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
-                    "bkey"
-                ),
-            )
-        )
     # Slim band rows (doc_id, band, bkey) only — the shingle arrays
-    # stay out of the candidate join/distinct shuffles and are
-    # re-joined once per side after dedup, exactly like q_e_sim_join.
-    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    # stay out of the candidate shuffles and are re-joined once per
+    # side after dedup, exactly like q_e_sim_join.
+    banded = sh.select("doc_id", _minhash_bands("sh").alias("bks")).select(
+        "doc_id", F.posexplode("bks").alias("band", "bkey")
     )
-    lhs = banded.select(F.col("doc_id").alias("id_a"), "band", "bkey")
-    rhs = banded.select(F.col("doc_id").alias("id_b"), "band", "bkey")
-    cand = (
-        lhs.join(rhs, ["band", "bkey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cand = cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
-    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    shh = sh.select("doc_id", _shingle_hashes("sh").alias("sh"))
+    sh_a = shh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (
         F.size("sh_a") + F.size("sh_b") - inter
@@ -161,22 +240,20 @@ def q_e_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the near-dup pipeline): blocked candidate pairs (same lang+source)
     scored with exact |∩|/|∪| over distinct bigram shingles."""
     sh = _with_shingles(spark, sf_dir)
-    # Inverted-index formulation: explode shingles and self-join on the
-    # shingle VALUE, so only pairs that actually share a shingle ever
-    # materialize (pairs with empty intersection have J=0 < 0.2 and are
-    # correctly absent). At 100 TB this is the only viable shape — the
-    # blocked nested-loop with per-pair array_intersect evaluates
-    # |block|² set intersections; this is one shuffle on the posting
-    # key, a pair-count aggregation, then two slim joins for sizes.
+    # Inverted-index formulation: explode shingles, group postings by
+    # shingle VALUE and expand in-posting pairs, so only pairs that
+    # actually share a shingle ever materialize (pairs with empty
+    # intersection have J=0 < 0.2 and are correctly absent). At 100 TB
+    # this is the only viable shape — the blocked nested-loop with
+    # per-pair array_intersect evaluates |block|² set intersections;
+    # this is one shuffle on the posting key, a pair-count aggregation,
+    # then two slim joins for sizes.
     post = sh.select(
         "doc_id", "lang", "source", F.explode("sh").alias("shingle")
     )
-    a = post.select("lang", "source", "shingle", F.col("doc_id").alias("id_a"))
-    b = post.select("lang", "source", "shingle", F.col("doc_id").alias("id_b"))
     inter = (
-        a.join(b, ["lang", "source", "shingle"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        cobucket_pairs(post, ["lang", "source", "shingle"], ["doc_id"], distinct=False)
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
@@ -207,11 +284,28 @@ _SPARK_SH4 = (
     "element_at(tk, i), element_at(tk, i + 1), "
     "element_at(tk, i + 2), element_at(tk, i + 3)))"
 )
-_SPARK_ROLL = (
-    "transform(sh4, s -> aggregate("
-    "transform(sequence(1, length(s)), i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)),"
-    f" CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {_FP_MOD}))"
-)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _roll4(sh4: pd.Series) -> pd.Series:
+    """Exact Horner rolling hash (base 31 mod 1e9+7) per shingle.
+
+    Bit-identical to the oracle's sequential fold — int64 arithmetic
+    with a mod at every step, vectorized column-wise over the padded
+    byte matrix of the whole Arrow batch. Replaces an interpreted
+    HOF spelling (transform+aggregate per char) that cost ~2.4s at
+    sf0.1 for the same values.
+    """
+    rows = sh4.tolist()
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    flat = [s for r in rows for s in r]
+    h, _ = _horner_batch(flat, 31, 131)
+    out: list[list[int]] = []
+    off = 0
+    for n in lens:
+        out.append(h[off : off + n].tolist())
+        off += n
+    return pd.Series(out)
 _DUCK_SH4 = (
     "list_transform(range(1, len(tk) - 2), i -> "
     "tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3])"
@@ -242,15 +336,15 @@ _DUCK_ROLL = (
 )
 def q_e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint via rolling hash: 4-token shingles → Horner
-    char hash mod 1e9+7 → winnowed signature (min + 4 smallest). Pure
-    scan-side expressions, no shuffle, no Python — the winnowing-style
-    signature is what content-defined dedup indexes at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
-    t = d.where(F.size(F.split("text", " ")) >= 4).select(
-        "doc_id", F.split("text", " ").alias("tk")
-    )
+    char hash mod 1e9+7 → winnowed signature (min + 4 smallest). One
+    scan, no shuffle; hashing runs as a vectorized Arrow kernel whose
+    values are bit-identical to the oracle's sequential fold — the
+    winnowing-style signature is what content-defined dedup indexes at
+    100 TB."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = d.select("doc_id", F.split("text", " ").alias("tk")).where(F.size("tk") >= 4)
     h = t.select("doc_id", F.expr(_SPARK_SH4).alias("sh4")).select(
-        "doc_id", F.expr(_SPARK_ROLL).alias("hs")
+        "doc_id", _roll4("sh4").alias("hs")
     )
     return h.select(
         "doc_id",
@@ -324,7 +418,7 @@ def q_e_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; signatures are 8 bytes/doc; the band self-join
     shuffles only (band, bkey, doc_id, sim). Candidates per 12-bit
     band bucket stay near-linear, so no O(n²) stage survives."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
@@ -355,17 +449,11 @@ def q_e_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sim", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "band", "bkey"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "band", "bkey"
-    )
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
+    cand = cobucket_pairs(bands, ["band", "bkey"], ["doc_id", "sim"]).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.sim").alias("sim_a"),
+        F.col("b.sim").alias("sim_b"),
     )
     ham = F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)")
     return (

@@ -30,8 +30,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
+from glaciersgee_spark.operators.lsh import cobucket_pairs
 from glaciersgee_spark.registry import query
-from glaciersgee_spark.tables import load_table
+from glaciersgee_spark.tables import fan_out, load_table
 
 # Deterministic ±1 hyperplanes from a fixed seed, baked as literals —
 # no rand() — so Spark and the SQL oracle build identical buckets
@@ -141,7 +142,7 @@ def q_e_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, band, bucket) — each vector lands in N_BANDS buckets."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
     d = e.select("vec_id", _srp_buckets("embedding").alias("buckets"))
     return d.select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
 
@@ -172,8 +173,9 @@ def q_e_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: deterministic ±1 hyperplane signatures (one matmul per
     Arrow batch) → 8-bit sign bucket per band (8 bands,
-    OR-construction) → equi self-join on (band, bucket) → DISTINCT
-    candidate pairs → exact cosine filter ≥ 0.25.
+    OR-construction) → per-bucket pair expansion (one groupBy shuffle,
+    signature pipeline evaluated once — see lsh.cobucket_pairs) →
+    DISTINCT candidate pairs → exact cosine filter ≥ 0.25.
 
     Recall for a pair at angle θ is 1-(1-(1-θ/π)⁸)⁸ (~0.94 at cos 0.9);
     banding is tuned per-corpus at scale — the declared semantics ARE
@@ -184,16 +186,8 @@ def q_e_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     bands = _banded(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
+    cand = cobucket_pairs(bands, ["band", "bucket"], ["vec_id"]).select(
+        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
     )
     x = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     y = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))

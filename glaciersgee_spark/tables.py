@@ -87,3 +87,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (for spark.sql paths)."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a small scan across cores before per-row-heavy compute.
+
+    The driver corpus tables are single-file, single-row-group parquet,
+    so a scan is ONE partition and every narrow stage above it (HOF
+    expressions, Arrow UDF kernels) runs on 1 of 32 local cores until
+    the first shuffle. This inserts one cheap hash repartition (a few
+    MB) ahead of the expensive stage. On a real cluster the input is
+    thousands of files ≥ the executor-core count, the guard is true,
+    and this is a no-op — i.e. it is local-bench plumbing, not part of
+    the 100 TB plan shape.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys]) if keys else df.repartition(n)
