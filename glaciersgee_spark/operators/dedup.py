@@ -86,15 +86,7 @@ def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.select("doc_id", "lang", "source", F.expr(_SPARK_SHINGLES).alias("sh"))
 
 
-# MinHash with universal-hash "permutations": base string hash h0,h1
-# (two independent Horner polynomials, vectorized over an Arrow batch),
-# then perm p = (A_p·h0 + B_p·h1 + C_p) mod 1e9+7. Seeded literals, no
-# rand() (SURVEY.md §7.3.4); every term < 2^61 so int64 stays exact.
 _MH_MOD1, _MH_MOD2 = 1_000_000_007, 998_244_353
-_MH_RS = np.random.RandomState(7)
-_MH_A = _MH_RS.randint(1, _MH_MOD1, size=N_MINHASH).astype(np.int64)
-_MH_B = _MH_RS.randint(1, _MH_MOD1, size=N_MINHASH).astype(np.int64)
-_MH_C = _MH_RS.randint(0, _MH_MOD1, size=N_MINHASH).astype(np.int64)
 
 
 def _horner_batch(flat: list[str], base1: int, base2: int) -> tuple[np.ndarray, np.ndarray]:
@@ -123,88 +115,63 @@ def _horner_batch(flat: list[str], base1: int, base2: int) -> tuple[np.ndarray, 
     return h1, h2
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def _minhash_bands(sh: pd.Series) -> pd.Series:
-    """4 LSH band keys per shingle array: 8 minhashes (min over the
-    universal-hash family, vectorized per Arrow batch), paired into
-    4 bands of 2, each band key packed as mh_even·(1e9+7) + mh_odd
-    (int64-exact).
-
-    Returning band keys — not the raw signature — matters on Spark:
-    a downstream projection expanding one UDF output into k columns
-    gets collapsed by CollapseProject into k copies of the UDF call
-    (measured 8× re-evaluation). One array reference keeps one call.
-    """
-    rows = sh.tolist()
-    lens = np.array([len(r) for r in rows], dtype=np.int64)
-    flat = [s for r in rows for s in r]
-    h0, h1 = _horner_batch(flat, 257, 131)
-    out: list[list[int]] = []
-    if len(flat):
-        perms = (_MH_A[:, None] * h0[None, :] + _MH_B[:, None] * h1[None, :] + _MH_C[:, None]) % _MH_MOD1
-        offs = np.zeros(len(rows), np.int64)
-        if len(rows) > 1:
-            offs[1:] = np.cumsum(lens[:-1])
-        for i in range(len(rows)):
-            if lens[i] > 0:
-                mh = perms[:, offs[i] : offs[i] + lens[i]].min(axis=1)
-                out.append((mh[0::2] * _MH_MOD1 + mh[1::2]).tolist())
-            else:
-                out.append([0] * (N_MINHASH // BAND_SIZE))
-    else:
-        out = [[0] * (N_MINHASH // BAND_SIZE) for _ in rows]
-    return pd.Series(out)
-
-
-@F.pandas_udf(ArrayType(LongType()))
-def _shingle_hashes(sh: pd.Series) -> pd.Series:
-    """Distinct shingles as ~60-bit int64 content hashes (h0·MOD2+h1).
-
-    The near-dup verify stage intersects these instead of the string
-    arrays: 8-byte fixed-width elements shuffle and compare far
-    cheaper than ~15-char strings, and at 250k shingles the ~60-bit
-    collision odds (~3·10⁻⁸ per pair of distinct shingles) are
-    negligible for a rows-only-checked operator."""
-    rows = sh.tolist()
-    lens = np.array([len(r) for r in rows], dtype=np.int64)
-    flat = [s for r in rows for s in r]
-    h0, h1 = _horner_batch(flat, 257, 131)
-    h = h0 * _MH_MOD2 + h1
-    out: list[list[int]] = []
-    off = 0
-    for n in lens:
-        out.append(h[off : off + n].tolist())
-        off += n
-    return pd.Series(out)
-
-
-@query("q_e_dedup_near")  # rows-only: minhash permutation family is engine-local
+@query("q_e_dedup_near")  # rows-only: minhash hash family is engine-local
 def q_e_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    shingle → 8 universal-hash minhashes (vectorized Arrow kernel) →
-    4 bands of 2 → per-bucket pair expansion (cobucket_pairs: one
-    groupBy shuffle, signature pipeline evaluated once) → DISTINCT
-    candidate pairs → exact Jaccard ≥ 0.5. Output (id_a, id_b,
-    jaccard).
+    shingle → int64 content hash (xxhash64, one pass) → 8 minhashes
+    (min of xxhash64(h, p), p = 0..7) → 4 bands of 2 (band key =
+    xxhash64(mh_even, mh_odd)) → per-bucket pair expansion
+    (cobucket_pairs: one groupBy shuffle) → DISTINCT candidate pairs →
+    exact Jaccard ≥ 0.5 over the hashed-shingle sets. Output (id_a,
+    id_b, jaccard).
+
+    All hashing is JVM-side (no Python workers, no Arrow crossing).
+    The hashed subtree is computed ONCE and persisted — the banded
+    path and both verify sides consume it; separate lineages would
+    each re-run scan→shingle→hash (exchange reuse needs identical
+    shuffles, which these are not). Intersecting int64 hashes instead
+    of ~15-char shingle strings keeps shuffle rows fixed-width and
+    cheap; at 250k shingles the 64-bit collision odds are negligible
+    for a rows-only-checked operator.
 
     Scale shape: the only shuffles are the bucket groupBy (tiny rows:
-    band hash + id) and the final pair join back to shingle arrays.
+    band hash + id) and the final pair join back to hash arrays.
     Candidates per band-bucket are bounded by banding; no O(n²) stage.
     The exact-Jaccard stage is independently oracle-checked in
     q_e_jaccard_verify.
     """
     sh = _with_shingles(spark, sf_dir)
-    # Slim band rows (doc_id, band, bkey) only — the shingle arrays
-    # stay out of the candidate shuffles and are re-joined once per
-    # side after dedup, exactly like q_e_sim_join.
-    banded = sh.select("doc_id", _minhash_bands("sh").alias("bks")).select(
-        "doc_id", F.posexplode("bks").alias("band", "bkey")
-    )
+    sig = sh.select(
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("shh")
+    ).persist()
+    # Each minhash reads the CACHED shh column — CollapseProject
+    # inlining the 8 references is harmless on a cached array (it would
+    # re-run string hashing 8× on an uncached lineage).
+    mh = [
+        F.expr(f"array_min(transform(shh, h -> xxhash64(h, {p})))").alias(f"mh{p}")
+        for p in range(N_MINHASH)
+    ]
+    banded = sig.select("doc_id", *mh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.xxhash64(f"mh{BAND_SIZE * k}", f"mh{BAND_SIZE * k + 1}").alias(
+                            "bkey"
+                        ),
+                    )
+                    for k in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     cand = cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
-    shh = sh.select("doc_id", _shingle_hashes("sh").alias("sh"))
+    shh = sig.select("doc_id", F.col("shh").alias("sh"))
     sh_a = shh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = shh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -241,22 +208,33 @@ def q_e_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored with exact |∩|/|∪| over distinct bigram shingles."""
     sh = _with_shingles(spark, sf_dir)
     # Inverted-index formulation: explode shingles, group postings by
-    # shingle VALUE and expand in-posting pairs, so only pairs that
+    # shingle value and expand in-posting pairs, so only pairs that
     # actually share a shingle ever materialize (pairs with empty
     # intersection have J=0 < 0.2 and are correctly absent). At 100 TB
     # this is the only viable shape — the blocked nested-loop with
     # per-pair array_intersect evaluates |block|² set intersections;
     # this is one shuffle on the posting key, a pair-count aggregation,
     # then two slim joins for sizes.
-    post = sh.select(
-        "doc_id", "lang", "source", F.explode("sh").alias("shingle")
-    )
+    #
+    # The posting key is xxhash64(lang, source, shingle) — one int64
+    # instead of three strings in the shuffle — and the shingled base
+    # is persisted (the posting path and the size path would otherwise
+    # each re-run scan→split→shingle). Counts are identical to the
+    # string-keyed oracle grouping modulo 64-bit collisions (~10⁻⁹ at
+    # this cardinality).
+    base = sh.persist()
+    post = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode("sh").alias("shingle"),
+    ).select("doc_id", F.xxhash64("lang", "source", "shingle").alias("pkey"))
     inter = (
-        cobucket_pairs(post, ["lang", "source", "shingle"], ["doc_id"], distinct=False)
+        cobucket_pairs(post, ["pkey"], ["doc_id"], distinct=False)
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (
