@@ -282,3 +282,151 @@ def q_e_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+# IVF-style ANN: nlist deterministic "centroids" (the corpus vectors
+# with the smallest ids — a seed assignment; real IVF would k-means
+# them, which is iterative and out of the declared surface), every
+# vector assigned to its nearest centroid cell, queries probing the
+# nprobe nearest cells only.
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+@query(
+    "q_e_sim_topk_ivf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v
+          WHERE vec_id BETWEEN 1 AND {IVF_NLIST}),
+    sc AS (SELECT v.vec_id, c.cid,
+                  {_d_cos6('v.ve', 'c.cv', 'v.nrm', 'c.cn')} AS cscore
+           FROM v, c WHERE v.vec_id <> 0),
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cscore DESC, cid ASC) AS rk
+               FROM sc) WHERE rk = 1),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    probe AS (SELECT cid FROM (
+                SELECT c.cid,
+                       ROW_NUMBER() OVER (
+                         ORDER BY {_d_cos6('c.cv', 'q.qv', 'c.cn', 'q.qn')} DESC,
+                                  c.cid ASC) AS rk
+                FROM c, q) WHERE rk <= {IVF_NPROBE})
+    SELECT v.vec_id, v.label, {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+    FROM cell JOIN probe USING (cid) JOIN v ON cell.vec_id = v.vec_id, q
+    ORDER BY score DESC, v.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_e_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k — the coarse-quantizer scale path.
+
+    Cell assignment scores every vector against the nlist=16 broadcast
+    centroids (one Arrow-batched einsum per 16-row broadcast; no
+    shuffle of vectors) and keeps the argmax cell; the query probes its
+    nprobe=4 nearest cells and exact cosine re-ranks only vectors in
+    those cells — the IVF contract: scan ~nprobe/nlist of the corpus.
+    Declared semantics = "top-k within probed cells" (recall < 1 by
+    construction), reproduced exactly by the oracle.
+
+    At 100 TB the cell id becomes the table's partition key so a probe
+    is partition pruning, and the per-vector argmax is a map-side
+    max_by aggregation; the window spelling here is chosen because its
+    (score, cid) tie-break is bit-identical across both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, IVF_NLIST)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored_c = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(cent))
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cscore"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cid").asc())
+    cell = (
+        scored_c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    probe = (
+        cent.join(F.broadcast(q))
+        .select("cid", _cos6("cemb", "qemb").alias("qscore"))
+        .orderBy(F.col("qscore").desc(), F.col("cid").asc())
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    return (
+        cell.join(F.broadcast(probe), "cid")
+        .join(e, "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", "label", _cos6("embedding", "qemb").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+# Embedding-cosine near-duplicate detection: the dedup-flavored view
+# of the similarity join — emit, for every vector with at least one
+# sufficiently-similar smaller-id partner, the smallest such partner
+# as its retained representative.
+DEDUP_COS_THR = 0.4
+
+
+@query(
+    "q_e_dedup_embed",
+    oracle=f"""
+    WITH p AS (SELECT {_PF_DUCK} AS pf),
+    v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v, p),
+    bk AS (SELECT vec_id, {_DUCK_BUCKETS} AS buckets FROM d),
+    bands AS (SELECT vec_id,
+                     CAST(generate_subscripts(buckets, 1) - 1 AS BIGINT) AS band,
+                     CAST(unnest(buckets) AS BIGINT) AS bucket
+              FROM bk),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN v x ON c.id_a = x.vec_id JOIN v y ON c.id_b = y.vec_id
+      WHERE {_d_cos6('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} >= {DEDUP_COS_THR}
+    )
+    SELECT id_b AS vec_id, MIN(id_a) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM pairs GROUP BY id_b
+    """,
+)
+def q_e_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal plan: (vec_id, keep_id,
+    n_dups) for every vector that duplicates a smaller-id vector.
+
+    Same SRP-banded candidate generation as q_e_sim_join (threshold
+    0.4 — the corpus has no true clones, so the dup regime is tuned
+    down to produce a meaningful plan; production dedup runs ≥0.9
+    where 8×8 banding recalls ~94%), then one aggregation: since
+    candidate pairs are canonicalized id_a < id_b, a vector's dropped
+    marker is min(id_a) over its pairs — single-pass canonicalization
+    (chains resolve by re-running; transitive union-find is iterative
+    and deliberately out of the declared one-shot surface).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = _banded(spark, sf_dir)
+    cand = cobucket_pairs(bands, ["band", "bucket"], ["vec_id"]).select(
+        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+    )
+    x = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    y = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .where(_cos6("ea", "eb") >= DEDUP_COS_THR)
+    )
+    return pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
