@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from glaciersgee_spark.registry import davg, dsum, query
-from glaciersgee_spark.tables import load_table
+from glaciersgee_spark.tables import fan_out, load_table
 
 
 def _ts(lit: str):
@@ -462,9 +462,21 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash is stable under any partitioning.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # Filter + project FIRST so only the 6 needed columns cross the
+    # fan_out shuffle; the repartition spreads the 7-way decimal partial
+    # aggregate across all cores (no-op on a many-file cluster scan).
+    slim = fan_out(
+        li.where(F.col("l_shipdate") <= _ts("2000-12-01")).select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+    )
     return (
-        li.where(F.col("l_shipdate") <= _ts("2000-12-01"))
-        .groupBy("l_returnflag", "l_linestatus")
+        slim.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.expr(dsum("l_quantity")).alias("sum_qty"),
             F.expr(dsum("l_extendedprice")).alias("sum_base_price"),

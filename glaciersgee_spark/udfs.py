@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from glaciersgee_spark.registry import query
-from glaciersgee_spark.tables import load_table
+from glaciersgee_spark.tables import fan_out, load_table
 
 
 # ------------------------------------------------------- scalar Python UDF
@@ -96,22 +96,50 @@ _TRIM_SCHEMA = T.StructType(
 _Q6 = decimal.Decimal("0.000001")
 
 
+def _quantize6(values) -> "np.ndarray":
+    """Vectorized DECIMAL(·,6) cast: round-half-away-from-zero at 6 dp
+    of the EXACT binary value, returned as scaled int64 (value·10⁶).
+
+    Fast path: float multiply by 1e6 + half-away rounding — exact except
+    when v·10⁶ lands within float error (≲1e-6 here) of a .5 boundary.
+    Those borderline rows (plus any non-finite) fall back to
+    decimal.Decimal on the exact binary expansion, so the result is
+    bit-identical to the oracle's CAST(value AS DECIMAL(25,6)) while the
+    hot path stays numpy."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    scaled = v * 1e6
+    a = np.abs(scaled)
+    frac = a - np.floor(a)
+    fast = np.sign(scaled) * (np.floor(a) + (frac >= 0.5))
+    borderline = (np.abs(frac - 0.5) < 1e-4) | ~np.isfinite(scaled)
+    out = fast.astype(np.int64)
+    if borderline.any():
+        for i in np.flatnonzero(borderline):
+            d = decimal.Decimal(float(v[i])).quantize(
+                _Q6, rounding=decimal.ROUND_HALF_UP
+            )
+            out[i] = int(d.scaleb(6))
+    return out
+
+
 def _trimmed_mean(pdf: pd.DataFrame) -> pd.DataFrame:
     """Trimmed mean (drop one min, one max) in exact decimal arithmetic.
 
     Each value is quantized to 6 dp exactly like the oracle's
-    CAST(value AS DECIMAL(25,6)) — decimal.Decimal(float) is the exact
-    binary expansion, ROUND_HALF_UP matches both engines' cast — then
-    summed exactly, so the final double is bit-identical to the SQL
-    (SUM(DECIMAL) - MIN - MAX) / (n-2) pipeline.
+    CAST(value AS DECIMAL(25,6)) — see _quantize6 — then summed as
+    int64 (exact integer arithmetic; |value| ≤ ~200 so Σ ≲ 2e13 «
+    2⁶³), so the final double is bit-identical to the SQL
+    (SUM(DECIMAL) - MIN - MAX) / (n-2) pipeline: x/1e6 and the
+    decimal→double cast both correctly round the same exact rational.
     """
-    vals = [
-        decimal.Decimal(v).quantize(_Q6, rounding=decimal.ROUND_HALF_UP)
-        for v in pdf["value"]
-    ]
-    n = len(vals)
-    total = sum(vals) - min(vals) - max(vals)
-    tmean = float(total) / (n - 2) if n > 2 else float(sum(vals)) / n
+    q = _quantize6(pdf["value"])
+    n = len(q)
+    if n > 2:
+        tmean = (int(q.sum() - q.min() - q.max()) / 1e6) / (n - 2)
+    else:
+        tmean = (int(q.sum()) / 1e6) / n
     return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "n": [n], "tmean": [tmean]})
 
 
@@ -132,9 +160,11 @@ def q_f_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PySpark path for aggregates the built-ins can't express. One
     shuffle on the group key; each group becomes one Arrow batch."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
-        _trimmed_mean, _TRIM_SCHEMA
-    )
+    # Pre-hash-partition on the group key: groupBy reuses the
+    # partitioning (no second shuffle) and the per-group Python calls
+    # spread across all cores instead of one AQE-coalesced task.
+    slim = fan_out(ev.select("user_id", "value"), "user_id")
+    return slim.groupBy("user_id").applyInPandas(_trimmed_mean, _TRIM_SCHEMA)
 
 
 # ----------------------------------------------------------------- UDTF
