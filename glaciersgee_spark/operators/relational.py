@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from glaciersgee_spark.registry import davg, dsum, query
+from glaciersgee_spark.sources import readers, sinks
 from glaciersgee_spark.tables import fan_out, load_table
 
 
@@ -67,7 +68,7 @@ def q_b_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset = orders.where(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
-    subset.write.mode("overwrite").json(out)
+    sinks.write_jsonl(subset, out)
     schema = T.StructType(
         [
             T.StructField("o_orderkey", T.LongType()),
@@ -76,7 +77,7 @@ def q_b_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_orderpriority", T.StringType()),
         ]
     )
-    return spark.read.schema(schema).json(out).select(*[f.name for f in schema.fields])
+    return readers.read_jsonl(spark, out, schema).select(*[f.name for f in schema.fields])
 
 
 @query(
@@ -90,9 +91,13 @@ def q_b_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source with explicit schema (| separator, no inference)."""
     cust = load_table(spark, sf_dir, "customer")
     out = tempfile.mkdtemp(prefix="ggee_csv_")
-    cust.where(F.col("c_custkey") % 3 == 0).select(
-        "c_custkey", F.col("c_nationkey").cast("long"), "c_mktsegment"
-    ).write.mode("overwrite").option("sep", "|").csv(out)
+    sinks.write_csv(
+        cust.where(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey", F.col("c_nationkey").cast("long"), "c_mktsegment"
+        ),
+        out,
+        sep="|",
+    )
     schema = T.StructType(
         [
             T.StructField("c_custkey", T.LongType()),
@@ -100,7 +105,7 @@ def q_b_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("c_mktsegment", T.StringType()),
         ]
     )
-    df = spark.read.schema(schema).option("sep", "|").csv(out)
+    df = readers.read_csv(spark, out, schema, sep="|")
     return df.withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
 
 
@@ -122,10 +127,12 @@ def q_b_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     out = tempfile.mkdtemp(prefix="ggee_part_")
-    li.where(F.col("l_quantity") >= 47.0).select(
-        "l_returnflag", "l_quantity"
-    ).write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    sinks.write_parquet_partitioned(
+        li.where(F.col("l_quantity") >= 47.0).select("l_returnflag", "l_quantity"),
+        out,
+        "l_returnflag",
+    )
+    back = readers.read_parquet(spark, out)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(dsum("l_quantity")).alias("sum_qty"),

@@ -1,0 +1,92 @@
+"""Physical-plan inspection — the 100 TB discipline, checkable.
+
+Every operator in this engine is supposed to produce a plan that would
+survive a 1000-executor cluster: filters pushed to the parquet scan,
+columns pruned, small dims broadcast, top-k without a global sort, hot
+relational paths inside WholeStageCodegen with no Python boundary.
+These helpers turn each of those claims into an assertion (used by
+tests/test_plans.py) and into a human-readable audit
+(`plan_report`) for iterating with .explain("formatted").
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted(df: DataFrame) -> str:
+    """explain('formatted') as a string (pre-execution plan)."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def executed(df: DataFrame) -> str:
+    """Final (AQE-resolved) physical plan: runs the query first, since
+    AQE re-plans at runtime and the pre-execution string still shows
+    the speculative plan."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the datasource scan (parquet row-group
+    skipping) — empty means the scan reads everything."""
+    out: list[str] = []
+    for line in formatted(df).splitlines():
+        m = re.search(r"PushedFilters: \[(.*)\]", line)
+        if not (m and m.group(1).strip()):
+            continue
+        # split on top-level commas only — filter exprs nest parens
+        depth, cur = 0, []
+        for ch in m.group(1):
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                depth += ch == "("
+                depth -= ch == ")"
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur).strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of each scan — the pruned column set actually read."""
+    return [
+        line.split("ReadSchema:", 1)[1].strip()
+        for line in formatted(df).splitlines()
+        if "ReadSchema:" in line
+    ]
+
+
+def count_shuffles(plan: str) -> int:
+    """Exchange operators in a plan string — each is a full shuffle of
+    its input (AQE may coalesce partitions but the data still moves)."""
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)", plan))
+
+
+def has_python_boundary(plan: str) -> bool:
+    """True if any row crosses into a Python worker (BatchEvalPython /
+    ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas...)."""
+    return bool(re.search(r"EvalPython|InPandas|PythonUDF", plan))
+
+
+def codegen_span_count(plan: str) -> int:
+    """Distinct WholeStageCodegen spans ("*(n)" prefixes) — wider spans
+    = more of the plan fused into single JVM loops."""
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def plan_report(df: DataFrame) -> str:
+    """One-paragraph audit of a DataFrame's physical plan."""
+    f = formatted(df)
+    return (
+        f"pushed_filters={pushed_filters(df)}\n"
+        f"read_schemas={read_schemas(df)}\n"
+        f"shuffles={count_shuffles(f)} "
+        f"codegen_spans={codegen_span_count(f)} "
+        f"python_boundary={has_python_boundary(f)}"
+    )

@@ -12,6 +12,7 @@ from glaciersgee_spark.operators.multimodal import (
     decode_features,
     q_e_mm_decode,
 )
+from glaciersgee_spark.sources.readers import read_binary_dir
 from tests.conftest import SF_SMOKE
 
 PAYLOADS = {
@@ -31,7 +32,7 @@ def _fixture_dir():
 
 def test_binaryfile_source_roundtrip(spark):
     d = _fixture_dir()
-    df = spark.read.format("binaryFile").load(d)
+    df = read_binary_dir(spark, d)
     assert set(df.columns) == {"path", "modificationTime", "length", "content"}
     rows = {os.path.basename(r.path): bytes(r.content) for r in df.collect()}
     # NOTE: the binaryFile source silently skips zero-byte files — a

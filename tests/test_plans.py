@@ -3,7 +3,9 @@
 These tests pin the *plan shape*, not just the answer: pushdown must
 reach the parquet scan, projections must prune columns, small dims must
 broadcast, top-k must not global-sort, and hot relational paths must
-stay inside WholeStageCodegen with no Python evaluation.
+stay inside WholeStageCodegen with no Python evaluation. The
+inspection helpers live in glaciersgee_spark.plans.inspect so the same
+checks are usable outside tests.
 """
 
 import pyspark.sql.functions as F
@@ -14,27 +16,18 @@ from glaciersgee_spark.operators.relational import (
     q_b_limit_topk,
     q_b_scan_parquet,
 )
+from glaciersgee_spark.plans import inspect as PI
 from glaciersgee_spark.tables import load_table
 from tests.conftest import SF_SMOKE
 
 
-def _plan(df) -> str:
-    df.collect()  # run it so AQE finalizes the physical plan
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    jvm = df.sparkSession._jvm
-    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-
-
 def test_scan_pushes_filters_and_prunes_columns(spark):
-    plan = _formatted(q_b_scan_parquet(spark, SF_SMOKE))
-    assert "PushedFilters:" in plan
-    assert "GreaterThanOrEqual(l_quantity,48.0)" in plan
-    assert "Not(EqualTo(l_returnflag,N))" in plan
+    df = q_b_scan_parquet(spark, SF_SMOKE)
+    pushed = PI.pushed_filters(df)
+    assert "GreaterThanOrEqual(l_quantity,48.0)" in pushed
+    assert "Not(EqualTo(l_returnflag,N))" in pushed
     # ReadSchema restricted to the projected+filtered columns only
-    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    read = PI.read_schemas(df)[0]
     for col in ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]:
         assert col in read
     for col in ["l_extendedprice", "l_shipdate", "l_partkey"]:
@@ -43,31 +36,38 @@ def test_scan_pushes_filters_and_prunes_columns(spark):
 
 def test_date_filter_pushed_to_scan(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
-    df = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
-    plan = _formatted(df.select("l_orderkey"))
-    assert "PushedFilters:" in plan and "LessThanOrEqual(l_shipdate" in plan
+    df = li.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    ).select("l_orderkey")
+    assert any("LessThanOrEqual(l_shipdate" in p for p in PI.pushed_filters(df))
 
 
 def test_small_dim_broadcasts(spark):
-    plan = _plan(q_b_join_broadcast(spark, SF_SMOKE))
+    plan = PI.executed(q_b_join_broadcast(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
 def test_topk_avoids_global_sort(spark):
-    plan = _plan(q_b_limit_topk(spark, SF_SMOKE))
+    plan = PI.executed(q_b_limit_topk(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
 
 
 def test_flagship_is_pure_jvm_with_partial_agg(spark):
     df = pricing_summary(spark, SF_SMOKE)
-    plan = _plan(df)
+    plan = PI.executed(df)
     # no Python boundary anywhere in the hot path
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # "*(n)" prefixes mark WholeStageCodegen spans in executedPlan toString
-    assert "*(1)" in plan and "*(2)" in plan
+    assert not PI.has_python_boundary(plan)
+    assert PI.codegen_span_count(plan) >= 2
     # partial+final hash aggregation (map-side combine before shuffle)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_shuffle_count_flagship(spark):
+    # fan_out repartition + the 2-key aggregate exchange + the final
+    # orderBy range exchange; anything above that is a regression.
+    plan = PI.formatted(pricing_summary(spark, SF_SMOKE))
+    assert PI.count_shuffles(plan) <= 3
 
 
 def test_aqe_enabled_for_engine_sessions(spark):
