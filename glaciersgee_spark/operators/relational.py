@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
+from glaciersgee_spark.operators.skew import salted_sum_count
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.sources import readers, sinks
 from glaciersgee_spark.tables import fan_out, load_table
@@ -538,6 +539,41 @@ def q_b_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)"
         ).alias("sum_d_qty"),
+    )
+
+
+@query(
+    "q_b_agg_salted",
+    oracle=f"""
+    SELECT user_id, {dsum('value')} AS sum_value, COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_b_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via explicit two-phase salting.
+
+    events has 15 user_ids — at cluster scale at most 15 final-stage
+    tasks would do ALL the reduction no matter what AQE does. The
+    salted spelling (operators.skew) splits each hot key across 32
+    deterministic salts for the heavy partial phase, then merges 15·32
+    tiny rows. Decimal partials keep the result bit-identical to the
+    unsalted oracle under any row order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev.select("user_id", "value", "event_id"),
+        ["user_id"],
+        {
+            "sum_value": F.sum(F.col("value").cast("decimal(30,6)")),
+            "n": F.count(F.lit(1)),
+        },
+        distinct_col="event_id",
+        n_salt=32,
+    )
+    return out.select(
+        "user_id",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("n"),
     )
 
 

@@ -65,3 +65,57 @@ def test_distinct_idempotent(spark):
     ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_type")
     once = ev.distinct()
     assert once.count() == once.distinct().count()
+
+
+def test_salted_agg_matches_unsalted(spark):
+    """Two-phase salted aggregation is algebraically identical to the
+    plain groupBy — for every key and any salt count."""
+    from glaciersgee_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value", "event_id")
+    plain = {
+        r.user_id: (r.s, r.n)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for n_salt in (1, 7, 32):
+        salted = {
+            r.user_id: (r.s, r.n)
+            for r in salted_sum_count(
+                ev,
+                ["user_id"],
+                {
+                    "s": F.sum(F.col("value").cast("decimal(30,6)")),
+                    "n": F.count(F.lit(1)),
+                },
+                distinct_col="event_id",
+                n_salt=n_salt,
+            ).collect()
+        }
+        assert salted == plain
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting the big side + replicating the small side is row-for-row
+    the plain equi join."""
+    from glaciersgee_spark.operators.skew import salted_join
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_id", "value")
+    dim = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tag", F.col("user_id") * 10)
+    )
+    plain = sorted(
+        (r.event_id, r.tag) for r in ev.join(dim, "user_id").collect()
+    )
+    salted = sorted(
+        (r.event_id, r.tag)
+        for r in salted_join(ev, dim, "user_id", "event_id", n_salt=4).collect()
+    )
+    assert salted == plain
