@@ -64,20 +64,34 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 def count_shuffles(plan: str) -> int:
     """Exchange operators in a plan string — each is a full shuffle of
-    its input (AQE may coalesce partitions but the data still moves)."""
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)", plan))
+    its input (AQE may coalesce partitions but the data still moves).
+    Handles both simple-mode strings ("Exchange hashpartitioning(...)")
+    and formatted-mode node lines ("(7) Exchange"); ReusedExchange and
+    BroadcastExchange are excluded — neither re-shuffles rows."""
+    simple = len(
+        re.findall(
+            r"(?<!Reused)Exchange (?:hashpartitioning|rangepartitioning|"
+            r"RoundRobinPartitioning|SinglePartition)",
+            plan,
+        )
+    )
+    formatted_nodes = len(re.findall(r"\(\d+\) Exchange\s*$", plan, re.MULTILINE))
+    return max(simple, formatted_nodes)
 
 
 def has_python_boundary(plan: str) -> bool:
     """True if any row crosses into a Python worker (BatchEvalPython /
     ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas...)."""
-    return bool(re.search(r"EvalPython|InPandas|PythonUDF", plan))
+    return bool(re.search(r"EvalPython|InPandas|PythonUDF|PythonUDTF", plan))
 
 
 def codegen_span_count(plan: str) -> int:
-    """Distinct WholeStageCodegen spans ("*(n)" prefixes) — wider spans
-    = more of the plan fused into single JVM loops."""
-    return len(set(re.findall(r"\*\((\d+)\)", plan)))
+    """Distinct WholeStageCodegen spans — wider spans = more of the
+    plan fused into single JVM loops. Simple-mode strings mark spans
+    with "*(n)" prefixes; formatted mode with "WholeStageCodegen (n)"."""
+    spans = set(re.findall(r"\*\((\d+)\)", plan))
+    spans |= set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(spans)
 
 
 def plan_report(df: DataFrame) -> str:

@@ -10,6 +10,15 @@ State/scale posture: watermarks bound state for window and dedup ops;
 the custom-counter op keeps O(|keys|) state in the per-partition state
 store; checkpointing is the sink's job (tests use memory sinks with
 temp checkpoints).
+
+API note: Spark 4's `transformWithStateInPandas` (the successor
+stateful API: typed value/list/map state, timers, TTL) was evaluated
+for the custom-counter op but its driver-side runner requires
+`google.protobuf`, which is not importable in this container
+(`ImportError: cannot import name 'descriptor'` → STREAMING_PYTHON_
+RUNNER_INITIALIZATION_FAILURE). `applyInPandasWithState` expresses the
+same semantics without that dependency, so it is the shipped form;
+swap to transformWithStateInPandas where protobuf is available.
 """
 
 from __future__ import annotations

@@ -67,7 +67,7 @@ def test_shuffle_count_flagship(spark):
     # fan_out repartition + the 2-key aggregate exchange + the final
     # orderBy range exchange; anything above that is a regression.
     plan = PI.formatted(pricing_summary(spark, SF_SMOKE))
-    assert PI.count_shuffles(plan) <= 3
+    assert 1 <= PI.count_shuffles(plan) <= 3
 
 
 def test_aqe_enabled_for_engine_sessions(spark):
