@@ -1,0 +1,40 @@
+"""CLI entry: `python -m glaciersgee_spark.cli CONFIG [--sf-dir D] [--out O]`.
+
+Mirrors the reference's `run.py <target>` shape (SURVEY.md §3.1):
+one JSON config in, one manifest directory out, summary JSON on
+stdout. CONFIG may be a path or an inline JSON string.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", help="JSON config path or inline JSON")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    p.add_argument("--out", default=None, help="manifest output dir")
+    p.add_argument("--done-log", default=None, help="parquet of done event_ids")
+    args = p.parse_args(argv)
+
+    from glaciersgee_spark.pipeline import SceneQueryConfig, run_pipeline
+    from glaciersgee_spark.session import get_spark
+
+    cfg = SceneQueryConfig.from_json(args.config)
+    out = args.out or tempfile.mkdtemp(prefix="ggee_manifest_")
+    summary = run_pipeline(get_spark(), args.sf_dir, cfg, out, args.done_log)
+    json.dump(summary, sys.stdout)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
