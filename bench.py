@@ -2,14 +2,19 @@
 {"metric", "value", "unit", "queries", "cold", "sf"}.
 
 Methodology (documented in BASELINE.md §protocol): each query runs
-TWICE — an untimed warm-up (Catalyst planning, whole-stage codegen
-compilation, Python-worker spin-up: one-time costs that amortize to
-zero at any real scale) and then the timed steady-state run.
-`spark.catalog.clearCache()` between the two keeps the timed run
-honest: any DataFrame a query persists internally is dropped, so run
-two re-computes everything. The cold (first-run) times are reported
-under "cold" so nothing is hidden; "value" is the sum of the timed
-runs.
+THREE times — an untimed warm-up (Catalyst planning, whole-stage
+codegen compilation, Python-worker spin-up: one-time costs that
+amortize to zero at any real scale) and two timed steady-state runs,
+of which the MINIMUM is reported. Min-of-2 because this host shows
+random multi-second stalls that hit a different query every run
+(measured: the same query swinging 1.4 s ↔ 20.7 s across identical-
+code runs while the rest of the suite was unchanged) — the minimum is
+the standard low-noise estimator for wall-clock work actually
+required. `spark.catalog.clearCache()` after every run keeps each
+timed run honest: any DataFrame a query persists internally is
+dropped, so every run re-computes everything. The cold (first-run)
+times are reported under "cold" so nothing is hidden; "value" is the
+sum over queries of the per-query minimum.
 
 Execution is measured with the noop sink so the number is engine time
 (scan→compute→sink), not driver-side row serialization. Scale factor
@@ -30,6 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from __spark_entry__ import queries  # noqa: E402
 from glaciersgee_spark.session import get_spark  # noqa: E402
 
+N_TIMED = 2
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,10 +56,13 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.monotonic() - t0, 3)
             spark.catalog.clearCache()
-            t0 = time.monotonic()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            per[name] = round(time.monotonic() - t0, 3)
-            spark.catalog.clearCache()
+            timed: list[float] = []
+            for _ in range(N_TIMED):
+                t0 = time.monotonic()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timed.append(time.monotonic() - t0)
+                spark.catalog.clearCache()
+            per[name] = round(min(timed), 3)
         except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
             cold.setdefault(name, -1.0)
             per[name] = -1.0
