@@ -296,6 +296,38 @@ def q_c_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_c_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_lo,
+           o_orderkey | 4096 AS or_hi,
+           xor(o_orderkey, 1365) AS xor_k,
+           o_orderkey << 3 AS shl3,
+           o_orderkey >> 2 AS shr2,
+           CAST(bit_count(o_orderkey) AS INT) AS popcnt,
+           ~o_orderkey AS not_k
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_c_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR/NOT, shifts, popcount — the
+    bit-twiddling surface the SimHash/banding operators build on
+    (q_e_dedup_simhash uses xor + bit_count as its Hamming kernel)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_lo"),
+        k.bitwiseOR(F.lit(4096)).alias("or_hi"),
+        k.bitwiseXOR(F.lit(1365)).alias("xor_k"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).cast("int").alias("popcnt"),
+        F.bitwise_not(k).alias("not_k"),
+    )
+
+
+@query(
     "q_c_hash",
     oracle="""
     SELECT doc_id,

@@ -186,6 +186,124 @@ def q_e_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-engine MinHash: md5-derived 60-bit shingle hashes (identical in
+# both engines — same trick as the SimHash token hash below) pushed
+# through exact modular affine "permutations" (a*h+b mod M, int64-safe:
+# a,b < 1e6, h reduced mod M first). Coefficients are seeded literals
+# baked into both dialects (SURVEY.md §7.3.4).
+_MHM = 1_000_000_007
+_MH_RS = np.random.RandomState(7)
+_MH_PERMS = [
+    (int(a), int(b))
+    for a, b in zip(
+        _MH_RS.randint(1, 1_000_000, N_MINHASH),
+        _MH_RS.randint(0, 1_000_000, N_MINHASH),
+    )
+]
+
+_SPARK_SHHASH = (
+    "array_distinct(transform(sh, s -> "
+    "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"
+)
+_DUCK_SHHASH = (
+    "list_distinct(list_transform(sh, s -> "
+    "CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)))"
+)
+
+
+def _mh_expr(dialect: str, p: int) -> str:
+    a, b = _MH_PERMS[p]
+    body = f"({a} * (x % {_MHM}) + {b}) % {_MHM}"
+    if dialect == "spark":
+        return f"array_min(transform(hh, x -> {body}))"
+    return f"list_min(list_transform(hh, x -> {body}))"
+
+
+@query(
+    "q_e_dedup_near_md5",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    h AS (SELECT doc_id, {_DUCK_SHHASH} AS hh FROM d),
+    mh AS (SELECT doc_id,
+                  [{', '.join(_mh_expr('duck', p) for p in range(N_MINHASH))}] AS mhs
+           FROM h),
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {k} AS band,"
+          f" mhs[{BAND_SIZE * k + 1}] * {_MHM} + mhs[{BAND_SIZE * k + 2}] AS bkey"
+          " FROM mh"
+          for k in range(N_MINHASH // BAND_SIZE))}
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(x.hh, e -> list_contains(y.hh, e))) AS i,
+             len(x.hh) AS na, len(y.hh) AS nb
+      FROM cand c JOIN h x ON c.id_a = x.doc_id JOIN h y ON c.id_b = y.doc_id
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+    FROM inter
+    WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5
+    """,
+)
+def q_e_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracle-checked MinHash+LSH near-dup pipeline.
+
+    Same shape as q_e_dedup_near but every hash is reproducible in the
+    oracle: shingle hash = first 60 md5 bits (Spark conv(hex,16,10) ≡
+    DuckDB '0x…' cast), minhash "permutations" = exact affine maps
+    (a·h+b mod 1e9+7, seeded literal coefficients), band key = exact
+    base-M packing of the band's two minhashes. This upgrades the
+    near-dup family from the rows-only check to a full hash-match —
+    candidate generation AND verify — while q_e_dedup_near keeps the
+    xxhash64 scale path (one JVM hash pass instead of md5's four).
+
+    Scale shape is unchanged: one groupBy shuffle on (band, bkey) over
+    slim rows, DISTINCT pairs, two hash-array joins for the exact
+    Jaccard verify; no O(n²) stage.
+    """
+    sh = _with_shingles(spark, sf_dir)
+    base = sh.select("doc_id", F.expr(_SPARK_SHHASH).alias("hh")).persist()
+    mh = [F.expr(_mh_expr("spark", p)).alias(f"mh{p}") for p in range(N_MINHASH)]
+    banded = base.select("doc_id", *mh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        (
+                            F.col(f"mh{BAND_SIZE * k}") * _MHM
+                            + F.col(f"mh{BAND_SIZE * k + 1}")
+                        ).alias("bkey"),
+                    )
+                    for k in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    cand = cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    ha = base.select(F.col("doc_id").alias("id_a"), F.col("hh").alias("hh_a"))
+    hb = base.select(F.col("doc_id").alias("id_b"), F.col("hh").alias("hh_b"))
+    inter = F.size(F.array_intersect("hh_a", "hh_b"))
+    jac = inter.cast("double") / (
+        F.size("hh_a") + F.size("hh_b") - inter
+    ).cast("double")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
 @query(
     "q_e_jaccard_verify",
     oracle=f"""

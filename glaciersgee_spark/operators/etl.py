@@ -293,6 +293,41 @@ def q_a_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_a_gap_detect",
+    oracle="""
+    SELECT user_id, prev_ts, ts, gap_s FROM (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_ts,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC),
+                       ts) AS gap_s
+      FROM events
+    ) WHERE gap_s > 3600
+    """,
+)
+def q_a_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit-gap detection: missed acquisitions in a per-tile time
+    series (the Landsat cadence check — WRS path/row revisits arrive on
+    a fixed cycle; a gap beyond threshold means lost/filtered scenes).
+    One shuffle on the tile key; the lag window scans each partition
+    once. At 100 TB the series is date-partitioned so each window
+    partition is a contiguous scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = "unix_seconds(CAST(ts AS TIMESTAMP))"
+    prev_epoch = "unix_seconds(CAST(prev_ts AS TIMESTAMP))"
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_s", F.expr(f"{epoch} - {prev_epoch}"))
+        .where(F.col("gap_s") > 3600)
+        .select("user_id", "prev_ts", "ts", "gap_s")
+    )
+
+
+@query(
     "q_a_export_manifest",
     oracle="""
     SELECT p_partkey,

@@ -140,6 +140,62 @@ def q_b_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_b_join_bucketed",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {dsum('l_quantity')} AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 50000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_b_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides pre-bucketed (and
+    bucket-sorted) on the join key, so the sort-merge join needs ZERO
+    exchanges — the scan partitions ARE the join partitions.
+
+    This is the 100 TB recipe for a fact⋈fact join that recurs on the
+    same key (lineitem⋈orders on orderkey): pay one bucketed write at
+    ingest, then every subsequent join skips its shuffle entirely.
+    tests/test_plans.py asserts the only exchange in this plan is the
+    final aggregation's. The merge hint pins SMJ so the demonstration
+    doesn't silently degrade to a broadcast at small SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 50000.0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    out = tempfile.mkdtemp(prefix="ggee_bkt_")
+    (
+        li.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{out}/lineitem")
+        .saveAsTable("ggee_bkt_lineitem")
+    )
+    (
+        o.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{out}/orders")
+        .saveAsTable("ggee_bkt_orders")
+    )
+    a = spark.table("ggee_bkt_lineitem")
+    b = spark.table("ggee_bkt_orders")
+    return (
+        a.join(b.hint("merge"), a.l_orderkey == b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(dsum("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
 # ------------------------------------------------------- project / filter
 
 

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from glaciersgee_spark.operators.relational import (
     pricing_summary,
     q_b_join_broadcast,
+    q_b_join_bucketed,
     q_b_limit_topk,
     q_b_scan_parquet,
 )
@@ -46,6 +47,16 @@ def test_small_dim_broadcasts(spark):
     plan = PI.executed(q_b_join_broadcast(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    df = q_b_join_bucketed(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    # merge-hinted SMJ over co-bucketed scans: the ONLY exchange in the
+    # whole plan is the final aggregation's — the join itself reads
+    # bucket-aligned partitions with no shuffle.
+    assert "SortMergeJoin" in plan
+    assert PI.count_shuffles(plan) <= 1
 
 
 def test_topk_avoids_global_sort(spark):
