@@ -297,3 +297,99 @@ def q_e_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(davg(bpe_n)).alias("avg_bpe_tokens"),
         F.expr(davg("CAST(size(split(text, ' ')) AS DOUBLE)")).alias("avg_ws_tokens"),
     )
+
+
+# PII scrubbing: the corpus text is a clean synthetic word bag, so the
+# contact-bearing string is CONSTRUCTED deterministically from corpus
+# columns (an export-manifest-contact shape) and then scrubbed — what
+# the op demonstrates is the replace-ALL + match-count regex surface,
+# which is where the engines genuinely differ (DuckDB replaces first
+# match unless 'g'; Spark always replaces all). Patterns are in the
+# RE2∩Java common subset (SURVEY.md §7.4 regex trap).
+_PII_EMAIL = "[a-z0-9.]+@[a-z.]+"
+_PII_ID = "[0-9]{6,}"
+
+
+@query(
+    "q_e_pii_scrub",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             printf('%s contact %s.user%d@%s.example.com ref %09d end',
+                    substring(text, 1, 20), lang, doc_id, source,
+                    doc_id * 7919) AS blob
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(blob, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_ID}', '<ID>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(blob, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(blob, '{_PII_ID}')) AS INT) AS n_ids
+    FROM raw
+    """,
+)
+def q_e_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (LLM-pipeline cleaning stage): replace every
+    email-shaped and long-digit-run substring with typed placeholders
+    and report per-doc match counts. Pure codegen expressions — one
+    narrow scan stage, no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.format_string(
+        "%s contact %s.user%d@%s.example.com ref %09d end",
+        F.substring("text", 1, 20),
+        F.col("lang"),
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("doc_id") * 7919,
+    )
+    raw = d.select("doc_id", blob.alias("blob"))
+    return raw.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("blob", _PII_EMAIL, "<EMAIL>"), _PII_ID, "<ID>"
+        ).alias("scrubbed"),
+        F.expr(f"CAST(size(regexp_extract_all(blob, '{_PII_EMAIL}', 0)) AS INT)").alias(
+            "n_emails"
+        ),
+        F.expr(f"CAST(size(regexp_extract_all(blob, '{_PII_ID}', 0)) AS INT)").alias(
+            "n_ids"
+        ),
+    )
+
+
+@query(
+    "q_e_train_split",
+    oracle="""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_e_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-stable
+    hash bucket — the training-pipeline partitioner. md5-derived bucket
+    = identical assignment in any engine, on any cluster, at any
+    partitioning (df.sample() is none of those); the same doc always
+    lands in the same split across reruns and backfills. One narrow
+    stage + a |splits|×|langs| aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        " % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), F.col("lang")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
