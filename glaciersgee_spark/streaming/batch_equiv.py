@@ -246,3 +246,43 @@ def q_d_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchases_so_far"
         ),
     )
+
+
+@query(
+    "q_d_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.event_id) AS n_clicks_30m
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_d_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream interval join in batch form: every purchase joined
+    to the same user's clicks in the preceding 30 minutes, counted per
+    purchase. Stream form (streaming.stream.stream_stream_join): both
+    sides watermarked, the time-range condition bounds the join state
+    each side must retain — exactly Spark's stream-stream join contract.
+    Batch shape: one shuffle on user_id for both sides, range predicate
+    applied inside the sort-merge join."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTE"))
+        & (c.c_ts <= p.p_ts),
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_30m")
+    )

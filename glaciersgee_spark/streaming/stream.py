@@ -143,3 +143,37 @@ def running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream⋈stream interval join: purchases × clicks per user,
+    click within 30 minutes before the purchase.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's join state is droppable once the other
+    side's watermark passes — the requirement for append-mode
+    stream-stream joins. Emits one row per (purchase, click) pair; the
+    batch equivalent's pair count equals this op's row count
+    (tests/test_streaming.py)."""
+    p = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "p_user", "p_ts", "c_ts")

@@ -106,3 +106,17 @@ def test_watermark_drops_late_rows(spark):
     total = q_d_tumbling(spark, SF_SMOKE).select("ws").distinct().count()
     assert 0 < n_append <= total
     assert q.lastProgress is not None
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from glaciersgee_spark.streaming.batch_equiv import q_d_stream_stream_join
+
+    _run_to_memory(S.stream_stream_join(spark, SF_SMOKE), "t_ssj", "append")
+    got_pairs = spark.sql("SELECT count(*) AS n FROM t_ssj").collect()[0].n
+    want_pairs = (
+        q_d_stream_stream_join(spark, SF_SMOKE)
+        .agg(F.sum("n_clicks_30m").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got_pairs == want_pairs > 0
