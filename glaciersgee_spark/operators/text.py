@@ -393,3 +393,104 @@ def q_e_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# Benchmark decontamination: the LLM-pipeline step that screens the
+# training corpus against a held-out eval set for n-gram overlap
+# (training docs sharing enough shingles with any eval doc are
+# contamination candidates). Eval set here = source 'src0'.
+_SPARK_SH3 = (
+    "array_distinct(transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', "
+    "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))"
+)
+_DUCK_SH3 = (
+    "list_distinct(list_transform(range(1, len(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))"
+)
+_DECON_MIN_SHARED = 3
+
+
+@query(
+    "q_e_decontaminate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    post AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(unnest({_DUCK_SH3})), 1, 15))
+                  AS BIGINT) AS pkey
+      FROM t
+    ),
+    ev AS (SELECT doc_id AS ev_doc, pkey FROM post WHERE source = 'src0'),
+    tr AS (SELECT doc_id AS tr_doc, pkey FROM post WHERE source <> 'src0'),
+    joined AS (SELECT tr_doc, ev_doc, tr.pkey FROM tr JOIN ev USING (pkey)),
+    shared AS (
+      SELECT tr_doc, COUNT(DISTINCT pkey) AS n_shared_shingles,
+             COUNT(DISTINCT ev_doc) AS n_eval_docs
+      FROM joined GROUP BY tr_doc
+    ),
+    pairs AS (
+      SELECT tr_doc, ev_doc, COUNT(*) AS o FROM joined GROUP BY tr_doc, ev_doc
+    ),
+    mo AS (SELECT tr_doc, MAX(o) AS max_overlap FROM pairs GROUP BY tr_doc)
+    SELECT s.tr_doc AS doc_id, s.n_shared_shingles, s.n_eval_docs, mo.max_overlap
+    FROM shared s JOIN mo USING (tr_doc)
+    WHERE s.n_shared_shingles >= {_DECON_MIN_SHARED}
+    """,
+)
+def q_e_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: flag training docs (source ≠
+    src0) sharing ≥3 distinct token-trigram shingles with any eval doc
+    (source = src0), reporting total shared shingles, how many eval
+    docs are touched, and the largest single-eval-doc overlap.
+
+    Shape: shingle both sides once, hash to int64 (md5-derived for
+    oracle parity), inverted-index join on the shingle key with the
+    EVAL side broadcast — the eval set is always tiny next to the
+    training corpus, so at 100 TB this is one map-side join over the
+    training postings plus two slim aggregations; the training corpus
+    never shuffles by shingle."""
+    from glaciersgee_spark.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = d.select("doc_id", "source", F.split("text", " ").alias("tk")).where(
+        F.size("tk") >= 3
+    )
+    post = t.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(_SPARK_SH3)).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("pkey"),
+    ).persist()  # eval and training branches both read this subtree
+    ev = post.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("ev_doc"), "pkey"
+    )
+    tr = post.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("tr_doc"), "pkey"
+    )
+    joined = tr.join(F.broadcast(ev), "pkey").persist()
+    shared = joined.groupBy("tr_doc").agg(
+        F.countDistinct("pkey").alias("n_shared_shingles"),
+        F.countDistinct("ev_doc").alias("n_eval_docs"),
+    )
+    mo = (
+        joined.groupBy("tr_doc", "ev_doc")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .groupBy("tr_doc")
+        .agg(F.max("o").alias("max_overlap"))
+    )
+    return (
+        shared.join(mo, "tr_doc")
+        .where(F.col("n_shared_shingles") >= _DECON_MIN_SHARED)
+        .select(
+            F.col("tr_doc").alias("doc_id"),
+            "n_shared_shingles",
+            "n_eval_docs",
+            "max_overlap",
+        )
+    )
