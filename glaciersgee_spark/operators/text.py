@@ -494,3 +494,52 @@ def q_e_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_overlap",
         )
     )
+
+
+# Sequence packing: the pretraining-data step that concatenates docs
+# into fixed-length context windows. Deterministic stream order =
+# (lang, doc_id); a doc's pack is where its first token lands.
+_PACK_BUDGET = 256
+
+
+@query(
+    "q_e_seq_pack",
+    oracle=f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_off,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    """,
+)
+def q_e_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: per language stream (ordered
+    by doc_id), each doc's token run starts at the running offset; its
+    pack (context window) is start_off // 256. One shuffle on lang,
+    one ordered window pass. At 100 TB the stream key becomes
+    (shard, lang) so window partitions stay bounded, and the pack_id
+    feeds the partitioned sink that writes training shards."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("doc_id", "lang", n_tok.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        start.cast("long").alias("start_off"),
+        (start / _PACK_BUDGET).cast("long").alias("pack_id"),
+    )
