@@ -119,3 +119,75 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(ev, dim, "user_id", "event_id", n_salt=4).collect()
     )
     assert salted == plain
+
+
+def test_train_split_partitions_the_corpus(spark):
+    """Split buckets are a partition: per-lang counts over the three
+    splits sum to the corpus, and the 80/10/10 shares are roughly
+    respected (hash uniformity at 500+ docs)."""
+    from glaciersgee_spark.operators.text import q_e_train_split
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    rows = q_e_train_split(spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == d.count()
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n
+    assert set(by_split) == {"train", "val", "test"}
+    total = sum(by_split.values())
+    assert 0.70 <= by_split["train"] / total <= 0.90
+
+
+def test_seq_pack_offsets_are_contiguous(spark):
+    """Per language the token stream has no holes: offsets sorted by
+    doc_id chain exactly (start_off[i+1] == start_off[i] + n_tokens[i])
+    and the final doc ends at the lang's total token count."""
+    from collections import defaultdict
+
+    from glaciersgee_spark.operators.text import q_e_seq_pack
+
+    rows = q_e_seq_pack(spark, SF_SMOKE).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.start_off == off
+            assert r.pack_id == off // 256
+            off += r.n_tokens
+
+
+def test_dedup_near_md5_agrees_with_jaccard_verify(spark):
+    """Both near-dup pipelines score exact Jaccard; wherever a pair
+    appears in both outputs the scores must agree (different shingle
+    hash families, same underlying sets)."""
+    from glaciersgee_spark.operators.dedup import q_e_dedup_near_md5
+
+    md5_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in q_e_dedup_near_md5(spark, SF_SMOKE).collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in q_e_dedup_near(spark, SF_SMOKE).collect()
+    }
+    common = set(md5_pairs) & set(xx_pairs)
+    assert common, "banding families should agree on at least one pair"
+    for k in common:
+        assert abs(md5_pairs[k] - xx_pairs[k]) < 1e-12
+
+
+def test_decontaminate_never_flags_eval_docs(spark):
+    """The screen reports training docs only, and every reported count
+    is internally consistent (shared shingles >= max single overlap)."""
+    from glaciersgee_spark.operators.text import q_e_decontaminate
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    eval_ids = {r.doc_id for r in d.where(F.col("source") == "src0").collect()}
+    for r in q_e_decontaminate(spark, SF_SMOKE).collect():
+        assert r.doc_id not in eval_ids
+        assert r.n_shared_shingles >= 3
+        assert r.n_shared_shingles >= r.max_overlap
+        assert r.n_eval_docs >= 1
