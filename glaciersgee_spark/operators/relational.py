@@ -1102,3 +1102,54 @@ def q_b_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where((F.col("o_orderkey") * 37 + 11) % 97 < 5).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+@query(
+    "q_b_upsert_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey AS k, 'X' AS new_status FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS k, 'N' AS new_status
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT COALESCE(u.k, t.o_orderkey) AS o_orderkey,
+           COALESCE(u.new_status, t.o_orderstatus) AS status,
+           CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+                WHEN u.k IS NULL THEN 'kept'
+                ELSE 'updated' END AS action
+    FROM orders t FULL OUTER JOIN upd u ON t.o_orderkey = u.k
+    """,
+)
+def q_b_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: target FULL OUTER
+    JOIN updates on the key, COALESCE picking the update's values,
+    with the matched/not-matched action surfaced per row — the CDC
+    shape a re-run ingest manifest applies (update changed scenes,
+    insert new ones, keep the rest).
+
+    At 100 TB the real carrier is a transactional format (Delta/Iceberg
+    MERGE INTO compiles to exactly this join); expressed directly, both
+    sides shuffle on the key once — or zero times if the target is the
+    bucketed table from q_b_join_bucketed's recipe."""
+    t = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o = load_table(spark, sf_dir, "orders")
+    upd = (
+        o.where(F.col("o_orderkey") % 4 == 0)
+        .select(F.col("o_orderkey").alias("k"), F.lit("X").alias("new_status"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("k"),
+                F.lit("N").alias("new_status"),
+            )
+        )
+    )
+    j = t.join(upd, t.o_orderkey == upd.k, "full_outer")
+    return j.select(
+        F.coalesce(upd.k, t.o_orderkey).alias("o_orderkey"),
+        F.coalesce("new_status", "o_orderstatus").alias("status"),
+        F.when(t.o_orderkey.isNull(), "inserted")
+        .when(upd.k.isNull(), "kept")
+        .otherwise("updated")
+        .alias("action"),
+    )
