@@ -462,10 +462,15 @@ _DUCK_TOKHASH = "CAST(concat('0x', substring(md5(token), 1, 15)) AS BIGINT)"
 
 
 def _simhash_sums(dialect_div: str) -> list[str]:
-    """Per-bit vote sums: SUM(cnt * ±1) depending on token-hash bit b."""
+    """Per-bit vote sums: SUM(±1) per token INSTANCE by hash bit b.
+
+    TF weighting needs no (doc, token) pre-aggregation — summing ±1
+    over instances equals summing cnt·±1 over distinct tokens — so the
+    pipeline skips that whole shuffle: explode → hash → one map-side-
+    combined groupBy(doc)."""
     return [
-        f"SUM(cnt * (CASE WHEN (h {dialect_div} {2 ** b}) % 2 = 1"
-        " THEN 1 ELSE -1 END))"
+        f"SUM(CASE WHEN (h {dialect_div} {2 ** b}) % 2 = 1"
+        " THEN 1 ELSE -1 END)"
         for b in range(SIMHASH_BITS)
     ]
 
@@ -481,9 +486,8 @@ _BAND_KEYS = [2 ** (SIM_BAND_BITS * k) for k in range(SIMHASH_BITS // SIM_BAND_B
     "q_e_dedup_simhash",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, token, COUNT(*) AS cnt, {_DUCK_TOKHASH} AS h
+      SELECT doc_id, {_DUCK_TOKHASH} AS h
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-      GROUP BY doc_id, token
     ),
     sums AS (
       SELECT doc_id,
@@ -515,12 +519,9 @@ def q_e_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only (band, bkey, doc_id, sim). Candidates per 12-bit
     band bucket stay near-linear, so no O(n²) stage survives."""
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    tok = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.expr(_SPARK_TOKHASH))
-    )
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).select("doc_id", F.expr(_SPARK_TOKHASH).alias("h"))
     sums = tok.groupBy("doc_id").agg(
         *[
             F.expr(e).alias(f"s{b}")
