@@ -15,6 +15,8 @@ columnar parquet scans that keep projection/predicate pushdown intact
 
 from __future__ import annotations
 
+import weakref
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -67,9 +69,21 @@ EXPECTED = {
 }
 
 
+# Loaded-table memo per session: a DataFrame is an immutable logical
+# plan, so handing every query the same object is semantics-free and
+# skips the repeated parquet-footer read + Py4J roundtrips (~0.14 s per
+# load at local scale; queries touch up to 5 tables). Keyed weakly so
+# a stopped session's entries vanish with it.
+_LOADED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with its declared schema asserted."""
     ensure_confs(spark)
+    per = _LOADED.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in per:
+        return per[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ns → µs truncation (div floors; ts values are non-negative),
@@ -80,6 +94,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     got = df.schema.simpleString()
     if got != EXPECTED[name]:
         raise AssertionError(f"{name}: schema drift: {got} != {EXPECTED[name]}")
+    per[key] = df
     return df
 
 
