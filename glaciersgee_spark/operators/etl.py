@@ -378,3 +378,48 @@ def q_a_ingest_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(done, p.p_partkey == done.d_key, "left_anti").select(
         "p_partkey", "p_brand"
     )
+
+
+@query(
+    "q_a_qa_bitmask",
+    oracle="""
+    WITH decoded AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS qa,
+             value
+      FROM events
+    )
+    SELECT ((qa >> 0) & 1 = 1) AS fill,
+           ((qa >> 1) & 1 = 1) AS dilated_cloud,
+           ((qa >> 3) & 1 = 1) AS cloud,
+           ((qa >> 4) & 1 = 1) AS cloud_shadow,
+           COUNT(*) AS n_scenes,
+           CAST(MIN(value) AS DOUBLE) AS min_v,
+           CAST(MAX(value) AS DOUBLE) AS max_v
+    FROM decoded
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_a_qa_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA_PIXEL bitmask decoding: Landsat L2 QA bands pack per-pixel /
+    per-scene flags into integer bitfields (bit 0 fill, 1 dilated
+    cloud, 3 cloud, 4 cloud shadow); the scene-metadata analogue
+    decodes the props bitfield and rolls scenes up by flag combination
+    — the masking decision table a compositing pipeline consumes.
+    Pure codegen bit ops + one tiny aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    qa = F.get_json_object("props", "$.k").cast("long")
+    decoded = ev.select(qa.alias("qa"), "value")
+
+    def bit(b: int):
+        return F.shiftright(F.col("qa"), b).bitwiseAND(F.lit(1)) == 1
+
+    return decoded.groupBy(
+        bit(0).alias("fill"),
+        bit(1).alias("dilated_cloud"),
+        bit(3).alias("cloud"),
+        bit(4).alias("cloud_shadow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_scenes"),
+        F.min("value").cast("double").alias("min_v"),
+        F.max("value").cast("double").alias("max_v"),
+    )
