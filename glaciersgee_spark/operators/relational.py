@@ -1153,3 +1153,36 @@ def q_b_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("action"),
     )
+
+
+@query(
+    "q_b_window_trailing",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_b_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time trailing window: per-key aggregates over the last
+    hour of *time*, not the last N rows — the rate-limit / rolling-
+    telemetry frame. Spark's rangeBetween is numeric, so the order key
+    is epoch seconds and the frame [-3600, 0]; DuckDB uses RANGE with
+    a true INTERVAL — same frame because ties on ts enter together in
+    both (RANGE peers). One shuffle on the key, one ordered pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_1h"),
+    )

@@ -543,3 +543,61 @@ def q_e_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("long").alias("start_off"),
         (start / _PACK_BUDGET).cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "q_e_repetition",
+    oracle="""
+    SELECT doc_id,
+           CAST(n3 - d3 AS DOUBLE) / n3 AS dup_trigram_ratio,
+           CAST(top_tok AS DOUBLE) / n_tok AS top_token_share,
+           (CAST(n3 - d3 AS DOUBLE) / n3 > 0.2
+            OR CAST(top_tok AS DOUBLE) / n_tok > 0.2) AS repetitive
+    FROM (
+      SELECT doc_id,
+             len(tg) AS n3, len(list_distinct(tg)) AS d3,
+             len(tk) AS n_tok,
+             (SELECT MAX(c) FROM (
+                SELECT COUNT(*) AS c FROM unnest(tk) AS u(t) GROUP BY t)) AS top_tok
+      FROM (
+        SELECT doc_id, tk,
+               list_transform(range(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS tg
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        WHERE len(tk) >= 3
+      )
+    )
+    """,
+)
+def q_e_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per doc: duplicate-trigram ratio
+    (1 − distinct/total 3-grams) and the most-frequent token's share,
+    with the keep/drop-style repetitive verdict. All higher-order array
+    expressions on the scan — zero shuffles; the top-token count uses
+    aggregate() over the distinct tokens (an O(u·n) in-row pass, fine
+    at word-bag document sizes)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("tk")).where(F.size("tk") >= 3)
+    tg = (
+        "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', "
+        "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"
+    )
+    top_tok = (
+        "array_max(transform(array_distinct(tk), t -> "
+        "size(filter(tk, x -> x = t))))"
+    )
+    base = t.select(
+        "doc_id",
+        F.expr(f"size({tg})").alias("n3"),
+        F.expr(f"size(array_distinct({tg}))").alias("d3"),
+        F.size("tk").alias("n_tok"),
+        F.expr(top_tok).alias("top_tok"),
+    )
+    dup_ratio = (F.col("n3") - F.col("d3")).cast("double") / F.col("n3")
+    top_share = F.col("top_tok").cast("double") / F.col("n_tok")
+    return base.select(
+        "doc_id",
+        dup_ratio.alias("dup_trigram_ratio"),
+        top_share.alias("top_token_share"),
+        ((dup_ratio > 0.2) | (top_share > 0.2)).alias("repetitive"),
+    )
