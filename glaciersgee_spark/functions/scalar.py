@@ -348,3 +348,41 @@ def q_c_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("h_sha256"),
         F.length(F.md5("text")).cast("long").alias("md5_len"),
     )
+
+
+@query(
+    "q_c_struct",
+    oracle="""
+    SELECT o_orderkey,
+           s.status AS st,
+           s.bucket AS bk,
+           CAST(s.price_c AS DOUBLE) AS price_back,
+           (s.bucket * 10 + CAST(length(s.status) AS INT)) AS derived
+    FROM (
+      SELECT o_orderkey,
+             {'status': o_orderstatus,
+              'bucket': CAST(o_orderkey % 7 AS INT),
+              'price_c': o_totalprice} AS s
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    """,
+)
+def q_c_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: build a nested struct column, access its fields,
+    and compute over them — the nested-type surface of SURVEY.md §1.2
+    (scene properties as typed structs). Output is flattened to scalars
+    so the oracle hash stays type-exact."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 9 == 0)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") % 7).cast("int").alias("bucket"),
+        F.col("o_totalprice").alias("price_c"),
+    )
+    nested = o.select("o_orderkey", s.alias("s"))
+    return nested.select(
+        "o_orderkey",
+        F.col("s.status").alias("st"),
+        F.col("s.bucket").alias("bk"),
+        F.col("s.price_c").cast("double").alias("price_back"),
+        (F.col("s.bucket") * 10 + F.length("s.status").cast("int")).alias("derived"),
+    )

@@ -114,3 +114,43 @@ def q_e_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("content"))
     return payloads.mapInPandas(decode_features, _FEATURE_SCHEMA)
+
+
+@query(
+    "q_e_mm_framesample",
+    oracle="""
+    SELECT doc_id, n_frames, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+           CAST(f.frame_idx * 40 AS BIGINT) AS ts_ms
+    FROM (
+      SELECT doc_id, n_chars AS n_frames,
+             generate_series(0, CAST(n_chars AS BIGINT) - 1,
+                             CAST(greatest(n_chars // 8, 1) AS BIGINT)) AS idxs
+      FROM documents WHERE doc_id % 7 = 0
+    ), unnest(idxs) AS f(frame_idx)
+    """,
+)
+def q_e_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: per payload, emit a uniform
+    stride of ≤~8 frame indices with their 25fps timestamps (n_chars
+    plays the frame count; the real pipeline feeds these indices to
+    the stubbed decoder in q_e_mm_decode). sequence+explode keeps the
+    expansion executor-side — one narrow stage, no Python, no shuffle;
+    at 100 TB this is the map stage ahead of a decode mapInPandas."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").alias("n_frames"),
+        F.greatest(F.expr("n_chars div 8"), F.lit(1).cast("long")).alias("stride"),
+    )
+    return base.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.col("stride"))
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        (F.col("frame_idx") * 40).alias("ts_ms"),
+    )
