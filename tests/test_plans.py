@@ -84,3 +84,30 @@ def test_shuffle_count_flagship(spark):
 def test_aqe_enabled_for_engine_sessions(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_trailing_window_single_shuffle(spark):
+    from glaciersgee_spark.operators.relational import q_b_window_trailing
+
+    plan = PI.formatted(q_b_window_trailing(spark, SF_SMOKE))
+    # one exchange for the window's partitionBy(user_id); nothing else
+    assert PI.count_shuffles(plan) == 1
+    assert "Window" in plan
+
+
+def test_framesample_is_shuffle_free_jvm_path(spark):
+    from glaciersgee_spark.operators.multimodal import q_e_mm_framesample
+
+    df = q_e_mm_framesample(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert PI.count_shuffles(plan) == 0
+    assert not PI.has_python_boundary(PI.executed(df))
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from glaciersgee_spark.operators.text import q_e_decontaminate
+
+    plan = PI.executed(q_e_decontaminate(spark, SF_SMOKE))
+    # the eval-postings join must be a broadcast — the training corpus
+    # never shuffles by shingle key
+    assert "BroadcastHashJoin" in plan
