@@ -100,3 +100,75 @@ def test_dsum_is_partitioning_invariant(spark):
     import struct
 
     assert struct.pack(">d", a) == struct.pack(">d", b) == struct.pack(">d", c)
+
+
+def test_upsert_merge_actions_partition_target_and_updates(spark):
+    """Every target key appears exactly once as kept/updated; inserted
+    rows are exactly the brand-new update keys."""
+    from glaciersgee_spark.operators.relational import q_b_upsert_merge
+    from glaciersgee_spark.tables import load_table
+
+    out = q_b_upsert_merge(spark, SF_SMOKE)
+    by_action = {
+        r.action: r.n
+        for r in out.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders")
+    n_target = o.count()
+    n_updated = o.where(F.col("o_orderkey") % 4 == 0).count()
+    n_inserted = o.where(F.col("o_orderkey") % 1000 == 0).count()
+    assert by_action.get("updated", 0) == n_updated
+    assert by_action.get("inserted", 0) == n_inserted
+    assert by_action.get("kept", 0) == n_target - n_updated
+    # status rewritten only where updated/inserted
+    assert out.where((F.col("action") == "updated") & (F.col("status") != "X")).count() == 0
+
+
+def test_qa_bitmask_decodes_known_bitfields(spark):
+    """Literal bitfields decode to the exact flag combinations."""
+    df = spark.createDataFrame(
+        [(0b00000,), (0b00001,), (0b01010,), (0b11011,)],
+        T.StructType([T.StructField("qa", T.LongType(), False)]),
+    )
+
+    def bit(b):
+        return F.shiftright(F.col("qa"), b).bitwiseAND(F.lit(1)) == 1
+
+    rows = df.select(
+        bit(0).alias("fill"), bit(1).alias("dilated"), bit(3).alias("cloud"),
+        bit(4).alias("shadow"),
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (False, False, False, False),
+        (True, False, False, False),
+        (False, True, True, False),
+        (True, True, True, True),
+    ]
+
+
+def test_trailing_window_hand_computed(spark):
+    """3 events inside an hour + 1 outside: the trailing-1h frame keeps
+    exactly the in-window rows (RANGE peers included)."""
+    from glaciersgee_spark.operators.relational import q_b_window_trailing  # noqa: F401
+
+    data = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (2, "2024-01-01 00:30:00", 2.0),
+        (3, "2024-01-01 01:00:00", 4.0),   # exactly 1h after e1: in frame
+        (4, "2024-01-01 02:30:00", 8.0),   # everything else out of range
+    ]
+    df = spark.createDataFrame(data, ["event_id", "ts_s", "value"]).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value", F.lit(7).alias("user_id")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    got = {
+        r.event_id: r.n
+        for r in df.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 1}
