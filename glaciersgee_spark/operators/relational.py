@@ -1170,14 +1170,16 @@ def q_b_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time trailing window: per-key aggregates over the last
     hour of *time*, not the last N rows — the rate-limit / rolling-
     telemetry frame. Spark's rangeBetween is numeric, so the order key
-    is epoch seconds and the frame [-3600, 0]; DuckDB uses RANGE with
-    a true INTERVAL — same frame because ties on ts enter together in
-    both (RANGE peers). One shuffle on the key, one ordered pass."""
+    is epoch MICROseconds (the table's full precision — epoch seconds
+    truncates sub-second parts and shifts the frame boundary by up to
+    1s vs the oracle's true INTERVAL frame; caught by the sf0.1 stress
+    parity) and the frame [-3600e6, 0]. Ties on ts enter together in
+    both engines (RANGE peers). One shuffle, one ordered pass."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

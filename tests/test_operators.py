@@ -164,8 +164,8 @@ def test_trailing_window_hand_computed(spark):
 
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     got = {
         r.event_id: r.n
