@@ -23,10 +23,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--out", default=None, help="manifest output dir")
     p.add_argument("--done-log", default=None, help="parquet of done event_ids")
+    p.add_argument(
+        "--corpus",
+        action="store_true",
+        help="run the corpus-cleaning pipeline (quality filter -> dedup -> "
+        "train/val/test split -> split-partitioned shards) instead of the "
+        "scene ETL",
+    )
     args = p.parse_args(argv)
 
-    from glaciersgee_spark.pipeline import SceneQueryConfig, run_pipeline
+    from glaciersgee_spark.pipeline import (
+        CorpusCleanConfig,
+        SceneQueryConfig,
+        run_corpus_pipeline,
+        run_pipeline,
+    )
     from glaciersgee_spark.session import get_spark
+
+    if args.corpus:
+        ccfg = CorpusCleanConfig.from_json(args.config)
+        out = args.out or tempfile.mkdtemp(prefix="ggee_corpus_")
+        summary = run_corpus_pipeline(get_spark(), args.sf_dir, ccfg, out)
+        json.dump(summary, sys.stdout)
+        print()
+        return 0
 
     cfg = SceneQueryConfig.from_json(args.config)
     out = args.out or tempfile.mkdtemp(prefix="ggee_manifest_")

@@ -146,3 +146,94 @@ def run_pipeline(
         "cells": written.select("user_id").distinct().count() if pending else 0,
         "output_dir": output_dir,
     }
+
+
+# ---------------------------------------------------------------------------
+# Corpus-cleaning pipeline — the LLM-data end-to-end UX (BASELINE.json:6
+# mandate): quality filter → exact dedup (canonical keep) → deterministic
+# train/val/test split → split-partitioned parquet shards.
+
+
+@dataclass(frozen=True)
+class CorpusCleanConfig:
+    """JSON config surface for the corpus-cleaning pipeline."""
+
+    min_tokens: int = 10
+    max_tokens: int = 200
+    min_distinct_ratio: float = 0.3
+    dedup: bool = True  # drop non-canonical exact duplicates
+    train_pct: int = 80  # split buckets: [0,train) train, [train,train+val) val
+    val_pct: int = 10
+
+    @staticmethod
+    def from_json(path_or_str: str) -> "CorpusCleanConfig":
+        text = path_or_str
+        if not path_or_str.lstrip().startswith("{"):
+            with open(path_or_str) as f:
+                text = f.read()
+        raw = json.loads(text)
+        return CorpusCleanConfig(
+            min_tokens=int(raw.get("min_tokens", 10)),
+            max_tokens=int(raw.get("max_tokens", 200)),
+            min_distinct_ratio=float(raw.get("min_distinct_ratio", 0.3)),
+            dedup=bool(raw.get("dedup", True)),
+            train_pct=int(raw.get("train_pct", 80)),
+            val_pct=int(raw.get("val_pct", 10)),
+        )
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str, cfg: CorpusCleanConfig) -> DataFrame:
+    """One lazy plan: quality predicates on the scan, one window shuffle
+    for canonical dedup, then the md5 split bucket (a per-row expr).
+
+    The kept row per content key is min(doc_id) — deterministic at any
+    partitioning, unlike dropDuplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    docs = d.withColumn("n_tokens", n_tok.cast("long")).where(
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("n_tokens") <= cfg.max_tokens)
+        & (
+            F.size(F.array_distinct(words)).cast("double") / n_tok
+            > cfg.min_distinct_ratio
+        )
+    )
+    if cfg.dedup:
+        key = F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+        w = Window.partitionBy(key).orderBy(F.col("doc_id").asc())
+        docs = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        " % 100"
+    )
+    split = (
+        F.when(bucket < cfg.train_pct, "train")
+        .when(bucket < cfg.train_pct + cfg.val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split", split)
+
+
+def run_corpus_pipeline(
+    spark: SparkSession, sf_dir: str, cfg: CorpusCleanConfig, output_dir: str
+) -> dict:
+    """Clean + split + write split-partitioned shards; return summary
+    counts (the only driver-side rows)."""
+    cleaned = clean_corpus(spark, sf_dir, cfg)
+    sinks.write_parquet_partitioned(cleaned, output_dir, "split")
+    input_n = load_table(spark, sf_dir, "documents").count()
+    by_split = {
+        r.split: r.n
+        for r in cleaned.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "input_docs": input_n,
+        "kept_docs": sum(by_split.values()),
+        "by_split": by_split,
+        "output_dir": output_dir,
+    }

@@ -100,3 +100,21 @@ def test_cli_end_to_end():
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads(res.stdout.strip().splitlines()[-1])
     assert summary["pending"] > 0 and summary["output_dir"] == out
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    from glaciersgee_spark.pipeline import CorpusCleanConfig, run_corpus_pipeline
+    from glaciersgee_spark.tables import load_table
+
+    out = str(tmp_path / "shards")
+    cfg = CorpusCleanConfig(min_tokens=5, max_tokens=500, min_distinct_ratio=0.1)
+    summary = run_corpus_pipeline(spark, SF_SMOKE, cfg, out)
+    assert 0 < summary["kept_docs"] <= summary["input_docs"]
+    assert set(summary["by_split"]) <= {"train", "val", "test"}
+    back = spark.read.parquet(out)
+    assert back.count() == summary["kept_docs"]
+    # split column travels via the partition directories
+    assert "split" in back.columns
+    # rerun is deterministic: same kept set, same split assignment
+    again = run_corpus_pipeline(spark, SF_SMOKE, cfg, str(tmp_path / "shards2"))
+    assert again["by_split"] == summary["by_split"]
