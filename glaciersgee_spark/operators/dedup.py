@@ -219,10 +219,11 @@ def _mh_expr(dialect: str, p: int) -> str:
     return f"list_min(list_transform(hh, x -> {body}))"
 
 
-@query(
-    "q_e_dedup_near_md5",
-    oracle=f"""
-    WITH d AS (
+# The md5-MinHash pipeline as a CTE chain ending in `mpairs(id_a,
+# id_b, jaccard)` — shared by the pair query (q_e_dedup_near_md5) and
+# the cluster query (q_e_dedup_cluster) so both oracles stay literally
+# identical on the candidate/verify stages.
+_DUCK_MD5_CTES = f"""d AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS sh
       FROM documents WHERE len(string_split(text, ' ')) >= 3
     ),
@@ -245,10 +246,20 @@ def _mh_expr(dialect: str, p: int) -> str:
              len(list_filter(x.hh, e -> list_contains(y.hh, e))) AS i,
              len(x.hh) AS na, len(y.hh) AS nb
       FROM cand c JOIN h x ON c.id_a = x.doc_id JOIN h y ON c.id_b = y.doc_id
-    )
-    SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
-    FROM inter
-    WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5
+    ),
+    mpairs AS (
+      SELECT id_a, id_b,
+             CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+      FROM inter
+      WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5
+    )"""
+
+
+@query(
+    "q_e_dedup_near_md5",
+    oracle=f"""
+    WITH {_DUCK_MD5_CTES}
+    SELECT id_a, id_b, jaccard FROM mpairs
     """,
 )
 def q_e_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,4 +567,76 @@ def q_e_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= SIM_HAMMING_MAX)
+    )
+
+
+@query(
+    "q_e_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MD5_CTES},
+    ue AS (
+      SELECT id_a AS u, id_b AS v FROM mpairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM mpairs
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM ue
+      UNION
+      SELECT ue.u, reach.r FROM ue JOIN reach ON ue.v = reach.u
+    ),
+    lab AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+)
+def q_e_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    md5-MinHash near-dup pair graph, each component labeled by its
+    minimum doc_id (the canonical keeper) plus the component size —
+    the transitive-closure step real dedup pipelines need because
+    near-duplication is not transitive pairwise.
+
+    Iterative min-label propagation: label(x) ← min(label(x),
+    min_{y∈N(x)} label(y)) until fixpoint, converging in ≤ diameter
+    rounds (dup clusters are near-cliques, so 2-3 rounds in practice;
+    capped at 15). Each round is one equi-join + one groupBy —
+    all-shuffle-on-doc_id, no driver-side data. localCheckpoint
+    truncates the growing lineage each round (the standard Spark
+    iterative-algorithm idiom; GraphX/GraphFrames does the same
+    internally); the per-round `changed` count is a scalar action,
+    not a collect. The oracle expresses the same fixpoint as a
+    recursive CTE over reachability.
+    """
+    pairs = q_e_dedup_near_md5(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint()
+    )
+    lab = edges.select("u").distinct().select("u", F.col("u").alias("lab"))
+    lab = lab.localCheckpoint()
+    for _ in range(15):
+        nb = (
+            edges.alias("e")
+            .join(lab.alias("l"), F.col("e.v") == F.col("l.u"))
+            .select(F.col("e.u").alias("u"), F.col("l.lab").alias("lab"))
+        )
+        new = (
+            lab.unionByName(nb).groupBy("u").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), F.col("n.u") == F.col("o.u"))
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return lab.join(sizes, "lab").select(
+        F.col("u").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        "cluster_size",
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from glaciersgee_spark.registry import davg, query
+from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import load_table
 
 # Corpus-frequent function words to drop for "top terms" (fixed literal
@@ -600,4 +600,134 @@ def q_e_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_ratio.alias("dup_trigram_ratio"),
         top_share.alias("top_token_share"),
         ((dup_ratio > 0.2) | (top_share > 0.2)).alias("repetitive"),
+    )
+
+
+@query(
+    "q_e_doc_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           s // 16 AS chunk_id,
+           s AS start_tok,
+           least(s + 32, n_tokens) AS end_tok,
+           least(s + 32, n_tokens) - s AS chunk_len
+    FROM (SELECT doc_id, n_tokens, unnest(range(0, n_tokens, 16)) AS s FROM t)
+    """,
+)
+def q_e_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: every doc expands to
+    stride-16 chunk offsets with a 32-token window (the standard
+    pre-tokenization chunking pass ahead of embedding or packing).
+
+    Executor-side row expansion only (sequence + posexplode) — no
+    shuffle, no driver state; at 100 TB the expansion multiplies rows
+    ~2× inside the scan stage and everything stays in codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    ch = t.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(F.expr("sequence(0L, n_tokens - 1, 16L)")).alias(
+            "chunk_id", "start_tok"
+        ),
+    )
+    end = F.least(F.col("start_tok") + 32, F.col("n_tokens"))
+    return ch.select(
+        "doc_id",
+        "n_tokens",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "start_tok",
+        end.alias("end_tok"),
+        (end - F.col("start_tok")).alias("chunk_len"),
+    )
+
+
+@query(
+    "q_e_mix_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT {dsum('SQRT(CAST(n_docs AS DOUBLE))')} AS z FROM per)
+    SELECT source, n_docs, total_tokens,
+           round(SQRT(CAST(n_docs AS DOUBLE)) / z, 6) AS weight,
+           CAST(floor(round(SQRT(CAST(n_docs AS DOUBLE)) / z, 6) * 1000000)
+                AS BIGINT) AS epoch_quota
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_e_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source-mixture weights (alpha = 0.5): the
+    training-mix computation w_s ∝ n_s^0.5 normalized over sources,
+    plus a 1M-doc epoch quota per source.
+
+    Determinism: sqrt is IEEE-correctly-rounded, the normalizer is an
+    exact decimal sum of the 20 per-source sqrt values (dsum), and the
+    quota floors the 6-dp-rounded weight — identical bits in both
+    engines. One shuffle (the groupBy); the normalizer join is a
+    broadcast of a single row."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+    )
+    tot = per.agg(F.expr(dsum("SQRT(CAST(n_docs AS DOUBLE))")).alias("z"))
+    w = F.round(F.sqrt(F.col("n_docs").cast("double")) / F.col("z"), 6)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        w.alias("weight"),
+        F.floor(w * 1_000_000).cast("long").alias("epoch_quota"),
+    )
+
+
+@query(
+    "q_e_ngram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           {davg('round(ln(CAST(c AS DOUBLE) / t), 6)')} AS avg_logp,
+           {davg('round(ln(CAST(c AS DOUBLE) / t), 6)')} < -7.5 AS is_lowq
+    FROM toks JOIN cnt USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_e_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score per doc: mean log-probability of the
+    doc's token instances under the corpus unigram distribution, with
+    a low-quality verdict below a fixed nats threshold — the cheap
+    LM-based quality filter of LLM-data pipelines.
+
+    ln is rounded to 6 dp before averaging (libm last-ulp guard, same
+    as q_e_tfidf) and the mean is the exact-decimal davg. The token
+    count table is broadcast (vocabulary ≪ corpus); the only wide ops
+    are the vocab groupBy and the per-doc agg — both map-side
+    combinable. The corpus token total is a driver-side scalar, like
+    q_e_tfidf's n_docs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    t_total = float(toks.count())
+    logp = f"round(ln(CAST(c AS DOUBLE) / CAST({t_total!r} AS DOUBLE)), 6)"
+    return (
+        toks.join(F.broadcast(cnt), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(davg(logp)).alias("avg_logp"),
+            (F.expr(davg(logp)) < -7.5).alias("is_lowq"),
+        )
     )

@@ -111,3 +111,38 @@ def test_decontaminate_broadcasts_eval_side(spark):
     # the eval-postings join must be a broadcast — the training corpus
     # never shuffles by shingle key
     assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunk_is_shuffle_free(spark):
+    from glaciersgee_spark.operators.text import q_e_doc_chunk
+
+    plan = PI.formatted(q_e_doc_chunk(spark, SF_SMOKE))
+    # sequence+posexplode row expansion happens inside the scan stage
+    assert PI.count_shuffles(plan) == 0
+    assert "Generate" in plan
+
+
+def test_ngram_lm_broadcasts_vocab(spark):
+    from glaciersgee_spark.operators.text import q_e_ngram_lm
+
+    plan = PI.executed(q_e_ngram_lm(spark, SF_SMOKE))
+    # token instances never shuffle by token: the vocab-count side is
+    # broadcast, so the only wide ops are the two aggregations
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mix_weights_broadcasts_normalizer(spark):
+    from glaciersgee_spark.operators.text import q_e_mix_weights
+
+    plan = PI.executed(q_e_mix_weights(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rollup_multires_single_aggregation_pass(spark):
+    from glaciersgee_spark.operators.etl import q_a_rollup_multires
+
+    plan = PI.formatted(q_a_rollup_multires(spark, SF_SMOKE))
+    # Expand feeds ONE partial+final aggregate over all 3 grouping
+    # sets: exactly one exchange, not one scan per resolution
+    assert "Expand" in plan
+    assert PI.count_shuffles(plan) == 1

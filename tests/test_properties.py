@@ -191,3 +191,55 @@ def test_decontaminate_never_flags_eval_docs(spark):
         assert r.n_shared_shingles >= 3
         assert r.n_shared_shingles >= r.max_overlap
         assert r.n_eval_docs >= 1
+
+
+def test_dedup_cluster_consistent_with_pairs(spark):
+    """Every near-dup pair lands in one cluster; cluster_id is the
+    component minimum; sizes count members."""
+    from glaciersgee_spark.operators.dedup import (
+        q_e_dedup_cluster,
+        q_e_dedup_near_md5,
+    )
+
+    rows = q_e_dedup_cluster(spark, SF_SMOKE).collect()
+    lab = {r.doc_id: r.cluster_id for r in rows}
+    sizes = {r.doc_id: r.cluster_size for r in rows}
+    pairs = q_e_dedup_near_md5(spark, SF_SMOKE).collect()
+    assert pairs, "smoke corpus should contain near-dup pairs"
+    for p in pairs:
+        assert lab[p.id_a] == lab[p.id_b]
+    from collections import Counter
+
+    members = Counter(lab.values())
+    for doc, cid in lab.items():
+        assert cid <= doc
+        assert cid in lab and lab[cid] == cid, "label must be a member id"
+        assert sizes[doc] == members[cid]
+
+
+def test_doc_chunk_covers_every_token_once_per_stride(spark):
+    """Chunk offsets tile each doc: first starts at 0, strides are 16,
+    last chunk ends exactly at n_tokens."""
+    from glaciersgee_spark.operators.text import q_e_doc_chunk
+
+    rows = q_e_doc_chunk(spark, SF_SMOKE).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r.chunk_id)
+        assert ch[0].start_tok == 0
+        for a, b in zip(ch, ch[1:]):
+            assert b.start_tok - a.start_tok == 16
+        assert ch[-1].end_tok == ch[0].n_tokens
+        assert all(r.chunk_len >= 1 for r in ch)
+
+
+def test_mix_weights_normalized(spark):
+    """Source mixture weights sum to ~1 and quotas never exceed the
+    epoch budget."""
+    from glaciersgee_spark.operators.text import q_e_mix_weights
+
+    rows = q_e_mix_weights(spark, SF_SMOKE).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert sum(r.epoch_quota for r in rows) <= 1_000_000
