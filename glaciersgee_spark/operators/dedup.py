@@ -608,7 +608,9 @@ def q_e_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a collect. The oracle expresses the same fixpoint as a
     recursive CTE over reachability.
     """
-    pairs = q_e_dedup_near_md5(spark, sf_dir).select("id_a", "id_b")
+    # Checkpoint the pair list BEFORE the union doubles the lineage —
+    # otherwise the whole MinHash pipeline runs once per union branch.
+    pairs = q_e_dedup_near_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint()
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -622,16 +624,18 @@ def q_e_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(lab.alias("l"), F.col("e.v") == F.col("l.u"))
             .select(F.col("e.u").alias("u"), F.col("l.lab").alias("lab"))
         )
+        # One materialization per round: the new label AND the old one
+        # ride the same checkpointed rows, so the convergence count is
+        # a local re-read, not a second distributed job.
         new = (
-            lab.unionByName(nb).groupBy("u").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint()
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), F.col("n.u") == F.col("o.u"))
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
+            lab.select("u", "lab").unionByName(nb)
+            .groupBy("u")
+            .agg(F.min("lab").alias("new_lab"))
+            .join(lab.withColumnRenamed("lab", "old_lab"), "u")
+            .localCheckpoint()
         )
-        lab = new
+        changed = new.where(F.col("new_lab") != F.col("old_lab")).count()
+        lab = new.select("u", F.col("new_lab").alias("lab"))
         if changed == 0:
             break
     sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
