@@ -19,8 +19,9 @@ from pyspark.sql import SparkSession
 _RUNTIME_CONFS = {
     # Oracle parity: DuckDB timestamps are naive; keep Spark wall-clock UTC.
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet stores TIMESTAMP(NANOS) which Spark 4 refuses by
-    # default; read as long and convert in tables.load_table.
+    # events.parquet stores TIMESTAMP(NANOS). Spark ≥4.1 reads it
+    # natively as µs-truncated TIMESTAMP_NTZ and ignores this conf;
+    # on older Spark it reads as long (tables.load_table converts).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # AQE: runtime shuffle-partition coalescing + skew-join splitting —
     # the 100 TB posture is "never hardcode partition counts".

@@ -29,12 +29,13 @@ from pyspark.sql import types as T
 
 from glaciersgee_spark.session import ensure_confs
 
-# Raw schema of events.parquet as the streaming file source sees it
-# (ts = TIMESTAMP(NANOS) read as long under nanosAsLong).
+# Raw schema of events.parquet as the streaming file source sees it:
+# Spark ≥4.1 reads parquet TIMESTAMP(NANOS) as µs-truncated
+# TIMESTAMP_NTZ — same naive values DuckDB sees.
 _RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -67,7 +68,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             shutil.copyfile(f"{sf_dir}/events.parquet", dst)
     raw = spark.readStream.schema(_RAW).parquet(staged)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks/event-time require TIMESTAMP (not NTZ); session tz is
+    # UTC so the cast preserves wall-clock values exactly.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

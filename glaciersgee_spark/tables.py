@@ -2,10 +2,11 @@
 
 Fixed, asserted schemas — never inferred — because the DuckDB oracle
 comparison is schema-sensitive (SURVEY.md §1.2). The one normalization
-applied at load: ``events.ts`` arrives as parquet TIMESTAMP(NANOS)
-(read as long under ``nanosAsLong``) and is converted to a
-microsecond TIMESTAMP_NTZ — exactly what DuckDB sees, since DuckDB's
-TIMESTAMP is µs-precision and naive.
+applied at load: ``events.ts`` arrives as parquet TIMESTAMP(NANOS);
+Spark ≥4.1 reads it natively as µs-truncated TIMESTAMP_NTZ (no work
+needed), while older Spark reads it as long under ``nanosAsLong`` and
+the loader converts to µs TIMESTAMP_NTZ — either way exactly what
+DuckDB sees, since DuckDB's TIMESTAMP is µs-precision and naive.
 
 At 100 TB these loaders are where partition-level metadata (stats,
 bucketing) would be attached; on the driver corpus they are plain
@@ -85,9 +86,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in per:
         return per[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ns → µs truncation (div floors; ts values are non-negative),
-        # then NTZ so collected values are naive like DuckDB's.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Older Spark (nanosAsLong in effect) reads TIMESTAMP(NANOS) as
+        # long: ns → µs truncation (div floors; ts values are
+        # non-negative), then NTZ so values are naive like DuckDB's.
+        # Spark ≥4.1 reads nanos natively as µs-truncated TIMESTAMP_NTZ
+        # — identical values — so no conversion is needed there.
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
