@@ -468,3 +468,54 @@ def q_a_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day_b", "hour_b", "grain", "n", "sum_v")
     )
+
+
+@query(
+    "q_a_trend_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS x,
+             COUNT(*) AS y
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           round(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE),
+                 6) AS slope6
+    FROM daily
+    GROUP BY event_type
+    """,
+)
+def q_a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-trend regression: OLS slope of daily scene counts per
+    scene class (GEE analogue: trend of `aggregate_histogram` counts
+    over time — "is coverage of this tile class growing?").
+
+    Closed-form slope (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) over integer
+    day-index/count pairs: every sum is exact int64 arithmetic, so the
+    only float op is the final division — deterministic across engines
+    regardless of aggregation order (no dsum needed). Two narrow
+    aggregations; the second groups 15×30 rows — nothing at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    return daily.groupBy("event_type").agg(
+        n.alias("n_days"),
+        F.round(
+            (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double"), 6
+        ).alias("slope6"),
+    )

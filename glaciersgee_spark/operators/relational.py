@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
-from glaciersgee_spark.operators.skew import salted_sum_count
+from glaciersgee_spark.operators.skew import salted_join, salted_sum_count
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.sources import readers, sinks
 from glaciersgee_spark.tables import fan_out, load_table
@@ -653,6 +653,50 @@ def q_b_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("sum_value").cast("double").alias("sum_value"),
         F.col("n"),
+    )
+
+
+@query(
+    "q_b_join_salted",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n, {dsum('value')} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE c_custkey < 15
+    GROUP BY c_mktsegment
+    """,
+)
+def q_b_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe shuffle join via explicit salting (operators.skew).
+
+    events concentrates ALL rows on 15 user_ids: a plain shuffle join
+    would land each hot key's entire row set on one reducer (AQE can
+    split the partition, but only after materializing the skewed
+    shuffle block). salted_join salts the big side 8 ways on a
+    high-cardinality column and explodes the small side 8x, so each
+    hot key spreads over 8 reducers. The salt is deterministic
+    (pmod(xxhash64(event_id), 8)) and algebraically invisible - the
+    oracle is the plain join. Decimal partials keep the grouped sum
+    bit-identical under any row order. Demo pins a shuffle join
+    (broadcast would bypass the skew path entirely at this SF)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 15)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(
+        ev.select("user_id", "value", "event_id"),
+        dim.hint("shuffle_hash"),
+        on="user_id",
+        distinct_col="event_id",
+        n_salt=8,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
     )
 
 

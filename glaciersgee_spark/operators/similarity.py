@@ -430,3 +430,183 @@ def q_e_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id_a").alias("keep_id"),
         F.count(F.lit(1)).alias("n_dups"),
     )
+
+
+# ------------------------------------------------- int8 quantization
+
+# Shared sub-expressions, spelled once and mirrored exactly in DuckDB:
+# scale = max|x| / 127; q_i = clamp(floor(x/scale + 0.5), ±127);
+# err_i = |x − q_i·scale|. All per-row IEEE double ops over exact
+# f32→f64 element values, so results are bit-deterministic; outputs
+# are still rounded to 6 dp by the cross-engine contract.
+_D_AMAX = "list_max(list_transform(ve, x -> abs(x)))"
+_D_Q = "least(greatest(floor(x / sc + 0.5), -127.0), 127.0)"
+_D_ERRS = f"list_transform(ve, x -> abs(x - {_D_Q} * sc))"
+
+
+@query(
+    "q_e_embed_quantize",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve FROM embeddings),
+    s AS (SELECT vec_id, label, ve, {_D_AMAX} / 127.0 AS sc FROM v),
+    e AS (SELECT vec_id, label, sc, {_D_ERRS} AS errs,
+                 list_transform(ve, x -> {_D_Q}) AS q
+          FROM s)
+    SELECT vec_id, label,
+           round(sc, 6) AS scale6,
+           round(list_max(errs), 6) AS max_err6,
+           round(list_sum(errs) / 64.0, 6) AS mean_err6,
+           CAST(len(list_filter(q, y -> abs(y) = 127.0)) AS BIGINT) AS n_sat
+    FROM e
+    """,
+)
+def q_e_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column +
+    reconstruction-error audit — the storage scale path for ANN corpora
+    (4× smaller vectors; at 100 TB the quantized copy is what the
+    probe pass scans, with exact re-rank reading full vectors for
+    finalists only).
+
+    scale = max|x|/127 per vector; q = round-half-up(x/scale) clamped
+    to ±127; emits per-vector scale, max/mean reconstruction error and
+    saturation count. Pure narrow higher-order expressions on the scan
+    — zero shuffles, whole-stage codegen end to end (O(dim) work per
+    row; the matmul-shaped ops stay in the pandas-UDF kernels, per the
+    module docstring split)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", "label", ve.alias("ve"))
+    sc = F.array_max(F.transform("ve", lambda x: F.abs(x))) / 127.0
+    d = d.withColumn("sc", sc)
+
+    def _q(x):
+        return F.least(
+            F.greatest(F.floor(x / F.col("sc") + 0.5).cast("double"), F.lit(-127.0)),
+            F.lit(127.0),
+        )
+
+    d = d.withColumn("errs", F.transform("ve", lambda x: F.abs(x - _q(x) * F.col("sc"))))
+    d = d.withColumn("q", F.transform("ve", _q))
+    return d.select(
+        "vec_id",
+        "label",
+        F.round("sc", 6).alias("scale6"),
+        F.round(F.array_max("errs"), 6).alias("max_err6"),
+        F.round(F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / 64.0, 6).alias(
+            "mean_err6"
+        ),
+        F.size(F.filter("q", lambda y: F.abs(y) == 127.0)).cast("long").alias("n_sat"),
+    )
+
+
+# ------------------------------------------------------- ANN recall
+
+_RECALL_QIDS = (0, 11, 22, 33, 44)
+_RECALL_K = 10
+
+
+@query(
+    "q_e_ann_recall",
+    oracle=f"""
+    WITH p AS (SELECT {_PF_DUCK} AS pf),
+    v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v, p),
+    bk AS (SELECT vec_id, {_DUCK_BUCKETS} AS buckets FROM d),
+    bands AS (SELECT vec_id,
+                     CAST(generate_subscripts(buckets, 1) - 1 AS BIGINT) AS band,
+                     CAST(unnest(buckets) AS BIGINT) AS bucket
+              FROM bk),
+    qb AS (SELECT vec_id AS qid, band, bucket FROM bands
+           WHERE vec_id IN {_RECALL_QIDS}),
+    cand AS (SELECT DISTINCT qb.qid, b.vec_id
+             FROM qb JOIN bands b ON qb.band = b.band AND qb.bucket = b.bucket
+             WHERE b.vec_id <> qb.qid),
+    qv AS (SELECT vec_id AS qid, ve AS qv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.qid
+                 ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                          c.vec_id ASC) AS rk
+        FROM cand c JOIN v ON c.vec_id = v.vec_id JOIN qv q ON c.qid = q.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                          v.vec_id ASC) AS rk
+        FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    ncand AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+    hits AS (SELECT a.qid, COUNT(*) AS n_hit
+             FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY a.qid)
+    SELECT n.qid, n.n_cand,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / {float(_RECALL_K)}, 6) AS recall6
+    FROM ncand n LEFT JOIN hits h ON n.qid = h.qid
+    """,
+)
+def q_e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the SRP-LSH ANN path against brute-force
+    ground truth, for a fixed 5-query panel — the measurement that
+    justifies (or indicts) the banding parameters before anyone trusts
+    q_e_sim_topk_lsh at scale.
+
+    Both pipelines already have exact dual spellings (the approx side
+    IS the declared LSH semantics), so recall itself is hash-checkable
+    — approximation measured, not guessed. Plan: one banding pass
+    (shared signature kernel), broadcast 40 query-bucket rows, one
+    DISTINCT over (qid, cand); exact side is a 5-row broadcast cross
+    score. At 100 TB the exact side runs on a sampled panel exactly
+    like this, amortized across the corpus scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = _banded(spark, sf_dir)
+    qids = list(_RECALL_QIDS)
+    qb = (
+        bands.where(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qid"), "band", "bucket")
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    qv = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    rk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    approx = (
+        cand.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "vec_id", _cos6("embedding", "qemb").alias("score"))
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cos6("embedding", "qemb").alias("score"))
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    hits = approx.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return ncand.join(hits, "qid", "left").select(
+        "qid",
+        "n_cand",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6).alias("recall6"),
+    )

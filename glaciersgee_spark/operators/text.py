@@ -731,3 +731,89 @@ def q_e_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(davg(logp)) < -7.5).alias("is_lowq"),
         )
     )
+
+
+BM25_TERMS = ("hash", "join", "window")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@query(
+    "q_e_bm25",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token IN ('hash', 'join', 'window')
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    contrib AS (
+      SELECT tf.doc_id,
+             round(round(ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)), 6)
+                   * ((tf.tf * {1.0 + BM25_K1}) / (tf.tf + {BM25_K1} *
+                      (0.25 + {BM25_B} * (CAST(dl.dl AS DOUBLE) / avgdl.avgdl)))),
+                   6) AS c
+      FROM tf JOIN df ON tf.token = df.token
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN avgdl CROSS JOIN n
+    )
+    SELECT doc_id, COUNT(*) AS n_hit, {dsum('c')} AS score
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def q_e_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of the corpus against a fixed query term set
+    (k1=1.2, b=0.75) — the classic retrieval upgrade over q_e_tfidf's
+    raw tf·idf (adds saturation + doc-length normalization).
+
+    Determinism: idf is rounded to 6 dp (ln is libm-dependent), each
+    per-term contribution is rounded to 6 dp with an identical
+    expression tree in both engines (per-row IEEE ops), and the per-doc
+    sum of contributions goes through dsum. avgdl is exact-int-sum /
+    count, computed IN-PLAN (broadcast scalar, no collect). Plan shape
+    at 100 TB: one token explode pre-filtered to |Q| terms (the filter
+    lands before the groupBy shuffle), df and avgdl are broadcast
+    scalars, one final groupBy doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        toks.where(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar literal, like q_e_tfidf
+    idf6 = F.round(
+        F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    contrib = F.round(
+        idf6
+        * (
+            (F.col("tf") * (1.0 + BM25_K1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (0.25 + BM25_B * (F.col("dl").cast("double") / F.col("avgdl")))
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select("doc_id", contrib.alias("c"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.expr(dsum("c")).alias("score"),
+    )

@@ -243,3 +243,53 @@ def test_mix_weights_normalized(spark):
     rows = q_e_mix_weights(spark, SF_SMOKE).collect()
     assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
     assert sum(r.epoch_quota for r in rows) <= 1_000_000
+
+
+def test_quantize_error_bounded_by_half_scale(spark):
+    """Round-half-up int8 quantization: reconstruction error of every
+    element is ≤ scale/2 (no clamp error: |x| ≤ amax = 127·scale), and
+    the max-|x| element always saturates (n_sat ≥ 1)."""
+    from glaciersgee_spark.operators.similarity import q_e_embed_quantize
+
+    rows = q_e_embed_quantize(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.max_err6 <= r.scale6 / 2 + 1e-6
+        assert 0.0 <= r.mean_err6 <= r.max_err6 + 1e-6
+        assert r.n_sat >= 1
+
+
+def test_ann_recall_panel_bounds(spark):
+    """Recall audit: one row per panel query; recall = n_hit/10 in
+    [0, 1]; hits can't exceed candidates probed."""
+    from glaciersgee_spark.operators.similarity import q_e_ann_recall
+
+    rows = q_e_ann_recall(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hit <= 10
+        assert r.n_hit <= r.n_cand
+        assert abs(r.recall6 - r.n_hit / 10.0) < 1e-9
+
+
+def test_bm25_scores_positive_and_bounded_terms(spark):
+    """Every BM25-scored doc matched ≥1 of the 3 query terms, scores
+    are positive, and a doc can't match more terms than the query has."""
+    from glaciersgee_spark.operators.text import BM25_TERMS, q_e_bm25
+
+    rows = q_e_bm25(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_hit <= len(BM25_TERMS)
+        assert r.score > 0.0
+
+
+def test_trend_slope_one_row_per_event_type(spark):
+    from glaciersgee_spark.operators.etl import q_a_trend_slope
+
+    rows = q_a_trend_slope(spark, SF_SMOKE).collect()
+    assert {r.event_type for r in rows} == {
+        "click", "error", "purchase", "signup", "view"
+    }
+    for r in rows:
+        assert r.n_days >= 1 and r.slope6 is not None
