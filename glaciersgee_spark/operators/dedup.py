@@ -644,3 +644,111 @@ def q_e_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@query(
+    "q_e_minhash_est_err",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    h AS (SELECT doc_id, {_DUCK_SHHASH} AS hh FROM d),
+    mh AS (SELECT doc_id,
+                  [{', '.join(_mh_expr('duck', p) for p in range(N_MINHASH))}] AS mhs
+           FROM h),
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {k} AS band,"
+          f" mhs[{BAND_SIZE * k + 1}] * {_MHM} + mhs[{BAND_SIZE * k + 2}] AS bkey"
+          " FROM mh"
+          for k in range(N_MINHASH // BAND_SIZE))}
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           round(list_sum(list_transform(range(1, {N_MINHASH + 1}),
+                   i -> CASE WHEN x.mhs[i] = y.mhs[i] THEN 1 ELSE 0 END))
+                 / {float(N_MINHASH)}, 6) AS est6,
+           round(CAST(len(list_filter(hx.hh, e -> list_contains(hy.hh, e))) AS DOUBLE)
+                 / (len(hx.hh) + len(hy.hh)
+                    - len(list_filter(hx.hh, e -> list_contains(hy.hh, e)))),
+                 6) AS exact6,
+           round(abs(
+             round(list_sum(list_transform(range(1, {N_MINHASH + 1}),
+                     i -> CASE WHEN x.mhs[i] = y.mhs[i] THEN 1 ELSE 0 END))
+                   / {float(N_MINHASH)}, 6)
+             - round(CAST(len(list_filter(hx.hh, e -> list_contains(hy.hh, e))) AS DOUBLE)
+                     / (len(hx.hh) + len(hy.hh)
+                        - len(list_filter(hx.hh, e -> list_contains(hy.hh, e)))),
+                     6)), 6) AS abs_err6
+    FROM cand c
+    JOIN mh x ON c.id_a = x.doc_id JOIN mh y ON c.id_b = y.doc_id
+    JOIN h hx ON c.id_a = hx.doc_id JOIN h hy ON c.id_b = hy.doc_id
+    """,
+)
+def q_e_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimator audit: for every LSH candidate pair, the
+    8-signature Jaccard ESTIMATE (fraction of agreeing minhashes) next
+    to the EXACT shingle Jaccard, plus |error| — the measurement that
+    sizes N_MINHASH before anyone trusts the estimator at scale
+    (companion to q_e_ann_recall's role for the SRP path; E[est] =
+    J, σ = √(J(1−J)/8) ≈ 0.17 at J=0.5, so per-pair error is large by
+    design — the audit shows it).
+
+    Same candidate generation as q_e_dedup_near_md5 (shared banding
+    constants → oracle CTEs literally parallel); adds one broadcast-
+    sized join of the 8-wide signature arrays. All hashes md5-derived
+    → fully hash-checkable end to end."""
+    sh = _with_shingles(spark, sf_dir)
+    base = sh.select("doc_id", F.expr(_SPARK_SHHASH).alias("hh")).persist()
+    mharr = F.array(*[F.expr(_mh_expr("spark", p)) for p in range(N_MINHASH)])
+    mh = base.select("doc_id", mharr.alias("mhs"))
+    banded = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        (
+                            F.element_at("mhs", BAND_SIZE * k + 1) * _MHM
+                            + F.element_at("mhs", BAND_SIZE * k + 2)
+                        ).alias("bkey"),
+                    )
+                    for k in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    cand = cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    ma = mh.select(F.col("doc_id").alias("id_a"), F.col("mhs").alias("mhs_a"))
+    mb = mh.select(F.col("doc_id").alias("id_b"), F.col("mhs").alias("mhs_b"))
+    ha = base.select(F.col("doc_id").alias("id_a"), F.col("hh").alias("hh_a"))
+    hb = base.select(F.col("doc_id").alias("id_b"), F.col("hh").alias("hh_b"))
+    agree = F.aggregate(
+        F.zip_with("mhs_a", "mhs_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est6 = F.round(agree / float(N_MINHASH), 6)
+    inter = F.size(F.array_intersect("hh_a", "hh_b"))
+    exact6 = F.round(
+        inter.cast("double") / (F.size("hh_a") + F.size("hh_b") - inter), 6
+    )
+    return (
+        cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est6.alias("est6"),
+            exact6.alias("exact6"),
+            F.round(F.abs(est6 - exact6), 6).alias("abs_err6"),
+        )
+    )

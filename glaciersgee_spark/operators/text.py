@@ -817,3 +817,48 @@ def q_e_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hit"),
         F.expr(dsum("c")).alias("score"),
     )
+
+
+@query(
+    "q_e_bpe_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2)))
+               AS pair
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 30
+    """,
+)
+def q_e_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, step 1: corpus-wide adjacent
+    character-pair frequencies (the argmax pair is the first BPE merge;
+    iterating this query IS the training loop). Top 30, tie-broken on
+    the pair so the result set is deterministic.
+
+    Shape: token explode → per-token pair expansion via
+    transform(sequence) (narrow, codegen) → wordcount-style groupBy
+    with map-side combine → TakeOrdered 30. One shuffle of ≤ |charset|²
+    combined rows per partition — at 100 TB the combine collapses each
+    partition to ~1k rows before the wire."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("t")).where(
+        F.length("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(t) - 1), i -> substr(t, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(30)
+    )

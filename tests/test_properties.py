@@ -293,3 +293,29 @@ def test_trend_slope_one_row_per_event_type(spark):
     }
     for r in rows:
         assert r.n_days >= 1 and r.slope6 is not None
+
+
+def test_minhash_est_err_consistent(spark):
+    """est6 is a multiple of 1/8 in [0,1]; abs_err6 recomputes from the
+    two reported columns; candidate pairs are canonicalized a<b."""
+    from glaciersgee_spark.operators.dedup import q_e_minhash_est_err
+
+    rows = q_e_minhash_est_err(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.0 <= r.est6 <= 1.0 and round(r.est6 * 8) == r.est6 * 8
+        assert 0.0 <= r.exact6 <= 1.0
+        assert abs(r.abs_err6 - round(abs(r.est6 - r.exact6), 6)) < 1e-9
+
+
+def test_bpe_pairs_shape(spark):
+    """Top-30 adjacent char pairs: every pair is 2 chars, counts are
+    positive and non-increasing in the returned order."""
+    from glaciersgee_spark.operators.text import q_e_bpe_pairs
+
+    rows = q_e_bpe_pairs(spark, SF_SMOKE).collect()
+    assert len(rows) == 30
+    assert all(len(r.pair) == 2 and r.n > 0 for r in rows)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
