@@ -444,14 +444,20 @@ def q_a_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     the continuous-aggregate shape a scene-cadence dashboard reads
     (GEE analogue: aggregate_histogram at nested granularities).
 
-    One aggregation over 3 grouping sets (Spark expands in the partial
-    aggregate, so the shuffle carries pre-combined rows per grain);
-    at 100 TB this replaces three separate scans/shuffles with one."""
+    Spelled as re-aggregation (same rationale as q_b_grouping_sets):
+    the hourly grain is computed once over the fact, then rollup()
+    runs on the ~720 hourly partials — count/decimal-sum re-aggregate
+    exactly, and the fact scan never goes through the ×3 Expand. At
+    100 TB this is the continuous-aggregate recipe: maintain the
+    finest grain, derive coarser grains from it."""
     ev = load_table(spark, sf_dir, "events")
-    b = ev.select(
+    base = ev.select(
         F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_b"),
         F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_b"),
         "value",
+    ).groupBy("day_b", "hour_b").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.expr("SUM(CAST(value AS DECIMAL(30,6)))").alias("psum"),
     )
     # grouping() is only legal inside the rollup's aggregate list.
     grain = (
@@ -460,11 +466,11 @@ def q_a_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hour")
     )
     return (
-        b.rollup("day_b", "hour_b")
+        base.rollup("day_b", "hour_b")
         .agg(
             grain.alias("grain"),
-            F.count(F.lit(1)).alias("n"),
-            F.expr(dsum("value")).alias("sum_v"),
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("sum_v"),
         )
         .select("day_b", "hour_b", "grain", "n", "sum_v")
     )
