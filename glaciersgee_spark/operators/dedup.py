@@ -752,3 +752,36 @@ def q_e_minhash_est_err(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est6 - exact6), 6).alias("abs_err6"),
         )
     )
+
+
+@query(
+    "q_e_dedup_apply",
+    oracle=f"""
+    WITH {_DUCK_MD5_CTES},
+    losers AS (SELECT DISTINCT id_b FROM mpairs)
+    SELECT d.lang, d.source,
+           COUNT(*) FILTER (WHERE l.id_b IS NULL) AS n_kept,
+           COUNT(*) FILTER (WHERE l.id_b IS NOT NULL) AS n_removed
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id_b
+    GROUP BY d.lang, d.source
+    """,
+)
+def q_e_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the near-dup verdicts: drop every pair's higher-id doc
+    (id_a<id_b canonicalization makes min-id the keeper) and report
+    kept/removed counts per (lang, source) — the corpus-curation ledger
+    a dedup pass must emit before anyone signs off on deleting data.
+
+    Reuses q_e_dedup_near_md5's pipeline verbatim for the loser set
+    (oracle CTEs shared), then one broadcast anti-join-shaped LEFT
+    JOIN against the doc table and a tiny groupBy. At 100 TB the loser
+    set is a small fraction of doc ids (slim join side); the doc scan
+    stays full-width only for the columns reported."""
+    pairs = q_e_dedup_near_md5(spark, sf_dir)
+    losers = pairs.select(F.col("id_b").alias("loser")).distinct()
+    d = load_table(spark, sf_dir, "documents")
+    j = d.join(F.broadcast(losers), d.doc_id == F.col("loser"), "left")
+    return j.groupBy("lang", "source").agg(
+        F.count(F.when(F.col("loser").isNull(), 1)).alias("n_kept"),
+        F.count(F.when(F.col("loser").isNotNull(), 1)).alias("n_removed"),
+    )

@@ -862,3 +862,46 @@ def q_e_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(30)
     )
+
+
+# Per-language keep-rate (percent of the 100 md5 buckets kept): the
+# down/up-weighting move of a training-mix curator, deterministic per
+# doc (content-stable hash bucket, same family as q_e_train_split).
+SAMPLE_RATES = {"en": 80, "fr": 50, "de": 50, "es": 30, "zh": 20}
+
+
+@query(
+    "q_e_stratified_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM b
+    WHERE bucket < CASE lang
+      {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))}
+      ELSE 0 END
+    """,
+)
+def q_e_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each language keeps a
+    configured share of its docs (en 80% … zh 20%) — the mix-curation
+    downsampling pass ahead of training (companion to q_e_mix_weights,
+    which computes weights; this one APPLIES a keep-rate).
+
+    Selection is by content-stable md5 bucket, not df.sample():
+    identical keep-set in any engine, at any partitioning, on any
+    cluster — re-runs are reproducible and incremental re-ingest keeps
+    prior decisions. Pure narrow filter on the scan; the CASE and hash
+    are codegen expressions, zero shuffles at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        " % 100"
+    )
+    rate = F.lit(0)
+    for k, v in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return d.where(bucket < rate).select("doc_id", "lang", "source")

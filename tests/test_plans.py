@@ -138,11 +138,30 @@ def test_mix_weights_broadcasts_normalizer(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_rollup_multires_single_aggregation_pass(spark):
+def test_rollup_multires_reaggregates_partials(spark):
     from glaciersgee_spark.operators.etl import q_a_rollup_multires
 
     plan = PI.formatted(q_a_rollup_multires(spark, SF_SMOKE))
-    # Expand feeds ONE partial+final aggregate over all 3 grouping
-    # sets: exactly one exchange, not one scan per resolution
+    # Re-aggregation shape: the fact is aggregated to the hourly grain
+    # FIRST (shuffle 1), then Expand runs over the ~720 partial rows
+    # for the rollup (shuffle 2). The Expand must sit ABOVE the first
+    # HashAggregate — i.e. the raw event scan is never tripled.
     assert "Expand" in plan
-    assert PI.count_shuffles(plan) == 1
+    assert PI.count_shuffles(plan) == 2
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The dim-side year filter must reach the partitioned fact scan as
+    a dynamic-pruning partition filter (the 100 TB date-range shape)."""
+    from glaciersgee_spark.operators.relational import q_b_join_dpp
+
+    plan = PI.formatted(q_b_join_dpp(spark, SF_SMOKE))
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Hash-bucket sampling is a pure scan-side filter: no exchange."""
+    from glaciersgee_spark.operators.text import q_e_stratified_sample
+
+    plan = PI.formatted(q_e_stratified_sample(spark, SF_SMOKE))
+    assert "Exchange" not in plan

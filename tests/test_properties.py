@@ -319,3 +319,32 @@ def test_bpe_pairs_shape(spark):
     assert all(len(r.pair) == 2 and r.n > 0 for r in rows)
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Keep-set is deterministic across invocations and per-lang kept
+    fraction lands near its configured rate (md5 buckets ~uniform)."""
+    from glaciersgee_spark.operators.text import SAMPLE_RATES, q_e_stratified_sample
+
+    a = {r.doc_id for r in q_e_stratified_sample(spark, SF_SMOKE).collect()}
+    b = {r.doc_id for r in q_e_stratified_sample(spark, SF_SMOKE).collect()}
+    assert a == b and a
+    d = load_table(spark, SF_SMOKE, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    kept = {
+        r.lang: r.n
+        for r in q_e_stratified_sample(spark, SF_SMOKE)
+        .groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    for lang, rate in SAMPLE_RATES.items():
+        frac = kept.get(lang, 0) / totals[lang]
+        assert abs(frac - rate / 100) < 0.25, (lang, frac, rate)
+
+
+def test_dedup_apply_counts_partition_corpus(spark):
+    from glaciersgee_spark.operators.dedup import q_e_dedup_apply
+
+    rows = q_e_dedup_apply(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_kept + r.n_removed for r in rows) == d.count()
+    assert all(r.n_kept >= 0 and r.n_removed >= 0 for r in rows)
