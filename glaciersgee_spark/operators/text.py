@@ -737,10 +737,9 @@ BM25_TERMS = ("hash", "join", "window")
 BM25_K1, BM25_B = 1.2, 0.75
 
 
-@query(
-    "q_e_bm25",
-    oracle=f"""
-    WITH dl AS (
+# BM25 CTE chain (through per-(doc,term) 6-dp contributions) shared
+# with q_e_rrf_fusion's oracle so both stay literally parallel.
+BM25_CTES = f"""dl AS (
       SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
     ),
     avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
@@ -761,7 +760,13 @@ BM25_K1, BM25_B = 1.2, 0.75
       FROM tf JOIN df ON tf.token = df.token
            JOIN dl ON tf.doc_id = dl.doc_id
            CROSS JOIN avgdl CROSS JOIN n
-    )
+    )"""
+
+
+@query(
+    "q_e_bm25",
+    oracle=f"""
+    WITH {BM25_CTES}
     SELECT doc_id, COUNT(*) AS n_hit, {dsum('c')} AS score
     FROM contrib GROUP BY doc_id
     """,

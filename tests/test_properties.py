@@ -348,3 +348,19 @@ def test_dedup_apply_counts_partition_corpus(spark):
     d = load_table(spark, SF_SMOKE, "documents")
     assert sum(r.n_kept + r.n_removed for r in rows) == d.count()
     assert all(r.n_kept >= 0 and r.n_removed >= 0 for r in rows)
+
+
+def test_rrf_fusion_scores_decompose(spark):
+    """Each fused score recomputes from its two rank columns; result
+    is 25 rows in non-increasing fused order."""
+    from glaciersgee_spark.operators.retrieval import RRF_K, q_e_rrf_fusion
+
+    rows = q_e_rrf_fusion(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    vals = [r.rrf6 for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        want = (1.0 / (RRF_K + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (RRF_K + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert abs(r.rrf6 - round(want, 6)) < 1e-9
