@@ -567,7 +567,10 @@ def q_e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     score. At 100 TB the exact side runs on a sampled panel exactly
     like this, amortized across the corpus scan."""
     e = load_table(spark, sf_dir, "embeddings")
-    bands = _banded(spark, sf_dir)
+    # The SRP signature kernel feeds THREE consumers (query buckets,
+    # probe join, candidate count): persist the slim (id, band, bucket)
+    # frame so the matmul pass runs once, not per consumer.
+    bands = _banded(spark, sf_dir).persist()
     qids = list(_RECALL_QIDS)
     qb = (
         bands.where(F.col("vec_id").isin(qids))
@@ -578,6 +581,7 @@ def q_e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
         .distinct()
+        .persist()
     )
     qv = e.where(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")

@@ -120,3 +120,63 @@ def test_stream_stream_join_matches_batch(spark):
         .n
     )
     assert got_pairs == want_pairs > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Sink semantics (SURVEY §2 Group D): restart from a checkpoint
+    must not reprocess data already committed — each event lands in
+    the file sink exactly once across two runs of the same query.
+
+    Run 1 drains half the events (availableNow), stops. More files
+    arrive. Run 2 restarts with the SAME checkpoint + sink paths and
+    drains only the new files."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    src = tempfile.mkdtemp(prefix="ggee_ck_src_")
+    sink = tempfile.mkdtemp(prefix="ggee_ck_sink_")
+    ck = tempfile.mkdtemp(prefix="ggee_ck_state_")
+
+    from glaciersgee_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+    stage = tempfile.mkdtemp(prefix="ggee_ck_stage_")
+    half_a.coalesce(1).write.mode("overwrite").parquet(f"{stage}/a")
+    half_b.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b")
+
+    def _copy_in(sub):
+        for f in os.listdir(f"{stage}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{stage}/{sub}/{f}", f"{src}/{sub}_{f}")
+
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("user_id", T.LongType())]
+    )
+
+    def _drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _copy_in("a")
+    _drain()
+    n_a = spark.read.parquet(sink).count()
+    assert n_a == half_a.count()
+
+    _copy_in("b")
+    _drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()  # nothing reprocessed, nothing lost
+    assert out.select("event_id").distinct().count() == ev.count()
