@@ -614,3 +614,138 @@ def q_e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
         F.round(F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6).alias("recall6"),
     )
+
+
+@query(
+    "q_e_ivf_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v
+          WHERE vec_id BETWEEN 1 AND {IVF_NLIST}),
+    sc AS (SELECT v.vec_id, c.cid,
+                  {_d_cos6('v.ve', 'c.cv', 'v.nrm', 'c.cn')} AS cscore
+           FROM v, c),
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cscore DESC, cid ASC) AS rk
+               FROM sc) WHERE rk = 1),
+    qv AS (SELECT vec_id AS qid, ve AS qv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    probe AS (SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY {_d_cos6('c.cv', 'q.qv', 'c.cn', 'q.qn')} DESC,
+                                  c.cid ASC) AS rk
+                FROM c, qv q) WHERE rk <= {IVF_NPROBE}),
+    cand AS (SELECT p.qid, cell.vec_id
+             FROM cell JOIN probe p USING (cid)
+             WHERE cell.vec_id <> p.qid),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT cd.qid, cd.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cd.qid
+                 ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                          cd.vec_id ASC) AS rk
+        FROM cand cd JOIN v ON cd.vec_id = v.vec_id JOIN qv q ON cd.qid = q.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                          v.vec_id ASC) AS rk
+        FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    ncand AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+    hits AS (SELECT a.qid, COUNT(*) AS n_hit
+             FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY a.qid)
+    SELECT n.qid, n.n_cand,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / {float(_RECALL_K)}, 6) AS recall6
+    FROM ncand n LEFT JOIN hits h ON n.qid = h.qid
+    """,
+)
+def q_e_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the IVF coarse-quantizer path (nlist=16,
+    nprobe=4) over the same 5-query panel as q_e_ann_recall — together
+    the two audits measure BOTH approximate index families this engine
+    ships, so index selection at scale is a data decision (IVF scans
+    ~nprobe/nlist of the corpus; LSH scans whatever co-buckets).
+
+    Plan: one broadcast centroid pass assigns every vector's cell
+    (persisted — feeds the probe join and the candidate count); probes
+    are a 5×16 broadcast rank; exact side is the shared 5-row
+    broadcast cross score."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, IVF_NLIST)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cell = (
+        fan_out(e, "vec_id")
+        .join(F.broadcast(cent))
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cscore"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cscore").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+        .persist()
+    )
+    qids = list(_RECALL_QIDS)
+    qv = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("qscore").desc(), F.col("cid").asc())
+    probe = (
+        cent.join(F.broadcast(qv))
+        .select("qid", "cid", _cos6("cemb", "qemb").alias("qscore"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    cand = (
+        cell.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .persist()
+    )
+    rk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    approx = (
+        cand.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "vec_id", _cos6("embedding", "qemb").alias("score"))
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cos6("embedding", "qemb").alias("score"))
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    hits = approx.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return ncand.join(hits, "qid", "left").select(
+        "qid",
+        "n_cand",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6).alias("recall6"),
+    )

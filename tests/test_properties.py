@@ -364,3 +364,13 @@ def test_rrf_fusion_scores_decompose(spark):
             1.0 / (RRF_K + r.cos_rank) if r.cos_rank else 0.0
         )
         assert abs(r.rrf6 - round(want, 6)) < 1e-9
+
+
+def test_ivf_recall_panel_bounds(spark):
+    from glaciersgee_spark.operators.similarity import q_e_ivf_recall
+
+    rows = q_e_ivf_recall(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hit <= 10 and r.n_hit <= r.n_cand
+        assert abs(r.recall6 - r.n_hit / 10.0) < 1e-9
