@@ -1332,3 +1332,32 @@ def q_b_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with the oracle's year()::BIGINT
         .withColumn("ship_year", F.col("ship_year").cast("long"))
     )
+
+
+@query(
+    "q_b_scan_orc",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def q_b_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (the second columnar format the engine
+    speaks). Write supplier as ORC, read it back with the declared
+    schema; the oracle recomputes from the parquet source — doubles
+    survive both footers losslessly, so the hash must match.
+
+    At 100 TB format choice is an ingest decision; the engine treats
+    parquet and ORC scans identically (columnar batch read, pushdown,
+    pruning — same Catalyst datasource path)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="ggee_orc_")
+    sinks.write_orc(sup.select("s_suppkey", "s_nationkey", "s_acctbal"), out)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    return readers.read_orc(spark, out, schema)

@@ -95,12 +95,17 @@ def codegen_span_count(plan: str) -> int:
 
 
 def plan_report(df: DataFrame) -> str:
-    """One-paragraph audit of a DataFrame's physical plan."""
+    """One-paragraph audit of a DataFrame's physical plan.
+
+    Pushdown/pruning/shuffles come from the pre-execution formatted
+    plan; codegen spans and Python boundaries from the executed plan
+    (Spark 4.1 only marks WholeStageCodegen there)."""
     f = formatted(df)
+    x = executed(df)
     return (
         f"pushed_filters={pushed_filters(df)}\n"
         f"read_schemas={read_schemas(df)}\n"
         f"shuffles={count_shuffles(f)} "
-        f"codegen_spans={codegen_span_count(f)} "
-        f"python_boundary={has_python_boundary(f)}"
+        f"codegen_spans={codegen_span_count(x)} "
+        f"python_boundary={has_python_boundary(x)}"
     )

@@ -80,3 +80,12 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     return (
         spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source with an optionally-declared schema (never inferred
+    twice: ORC footers carry types, but declaring pins the contract)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -36,3 +36,8 @@ def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = False) ->
 def write_noop(df: DataFrame) -> None:
     """Execute the full plan, discard rows executor-side (bench sink)."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (columnar alternative to parquet; same lazy contract)."""
+    df.write.mode("overwrite").orc(path)
