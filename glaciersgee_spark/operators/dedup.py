@@ -785,3 +785,38 @@ def q_e_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("loser").isNull(), 1)).alias("n_kept"),
         F.count(F.when(F.col("loser").isNotNull(), 1)).alias("n_removed"),
     )
+
+
+@query(
+    "q_e_cross_dedup",
+    oracle="""
+    SELECT md5(text) AS h,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(DISTINCT source) > 1
+    """,
+)
+def q_e_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate detection: texts that appear under
+    MORE than one source (syndicated/mirrored content — the copies a
+    per-source dedup pass structurally cannot see). Emits the content
+    hash, copy count, distinct-source count and the min-id keeper.
+
+    One map-side-combinable groupBy on the content hash; the distinct-
+    source count rides the same shuffle (Expand over 2 aggregates of
+    one tiny group key). At 100 TB this is THE global dedup shape:
+    hash-partition by content hash, everything else is local."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("h"), "source", "doc_id")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .where(F.col("n_sources") > 1)
+    )

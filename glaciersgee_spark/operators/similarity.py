@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from glaciersgee_spark.operators.lsh import cobucket_pairs
-from glaciersgee_spark.registry import query
+from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
 
 # Deterministic ±1 hyperplanes from a fixed seed, baked as literals —
@@ -748,4 +748,40 @@ def q_e_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cand",
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
         F.round(F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6).alias("recall6"),
+    )
+
+
+@query(
+    "q_e_embed_centroid",
+    oracle=f"""
+    WITH el AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT label, idx,
+           COUNT(*) AS n,
+           {davg('x')} AS mean_x
+    FROM el GROUP BY label, idx
+    """,
+)
+def q_e_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid training — the k-means/IVF update step:
+    elementwise mean of every label's vectors, one output row per
+    (label, dimension). Feeding these back as the coarse centroids is
+    how q_e_sim_topk_ivf's cells get LEARNED instead of picked.
+
+    Spelled as posexplode → groupBy (label, idx) with the exact-decimal
+    mean, so the result is partitioning-independent and hash-checked.
+    At 100 TB: the explode is executor-side (×64 rows but slim), the
+    single shuffle carries 640 combined partials per upstream
+    partition — the classic map-side-combined centroid update."""
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "x")
+    ).withColumn("idx", F.col("idx").cast("long"))
+    return el.groupBy("label", "idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(davg("x")).alias("mean_x"),
     )

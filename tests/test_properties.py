@@ -374,3 +374,18 @@ def test_ivf_recall_panel_bounds(spark):
     for r in rows:
         assert 0 <= r.n_hit <= 10 and r.n_hit <= r.n_cand
         assert abs(r.recall6 - r.n_hit / 10.0) < 1e-9
+
+
+def test_embed_centroid_complete_grid(spark):
+    """Centroids cover every (label, dim) cell; per-label counts are
+    constant across dims and sum to the corpus size."""
+    from glaciersgee_spark.operators.similarity import q_e_embed_centroid
+
+    rows = q_e_embed_centroid(spark, SF_SMOKE).collect()
+    labels = {r.label for r in rows}
+    assert len(rows) == len(labels) * 64
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r.label, set()).add(r.n)
+    assert all(len(ns) == 1 for ns in per_label.values())
+    assert sum(ns.pop() for ns in per_label.values()) == 500
