@@ -910,3 +910,62 @@ def q_e_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in sorted(SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == k, v).otherwise(rate)
     return d.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_e_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    rk AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r FROM tok
+    ),
+    ranked AS (
+      SELECT round(ln(CAST(r AS DOUBLE)), 6) AS lx,
+             round(ln(CAST(n AS DOUBLE)), 6) AS ly
+      FROM rk WHERE r <= 1000
+    )
+    SELECT COUNT(*) AS n_ranks,
+           round((COUNT(*) * {dsum('lx * ly', scale=12)} - {dsum('lx', scale=12)} * {dsum('ly', scale=12)})
+                 / (COUNT(*) * {dsum('lx * lx', scale=12)} - {dsum('lx', scale=12)} * {dsum('lx', scale=12)}),
+                 6) AS zipf_slope6
+    FROM ranked
+    """,
+)
+def q_e_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law audit of the corpus: OLS slope of ln(freq) vs ln(rank)
+    over the top 1000 tokens (natural text ≈ −1; synthetic/templated
+    corpora flatten — a cheap distribution-shift detector for incoming
+    training data).
+
+    Determinism: ln values are rounded to 6 dp (libm guard), their
+    products to 12 dp, and every sum rides exact decimal; the closed-
+    form slope then divides two identically-built doubles. Plan:
+    wordcount shuffle → top-1000 rank (tiny) → single-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = (
+        tok.select("n", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 1000)
+        .select(
+            F.round(F.log(F.col("r").cast("double")), 6).alias("lx"),
+            F.round(F.log(F.col("n").cast("double")), 6).alias("ly"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sxy = F.expr(dsum("lx * ly", scale=12))
+    sx = F.expr(dsum("lx", scale=12))
+    sy = F.expr(dsum("ly", scale=12))
+    sxx = F.expr(dsum("lx * lx", scale=12))
+    return ranked.agg(
+        n.alias("n_ranks"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope6"),
+    )
