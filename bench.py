@@ -2,10 +2,10 @@
 {"metric", "value", "unit", "queries", "cold", "sf"}.
 
 Methodology (documented in BASELINE.md §protocol): each query runs
-THREE times — an untimed warm-up (Catalyst planning, whole-stage
+FOUR times — an untimed warm-up (Catalyst planning, whole-stage
 codegen compilation, Python-worker spin-up: one-time costs that
-amortize to zero at any real scale) and two timed steady-state runs,
-of which the MINIMUM is reported. Min-of-2 because this host shows
+amortize to zero at any real scale) and three timed steady-state
+runs, of which the MINIMUM is reported. Min-of-3 because this host shows
 random multi-second stalls that hit a different query every run
 (measured: the same query swinging 1.4 s ↔ 20.7 s across identical-
 code runs while the rest of the suite was unchanged) — the minimum is
@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from __spark_entry__ import queries  # noqa: E402
 from glaciersgee_spark.session import get_spark  # noqa: E402
 
-N_TIMED = 2
+N_TIMED = 3
 
 
 def main() -> None:

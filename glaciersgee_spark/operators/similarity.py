@@ -806,3 +806,52 @@ def q_e_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.expr(davg("x")).alias("mean_x"),
     )
+
+
+@query(
+    "q_e_hard_negatives",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    qv AS (SELECT vec_id AS qid, label AS qlabel, ve AS qe, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    scored AS (
+      SELECT q.qid, q.qlabel, v.vec_id, v.label,
+             {_d_cos6('v.ve', 'q.qe', 'v.nrm', 'q.qn')} AS score
+      FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, qlabel, vec_id, label, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT qid, vec_id, label, score, rk
+    FROM ranked WHERE rk <= 50 AND label <> qlabel
+    """,
+)
+def q_e_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per panel query,
+    the wrong-label vectors hiding inside the cosine top-50 — exactly
+    the examples a retrieval model must learn to push away (everything
+    outside the top ranks is an easy negative, not worth a gradient).
+
+    Rides the same single-pass panel kernel as the recall audits
+    (_panel_scores: vectors cross Arrow once for all 5 queries), then
+    a broadcast label join and one rank window. At 100 TB this is the
+    standard mining sweep: one corpus pass per query batch, top-k
+    state only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    qlab = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    rk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        _panel_scores(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 50)
+        .join(F.broadcast(labels), "vec_id")
+        .join(F.broadcast(qlab), "qid")
+        .where(F.col("label") != F.col("qlabel"))
+        .select("qid", "vec_id", "label", "score", "rk")
+    )

@@ -389,3 +389,31 @@ def test_embed_centroid_complete_grid(spark):
         per_label.setdefault(r.label, set()).add(r.n)
     assert all(len(ns) == 1 for ns in per_label.values())
     assert sum(ns.pop() for ns in per_label.values()) == 500
+
+
+def test_registry_contract():
+    """Registry invariants the driver relies on: every oracle belongs
+    to a declared query, names follow the q_<group>_ scheme, and the
+    rows-only set stays the three documented exceptions."""
+    import glaciersgee_spark as G
+
+    G.load_all_queries()
+    assert set(G.ORACLE) <= set(G.QUERIES)
+    import re
+
+    assert all(re.fullmatch(r"q_[a-f]_[a-z0-9_]+", k) for k in G.QUERIES)
+    rows_only = set(G.QUERIES) - set(G.ORACLE)
+    # HLL sketch (engine-specific estimate), xxhash64 MinHash scale
+    # path (hash not reproducible in DuckDB), stubbed multimodal codec.
+    assert rows_only == {"q_b_agg_approx", "q_e_dedup_near", "q_e_mm_decode"}, rows_only
+
+
+def test_hard_negatives_within_topk_and_wrong_label(spark):
+    from glaciersgee_spark.operators.similarity import q_e_hard_negatives
+
+    rows = q_e_hard_negatives(spark, SF_SMOKE).collect()
+    assert rows
+    e = {r.vec_id: r.label for r in load_table(spark, SF_SMOKE, "embeddings").collect()}
+    for r in rows:
+        assert 1 <= r.rk <= 50
+        assert r.label == e[r.vec_id] and r.label != e[r.qid]
