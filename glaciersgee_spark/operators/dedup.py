@@ -820,3 +820,81 @@ def q_e_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_sources") > 1)
     )
+
+
+@query(
+    "q_e_curation_funnel",
+    oracle=f"""
+    WITH {_DUCK_MD5_CTES},
+    losers AS (SELECT DISTINCT id_b FROM mpairs),
+    f AS (
+      SELECT d.doc_id,
+             (len(string_split(d.text, ' ')) BETWEEN 10 AND 200
+              AND CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                  / len(string_split(d.text, ' ')) > 0.3) AS q,
+             (l.id_b IS NULL) AS nodup,
+             (CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100
+              < CASE d.lang WHEN 'de' THEN 50 WHEN 'en' THEN 80 WHEN 'es' THEN 30
+                            WHEN 'fr' THEN 50 WHEN 'zh' THEN 20 ELSE 0 END) AS samp
+      FROM documents d LEFT JOIN losers l ON d.doc_id = l.id_b
+    ),
+    a AS (SELECT COUNT(*) AS n0,
+                 COUNT(*) FILTER (q) AS n1,
+                 COUNT(*) FILTER (q AND nodup) AS n2,
+                 COUNT(*) FILTER (q AND nodup AND samp) AS n3
+          FROM f)
+    SELECT 0 AS stage_idx, 'ingested' AS stage, n0 AS n_docs FROM a
+    UNION ALL SELECT 1, 'quality', n1 FROM a
+    UNION ALL SELECT 2, 'dedup', n2 FROM a
+    UNION ALL SELECT 3, 'sampled', n3 FROM a
+    """,
+)
+def q_e_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation funnel in one pass: docs surviving each
+    cleaning stage — quality heuristics (q_e_quality_filter's
+    predicate), near-dup removal (q_e_dedup_near_md5's loser set),
+    stratified downsampling (q_e_stratified_sample's rates) — the
+    before/after ledger every pipeline run reports first.
+
+    One doc scan computes all three stage flags (dedup membership via
+    a broadcast-sized left join), one aggregate counts every stage
+    simultaneously (COUNT FILTER ≡ conditional count — no per-stage
+    rescans), and a 4-row stack labels the funnel. At 100 TB this is
+    the monitoring query: one pass, four numbers."""
+    from glaciersgee_spark.operators.text import SAMPLE_RATES
+
+    d = load_table(spark, sf_dir, "documents")
+    losers = (
+        q_e_dedup_near_md5(spark, sf_dir).select(F.col("id_b").alias("loser")).distinct()
+    )
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    quality = n_tok.between(10, 200) & (
+        F.size(F.array_distinct(words)).cast("double") / n_tok > 0.3
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        " % 100"
+    )
+    rate = F.lit(0)
+    for k, v in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    f = (
+        d.join(F.broadcast(losers), d.doc_id == F.col("loser"), "left")
+        .select(
+            quality.alias("q"),
+            F.col("loser").isNull().alias("nodup"),
+            (bucket < rate).alias("samp"),
+        )
+    )
+    a = f.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("q"), 1)).alias("n1"),
+        F.count(F.when(F.col("q") & F.col("nodup"), 1)).alias("n2"),
+        F.count(F.when(F.col("q") & F.col("nodup") & F.col("samp"), 1)).alias("n3"),
+    )
+    return a.selectExpr(
+        "stack(4, 0, 'ingested', n0, 1, 'quality', n1,"
+        " 2, 'dedup', n2, 3, 'sampled', n3) AS (stage_idx, stage, n_docs)"
+    )

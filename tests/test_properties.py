@@ -417,3 +417,16 @@ def test_hard_negatives_within_topk_and_wrong_label(spark):
     for r in rows:
         assert 1 <= r.rk <= 50
         assert r.label == e[r.vec_id] and r.label != e[r.qid]
+
+
+def test_curation_funnel_monotone(spark):
+    """Funnel counts never increase down the stages, and stage 0 is
+    the corpus size."""
+    from glaciersgee_spark.operators.dedup import q_e_curation_funnel
+
+    rows = sorted(q_e_curation_funnel(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == ["ingested", "quality", "dedup", "sampled"]
+    ns = [r.n_docs for r in rows]
+    assert ns[0] == load_table(spark, SF_SMOKE, "documents").count()
+    assert ns == sorted(ns, reverse=True) and ns[-1] > 0
