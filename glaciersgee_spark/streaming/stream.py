@@ -180,3 +180,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "p_user", "p_ts", "c_ts")
+
+
+def sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 hour long, 15-min slide): each
+    event updates 4 overlapping window aggregates (complete mode)."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )

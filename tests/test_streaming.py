@@ -180,3 +180,20 @@ def test_checkpoint_recovery_exactly_once(spark):
     out = spark.read.parquet(sink)
     assert out.count() == ev.count()  # nothing reprocessed, nothing lost
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_sliding_stream_matches_batch(spark):
+    from glaciersgee_spark.streaming.batch_equiv import q_d_sliding
+
+    _run_to_memory(S.sliding_stream(spark, SF_SMOKE), "t_sliding", "complete")
+    got = {
+        (r.ws, r.n)
+        for r in spark.sql("SELECT * FROM t_sliding").collect()
+    }
+    want = {
+        (r.ws, r.n)
+        for r in q_d_sliding(spark, SF_SMOKE)
+        .select(F.col("ws").cast("timestamp"), "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
