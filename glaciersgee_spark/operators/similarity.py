@@ -855,3 +855,125 @@ def q_e_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("label") != F.col("qlabel"))
         .select("qid", "vec_id", "label", "score", "rk")
     )
+
+
+# Product quantization: 8 subspaces x 8 dims, 16-entry codebook per
+# subspace taken from corpus vectors 1..16 (deterministic, like the
+# IVF centroids — a real pipeline k-means-trains these with
+# q_e_embed_centroid's update step).
+PQ_M = 8          # subspaces
+PQ_SUBDIM = 8     # dims per subspace
+PQ_K = 16         # codebook entries per subspace
+
+_PQ_SUB = "list_transform(range(1, 9), j -> ve[{off} + j])"
+
+
+def _pq_dist6(v: str, c: str, s: int) -> str:
+    off = s * PQ_SUBDIM
+    return (
+        f"round(list_sum(list_transform(range(1, 9), j -> "
+        f"({v}[{off} + j] - {c}[{off} + j]) * ({v}[{off} + j] - {c}[{off} + j]))), 6)"
+    )
+
+
+def _pq_lut6(q: str, c: str, s: int) -> str:
+    off = s * PQ_SUBDIM
+    return (
+        f"round(list_sum(list_transform(range(1, 9), j -> "
+        f"{q}[{off} + j] * {c}[{off} + j])), 6)"
+    )
+
+
+@query(
+    "q_e_sim_topk_pq",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    dists AS (
+      SELECT v.vec_id, c.cid, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_dist6('v.ve', 'c.cv', s)}" for s in range(PQ_M))} END AS d6
+      FROM v, c, (SELECT unnest(range(0, {PQ_M})) AS s) s
+      WHERE v.vec_id <> 0
+    ),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d6 ASC, cid ASC) AS rk
+        FROM dists
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT c.cid, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_lut6('q.qv', 'c.cv', s)}" for s in range(PQ_M))} END AS l6
+      FROM c, q, (SELECT unnest(range(0, {PQ_M})) AS s) s
+    ),
+    parts AS (
+      SELECT codes.vec_id,
+             {', '.join(f"MAX(CASE WHEN codes.s = {s} THEN lut.l6 END) AS l{s}" for s in range(PQ_M))}
+      FROM codes JOIN lut ON codes.cid = lut.cid AND codes.s = lut.s
+      GROUP BY codes.vec_id
+    ),
+    adc AS (
+      SELECT vec_id,
+             round({'(' * (PQ_M - 1)}l0{''.join(f" + l{s})" for s in range(1, PQ_M))}, 6) AS adc6
+      FROM parts
+    )
+    SELECT a.vec_id, v.label, a.adc6,
+           {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS cos6
+    FROM adc a JOIN v ON a.vec_id = v.vec_id, q
+    ORDER BY a.adc6 DESC, a.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_e_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k — the third index family (after
+    SRP-LSH and IVF): each vector is encoded as 8 one-byte codes
+    (argmin sub-distance to a 16-entry codebook per 8-dim subspace)
+    and query scoring is asymmetric-distance lookup: adc ≈ q·v =
+    Σ_s lut[s][code[s]], a table gather instead of a 64-dim dot. The
+    top-20 by ADC carry their exact cosine alongside so the
+    approximation error is visible in the result itself.
+
+    At 100 TB this is the memory story: 8-byte codes instead of 256-
+    byte vectors (32×), the scan reads codes only, and the 128-entry
+    LUT is a broadcast literal. Kernel determinism: sub-distances and
+    LUT entries round to 6 dp, argmin ties break on codebook id
+    (numpy argmin = first minimum ≡ the oracle's (d6, cid) rank), and
+    the 8-term ADC sum accumulates in fixed subspace order matching
+    the oracle's left-associated sum."""
+    e = load_table(spark, sf_dir, "embeddings")
+    crows = sorted(
+        e.where(F.col("vec_id").between(1, PQ_K)).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cmat = np.array([r.embedding for r in crows], dtype=np.float64)  # (16, 64)
+    c_r = cmat.reshape(PQ_K, PQ_M, PQ_SUBDIM)
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q_r = np.array(qrow.embedding, dtype=np.float64).reshape(PQ_M, PQ_SUBDIM)
+    lut = np.round(np.einsum("sj,csj->cs", q_r, c_r), 6)  # (16, 8)
+
+    @F.pandas_udf(DoubleType())
+    def _adc6(emb: pd.Series) -> pd.Series:
+        v = _to_mat(emb)
+        v_r = v.reshape(-1, PQ_M, PQ_SUBDIM)
+        # (n, 16, 8): squared L2 per (vector, codebook entry, subspace)
+        d = np.round(
+            ((v_r[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6
+        )
+        codes = d.argmin(axis=1)  # (n, 8); first min == (d6, cid) rank
+        acc = np.zeros(len(v))
+        for s in range(PQ_M):  # fixed order == oracle's left-assoc sum
+            acc = acc + lut[codes[:, s], s]
+        return pd.Series(np.round(acc, 6))
+
+    ef = fan_out(e.where(F.col("vec_id") != 0), "vec_id")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    return (
+        ef.select("vec_id", "label", "embedding", _adc6("embedding").alias("adc6"))
+        .orderBy(F.col("adc6").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .join(F.broadcast(qv))
+        .select("vec_id", "label", "adc6", _cos6("embedding", "qemb").alias("cos6"))
+    )

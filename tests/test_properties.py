@@ -430,3 +430,17 @@ def test_curation_funnel_monotone(spark):
     ns = [r.n_docs for r in rows]
     assert ns[0] == load_table(spark, SF_SMOKE, "documents").count()
     assert ns == sorted(ns, reverse=True) and ns[-1] > 0
+
+
+def test_pq_topk_shape_and_order(spark):
+    """PQ ADC top-20: descending adc6 with id tie-break, exact cosine
+    carried alongside stays in [-1, 1], query itself excluded."""
+    from glaciersgee_spark.operators.similarity import q_e_sim_topk_pq
+
+    rows = q_e_sim_topk_pq(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    pairs = [(-r.adc6, r.vec_id) for r in rows]
+    assert pairs == sorted(pairs)
+    for r in rows:
+        assert r.vec_id != 0
+        assert -1.0 <= r.cos6 <= 1.0
