@@ -977,3 +977,142 @@ def q_e_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qv))
         .select("vec_id", "label", "adc6", _cos6("embedding", "qemb").alias("cos6"))
     )
+
+
+@query(
+    "q_e_pq_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    qv AS (SELECT vec_id AS qid, ve AS qe, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    dists AS (
+      SELECT v.vec_id, c.cid, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_dist6('v.ve', 'c.cv', s)}" for s in range(PQ_M))} END AS d6
+      FROM v, c, (SELECT unnest(range(0, {PQ_M})) AS s) s
+    ),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d6 ASC, cid ASC) AS rk
+        FROM dists
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT q.qid, c.cid, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_lut6('q.qe', 'c.cv', s)}" for s in range(PQ_M))} END AS l6
+      FROM c, qv q, (SELECT unnest(range(0, {PQ_M})) AS s) s
+    ),
+    parts AS (
+      SELECT lut.qid, codes.vec_id,
+             {', '.join(f"MAX(CASE WHEN codes.s = {s} THEN lut.l6 END) AS l{s}" for s in range(PQ_M))}
+      FROM codes JOIN lut ON codes.cid = lut.cid AND codes.s = lut.s
+      GROUP BY lut.qid, codes.vec_id
+    ),
+    adc AS (
+      SELECT qid, vec_id,
+             round({'(' * (PQ_M - 1)}l0{''.join(f" + l{s})" for s in range(1, PQ_M))}, 6) AS adc6
+      FROM parts WHERE vec_id <> qid
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc6 DESC, vec_id ASC) AS rk
+        FROM adc
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {_d_cos6('v.ve', 'q.qe', 'v.nrm', 'q.qn')} DESC,
+                                           v.vec_id ASC) AS rk
+        FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    hits AS (SELECT a.qid, COUNT(*) AS n_hit
+             FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY a.qid)
+    SELECT q.qid, COALESCE(h.n_hit, 0) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / {float(_RECALL_K)}, 6) AS recall6
+    FROM (SELECT qid FROM qv) q LEFT JOIN hits h ON q.qid = h.qid
+    """,
+)
+def q_e_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the PQ/ADC path over the shared 5-query
+    panel — with q_e_ann_recall (LSH) and q_e_ivf_recall this makes
+    every approximate index family in the engine ship with measured,
+    hash-checked approximation quality. ADC recall reflects pure
+    quantization error (no candidate pruning), so it bounds what
+    IVF+PQ composition can achieve.
+
+    One kernel pass: codes are query-independent, so the kernel
+    gathers all 5 LUTs per vector (fixed subspace order each) and
+    emits 5 ADC scores; ground truth reuses the shared cosine panel
+    kernel. Note codes here cover ALL vectors (the per-query self-row
+    is dropped after scoring), matching the oracle's dists CTE."""
+    e = load_table(spark, sf_dir, "embeddings")
+    crows = sorted(
+        e.where(F.col("vec_id").between(1, PQ_K)).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    c_r = np.array([r.embedding for r in crows], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUBDIM
+    )
+    qrows = sorted(
+        e.where(F.col("vec_id").isin(list(_RECALL_QIDS)))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qmats = np.array([r.embedding for r in qrows], dtype=np.float64).reshape(
+        len(qrows), PQ_M, PQ_SUBDIM
+    )
+    luts = np.round(np.einsum("qsj,csj->qcs", qmats, c_r), 6)  # (5, 16, 8)
+    qid_lits = F.array(*[F.lit(int(r.vec_id)).cast("long") for r in qrows])
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _adc_panel(emb: pd.Series) -> pd.Series:
+        v = _to_mat(emb).reshape(-1, PQ_M, PQ_SUBDIM)
+        d = np.round(((v[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6)
+        codes = d.argmin(axis=1)  # (n, 8)
+        out = np.zeros((len(v), len(luts)))
+        for qi in range(len(luts)):
+            acc = np.zeros(len(v))
+            for s in range(PQ_M):  # fixed order == oracle left-assoc
+                acc = acc + luts[qi][codes[:, s], s]
+            out[:, qi] = np.round(acc, 6)
+        return pd.Series(out.tolist())
+
+    ef = fan_out(e.select("vec_id", "embedding"), "vec_id")
+    adc = (
+        ef.select("vec_id", F.posexplode(_adc_panel("embedding")).alias("qidx", "adc6"))
+        .select(F.element_at(qid_lits, F.col("qidx") + 1).alias("qid"), "vec_id", "adc6")
+        .where(F.col("vec_id") != F.col("qid"))
+    )
+    rk_a = Window.partitionBy("qid").orderBy(F.col("adc6").desc(), F.col("vec_id").asc())
+    approx = (
+        adc.withColumn("rk", F.row_number().over(rk_a))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    rk_e = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    exact = (
+        _panel_scores(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(rk_e))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    hits = approx.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    panel = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid")
+    )
+    return panel.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6).alias("recall6"),
+    )

@@ -444,3 +444,13 @@ def test_pq_topk_shape_and_order(spark):
     for r in rows:
         assert r.vec_id != 0
         assert -1.0 <= r.cos6 <= 1.0
+
+
+def test_pq_recall_panel_bounds(spark):
+    from glaciersgee_spark.operators.similarity import q_e_pq_recall
+
+    rows = q_e_pq_recall(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hit <= 10
+        assert abs(r.recall6 - r.n_hit / 10.0) < 1e-9
