@@ -898,3 +898,85 @@ def q_e_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 0, 'ingested', n0, 1, 'quality', n1,"
         " 2, 'dedup', n2, 3, 'sampled', n3) AS (stage_idx, stage, n_docs)"
     )
+
+
+@query(
+    "q_e_minhash_recall",
+    oracle=f"""
+    WITH {_DUCK_MD5_CTES},
+    dd AS (
+      SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source
+      FROM dd a JOIN dd b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT t.lang, t.source,
+           COUNT(*) AS n_true,
+           COUNT(c.id_a) AS n_caught,
+           round(CAST(COUNT(c.id_a) AS DOUBLE) / COUNT(*), 6) AS recall6
+    FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    GROUP BY t.lang, t.source
+    """,
+)
+def q_e_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the MinHash banding itself: of the true
+    high-Jaccard pairs (exact J ≥ 0.5 within lang+source blocks, the
+    jaccard_verify ground truth), what fraction did the 4-band × 2-row
+    md5 banding actually catch? Theory says 1-(1-J²)⁴ ≈ 0.68 at
+    J = 0.5 rising fast with J — this measures it per block, the
+    dedup-family analogue of the three ANN recall audits.
+
+    Ground truth reuses q_e_jaccard_verify's inverted-index pipeline
+    (shared spelling, threshold lifted to 0.5); the candidate set is
+    q_e_dedup_near_md5's banding stage (shared CTEs). One extra
+    broadcast-sized left join and a tiny groupBy."""
+    truth = (
+        q_e_jaccard_verify(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    blocks = d.select(F.col("doc_id").alias("id_a"), "lang", "source")
+
+    sh = _with_shingles(spark, sf_dir)
+    base = sh.select("doc_id", F.expr(_SPARK_SHHASH).alias("hh"))
+    mh = [F.expr(_mh_expr("spark", p)).alias(f"mh{p}") for p in range(N_MINHASH)]
+    banded = base.select("doc_id", *mh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        (
+                            F.col(f"mh{BAND_SIZE * k}") * _MHM
+                            + F.col(f"mh{BAND_SIZE * k + 1}")
+                        ).alias("bkey"),
+                    )
+                    for k in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    cand = cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.lit(1).alias("caught"),
+    )
+    return (
+        truth.join(F.broadcast(cand), ["id_a", "id_b"], "left")
+        .join(F.broadcast(blocks), "id_a")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("caught").alias("n_caught"),
+            F.round(F.count("caught").cast("double") / F.count(F.lit(1)), 6).alias(
+                "recall6"
+            ),
+        )
+    )

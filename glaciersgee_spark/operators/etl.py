@@ -525,3 +525,68 @@ def q_a_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double"), 6
         ).alias("slope6"),
     )
+
+
+@query(
+    "q_a_scene_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '2024-01-01', CAST(d AS DATE))
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_days,
+             MIN(d) AS streak_start
+      FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id, streak_days, streak_start FROM (
+      SELECT user_id, streak_days, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start ASC) AS rk
+      FROM runs
+    ) WHERE rk = 1
+    """,
+)
+def q_a_scene_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day acquisition streak per tile (user_id
+    plays WRS path/row): the gaps-and-islands dual of q_a_gap_detect —
+    instead of where the cadence BROKE, how long it ever HELD (the
+    "longest usable cloud-free run" question a compositing pipeline
+    asks before trusting a tile's time series).
+
+    Classic islands spelling: distinct (tile, day) → day-index minus
+    row_number constant-per-run → run groupBy → per-tile argmax with
+    (length, start) tie-break. Two window passes over slim
+    post-distinct rows; the distinct is the only full shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    r = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+                "long"
+            )
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"), F.min("d").alias("streak_start")
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start").asc()
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )

@@ -454,3 +454,32 @@ def test_pq_recall_panel_bounds(spark):
     for r in rows:
         assert 0 <= r.n_hit <= 10
         assert abs(r.recall6 - r.n_hit / 10.0) < 1e-9
+
+
+def test_minhash_recall_bounds(spark):
+    from glaciersgee_spark.operators.dedup import q_e_minhash_recall
+
+    rows = q_e_minhash_recall(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_true
+        assert abs(r.recall6 - round(r.n_caught / r.n_true, 6)) < 1e-9
+
+
+def test_scene_streak_within_observed_range(spark):
+    """Each tile's longest streak fits inside the events time range and
+    its start day actually has an event for that tile."""
+    from glaciersgee_spark.operators.etl import q_a_scene_streak
+
+    rows = q_a_scene_streak(spark, SF_SMOKE).collect()
+    ev_days = {
+        (r.user_id, r.d)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d"))
+        .distinct()
+        .collect()
+    }
+    assert len(rows) == len({u for u, _ in ev_days})
+    for r in rows:
+        assert 1 <= r.streak_days <= 30
+        assert (r.user_id, r.streak_start) in ev_days
