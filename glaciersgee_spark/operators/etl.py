@@ -590,3 +590,50 @@ def q_a_scene_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
+
+
+@query(
+    "q_a_revisit_stats",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+               AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s) AS n_intervals,
+           MIN(gap_s) AS min_gap_s,
+           MAX(gap_s) AS max_gap_s,
+           ({dsum('CAST(gap_s AS DOUBLE)')} / COUNT(gap_s)) AS mean_gap_s
+    FROM iv WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_a_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit-cadence statistics per tile: count/min/max/mean seconds
+    between consecutive acquisitions — the summary q_a_gap_detect's
+    threshold is chosen FROM (you can't pick "gap > 2× cadence"
+    without knowing the cadence). GEE analogue: aggregate statistics
+    of system:time_start deltas per path/row.
+
+    One window pass (lag over the per-tile time order, event_id
+    tie-break for determinism) then a map-side-combinable groupBy;
+    the mean rides the exact-decimal pattern. Same single shuffle at
+    any scale — the window and the aggregate share the user_id
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    iv = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.lag(F.col("ts").cast("timestamp")).over(w))
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return iv.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_intervals"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.expr(f"{dsum('CAST(gap_s AS DOUBLE)')} / COUNT(gap_s)").alias("mean_gap_s"),
+    )

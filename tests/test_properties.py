@@ -483,3 +483,20 @@ def test_scene_streak_within_observed_range(spark):
     for r in rows:
         assert 1 <= r.streak_days <= 30
         assert (r.user_id, r.streak_start) in ev_days
+
+
+def test_revisit_stats_consistent(spark):
+    """Per tile: interval count = event count − 1 (dense per-tile
+    streams), min ≤ mean ≤ max, all gaps non-negative."""
+    from glaciersgee_spark.operators.etl import q_a_revisit_stats
+
+    rows = q_a_revisit_stats(spark, SF_SMOKE).collect()
+    ev_counts = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert len(rows) == len(ev_counts)
+    for r in rows:
+        assert r.n_intervals == ev_counts[r.user_id] - 1
+        assert 0 <= r.min_gap_s <= r.mean_gap_s <= r.max_gap_s
