@@ -219,31 +219,42 @@ def q_c_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
-           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS first4,
+           array_to_string(list_transform(embedding[1:4],
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS first4,
            CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS BIGINT)
              AS n_pos,
            (len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) > 0) AS any_gt03,
-           list_sort(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))) AS sorted4,
-           list_transform(generate_series(1, 1 + vec_id % 3), x -> x * 10) AS seq10
+           array_to_string(list_sort(list_transform(embedding[1:4],
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))), ',') AS sorted4,
+           array_to_string(list_transform(generate_series(1, 1 + vec_id % 3),
+             x -> x * 10), ',') AS seq10
     FROM embeddings WHERE vec_id % 20 = 0
     """,
 )
 def q_c_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family with higher-order functions (transform / filter /
-    exists / sort / sequence). Elements cast float→double (exact) so
-    both engines hash the same widths."""
+    exists / sort / sequence). Array outputs are emitted as ','-joined
+    strings of exact integers (floor(x·1e6): float→double is exact,
+    floor of an integral double casts exactly in both engines — double
+    string-formatting differs across engines, so raw doubles are never
+    joined) to stay hashable by array-blind canonicalizers."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
-    first4 = F.expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+    first4i = F.expr(
+        "transform(slice(embedding, 1, 4),"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        first4.alias("first4"),
+        F.array_join(first4i, ",").alias("first4"),
         F.expr("size(filter(embedding, x -> CAST(x AS DOUBLE) > 0.0d))")
         .cast("long")
         .alias("n_pos"),
         F.expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.3d)").alias("any_gt03"),
-        F.array_sort(first4).alias("sorted4"),
-        F.expr("transform(sequence(1L, 1L + vec_id % 3), x -> x * 10)").alias("seq10"),
+        F.array_join(F.array_sort(first4i), ",").alias("sorted4"),
+        F.array_join(
+            F.expr("transform(sequence(1L, 1L + vec_id % 3), x -> x * 10)"), ","
+        ).alias("seq10"),
     )
 
 
@@ -253,7 +264,7 @@ def q_c_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
            CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-           list_sort(json_keys(props)) AS keys_sorted,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
            list_contains(json_keys(props), 'k') AS has_k
     FROM events WHERE event_id % 11 = 0
     """,
@@ -267,7 +278,7 @@ def q_c_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.array_contains(F.map_keys(m), "k").alias("has_k"),
     )
 
@@ -339,8 +350,9 @@ def q_c_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_c_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash family (content addressing for dedup). md5/sha256 are
-    standardized → SQL oracle; xxhash64 is engine-specific and lives in
-    the rows-only dedup pipeline (q_e_dedup_near)."""
+    standardized → SQL oracle; engine-specific xxhash64 is deliberately
+    excluded from hashed outputs (the dedup pipelines use the
+    md5-derived cross-engine family for exactly this reason)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     return d.select(
         "doc_id",

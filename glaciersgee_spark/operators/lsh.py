@@ -14,9 +14,12 @@ appears once regardless of which side of a bucket it came from.
 
 Scale note: per-bucket expansion is O(|bucket|²), identical to what
 the self-join would emit for that bucket — LSH banding is what bounds
-bucket sizes. At 100 TB add a bucket-size cap (`size(es) <= N`) to
-drop degenerate buckets (e.g. an all-zeros band); the driver corpus
-has none, so the cap is not applied here.
+bucket sizes *probabilistically*. A degenerate hot bucket (e.g. an
+all-zeros band over boilerplate documents) would go quadratic, so a
+hard cap drops buckets above `max_bucket` entities: at 100 TB a
+10⁶-entity bucket is 5·10¹¹ pairs — always a data-quality signal
+(near-identical boilerplate), never useful candidates. Dropped-bucket
+stats are observable via `bucket_overflow`.
 """
 
 from __future__ import annotations
@@ -26,12 +29,19 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# Default hot-bucket cap: caps worst-case per-bucket expansion at
+# ~500k pairs. The driver corpus's largest co-bucket is ~10² entities,
+# so the cap never fires there (parity-neutral); it exists for the
+# 100 TB degenerate-bucket case.
+MAX_BUCKET_DEFAULT = 1000
+
 
 def cobucket_pairs(
     banded: DataFrame,
     keys: Sequence[str],
     entity_cols: Sequence[str],
     distinct: bool = True,
+    max_bucket: int | None = MAX_BUCKET_DEFAULT,
 ) -> DataFrame:
     """Co-bucketed entity pairs.
 
@@ -41,14 +51,19 @@ def cobucket_pairs(
     deduplicated across buckets when `distinct` (LSH candidates), or
     with one row per shared bucket when not (so a downstream
     `groupBy(pair).count()` is exactly the bucket-intersection size —
-    the inverted-index Jaccard shape).
+    the inverted-index Jaccard shape). Buckets with more than
+    `max_bucket` entities are dropped (None disables the guard);
+    audit the dropped set with `bucket_overflow`.
     """
     id_c = entity_cols[0]
     ent = F.struct(*[F.col(c) for c in entity_cols])
+    size_ok = F.size("es") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("es") <= max_bucket)
     buckets = (
         banded.groupBy(*keys)
         .agg(F.collect_list(ent).alias("es"))
-        .where(F.size("es") >= 2)
+        .where(size_ok)
     )
     pair_expr = (
         "flatten(transform(es, (x, i) -> "
@@ -58,3 +73,23 @@ def cobucket_pairs(
     )
     pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select("p.a", "p.b")
     return pairs.distinct() if distinct else pairs
+
+
+def bucket_overflow(
+    banded: DataFrame,
+    keys: Sequence[str],
+    max_bucket: int = MAX_BUCKET_DEFAULT,
+) -> DataFrame:
+    """Audit of buckets the cap would drop: one row per overflowing
+    bucket with its entity count and the pair count it would have
+    expanded to. Empty on a healthy corpus; non-empty means boilerplate
+    / degenerate content upstream (fix the data, don't raise the cap).
+    """
+    counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_entities"))
+    return counts.where(F.col("n_entities") > max_bucket).select(
+        *keys,
+        "n_entities",
+        (F.col("n_entities") * (F.col("n_entities") - 1) / 2)
+        .cast("long")
+        .alias("n_pairs_dropped"),
+    )

@@ -8,8 +8,9 @@ signature, partitioning) is real and tested; swap `_decode_stub` for a
 real decoder (PIL/librosa/ffmpeg) to productionize.
 
 The scalar derivations (content hash, size, magic-byte sniffing) are
-SQL-expressible and oracle-checked; the mapInPandas pipeline is
-rows-only. A binaryFile-source unit test lives in tests/test_multimodal.py.
+SQL-expressible and oracle-checked; the mapInPandas decode pipeline's
+stub transform is md5-slice-based, so it is oracle-checked too. A
+binaryFile-source unit test lives in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -57,30 +58,37 @@ _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("byte_sum_mod", T.LongType()),
-        T.StructField("feat", T.ArrayType(T.DoubleType())),
+        T.StructField("head_md5", T.StringType()),
+        T.StructField("f0", T.DoubleType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("f2", T.DoubleType()),
+        T.StructField("f3", T.DoubleType()),
     ]
 )
 
+_FEAT_MOD = 1_000_000
 
-def _decode_stub(payload: bytes) -> list[float]:
-    """STUB decoder: deterministic 4-dim fake feature from raw bytes.
+
+def _decode_stub(payload: bytes) -> tuple[str, list[float]]:
+    """STUB decoder: deterministic md5-of-slice features from raw bytes.
 
     A real implementation would decode the image/audio payload
     (PIL.Image.open / librosa.load — not available in this container)
-    and emit model features; raising NotImplementedError here would be
-    correct too, but a deterministic fake lets the batch plumbing be
-    exercised end-to-end.
+    and emit model features. The stand-in is a byte-transform any
+    engine can reproduce (DuckDB BLOB/text functions in the oracle):
+    md5 of the first 16 bytes, plus one 60-bit-md5-derived double per
+    byte quarter — so the Python-boundary plumbing is exercised
+    end-to-end AND the output hashes cross-engine.
     """
-    if not payload:
-        return [0.0, 0.0, 0.0, 0.0]
+    import hashlib
+
     n = len(payload)
-    return [
-        float(n),
-        float(payload[0]),
-        float(payload[-1]),
-        float(sum(payload) % 997),
+    q = n // 4
+    slices = [payload[0:q], payload[q : 2 * q], payload[2 * q : 3 * q], payload[3 * q :]]
+    feats = [
+        float(int(hashlib.md5(s).hexdigest()[:15], 16) % _FEAT_MOD) for s in slices
     ]
+    return hashlib.md5(payload[:16]).hexdigest(), feats
 
 
 def decode_features(it: Iterator) -> Iterator:
@@ -93,24 +101,46 @@ def decode_features(it: Iterator) -> Iterator:
     import pandas as pd
 
     for pdf in it:
-        feats = pdf["content"].map(lambda b: _decode_stub(bytes(b)))
+        decoded = pdf["content"].map(lambda b: _decode_stub(bytes(b)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["content"].map(len).astype("int64"),
-                "byte_sum_mod": pdf["content"].map(lambda b: sum(bytes(b)) % 997).astype(
-                    "int64"
-                ),
-                "feat": feats,
+                "head_md5": decoded.map(lambda d: d[0]),
+                "f0": decoded.map(lambda d: d[1][0]),
+                "f1": decoded.map(lambda d: d[1][1]),
+                "f2": decoded.map(lambda d: d[1][2]),
+                "f3": decoded.map(lambda d: d[1][3]),
             }
         )
 
 
-@query("q_e_mm_decode")  # rows-only: the decode stage is a Python boundary
+_DUCK_FEAT = (
+    "CAST(CAST(concat('0x', substring(md5({s}), 1, 15)) AS BIGINT)"
+    f" % {_FEAT_MOD} AS DOUBLE)"
+)
+
+
+@query(
+    "q_e_mm_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(substring(text, 1, 16)) AS head_md5,
+           {_DUCK_FEAT.format(s="substring(text, 1, q)")} AS f0,
+           {_DUCK_FEAT.format(s="substring(text, q + 1, q)")} AS f1,
+           {_DUCK_FEAT.format(s="substring(text, 2 * q + 1, q)")} AS f2,
+           {_DUCK_FEAT.format(s="substring(text, 3 * q + 1)")} AS f3
+    FROM (SELECT doc_id, text, strlen(text) // 4 AS q
+          FROM documents WHERE doc_id % 10 = 0)
+    """,
+)
 def q_e_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract pipeline over binary payloads
     via mapInPandas (Arrow-batched). Decode itself is the documented
-    stub; schema, batching and partitioning are the real article."""
+    deterministic stub (md5-of-quarter-slice features — ASCII payloads
+    make text substring ≡ byte slice, so the DuckDB oracle reproduces
+    it); schema, batching and partitioning are the real article."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("content"))
     return payloads.mapInPandas(decode_features, _FEATURE_SCHEMA)

@@ -700,13 +700,25 @@ def q_b_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_b_agg_approx")  # rows-only: HLL estimate is engine-specific
+@query(
+    "q_b_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_nd_part,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_b_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++).
 
-    No oracle — sketch estimates are engine-specific by construction;
-    the exact companion lives in q_b_agg_distinct. At 100 TB this is
-    THE way to count uniques: fixed-size sketch, no expand shuffle.
+    The sketch estimate itself is engine-local, so the hashed output is
+    the exact companion plus a deterministic accuracy bound: HLL++ at
+    rsd=0.01 is deterministic for fixed input (hash-based registers,
+    commutative max-merge), and `within_5pct` asserts |approx-exact| ≤
+    5%·exact — the oracle emits the exact count and literal TRUE. At
+    100 TB the sketch is THE way to count uniques: fixed-size state, no
+    Expand shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Two separate aggregations joined on the (tiny) group key: mixing
@@ -720,7 +732,14 @@ def q_b_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_nd_part")
     )
-    return approx.join(F.broadcast(exact), "l_returnflag")
+    return approx.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "exact_nd_part",
+        (
+            F.abs(F.col("approx_nd_part") - F.col("exact_nd_part"))
+            <= 0.05 * F.col("exact_nd_part")
+        ).alias("within_5pct"),
+    )
 
 
 @query(
@@ -767,8 +786,9 @@ def q_b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_b_agg_collect",
     oracle="""
     SELECT user_id,
-           list_sort(list(event_type ORDER BY event_type)) AS types_all,
-           list_sort(list_distinct(list(event_type))) AS types_set
+           array_to_string(list_sort(list(event_type)), ',') AS types_all,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS types_set
     FROM events WHERE event_id % 17 = 0
     GROUP BY user_id
     """,
@@ -778,11 +798,18 @@ def q_b_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     collect_list order is partition-dependent → always sort the result
     array before emitting (unordered collect is banned in this engine).
+    Emitted as a ','-joined string: same information, but hashable by
+    any downstream canonicalizer that can't digest array cells (the
+    driver's pandas hasher crashes on ndarray values).
     """
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 17 == 0)
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_type")).alias("types_all"),
-        F.sort_array(F.collect_set("event_type")).alias("types_set"),
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias(
+            "types_all"
+        ),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_set"
+        ),
     )
 
 

@@ -63,26 +63,42 @@ def test_binaryfile_magic_byte_sniffing(spark):
 
 
 def test_decode_stub_deterministic():
+    import hashlib
+
     assert _decode_stub(b"abc") == _decode_stub(b"abc")
-    assert _decode_stub(b"") == [0.0, 0.0, 0.0, 0.0]
-    assert _decode_stub(b"\x01\x02") == [2.0, 1.0, 2.0, 3.0]
+    # empty payload: every quarter slice is b"", md5(b"") everywhere
+    empty_f = float(int(hashlib.md5(b"").hexdigest()[:15], 16) % 1_000_000)
+    assert _decode_stub(b"") == (hashlib.md5(b"").hexdigest(), [empty_f] * 4)
+    # 8-byte payload: quarters are 2 bytes each, head slice is whole
+    head, feats = _decode_stub(b"abcdefgh")
+    assert head == hashlib.md5(b"abcdefgh").hexdigest()
+    assert feats == [
+        float(int(hashlib.md5(s).hexdigest()[:15], 16) % 1_000_000)
+        for s in (b"ab", b"cd", b"ef", b"gh")
+    ]
 
 
 def test_decode_pipeline_schema_and_values(spark):
     out = q_e_mm_decode(spark, SF_SMOKE)
     assert out.schema.simpleString() == (
-        "struct<doc_id:bigint,n_bytes:bigint,byte_sum_mod:bigint,feat:array<double>>"
+        "struct<doc_id:bigint,n_bytes:bigint,head_md5:string,"
+        "f0:double,f1:double,f2:double,f3:double>"
     )
     rows = out.collect()
     assert len(rows) > 0
     for r in rows[:10]:
-        assert r.n_bytes == r.feat[0] > 0
-        assert r.byte_sum_mod == r.feat[3]
+        assert r.n_bytes > 0
+        assert len(r.head_md5) == 32
+        for f in (r.f0, r.f1, r.f2, r.f3):
+            assert 0.0 <= f < 1_000_000.0
 
 
 def test_decode_pipeline_partitioning_invariant(spark):
     """mapInPandas output must not depend on the batch/partition layout."""
-    a = {r.doc_id: tuple(r.feat) for r in q_e_mm_decode(spark, SF_SMOKE).collect()}
+    a = {
+        r.doc_id: (r.head_md5, r.f0, r.f1, r.f2, r.f3)
+        for r in q_e_mm_decode(spark, SF_SMOKE).collect()
+    }
     from glaciersgee_spark.operators.multimodal import _FEATURE_SCHEMA
     from glaciersgee_spark.tables import load_table
 
@@ -93,7 +109,7 @@ def test_decode_pipeline_partitioning_invariant(spark):
         .repartition(13)
     )
     b = {
-        r.doc_id: tuple(r.feat)
+        r.doc_id: (r.head_md5, r.f0, r.f1, r.f2, r.f3)
         for r in d.mapInPandas(decode_features, _FEATURE_SCHEMA).collect()
     }
     assert a == b

@@ -172,3 +172,26 @@ def test_trailing_window_hand_computed(spark):
         for r in df.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3, 4: 1}
+
+
+def test_cobucket_pairs_caps_hot_buckets(spark):
+    """A degenerate bucket above max_bucket is dropped (no quadratic
+    expansion), healthy buckets still pair, and bucket_overflow reports
+    exactly the dropped bucket with its would-be pair count."""
+    from glaciersgee_spark.operators.lsh import bucket_overflow, cobucket_pairs
+
+    rows = [(i, 0, 99) for i in range(12)]  # hot bucket: 12 entities
+    rows += [(100, 0, 7), (101, 0, 7)]  # healthy bucket: 2 entities
+    banded = spark.createDataFrame(rows, "id long, band int, bkey long")
+
+    capped = cobucket_pairs(banded, ["band", "bkey"], ["id"], max_bucket=10)
+    got = {(r.a.id, r.b.id) for r in capped.collect()}
+    assert got == {(100, 101)}
+
+    uncapped = cobucket_pairs(banded, ["band", "bkey"], ["id"], max_bucket=None)
+    assert uncapped.count() == 12 * 11 // 2 + 1
+
+    audit = bucket_overflow(banded, ["band", "bkey"], max_bucket=10).collect()
+    assert len(audit) == 1
+    assert audit[0].n_entities == 12
+    assert audit[0].n_pairs_dropped == 66

@@ -165,3 +165,67 @@ def test_stratified_sample_is_narrow(spark):
 
     plan = PI.formatted(q_e_stratified_sample(spark, SF_SMOKE))
     assert "Exchange" not in plan
+
+
+def test_ann_recall_shares_persisted_subtrees(spark):
+    """The recall audit's banding pass and ground-truth panel are
+    persisted and reused — the plan must read cached subtrees, keep a
+    bounded shuffle count, and the only Python boundary is the declared
+    Arrow panel kernel."""
+    from glaciersgee_spark.operators.similarity import q_e_ann_recall
+
+    df = q_e_ann_recall(spark, SF_SMOKE)
+    f = PI.formatted(df)
+    x = PI.executed(df)
+    assert PI.count_shuffles(f) <= 7
+    assert "CartesianProduct" not in x
+    assert "InMemoryTableScan" in x or "TableCacheQueryStage" in x
+
+
+def test_ivf_recall_shares_persisted_subtrees(spark):
+    from glaciersgee_spark.operators.similarity import q_e_ivf_recall
+
+    df = q_e_ivf_recall(spark, SF_SMOKE)
+    f = PI.formatted(df)
+    x = PI.executed(df)
+    assert PI.count_shuffles(f) <= 9
+    assert "CartesianProduct" not in x
+    assert "InMemoryTableScan" in x or "TableCacheQueryStage" in x
+
+
+def test_dedup_cluster_stays_jvm_side(spark):
+    """Label propagation is joins+groupBys only: no Python boundary,
+    no cartesian, dims broadcast."""
+    from glaciersgee_spark.operators.dedup import q_e_dedup_cluster
+
+    df = q_e_dedup_cluster(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert not PI.has_python_boundary(x)
+    assert "CartesianProduct" not in x
+
+
+def test_curation_funnel_reuses_cached_loser_set(spark):
+    """The funnel must consume q_e_dedup_near_md5's persisted pair set
+    (one InMemoryTableScan) and broadcast the loser side — never
+    recompute the shingle→minhash→band chain inline."""
+    from glaciersgee_spark.operators.dedup import q_e_curation_funnel
+
+    df = q_e_curation_funnel(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "InMemoryTableScan" in x or "TableCacheQueryStage" in x
+    assert "BroadcastHashJoin" in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_dedup_simhash_bounded_shuffles_jvm_only(spark):
+    """48 bit-vote sums ride ONE map-side-combined aggregate; banding
+    adds the pair groupBy and the verify join — 4 shuffles ceiling,
+    all JVM."""
+    from glaciersgee_spark.operators.dedup import q_e_dedup_simhash
+
+    df = q_e_dedup_simhash(spark, SF_SMOKE)
+    f = PI.formatted(df)
+    x = PI.executed(df)
+    assert PI.count_shuffles(f) <= 4
+    assert not PI.has_python_boundary(x)
+    assert "CartesianProduct" not in x

@@ -48,9 +48,9 @@ def test_near_dup_pairs_canonical_and_bounded(spark):
 
 
 def test_lsh_candidates_superset_of_high_jaccard(spark):
-    """Every very-high-Jaccard pair (≥0.9) must be caught by MinHash
-    banding (4 bands × 2 of 8 minhashes: miss probability ≤
-    (1-j²)⁴ ≈ 1e-3 at j=0.9 — treat a miss as failure)."""
+    """Every very-high-Jaccard pair (≥0.9) must be caught by the
+    high-recall banding (8 bands × 1 of 8 minhashes: miss probability
+    ≤ (1-j)⁸ = 1e-8 at j=0.9 — treat a miss as failure)."""
     lsh = {(r.id_a, r.id_b) for r in q_e_dedup_near(spark, SF_SMOKE).collect()}
     exact = {
         (r.id_a, r.id_b)
@@ -160,23 +160,24 @@ def test_seq_pack_offsets_are_contiguous(spark):
 
 
 def test_dedup_near_md5_agrees_with_jaccard_verify(spark):
-    """Both near-dup pipelines score exact Jaccard; wherever a pair
-    appears in both outputs the scores must agree (different shingle
-    hash families, same underlying sets)."""
+    """Both near-dup configurations score exact Jaccard over the same
+    md5 hash family; the 4×2 banding's verified pairs must be a subset
+    of the 8×1 high-recall variant's (any 2-row band collision implies
+    both single-row band collisions), with identical scores."""
     from glaciersgee_spark.operators.dedup import q_e_dedup_near_md5
 
     md5_pairs = {
         (r.id_a, r.id_b): r.jaccard
         for r in q_e_dedup_near_md5(spark, SF_SMOKE).collect()
     }
-    xx_pairs = {
+    hr_pairs = {
         (r.id_a, r.id_b): r.jaccard
         for r in q_e_dedup_near(spark, SF_SMOKE).collect()
     }
-    common = set(md5_pairs) & set(xx_pairs)
-    assert common, "banding families should agree on at least one pair"
-    for k in common:
-        assert abs(md5_pairs[k] - xx_pairs[k]) < 1e-12
+    assert md5_pairs, "smoke corpus should contain near-dup pairs"
+    assert set(md5_pairs) <= set(hr_pairs)
+    for k in md5_pairs:
+        assert abs(md5_pairs[k] - hr_pairs[k]) < 1e-12
 
 
 def test_decontaminate_never_flags_eval_docs(spark):
@@ -403,9 +404,11 @@ def test_registry_contract():
 
     assert all(re.fullmatch(r"q_[a-f]_[a-z0-9_]+", k) for k in G.QUERIES)
     rows_only = set(G.QUERIES) - set(G.ORACLE)
-    # HLL sketch (engine-specific estimate), xxhash64 MinHash scale
-    # path (hash not reproducible in DuckDB), stubbed multimodal codec.
-    assert rows_only == {"q_b_agg_approx", "q_e_dedup_near", "q_e_mm_decode"}, rows_only
+    # Round 2: every query is oracle-backed (the HLL sketch emits its
+    # exact companion + tolerance bool; near-dup moved to the md5
+    # cross-engine hash family; the multimodal stub codec is md5-slice
+    # based and DuckDB-reproducible).
+    assert rows_only == set(), rows_only
 
 
 def test_hard_negatives_within_topk_and_wrong_label(spark):
