@@ -133,6 +133,20 @@ _MH_PERMS = [
     )
 ]
 
+# Independent 16-permutation family for the high-recall configuration
+# (8 bands × 2 rows — more bands at the SAME row width, never 1-row
+# bands: r=1 OR-banding collapses toward all-pairs on correlated
+# corpora — measured 2.26M candidates over 5k docs vs 87k for 8×2).
+N_MINHASH_HR = 16
+_MH_RS_HR = np.random.RandomState(13)
+_MH_PERMS_HR = [
+    (int(a), int(b))
+    for a, b in zip(
+        _MH_RS_HR.randint(1, 1_000_000, N_MINHASH_HR),
+        _MH_RS_HR.randint(0, 1_000_000, N_MINHASH_HR),
+    )
+]
+
 _SPARK_SHHASH = (
     "array_distinct(transform(sh, s -> "
     "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"
@@ -143,8 +157,10 @@ _DUCK_SHHASH = (
 )
 
 
-def _mh_expr(dialect: str, p: int) -> str:
-    a, b = _MH_PERMS[p]
+def _mh_expr(
+    dialect: str, p: int, perms: list[tuple[int, int]] = _MH_PERMS
+) -> str:
+    a, b = perms[p]
     body = f"({a} * (x % {_MHM}) + {b}) % {_MHM}"
     if dialect == "spark":
         return f"array_min(transform(hh, x -> {body}))"
@@ -163,24 +179,29 @@ def _duck_bkey(k: int, band_size: int) -> str:
     return " + ".join(terms)
 
 
-def _duck_md5_ctes(band_size: int) -> str:
+def _duck_md5_ctes(
+    band_size: int,
+    n_minhash: int = N_MINHASH,
+    perms: list[tuple[int, int]] | None = None,
+) -> str:
     """The md5-MinHash pipeline as a CTE chain ending in `mpairs(id_a,
-    id_b, jaccard)` — shared by the pair queries (q_e_dedup_near_md5 at
-    band_size=2, q_e_dedup_near at band_size=1) and the cluster query
-    (q_e_dedup_cluster) so the oracles stay literally identical on the
-    candidate/verify stages."""
+    id_b, jaccard)` — shared by the pair queries (q_e_dedup_near_md5:
+    4×2 over 8 perms; q_e_dedup_near: 8×2 over 16 perms) and the
+    cluster query (q_e_dedup_cluster) so the oracles stay literally
+    identical on the candidate/verify stages."""
+    perms = _MH_PERMS if perms is None else perms
     return f"""d AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS sh
       FROM documents WHERE len(string_split(text, ' ')) >= 3
     ),
     h AS (SELECT doc_id, {_DUCK_SHHASH} AS hh FROM d),
     mh AS (SELECT doc_id,
-                  [{', '.join(_mh_expr('duck', p) for p in range(N_MINHASH))}] AS mhs
+                  [{', '.join(_mh_expr('duck', p, perms) for p in range(n_minhash))}] AS mhs
            FROM h),
     bands AS (
       {' UNION ALL '.join(
           f"SELECT doc_id, {k} AS band, {_duck_bkey(k, band_size)} AS bkey FROM mh"
-          for k in range(N_MINHASH // band_size))}
+          for k in range(n_minhash // band_size))}
     ),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
@@ -223,14 +244,21 @@ def _md5_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _md5_pairs(
-    spark: SparkSession, sf_dir: str, band_size: int = BAND_SIZE
+    spark: SparkSession,
+    sf_dir: str,
+    band_size: int = BAND_SIZE,
+    n_minhash: int = N_MINHASH,
+    perms: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, band_size)
+    perms = _MH_PERMS if perms is None else perms
+    key = (spark.sparkContext.applicationId, sf_dir, band_size, n_minhash)
     cached = _MD5_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
     base = _md5_base(spark, sf_dir)
-    mh = [F.expr(_mh_expr("spark", p)).alias(f"mh{p}") for p in range(N_MINHASH)]
+    mh = [
+        F.expr(_mh_expr("spark", p, perms)).alias(f"mh{p}") for p in range(n_minhash)
+    ]
 
     def bkey(k: int):
         col = F.col(f"mh{band_size * k}")
@@ -244,7 +272,7 @@ def _md5_pairs(
             F.array(
                 *[
                     F.struct(F.lit(k).alias("band"), bkey(k).alias("bkey"))
-                    for k in range(N_MINHASH // band_size)
+                    for k in range(n_minhash // band_size)
                 ]
             )
         ).alias("bb"),
@@ -296,27 +324,31 @@ def q_e_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_e_dedup_near",
     oracle=f"""
-    WITH {_duck_md5_ctes(1)}
+    WITH {_duck_md5_ctes(BAND_SIZE, N_MINHASH_HR, _MH_PERMS_HR)}
     SELECT id_a, id_b, jaccard FROM mpairs
     """,
 )
 def q_e_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-recall near-dup variant: 8 bands × 1 minhash row.
+    """High-recall near-dup variant: 8 bands × 2 rows over 16 minhashes.
 
     Same md5-derived cross-engine hash family and verify stage as
-    q_e_dedup_near_md5, OR-amplified instead of AND-OR: a pair is a
-    candidate if ANY single minhash collides, so recall at the J=0.5
-    verify threshold is 1-(1-J)^8 ≈ 99.6% (vs ≈ 68% for 4×2 banding)
-    at the cost of a larger candidate set to verify — the sweep a
-    curation pipeline runs when missed duplicates are costlier than
-    verify compute. (Round 1 spelled this op with engine-local xxhash64
-    and a rows-only check; the md5 family makes it fully hash-checked —
-    VERDICT.md round 1, task 4.)
+    q_e_dedup_near_md5; recall is raised by DOUBLING the band count at
+    the same row width r=2 — 1-(1-J²)^8 ≈ 90% at the J=0.5 verify
+    threshold (vs ≈ 68% for 4×2) — the sweep a curation pipeline runs
+    when missed duplicates are costlier than verify compute. r=1
+    OR-banding was rejected: its per-pair candidate probability 8J on
+    dissimilar pairs collapses toward all-pairs on correlated corpora
+    (measured 2.26M candidates over 5k docs vs 87k for 8×2 — a
+    scale-killer at 1B docs). (Round 1 spelled this op with
+    engine-local xxhash64 and a rows-only check; the md5 family makes
+    it fully hash-checked — VERDICT.md round 1, task 4.)
 
-    Scale shape identical: banding bounds bucket sizes, cobucket_pairs
-    expands per bucket, one shuffle, no O(n²) stage.
+    Scale shape identical to q_e_dedup_near_md5: banding bounds bucket
+    sizes, cobucket_pairs expands per bucket (hot buckets capped), one
+    groupBy shuffle, no O(n²) stage; the hashed-shingle base is shared
+    (persisted once) with the 4×2 pipeline.
     """
-    return _md5_pairs(spark, sf_dir, 1)
+    return _md5_pairs(spark, sf_dir, BAND_SIZE, N_MINHASH_HR, _MH_PERMS_HR)
 
 
 @query(

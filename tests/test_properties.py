@@ -49,8 +49,8 @@ def test_near_dup_pairs_canonical_and_bounded(spark):
 
 def test_lsh_candidates_superset_of_high_jaccard(spark):
     """Every very-high-Jaccard pair (≥0.9) must be caught by the
-    high-recall banding (8 bands × 1 of 8 minhashes: miss probability
-    ≤ (1-j)⁸ = 1e-8 at j=0.9 — treat a miss as failure)."""
+    high-recall banding (8 bands × 2 of 16 minhashes: miss probability
+    ≤ (1-j²)⁸ ≈ 2e-6 at j=0.9 — treat a miss as failure)."""
     lsh = {(r.id_a, r.id_b) for r in q_e_dedup_near(spark, SF_SMOKE).collect()}
     exact = {
         (r.id_a, r.id_b)
@@ -161,9 +161,9 @@ def test_seq_pack_offsets_are_contiguous(spark):
 
 def test_dedup_near_md5_agrees_with_jaccard_verify(spark):
     """Both near-dup configurations score exact Jaccard over the same
-    md5 hash family; the 4×2 banding's verified pairs must be a subset
-    of the 8×1 high-recall variant's (any 2-row band collision implies
-    both single-row band collisions), with identical scores."""
+    md5 shingle hashes (independent permutation families → different
+    candidate sets); wherever a pair appears in both outputs the
+    scores must be identical."""
     from glaciersgee_spark.operators.dedup import q_e_dedup_near_md5
 
     md5_pairs = {
@@ -174,9 +174,9 @@ def test_dedup_near_md5_agrees_with_jaccard_verify(spark):
         (r.id_a, r.id_b): r.jaccard
         for r in q_e_dedup_near(spark, SF_SMOKE).collect()
     }
-    assert md5_pairs, "smoke corpus should contain near-dup pairs"
-    assert set(md5_pairs) <= set(hr_pairs)
-    for k in md5_pairs:
+    common = set(md5_pairs) & set(hr_pairs)
+    assert common, "banding configurations should agree on at least one pair"
+    for k in common:
         assert abs(md5_pairs[k] - hr_pairs[k]) < 1e-12
 
 
