@@ -29,6 +29,7 @@ def load_all_queries() -> None:
     import glaciersgee_spark.operators.dedup  # noqa: F401
     import glaciersgee_spark.operators.similarity  # noqa: F401
     import glaciersgee_spark.operators.text  # noqa: F401
+    import glaciersgee_spark.operators.curation  # noqa: F401
     import glaciersgee_spark.operators.retrieval  # noqa: F401
     import glaciersgee_spark.operators.multimodal  # noqa: F401
     import glaciersgee_spark.functions.scalar  # noqa: F401

@@ -1,0 +1,378 @@
+"""Group E — corpus-curation extensions (round 2).
+
+Four more LLM-training-pipeline stages over the documents corpus:
+
+* ``q_e_ppl_buckets``   — CCNet-style per-language head/middle/tail
+  bucketing by unigram-LM score (the "perplexity buckets" curation
+  split of Wenzek et al., CCNet).
+* ``q_e_vocab_coverage`` — out-of-vocabulary rate per doc against the
+  corpus top-K vocabulary, rolled up per (lang, source) — the
+  tokenizer-coverage audit run before training.
+* ``q_e_quality_classifier`` — fixed-weight linear model + sigmoid
+  over engineered doc features (the fastText-quality-classifier shape
+  of GPT-3/LLaMA pipelines, with literal weights instead of a model
+  file).
+* ``q_e_window_dedup`` — exact substring-duplication detection at
+  rolling-8-token-window granularity (the scalable relaxation of
+  suffix-array substring dedup, Lee et al. 2021: a window hash seen
+  in ≥2 distinct docs marks both as sharing a verbatim span).
+
+Reference parity: the reference checkout is empty (SURVEY.md §0);
+these are driver-mandated LLM-pipeline extensions (BASELINE.json:6),
+not reference ports. All four are pure built-in-function pipelines —
+no Python UDFs — so the hot paths stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from glaciersgee_spark.registry import davg, query
+from glaciersgee_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q_e_ppl_buckets
+# ---------------------------------------------------------------------------
+
+# Shared unigram-LM CTE chain (same spellings as q_e_ngram_lm's oracle:
+# ln rounded at 6 dp, exact-decimal per-doc mean) so the two queries
+# stay literally parallel.
+_LM_CTES = f"""toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+    lm AS (
+      SELECT doc_id, {davg('round(ln(CAST(c AS DOUBLE) / t), 6)')} AS avg_logp
+      FROM toks JOIN cnt USING (token) CROSS JOIN tot
+      GROUP BY doc_id
+    )"""
+
+
+@query(
+    "q_e_ppl_buckets",
+    oracle=f"""
+    WITH {_LM_CTES},
+    ranked AS (
+      SELECT d.lang, lm.avg_logp,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY lm.avg_logp DESC, lm.doc_id ASC) AS tile
+      FROM lm JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(avg_logp) AS lo_logp,
+           MAX(avg_logp) AS hi_logp
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q_e_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every doc inside its
+    language by unigram-LM score (best = least perplexing first) and
+    cut each language into head/middle/tail thirds — the standard
+    quality-stratified curation split.
+
+    NTILE(3) with a (score DESC, doc_id ASC) order is deterministic
+    and identical across engines. The LM score reuses q_e_ngram_lm's
+    exact-decimal spelling, so scores are bit-identical too. Shape at
+    100 TB: wordcount (map-side combinable) + broadcast vocab join +
+    one per-language window — the window's partition key is `lang`
+    (bounded cardinality), so each partition sorts independently; no
+    global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    t_total = float(toks.count())
+    logp = f"round(ln(CAST(c AS DOUBLE) / CAST({t_total!r} AS DOUBLE)), 6)"
+    lm = (
+        toks.join(F.broadcast(cnt), "token")
+        .groupBy("doc_id")
+        .agg(F.expr(davg(logp)).alias("avg_logp"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id").asc()
+    )
+    ranked = lm.join(d.select("doc_id", "lang"), "doc_id").withColumn(
+        "tile", F.ntile(3).over(w)
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.select("lang", bucket.alias("bucket"), "avg_logp")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logp").alias("lo_logp"),
+            F.max("avg_logp").alias("hi_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_vocab_coverage
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 16  # corpus vocabulary is 31 tokens (measured) → real OOV mass
+OOV_HI = 0.4
+
+
+@query(
+    "q_e_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT {VOCAB_K}
+      )
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, source,
+             COUNT(*) AS n_tok,
+             COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+             round(CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                   / COUNT(*), 6) AS oov_rate
+      FROM toks t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY doc_id, lang, source
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {davg('oov_rate')} AS avg_oov_rate,
+           CAST(COUNT(*) FILTER (WHERE oov_rate > {OOV_HI}) AS BIGINT)
+             AS n_high_oov
+    FROM per_doc GROUP BY lang, source
+    """,
+)
+def q_e_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: OOV rate of every doc against the
+    corpus top-K vocabulary, rolled up per (lang, source) with the
+    count of high-OOV docs — run before training to catch sources the
+    tokenizer would shred into bytes.
+
+    The vocabulary is a top-K aggregate (map-side combinable word
+    count, then a K-row sort) broadcast back against the token stream;
+    the per-doc and per-group rollups are both partial-aggregatable.
+    Nothing here depends on corpus size except the two wordcount
+    shuffles — the 100 TB plan is the same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov").cast("double") / F.col("n_tok"), 6)
+        )
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(davg("oov_rate")).alias("avg_oov_rate"),
+        F.count(F.when(F.col("oov_rate") > OOV_HI, 1)).cast("long").alias("n_high_oov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_quality_classifier
+# ---------------------------------------------------------------------------
+
+# Fixed literal weights (a real pipeline loads a trained fastText /
+# logistic model; the engine shape — scan-side feature engineering +
+# linear score + sigmoid, zero shuffles — is identical).
+_W0, _W_LEN, _W_DISTINCT, _W_STOP, _W_TOKLEN = -2.0, 0.9, 2.2, 1.8, 0.4
+_CLS_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_IN = ", ".join(f"'{s}'" for s in _CLS_STOPWORDS)
+
+
+@query(
+    "q_e_quality_classifier",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_STOP_IN}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, distinct_ratio, stop_ratio,
+             round({_W0} + {_W_LEN} * (CAST(n_tokens AS DOUBLE) / 100.0)
+                   + {_W_DISTINCT} * distinct_ratio
+                   + {_W_STOP} * stop_ratio
+                   + {_W_TOKLEN} * (avg_token_len / 10.0), 6) AS logit
+      FROM feat
+    )
+    SELECT doc_id, n_tokens, distinct_ratio, stop_ratio, logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+           round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+    FROM scored
+    """,
+)
+def q_e_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: engineered per-doc features →
+    fixed-weight logistic score → keep verdict (the quality-classifier
+    stage of GPT-3/LLaMA-style pipelines, weights as literals).
+
+    Pure scan-side codegen expressions, zero shuffles — per-doc work
+    is O(doc length) and embarrassingly parallel at any scale. The
+    logit is rounded at 6 dp before the sigmoid (and the sigmoid
+    re-rounded) per the cross-engine libm contract of SURVEY.md §7.4.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _CLS_STOPWORDS])
+    feat = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / n_tok
+        ).alias("stop_ratio"),
+        ((F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+    )
+    logit = F.round(
+        F.lit(_W0)
+        + F.lit(_W_LEN) * (F.col("n_tokens").cast("double") / 100.0)
+        + F.lit(_W_DISTINCT) * F.col("distinct_ratio")
+        + F.lit(_W_STOP) * F.col("stop_ratio")
+        + F.lit(_W_TOKLEN) * (F.col("avg_token_len") / 10.0),
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6)
+    return (
+        feat.withColumn("logit", logit)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ratio",
+            "stop_ratio",
+            "logit",
+            score.alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_window_dedup
+# ---------------------------------------------------------------------------
+
+WIN_TOKENS = 8
+WIN_DUP_FRAC = 0.2
+
+
+@query(
+    "q_e_window_dedup",
+    oracle=f"""
+    WITH wins AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - {WIN_TOKENS - 2}),
+               i -> md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + {WIN_TOKENS - 1}),
+                      ' ')))) AS wh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {WIN_TOKENS}
+    ),
+    shared AS (
+      SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE s.wh IS NOT NULL) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(COUNT(*) FILTER (WHERE s.wh IS NOT NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac,
+           round(CAST(COUNT(*) FILTER (WHERE s.wh IS NOT NULL) AS DOUBLE)
+                 / COUNT(*), 6) >= {WIN_DUP_FRAC} AS flagged
+    FROM wins w LEFT JOIN shared s ON w.wh = s.wh
+    GROUP BY doc_id
+    """,
+)
+def q_e_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication audit at rolling-window granularity
+    — the scalable relaxation of suffix-array substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): hash every 8-token window, find hashes seen in ≥2
+    distinct docs, report each doc's duplicated-window fraction.
+
+    Scale shape: window expansion is a scan-side higher-order
+    expression (≈ L windows per doc, no shuffle); the shared-window
+    set is ONE map-side-combinable count-distinct aggregate — never a
+    pair join, so a pathological window shared by a million docs costs
+    one counter, not 10¹² candidate pairs. The shared set (≪ corpus)
+    broadcasts back against the window stream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.split("text", " ").alias("tk")).where(
+        F.size("tk") >= WIN_TOKENS
+    )
+    wins = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {WIN_TOKENS - 1}), "
+                f"i -> md5(array_join(slice(tk, i, {WIN_TOKENS}), ' ')))"
+            )
+        ).alias("wh"),
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh", F.lit(True).alias("is_shared"))
+    )
+    per_doc = (
+        wins.join(F.broadcast(shared), "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("is_shared"), 1)).alias("n_dup_windows"),
+        )
+    )
+    frac = F.round(
+        F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        frac.alias("dup_frac"),
+        (frac >= WIN_DUP_FRAC).alias("flagged"),
+    )

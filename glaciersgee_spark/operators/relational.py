@@ -725,11 +725,13 @@ def q_b_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # countDistinct with the HLL in one agg forces the Expand-based
     # distinct plan, dragging the sketch over duplicated rows (~3.5×
     # slower measured). Separately, each runs its natural partial+final
-    # plan; the join is a 3-row broadcast.
-    approx = li.groupBy("l_returnflag").agg(
+    # plan; the join is a 3-row broadcast. The shared 2-column slice is
+    # fanned out once so both partial aggregates run on all cores.
+    slim = fan_out(li.select("l_returnflag", "l_partkey"))
+    approx = slim.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part")
     )
-    exact = li.groupBy("l_returnflag").agg(
+    exact = slim.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_nd_part")
     )
     return approx.join(F.broadcast(exact), "l_returnflag").select(
@@ -1388,3 +1390,150 @@ def q_b_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return readers.read_orc(spark, out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: recursive CTE, null-safe join, text-file source
+# ---------------------------------------------------------------------------
+
+# One SQL text, run verbatim by BOTH engines (Spark 4.1 ships WITH
+# RECURSIVE; DuckDB always had it) — the time-spine densification
+# shape: generate every month between the corpus min and max order
+# month, left-join monthly order stats, surface gap months explicitly.
+# The recursion steps by YEAR (each recursive step is a full Spark
+# plan iteration ≈ 0.2 s driver-side, so an O(years) spine beats an
+# O(months) one 12×; the 12 in-year months come from a static UNION
+# ALL literal that both dialects accept) and the month spine is the
+# year-spine × months grid clipped to [lo, hi].
+_RCTE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS lo,
+             MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS hi
+      FROM orders
+    ),
+    years(y, hi_y) AS (
+      SELECT CAST(floor((lo - 1) / 12.0) AS INT),
+             CAST(floor((hi - 1) / 12.0) AS INT)
+      FROM bounds
+      UNION ALL
+      SELECT y + 1, hi_y FROM years WHERE y < hi_y
+    ),
+    months(mo) AS (
+      SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+      UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+      UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
+      UNION ALL SELECT 11 UNION ALL SELECT 12
+    ),
+    spine AS (
+      SELECT y * 12 + mo AS m
+      FROM years, months, bounds
+      WHERE y * 12 + mo BETWEEN lo AND hi
+    ),
+    monthly AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(s.m AS BIGINT) AS month_id,
+           CAST(floor((s.m - 1) / 12.0) AS BIGINT) AS yr,
+           CAST(s.m - 12 * floor((s.m - 1) / 12.0) AS BIGINT) AS mo,
+           CAST(COALESCE(t.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(t.n_custs, 0) AS BIGINT) AS n_custs,
+           t.n_orders IS NULL AS is_gap
+    FROM spine s LEFT JOIN monthly t ON s.m = t.m
+"""
+
+
+@query("q_b_recursive_cte", oracle=_RCTE_SQL)
+def q_b_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.1): calendar-spine
+    densification — generate the full month range between the corpus
+    min/max order month and left-join per-month order stats so gap
+    months surface as explicit zero rows (the time-series-completeness
+    shape every ingest-cadence dashboard needs).
+
+    The IDENTICAL SQL text runs on both engines (oracle == query), so
+    parity is definitional. Scale shape: the recursion generates one
+    row per month — O(time range), independent of fact size — while
+    the fact-side work is a single map-side-combinable month rollup;
+    the spine joins broadcast-small against it.
+    """
+    from glaciersgee_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RCTE_SQL)
+
+
+@query(
+    "q_b_join_nullsafe",
+    oracle="""
+    WITH fact AS (
+      SELECT event_id,
+             CASE WHEN value < 1.0 THEN NULL ELSE event_type END AS k
+      FROM events
+    ),
+    dim AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM fact GROUP BY k)
+    SELECT f.k, d.n_k, CAST(COUNT(*) AS BIGINT) AS n_joined
+    FROM fact f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k
+    GROUP BY f.k, d.n_k
+    """,
+)
+def q_b_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): rows whose
+    derived key is NULL still match the dimension's NULL row — the
+    semantics a plain equi join silently drops. Spark plans `<=>` as a
+    regular hash-join key (EqualNullSafe is hashable), so this stays a
+    broadcast/shuffle hash join, NOT a nested-loop — the property that
+    matters at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("value") < 1.0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+    )
+    dim = fact.groupBy("k").agg(F.count(F.lit(1)).alias("n_k")).withColumnRenamed(
+        "k", "dk"
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["k"].eqNullSafe(dim["dk"]))
+        .groupBy("k", "n_k")
+        .agg(F.count(F.lit(1)).alias("n_joined"))
+    )
+
+
+@query(
+    "q_b_scan_text",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_b_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-file source: write pipe-delimited manifest
+    lines with the text sink, read them back with `spark.read.text`
+    (one `value` column per line) and parse fields back out with
+    split/cast — the log-file-ingest shape. The oracle recomputes from
+    the parquet source, so the round-trip (double → Java shortest
+    string → double is exact) is what's being verified.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="ggee_text_")
+    lines = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.concat_ws(
+            "|",
+            F.lit("ORD"),
+            F.col("o_orderkey").cast("string"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    parts = F.split("value", "\\|")
+    return spark.read.text(out).select(
+        parts.getItem(1).cast("long").alias("o_orderkey"),
+        parts.getItem(2).alias("o_orderstatus"),
+        parts.getItem(3).cast("double").alias("o_totalprice"),
+    )

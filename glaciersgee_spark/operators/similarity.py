@@ -1116,3 +1116,97 @@ def q_e_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
         F.round(F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6).alias("recall6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_kmeans_iter — one Lloyd's iteration (the IVF-training update step)
+# ---------------------------------------------------------------------------
+
+KM_K = 8  # distinct from IVF_NLIST=16 so the two ops exercise different cells
+
+
+@query(
+    "q_e_kmeans_iter",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
+          FROM v WHERE vec_id BETWEEN 1 AND {KM_K}),
+    sc AS (SELECT v.vec_id, c.cid,
+                  {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} AS cs
+           FROM v, c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, cid ASC) AS rk
+              FROM sc) WHERE rk = 1),
+    dims AS (SELECT a.cid,
+                    CAST(generate_subscripts(v.ve, 1) AS INT) AS d,
+                    unnest(v.ve) AS val
+             FROM asg a JOIN v USING (vec_id)),
+    newc AS (SELECT cid, d, {davg('val', scale=9)} AS nv
+             FROM dims GROUP BY cid, d),
+    old AS (SELECT cid, CAST(generate_subscripts(cve, 1) AS INT) AS d,
+                   unnest(cve) AS ov
+            FROM c),
+    sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned
+              FROM asg GROUP BY cid)
+    SELECT n.cid, s.n_assigned,
+           round(sqrt({dsum('(n.nv - o.ov) * (n.nv - o.ov)', scale=12)}), 6)
+             AS shift6,
+           round({dsum('n.nv', scale=9)}, 6) AS centroid_csum
+    FROM newc n JOIN old o USING (cid, d) JOIN sizes s ON n.cid = s.cid
+    GROUP BY n.cid, s.n_assigned
+    """,
+)
+def q_e_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's k-means iteration over the embedding corpus — the
+    training-update step behind the IVF coarse quantizer
+    (q_e_sim_topk_ivf consumes the trained cells): assign every vector
+    to its nearest of K=8 deterministic seed centroids (cosine argmax,
+    ties to the smaller centroid id), recompute each cell's mean
+    vector, and report per cell the membership count, the centroid
+    shift ‖new − old‖₂, and a checksum of the new centroid.
+
+    Scale shape: assignment is a broadcast join against the K-row
+    centroid table scored in one Arrow pass (no shuffle of vectors);
+    the update is a posexplode → (cell, dim) map-side-combinable
+    exact-decimal mean — the same two-stage shape a full distributed
+    k-means runs per iteration, so this op IS the building block the
+    100 TB training loop would call in a driver-side for-loop.
+    Old-vs-new deltas are exact-decimal sums, so the emitted shift is
+    bit-identical across engines and aggregation orders.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, KM_K)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "cid", _cos6("embedding", "cemb").alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+    asg = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    dims = (
+        asg.join(e, "vec_id")
+        .select("cid", F.posexplode(F.col("embedding").cast("array<double>")))
+        .select("cid", (F.col("pos") + 1).alias("d"), F.col("col").alias("val"))
+    )
+    newc = dims.groupBy("cid", "d").agg(F.expr(davg("val", scale=9)).alias("nv"))
+    old = cent.select(
+        "cid", F.posexplode(F.col("cemb").cast("array<double>"))
+    ).select("cid", (F.col("pos") + 1).alias("d"), F.col("col").alias("ov"))
+    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return (
+        newc.join(old, ["cid", "d"])
+        .join(F.broadcast(sizes), "cid")
+        .groupBy("cid", "n_assigned")
+        .agg(
+            F.round(
+                F.sqrt(F.expr(dsum("(nv - ov) * (nv - ov)", scale=12))), 6
+            ).alias("shift6"),
+            F.round(F.expr(dsum("nv", scale=9)), 6).alias("centroid_csum"),
+        )
+    )

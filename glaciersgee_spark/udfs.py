@@ -18,6 +18,7 @@ mirroring the oracle's DECIMAL pipeline (q_f_pandas_grouped_agg).
 from __future__ import annotations
 
 import decimal
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -202,3 +203,69 @@ def q_f_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        CAST(v.o_orderkey % 4 + 1 AS INT)) f
         """
     )
+
+
+# ------------------------------------------------------- group-map UDF
+
+
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Population z-score of n_chars within one language group.
+
+    All moments are exact int64 sums (n_chars ≤ ~1e3, Σx² ≲ 1e12 «
+    2⁶³), so numerator (x·n − Σx) and radicand (n·Σx² − (Σx)²) are
+    exact integers on both engines; the single sqrt + divide are then
+    IEEE-identical to the oracle's spelling.
+    """
+    import numpy as np
+
+    x = pdf["n_chars"].to_numpy(dtype="int64")
+    n = len(x)
+    s = int(x.sum())
+    ss = int((x * x).sum())
+    rad = n * ss - s * s
+    if rad > 0:
+        z = np.round((x * n - s).astype("float64") / math.sqrt(float(rad)), 6)
+    else:
+        z = np.zeros(n)
+    return pd.DataFrame({"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": z})
+
+
+@query(
+    "q_f_pandas_group_map",
+    oracle="""
+    WITH st AS (
+      SELECT lang, COUNT(*) AS n, SUM(n_chars) AS s,
+             SUM(n_chars * n_chars) AS ss
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           round((d.n_chars * st.n - st.s)
+                 / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)), 6) AS z
+    FROM documents d JOIN st ON d.lang = st.lang
+    """,
+)
+def q_f_pandas_group_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-map UDF (applyInPandas transform): per-language z-score
+    normalization of doc lengths — N rows in, N rows out per group,
+    the whole-group-in-memory API the built-ins can't express when the
+    transform needs every group row at once.
+
+    Scale note: parallelism is bounded by group count (5 languages ⇒ 5
+    Arrow batches) and each group must fit one executor's memory — the
+    documented applyInPandas contract. A 100 TB pipeline with few huge
+    groups would two-stage this (per-group moments via map-side-
+    combinable agg + broadcast join back, exactly the oracle's
+    spelling); this op declares the group-map API surface itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    slim = d.select("doc_id", "lang", "n_chars")
+    return slim.groupBy("lang").applyInPandas(_zscore_group, _ZSCORE_SCHEMA)

