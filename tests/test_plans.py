@@ -232,3 +232,42 @@ def test_dedup_simhash_bounded_shuffles_jvm_only(spark):
     assert PI.count_shuffles(f) <= 4
     assert not PI.has_python_boundary(x)
     assert "CartesianProduct" not in x
+
+
+def test_quality_classifier_is_narrow_jvm(spark):
+    from glaciersgee_spark.operators.curation import q_e_quality_classifier
+
+    df = q_e_quality_classifier(spark, SF_SMOKE)
+    plan = PI.executed(df)
+    assert PI.count_shuffles(plan) == 0
+    assert not PI.has_python_boundary(plan)
+
+
+def test_window_dedup_has_no_pair_join(spark):
+    """The shared-window set must come from an aggregate (count
+    distinct docs per hash), never a self-join that pairs doc ids."""
+    from glaciersgee_spark.operators.curation import q_e_window_dedup
+
+    df = q_e_window_dedup(spark, SF_SMOKE)
+    plan = PI.executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # shared set broadcasts back
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_kmeans_iter_broadcasts_centroids(spark):
+    from glaciersgee_spark.operators.similarity import q_e_kmeans_iter
+
+    df = q_e_kmeans_iter(spark, SF_SMOKE)
+    plan = PI.executed(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nullsafe_join_is_hash_join(spark):
+    from glaciersgee_spark.operators.relational import q_b_join_nullsafe
+
+    df = q_b_join_nullsafe(spark, SF_SMOKE)
+    plan = PI.executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
