@@ -376,3 +376,81 @@ def q_e_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_frac"),
         (frac >= WIN_DUP_FRAC).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_pack_efficiency
+# ---------------------------------------------------------------------------
+
+PACK_BLOCK = 128  # context-window block size in tokens
+
+
+@query(
+    "q_e_pack_efficiency",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(floor((len(string_split(text, ' ')) + {PACK_BLOCK - 1})
+                        / {PACK_BLOCK}.0) AS BIGINT) AS padded_blocks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_tok) AS sum_tokens,
+           SUM(padded_blocks) AS padded_blocks,
+           CAST(floor((SUM(n_tok) + {PACK_BLOCK - 1}) / {PACK_BLOCK}.0)
+                AS BIGINT) AS packed_blocks,
+           round(CAST(SUM(padded_blocks) * {PACK_BLOCK} - SUM(n_tok) AS DOUBLE)
+                 / (SUM(padded_blocks) * {PACK_BLOCK}), 6) AS pad_waste_frac,
+           round(1.0 - CAST(floor((SUM(n_tok) + {PACK_BLOCK - 1})
+                                  / {PACK_BLOCK}.0) AS DOUBLE)
+                       / SUM(padded_blocks), 6) AS packing_gain_frac
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_e_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency audit: per language, the padding
+    waste of one-doc-per-context batching (every doc rounded up to a
+    128-token block) versus the ideal dense packing q_e_seq_pack
+    implements — the number that justifies running a packer at all
+    (typical corpora waste 30-60% of tokens as padding unpacked).
+
+    Pure integer arithmetic end to end (counts, ceilings, block sums)
+    with single final divisions, so results are exact across engines.
+    One map-side-combinable rollup over a scan-side projection; the
+    100 TB plan is the same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    per_doc = d.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        F.floor((n_tok + (PACK_BLOCK - 1)) / float(PACK_BLOCK))
+        .cast("long")
+        .alias("padded_blocks"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum("padded_blocks").alias("padded_blocks"),
+    )
+    packed = (
+        F.floor((F.col("sum_tokens") + (PACK_BLOCK - 1)) / float(PACK_BLOCK))
+        .cast("long")
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        "padded_blocks",
+        packed.alias("packed_blocks"),
+        F.round(
+            (F.col("padded_blocks") * PACK_BLOCK - F.col("sum_tokens")).cast("double")
+            / (F.col("padded_blocks") * PACK_BLOCK),
+            6,
+        ).alias("pad_waste_frac"),
+        F.round(F.lit(1.0) - packed.cast("double") / F.col("padded_blocks"), 6).alias(
+            "packing_gain_frac"
+        ),
+    )

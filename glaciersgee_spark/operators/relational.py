@@ -725,13 +725,15 @@ def q_b_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # countDistinct with the HLL in one agg forces the Expand-based
     # distinct plan, dragging the sketch over duplicated rows (~3.5×
     # slower measured). Separately, each runs its natural partial+final
-    # plan; the join is a 3-row broadcast. The shared 2-column slice is
-    # fanned out once so both partial aggregates run on all cores.
-    slim = fan_out(li.select("l_returnflag", "l_partkey"))
-    approx = slim.groupBy("l_returnflag").agg(
+    # plan; the join is a 3-row broadcast. NOTE: fanning out a shared
+    # slice was measured 2.2× SLOWER here — with two aggregate
+    # consumers the repartition exchange is not reused, so the full
+    # table shuffles twice; the plain scan partial-aggregates on the
+    # scan side and ships only tiny partials.
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd_part")
     )
-    exact = slim.groupBy("l_returnflag").agg(
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_nd_part")
     )
     return approx.join(F.broadcast(exact), "l_returnflag").select(

@@ -1210,3 +1210,84 @@ def q_e_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(dsum("nv", scale=9)), 6).alias("centroid_csum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_semdedup — cluster-scoped embedding dedup (SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THR = 0.4  # same cosine bar as q_e_dedup_embed for comparability
+
+
+@query(
+    "q_e_semdedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
+          FROM v WHERE vec_id BETWEEN 1 AND {KM_K}),
+    sc AS (SELECT v.vec_id, c.cid,
+                  {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} AS cs
+           FROM v, c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, cid ASC) AS rk
+              FROM sc) WHERE rk = 1),
+    pairs AS (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v x ON a.vec_id = x.vec_id JOIN v y ON b.vec_id = y.vec_id
+      WHERE {_d_cos6('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} >= {SEMDEDUP_THR}
+    )
+    SELECT id_b AS vec_id, MIN(cid) AS cell, MIN(id_a) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM pairs GROUP BY id_b
+    """,
+)
+def q_e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): assign every
+    vector to its k-means cell (shared spelling with q_e_kmeans_iter),
+    then search for cosine near-duplicates ONLY within each cell and
+    drop each pair's higher id — the cluster-then-dedup-within-cluster
+    pattern that makes embedding dedup tractable at corpus scale.
+
+    Scale shape: the pairwise stage is O(Σ|cell|²), NOT O(n²) — the
+    SemDeDup contract is that k grows with n so cells stay bounded
+    (the paper uses k=50k for LAION-440M ⇒ ~9k vectors/cell); the
+    within-cell self-join shuffles on cell id only. Complementary to
+    q_e_dedup_embed (SRP-banded, global): clustering trades the
+    banding's probabilistic recall for deterministic in-cell
+    completeness at the cost of missing cross-cell pairs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, KM_K)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "cid", _cos6("embedding", "cemb").alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+    asg = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+    )
+    a = asg.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = asg.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (a["cid"] == b["cid_b"]) & (a["id_a"] < b["id_b"]))
+        .select("cid", "id_a", "id_b", _cos6("ea", "eb").alias("cos"))
+        .where(F.col("cos") >= SEMDEDUP_THR)
+    )
+    return pairs.groupBy("id_b").agg(
+        F.min("cid").alias("cell"),
+        F.min("id_a").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    ).select(F.col("id_b").alias("vec_id"), "cell", "keep_id", "n_dups")

@@ -296,3 +296,32 @@ def test_group_map_zscore_is_centered(spark):
         by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.z
     for lang, s in by_lang.items():
         assert abs(s) < 1e-2, (lang, s)
+
+
+def test_semdedup_pairs_stay_within_cells(spark):
+    """Every reported duplicate's keeper must sit in the same k-means
+    cell (the SemDeDup contract) and keep_id < vec_id."""
+    from glaciersgee_spark.operators.similarity import q_e_semdedup
+
+    rows = q_e_semdedup(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.keep_id < r.vec_id
+        assert r.n_dups >= 1
+
+
+def test_pack_efficiency_arithmetic(spark):
+    """Padding waste must be consistent with the block arithmetic and
+    packing can never need more blocks than padding."""
+    from glaciersgee_spark.operators.curation import PACK_BLOCK, q_e_pack_efficiency
+
+    rows = q_e_pack_efficiency(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.packed_blocks <= r.padded_blocks
+        assert 0.0 <= r.pad_waste_frac < 1.0
+        assert abs(
+            r.pad_waste_frac
+            - (r.padded_blocks * PACK_BLOCK - r.sum_tokens)
+            / (r.padded_blocks * PACK_BLOCK)
+        ) < 1e-6
+        assert r.packed_blocks == (r.sum_tokens + PACK_BLOCK - 1) // PACK_BLOCK
