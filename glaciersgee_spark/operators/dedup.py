@@ -1014,3 +1014,171 @@ def q_e_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_lsh_tuning — banding parameter sweep (recall/precision per config)
+# ---------------------------------------------------------------------------
+
+# Sweep configurations: (label, band_size r, n_minhash, perm family).
+# 4×2 is the shipped default (q_e_dedup_near_md5), 8×2 the high-recall
+# variant (q_e_dedup_near), 4×4 the AND-amplified high-precision end.
+_SWEEP = (
+    ("4x2", 2, 8),
+    ("8x2", 2, 16),
+    ("4x4", 4, 16),
+)
+
+
+def _mix_bkey_spark(band_size: int, k: int):
+    """Band key for the sweep: 31-mix fold of the band's minhashes.
+
+    The pair queries pack base-M (exact, collision-free) but M³
+    overflows int64 at r=4, so the sweep folds with ×31 instead —
+    values stay < 3·10¹³ at r=4 and the identical fold runs in DuckDB.
+    Fold collisions (≈10⁻⁹/pair) only ever ADD candidates, and
+    identically in both engines.
+    """
+    col = F.col(f"mh{band_size * k}")
+    for j in range(1, band_size):
+        col = col * 31 + F.col(f"mh{band_size * k + j}")
+    return col
+
+
+def _mix_bkey_duck(band_size: int, k: int) -> str:
+    expr = f"mhs[{band_size * k + 1}]"
+    for j in range(1, band_size):
+        expr = f"({expr}) * 31 + mhs[{band_size * k + j + 1}]"
+    return expr
+
+
+def _sweep_cands(spark: SparkSession, sf_dir: str, band_size: int, n_minhash: int) -> DataFrame:
+    base = _md5_base(spark, sf_dir)
+    perms = _MH_PERMS_HR if n_minhash > N_MINHASH else _MH_PERMS
+    mh = [F.expr(_mh_expr("spark", p, perms)).alias(f"mh{p}") for p in range(n_minhash)]
+    banded = base.select("doc_id", *mh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        _mix_bkey_spark(band_size, k).alias("bkey"),
+                    )
+                    for k in range(n_minhash // band_size)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    return cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+
+
+def _duck_sweep_ctes(tag: str, band_size: int, n_minhash: int) -> str:
+    perms = _MH_PERMS_HR if n_minhash > N_MINHASH else _MH_PERMS
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, {_mix_bkey_duck(band_size, k)} AS bkey"
+        f" FROM mh_{tag}"
+        for k in range(n_minhash // band_size)
+    )
+    return f"""mh_{tag} AS (SELECT doc_id,
+         [{', '.join(_mh_expr('duck', p, perms) for p in range(n_minhash))}] AS mhs
+       FROM h),
+    bands_{tag} AS ({bands}),
+    cand_{tag} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands_{tag} a JOIN bands_{tag} b
+                     ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id),
+    stats_{tag} AS (
+      SELECT '{tag}' AS config, {band_size} AS band_size,
+             {n_minhash // band_size} AS n_bands,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(COUNT(t.id_a) AS BIGINT) AS n_caught
+      FROM cand_{tag} c
+      LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )"""
+
+
+@query(
+    "q_e_lsh_tuning",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    h AS (SELECT doc_id, {_DUCK_SHHASH} AS hh FROM d),
+    dd AS (
+      SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM dd a JOIN dd b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    {','.join(_duck_sweep_ctes(t, bs, n) for t, bs, n in _SWEEP)},
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+    SELECT s.config, s.band_size, s.n_bands, s.n_candidates, s.n_caught,
+           n.n_true,
+           round(CAST(s.n_caught AS DOUBLE) / n.n_true, 6) AS recall6,
+           round(CAST(s.n_caught AS DOUBLE) / s.n_candidates, 6) AS precision6
+    FROM ({' UNION ALL '.join(f'SELECT * FROM stats_{t}' for t, _, _ in _SWEEP)}) s
+    CROSS JOIN n
+    """,
+)
+def q_e_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep: candidate volume, recall and
+    precision of three (bands × rows) configurations against the exact
+    J ≥ 0.5 ground truth — the measurement a pipeline owner runs
+    BEFORE fixing the banding of a corpus-scale dedup (theory: catch
+    probability 1−(1−J^r)^b; this measures where theory meets the
+    actual corpus). 4×2 is the shipped default, 8×2 the high-recall
+    OR-amplified variant, 4×4 the AND-amplified high-precision end.
+
+    Scale shape: the hashed-shingle base is computed once (persisted,
+    shared with every minhash query); each configuration adds one
+    banding expansion + one grouped pair expansion (hot buckets
+    capped) + one broadcast join against the bounded truth set. Truth
+    itself is the q_e_jaccard_verify inverted-index pipeline — block-
+    bounded, never all-pairs. Cost is 3 bandings, not 3 pipelines.
+    """
+    truth = (
+        q_e_jaccard_verify(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.lit(1).alias("is_true"))
+        .persist()
+    )
+    n_true = truth.count()  # bounded scalar (block-local true pairs)
+    per_cfg = []
+    for tag, bs, n in _SWEEP:
+        cand = _sweep_cands(spark, sf_dir, bs, n)
+        per_cfg.append(
+            cand.join(F.broadcast(truth), ["id_a", "id_b"], "left").agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.count("is_true").alias("n_caught"),
+            ).select(
+                F.lit(tag).alias("config"),
+                F.lit(bs).alias("band_size"),
+                F.lit(n // bs).alias("n_bands"),
+                "n_candidates",
+                "n_caught",
+            )
+        )
+    allc = per_cfg[0]
+    for c in per_cfg[1:]:
+        allc = allc.unionByName(c)
+    return allc.select(
+        "config",
+        "band_size",
+        "n_bands",
+        "n_candidates",
+        "n_caught",
+        F.lit(n_true).alias("n_true"),
+        F.round(F.col("n_caught").cast("double") / F.lit(n_true), 6).alias("recall6"),
+        F.round(F.col("n_caught").cast("double") / F.col("n_candidates"), 6).alias(
+            "precision6"
+        ),
+    )

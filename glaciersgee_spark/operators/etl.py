@@ -637,3 +637,66 @@ def q_a_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").alias("max_gap_s"),
         F.expr(f"{dsum('CAST(gap_s AS DOUBLE)')} / COUNT(gap_s)").alias("mean_gap_s"),
     )
+
+
+@query(
+    "q_a_cloud_window",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {davg('value')} AS day_cloud
+      FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ),
+    win AS (
+      SELECT user_id, day,
+             day_cloud
+               + LEAD(day_cloud, 1) OVER (PARTITION BY user_id ORDER BY day ASC)
+               + LEAD(day_cloud, 2) OVER (PARTITION BY user_id ORDER BY day ASC)
+               AS cloud3
+      FROM daily
+    )
+    SELECT user_id, day AS start_day, round(cloud3 / 3.0, 6) AS avg_cloud3
+    FROM (
+      SELECT user_id, day, cloud3,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cloud3 ASC, day ASC) AS rk
+      FROM win WHERE cloud3 IS NOT NULL
+    ) WHERE rk = 1
+    """,
+)
+def q_a_cloud_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal compositing-window selection: for each tile, the
+    3-consecutive-observed-day window with the lowest mean cloud cover
+    — the window a compositing pipeline would pick before calling
+    `ee.Reducer.median` over it (the contiguous-window dual of
+    `q_a_best_per_group`'s single-best-scene argmin).
+
+    Determinism: daily means are exact-decimal davg; the 3-term window
+    sum is written as one fixed left-to-right `a + b + c` expression
+    (never an AVG over a frame, whose accumulation order is
+    unspecified), so cloud3 is bit-identical across engines; ties
+    break on day. Scale shape: one shuffle to (tile, day) grain —
+    map-side combinable — then two windows sharing the same (tile →
+    day) partitioning, so Spark plans ONE exchange + sort for lead and
+    rank alike.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp").alias("day")
+    daily = ev.groupBy("user_id", day).agg(F.expr(davg("value")).alias("day_cloud"))
+    wl = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    win = daily.withColumn(
+        "cloud3",
+        F.col("day_cloud")
+        + F.lead("day_cloud", 1).over(wl)
+        + F.lead("day_cloud", 2).over(wl),
+    ).where(F.col("cloud3").isNotNull())
+    rk = Window.partitionBy("user_id").orderBy(F.col("cloud3").asc(), F.col("day").asc())
+    return (
+        win.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("day").alias("start_day"),
+            F.round(F.col("cloud3") / 3.0, 6).alias("avg_cloud3"),
+        )
+    )

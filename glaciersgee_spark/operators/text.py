@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from glaciersgee_spark.registry import davg, dsum, query
-from glaciersgee_spark.tables import load_table
+from glaciersgee_spark.tables import fan_out, load_table
 
 # Corpus-frequent function words to drop for "top terms" (fixed literal
 # list — the corpus vocabulary is synthetic data-engine words).
@@ -718,7 +718,11 @@ def q_e_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable. The corpus token total is a driver-side scalar, like
     q_e_tfidf's n_docs."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # fan_out: same two-consumer token stream as q_e_ppl_buckets — one
+    # reused repartition spreads the single-partition local scan.
+    toks = fan_out(d, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
     cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     t_total = float(toks.count())
     logp = f"round(ln(CAST(c AS DOUBLE) / CAST({t_total!r} AS DOUBLE)), 6)"
