@@ -398,3 +398,35 @@ def q_c_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.price_c").cast("double").alias("price_back"),
         (F.col("s.bucket") * 10 + F.length("s.status").cast("int")).alias("derived"),
     )
+
+
+@query(
+    "q_c_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+           CAST(json_extract(props, '$.k') AS DOUBLE) / 10.0 AS k_scaled,
+           json_extract(props, '$.missing') IS NULL AS missing_is_null
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def q_c_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT family (new in Spark 4): parse_json → VariantType →
+    typed variant_get path extraction — the semi-structured column
+    type that replaces string-JSON re-parsing per access. The oracle
+    reads the same paths with DuckDB's JSON extraction; a missing path
+    is NULL in both. At scale VARIANT's binary encoding is
+    shredded/pushed down by the parquet reader, where get_json_object
+    re-parses text per expression (q_c_json shows that spelling).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") % 11 == 0).select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_long"),
+        (
+            F.expr("variant_get(parse_json(props), '$.k', 'double')") / 10.0
+        ).alias("k_scaled"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+        .isNull()
+        .alias("missing_is_null"),
+    )

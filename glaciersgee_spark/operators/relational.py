@@ -1539,3 +1539,76 @@ def q_b_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(2).alias("o_orderstatus"),
         parts.getItem(3).cast("double").alias("o_totalprice"),
     )
+
+
+# One SQL text for both engines (like _RCTE_SQL): correlated LATERAL
+# subquery with per-row ORDER BY + LIMIT — the "top-N related rows per
+# driving row" shape SQL can't express with a plain join.
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey % 10 = 0
+"""
+
+
+@query("q_b_join_lateral", oracle=_LATERAL_SQL)
+def q_b_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each sampled customer's top-2 orders by
+    price, expressed as a per-row correlated subquery with ORDER BY +
+    LIMIT. The identical SQL text runs on both engines. Catalyst
+    decorrelates this into the windowed rank-filter plan
+    (q_b_topk_pergroup's shape) rather than executing per-row — the
+    plan property that makes LATERAL usable at 100 TB: one shuffle on
+    the correlation key, no nested-loop re-execution per driving row.
+    """
+    from glaciersgee_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_b_agg_argmax",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
+                             + event_id) AS top_event_id,
+           arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000
+                             + event_id) AS bottom_event_id,
+           median(value) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_b_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max / arg-min / median aggregates: the event carrying each
+    type's highest (lowest) value, plus the continuous median.
+
+    Determinism: `value` has ties, so the ordering key is the exact
+    integer composite round(value·100)·10¹⁰ + event_id (values are
+    2-dp by fixture contract, event_id unique) — max_by/arg_max then
+    agree bit-for-bit across engines and partition orders, where a
+    bare max_by(event_id, value) would be partition-order-dependent.
+    Spark's `median` and DuckDB's `median` both interpolate
+    (quantile_cont semantics — verified in q_e_text_stats). Single
+    map-side-combinable aggregation; max_by carries O(1) state per
+    group — the 100 TB-safe way to answer "which row was the max",
+    replacing a sort or window over the whole partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = (
+        F.round(F.col("value") * 100).cast("long") * F.lit(10000000000).cast("long")
+        + F.col("event_id")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.min_by("event_id", key).alias("bottom_event_id"),
+        F.expr("median(value)").alias("median_value"),
+    )

@@ -271,3 +271,14 @@ def test_nullsafe_join_is_hash_join(spark):
     plan = PI.executed(df)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_join_is_decorrelated(spark):
+    """The correlated LATERAL (top-2 per customer) must plan as a
+    windowed rank + hash join — never a per-row nested loop."""
+    from glaciersgee_spark.operators.relational import q_b_join_lateral
+
+    df = q_b_join_lateral(spark, SF_SMOKE)
+    plan = PI.executed(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
