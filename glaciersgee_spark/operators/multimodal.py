@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from glaciersgee_spark.registry import query
@@ -183,4 +183,77 @@ def q_e_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "frame_idx",
         (F.col("frame_idx") * 40).alias("ts_ms"),
+    )
+
+
+SHARD_BYTES = 4096  # webdataset-style shard budget (bytes, corpus-scaled)
+
+
+@query(
+    "q_e_mm_shard_manifest",
+    oracle=f"""
+    WITH payloads AS (
+      SELECT doc_id, lang, octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+    ),
+    offsets AS (
+      SELECT doc_id, lang, n_bytes,
+             CAST(COALESCE(SUM(n_bytes) OVER (
+               PARTITION BY lang ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_off
+      FROM payloads
+    ),
+    sharded AS (
+      SELECT lang, doc_id, n_bytes,
+             CAST(floor(start_off / {SHARD_BYTES}.0) AS BIGINT) AS shard_id
+      FROM offsets
+    )
+    SELECT lang, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_objects,
+           SUM(n_bytes) AS shard_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM sharded GROUP BY lang, shard_id
+    """,
+)
+def q_e_mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest for binary payloads (webdataset-style
+    export): assign each object a byte offset in its language's
+    deterministic doc_id stream, cut shards at a fixed byte budget,
+    and emit per-shard object counts / byte totals / id ranges — the
+    manifest a multimodal export writes before sharding blobs to
+    object storage.
+
+    Same running-sum window discipline as q_e_seq_pack (offset =
+    exact integer prefix sum, shard = offset div budget — an object
+    that straddles the boundary belongs to the shard its START falls
+    in). One window per language partition + one rollup; at 100 TB
+    the partition key would include a date bucket so no single
+    language's stream serializes through one task.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", "lang", F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sharded = payloads.select(
+        "lang",
+        "doc_id",
+        "n_bytes",
+        F.floor(
+            F.coalesce(F.sum("n_bytes").over(w), F.lit(0)).cast("bigint")
+            / float(SHARD_BYTES)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return sharded.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

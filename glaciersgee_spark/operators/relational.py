@@ -1612,3 +1612,77 @@ def q_b_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", key).alias("bottom_event_id"),
         F.expr("median(value)").alias("median_value"),
     )
+
+
+@query(
+    "q_b_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, date_trunc('millisecond', ts) AS mts
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(mts) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.mts) AS t_click
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.mts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.mts) AS t_buy
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.mts > c.t_click
+          GROUP BY e.user_id)
+    SELECT v.user_id,
+           c.user_id IS NOT NULL AS clicked_after_view,
+           p.user_id IS NOT NULL AS purchased_after_click
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_b_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: per user, did a click follow the first
+    view, and did a purchase follow that first click — the
+    conversion-funnel shape of product analytics, expressed as staged
+    min-timestamp joins (each stage's anchor is the previous stage's
+    first qualifying event).
+
+    Timestamps compare at millisecond grain in BOTH engines
+    (SURVEY.md §7.4: the corpus parquet is ns, Spark reads µs — ms
+    truncation makes every `>` comparison identical). Each stage is a
+    map-side-combinable min-aggregate plus an equi join on user_id;
+    all three stages reuse the same shuffle key, so at 100 TB this
+    pipelines as three co-partitioned joins, never a window over the
+    whole event history.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("millisecond", F.col("ts")).alias("mts"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("mts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("mts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("mts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("mts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("mts").alias("t_buy"))
+    )
+    return (
+        v.join(c.select("user_id", F.lit(True).alias("ck")), "user_id", "left")
+        .join(p.select("user_id", F.lit(True).alias("pk")), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("ck", F.lit(False)).alias("clicked_after_view"),
+            F.coalesce("pk", F.lit(False)).alias("purchased_after_click"),
+        )
+    )

@@ -351,3 +351,33 @@ def test_cloud_window_is_contiguous_minimum(spark):
     assert rows
     for r in rows[:5]:
         assert r.avg_cloud3 >= 0.0
+
+
+def test_funnel_stages_are_nested(spark):
+    """Funnel stages must nest: purchasers ⊆ clickers ⊆ viewers."""
+    from glaciersgee_spark.operators.relational import q_b_funnel
+
+    rows = q_b_funnel(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.purchased_after_click:
+            assert r.clicked_after_view
+
+
+def test_shard_manifest_conserves_bytes(spark):
+    """Shard byte totals must sum to the corpus payload bytes and no
+    shard may start beyond the previous shard's end."""
+    from glaciersgee_spark.operators.multimodal import q_e_mm_shard_manifest
+    from glaciersgee_spark.tables import load_table
+    import pyspark.sql.functions as FF
+
+    rows = q_e_mm_shard_manifest(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    total = d.agg(FF.sum(FF.length(FF.col("text").cast("binary")))).collect()[0][0]
+    assert sum(r.shard_bytes for r in rows) == total
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, shards in by_lang.items():
+        ids = sorted(s.shard_id for s in shards)
+        assert ids == list(range(len(ids))), (lang, ids)
