@@ -1686,3 +1686,63 @@ def q_b_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("pk", F.lit(False)).alias("purchased_after_click"),
         )
     )
+
+
+@query(
+    "q_b_scan_corrupt",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS BIGINT)
+             AS n_corrupt,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 <> 0) AS BIGINT)
+             AS n_good,
+           {dsum('CASE WHEN o_orderkey % 97 <> 0 THEN o_totalprice END')}
+             AS good_total
+    FROM orders WHERE o_orderkey % 10 = 1
+    """,
+)
+def q_b_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling: a JSON-lines source where some lines
+    are corrupt, read in PERMISSIVE mode with a `_corrupt_record`
+    column — bad lines surface as a quarantine column instead of
+    failing the job (the posture a 100 TB ingest needs: one bad shard
+    of a million must not kill the run). Corruption is injected
+    deterministically (every key ≡ 0 mod 97), so the oracle recomputes
+    the good/corrupt split from the clean source.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="ggee_corrupt_")
+    lines = o.where(F.col("o_orderkey") % 10 == 1).select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey").cast("string"),
+                     F.lit(', "BROKEN')),
+        )
+        .otherwise(
+            F.to_json(F.struct("o_orderkey", "o_totalprice"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.expr(dsum("CASE WHEN _corrupt_record IS NULL THEN o_totalprice END")).alias(
+            "good_total"
+        ),
+    )
