@@ -83,22 +83,13 @@ def q_e_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded cardinality), so each partition sorts independently; no
     global sort.
     """
+    from glaciersgee_spark.operators.text import lm_scores
+
     d = load_table(spark, sf_dir, "documents")
-    # fan_out: both LM consumers (vocab count + per-doc join) hang off
-    # this token stream; one reused repartition parallelizes the
-    # single-partition local scan (measured 0.90 → 0.70 s; no-op on a
-    # many-file cluster scan).
-    toks = fan_out(d, "doc_id").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    t_total = float(toks.count())
-    logp = f"round(ln(CAST(c AS DOUBLE) / CAST({t_total!r} AS DOUBLE)), 6)"
-    lm = (
-        toks.join(F.broadcast(cnt), "token")
-        .groupBy("doc_id")
-        .agg(F.expr(davg(logp)).alias("avg_logp"))
-    )
+    # The LM score is the SAME persisted frame q_e_ngram_lm consumes
+    # (text.lm_scores) — one corpus pays the token explode + vocab
+    # count + per-doc exact-decimal mean once per session.
+    lm = lm_scores(spark, sf_dir).select("doc_id", "avg_logp")
     w = Window.partitionBy("lang").orderBy(
         F.col("avg_logp").desc(), F.col("doc_id").asc()
     )

@@ -3,9 +3,10 @@
 Exact dedup is content-hash groupBy (SQL-checkable). Near-dup is the
 classic shingle → MinHash → LSH-band → candidate-join → exact-Jaccard
 pipeline, in two oracle-backed configurations over the SAME md5-derived
-cross-engine hash family: q_e_dedup_near_md5 (4 bands × 2 rows — the
-precision/cost-balanced default) and q_e_dedup_near (8 bands × 1 row —
-the high-recall OR-amplified variant). The exact-Jaccard verify stage
+cross-engine hash family: q_e_dedup_near_md5 (4 bands × 2 rows over 8
+minhashes — the precision/cost-balanced default) and q_e_dedup_near
+(8 bands × 2 rows over an independent 16-permutation family — the
+high-recall OR-amplified variant). The exact-Jaccard verify stage
 is additionally declared standalone (q_e_jaccard_verify), per
 SURVEY.md §2.
 
@@ -228,8 +229,8 @@ _DUCK_MD5_CTES = _duck_md5_ctes(BAND_SIZE)
 # chain runs ONCE per corpus instead of once per downstream query (the
 # funnel was the 2nd-most expensive query purely from recomputing it).
 # The hashed-shingle base is band-size-independent, so both banding
-# configurations (4×2 and 8×1) share ONE persisted copy of it.
-_MD5_PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+# configurations (4×2 over 8 perms and 8×2 over 16) share ONE persisted copy.
+_MD5_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 _MD5_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -251,7 +252,15 @@ def _md5_pairs(
     perms: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     perms = _MH_PERMS if perms is None else perms
-    key = (spark.sparkContext.applicationId, sf_dir, band_size, n_minhash)
+    # The perm family is part of the identity: same (band_size, n_minhash)
+    # with different coefficients must never alias to a cached pair set.
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        band_size,
+        n_minhash,
+        tuple(perms),
+    )
     cached = _MD5_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -394,8 +403,16 @@ def q_e_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode("sh").alias("shingle"),
     ).select("doc_id", F.xxhash64("lang", "source", "shingle").alias("pkey"))
+    # max_bucket=None — MANDATORY here: with distinct=False each
+    # bucket is a shingle POSTING LIST and every in-bucket pair row is
+    # one unit of some pair's |∩|. Capping would silently deflate
+    # intersection counts for every pair touching a popular shingle
+    # (not merely drop degenerate candidates, as in the LSH callers).
+    # The quadratic bound comes from the (lang, source) blocking
+    # instead; an exact verify cannot drop contributions and stay
+    # exact.
     inter = (
-        cobucket_pairs(post, ["pkey"], ["doc_id"], distinct=False)
+        cobucket_pairs(post, ["pkey"], ["doc_id"], distinct=False, max_bucket=None)
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )

@@ -1124,11 +1124,10 @@ def q_e_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_K = 8  # distinct from IVF_NLIST=16 so the two ops exercise different cells
 
-
-@query(
-    "q_e_kmeans_iter",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+# Shared centroid-assignment spelling — ONE definition consumed by BOTH
+# q_e_kmeans_iter and q_e_semdedup (Spark helper + oracle CTE chain),
+# so a tie-break or K change can never desynchronize the two queries.
+_KM_CTES = f"""v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
     c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
           FROM v WHERE vec_id BETWEEN 1 AND {KM_K}),
     sc AS (SELECT v.vec_id, c.cid,
@@ -1138,7 +1137,34 @@ KM_K = 8  # distinct from IVF_NLIST=16 so the two ops exercise different cells
               SELECT vec_id, cid,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY cs DESC, cid ASC) AS rk
-              FROM sc) WHERE rk = 1),
+              FROM sc) WHERE rk = 1)"""
+
+
+def _km_assign(spark: SparkSession, sf_dir: str):
+    """(assignment, centroids): every vector's nearest seed cell
+    (cosine argmax, ties to the smaller cid) + the K-row centroid
+    table. The Spark twin of _KM_CTES."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, KM_K)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "cid", _cos6("embedding", "cemb").alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+    asg = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    return asg, cent
+
+
+
+@query(
+    "q_e_kmeans_iter",
+    oracle=f"""
+    WITH {_KM_CTES},
     dims AS (SELECT a.cid,
                     CAST(generate_subscripts(v.ve, 1) AS INT) AS d,
                     unnest(v.ve) AS val
@@ -1177,18 +1203,7 @@ def q_e_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines and aggregation orders.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cent = e.where(F.col("vec_id").between(1, KM_K)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
-    scored = e.join(F.broadcast(cent)).select(
-        "vec_id", "cid", _cos6("embedding", "cemb").alias("cs")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
-    asg = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cid")
-    )
+    asg, cent = _km_assign(spark, sf_dir)
     dims = (
         asg.join(e, "vec_id")
         .select("cid", F.posexplode(F.col("embedding").cast("array<double>")))
@@ -1222,17 +1237,7 @@ SEMDEDUP_THR = 0.4  # same cosine bar as q_e_dedup_embed for comparability
 @query(
     "q_e_semdedup",
     oracle=f"""
-    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
-    c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
-          FROM v WHERE vec_id BETWEEN 1 AND {KM_K}),
-    sc AS (SELECT v.vec_id, c.cid,
-                  {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} AS cs
-           FROM v, c),
-    asg AS (SELECT vec_id, cid FROM (
-              SELECT vec_id, cid,
-                     ROW_NUMBER() OVER (PARTITION BY vec_id
-                                        ORDER BY cs DESC, cid ASC) AS rk
-              FROM sc) WHERE rk = 1),
+    WITH {_KM_CTES},
     pairs AS (
       SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
       FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -1260,19 +1265,8 @@ def q_e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness at the cost of missing cross-cell pairs.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cent = e.where(F.col("vec_id").between(1, KM_K)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
-    scored = e.join(F.broadcast(cent)).select(
-        "vec_id", "cid", _cos6("embedding", "cemb").alias("cs")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
-    asg = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cid")
-        .join(e.select("vec_id", "embedding"), "vec_id")
-    )
+    asg, _cent = _km_assign(spark, sf_dir)
+    asg = asg.join(e.select("vec_id", "embedding"), "vec_id")
     a = asg.select(
         F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
     )

@@ -690,6 +690,45 @@ def q_e_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# One persisted unigram-LM score frame per (app, sf_dir): the token
+# explode + vocab count + per-doc exact-decimal mean is the shared base
+# of q_e_ngram_lm AND q_e_ppl_buckets (same _md5_base discipline as the
+# minhash family) — memoizing it means one corpus pays the LM pipeline
+# once per session, not once per consumer.
+_LM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, avg_logp): mean 6-dp-rounded ln token
+    probability per doc under the corpus unigram distribution. The
+    token stream is fanned out once (two consumers reuse the single
+    repartition; no-op on many-file scans); the corpus token total is
+    a bounded driver scalar like q_e_tfidf's n_docs."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    t_total = float(toks.count())
+    logp = f"round(ln(CAST(c AS DOUBLE) / CAST({t_total!r} AS DOUBLE)), 6)"
+    lm = (
+        toks.join(F.broadcast(cnt), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(davg(logp)).alias("avg_logp"),
+        )
+        .persist()
+    )
+    _LM_CACHE[key] = lm
+    return lm
+
+
 @query(
     "q_e_ngram_lm",
     oracle=f"""
@@ -717,23 +756,9 @@ def q_e_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the vocab groupBy and the per-doc agg — both map-side
     combinable. The corpus token total is a driver-side scalar, like
     q_e_tfidf's n_docs."""
-    d = load_table(spark, sf_dir, "documents")
-    # fan_out: same two-consumer token stream as q_e_ppl_buckets — one
-    # reused repartition spreads the single-partition local scan.
-    toks = fan_out(d, "doc_id").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    t_total = float(toks.count())
-    logp = f"round(ln(CAST(c AS DOUBLE) / CAST({t_total!r} AS DOUBLE)), 6)"
-    return (
-        toks.join(F.broadcast(cnt), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.expr(davg(logp)).alias("avg_logp"),
-            (F.expr(davg(logp)) < -7.5).alias("is_lowq"),
-        )
+    lm = lm_scores(spark, sf_dir)
+    return lm.select(
+        "doc_id", "n_tokens", "avg_logp", (F.col("avg_logp") < -7.5).alias("is_lowq")
     )
 
 
