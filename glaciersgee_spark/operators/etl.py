@@ -700,3 +700,133 @@ def q_a_cloud_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cloud3") / 3.0, 6).alias("avg_cloud3"),
         )
     )
+
+
+@query(
+    "q_a_gapfill_interp",
+    oracle=f"""
+    WITH sel AS (SELECT * FROM events WHERE user_id % 10 = 0),
+    daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             {davg('value')} AS v
+      FROM sel GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+             FROM events),
+    tiles AS (SELECT DISTINCT user_id FROM sel),
+    spine AS (
+      SELECT t.user_id, d.day,
+             CAST(d.day - DATE '1970-01-01' AS BIGINT) AS di
+      FROM tiles t CROSS JOIN days d
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, s.di, daily.v
+      FROM spine s LEFT JOIN daily
+        ON s.user_id = daily.user_id AND s.day = daily.day
+    ),
+    anchored AS (
+      SELECT user_id, day, di, v,
+             last_value(CASE WHEN v IS NOT NULL THEN {{'i': di, 'v': v}} END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY di
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo,
+             first_value(CASE WHEN v IS NOT NULL THEN {{'i': di, 'v': v}} END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY di
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hi
+      FROM joined
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day_str,
+           CASE
+             WHEN v IS NOT NULL THEN round(v, 6)
+             WHEN lo IS NULL THEN round(hi.v, 6)
+             WHEN hi IS NULL THEN round(lo.v, 6)
+             ELSE round(lo.v + (hi.v - lo.v) * (di - lo.i)
+                        / (hi.i - lo.i), 6)
+           END AS filled6,
+           CASE
+             WHEN v IS NOT NULL THEN 'observed'
+             WHEN lo IS NULL THEN 'nocb'
+             WHEN hi IS NULL THEN 'locf'
+             ELSE 'interp'
+           END AS method
+    FROM anchored
+    """,
+)
+def q_a_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation: densify each
+    tile's daily cloud series over the corpus day spine, then fill
+    missing days by interpolating between the nearest observed
+    neighbors (LOCF / NOCB at the edges) — the hypertable
+    `time_bucket_gapfill + interpolate` shape every sensor/cadence
+    dashboard runs.
+
+    The anchor carry is `last/first(struct(day_index, value)) IGNORE
+    NULLS` over the per-tile day order — both engines support
+    null-skipping window anchors, so the interpolation weights
+    (di − lo.i)/(hi.i − lo.i) are exact integer ratios and the filled
+    value is IEEE-deterministic (inputs are exact-decimal daily
+    means). Scale shape: the spine is |tiles| × |days| (metadata-sized),
+    built from two tiny distincts; the two anchor windows and the
+    rank-free fill share ONE (tile → day) sort; no global operation
+    touches the raw event stream beyond the daily rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sel = ev.where(F.col("user_id") % 10 == 0)
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    daily = sel.groupBy("user_id", day).agg(F.expr(davg("value")).alias("v"))
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    tiles = sel.select("user_id").distinct()
+    spine = tiles.crossJoin(F.broadcast(days)).select(
+        "user_id", "day", F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long").alias("di")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    anchor = F.when(
+        F.col("v").isNotNull(), F.struct(F.col("di").alias("i"), F.col("v").alias("v"))
+    )
+    w_lo = (
+        Window.partitionBy("user_id")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_hi = (
+        Window.partitionBy("user_id")
+        .orderBy("di")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    a = joined.select(
+        "user_id",
+        "day",
+        "di",
+        "v",
+        F.last(anchor, ignorenulls=True).over(w_lo).alias("lo"),
+        F.first(anchor, ignorenulls=True).over(w_hi).alias("hi"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.round(F.col("v"), 6))
+        .when(F.col("lo").isNull(), F.round(F.col("hi.v"), 6))
+        .when(F.col("hi").isNull(), F.round(F.col("lo.v"), 6))
+        .otherwise(
+            F.round(
+                F.col("lo.v")
+                + (F.col("hi.v") - F.col("lo.v"))
+                * (F.col("di") - F.col("lo.i"))
+                / (F.col("hi.i") - F.col("lo.i")),
+                6,
+            )
+        )
+    )
+    method = (
+        F.when(F.col("v").isNotNull(), "observed")
+        .when(F.col("lo").isNull(), "nocb")
+        .when(F.col("hi").isNull(), "locf")
+        .otherwise("interp")
+    )
+    return a.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        filled.alias("filled6"),
+        method.alias("method"),
+    )

@@ -1285,3 +1285,49 @@ def q_e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id_a").alias("keep_id"),
         F.count(F.lit(1)).alias("n_dups"),
     ).select(F.col("id_b").alias("vec_id"), "cell", "keep_id", "n_dups")
+
+
+@query(
+    "q_e_cluster_balance",
+    oracle=f"""
+    WITH {_KM_CTES},
+    sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM asg GROUP BY cid),
+    tot AS (SELECT SUM(n) AS t, CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(n * n) AS ss
+            FROM sizes)
+    SELECT s.cid, s.n,
+           round(CAST(s.n AS DOUBLE) / tot.t, 6) AS share6,
+           round(sqrt(CAST(tot.k * tot.ss - tot.t * tot.t AS DOUBLE))
+                 / tot.t, 6) AS cv6
+    FROM sizes s CROSS JOIN tot
+    """,
+)
+def q_e_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/k-means cell-balance audit: each cell's membership share
+    plus the population coefficient of variation of cell sizes — the
+    health check run before trusting an IVF index (a skewed cell
+    turns nprobe pruning into a full scan and one reducer into the
+    straggler).
+
+    CV is computed from exact integer moments (√(K·Σn² − (Σn)²)/Σn),
+    so the emitted doubles are bit-identical across engines. Reuses
+    the shared _km_assign cell assignment; the audit itself is a
+    K-row aggregate joined against a 1-row total — free at any scale.
+    """
+    asg, _cent = _km_assign(spark, sf_dir)
+    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    tot = sizes.agg(
+        F.sum("n").alias("t"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share6"),
+        F.round(
+            F.sqrt((F.col("k") * F.col("ss") - F.col("t") * F.col("t")).cast("double"))
+            / F.col("t"),
+            6,
+        ).alias("cv6"),
+    )

@@ -381,3 +381,30 @@ def test_shard_manifest_conserves_bytes(spark):
     for lang, shards in by_lang.items():
         ids = sorted(s.shard_id for s in shards)
         assert ids == list(range(len(ids))), (lang, ids)
+
+
+def test_gapfill_covers_full_spine(spark):
+    """Every selected tile must emit one row per spine day, and
+    interpolated values must sit between their anchors."""
+    from glaciersgee_spark.operators.etl import q_a_gapfill_interp
+    from glaciersgee_spark.tables import load_table
+    import pyspark.sql.functions as FF
+
+    rows = q_a_gapfill_interp(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_days = ev.select(FF.date_trunc("day", "ts").cast("date")).distinct().count()
+    n_tiles = ev.where(FF.col("user_id") % 10 == 0).select("user_id").distinct().count()
+    assert len(rows) == n_days * n_tiles
+    methods = {r.method for r in rows}
+    assert "observed" in methods
+    for r in rows:
+        assert r.filled6 is not None and r.filled6 >= 0.0
+
+
+def test_cluster_balance_shares_sum_to_one(spark):
+    from glaciersgee_spark.operators.similarity import q_e_cluster_balance
+
+    rows = q_e_cluster_balance(spark, SF_SMOKE).collect()
+    assert abs(sum(r.share6 for r in rows) - 1.0) < 1e-4
+    cvs = {r.cv6 for r in rows}
+    assert len(cvs) == 1 and min(cvs) >= 0.0
