@@ -286,3 +286,45 @@ def q_d_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("purchase_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_clicks_30m")
     )
+
+
+@query(
+    "q_d_window_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws, event_type, n, rk FROM (
+      SELECT ws, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY ws
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM counts
+    ) WHERE rk <= 2
+    """,
+)
+def q_d_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k: the 2 most frequent event types in each
+    1-hour window (trending-items shape). Stream form
+    (stream.window_topk_batches): ranking is not expressible inside a
+    streaming aggregation, so the production pattern is watermarked
+    windowed counts → `foreachBatch` ranking per micro-batch — the
+    foreachBatch sink surface, verified stream⇔batch in
+    tests/test_streaming.py. Ties break on event_type so the set is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "event_type",
+            "n",
+            "rk",
+        )
+    )

@@ -23,6 +23,8 @@ swap to transformWithStateInPandas where protobuf is available.
 
 from __future__ import annotations
 
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -191,3 +193,52 @@ def sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "n")
     )
+
+
+def window_topk_batches(spark: SparkSession, sf_dir: str, table_name: str):
+    """True-stream form of q_d_window_topk via the foreachBatch sink:
+    watermarked windowed counts stream in update mode; each micro-batch
+    is ranked (top-2 per window, ties on event_type) with ordinary
+    batch DataFrame ops and upserted into a driver-registered temp
+    view — the foreachBatch escape hatch for logic (ranking) that
+    streaming aggregations can't express.
+
+    Returns the started query; callers await it and read
+    `table_name`. State per window is the per-type count map —
+    watermark-bounded like any windowed agg; the rank runs on the
+    CHANGED windows each batch only.
+    """
+    from pyspark.sql import Window as W
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    counts = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    acc: dict[tuple, tuple] = {}
+
+    def upsert_topk(batch_df, batch_id: int) -> None:
+        rk = W.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
+        top = (
+            batch_df.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") <= 2)
+            .collect()
+        )
+        for r in top:
+            acc[(r.w.start, r.rk)] = (r.w.start, r.event_type, r.n, r.rk)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ggee_ck_topk_"),
+        )
+        .foreachBatch(upsert_topk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(acc.values())
+    spark.createDataFrame(
+        rows, "ws timestamp, event_type string, n long, rk int"
+    ).createOrReplaceTempView(table_name)
+    return q

@@ -269,3 +269,91 @@ def q_f_pandas_group_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     slim = d.select("doc_id", "lang", "n_chars")
     return slim.groupBy("lang").applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+
+
+# ------------------------------------------------------ cogroup UDF
+
+
+_COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.IntegerType()),
+        T.StructField("n_purchases", T.LongType()),
+        T.StructField("n_clicks", T.LongType()),
+        T.StructField("n_purch_after_first_click", T.LongType()),
+    ]
+)
+
+
+def _purchase_click_merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    """Merge one user's purchase and click streams: counts plus how
+    many purchases happened after the user's FIRST click — needs both
+    groups in memory at once, which is exactly the cogroup contract.
+
+    Timestamps compare at millisecond grain (int64 µs // 1000) per the
+    SURVEY.md §7.4 ns/µs parquet rule, matching the oracle's
+    date_trunc('millisecond') comparisons.
+    """
+    uid = (purchases if len(purchases) else clicks)["user_id"].iloc[0]
+    p_ms = purchases["ts"].astype("int64") // 1000 if len(purchases) else None
+    c_ms = clicks["ts"].astype("int64") // 1000 if len(clicks) else None
+    n_after = 0
+    if p_ms is not None and c_ms is not None:
+        n_after = int((p_ms > int(c_ms.min())).sum())
+    return pd.DataFrame(
+        {
+            "user_id": [uid],
+            "n_purchases": [len(purchases)],
+            "n_clicks": [len(clicks)],
+            "n_purch_after_first_click": [n_after],
+        }
+    )
+
+
+@query(
+    "q_f_cogroup_map",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, date_trunc('millisecond', ts) AS mts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, date_trunc('millisecond', ts) AS mts
+      FROM events WHERE event_type = 'click'
+    ),
+    pc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p GROUP BY user_id),
+    cc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+                  MIN(mts) AS first_click
+           FROM c GROUP BY user_id),
+    af AS (SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_after
+           FROM p JOIN cc ON p.user_id = cc.user_id
+           WHERE p.mts > cc.first_click
+           GROUP BY p.user_id)
+    SELECT COALESCE(pc.user_id, cc.user_id) AS user_id,
+           COALESCE(pc.n_purchases, 0) AS n_purchases,
+           COALESCE(cc.n_clicks, 0) AS n_clicks,
+           COALESCE(af.n_after, 0) AS n_purch_after_first_click
+    FROM pc FULL OUTER JOIN cc ON pc.user_id = cc.user_id
+            LEFT JOIN af ON COALESCE(pc.user_id, cc.user_id) = af.user_id
+    """,
+)
+def q_f_cogroup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped group-map UDF (`groupBy().cogroup().applyInPandas`):
+    each user's purchase stream and click stream arrive as TWO pandas
+    frames in one call — the API for per-key merges whose logic needs
+    both sides materialized (session stitching, as-of matching).
+    Here: per-user purchase/click counts plus purchases after the
+    first click.
+
+    One co-partitioned shuffle on the key for both sides; the oracle
+    expresses the same merge relationally (aggregate + join), which is
+    also the spelling a 100 TB run would prefer when the per-key logic
+    IS expressible — the op declares the cogroup API surface itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(_purchase_click_merge, _COGROUP_SCHEMA)
+    )

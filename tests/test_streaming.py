@@ -197,3 +197,20 @@ def test_sliding_stream_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_window_topk_stream_matches_batch(spark):
+    """foreachBatch ranking over the availableNow stream must agree
+    with the declared batch-equivalent top-k."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_window_topk
+
+    S.window_topk_batches(spark, SF_SMOKE, "t_window_topk")
+    got = {
+        (r.ws, r.event_type, r.n, r.rk)
+        for r in spark.sql("SELECT * FROM t_window_topk").collect()
+    }
+    want = {
+        (r.ws, r.event_type, r.n, r.rk)
+        for r in q_d_window_topk(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
