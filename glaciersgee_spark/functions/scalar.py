@@ -430,3 +430,51 @@ def q_c_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNull()
         .alias("missing_is_null"),
     )
+
+
+@query(
+    "q_c_url",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey,
+             'https://mirror-' || CAST(p_partkey % 4 AS VARCHAR)
+               || '.example.com/l2/scene_' || CAST(p_partkey AS VARCHAR)
+               || '.tif?band=B' || CAST(p_partkey % 8 AS VARCHAR)
+               || '&rev=' || CAST(p_size % 5 AS VARCHAR) AS url
+      FROM part WHERE p_partkey % 13 = 0
+    )
+    SELECT p_partkey,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]band=([^&]*)', 1) AS band,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def q_c_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: `parse_url` HOST/PATH/QUERY-parameter/
+    PROTOCOL extraction over deterministic mirror URLs — the
+    normalization surface URL-dedup and source-attribution stages
+    need. The oracle mirrors each component with an equivalent regexp
+    (DuckDB has no URL functions), kept in the shared RE2∩Java
+    dialect subset (§7.4).
+    """
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 13 == 0)
+    url = F.concat(
+        F.lit("https://mirror-"),
+        (F.col("p_partkey") % 4).cast("string"),
+        F.lit(".example.com/l2/scene_"),
+        F.col("p_partkey").cast("string"),
+        F.lit(".tif?band=B"),
+        (F.col("p_partkey") % 8).cast("string"),
+        F.lit("&rev="),
+        (F.col("p_size") % 5).cast("string"),
+    )
+    u = p.select("p_partkey", url.alias("url"))
+    return u.select(
+        "p_partkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("band")).alias("band"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

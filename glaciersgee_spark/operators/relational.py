@@ -1746,3 +1746,33 @@ def q_b_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_total"
         ),
     )
+
+
+@query(
+    "q_b_observe",
+    oracle=f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE l_quantity >= 45.0 GROUP BY l_returnflag
+    """,
+)
+def q_b_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed metrics (`df.observe`): the query pipeline carries a
+    named CollectMetrics node (row count + exact-decimal quantity sum
+    of everything passing the filter) that executes as a side-band
+    accumulator during the SAME job — zero extra passes, the
+    data-quality-counter pattern a 100 TB ingest attaches to every
+    stage. The returned aggregate is the oracle-checked result; the
+    metrics surface is asserted via pyspark's Observation helper in
+    tests/test_operators.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = li.where(F.col("l_quantity") >= 45.0).observe(
+        "q_b_observe_metrics",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.expr(dsum("l_quantity")).alias("qty_seen"),
+    )
+    return observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(dsum("l_quantity")).alias("sum_qty"),
+    )

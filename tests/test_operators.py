@@ -408,3 +408,25 @@ def test_cluster_balance_shares_sum_to_one(spark):
     assert abs(sum(r.share6 for r in rows) - 1.0) < 1e-4
     cvs = {r.cv6 for r in rows}
     assert len(cvs) == 1 and min(cvs) >= 0.0
+
+
+def test_observe_metrics_match_aggregate(spark):
+    """The side-band CollectMetrics numbers must equal the aggregate
+    computed from the same pass."""
+    from pyspark.sql import Observation
+    from glaciersgee_spark.registry import dsum
+    from glaciersgee_spark.tables import load_table
+    import pyspark.sql.functions as FF
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("om")
+    df = li.where(FF.col("l_quantity") >= 45.0).observe(
+        obs, FF.count(FF.lit(1)).alias("rows_seen"),
+        FF.expr(dsum("l_quantity")).alias("qty_seen"),
+    )
+    agg = df.groupBy().agg(
+        FF.count(FF.lit(1)).alias("n"), FF.expr(dsum("l_quantity")).alias("s")
+    ).collect()[0]
+    got = obs.get
+    assert got["rows_seen"] == agg.n
+    assert abs(got["qty_seen"] - agg.s) < 1e-9
