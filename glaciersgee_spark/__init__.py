@@ -31,6 +31,9 @@ def load_all_queries() -> None:
     import glaciersgee_spark.operators.text  # noqa: F401
     import glaciersgee_spark.operators.curation  # noqa: F401
     import glaciersgee_spark.operators.retrieval  # noqa: F401
+    import glaciersgee_spark.operators.spans  # noqa: F401
+    import glaciersgee_spark.operators.warehouse  # noqa: F401
+    import glaciersgee_spark.operators.linalg  # noqa: F401
     import glaciersgee_spark.operators.multimodal  # noqa: F401
     import glaciersgee_spark.functions.scalar  # noqa: F401
     import glaciersgee_spark.streaming.batch_equiv  # noqa: F401

@@ -1,0 +1,97 @@
+"""Group E — distributed linear algebra over the embedding column.
+
+The Gram matrix Xᵀ X (and from it covariance / PCA inputs) is the
+canonical "aggregate a small dense matrix over a huge row set" shape:
+at 100 TB each executor reduces its Arrow batches to a 64×64 partial
+locally (one BLAS matmul per batch), and only the 64×64 partials —
+2,080 numbers per batch — cross the shuffle. This is the treeAggregate
+pattern expressed as mapInPandas + groupBy, which keeps it a plain
+DataFrame plan (AQE, codegen around it) instead of an RDD detour.
+
+Cross-engine determinism: float accumulation order differs between
+numpy and any SQL engine, so the kernel quantizes each element to an
+exact integer (floor(x·10⁶ + 0.5), the repo's half-up convention —
+similarity.py quantize notes) and accumulates in int64/decimal: every
+partial is exact, the merged sum is order-insensitive, and DuckDB's
+hugeint SUM reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from glaciersgee_spark.registry import query
+from glaciersgee_spark.tables import fan_out, load_table
+
+DIM = 64
+_SCALE = 1_000_000.0  # quantization: q = floor(x·1e6 + 0.5), exact int64
+_SCALE2 = int(_SCALE) ** 2  # one product carries 1e12 of scale
+
+
+def _partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(n, 64) Arrow batch → upper-triangle int64 partial Gram rows.
+
+    q ≤ ~6·10⁵ for unit-norm-ish inputs → q² ≤ 4·10¹¹; an Arrow batch
+    (≤10⁴ rows) sums to ≤ 4·10¹⁵, far inside int64. The global merge
+    runs in DECIMAL(38,0), so partial overflow is the only budget."""
+    iu, ju = np.triu_indices(DIM)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)  # exact f32→f64
+        q = np.floor(m * _SCALE + 0.5).astype(np.int64)
+        g = q.T @ q
+        yield pd.DataFrame(
+            {
+                "i": iu.astype(np.int32),
+                "j": ju.astype(np.int32),
+                "s": g[iu, ju],
+            }
+        )
+
+
+@query(
+    "q_e_embed_gram",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_SCALE:.1f} + 0.5) AS BIGINT)))
+               AS q,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(CAST(SUM(a.q * b.q) AS DOUBLE) / {_SCALE2}.0, 6) AS gram
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    ORDER BY i, j
+    """,
+)
+def q_e_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX of the embedding corpus (upper
+    triangle, 2,080 rows) — the covariance/PCA/whitening input
+    computed WITHOUT materializing pairs: per-batch numpy matmul
+    reduces each Arrow batch to 64×64 locally, then one
+    map-side-combinable groupBy((i,j)) merges the partials. The
+    oracle spells the same sum as an unnest self-join (n·64² rows) —
+    identical exact-integer result, but the quadratic-width spelling
+    this operator exists to avoid at scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    partials = fan_out(e.select("embedding")).mapInPandas(
+        _partial_gram, "i int, j int, s long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,0)")).cast("double") / _SCALE2, 6
+            ).alias("gram")
+        )
+        .orderBy("i", "j")
+    )

@@ -1,0 +1,156 @@
+"""Group B — warehouse-maintenance operators (round 2 batch).
+
+Two classic large-table maintenance shapes: a one-pass ANALYZE-style
+column profiler (the stats a 100 TB ingest job publishes per
+partition before queries rely on pruning) and a type-2
+slowly-changing-dimension derivation from an event log (the
+"history table" build every warehouse runs after CDC ingest).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from glaciersgee_spark.registry import query
+from glaciersgee_spark.tables import load_table
+
+# Profiled numeric columns (epoch-day for the date so every row of the
+# long-form output carries plain doubles).
+_PROF_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "q_b_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS ndv,
+           CAST(MIN({c}) AS DOUBLE) AS min_v,
+           CAST(MAX({c}) AS DOUBLE) AS max_v
+    FROM lineitem"""
+        for c in _PROF_COLS
+    )
+    + """
+    UNION ALL
+    SELECT 'l_shipdate_epoch_day', COUNT(*), COUNT(*) - COUNT(ed),
+           COUNT(DISTINCT ed),
+           CAST(MIN(ed) AS DOUBLE), CAST(MAX(ed) AS DOUBLE)
+    FROM (SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS ed
+          FROM lineitem)
+    ORDER BY col_name
+    """,
+)
+def q_b_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the fact table: one row per
+    column with count / null count / exact NDV / min / max, in a
+    SINGLE scan — the multi-aggregate is computed wide (one groupBy-
+    less agg, map-side combinable; exact distinct counts expand via
+    Spark's expand-operator rewrite) and then unpivoted to long form
+    with `stack`. The oracle spells it as per-column UNION ALL scans;
+    same result, and the single-scan shape is the one that matters at
+    100 TB (5 scans of a 100 TB table vs 1)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate_epoch_day", F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    )
+    cols = _PROF_COLS + ["l_shipdate_epoch_day"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col_name, n_rows, n_null, ndv, min_v, max_v)"
+        )
+    ).orderBy("col_name")
+
+
+@query(
+    "q_b_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WHERE user_id % 17 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+      FROM ordered
+    ),
+    intervals AS (
+      SELECT user_id, run_id,
+             MIN(event_type) AS event_type,
+             MIN(ts) AS valid_from,
+             COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+                  IS NULL AS BOOLEAN) AS is_current,
+           n_events
+    FROM intervals
+    """,
+)
+def q_b_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD derivation from the event log: collapse each user's
+    consecutive same-event_type runs into validity intervals
+    (valid_from, valid_to = next run's start, NULL = current) with the
+    run's event count — the CDC-to-history-table build. Total order
+    inside a user is (ts, event_id) so runs are deterministic under
+    timestamp ties.
+
+    Plan shape: all three passes (lag, running-sum run_id, per-run
+    aggregate, lead) share the SAME (user_id) hash partitioning — one
+    shuffle total; Spark reuses the exchange across the stacked window
+    operators. Sampled to user_id % 17 to keep driver-side compare
+    bounded; the plan is sample-independent."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 17 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("run_id"),
+    )
+    iv = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    lead = F.lead("valid_from").over(w2)
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        lead.alias("valid_to"),
+        lead.isNull().alias("is_current"),
+        "n_events",
+    )

@@ -430,3 +430,122 @@ def test_observe_metrics_match_aggregate(spark):
     got = obs.get
     assert got["rows_seen"] == agg.n
     assert abs(got["qty_seen"] - agg.s) < 1e-9
+
+
+def test_span_dedup_flags_identical_docs(spark):
+    # Two identical long docs + one unique doc: the twins' shingles are
+    # 100 % duplicated, the unique doc's 0 %.
+    import glaciersgee_spark.operators.spans as S
+
+    rows = (
+        spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j k l", "dup_src"),
+                (2, "a b c d e f g h i j k l", "dup_src"),
+                (3, "z y x w v u t s r q p o", "uniq_src"),
+            ],
+            "doc_id long, text string, source string",
+        )
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        rows.withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text").cast("long")
+        ).select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r.source: r for r in S.q_e_span_dedup(spark, td).collect()}
+    assert out["dup_src"].avg_coverage == 1.0
+    assert out["dup_src"].n_flagged == 2
+    assert out["uniq_src"].avg_coverage == 0.0
+    assert out["uniq_src"].n_flagged == 0
+
+
+def test_winnow_density_bounds(spark):
+    # Winnowing guarantees ≥1 fingerprint per window and at most one
+    # NEW fingerprint per window → density in (0, 1].
+    from glaciersgee_spark.operators.spans import q_e_winnow
+
+    for r in q_e_winnow(spark, SF_SMOKE).collect():
+        assert r.n_docs > 0
+        density = r.avg_density
+        assert 0.0 < density <= 1.0
+
+
+def test_profile_matches_direct_aggregates(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_profile
+    from glaciersgee_spark.tables import load_table
+
+    prof = {r.col_name: r for r in q_b_profile(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    for row in prof.values():
+        assert row.n_rows == n
+        assert row.n_null == 0
+        assert row.min_v <= row.max_v
+    direct_ndv = li.select(F.countDistinct("l_quantity")).collect()[0][0]
+    assert prof["l_quantity"].ndv == direct_ndv
+
+
+def test_scd2_intervals_tile_each_user(spark):
+    # Within a user: intervals are contiguous (valid_to == next
+    # valid_from), exactly one open interval, event counts sum to the
+    # user's sampled event total.
+    from glaciersgee_spark.operators.warehouse import q_b_scd2
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_scd2(spark, SF_SMOKE).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") % 17 == 0)
+    totals = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_user, "sample produced no users"
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type
+        assert sum(r.n_events for r in ivs) == totals[uid]
+
+
+def test_embed_gram_diagonal_positive_and_symmetric_shape(spark):
+    from glaciersgee_spark.operators.linalg import DIM, q_e_embed_gram
+
+    rows = q_e_embed_gram(spark, SF_SMOKE).collect()
+    assert len(rows) == DIM * (DIM + 1) // 2
+    diag = {r.i: r.gram for r in rows if r.i == r.j}
+    assert len(diag) == DIM
+    assert all(v > 0 for v in diag.values())
+    # Cauchy-Schwarz: |G_ij| <= sqrt(G_ii * G_jj)
+    for r in rows:
+        if r.i != r.j:
+            assert abs(r.gram) <= (diag[r.i] * diag[r.j]) ** 0.5 + 1e-6
+
+
+def test_maparrow_matches_sql_expression(spark):
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.udfs import q_f_maparrow
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus,
+    # so compare as sorted multisets of full rows.
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.revenue_cents)
+        for r in q_f_maparrow(spark, SF_SMOKE).collect()
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    want = sorted(
+        (r.l_orderkey, r.l_linenumber, r.rc)
+        for r in li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0)
+            .cast("long")
+            .alias("rc"),
+        ).collect()
+    )
+    assert got == want
