@@ -34,6 +34,7 @@ def load_all_queries() -> None:
     import glaciersgee_spark.operators.spans  # noqa: F401
     import glaciersgee_spark.operators.warehouse  # noqa: F401
     import glaciersgee_spark.operators.linalg  # noqa: F401
+    import glaciersgee_spark.operators.drift  # noqa: F401
     import glaciersgee_spark.operators.multimodal  # noqa: F401
     import glaciersgee_spark.functions.scalar  # noqa: F401
     import glaciersgee_spark.streaming.batch_equiv  # noqa: F401

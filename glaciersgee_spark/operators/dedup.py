@@ -1199,3 +1199,108 @@ def q_e_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision6"
         ),
     )
+
+
+# ---------------------------------------------- soft dedup weighting
+
+_EXACT_KEY_DUCK = "md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR))"
+
+
+@query(
+    "q_e_dedup_soft",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, {_EXACT_KEY_DUCK} AS content_key FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY content_key) AS group_size
+      FROM keyed
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           round(CAST(SUM(CAST(round(1.0 / group_size, 6) AS DECIMAL(30,6)))
+                 AS DOUBLE), 6) AS effective_docs,
+           MAX(group_size) AS max_group,
+           COUNT(*) FILTER (WHERE group_size = 1) AS n_unique
+    FROM sized GROUP BY source ORDER BY source
+    """,
+)
+def q_e_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, weight each
+    doc by 1/(its exact-dup group size) so a group contributes one
+    doc's worth of gradient in expectation (the downweight-don't-delete
+    alternative evaluated in recent dedup work). Emits per source the
+    raw vs effective (Σ weights) doc counts, the largest group, and the
+    already-unique count — the report that says how much of a source is
+    repetition.
+
+    Same content key as q_e_dedup_exact; ONE shuffle (the group-size
+    window on the hash key), then a combinable rollup. Weights are
+    rounded to 6 dp per row and summed in exact DECIMAL so the
+    effective count is order-insensitive cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("group_size"),
+    )
+    weight = F.round(F.lit(1.0) / F.col("group_size"), 6)
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(weight.cast("decimal(30,6)")).cast("double"), 6
+            ).alias("effective_docs"),
+            F.max("group_size").alias("max_group"),
+            F.count(F.when(F.col("group_size") == 1, 1)).alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_e_dup_sizes",
+    oracle=f"""
+    WITH groups AS (
+      SELECT {_EXACT_KEY_DUCK} AS content_key, COUNT(*) AS n
+      FROM documents GROUP BY content_key
+    )
+    SELECT CASE WHEN n = 1 THEN '1'
+                WHEN n = 2 THEN '2'
+                WHEN n <= 4 THEN '3-4'
+                WHEN n <= 8 THEN '5-8'
+                ELSE '9+' END AS size_bucket,
+           COUNT(*) AS n_groups,
+           SUM(n) AS n_docs
+    FROM groups GROUP BY size_bucket ORDER BY size_bucket
+    """,
+)
+def q_e_dup_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: histogram of exact-dup
+    group sizes (1 / 2 / 3-4 / 5-8 / 9+) with docs covered per bucket —
+    the power-law fingerprint of a crawl (boilerplate shows up as a
+    heavy 9+ tail; a healthy deduped corpus is nearly all 1s).
+
+    groupBy(hash) then a 5-row CASE rollup — both map-side combinable;
+    the CASE buckets avoid floating log2 edge cases entirely."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+    groups = d.groupBy(key.alias("content_key")).agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        F.when(F.col("n") == 1, "1")
+        .when(F.col("n") == 2, "2")
+        .when(F.col("n") <= 4, "3-4")
+        .when(F.col("n") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    return (
+        groups.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n").alias("n_docs"),
+        )
+        .orderBy("size_bucket")
+    )

@@ -1,0 +1,171 @@
+"""Group E — corpus-evolution analysis (round 2 batch).
+
+Two ops a continuously-ingesting training-data pipeline runs between
+crawl snapshots: token-distribution drift between two corpus slices
+(the data-shift alarm before a tokenizer/mixture refresh) and per-doc
+n-gram novelty attribution (how much genuinely new text each document
+contributes relative to everything ingested before it).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from glaciersgee_spark.registry import davg, query
+from glaciersgee_spark.tables import fan_out, load_table
+
+# Minimum combined token count to score drift on (rarer tokens are
+# sampling noise, not shift).
+DRIFT_MIN_COUNT = 20
+NOVELTY_K = 4  # n-gram width for novelty attribution
+
+
+@query(
+    "q_e_corpus_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % 2 = 0 AS slice_a,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             COUNT(*) FILTER (WHERE slice_a) AS ca,
+             COUNT(*) FILTER (WHERE NOT slice_a) AS cb
+      FROM toks GROUP BY token
+    ),
+    totals AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts
+    )
+    SELECT token, ca, cb,
+           round(ln(((ca + 1.0) * (nb + 1.0)) / ((cb + 1.0) * (na + 1.0))), 6)
+             AS log_ratio
+    FROM counts CROSS JOIN totals
+    WHERE ca + cb >= {DRIFT_MIN_COUNT}
+    ORDER BY abs(round(ln(((ca + 1.0) * (nb + 1.0)) / ((cb + 1.0) * (na + 1.0))), 6))
+             DESC, token ASC
+    LIMIT 30
+    """,
+)
+def q_e_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus slices (doc_id
+    parity stands in for crawl t vs t+1): smoothed per-token rate
+    log-ratio, top 30 movers — the report that flags a source gone
+    stale or a scraper change before it skews the training mixture.
+
+    One wordcount shuffle produces BOTH slices' counts (conditional
+    aggregates, map-side combinable); the corpus totals ride in as a
+    1-row broadcast cross join. log is rounded to 6 dp pre-sort per
+    the cross-engine convention, and ties break on token so the
+    top-30 SET is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("slice_a"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.when(F.col("slice_a"), 1)).alias("ca"),
+        F.count(F.when(~F.col("slice_a"), 1)).alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    lr = F.round(
+        F.log(
+            ((F.col("ca") + 1.0) * (F.col("nb") + 1.0))
+            / ((F.col("cb") + 1.0) * (F.col("na") + 1.0))
+        ),
+        6,
+    )
+    return (
+        counts.where(F.col("ca") + F.col("cb") >= DRIFT_MIN_COUNT)
+        .crossJoin(F.broadcast(totals))
+        .select("token", "ca", "cb", lr.alias("log_ratio"))
+        .orderBy(F.abs(F.col("log_ratio")).desc(), F.col("token").asc())
+        .limit(30)
+    )
+
+
+@query(
+    "q_e_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             substring(md5(array_to_string(toks[i:i+{NOVELTY_K - 1}], ' ')), 1, 16)
+               AS g
+      FROM (
+        SELECT doc_id, source, toks,
+               unnest(generate_series(1, greatest(len(toks) - {NOVELTY_K - 1}, 0)))
+                 AS i
+        FROM toks
+      )
+    ),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    per AS (
+      SELECT gr.doc_id, gr.source,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE fs.first_doc = gr.doc_id) AS n_novel
+      FROM grams gr JOIN first_seen fs ON gr.g = fs.g
+      GROUP BY gr.doc_id, gr.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           round({davg("CAST(n_novel AS DOUBLE) / n_grams")}, 6) AS avg_novelty,
+           COUNT(*) FILTER (WHERE CAST(n_novel AS DOUBLE) / n_grams < 0.5)
+             AS n_stale
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def q_e_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty attribution: the fraction of a doc's
+    distinct 4-grams whose corpus-wide FIRST occurrence (min doc_id —
+    ingest order) is this doc, rolled up per source with a count of
+    mostly-recycled (<50 % novel) docs — the incremental-crawl metric
+    that decides whether a source still pays for its ingest.
+
+    Same scale skeleton as q_e_span_dedup: narrow shingle explode →
+    per-doc DISTINCT → one groupBy(g) building the first-seen index →
+    co-partitioned join back on the same 16-byte key → combinable
+    rollups. No pair expansion anywhere."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (NOVELTY_K - 1), F.lit(0))
+        ),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(toks, i, NOVELTY_K), " ")), 1, 16
+        ),
+    )
+    grams = (
+        d.select("doc_id", "source", F.explode(sh).alias("g"))
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    nov = F.col("n_novel").cast("double") / F.col("n_grams")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(nov.cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_novelty"),
+            F.count(F.when(nov < 0.5, 1)).alias("n_stale"),
+        )
+        .orderBy("source")
+    )

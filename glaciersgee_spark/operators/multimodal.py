@@ -257,3 +257,52 @@ def q_e_mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "q_e_mm_pairs",
+    oracle="""
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(e.vec_id) AS n_paired,
+           round(CAST(COUNT(e.vec_id) AS DOUBLE) / COUNT(*), 6) AS pair_rate,
+           SUM(CASE WHEN e.vec_id IS NOT NULL
+                    THEN octet_length(CAST(d.text AS BLOB)) ELSE 0 END)
+             AS paired_bytes,
+           COUNT(DISTINCT e.label) AS n_labels
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_e_mm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-pair construction audit: join the binary-payload corpus
+    (documents as payload carriers) against the embedding table on
+    object id — the (image, embedding) pairing step of a contrastive
+    training-data build — and report per language how complete the
+    pairing is (pair rate), how many payload bytes are covered, and
+    how many distinct labels the paired subset spans.
+
+    LEFT JOIN keeps unpaired payloads visible (they are the backlog
+    the embedding job still owes). At local scale the embedding side
+    broadcasts; at 100 TB both sides are large and this becomes a
+    shuffle join on the id — either way the rollup is map-side
+    combinable on lang."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id, "left")
+    paired = F.col("vec_id").isNotNull()
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("vec_id").alias("n_paired"),
+            F.round(
+                F.count("vec_id").cast("double") / F.count(F.lit(1)), 6
+            ).alias("pair_rate"),
+            F.sum(
+                F.when(paired, F.length(F.col("text").cast("binary"))).otherwise(0)
+            ).alias("paired_bytes"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("lang")
+    )

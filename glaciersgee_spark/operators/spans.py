@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from glaciersgee_spark.registry import davg, query
-from glaciersgee_spark.tables import load_table
+from glaciersgee_spark.tables import fan_out, load_table
 
 # Span shingle width (tokens) for repeated-span detection.
 SPAN_K = 8
@@ -32,7 +32,7 @@ WIN_W = 4
 def _shingled(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """(doc_id, source, pos, key): md5-16 key of every k-token shingle,
     1-based pos. Narrow explode on the scan — no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),

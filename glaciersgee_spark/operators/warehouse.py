@@ -154,3 +154,82 @@ def q_b_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead.isNull().alias("is_current"),
         "n_events",
     )
+
+
+@query(
+    "q_b_snapshot_diff",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS a_cents
+      FROM orders
+    ),
+    snap_a AS (
+      SELECT o_orderkey, a_cents FROM cents WHERE o_orderkey % 3 <> 0
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN (a_cents * 11) // 10
+                  ELSE a_cents END AS b_cents
+      FROM cents WHERE o_orderkey % 5 <> 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.a_cents <> b.b_cents THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           COUNT(*) AS n_rows,
+           SUM(COALESCE(b.b_cents, 0) - COALESCE(a.a_cents, 0))
+             AS delta_cents
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    GROUP BY diff_status ORDER BY diff_status
+    """,
+)
+def q_b_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions (derived
+    deterministically from `orders` — %3/%5 membership plays
+    yesterday/today, a %7 price bump plays updates) into
+    added / removed / changed / unchanged classes with row counts and
+    the net price delta — the audit every incremental-ingest pipeline
+    runs before promoting a snapshot.
+
+    FULL OUTER JOIN on the key classifies every row in one pass; both
+    snapshot filters push to the shared scan. At 100 TB both sides
+    shuffle on the key once (or zero times if the snapshots are
+    bucketed on it — the layout this op argues for). Money lives in
+    integer cents end-to-end (floor-half-up once at ingest, exact
+    integer bump and sums after) — `round(double)` tie-breaking is the
+    one op the engines disagree on, so it never touches this path."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("a_cents"),
+    )
+    snap_a = cents.where(F.col("o_orderkey") % 3 != 0)
+    snap_b = cents.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.expr("(a_cents * 11) div 10")
+        )
+        .otherwise(F.col("a_cents"))
+        .alias("b_cents"),
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.a_cents") != F.col("b.b_cents"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(F.col("b.b_cents"), F.lit(0)) - F.coalesce(
+        F.col("a.a_cents"), F.lit(0)
+    )
+    return (
+        j.groupBy(status.alias("diff_status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(delta).alias("delta_cents"),
+        )
+        .orderBy("diff_status")
+    )

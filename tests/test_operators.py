@@ -549,3 +549,99 @@ def test_maparrow_matches_sql_expression(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_snapshot_diff_classes_partition_the_key_space(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_snapshot_diff
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.diff_status: r for r in q_b_snapshot_diff(spark, SF_SMOKE).collect()}
+    o = load_table(spark, SF_SMOKE, "orders")
+    n_a = o.where(F.col("o_orderkey") % 3 != 0).count()
+    n_b = o.where(F.col("o_orderkey") % 5 != 0).count()
+    # every snap_a row is removed/changed/unchanged; every snap_b row is
+    # added/changed/unchanged
+    assert rows["removed"].n_rows + rows["changed"].n_rows + rows["unchanged"].n_rows == n_a
+    assert rows["added"].n_rows + rows["changed"].n_rows + rows["unchanged"].n_rows == n_b
+    assert rows["unchanged"].delta_cents == 0
+    assert rows["changed"].delta_cents > 0  # 10% bumps only
+    assert rows["removed"].delta_cents < 0
+
+
+def test_dedup_soft_weights_conserve_groups(spark):
+    # Σ weights over the corpus equals the number of distinct content
+    # keys (each group contributes ~1.0, up to 6-dp rounding).
+    from glaciersgee_spark.operators.dedup import q_e_dedup_soft
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_dedup_soft(spark, SF_SMOKE).collect()
+    eff = sum(r.effective_docs for r in rows)
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_groups = (
+        d.select(
+            F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+        )
+        .distinct()
+        .count()
+    )
+    assert abs(eff - n_groups) < 0.01 * n_groups + 1
+
+
+def test_dup_sizes_docs_sum_to_corpus(spark):
+    from glaciersgee_spark.operators.dedup import q_e_dup_sizes
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_dup_sizes(spark, SF_SMOKE).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, SF_SMOKE, "documents").count()
+    assert all(r.n_groups <= r.n_docs for r in rows)
+
+
+def test_corpus_drift_is_antisymmetric_on_swap(spark):
+    # log_ratio(a,b) computed on the full corpus; every returned row
+    # must be reproducible from raw counts.
+    import math
+
+    from glaciersgee_spark.operators.drift import q_e_corpus_drift
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_corpus_drift(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 30
+    toks = load_table(spark, SF_SMOKE, "documents").select(
+        (F.col("doc_id") % 2 == 0).alias("sa"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    na = toks.where("sa").count()
+    nb = toks.where(~F.col("sa")).count()
+    for r in rows[:5]:
+        want = round(
+            math.log(((r.ca + 1.0) * (nb + 1.0)) / ((r.cb + 1.0) * (na + 1.0))), 6
+        )
+        assert abs(r.log_ratio - want) < 2e-6
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    # On a corpus where doc 0 has the minimum doc_id, every gram of the
+    # min-id doc is first-seen there -> its novelty is 1; source
+    # averages are in (0, 1].
+    from glaciersgee_spark.operators.drift import q_e_ngram_novelty
+
+    rows = q_e_ngram_novelty(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.avg_novelty <= 1.0
+        assert 0 <= r.n_stale <= r.n_docs
+
+
+def test_mm_pairs_rates_bounded_and_consistent(spark):
+    from glaciersgee_spark.operators.multimodal import q_e_mm_pairs
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_mm_pairs(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r.n_paired <= r.n_docs
+        assert abs(r.pair_rate - round(r.n_paired / r.n_docs, 6)) < 1e-9
+        if r.n_paired == 0:
+            assert r.paired_bytes == 0 and r.n_labels == 0
