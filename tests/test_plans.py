@@ -282,3 +282,77 @@ def test_lateral_join_is_decorrelated(spark):
     plan = PI.executed(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_span_dedup_no_pair_expansion(spark):
+    """The cross-doc shingle index is an aggregate + key join — never a
+    pair self-join or cartesian; everything stays JVM-side."""
+    from glaciersgee_spark.operators.spans import q_e_span_dedup
+
+    df = q_e_span_dedup(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "CartesianProduct" not in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_winnow_bounded_shuffles_jvm_only(spark):
+    """Window membership is a narrow explode; the min/argmin passes and
+    rollups keep a bounded shuffle budget, all JVM."""
+    from glaciersgee_spark.operators.spans import q_e_winnow
+
+    df = q_e_winnow(spark, SF_SMOKE)
+    f = PI.formatted(df)
+    x = PI.executed(df)
+    assert PI.count_shuffles(f) <= 10
+    assert "CartesianProduct" not in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_ngram_novelty_no_pair_expansion(spark):
+    from glaciersgee_spark.operators.drift import q_e_ngram_novelty
+
+    df = q_e_ngram_novelty(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "CartesianProduct" not in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_embed_gram_python_boundary_is_single_narrow_map(spark):
+    """The only Python crossing is the partial-Gram kernel BEFORE the
+    shuffle: the groupBy merge must see 64x64 partial rows, not raw
+    vectors, and there is exactly one aggregation exchange."""
+    from glaciersgee_spark.operators.linalg import q_e_embed_gram
+
+    df = q_e_embed_gram(spark, SF_SMOKE)
+    f = PI.formatted(df)
+    x = PI.executed(df)
+    assert PI.has_python_boundary(x)  # the declared kernel
+    # fan_out repartition + agg exchange + final sort
+    assert PI.count_shuffles(f) <= 3
+    assert "CartesianProduct" not in x
+
+
+def test_snapshot_diff_single_join_pass(spark):
+    """One FULL OUTER JOIN classifies every row; no Python, no
+    cartesian, single join in the plan."""
+    from glaciersgee_spark.operators.warehouse import q_b_snapshot_diff
+
+    df = q_b_snapshot_diff(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert not PI.has_python_boundary(x)
+    assert "CartesianProduct" not in x
+    # AQE output prints the join in both the final and the initial plan;
+    # assert the SHAPE (full-outer hash-family join, no nested loop).
+    assert "FullOuter" in x
+    assert "BroadcastNestedLoopJoin" not in x
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """lag, running-sum, per-run agg and lead all partition by user_id:
+    the plan must not re-shuffle between them."""
+    from glaciersgee_spark.operators.warehouse import q_b_scd2
+
+    df = q_b_scd2(spark, SF_SMOKE)
+    f = PI.formatted(df)
+    assert PI.count_shuffles(f) <= 2  # fan-in to user_id + nothing else
+    assert not PI.has_python_boundary(PI.executed(df))
