@@ -1304,3 +1304,75 @@ def q_e_dup_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+@query(
+    "q_e_containment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(a.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb,
+           round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                 AS DOUBLE) / len(a.sh), 6) AS cont_ab,
+           round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                 AS DOUBLE) / len(b.sh), 6) AS cont_ba
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE greatest(
+            CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+              AS DOUBLE) / len(a.sh),
+            CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+              AS DOUBLE) / len(b.sh)) >= 0.25
+    """,
+)
+def q_e_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection (|A∩B|/|A| per direction): catches a doc
+    QUOTED INSIDE a larger one, which symmetric Jaccard under-scores
+    (a 20-shingle doc fully contained in a 200-shingle doc has J≈0.1
+    but containment 1.0) — the dedup signal for quote-heavy and
+    wrapper/boilerplate-extended duplicates (Broder's containment
+    coefficient).
+
+    Identical inverted-index shape to q_e_jaccard_verify (same
+    persisted shingle base, same posting-key groupBy — the one
+    pair-materializing shuffle is bounded by pairs that actually
+    share a shingle), only the final score differs: inter/na and
+    inter/nb instead of inter/union."""
+    sh = _with_shingles(spark, sf_dir)
+    base = sh.persist()
+    post = base.select(
+        "doc_id", "lang", "source", F.explode("sh").alias("shingle")
+    ).select("doc_id", F.xxhash64("lang", "source", "shingle").alias("pkey"))
+    # max_bucket=None for the same exactness reason as q_e_jaccard_verify.
+    inter = (
+        cobucket_pairs(post, ["pkey"], ["doc_id"], distinct=False, max_bucket=None)
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    c_ab = F.round(F.col("inter").cast("double") / F.col("na"), 6)
+    c_ba = F.round(F.col("inter").cast("double") / F.col("nb"), 6)
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            c_ab.alias("cont_ab"),
+            c_ba.alias("cont_ba"),
+        )
+        .where(
+            F.greatest(
+                F.col("inter").cast("double") / F.col("na"),
+                F.col("inter").cast("double") / F.col("nb"),
+            )
+            >= 0.25
+        )
+    )

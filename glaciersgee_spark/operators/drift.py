@@ -169,3 +169,123 @@ def q_e_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_e_len_buckets",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+    ),
+    bucketed AS (
+      SELECT n_tok,
+             CASE WHEN n_tok <= 16 THEN 'a_le16'
+                  WHEN n_tok <= 32 THEN 'b_17_32'
+                  WHEN n_tok <= 64 THEN 'c_33_64'
+                  WHEN n_tok <= 128 THEN 'd_65_128'
+                  ELSE 'e_129p' END AS len_bucket
+      FROM lens
+    ),
+    tot AS (SELECT SUM(n_tok) AS all_tok FROM lens)
+    SELECT len_bucket,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tokens,
+           round(CAST(SUM(n_tok) AS DOUBLE) / tot.all_tok, 6) AS token_share
+    FROM bucketed CROSS JOIN tot
+    GROUP BY len_bucket, tot.all_tok ORDER BY len_bucket
+    """,
+)
+def q_e_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length budget histogram: docs and token mass per
+    power-of-two-ish length bucket plus each bucket's share of corpus
+    tokens — the first number a packing/truncation policy is designed
+    against (how much budget do >128-token docs actually consume?).
+
+    Pure scan-side length expression → one combinable rollup; the
+    corpus total rides in as a 1-row broadcast. CASE buckets (not
+    log2) keep the edges float-free. Bucket labels carry an ordering
+    prefix so lexicographic ORDER BY is the budget order."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    lens = d.select(n_tok.alias("n_tok"))
+    bucket = (
+        F.when(F.col("n_tok") <= 16, "a_le16")
+        .when(F.col("n_tok") <= 32, "b_17_32")
+        .when(F.col("n_tok") <= 64, "c_33_64")
+        .when(F.col("n_tok") <= 128, "d_65_128")
+        .otherwise("e_129p")
+    )
+    tot = lens.agg(F.sum("n_tok").alias("all_tok"))
+    return (
+        lens.select("n_tok", bucket.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "len_bucket",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("all_tok"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+@query(
+    "q_e_boilerplate",
+    oracle="""
+    WITH pref AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pkey
+      FROM documents WHERE len(string_split(text, ' ')) >= 8
+    ),
+    shared AS (
+      SELECT pkey, COUNT(*) AS n_docs_with
+      FROM pref GROUP BY pkey HAVING COUNT(*) >= 2
+    )
+    SELECT p.source,
+           COUNT(*) AS n_docs,
+           COUNT(s.pkey) AS n_boiler_docs,
+           round(CAST(COUNT(s.pkey) AS DOUBLE) / COUNT(*), 6) AS boiler_rate,
+           COALESCE(MAX(s.n_docs_with), 0) AS max_prefix_group
+    FROM pref p LEFT JOIN shared s ON p.pkey = s.pkey
+    GROUP BY p.source ORDER BY p.source
+    """,
+)
+def q_e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-header detection: docs whose first 8 tokens are
+    shared verbatim with ≥1 other doc (template headers, scraper
+    chrome), per source with the largest shared-prefix group — the
+    prefix-anchored complement of q_e_span_dedup (a shared INTERIOR
+    span is plagiarism-shaped; a shared PREFIX is template-shaped).
+
+    One md5-16 prefix key per doc (no explode at all), one groupBy
+    building the shared-prefix index, co-partitioned join back,
+    combinable rollup — strictly cheaper than any shingle pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pref = d.where(F.size(toks) >= 8).select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("pkey"),
+    )
+    shared = (
+        pref.groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+        .where(F.col("n_docs_with") >= 2)
+    )
+    return (
+        pref.join(shared, "pkey", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_docs_with").alias("n_boiler_docs"),
+            F.round(
+                F.count("n_docs_with").cast("double") / F.count(F.lit(1)), 6
+            ).alias("boiler_rate"),
+            F.coalesce(F.max("n_docs_with"), F.lit(0)).alias("max_prefix_group"),
+        )
+        .orderBy("source")
+    )

@@ -233,3 +233,37 @@ def q_b_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_status")
     )
+
+
+@query(
+    "q_b_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_b_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p25/p50/p75/p95/p99 of extended
+    price per return flag) — the latency-style tail report. Spark's
+    exact `percentile` interpolates identically to DuckDB's
+    quantile_cont (linear between order statistics; equivalence
+    already proven bit-level by q_e_text_stats' median) and results
+    round to 6 dp.
+
+    Exact percentiles shuffle the group's values once and sort within
+    the aggregate buffer; at 100 TB the same query would move to
+    approx_percentile (t-digest, map-side combinable) with this exact
+    form as the audit — both spellings are one groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95, "p99": 0.99}
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(k)
+        for k, p in qs.items()
+    ]
+    return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")

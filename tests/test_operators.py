@@ -645,3 +645,79 @@ def test_mm_pairs_rates_bounded_and_consistent(spark):
         assert abs(r.pair_rate - round(r.n_paired / r.n_docs, 6)) < 1e-9
         if r.n_paired == 0:
             assert r.paired_bytes == 0 and r.n_labels == 0
+
+
+def test_quantiles_are_monotone_and_bounded(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_quantiles
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_quantiles(spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    lohi = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    ).collect()[0]
+    assert rows
+    for r in rows:
+        assert lohi.lo <= r.p25 <= r.p50 <= r.p75 <= r.p95 <= r.p99 <= lohi.hi
+
+
+def test_len_buckets_conserve_docs_and_tokens(spark):
+    from glaciersgee_spark.operators.drift import q_e_len_buckets
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_len_buckets(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    share = sum(r.token_share for r in rows)
+    assert abs(share - 1.0) < 1e-4
+    # labels sort in budget order
+    labels = [r.len_bucket for r in rows]
+    assert labels == sorted(labels)
+
+
+def test_boilerplate_flags_shared_prefixes(spark):
+    # Synthetic corpus: two docs share an 8-token prefix, one doesn't.
+    import os
+    import tempfile
+
+    from glaciersgee_spark.operators.drift import q_e_boilerplate
+
+    pref = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = spark.createDataFrame(
+        [
+            (1, pref + " alpha beta", "en", "s1", 1),
+            (2, pref + " gamma delta", "en", "s1", 1),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 unique tail", "en", "s1", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        rows.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_e_boilerplate(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 3 and r.n_boiler_docs == 2 and r.max_prefix_group == 2
+
+
+def test_containment_catches_contained_doc(spark):
+    # Doc 1's shingles are a strict subset of doc 2's -> cont_ab = 1.0
+    # even though Jaccard is low.
+    import os
+    import tempfile
+
+    from glaciersgee_spark.operators.dedup import q_e_containment
+
+    small = "a b c d"
+    big = small + " e f g h i j k l m n o p q r s t u v w x y z"
+    rows = spark.createDataFrame(
+        [(1, small, "en", "s1", 1), (2, big, "en", "s1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        rows.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_e_containment(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.cont_ab == 1.0
+    assert r.cont_ba < 0.2
