@@ -289,3 +289,76 @@ def q_e_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_e_tok_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, source, token, COUNT(*) AS c
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, source, token
+    ),
+    per AS (
+      SELECT doc_id, source,
+             SUM(c) AS n,
+             SUM(CAST(c * round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(30,6)))
+               AS s
+      FROM tf GROUP BY doc_id, source
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(round(ln(CAST(n AS DOUBLE)), 6)
+                   - CAST(s AS DOUBLE) / n, 6) AS entropy
+      FROM per
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           round(CAST(SUM(CAST(entropy AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_entropy,
+           COUNT(*) FILTER (WHERE entropy < 2.5) AS n_low_entropy
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q_e_tok_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy H = ln n − (1/n)·Σ c·ln c — the
+    repetitiveness quality signal (a keyword-stuffed or looping doc
+    scores low; natural prose high), rolled up per source with a
+    low-entropy flag count — the cheap complement to q_e_repetition's
+    n-gram-specific detector.
+
+    Cross-engine determinism per the lm_scores convention: every ln is
+    rounded to 6 dp per ROW, the weighted sum Σ c·ln₆(c) runs in exact
+    DECIMAL (c integer × 6-dp value = exact), floats reappear only in
+    the per-doc finish. One tf shuffle + per-doc rollup + per-source
+    rollup, all map-side combinable."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.expr("CAST(c * round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(30,6))")
+    per = tf.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"), F.sum(term).alias("s")
+    )
+    entropy = F.round(
+        F.expr("round(ln(CAST(n AS DOUBLE)), 6)")
+        - F.col("s").cast("double") / F.col("n"),
+        6,
+    )
+    scored = per.select("doc_id", "source", entropy.alias("entropy"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("entropy").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_entropy"),
+            F.count(F.when(F.col("entropy") < 2.5, 1)).alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )

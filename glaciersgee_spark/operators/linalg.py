@@ -95,3 +95,87 @@ def q_e_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# Power-iteration start vector: all ones (scaled later by the norm);
+# using a constant start keeps the step exactly integer until the
+# final normalization.
+_V0 = 1
+
+
+def _gram_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, s): exact upper-triangle integer Gram cells (pre-scale).
+
+    Same kernel as q_e_embed_gram without the final division — the
+    shared integer core both the Gram emit and the power-iteration
+    step consume."""
+    e = load_table(spark, sf_dir, "embeddings")
+    partials = fan_out(e.select("embedding")).mapInPandas(
+        _partial_gram, "i int, j int, s long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
+
+
+@query(
+    "q_e_power_iter",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_SCALE:.1f} + 0.5) AS BIGINT)))
+               AS q,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings
+    ),
+    gup AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    gfull AS (
+      SELECT i, j, s FROM gup
+      UNION ALL
+      SELECT j AS i, i AS j, s FROM gup WHERE i <> j
+    ),
+    gv AS (SELECT i, SUM(s * {_V0}) AS num FROM gfull GROUP BY i),
+    nrm AS (SELECT sqrt(CAST(SUM(num * num) AS DOUBLE)) AS n2 FROM gv)
+    SELECT gv.i AS dim,
+           round(CAST(gv.num AS DOUBLE) / nrm.n2, 6) AS v1
+    FROM gv CROSS JOIN nrm
+    ORDER BY dim
+    """,
+)
+def q_e_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed power-iteration step v₁ = normalize(G·v₀) on the
+    corpus Gram matrix (v₀ = 1⃗) — the inner loop of dominant-PC
+    extraction (PCA/whitening/spectral diagnostics) in the shape a
+    cluster runs it: the data pass is the SAME partial-Gram kernel as
+    q_e_embed_gram (nothing new crosses the shuffle), and the
+    matrix-vector product + normalization run on the 2,080-cell
+    aggregate, never on raw vectors.
+
+    Determinism: G·v₀ stays EXACT integer (decimal sums of int64
+    partials, v₀ constant); floats appear only in the final
+    norm-divide, identical IEEE ops in both engines, rounded to 6 dp.
+    Further iterations would re-broadcast v₁ into the kernel — one
+    extra pass each, still one shuffle per pass."""
+    gup = _gram_int(spark, sf_dir)
+    lower = gup.where(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "s"
+    )
+    gfull = gup.unionByName(lower)
+    gv = gfull.groupBy("i").agg(F.sum(F.col("s") * _V0).alias("num"))
+    # ‖G·v₀‖²: num² ≈ 10³³ fits decimal(38,0) / hugeint exactly, so the
+    # norm's radicand is the SAME integer in both engines — no float
+    # accumulation order anywhere before the final sqrt+divide.
+    nrm = gv.agg(F.sqrt(F.sum(F.col("num") * F.col("num")).cast("double")).alias("n2"))
+    return (
+        gv.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("i").alias("dim"),
+            F.round(F.col("num").cast("double") / F.col("n2"), 6).alias("v1"),
+        )
+        .orderBy("dim")
+    )

@@ -328,3 +328,62 @@ def q_d_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "q_d_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hw
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE ts < hw - INTERVAL 10 MINUTE) AS n_late,
+           round(CAST(COUNT(*) FILTER (WHERE ts < hw - INTERVAL 10 MINUTE)
+                 AS DOUBLE) / COUNT(*), 6) AS late_rate,
+           CAST(MAX((epoch_us(hw) - epoch_us(ts)) // 1000000) AS BIGINT)
+             AS max_lag_s
+    FROM arr GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_d_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: replay the stream in ARRIVAL order
+    (event_id), track the running event-time high-water mark, and
+    count per type how many events arrive >10 min behind it, plus the
+    worst observed lag — the measurement that SIZES a watermark before
+    q_d_watermark_late commits to one (too tight drops data, too loose
+    bloats state).
+
+    Batch equivalent of per-batch watermark accounting: one global
+    arrival-order running max (the stream applies it incrementally;
+    the batch replay needs a single-partition pass over ~arrival
+    order, the one intentionally serial step) then a combinable
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("hw"),
+    )
+    late = F.col("ts") < F.col("hw") - F.expr("INTERVAL 10 MINUTE")
+    # integer µs→s floor division (lag is non-negative by construction)
+    lag_s = F.expr(
+        "(unix_micros(CAST(hw AS TIMESTAMP)) - unix_micros(CAST(ts AS TIMESTAMP)))"
+        " div 1000000"
+    )  # UTC session tz: the NTZ→TZ cast is value-preserving
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(late, 1)).alias("n_late"),
+            F.round(
+                F.count(F.when(late, 1)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("late_rate"),
+            F.max(lag_s).cast("long").alias("max_lag_s"),
+        )
+        .orderBy("event_type")
+    )

