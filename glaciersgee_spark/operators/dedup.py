@@ -1376,3 +1376,82 @@ def q_e_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.25
         )
     )
+
+
+@query(
+    "q_e_url_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT p_partkey, m.m AS mirror,
+             'https://mirror-' || CAST(m.m AS VARCHAR)
+               || '.example.com/l2/scene_' || CAST(p_partkey AS VARCHAR)
+               || '.tif?band=B' || CAST(p_partkey % 8 AS VARCHAR)
+               || '&rev=' || CAST((p_partkey + m.m) % 5 AS VARCHAR) AS url
+      FROM part CROSS JOIN (SELECT unnest([0, 1, 2]) AS m) m
+      WHERE p_partkey % 3 = 0
+    ),
+    canon AS (
+      SELECT url,
+             regexp_replace(
+               regexp_replace(url, '^https://mirror-[0-9]+\\.', 'https://'),
+               '&rev=[0-9]+', '') AS curl
+      FROM urls
+    ),
+    groups AS (SELECT curl, COUNT(*) AS n FROM canon GROUP BY curl)
+    SELECT COUNT(*) AS n_canonical,
+           SUM(n) AS n_urls,
+           round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate,
+           MAX(n) AS max_group,
+           COUNT(*) FILTER (WHERE n = 1) AS n_singletons
+    FROM groups
+    """,
+)
+def q_e_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: the crawl-frontier step that
+    collapses mirror hosts and cache-buster params BEFORE fetching —
+    here the corpus's synthetic scene-URL scheme (q_c_url) is served
+    from 3 mirrors with a rotating rev param, and canonicalization
+    (strip `mirror-N.` host prefix, drop `rev`) recovers one URL per
+    (scene, band). Emits the dedup ledger: canonical count, raw count,
+    dup rate, largest group, singletons.
+
+    Narrow regex canonicalization on the scan (the 3× mirror expansion
+    is a bounded literal cross join), ONE groupBy on the canonical
+    string, 1-row rollup. At 100 TB the canonical key would be
+    xxhash64'd before the shuffle like every other dedup key here."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 3 == 0)
+    urls = p.crossJoin(
+        F.broadcast(
+            p.sparkSession.range(3).select(F.col("id").cast("int").alias("m"))
+        )
+    ).select(
+        "p_partkey",
+        "m",
+        F.concat(
+            F.lit("https://mirror-"),
+            F.col("m").cast("string"),
+            F.lit(".example.com/l2/scene_"),
+            F.col("p_partkey").cast("string"),
+            F.lit(".tif?band=B"),
+            (F.col("p_partkey") % 8).cast("string"),
+            F.lit("&rev="),
+            ((F.col("p_partkey") + F.col("m")) % 5).cast("string"),
+        ).alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace("url", r"^https://mirror-[0-9]+\.", "https://"),
+        r"&rev=[0-9]+",
+        "",
+    )
+    groups = urls.select(curl.alias("curl")).groupBy("curl").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("n").alias("n_urls"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("n"), 6
+        ).alias("dup_rate"),
+        F.max("n").alias("max_group"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_singletons"),
+    )

@@ -830,3 +830,88 @@ def q_a_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("filled6"),
         method.alias("method"),
     )
+
+
+@query(
+    "q_a_tile_neighbors",
+    oracle="""
+    WITH scenes AS (
+      SELECT CAST(user_id % 25 AS INTEGER) AS path,
+             CAST((user_id // 25) % 25 AS INTEGER) AS row_
+      FROM events
+    ),
+    per_tile AS (
+      SELECT path, row_, COUNT(*) AS n_scenes
+      FROM scenes GROUP BY path, row_
+    ),
+    spread AS (
+      SELECT path + dx.d AS cpath, row_ + dy.d AS crow, n_scenes
+      FROM per_tile
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    hood AS (
+      SELECT cpath AS path, crow AS row_, SUM(n_scenes) AS n_hood
+      FROM spread
+      WHERE cpath BETWEEN 0 AND 24 AND crow BETWEEN 0 AND 24
+      GROUP BY cpath, crow
+    )
+    SELECT p.path, p.row_, p.n_scenes,
+           h.n_hood,
+           round(CAST(p.n_scenes AS DOUBLE) / h.n_hood, 6) AS self_share
+    FROM per_tile p JOIN hood h ON p.path = h.path AND p.row_ = h.row_
+    WHERE (p.path + p.row_) % 7 = 0
+    """,
+)
+def q_a_tile_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-neighborhood density: per WRS-grid tile (path/row derived
+    from user_id), the scene count of its 3×3 neighborhood and the
+    tile's share of it — the adjacency statistic a mosaicking planner
+    reads to find isolated tiles (GEE analogue: per-tile reduceRegions
+    over neighboring footprints).
+
+    Raster-adjacency WITHOUT a spatial join: aggregate per tile FIRST
+    (map-side combinable, grid-bounded output), then explode each
+    tile's count to its ≤9 neighbor cells (bounded literal offsets —
+    the convolution-by-join pattern) and re-aggregate. Work scales
+    with |grid|, not |scenes|; at 100 TB the scene table never
+    shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    scenes = ev.select(
+        (F.col("user_id") % 25).cast("int").alias("path"),
+        F.expr("CAST((user_id div 25) % 25 AS INT)").alias("row_"),
+    )
+    per_tile = scenes.groupBy("path", "row_").agg(
+        F.count(F.lit(1)).alias("n_scenes")
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(array(-1, 0, 1), "
+        "dx -> transform(array(-1, 0, 1), dy -> struct(dx, dy)))))"
+    )
+    spread = per_tile.select(
+        "path", "row_", "n_scenes", offsets.alias("o")
+    ).select(
+        (F.col("path") + F.col("o.dx")).alias("cpath"),
+        (F.col("row_") + F.col("o.dy")).alias("crow"),
+        "n_scenes",
+    )
+    hood = (
+        spread.where(
+            F.col("cpath").between(0, 24) & F.col("crow").between(0, 24)
+        )
+        .groupBy(F.col("cpath").alias("path"), F.col("crow").alias("row_"))
+        .agg(F.sum("n_scenes").alias("n_hood"))
+    )
+    return (
+        per_tile.join(hood, ["path", "row_"])
+        .where((F.col("path") + F.col("row_")) % 7 == 0)
+        .select(
+            "path",
+            "row_",
+            "n_scenes",
+            "n_hood",
+            F.round(
+                F.col("n_scenes").cast("double") / F.col("n_hood"), 6
+            ).alias("self_share"),
+        )
+    )

