@@ -1331,3 +1331,182 @@ def q_e_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv6"),
     )
+
+
+@query(
+    "q_e_knn_graph",
+    oracle=f"""
+    WITH {_KM_CTES},
+    members AS (
+      SELECT a.vec_id, a.cid, v.ve, v.nrm
+      FROM asg a JOIN v USING (vec_id)
+    ),
+    edges AS (
+      SELECT x.vec_id, x.cid,
+             {_d_cos6('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} AS cs,
+             y.vec_id AS nbr
+      FROM members x JOIN members y
+        ON x.cid = y.cid AND x.vec_id <> y.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, cid, cs,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, nbr ASC) AS rk
+      FROM edges
+    ),
+    per_node AS (
+      SELECT vec_id, cid,
+             COUNT(*) AS k_got,
+             round(CAST(SUM(CAST(cs AS DECIMAL(30,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS knn_mean,
+             MIN(cs) AS knn_min
+      FROM ranked WHERE rk <= 5 GROUP BY vec_id, cid
+    )
+    SELECT p.vec_id, p.cid, s.n_cell, p.k_got, p.knn_mean,
+           round(p.knn_min, 6) AS knn_min
+    FROM per_node p
+    JOIN (SELECT cid, COUNT(*) AS n_cell FROM asg GROUP BY cid) s
+      ON p.cid = s.cid
+    WHERE p.vec_id % 7 = 0
+    """,
+)
+def q_e_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k=5) scoped to k-means cells — the
+    edge-building pass of graph-based dedup/diversity methods
+    (SemDeDup's neighborhoods, kNN-density pruning): per node, the
+    mean and worst similarity of its 5 nearest in-cell neighbors plus
+    its cell size (sampled 1-in-7 nodes for the ledger).
+
+    Same O(Σ|cell|²)-never-O(n²) bound as q_e_semdedup: the shared
+    broadcast-centroid assignment scopes the pair expansion to cells,
+    the rank window and rollups ride the (vec_id) partitioning. At
+    100 TB the in-cell pair scoring becomes the IVF-bucketed Arrow
+    kernel (q_e_sim_topk_ivf's shape) — the graph shape is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+    x = members.select(
+        F.col("vec_id"), "cid", F.col("embedding").alias("xe")
+    )
+    y = members.select(
+        F.col("vec_id").alias("nbr"), F.col("cid").alias("ycid"),
+        F.col("embedding").alias("ye"),
+    )
+    edges = (
+        x.join(y, (F.col("cid") == F.col("ycid")) & (F.col("vec_id") != F.col("nbr")))
+        .select("vec_id", "cid", "nbr", _cos6("xe", "ye").alias("cs"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("nbr").asc())
+    ranked = edges.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+    per_node = ranked.groupBy("vec_id", "cid").agg(
+        F.count(F.lit(1)).alias("k_got"),
+        F.round(
+            F.sum(F.col("cs").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("knn_mean"),
+        F.round(F.min("cs"), 6).alias("knn_min"),
+    )
+    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_cell"))
+    return (
+        per_node.join(F.broadcast(sizes), "cid")
+        .where(F.col("vec_id") % 7 == 0)
+        .select("vec_id", "cid", "n_cell", "k_got", "knn_mean", "knn_min")
+    )
+
+
+@query(
+    "q_e_diversity_sample",
+    oracle=f"""
+    WITH {_KM_CTES},
+    scored AS (
+      SELECT a.vec_id, a.cid, sc.cs
+      FROM asg a JOIN sc ON a.vec_id = sc.vec_id AND a.cid = sc.cid
+    ),
+    ranked AS (
+      SELECT vec_id, cid, cs,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cs DESC, vec_id ASC)
+               AS rk_proto,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cs ASC, vec_id ASC)
+               AS rk_edge
+      FROM scored
+    )
+    SELECT cid, vec_id,
+           CASE WHEN rk_proto <= 5 THEN 'prototype' ELSE 'boundary' END AS role,
+           round(cs, 6) AS centroid_cos
+    FROM ranked
+    WHERE rk_proto <= 5 OR rk_edge <= 5
+    """,
+)
+def q_e_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic diversity coreset: per k-means cell, the 5
+    prototypes (nearest the centroid) AND the 5 boundary points
+    (farthest) — the cheap stand-in for facility-location coreset
+    selection when curating a representative eval/finetune slice:
+    prototypes cover the modes, boundary points cover the tails.
+    A point that is both (tiny cell) reports as prototype.
+
+    One shared cell assignment (broadcast centroids), two rank windows
+    on the SAME (cid) partitioning, no pair expansion at all. Output
+    is K·10 rows regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, cent = _km_assign(spark, sf_dir)
+    scored = (
+        asg.join(e, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cs"))
+    )
+    wp = Window.partitionBy("cid").orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+    we = Window.partitionBy("cid").orderBy(F.col("cs").asc(), F.col("vec_id").asc())
+    ranked = scored.select(
+        "vec_id",
+        "cid",
+        "cs",
+        F.row_number().over(wp).alias("rk_proto"),
+        F.row_number().over(we).alias("rk_edge"),
+    )
+    return (
+        ranked.where((F.col("rk_proto") <= 5) | (F.col("rk_edge") <= 5))
+        .select(
+            "cid",
+            "vec_id",
+            F.when(F.col("rk_proto") <= 5, "prototype")
+            .otherwise("boundary")
+            .alias("role"),
+            F.round("cs", 6).alias("centroid_cos"),
+        )
+    )
+
+
+@query(
+    "q_e_label_balance",
+    oracle="""
+    WITH per AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM per)
+    SELECT per.label, per.n,
+           round(CAST(per.n AS DOUBLE) / tot.total, 6) AS share,
+           round(CAST(tot.total AS DOUBLE) / (tot.k * per.n), 6) AS weight
+    FROM per CROSS JOIN tot ORDER BY per.label
+    """,
+)
+def q_e_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance ledger: per label its corpus share and the
+    inverse-frequency resampling weight N/(K·n) that equalizes
+    expected class mass — the rebalancing input of any labeled
+    training mixture. One combinable groupBy + a 1-row broadcast
+    total; the weights are pure per-row IEEE arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("total").cast("double") / (F.col("k") * F.col("n")), 6
+            ).alias("weight"),
+        )
+        .orderBy("label")
+    )

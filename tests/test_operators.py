@@ -779,3 +779,43 @@ def test_tile_neighbors_shares_bounded(spark):
         assert 1 <= r.n_scenes <= r.n_hood
         assert 0.0 < r.self_share <= 1.0
         assert 0 <= r.path <= 24 and 0 <= r.row_ <= 24
+
+
+def test_knn_graph_scores_bounded_and_cell_scoped(spark):
+    from glaciersgee_spark.operators.similarity import q_e_knn_graph
+
+    rows = q_e_knn_graph(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.k_got <= 5
+        assert r.k_got <= r.n_cell - 1
+        assert -1.0 <= r.knn_min <= r.knn_mean <= 1.0
+
+
+def test_diversity_sample_per_cell_shape(spark):
+    from glaciersgee_spark.operators.similarity import KM_K, q_e_diversity_sample
+
+    rows = q_e_diversity_sample(spark, SF_SMOKE).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cid, []).append(r)
+    assert len(by_cell) <= KM_K
+    for cid, sel in by_cell.items():
+        assert len(sel) <= 10
+        protos = [r for r in sel if r.role == "prototype"]
+        bounds = [r for r in sel if r.role == "boundary"]
+        assert len(protos) <= 5 and len(bounds) <= 5
+        if protos and bounds:
+            assert min(r.centroid_cos for r in protos) >= max(
+                r.centroid_cos for r in bounds
+            ) - 1e-9
+
+
+def test_label_balance_weights_equalize_mass(spark):
+    from glaciersgee_spark.operators.similarity import q_e_label_balance
+
+    rows = q_e_label_balance(spark, SF_SMOKE).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # expected resampled mass per class: n * weight == total / k for all
+    masses = [r.n * r.weight for r in rows]
+    assert max(masses) - min(masses) < 0.01 * max(masses)
