@@ -362,3 +362,84 @@ def q_e_tok_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_e_summary_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR))
+               AS ck
+      FROM documents
+    ),
+    grp AS (
+      SELECT source, ck, COUNT(*) AS gn FROM base GROUP BY source, ck
+    ),
+    dup AS (
+      SELECT source,
+             SUM(gn) AS n_docs_g, COUNT(*) AS n_groups
+      FROM grp GROUP BY source
+    )
+    SELECT b.source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT b.lang) AS n_langs,
+           SUM(b.n_tok) AS total_tokens,
+           round(CAST(SUM(b.n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           COUNT(*) FILTER (WHERE b.n_tok >= 10 AND b.n_chars < 2000)
+             AS n_clean,
+           round(1.0 - CAST(MIN(d.n_groups) AS DOUBLE) / COUNT(*), 6)
+             AS exact_dup_rate
+    FROM base b JOIN dup d ON b.source = d.source
+    GROUP BY b.source ORDER BY b.source
+    """,
+)
+def q_e_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the one-page summary a curation run
+    publishes per source — doc/lang/token volume, mean length, clean-doc
+    count (length-window predicate) and exact-dup rate (same content
+    key as q_e_dedup_exact) — the table that decides which sources
+    enter the next mixture.
+
+    Two combinable aggregations (per-(source, key) then per-source)
+    plus the main per-source rollup joined on source; every column is
+    exact-integer or a single final division."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    ck = F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+    base = d.select(
+        "source", "lang", "n_chars", n_tok.alias("n_tok"), ck.alias("ck")
+    )
+    dup = (
+        base.groupBy("source", "ck")
+        .agg(F.count(F.lit(1)).alias("gn"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+    clean = (F.col("n_tok") >= 10) & (F.col("n_chars") < 2000)
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+            F.count(F.when(clean, 1)).alias("n_clean"),
+        )
+        .join(dup, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            "avg_chars",
+            "n_clean",
+            F.round(
+                F.lit(1.0) - F.col("n_groups").cast("double") / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -915,3 +915,59 @@ def q_a_tile_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("self_share"),
         )
     )
+
+
+@query(
+    "q_a_stereo_pairs",
+    oracle="""
+    WITH scenes AS (
+      SELECT CAST(user_id AS BIGINT) AS tile,
+             event_type AS kind,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_id
+      FROM events
+    )
+    SELECT a.kind AS kind_a, b.kind AS kind_b,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT a.tile) AS n_tiles
+    FROM scenes a JOIN scenes b
+      ON a.tile = b.tile AND a.day = b.day AND a.kind < b.kind
+    GROUP BY a.kind, b.kind
+    ORDER BY kind_a, kind_b
+    """,
+)
+def q_a_stereo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day cross-instrument acquisition pairing: scenes of
+    DIFFERENT kinds over the same tile on the same day (the stereo /
+    multi-sensor co-registration candidate search — GEE analogue: a
+    save-all join between two filtered ImageCollections on tile+date).
+
+    Equi self-join on the composite (tile, day) key — bounded per-key
+    fan-out (a tile sees a handful of same-day acquisitions), one
+    shuffle shared by both sides via the co-partitioned join, then a
+    combinable rollup to the kind-pair matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    scenes = ev.select(
+        F.col("user_id").alias("tile"),
+        F.col("event_type").alias("kind"),
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        "event_id",
+    )
+    a = scenes.alias("a")
+    b = scenes.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tile") == F.col("b.tile"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.kind") < F.col("b.kind")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.kind").alias("kind_a"), F.col("b.kind").alias("kind_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(F.col("a.tile")).alias("n_tiles"),
+        )
+        .orderBy("kind_a", "kind_b")
+    )

@@ -278,3 +278,49 @@ def q_b_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, k in enumerate(qs)
         ],
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_b_skew_audit",
+    oracle="""
+    WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(n) AS total, MAX(n) AS max_n,
+             round(quantile_cont(n, 0.50), 6) AS p50,
+             round(quantile_cont(n, 0.99), 6) AS p99
+      FROM per
+    )
+    SELECT n_keys, total, max_n, p50, p99,
+           round(CAST(max_n AS DOUBLE) / total, 6) AS max_share,
+           round(CAST(max_n AS DOUBLE) / p50, 6) AS skew_ratio
+    FROM stats
+    """,
+)
+def q_b_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit: per-key row counts of the event stream's
+    natural key reduced to the numbers that decide a salting strategy —
+    key count, hottest key's share, and the max/median ratio. This is
+    the measurement q_b_agg_salted / q_b_join_salted respond to; run it
+    BEFORE burning a round on salting a key that isn't hot.
+
+    One combinable groupBy to |keys| rows, then a 1-row aggregate
+    (exact percentiles over the bounded per-key table — at 100 TB the
+    per-key table is still only |keys| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+        F.round(F.expr("percentile(n, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99"),
+    )
+    return stats.select(
+        "n_keys",
+        "total",
+        "max_n",
+        "p50",
+        "p99",
+        F.round(F.col("max_n").cast("double") / F.col("total"), 6).alias("max_share"),
+        F.round(F.col("max_n").cast("double") / F.col("p50"), 6).alias("skew_ratio"),
+    )

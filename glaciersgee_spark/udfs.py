@@ -418,3 +418,40 @@ def q_f_maparrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_revenue,
         "l_orderkey bigint, l_linenumber int, revenue_cents bigint",
     )
+
+
+# ------------------------------------------------- pandas iterator UDF
+
+
+@F.pandas_udf(T.DoubleType())  # type OBJECT: a DDL string would force
+# datatype parsing at import time, which needs an active SparkContext
+def _log_revenue_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """SCALAR_ITER form: one-time per-worker setup (here: the constant)
+    amortizes across batches — the eval type for UDFs with expensive
+    initialization (model load, codec table). ln is rounded to 6 dp
+    per the cross-engine convention."""
+    import numpy as np
+
+    scale = 100.0  # stands in for expensive setup done ONCE per worker
+    for s in batches:
+        yield pd.Series(np.round(np.log(s.to_numpy() / scale), 6))
+
+
+@query(
+    "q_f_pandas_iter",
+    oracle="""
+    SELECT o_orderkey,
+           round(ln(o_totalprice / 100.0), 6) AS log_rev
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def q_f_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER) — the third Arrow
+    eval type after scalar and grouped: same per-row semantics as
+    q_f_pandas_scalar but the function sees the whole batch STREAM, so
+    per-worker setup happens once instead of per batch. numpy ln and
+    round(x, 6) are IEEE-identical to the SQL spelling."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    return fan_out(o.select("o_orderkey", "o_totalprice")).select(
+        "o_orderkey", _log_revenue_iter("o_totalprice").alias("log_rev")
+    )

@@ -819,3 +819,56 @@ def test_label_balance_weights_equalize_mass(spark):
     # expected resampled mass per class: n * weight == total / k for all
     masses = [r.n * r.weight for r in rows]
     assert max(masses) - min(masses) < 0.01 * max(masses)
+
+
+def test_skew_audit_internally_consistent(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_skew_audit
+    from glaciersgee_spark.tables import load_table
+
+    r = q_b_skew_audit(spark, SF_SMOKE).collect()[0]
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert r.total == ev.count()
+    assert r.n_keys == ev.select("user_id").distinct().count()
+    assert r.p50 <= r.p99 <= r.max_n
+    assert 0 < r.max_share <= 1.0
+    assert r.skew_ratio >= 1.0
+
+
+def test_pandas_iter_matches_builtin_expression(spark):
+    from glaciersgee_spark.udfs import q_f_pandas_iter
+    from glaciersgee_spark.tables import load_table
+
+    got = sorted(
+        (r.o_orderkey, r.log_rev) for r in q_f_pandas_iter(spark, SF_SMOKE).collect()
+    )
+    o = load_table(spark, SF_SMOKE, "orders").where(F.col("o_orderkey") % 20 == 0)
+    want = sorted(
+        (r.o_orderkey, r.lr)
+        for r in o.select(
+            "o_orderkey", F.round(F.log(F.col("o_totalprice") / 100.0), 6).alias("lr")
+        ).collect()
+    )
+    assert got == want
+
+
+def test_summary_card_conserves_docs(spark):
+    from glaciersgee_spark.operators.drift import q_e_summary_card
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_summary_card(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r.n_clean <= r.n_docs
+        assert 0.0 <= r.exact_dup_rate < 1.0
+        assert r.n_langs >= 1
+
+
+def test_stereo_pairs_kinds_ordered_and_bounded(spark):
+    from glaciersgee_spark.operators.etl import q_a_stereo_pairs
+
+    rows = q_a_stereo_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.kind_a < r.kind_b
+        assert 1 <= r.n_tiles <= r.n_pairs
