@@ -356,3 +356,44 @@ def test_scd2_windows_share_one_exchange(spark):
     f = PI.formatted(df)
     assert PI.count_shuffles(f) <= 2  # fan-in to user_id + nothing else
     assert not PI.has_python_boundary(PI.executed(df))
+
+
+def test_knn_graph_pairs_stay_cell_scoped(spark):
+    """Edges come from an equi join on cell id — never a cartesian —
+    and the only Python boundary is the cosine kernel."""
+    from glaciersgee_spark.operators.similarity import q_e_knn_graph
+
+    df = q_e_knn_graph(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "CartesianProduct" not in x
+    # the member×member pair join must be a HASH join on cell id; the
+    # only nested-loop allowed is _km_assign's declared 8-row broadcast
+    # centroid cross join
+    assert "BroadcastHashJoin" in x
+    # _km_assign's 8-row broadcast centroid cross join shows up as a
+    # BroadcastNestedLoopJoin in EVERY member lineage (plus AQE's
+    # initial-plan echo) — bounded, declared; the unbounded shapes
+    # (CartesianProduct / ShuffledNestedLoop) stay banned
+    assert "ShuffledNestedLoopJoin" not in x
+
+
+def test_diversity_sample_no_pair_expansion(spark):
+    """Coreset selection is windows over the assignment — no self-join
+    of members at all."""
+    from glaciersgee_spark.operators.similarity import q_e_diversity_sample
+
+    df = q_e_diversity_sample(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "CartesianProduct" not in x
+    # both rank windows ride the same (cid) partitioning
+    f = PI.formatted(df)
+    assert PI.count_shuffles(f) <= 6
+
+
+def test_skew_audit_two_aggregations_only(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_skew_audit
+
+    df = q_b_skew_audit(spark, SF_SMOKE)
+    f = PI.formatted(df)
+    assert PI.count_shuffles(f) <= 3
+    assert not PI.has_python_boundary(PI.executed(df))
