@@ -478,3 +478,49 @@ def q_c_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("band")).alias("band"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "q_c_regex",
+    oracle="""
+    WITH blob AS (
+      SELECT doc_id,
+             lang || '_' || source || ' ' || substring(text, 1, 60) AS b
+      FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT doc_id,
+           regexp_extract(b, '([a-z]+)_([a-z]+[0-9]+)', 1) AS first_stem,
+           regexp_extract(b, '([a-z]+)_([a-z]+[0-9]+)', 2) AS first_suffix,
+           CAST(len(regexp_extract_all(b, '[a-z]+[0-9]+')) AS INT)
+             AS n_alnum_runs,
+           CAST(regexp_matches(b, '^[a-z]+_') AS BOOLEAN) AS starts_compound,
+           CAST(len(string_split_regex(b, '[ _]+')) AS INT) AS n_units
+    FROM blob
+    """,
+)
+def q_c_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family on one surface: group extraction (1st and
+    2nd capture), match counting via extract-all, boolean match, and
+    regex split, over a constructed lang_source-prefixed blob (the raw
+    corpus text has no compound tokens, so the probe string guarantees
+    every branch fires). Patterns stay in the RE2∩Java common subset
+    (SURVEY.md §7.4 regex trap: no backrefs, no lookaround, no lazy
+    quantifiers) so both engines see identical semantics. All JVM-side
+    codegen, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
+    b = F.concat_ws(
+        "", F.col("lang"), F.lit("_"), F.col("source"), F.lit(" "),
+        F.substring("text", 1, 60),
+    )
+    blob = d.select("doc_id", b.alias("b"))
+    pat = r"([a-z]+)_([a-z]+[0-9]+)"
+    return blob.select(
+        "doc_id",
+        F.regexp_extract("b", pat, 1).alias("first_stem"),
+        F.regexp_extract("b", pat, 2).alias("first_suffix"),
+        F.size(F.regexp_extract_all("b", F.lit(r"[a-z]+[0-9]+"), F.lit(0)))
+        .cast("int")
+        .alias("n_alnum_runs"),
+        F.col("b").rlike("^[a-z]+_").alias("starts_compound"),
+        F.size(F.split("b", "[ _]+")).cast("int").alias("n_units"),
+    )

@@ -1510,3 +1510,104 @@ def q_e_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_e_ann_cost",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v
+          WHERE vec_id BETWEEN 1 AND {IVF_NLIST}),
+    sc AS (SELECT v.vec_id, c.cid,
+                  {_d_cos6('v.ve', 'c.cv', 'v.nrm', 'c.cn')} AS cscore
+           FROM v, c),
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cscore DESC, cid ASC) AS rk
+               FROM sc) WHERE rk = 1),
+    sizes AS (SELECT cid, COUNT(*) AS n FROM cell GROUP BY cid),
+    qs AS (SELECT vec_id AS qid, ve AS qv, nrm AS qn FROM v
+           WHERE vec_id IN (0, 11, 22, 33, 44)),
+    probes AS (SELECT qid, cid FROM (
+                 SELECT qs.qid, c.cid,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY qs.qid
+                          ORDER BY {_d_cos6('c.cv', 'qs.qv', 'c.cn', 'qs.qn')}
+                                   DESC, c.cid ASC) AS rk
+                 FROM c, qs) WHERE rk <= {IVF_NPROBE}),
+    tot AS (SELECT COUNT(*) AS n_total FROM cell)
+    SELECT p.qid,
+           SUM(s.n) AS n_probed,
+           tot.n_total,
+           round(CAST(SUM(s.n) AS DOUBLE) / tot.n_total, 6) AS scan_frac,
+           array_to_string(list_sort(list(p.cid)), ',') AS probed_cids
+    FROM probes p JOIN sizes s ON p.cid = s.cid CROSS JOIN tot
+    GROUP BY p.qid, tot.n_total ORDER BY p.qid
+    """,
+)
+def q_e_ann_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-cost ledger: for each panel query, how many vectors
+    the nprobe=4 probe actually scans vs the brute-force N, with the
+    probed cell list — the capacity-planning number an ANN deployment
+    reads before fixing (nlist, nprobe): scan_frac ≈ nprobe/nlist only
+    when cells are balanced (q_e_cluster_balance measures that skew).
+
+    Pure derived ledger over the SAME cell assignment q_e_sim_topk_ivf
+    uses — broadcast centroid scoring + argmax window + cell-size
+    aggregate; the 5×16 probe ranking is constant-sized. Nothing here
+    touches raw vectors beyond the one assignment pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, IVF_NLIST)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "cid", _cos6("embedding", "cemb").alias("cscore")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("cid").asc()
+    )
+    cell = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    sizes = cell.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    qs = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    wq = Window.partitionBy("qid")
+    probes = (
+        cent.join(F.broadcast(qs))
+        .select("qid", "cid", _cos6("cemb", "qemb").alias("qscore"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                wq.orderBy(F.col("qscore").desc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    tot = cell.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        probes.join(sizes, "cid")
+        .groupBy("qid")
+        .agg(
+            F.sum("n").alias("n_probed"),
+            F.array_join(F.sort_array(F.collect_list("cid")), ",").alias(
+                "probed_cids"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "qid",
+            "n_probed",
+            "n_total",
+            F.round(F.col("n_probed").cast("double") / F.col("n_total"), 6).alias(
+                "scan_frac"
+            ),
+            "probed_cids",
+        )
+        .orderBy("qid")
+    )

@@ -872,3 +872,33 @@ def test_stereo_pairs_kinds_ordered_and_bounded(spark):
     for r in rows:
         assert r.kind_a < r.kind_b
         assert 1 <= r.n_tiles <= r.n_pairs
+
+
+def test_ann_cost_fractions_bounded(spark):
+    from glaciersgee_spark.operators.similarity import (
+        IVF_NLIST,
+        IVF_NPROBE,
+        q_e_ann_cost,
+    )
+
+    rows = q_e_ann_cost(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r.n_probed <= r.n_total
+        assert 0.0 < r.scan_frac <= 1.0
+        cids = r.probed_cids.split(",")
+        assert len(cids) == IVF_NPROBE
+        assert all(1 <= int(c) <= IVF_NLIST for c in cids)
+
+
+def test_regex_family_branches_fire(spark):
+    from glaciersgee_spark.functions.scalar import q_c_regex
+
+    rows = q_c_regex(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # the constructed blob guarantees a lang_srcN compound up front
+        assert r.first_stem != "" and r.first_suffix != ""
+        assert r.n_alnum_runs >= 1
+        assert r.starts_compound is True
+        assert r.n_units >= 2
