@@ -10,7 +10,7 @@ contributes relative to everything ingested before it).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from glaciersgee_spark.registry import davg, query
 from glaciersgee_spark.tables import fan_out, load_table
@@ -442,4 +442,172 @@ def q_e_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+# PMI: restrict to the corpus top-V vocabulary so the pair space is
+# V² literals, never |doc|²-driven.
+PMI_V = 40
+PMI_MIN_PAIR = 5
+
+
+@query(
+    "q_e_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS df,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+        FROM toks GROUP BY token
+      ) WHERE rk <= {PMI_V}
+    ),
+    vt AS (SELECT t.doc_id, t.token FROM toks t JOIN vocab v USING (token)),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    df AS (SELECT token, COUNT(*) AS df FROM vt GROUP BY token),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS co
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+    )
+    SELECT p.tok_a, p.tok_b, p.co,
+           round(ln((CAST(p.co AS DOUBLE) * n.n_docs)
+                    / (CAST(da.df AS DOUBLE) * db.df)), 6) AS pmi
+    FROM pairs p
+    JOIN df da ON p.tok_a = da.token
+    JOIN df db ON p.tok_b = db.token
+    CROSS JOIN n
+    WHERE p.co >= {PMI_MIN_PAIR}
+    ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+    LIMIT 30
+    """,
+)
+def q_e_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI of top-vocabulary token pairs — the
+    co-occurrence statistic behind word-association mining and
+    embedding sanity checks: PMI = ln(P(a,b)/(P(a)P(b))) over doc
+    presence, top 30 associations.
+
+    The pair space is capped STRUCTURALLY: only the corpus top-40
+    vocabulary enters the self-join, so co-occurrence pairs are ≤V²
+    regardless of corpus size — the standard trick that keeps PMI
+    tractable at 100 TB (full-vocab PMI is a |vocab|² explosion).
+    One distinct-presence shuffle, one vocab broadcast, one
+    co-occurrence groupBy."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    wv = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") <= PMI_V)
+        .select("token")
+    )
+    vt = toks.join(F.broadcast(vocab), "token").select("doc_id", "token")
+    n_docs = toks.select("doc_id").distinct().count()
+    df = vt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    a = vt.select("doc_id", F.col("token").alias("tok_a"))
+    b = vt.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= PMI_MIN_PAIR)
+    )
+    da = df.select(F.col("token").alias("tok_a"), F.col("df").alias("dfa"))
+    db = df.select(F.col("token").alias("tok_b"), F.col("df").alias("dfb"))
+    pmi = F.round(
+        F.log(
+            (F.col("co").cast("double") * n_docs)
+            / (F.col("dfa").cast("double") * F.col("dfb"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select("tok_a", "tok_b", "co", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(30)
+    )
+
+
+@query(
+    "q_e_burstiness",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+    stats AS (
+      SELECT token,
+             SUM(c) AS s1,
+             SUM(c * c) AS s2,
+             COUNT(*) AS n_present
+      FROM tf GROUP BY token HAVING SUM(c) >= 50
+    )
+    SELECT token, s1 AS total_count, n_present,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n.nd)
+                 / (CAST(s1 AS DOUBLE) * (1.0 - 1.0 / n.nd)), 6)
+             AS burstiness
+    FROM stats CROSS JOIN n
+    ORDER BY burstiness DESC, token ASC
+    LIMIT 25
+    """,
+)
+def q_e_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio over docs, absent docs
+    counted as zero): distinguishes topical words (bursty — all their
+    mass in few docs) from function words (even spread) — the corpus-
+    linguistics dispersion statistic that feeds stopword induction and
+    keyword extraction. Top 25 burstiest frequent tokens.
+
+    All moments are EXACT integer sums (Σc, Σc², doc counts) — the
+    one division happens per output row — so cross-engine equality is
+    bit-level before the final 6-dp round. One tf shuffle, one
+    per-token rollup, 1-row doc-count broadcast."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = tf.select("doc_id").distinct().count()
+    stats = (
+        tf.groupBy("token")
+        .agg(
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .where(F.col("s1") >= 50)
+    )
+    burst = F.round(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / nd
+        )
+        / (F.col("s1").cast("double") * (1.0 - 1.0 / nd)),
+        6,
+    )
+    return (
+        stats.select(
+            "token",
+            F.col("s1").alias("total_count"),
+            "n_present",
+            burst.alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("token").asc())
+        .limit(25)
     )

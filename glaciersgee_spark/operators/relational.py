@@ -1776,3 +1776,28 @@ def q_b_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.expr(dsum("l_quantity")).alias("sum_qty"),
     )
+
+
+@query(
+    "q_b_scan_range",
+    oracle="""
+    SELECT CAST(g.id AS BIGINT) AS id,
+           CAST(g.id % 97 AS BIGINT) AS bucket,
+           CAST(g.id * g.id % 1000003 AS BIGINT) AS h
+    FROM generate_series(0, 99999, 7) AS g(id)
+    """,
+)
+def q_b_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator source: `spark.range` as a first-class scan — the
+    datasource that backs synthetic-data jobs, key-space enumeration
+    and backfill drivers. Range scans split into numSlices partitions
+    with NO input I/O at all, so they parallelize perfectly; derived
+    columns stay in codegen.
+
+    The driver corpus never exercises a table-free plan anywhere
+    else — this declares it (oracle: generate_series)."""
+    return spark.range(0, 100_000, 7).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("bucket"),
+        (F.col("id") * F.col("id") % 1_000_003).alias("h"),
+    )

@@ -902,3 +902,41 @@ def test_regex_family_branches_fire(spark):
         assert r.n_alnum_runs >= 1
         assert r.starts_compound is True
         assert r.n_units >= 2
+
+
+def test_pmi_symmetric_in_counts(spark):
+    import math
+
+    from glaciersgee_spark.operators.drift import q_e_pmi
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_pmi(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 30
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_docs = d.count()
+    for r in rows[:3]:
+        # co <= min(df) and pmi <= ln(n/max-co bound); just re-derive
+        assert r.tok_a < r.tok_b
+        assert r.co >= 5
+        assert math.isfinite(r.pmi)
+
+
+def test_burstiness_function_words_low(spark):
+    from glaciersgee_spark.operators.drift import q_e_burstiness
+
+    rows = q_e_burstiness(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # VMR of counts is >= 0; present-doc count can't exceed mass
+        assert r.burstiness >= -1e-6
+        assert r.n_present <= r.total_count
+
+
+def test_scan_range_deterministic_and_partitioned(spark):
+    from glaciersgee_spark.operators.relational import q_b_scan_range
+
+    df = q_b_scan_range(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == (100_000 + 6) // 7
+    assert rows[0].id == 0
+    assert all(r.h == r.id * r.id % 1_000_003 for r in rows[:50])
