@@ -7,10 +7,12 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 Dict ordering: round 1's CORRECTNESS pass covered only the first 50
 entries of queries() in iteration order, so each round the queries
 with the least driver-side evidence are rotated to the front — round
-2 leads with the two round-1 red rows (both fixed) followed by all 48
-Group E ops, then the remaining never-checked C/D/F/late-B ops, with
-the 48 round-1-verified ops at the back. Local parity
-(tests/run_parity.py) still covers all 134 every round.
+2 leads with the two round-1 red rows (both fixed) followed by every
+Group E op (the engine's distinctive surface, none driver-checked in
+round 1), then the remaining never-checked A/B/C/D/F ops, with the 48
+round-1-verified ops at the back. Local parity (tests/run_parity.py)
+covers the full inventory (192 as of round 2) at sf0.01 AND sf0.1
+every round regardless of the driver cap.
 """
 
 from __future__ import annotations

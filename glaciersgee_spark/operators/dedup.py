@@ -1455,3 +1455,70 @@ def q_e_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_group"),
         F.count(F.when(F.col("n") == 1, 1)).alias("n_singletons"),
     )
+
+
+# Recall audit for the SHIPPED simhash config, composed from the two
+# registered oracles (both are full SELECTs → legal derived tables).
+from glaciersgee_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@query(
+    "q_e_simhash_recall",
+    oracle=f"""
+    WITH simc AS ({_ORACLE['q_e_dedup_simhash']}),
+    truth AS (
+      SELECT id_a, id_b FROM ({_ORACLE['q_e_jaccard_verify']})
+      WHERE jaccard >= 0.5
+    ),
+    joined AS (
+      SELECT t.id_a IS NOT NULL AS in_truth,
+             s.id_a IS NOT NULL AS in_cand
+      FROM simc s FULL OUTER JOIN truth t
+        ON s.id_a = t.id_a AND s.id_b = t.id_b
+    )
+    SELECT COUNT(*) FILTER (WHERE in_truth) AS n_truth,
+           COUNT(*) FILTER (WHERE in_cand) AS n_cand,
+           COUNT(*) FILTER (WHERE in_truth AND in_cand) AS n_caught,
+           round(CAST(COUNT(*) FILTER (WHERE in_truth AND in_cand) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE in_truth), 6) AS recall6,
+           round(CAST(COUNT(*) FILTER (WHERE in_truth AND in_cand) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE in_cand), 6) AS precision6
+    FROM joined
+    """,
+)
+def q_e_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the SHIPPED SimHash config
+    (48-bit, 4×12 bands, Hamming ≤ 2) against the exact J ≥ 0.5 truth
+    set — closing the audit symmetry: every index family in this
+    engine (MinHash, SRP, IVF, PQ, now SimHash) ships its measured
+    recall, because a dedup config without one is a guess.
+
+    Composes the two verified pipelines (signature pairs + inverted-
+    index truth) with one full outer join on the pair key; output is
+    a single ledger row."""
+    simc = q_e_dedup_simhash(spark, sf_dir).select("id_a", "id_b")
+    truth = (
+        q_e_jaccard_verify(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    s = simc.withColumn("in_cand", F.lit(True)).alias("s")
+    t = truth.withColumn("in_truth", F.lit(True)).alias("t")
+    joined = s.join(
+        t,
+        (F.col("s.id_a") == F.col("t.id_a")) & (F.col("s.id_b") == F.col("t.id_b")),
+        "full",
+    ).select(
+        F.coalesce(F.col("t.in_truth"), F.lit(False)).alias("in_truth"),
+        F.coalesce(F.col("s.in_cand"), F.lit(False)).alias("in_cand"),
+    )
+    caught = F.count(F.when(F.col("in_truth") & F.col("in_cand"), 1))
+    n_truth = F.count(F.when(F.col("in_truth"), 1))
+    n_cand = F.count(F.when(F.col("in_cand"), 1))
+    return joined.agg(
+        n_truth.alias("n_truth"),
+        n_cand.alias("n_cand"),
+        caught.alias("n_caught"),
+        F.round(caught.cast("double") / n_truth, 6).alias("recall6"),
+        F.round(caught.cast("double") / n_cand, 6).alias("precision6"),
+    )

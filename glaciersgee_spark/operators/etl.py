@@ -971,3 +971,80 @@ def q_a_stereo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind_a", "kind_b")
     )
+
+
+@query(
+    "q_a_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id AS tile,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS day_v
+      FROM events WHERE user_id % 11 = 0
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT tile,
+             COUNT(*) AS n_days,
+             CAST(SUM(CAST(day_v AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(day_v * day_v AS DECIMAL(30,6))) AS DOUBLE) AS s2
+      FROM daily GROUP BY tile
+    )
+    SELECT d.tile, d.day,
+           round(d.day_v, 6) AS day_v,
+           round((d.day_v - s.s1 / s.n_days)
+                 / sqrt(greatest(s.s2 / s.n_days
+                        - (s.s1 / s.n_days) * (s.s1 / s.n_days), 1e-12)), 6)
+             AS z
+    FROM daily d JOIN stats s ON d.tile = s.tile
+    WHERE s.n_days >= 10
+      AND (d.day_v - s.s1 / s.n_days)
+          / sqrt(greatest(s.s2 / s.n_days
+                 - (s.s1 / s.n_days) * (s.s1 / s.n_days), 1e-12)) > 2.5
+    """,
+)
+def q_a_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile anomaly days: daily measurement totals more than 2.5σ
+    above the tile's own distribution (sensor-glitch / cloud-burst
+    QC — the per-tile control chart a pipeline runs before trusting a
+    day's acquisitions). Emits each flagged (tile, day) with its
+    z-score.
+
+    Exact-decimal daily sums and moments (bit-stable under any
+    partitioning), floats only in the final mean/σ/z arithmetic —
+    identical IEEE ops in both engines. Two combinable aggregations
+    sharing the tile partitioning + one co-partitioned join back."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 11 == 0)
+    daily = (
+        ev.groupBy(
+            F.col("user_id").alias("tile"),
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("day_v")
+        )
+    )
+    stats = daily.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("day_v").cast("decimal(30,6)")).cast("double").alias("s1"),
+        F.sum((F.col("day_v") * F.col("day_v")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = F.greatest(
+        F.col("s2") / F.col("n_days") - mean * mean, F.lit(1e-12)
+    )
+    z = (F.col("day_v") - mean) / F.sqrt(var)
+    return (
+        daily.join(stats, "tile")
+        .where((F.col("n_days") >= 10) & (z > 2.5))
+        .select(
+            "tile",
+            "day",
+            F.round("day_v", 6).alias("day_v"),
+            F.round(z, 6).alias("z"),
+        )
+    )

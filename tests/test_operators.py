@@ -940,3 +940,21 @@ def test_scan_range_deterministic_and_partitioned(spark):
     assert len(rows) == (100_000 + 6) // 7
     assert rows[0].id == 0
     assert all(r.h == r.id * r.id % 1_000_003 for r in rows[:50])
+
+
+def test_simhash_recall_ledger_consistent(spark):
+    from glaciersgee_spark.operators.dedup import q_e_simhash_recall
+
+    r = q_e_simhash_recall(spark, SF_SMOKE).collect()[0]
+    assert r.n_caught <= min(r.n_truth, r.n_cand)
+    assert 0.0 <= r.recall6 <= 1.0
+    assert 0.0 <= r.precision6 <= 1.0
+
+
+def test_anomaly_days_all_above_threshold(spark):
+    from glaciersgee_spark.operators.etl import q_a_anomaly_days
+
+    rows = q_a_anomaly_days(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.z > 2.5
+        assert r.tile % 11 == 0
