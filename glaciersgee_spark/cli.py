@@ -24,6 +24,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default=None, help="manifest output dir")
     p.add_argument("--done-log", default=None, help="parquet of done event_ids")
     p.add_argument(
+        "--report",
+        action="store_true",
+        help="write the curation report (per-source dataset cards, dup-size "
+        "histogram, length budget, curation funnel) as parquet tables",
+    )
+    p.add_argument(
         "--corpus",
         action="store_true",
         help="run the corpus-cleaning pipeline (quality filter -> dedup -> "
@@ -39,6 +45,15 @@ def main(argv: list[str] | None = None) -> int:
         run_pipeline,
     )
     from glaciersgee_spark.session import get_spark
+
+    if args.report:
+        from glaciersgee_spark.pipeline import run_report
+
+        out = args.out or tempfile.mkdtemp(prefix="ggee_report_")
+        summary = run_report(get_spark(), args.sf_dir, out)
+        json.dump(summary, sys.stdout)
+        print()
+        return 0
 
     if args.corpus:
         ccfg = CorpusCleanConfig.from_json(args.config)

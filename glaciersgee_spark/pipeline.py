@@ -237,3 +237,33 @@ def run_corpus_pipeline(
         "by_split": by_split,
         "output_dir": output_dir,
     }
+
+
+def run_report(spark: SparkSession, sf_dir: str, output_dir: str) -> dict:
+    """Curation report: the dataset-card bundle a corpus owner reads
+    before planning the next mixture — per-source cards, duplicate-
+    cluster size histogram, sequence-length budget, and the staged
+    curation funnel — each written as parquet under `output_dir` with
+    a headline summary on stdout. Every table is a declared, oracle-
+    checked query; this just materializes them side by side."""
+    from glaciersgee_spark.operators.dedup import (
+        q_e_curation_funnel,
+        q_e_dup_sizes,
+    )
+    from glaciersgee_spark.operators.drift import (
+        q_e_len_buckets,
+        q_e_summary_card,
+    )
+
+    parts = {
+        "cards": q_e_summary_card(spark, sf_dir),
+        "dup_sizes": q_e_dup_sizes(spark, sf_dir),
+        "len_buckets": q_e_len_buckets(spark, sf_dir),
+        "funnel": q_e_curation_funnel(spark, sf_dir),
+    }
+    summary: dict = {"output_dir": output_dir}
+    for name, df in parts.items():
+        path = f"{output_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        summary[name] = spark.read.parquet(path).count()
+    return summary

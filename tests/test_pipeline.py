@@ -118,3 +118,15 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     # rerun is deterministic: same kept set, same split assignment
     again = run_corpus_pipeline(spark, SF_SMOKE, cfg, str(tmp_path / "shards2"))
     assert again["by_split"] == summary["by_split"]
+
+
+def test_report_mode_writes_all_tables(spark, tmp_path):
+    from glaciersgee_spark.pipeline import run_report
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "report")
+    summary = run_report(spark, SF_SMOKE, out)
+    assert set(summary) == {"output_dir", "cards", "dup_sizes", "len_buckets", "funnel"}
+    for k in ("cards", "dup_sizes", "len_buckets", "funnel"):
+        assert summary[k] > 0
+        assert spark.read.parquet(f"{out}/{k}").count() == summary[k]
