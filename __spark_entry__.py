@@ -11,7 +11,7 @@ with the least driver-side evidence are rotated to the front — round
 Group E op (the engine's distinctive surface, none driver-checked in
 round 1), then the remaining never-checked A/B/C/D/F ops, with the 48
 round-1-verified ops at the back. Local parity (tests/run_parity.py)
-covers the full inventory (192 as of round 2) at sf0.01 AND sf0.1
+covers the full inventory (194 as of round 2) at sf0.01 AND sf0.1
 every round regardless of the driver cap.
 """
 

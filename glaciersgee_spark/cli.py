@@ -16,7 +16,12 @@ import tempfile
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("config", help="JSON config path or inline JSON")
+    p.add_argument(
+        "config",
+        nargs="?",
+        default="{}",
+        help="JSON config path or inline JSON (optional for --report)",
+    )
     p.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),

@@ -50,6 +50,17 @@ _DUCK_SHINGLES = (
 )
 
 
+def _exact_key():
+    """The ONE exact-dup content-key expression (Spark side; DuckDB
+    twin = _EXACT_KEY_DUCK / the q_e_dedup_exact oracle). Keyed on
+    (lang, source, n_chars) because the corpus has zero exact text
+    duplicates — md5-of-text is the same op with a different input.
+    Every consumer (exact dedup, soft weights, size histogram,
+    summary cards) MUST use this helper so the contract cannot
+    diverge."""
+    return F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+
+
 @query(
     "q_e_dedup_exact",
     oracle="""
@@ -72,9 +83,7 @@ def q_e_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this replaces dropDuplicates (whose keep-choice is
     partition-order-dependent) with a deterministic min-id rule."""
     d = load_table(spark, sf_dir, "documents")
-    key = F.md5(
-        F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string"))
-    )
+    key = _exact_key()
     w = Window.partitionBy("content_key").orderBy(F.col("doc_id").asc())
     return (
         d.select("doc_id", key.alias("content_key"))
@@ -1240,7 +1249,7 @@ def q_e_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp per row and summed in exact DECIMAL so the
     effective count is order-insensitive cross-engine."""
     d = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+    key = _exact_key()
     sized = d.select(
         "doc_id",
         "source",
@@ -1287,7 +1296,7 @@ def q_e_dup_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(hash) then a 5-row CASE rollup — both map-side combinable;
     the CASE buckets avoid floating log2 edge cases entirely."""
     d = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+    key = _exact_key()
     groups = d.groupBy(key.alias("content_key")).agg(F.count(F.lit(1)).alias("n"))
     bucket = (
         F.when(F.col("n") == 1, "1")

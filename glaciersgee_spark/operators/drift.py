@@ -133,10 +133,12 @@ def q_e_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups. No pair expansion anywhere."""
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
+    # filter, don't clamp: Spark's sequence(1, 0) is DESCENDING and
+    # slice(toks, 0, k) throws — the oracle's generate_series(1, 0)
+    # is empty (same hazard as spans._shingled)
+    d = d.where(F.size(toks) >= NOVELTY_K)
     sh = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(toks) - (NOVELTY_K - 1), F.lit(0))
-        ),
+        F.sequence(F.lit(1), F.size(toks) - (NOVELTY_K - 1)),
         lambda i: F.substring(
             F.md5(F.array_join(F.slice(toks, i, NOVELTY_K), " ")), 1, 16
         ),
@@ -407,7 +409,9 @@ def q_e_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer or a single final division."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " ")).cast("long")
-    ck = F.md5(F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string")))
+    from glaciersgee_spark.operators.dedup import _exact_key
+
+    ck = _exact_key()
     base = d.select(
         "source", "lang", "n_chars", n_tok.alias("n_tok"), ck.alias("ck")
     )
@@ -511,7 +515,9 @@ def q_e_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token")
     )
     vt = toks.join(F.broadcast(vocab), "token").select("doc_id", "token")
-    n_docs = toks.select("doc_id").distinct().count()
+    # corpus doc count as a 1-row broadcast (NOT a driver-side count():
+    # the declared query must stay a lazy plan — no job at build time)
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
     df = vt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     a = vt.select("doc_id", F.col("token").alias("tok_a"))
     b = vt.select("doc_id", F.col("token").alias("tok_b"))
@@ -526,7 +532,7 @@ def q_e_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = df.select(F.col("token").alias("tok_b"), F.col("df").alias("dfb"))
     pmi = F.round(
         F.log(
-            (F.col("co").cast("double") * n_docs)
+            (F.col("co").cast("double") * F.col("n_docs"))
             / (F.col("dfa").cast("double") * F.col("dfb"))
         ),
         6,
@@ -534,6 +540,7 @@ def q_e_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(da), "tok_a")
         .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n))
         .select("tok_a", "tok_b", "co", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(30)
@@ -583,7 +590,7 @@ def q_e_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    nd = tf.select("doc_id").distinct().count()
+    nd = tf.agg(F.countDistinct("doc_id").alias("nd"))
     stats = (
         tf.groupBy("token")
         .agg(
@@ -596,13 +603,14 @@ def q_e_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     burst = F.round(
         (
             F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1") / nd
+            - F.col("s1").cast("double") * F.col("s1") / F.col("nd")
         )
-        / (F.col("s1").cast("double") * (1.0 - 1.0 / nd)),
+        / (F.col("s1").cast("double") * (1.0 - 1.0 / F.col("nd"))),
         6,
     )
     return (
-        stats.select(
+        stats.crossJoin(F.broadcast(nd))
+        .select(
             "token",
             F.col("s1").alias("total_count"),
             "n_present",

@@ -1385,7 +1385,10 @@ def q_e_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     asg, _cent = _km_assign(spark, sf_dir)
     members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
-    x = members.select(
+    # The ledger sample depends only on the NODE side, so it pushes
+    # below the pair join: 1/7 of the pair scoring instead of scoring
+    # the full graph and discarding 6/7 of per_node afterwards.
+    x = members.where(F.col("vec_id") % 7 == 0).select(
         F.col("vec_id"), "cid", F.col("embedding").alias("xe")
     )
     y = members.select(
@@ -1410,7 +1413,6 @@ def q_e_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_cell"))
     return (
         per_node.join(F.broadcast(sizes), "cid")
-        .where(F.col("vec_id") % 7 == 0)
         .select("vec_id", "cid", "n_cell", "k_got", "knn_mean", "knn_min")
     )
 

@@ -34,8 +34,13 @@ def _shingled(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     1-based pos. Narrow explode on the scan — no shuffle."""
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
+    # Docs shorter than k tokens MUST be filtered out, not clamped:
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0] and slice with
+    # start 0 throws — while the oracle's generate_series(1, 0) is
+    # simply empty. The filter reproduces the oracle's empty semantics.
+    d = d.where(F.size(toks) >= k)
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 16),
     )
     return d.select(

@@ -958,3 +958,34 @@ def test_anomaly_days_all_above_threshold(spark):
     for r in rows:
         assert r.z > 2.5
         assert r.tile % 11 == 0
+
+
+def test_shingle_ops_survive_short_documents(spark):
+    # Regression: docs shorter than the shingle width must yield ZERO
+    # shingles (like the oracle's empty generate_series), not a
+    # descending-sequence slice crash.
+    import os
+    import tempfile
+
+    from glaciersgee_spark.operators.drift import q_e_ngram_novelty
+    from glaciersgee_spark.operators.spans import q_e_span_dedup, q_e_winnow
+
+    rows = spark.createDataFrame(
+        [
+            (1, "a", "en", "s1", 1),
+            (2, "a b", "en", "s1", 3),
+            (3, "one two three four five six seven eight nine ten", "en", "s1", 10),
+            (4, "one two three four five six seven eight nine ten", "en", "s1", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        rows.write.parquet(os.path.join(td, "documents.parquet"))
+        span = q_e_span_dedup(spark, td).collect()
+        win = q_e_winnow(spark, td).collect()
+        nov = q_e_ngram_novelty(spark, td).collect()
+    # only the two long docs produce shingles; they are full duplicates
+    assert len(span) == 1 and span[0].n_docs == 2 and span[0].avg_coverage == 1.0
+    assert len(win) == 1 and win[0].n_docs == 2
+    # novelty: doc 2 ("a b") has no 4-grams; docs 3/4 share all grams
+    assert len(nov) == 1 and nov[0].n_docs == 2
