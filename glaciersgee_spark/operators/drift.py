@@ -619,3 +619,113 @@ def q_e_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), F.col("token").asc())
         .limit(25)
     )
+
+
+# Token-budget waterfilling: target = half the corpus token mass.
+BUDGET_NUM = 1
+BUDGET_DEN = 2
+
+
+@query(
+    "q_e_token_budget",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tok) * {BUDGET_NUM} // {BUDGET_DEN} AS budget,
+                   COUNT(*) AS s FROM per),
+    ranked AS (
+      SELECT source, n_tok,
+             ROW_NUMBER() OVER (ORDER BY n_tok ASC, source ASC) AS i,
+             SUM(n_tok) OVER (ORDER BY n_tok ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumbefore
+      FROM per
+    ),
+    caps AS (
+      SELECT i, n_tok,
+             (tot.budget - COALESCE(cumbefore, 0)) // (tot.s - i + 1) AS cap
+      FROM ranked CROSS JOIN tot
+    ),
+    istar AS (SELECT MIN(i) AS i0 FROM caps WHERE cap <= n_tok),
+    capstar AS (
+      SELECT c.cap AS cap0 FROM caps c JOIN istar ON c.i = istar.i0
+    )
+    SELECT r.source, r.n_tok AS n_tokens,
+           CAST(CASE WHEN istar.i0 IS NULL OR r.i < istar.i0 THEN r.n_tok
+                     ELSE LEAST(r.n_tok, capstar.cap0) END AS BIGINT)
+             AS alloc_tokens,
+           round(CAST(CASE WHEN istar.i0 IS NULL OR r.i < istar.i0
+                           THEN r.n_tok
+                           ELSE LEAST(r.n_tok, capstar.cap0) END AS DOUBLE)
+                 / r.n_tok, 6) AS fill_rate
+    FROM ranked r
+    LEFT JOIN istar ON TRUE LEFT JOIN capstar ON TRUE
+    ORDER BY r.source
+    """,
+)
+def q_e_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling: allocate a corpus-wide training
+    budget (half the total token mass) across sources so small sources
+    keep everything and large sources share one fair cap — the
+    mixture-planning allocation that stops one giant crawl from eating
+    the budget. Emits per source its mass, allocation and fill rate.
+
+    Fully declarative waterfilling: ONE per-source aggregate, prefix
+    sums over the |sources|-row table, the pivot index i* (first rank
+    where the residual fair share dips under the source's own mass)
+    via a 2-row scalar join — every quantity integer until the final
+    fill-rate division, so both engines agree exactly. The remainder
+    (< |capped sources| tokens, from integer division) stays
+    unallocated by design."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tok")
+    )
+    tot = per.agg(
+        F.expr(f"SUM(n_tok) * {BUDGET_NUM} div {BUDGET_DEN}").alias("budget"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    w = Window.orderBy(F.col("n_tok").asc(), F.col("source").asc())
+    ranked = per.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cumbefore"),
+    )
+    caps = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        "i",
+        F.expr("(budget - cumbefore) div (s - i + 1)").alias("cap"),
+    )
+    istar = caps.where(F.col("cap") <= F.col("n_tok")).agg(
+        F.min("i").alias("i0")
+    )
+    # 1-row aggregate (NULL when no pivot exists, i.e. budget ≥ total):
+    # a bare select would be an EMPTY relation and the cross join below
+    # would wrongly empty the whole result
+    capstar = (
+        caps.crossJoin(F.broadcast(istar))
+        .where(F.col("i") == F.col("i0"))
+        .agg(F.min("cap").alias("cap0"))
+    )
+    full = F.col("i0").isNull() | (F.col("i") < F.col("i0"))
+    alloc = F.when(full, F.col("n_tok")).otherwise(
+        F.least(F.col("n_tok"), F.col("cap0"))
+    )
+    return (
+        caps.crossJoin(F.broadcast(istar))
+        .crossJoin(F.broadcast(capstar))
+        .select(
+            "source",
+            F.col("n_tok").alias("n_tokens"),
+            alloc.cast("long").alias("alloc_tokens"),
+            F.round(alloc.cast("double") / F.col("n_tok"), 6).alias("fill_rate"),
+        )
+        .orderBy("source")
+    )

@@ -989,3 +989,25 @@ def test_shingle_ops_survive_short_documents(spark):
     assert len(win) == 1 and win[0].n_docs == 2
     # novelty: doc 2 ("a b") has no 4-grams; docs 3/4 share all grams
     assert len(nov) == 1 and nov[0].n_docs == 2
+
+
+def test_token_budget_waterfilling_invariants(spark):
+    from glaciersgee_spark.operators.drift import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        q_e_token_budget,
+    )
+
+    rows = q_e_token_budget(spark, SF_SMOKE).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = total * BUDGET_NUM // BUDGET_DEN
+    allocated = sum(r.alloc_tokens for r in rows)
+    # never exceeds, leaves at most |sources| remainder tokens
+    assert allocated <= budget
+    assert budget - allocated < len(rows)
+    for r in rows:
+        assert 0 < r.alloc_tokens <= r.n_tokens
+        assert 0.0 < r.fill_rate <= 1.0
+    # small sources fill fully, large sources share one cap
+    capped = [r.alloc_tokens for r in rows if r.fill_rate < 1.0]
+    assert len(set(capped)) <= 1
