@@ -1613,3 +1613,52 @@ def q_e_ann_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "q_e_cluster_purity",
+    oracle=f"""
+    WITH {_KM_CTES},
+    lab AS (
+      SELECT a.cid, e.label FROM asg a JOIN embeddings e
+        ON a.vec_id = e.vec_id
+    ),
+    cells AS (
+      SELECT cid, label, COUNT(*) AS n FROM lab GROUP BY cid, label
+    ),
+    per_cell AS (
+      SELECT cid, SUM(n) AS n_cell, MAX(n) AS n_major,
+             COUNT(*) AS n_labels
+      FROM cells GROUP BY cid
+    )
+    SELECT cid, n_cell, n_labels,
+           round(CAST(n_major AS DOUBLE) / n_cell, 6) AS purity
+    FROM per_cell ORDER BY cid
+    """,
+)
+def q_e_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: per k-means cell, the majority-label
+    share (purity) and label spread — the cheap external-validation
+    number that says whether the cells the IVF/SemDeDup/coreset ops
+    trust actually align with semantics (labels). Low purity ⇒ the
+    centroids need retraining before cell-scoped dedup is safe.
+
+    Shared broadcast-centroid assignment + two combinable
+    aggregations on the (cid) partitioning; output is K rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    lab = asg.join(e.select("vec_id", "label"), "vec_id")
+    cells = lab.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
+    per_cell = cells.groupBy("cid").agg(
+        F.sum("n").alias("n_cell"),
+        F.max("n").alias("n_major"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    return per_cell.select(
+        "cid",
+        "n_cell",
+        "n_labels",
+        F.round(F.col("n_major").cast("double") / F.col("n_cell"), 6).alias(
+            "purity"
+        ),
+    ).orderBy("cid")

@@ -1011,3 +1011,17 @@ def test_token_budget_waterfilling_invariants(spark):
     # small sources fill fully, large sources share one cap
     capped = [r.alloc_tokens for r in rows if r.fill_rate < 1.0]
     assert len(set(capped)) <= 1
+
+
+def test_cluster_purity_bounds(spark):
+    from glaciersgee_spark.operators.similarity import KM_K, q_e_cluster_purity
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_cluster_purity(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= KM_K
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    assert sum(r.n_cell for r in rows) == e.count()
+    for r in rows:
+        # purity >= 1/n_labels (majority at least the mean share)
+        assert r.purity >= 1.0 / r.n_labels - 1e-9
+        assert r.purity <= 1.0
