@@ -1662,3 +1662,182 @@ def q_e_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity"
         ),
     ).orderBy("cid")
+
+
+@query(
+    "q_e_nmi",
+    oracle=f"""
+    WITH {_KM_CTES},
+    lab AS (
+      SELECT a.cid, e.label FROM asg a JOIN embeddings e
+        ON a.vec_id = e.vec_id
+    ),
+    n AS (SELECT COUNT(*) AS nt FROM lab),
+    joint AS (SELECT cid, label, COUNT(*) AS nij FROM lab GROUP BY cid, label),
+    rowm AS (SELECT cid, SUM(nij) AS ni FROM joint GROUP BY cid),
+    colm AS (SELECT label, SUM(nij) AS nj FROM joint GROUP BY label),
+    mi AS (
+      SELECT SUM(CAST(
+        CAST(j.nij AS DOUBLE) / n.nt
+        * round(ln((CAST(j.nij AS DOUBLE) * n.nt)
+                   / (CAST(r.ni AS DOUBLE) * c.nj)), 6)
+        AS DECIMAL(30,12))) AS i
+      FROM joint j JOIN rowm r ON j.cid = r.cid
+                   JOIN colm c ON j.label = c.label
+      CROSS JOIN n
+    ),
+    hr AS (
+      SELECT SUM(CAST(-(CAST(ni AS DOUBLE) / n.nt)
+                  * round(ln(CAST(ni AS DOUBLE) / n.nt), 6)
+                  AS DECIMAL(30,12))) AS h
+      FROM rowm CROSS JOIN n
+    ),
+    hc AS (
+      SELECT SUM(CAST(-(CAST(nj AS DOUBLE) / n.nt)
+                  * round(ln(CAST(nj AS DOUBLE) / n.nt), 6)
+                  AS DECIMAL(30,12))) AS h
+      FROM colm CROSS JOIN n
+    )
+    SELECT round(CAST(mi.i AS DOUBLE), 6) AS mutual_info,
+           round(CAST(hr.h AS DOUBLE), 6) AS h_cells,
+           round(CAST(hc.h AS DOUBLE), 6) AS h_labels,
+           round(CAST(mi.i AS DOUBLE)
+                 / sqrt(CAST(hr.h AS DOUBLE) * CAST(hc.h AS DOUBLE)), 6)
+             AS nmi
+    FROM mi CROSS JOIN hr CROSS JOIN hc
+    """,
+)
+def q_e_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between k-means cells and labels
+    (geometric normalization) — the scale-invariant companion to
+    q_e_cluster_purity: purity rewards many tiny clusters, NMI does
+    not. One ledger row: MI, both entropies, NMI.
+
+    Determinism: every ln is rounded to 6 dp per TERM; each term
+    (ratio × rounded-log) is cast to DECIMAL(30,12) before the sum, so
+    the aggregation is order-insensitive — the K×L joint table is tiny
+    but crosses partitions. The data pass is the one shared centroid
+    assignment; everything after runs on ≤ K·L rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    lab = asg.join(e.select("vec_id", "label"), "vec_id")
+    nt = lab.agg(F.count(F.lit(1)).alias("nt"))
+    joint = lab.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("nij"))
+    rowm = joint.groupBy("cid").agg(F.sum("nij").alias("ni"))
+    colm = joint.groupBy("label").agg(F.sum("nij").alias("nj"))
+    mi_term = F.expr(
+        "CAST(CAST(nij AS DOUBLE) / nt"
+        " * round(ln((CAST(nij AS DOUBLE) * nt) / (CAST(ni AS DOUBLE) * nj)), 6)"
+        " AS DECIMAL(30,12))"
+    )
+    mi = (
+        joint.join(rowm, "cid")
+        .join(colm, "label")
+        .crossJoin(F.broadcast(nt))
+        .agg(F.sum(mi_term).alias("i"))
+    )
+    hr = (
+        rowm.crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(-(CAST(ni AS DOUBLE) / nt)"
+                    " * round(ln(CAST(ni AS DOUBLE) / nt), 6) AS DECIMAL(30,12))"
+                )
+            ).alias("h")
+        )
+    )
+    hc = (
+        colm.crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(-(CAST(nj AS DOUBLE) / nt)"
+                    " * round(ln(CAST(nj AS DOUBLE) / nt), 6) AS DECIMAL(30,12))"
+                )
+            ).alias("h")
+        )
+    )
+    hr = hr.select(F.col("h").alias("h_r"))
+    hc = hc.select(F.col("h").alias("h_c"))
+    return (
+        mi.crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            F.round(F.col("i").cast("double"), 6).alias("mutual_info"),
+            F.round(F.col("h_r").cast("double"), 6).alias("h_cells"),
+            F.round(F.col("h_c").cast("double"), 6).alias("h_labels"),
+            F.round(
+                F.col("i").cast("double")
+                / F.sqrt(
+                    F.col("h_r").cast("double") * F.col("h_c").cast("double")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "q_e_embed_outliers",
+    oracle=f"""
+    WITH {_KM_CTES},
+    own AS (
+      SELECT a.vec_id, a.cid, sc.cs
+      FROM asg a JOIN sc ON a.vec_id = sc.vec_id AND a.cid = sc.cid
+    ),
+    stats AS (
+      SELECT cid, COUNT(*) AS n,
+             CAST(SUM(CAST(cs AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(cs * cs AS DECIMAL(30,12))) AS DOUBLE) AS s2
+      FROM own GROUP BY cid
+    )
+    SELECT o.vec_id, o.cid, round(o.cs, 6) AS centroid_cos,
+           round((o.cs - s.s1 / s.n)
+                 / sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n),
+                                 1e-12)), 6) AS z
+    FROM own o JOIN stats s ON o.cid = s.cid
+    WHERE s.n >= 10
+      AND (o.cs - s.s1 / s.n)
+          / sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 1e-12))
+          < -2.0
+    """,
+)
+def q_e_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen: vectors sitting more than 2σ FARTHER
+    from their own cell centroid than the cell's norm — the cheap
+    poisoning/garbage detector run before embeddings feed dedup or
+    retrieval (a mis-embedded object lands far from every centroid).
+    Emits each flagged vector with its centroid cosine and z-score.
+
+    cs² of a 6-dp value has exactly 12 decimals, so both moments are
+    EXACT decimal sums; floats only in the final mean/σ/z — same
+    discipline as q_a_anomaly_days. One shared assignment pass + a
+    K-row stats aggregate joined back on the cell partitioning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, cent = _km_assign(spark, sf_dir)
+    own = (
+        asg.join(e, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cs"))
+    )
+    stats = own.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cs").cast("decimal(30,6)")).cast("double").alias("s1"),
+        F.sum((F.col("cs") * F.col("cs")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(1e-12))
+    z = (F.col("cs") - mean) / F.sqrt(var)
+    return (
+        own.join(stats, "cid")
+        .where((F.col("n") >= 10) & (z < -2.0))
+        .select(
+            "vec_id",
+            "cid",
+            F.round("cs", 6).alias("centroid_cos"),
+            F.round(z, 6).alias("z"),
+        )
+    )

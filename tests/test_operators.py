@@ -1025,3 +1025,22 @@ def test_cluster_purity_bounds(spark):
         # purity >= 1/n_labels (majority at least the mean share)
         assert r.purity >= 1.0 / r.n_labels - 1e-9
         assert r.purity <= 1.0
+
+
+def test_nmi_information_bounds(spark):
+    from glaciersgee_spark.operators.similarity import q_e_nmi
+
+    r = q_e_nmi(spark, SF_SMOKE).collect()[0]
+    assert r.h_cells > 0 and r.h_labels > 0
+    # 0 <= MI <= min(H) and NMI in [0, 1] (tolerance for 6-dp rounding)
+    assert -1e-4 <= r.mutual_info <= min(r.h_cells, r.h_labels) + 1e-4
+    assert -1e-4 <= r.nmi <= 1.0 + 1e-4
+
+
+def test_embed_outliers_all_below_threshold(spark):
+    from glaciersgee_spark.operators.similarity import q_e_embed_outliers
+
+    rows = q_e_embed_outliers(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.z < -2.0
+        assert -1.0 <= r.centroid_cos <= 1.0
