@@ -1531,3 +1531,54 @@ def q_e_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(caught.cast("double") / n_truth, 6).alias("recall6"),
         F.round(caught.cast("double") / n_cand, 6).alias("precision6"),
     )
+
+
+@query(
+    "q_e_source_overlap",
+    oracle=f"""
+    WITH {_DUCK_MD5_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+      SELECT LEAST(sa.source, sb.source) AS src_x,
+             GREATEST(sa.source, sb.source) AS src_y
+      FROM mpairs p
+      JOIN src sa ON p.id_a = sa.doc_id
+      JOIN src sb ON p.id_b = sb.doc_id
+    )
+    SELECT src_x, src_y, COUNT(*) AS n_pairs,
+           CAST(src_x = src_y AS BOOLEAN) AS within_source
+    FROM tagged GROUP BY src_x, src_y ORDER BY src_x, src_y
+    """,
+)
+def q_e_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-provenance matrix: near-dup pair counts per
+    unordered SOURCE pair — the report that says which sources copy
+    from each other (cross-source rows) versus merely repeat
+    themselves (diagonal rows), i.e. where the dedup budget should go.
+
+    Consumes the persisted md5-MinHash pair set (same shared pipeline
+    as apply/funnel/cluster), two slim joins to attach sources, one
+    combinable rollup to a ≤|sources|² matrix."""
+    pairs = _md5_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    tagged = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("src_x"),
+            F.greatest("src_a", "src_b").alias("src_y"),
+        )
+    )
+    return (
+        tagged.groupBy("src_x", "src_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "src_x",
+            "src_y",
+            "n_pairs",
+            (F.col("src_x") == F.col("src_y")).alias("within_source"),
+        )
+        .orderBy("src_x", "src_y")
+    )

@@ -1048,3 +1048,53 @@ def q_a_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@query(
+    "q_a_scene_freshness",
+    oracle="""
+    WITH per_tile AS (
+      SELECT user_id AS tile,
+             MAX(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS last_day,
+             COUNT(*) AS n_scenes
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(last_day) AS now_day FROM per_tile)
+    SELECT p.tile, p.last_day, p.n_scenes,
+           CAST(CAST(h.now_day AS DATE) - CAST(p.last_day AS DATE) AS BIGINT)
+             AS stale_days,
+           (h.now_day - p.last_day) >= INTERVAL 16 DAY AS overdue
+    FROM per_tile p CROSS JOIN horizon h
+    WHERE p.tile % 13 = 0
+    ORDER BY p.tile
+    """,
+)
+def q_a_scene_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-freshness monitor: per tile, the last acquisition
+    day, staleness in days against the corpus horizon, and an overdue
+    flag at the 16-day Landsat revisit cadence — the ops dashboard a
+    collection maintainer watches (GEE analogue: max system:time_start
+    per path/row vs now).
+
+    One combinable per-tile aggregate + a 1-row horizon broadcast;
+    integer-day arithmetic only. Sampled tiles for the ledger; the
+    plan is sample-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    per_tile = ev.groupBy(F.col("user_id").alias("tile")).agg(
+        F.max(F.date_trunc("day", "ts").cast("timestamp_ntz")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_scenes"),
+    )
+    horizon = per_tile.agg(F.max("last_day").alias("now_day"))
+    stale = F.datediff(F.col("now_day"), F.col("last_day")).cast("long")
+    return (
+        per_tile.crossJoin(F.broadcast(horizon))
+        .where(F.col("tile") % 13 == 0)
+        .select(
+            "tile",
+            "last_day",
+            "n_scenes",
+            stale.alias("stale_days"),
+            (stale >= 16).alias("overdue"),
+        )
+        .orderBy("tile")
+    )

@@ -1044,3 +1044,31 @@ def test_embed_outliers_all_below_threshold(spark):
     for r in rows:
         assert r.z < -2.0
         assert -1.0 <= r.centroid_cos <= 1.0
+
+
+def test_source_overlap_matrix_conserves_pairs(spark):
+    from glaciersgee_spark.operators.dedup import (
+        q_e_dedup_near_md5,
+        q_e_source_overlap,
+    )
+
+    rows = q_e_source_overlap(spark, SF_SMOKE).collect()
+    total_pairs = q_e_dedup_near_md5(spark, SF_SMOKE).count()
+    assert sum(r.n_pairs for r in rows) == total_pairs
+    for r in rows:
+        assert r.src_x <= r.src_y
+        assert r.within_source == (r.src_x == r.src_y)
+
+
+def test_scene_freshness_staleness_consistent(spark):
+    from glaciersgee_spark.operators.etl import q_a_scene_freshness
+
+    rows = q_a_scene_freshness(spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.stale_days == 0 for r in rows) or min(
+        r.stale_days for r in rows
+    ) >= 0
+    for r in rows:
+        assert r.stale_days >= 0
+        assert r.overdue == (r.stale_days >= 16)
+        assert r.tile % 13 == 0
