@@ -524,3 +524,51 @@ def q_c_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").rlike("^[a-z]+_").alias("starts_compound"),
         F.size(F.split("b", "[ _]+")).cast("int").alias("n_units"),
     )
+
+
+@query(
+    "q_c_null",
+    oracle="""
+    WITH n AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderkey % 7, 0) AS a,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_totalprice END AS b
+      FROM orders WHERE o_orderkey % 6 = 0
+    )
+    SELECT o_orderkey,
+           COALESCE(a, -1) AS a_or_neg1,
+           a IS NULL AS a_null,
+           CAST(COALESCE(b, 0.0) AS DOUBLE) AS b_or_zero,
+           CASE WHEN a IS NULL THEN 'missing' ELSE 'present' END AS a_tag,
+           COALESCE(CAST(a AS DOUBLE), b, -99.0) AS first_present,
+           (a IS NOT DISTINCT FROM NULLIF(o_orderkey % 7, 0)) AS nullsafe_eq
+    FROM n
+    """,
+)
+def q_c_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar family: NULLIF to manufacture NULLs
+    deterministically, COALESCE chains (mixed-type with casts), IS
+    NULL predicates, CASE tagging, and null-safe equality (`<=>` ≡
+    IS NOT DISTINCT FROM) — the ANSI null toolkit every cleaning
+    pipeline leans on. All JVM codegen, zero shuffles; the corpus has
+    no natural NULLs so the probe column builds them."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 6 == 0)
+    a = F.nullif(F.col("o_orderkey") % 7, F.lit(0))
+    b = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    n = o.select("o_orderkey", a.alias("a"), b.alias("b"))
+    return n.select(
+        "o_orderkey",
+        F.coalesce(F.col("a"), F.lit(-1)).alias("a_or_neg1"),
+        F.col("a").isNull().alias("a_null"),
+        F.coalesce(F.col("b"), F.lit(0.0)).cast("double").alias("b_or_zero"),
+        F.when(F.col("a").isNull(), "missing").otherwise("present").alias("a_tag"),
+        F.coalesce(F.col("a").cast("double"), F.col("b"), F.lit(-99.0)).alias(
+            "first_present"
+        ),
+        F.col("a").eqNullSafe(F.nullif(F.col("o_orderkey") % 7, F.lit(0))).alias(
+            "nullsafe_eq"
+        ),
+    )

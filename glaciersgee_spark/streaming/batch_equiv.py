@@ -387,3 +387,47 @@ def q_d_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_d_window_users",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+           event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id), 6)
+             AS events_per_user
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_d_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed cardinality: distinct active users per (hour, type)
+    window with the events-per-user intensity — the DAU/engagement
+    shape every event stream reports. Stream form: watermarked
+    1-hour window + approx_count_distinct (exact distinct needs
+    unbounded per-window state; the sketch keeps it O(k) per window
+    and merges across triggers) — the batch equivalent here is exact,
+    which is also the audit for the sketch's error.
+
+    One shuffle; the distinct expands (window, type, user) partials
+    map-side before the count — the standard two-phase exact-distinct
+    shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "event_type",
+            "n_users",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_users"), 6
+            ).alias("events_per_user"),
+        )
+    )

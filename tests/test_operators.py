@@ -1072,3 +1072,25 @@ def test_scene_freshness_staleness_consistent(spark):
         assert r.stale_days >= 0
         assert r.overdue == (r.stale_days >= 16)
         assert r.tile % 13 == 0
+
+
+def test_null_family_semantics(spark):
+    from glaciersgee_spark.functions.scalar import q_c_null
+
+    rows = q_c_null(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.nullsafe_eq is True  # null-safe compare of x with itself
+        assert r.a_null == (r.o_orderkey % 7 == 0)
+        if r.a_null:
+            assert r.a_or_neg1 == -1 and r.a_tag == "missing"
+
+
+def test_window_users_bounds(spark):
+    from glaciersgee_spark.streaming.batch_equiv import q_d_window_users
+
+    rows = q_d_window_users(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_users <= r.n_events
+        assert r.events_per_user >= 1.0
