@@ -11,8 +11,8 @@ with the least driver-side evidence are rotated to the front — round
 Group E op (the engine's distinctive surface, none driver-checked in
 round 1), then the remaining never-checked A/B/C/D/F ops, with the 48
 round-1-verified ops at the back. Local parity (tests/run_parity.py)
-covers the full inventory (194 as of round 2) at sf0.01 AND sf0.1
-every round regardless of the driver cap.
+covers the full inventory at sf0.01 AND sf0.1 every round regardless
+of the driver cap (the registry itself is the count of record).
 """
 
 from __future__ import annotations

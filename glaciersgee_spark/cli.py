@@ -19,8 +19,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "config",
         nargs="?",
-        default="{}",
-        help="JSON config path or inline JSON (optional for --report)",
+        default=None,
+        help="JSON config path or inline JSON (optional for --report "
+        "and --corpus, required for the scene pipeline)",
     )
     p.add_argument(
         "--sf-dir",
@@ -42,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
         "scene ETL",
     )
     args = p.parse_args(argv)
+    if args.config is None:
+        if not (args.report or args.corpus):
+            p.error("config is required for the scene pipeline "
+                    "(only --report/--corpus have full defaults)")
+        args.config = "{}"
 
     from glaciersgee_spark.pipeline import (
         CorpusCleanConfig,

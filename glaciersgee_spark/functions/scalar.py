@@ -156,7 +156,7 @@ def q_c_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class,
            COALESCE(NULLIF(o_orderpriority, '5-LOW'), NULLIF(o_orderstatus, 'F'), 'fallback')
              AS first_defined
-    FROM orders WHERE o_orderkey % 6 = 0
+    FROM orders WHERE o_orderkey % 4 = 0
     """,
 )
 def q_c_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,7 +534,7 @@ def q_c_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
              NULLIF(o_orderkey % 7, 0) AS a,
              CASE WHEN o_orderkey % 3 = 0 THEN NULL
                   ELSE o_totalprice END AS b
-      FROM orders WHERE o_orderkey % 6 = 0
+      FROM orders WHERE o_orderkey % 4 = 0
     )
     SELECT o_orderkey,
            COALESCE(a, -1) AS a_or_neg1,
@@ -552,8 +552,10 @@ def q_c_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL predicates, CASE tagging, and null-safe equality (`<=>` ≡
     IS NOT DISTINCT FROM) — the ANSI null toolkit every cleaning
     pipeline leans on. All JVM codegen, zero shuffles; the corpus has
-    no natural NULLs so the probe column builds them."""
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 6 == 0)
+    no natural NULLs so the probe column builds them. The row filter
+    (%4) is chosen coprime-ish to both null rules (%7, %3) so every
+    branch fires on a real mix of null AND non-null rows."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
     a = F.nullif(F.col("o_orderkey") % 7, F.lit(0))
     b = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
         F.col("o_totalprice")

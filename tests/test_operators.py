@@ -1063,13 +1063,22 @@ def test_source_overlap_matrix_conserves_pairs(spark):
 def test_scene_freshness_staleness_consistent(spark):
     from glaciersgee_spark.operators.etl import q_a_scene_freshness
 
+    from glaciersgee_spark.tables import load_table
+
     rows = q_a_scene_freshness(spark, SF_SMOKE).collect()
     assert rows
-    assert any(r.stale_days == 0 for r in rows) or min(
-        r.stale_days for r in rows
-    ) >= 0
+    # re-derive staleness independently for every sampled tile
+    ev = load_table(spark, SF_SMOKE, "events")
+    per = {
+        r.tile: r.last_day
+        for r in ev.groupBy(F.col("user_id").alias("tile"))
+        .agg(F.max(F.date_trunc("day", "ts")).alias("last_day"))
+        .collect()
+    }
+    horizon = max(per.values())
     for r in rows:
-        assert r.stale_days >= 0
+        want = (horizon.date() - per[r.tile].date()).days
+        assert r.stale_days == want
         assert r.overdue == (r.stale_days >= 16)
         assert r.tile % 13 == 0
 
