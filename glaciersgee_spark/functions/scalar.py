@@ -485,7 +485,9 @@ def q_c_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH blob AS (
       SELECT doc_id,
-             lang || '_' || source || ' ' || substring(text, 1, 60) AS b
+             lang || '_' || source || ' ' || substring(text, 1, 60)
+               || repeat(' v' || CAST(doc_id % 5 AS VARCHAR),
+                         CAST(doc_id % 4 AS INTEGER) + 1) AS b
       FROM documents WHERE doc_id % 9 = 0
     )
     SELECT doc_id,
@@ -503,7 +505,7 @@ def q_c_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     2nd capture), match counting via extract-all, boolean match, and
     regex split, over a constructed lang_source-prefixed blob (the raw
     corpus text has no compound tokens, so the probe string guarantees
-    every branch fires). Patterns stay in the RE2∩Java common subset
+    every branch fires, with doc-varying counts). Patterns stay in the RE2∩Java common subset
     (SURVEY.md §7.4 regex trap: no backrefs, no lookaround, no lazy
     quantifiers) so both engines see identical semantics. All JVM-side
     codegen, zero shuffles."""
@@ -511,6 +513,10 @@ def q_c_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.concat_ws(
         "", F.col("lang"), F.lit("_"), F.col("source"), F.lit(" "),
         F.substring("text", 1, 60),
+        F.repeat(
+            F.concat(F.lit(" v"), (F.col("doc_id") % 5).cast("string")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
     )
     blob = d.select("doc_id", b.alias("b"))
     pat = r"([a-z]+)_([a-z]+[0-9]+)"

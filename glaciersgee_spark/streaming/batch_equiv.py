@@ -335,7 +335,8 @@ def q_d_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH arr AS (
       SELECT event_type, ts,
-             MAX(ts) OVER (ORDER BY event_id
+             MAX(ts) OVER (ORDER BY date_trunc('hour', ts),
+                                    event_id % 16, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hw
       FROM events
     )
@@ -350,20 +351,27 @@ def q_d_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_d_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-lateness audit: replay the stream in ARRIVAL order
-    (event_id), track the running event-time high-water mark, and
+    """Watermark-lateness audit: replay the stream in ARRIVAL order,
+    track the running event-time high-water mark, and
     count per type how many events arrive >10 min behind it, plus the
     worst observed lag — the measurement that SIZES a watermark before
     q_d_watermark_late commits to one (too tight drops data, too loose
     bloats state).
 
-    Batch equivalent of per-batch watermark accounting: one global
-    arrival-order running max (the stream applies it incrementally;
+    The corpus's event_id order IS its timestamp order (zero measured
+    lateness — the degenerate audit), so arrival order is modeled as
+    16 interleaved delivery lanes inside each hour (lane = event_id %
+    16): identical deterministic permutation in both engines, and the
+    lane interleaving manufactures the out-of-order arrivals a real
+    multi-partition consumer sees. Batch equivalent of per-batch
+    watermark accounting: one global arrival-order running max (the stream applies it incrementally;
     the batch replay needs a single-partition pass over ~arrival
     order, the one intentionally serial step) then a combinable
     rollup."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy(
+        F.date_trunc("hour", "ts"), F.col("event_id") % 16, "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     arr = ev.select(
         "event_type",
         "ts",

@@ -176,7 +176,7 @@ def q_f_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, CAST(unit AS INT) AS unit
     FROM orders CROSS JOIN generate_series(1, 3) AS t(unit)
-    WHERE o_orderkey % 40 = 0 AND unit <= o_orderkey % 4 + 1
+    WHERE o_orderkey % 40 = 0 AND unit <= (o_orderkey // 40) % 3 + 1
     """,
 )
 def q_f_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +200,7 @@ def q_f_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT f.o_orderkey, f.unit
         FROM ggee_udtf_in v,
              LATERAL ggee_expand_units(v.o_orderkey,
-                                       CAST(v.o_orderkey % 4 + 1 AS INT)) f
+                                       CAST((v.o_orderkey div 40) % 3 + 1 AS INT)) f
         """
     )
 
