@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis): algebraic guarantees that must
+hold for ARBITRARY inputs, not just the corpus — the complement to the
+fixture-driven suites (SURVEY.md §5.2).
+
+Each property runs a bounded number of generated examples (Spark jobs
+are ~0.5 s each); deadlines are disabled because JVM warm-up skews the
+first example.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from glaciersgee_spark.registry import dsum
+
+_SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _keyed_doubles(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    keys = draw(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=n, max_size=n)
+    )
+    vals = draw(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return list(zip(range(n), keys, vals))
+
+
+@given(rows=_keyed_doubles())
+@_SET
+def test_dsum_bitwise_invariant_under_partitioning(spark, rows):
+    """The exact-decimal sum must be BIT-identical on any layout —
+    the property the whole cross-engine hash contract rests on."""
+    df = spark.createDataFrame(rows, "id long, k int, v double")
+    outs = []
+    for layout in (df, df.repartition(7, "id"), df.coalesce(1)):
+        outs.append(layout.agg(F.expr(dsum("v"))).collect()[0][0])
+    bits = {struct.pack(">d", o) for o in outs}
+    assert len(bits) == 1
+
+
+@given(rows=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # entity id
+        st.integers(min_value=0, max_value=3),    # band
+        st.integers(min_value=0, max_value=4),    # bucket key
+    ),
+    min_size=0,
+    max_size=30,
+))
+@_SET
+def test_cobucket_pairs_equals_naive_self_join(spark, rows):
+    """cobucket_pairs (grouped expansion) must emit exactly the
+    DISTINCT ordered pairs a naive banded self-join would."""
+    from glaciersgee_spark.operators.lsh import cobucket_pairs
+
+    uniq = list({(i, b, k) for i, b, k in rows})
+    if not uniq:
+        return
+    banded = spark.createDataFrame(uniq, "id long, band int, bkey long")
+    got = {
+        (r.a.id, r.b.id)
+        for r in cobucket_pairs(
+            banded, ["band", "bkey"], ["id"], max_bucket=None
+        ).collect()
+    }
+    want = set()
+    by_bucket: dict = {}
+    for i, b, k in uniq:
+        by_bucket.setdefault((b, k), set()).add(i)
+    for members in by_bucket.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                want.add((ms[x], ms[y]))
+    assert got == want
+
+
+@given(
+    shared=st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=12),
+    pre_a=st.lists(st.sampled_from("pqrstuv"), min_size=0, max_size=6),
+    pre_b=st.lists(st.sampled_from("wxyz"), min_size=0, max_size=6),
+)
+@_SET
+def test_winnow_guarantees_shared_fingerprint(spark, shared, pre_a, pre_b):
+    """Winnowing's core theorem: two documents sharing a run of at
+    least WIN_K + WIN_W - 1 tokens MUST share at least one selected
+    fingerprint hash — for any surrounding context."""
+    import os
+    import tempfile
+
+    from glaciersgee_spark.operators.spans import WIN_K, WIN_W, q_e_winnow
+
+    assert len(shared) >= WIN_K + WIN_W - 1
+    doc_a = " ".join(pre_a + shared)
+    doc_b = " ".join(pre_b + shared)
+    rows = spark.createDataFrame(
+        [(1, doc_a, "en", "sa", 1), (2, doc_b, "en", "sb", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # fingerprint positions aren't exposed by the rollup query, so
+    # recompute the selected HASHES per doc with the same spelling
+    from glaciersgee_spark.operators.spans import _shingled
+
+    with tempfile.TemporaryDirectory() as td:
+        rows.write.parquet(os.path.join(td, "documents.parquet"))
+        sh = _shingled(spark, td, WIN_K)
+        m = sh.groupBy("doc_id").agg(F.max("pos").alias("n_gram"))
+        win = sh.join(m.where(F.col("n_gram") >= WIN_W), "doc_id").select(
+            "doc_id",
+            "pos",
+            "key",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(1), F.col("pos") - (WIN_W - 1)),
+                    F.least(F.col("pos"), F.col("n_gram") - (WIN_W - 1)),
+                )
+            ).alias("w"),
+        )
+        wmin = win.groupBy("doc_id", "w").agg(F.min("key").alias("mkey"))
+        fps = {
+            (r.doc_id, r.mkey)
+            for r in wmin.select("doc_id", "mkey").distinct().collect()
+        }
+        # the rollup query must also run clean on the same corpus
+        assert q_e_winnow(spark, td).count() >= 1
+    a_hashes = {k for d, k in fps if d == 1}
+    b_hashes = {k for d, k in fps if d == 2}
+    assert a_hashes & b_hashes, "shared run produced no shared fingerprint"
