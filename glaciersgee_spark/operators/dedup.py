@@ -1582,3 +1582,132 @@ def q_e_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_x", "src_y")
     )
+
+
+@query(
+    "q_e_incremental_dedup",
+    oracle=f"""
+    WITH {_DUCK_MD5_CTES},
+    tagged AS (
+      SELECT doc_id, doc_id % 10 >= 7 AS is_new FROM documents
+    ),
+    verdicts AS (
+      SELECT n.doc_id,
+             MAX(CASE WHEN NOT o.is_new THEN 1 ELSE 0 END) AS hits_catalog,
+             MAX(CASE WHEN o.is_new THEN 1 ELSE 0 END) AS hits_new
+      FROM tagged n
+      LEFT JOIN (
+        SELECT p.id_a AS nid, p.id_b AS oid FROM mpairs p
+        UNION ALL
+        SELECT p.id_b AS nid, p.id_a AS oid FROM mpairs p
+      ) e ON n.doc_id = e.nid
+      LEFT JOIN tagged o ON e.oid = o.doc_id
+      WHERE n.is_new
+      GROUP BY n.doc_id
+    )
+    SELECT CASE WHEN hits_catalog = 1 THEN 'dup_of_catalog'
+                WHEN hits_new = 1 THEN 'dup_within_batch'
+                ELSE 'unique' END AS verdict,
+           COUNT(*) AS n_docs
+    FROM verdicts GROUP BY verdict ORDER BY verdict
+    """,
+)
+def q_e_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify a NEW ingest batch (doc_id % 10 ≥ 7
+    plays the fresh crawl) against the EXISTING catalog — dup of the
+    catalog (drop), dup only within the batch (keep one), or unique —
+    the production shape where each day's batch checks the index
+    instead of re-deduping the whole corpus.
+
+    Consumes the shared persisted md5-MinHash pair set; the
+    incremental semantics are a tag + classification over it, so at
+    100 TB the only new work per batch is banding the BATCH and
+    probing the catalog's bucket index — never old×old pairs."""
+    pairs = _md5_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select("doc_id", (F.col("doc_id") % 10 >= 7).alias("is_new"))
+    edges = pairs.select(
+        F.col("id_a").alias("nid"), F.col("id_b").alias("oid")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("nid"), F.col("id_a").alias("oid"))
+    )
+    o = tagged.select(
+        F.col("doc_id").alias("oid"), F.col("is_new").alias("o_new")
+    )
+    verdicts = (
+        tagged.where(F.col("is_new"))
+        .join(edges, tagged.doc_id == edges.nid, "left")
+        .join(o, "oid", "left")
+        .groupBy(tagged.doc_id)
+        .agg(
+            F.max(F.when(~F.col("o_new"), 1).otherwise(0)).alias("hits_catalog"),
+            F.max(F.when(F.col("o_new"), 1).otherwise(0)).alias("hits_new"),
+        )
+    )
+    verdict = (
+        F.when(F.col("hits_catalog") == 1, "dup_of_catalog")
+        .when(F.col("hits_new") == 1, "dup_within_batch")
+        .otherwise("unique")
+    )
+    return (
+        verdicts.groupBy(verdict.alias("verdict"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("verdict")
+    )
+
+
+@query(
+    "q_e_jaccard_sweep",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    scored AS (
+      SELECT CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+               AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT COUNT(*) FILTER (WHERE j >= 0.3) AS pairs_j30,
+           COUNT(*) FILTER (WHERE j >= 0.5) AS pairs_j50,
+           COUNT(*) FILTER (WHERE j >= 0.7) AS pairs_j70,
+           COUNT(*) FILTER (WHERE j >= 0.9) AS pairs_j90
+    FROM scored
+    """,
+)
+def q_e_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity: exact near-dup pair counts at
+    J ≥ 0.3/0.5/0.7/0.9 in ONE pass — the curve that picks the
+    production threshold (a cliff between 0.5 and 0.7 means the corpus
+    separates cleanly; a smooth slope means any threshold is a
+    trade-off someone must own).
+
+    Same inverted-index pipeline as q_e_jaccard_verify (posting-key
+    groupBy bounds the pair space to pairs sharing ≥1 shingle; pairs
+    below every threshold with zero overlap are correctly absent from
+    all four counts), finished by one conditional-count aggregate."""
+    sh = _with_shingles(spark, sf_dir)
+    base = sh.persist()
+    post = base.select(
+        "doc_id", "lang", "source", F.explode("sh").alias("shingle")
+    ).select("doc_id", F.xxhash64("lang", "source", "shingle").alias("pkey"))
+    inter = (
+        cobucket_pairs(post, ["pkey"], ["doc_id"], distinct=False, max_bucket=None)
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = base.select("doc_id", F.size("sh").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    j = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    scored = inter.join(na, "id_a").join(nb, "id_b").select(j.alias("j"))
+    return scored.agg(
+        *[
+            F.count(F.when(F.col("j") >= thr, 1)).alias(f"pairs_j{int(thr*100)}")
+            for thr in (0.3, 0.5, 0.7, 0.9)
+        ]
+    )

@@ -648,3 +648,38 @@ def test_gram_diag_matches_quantize_scale_order(spark):
         ).alias("s")
     ).collect()[0].s
     assert abs(trace - total) < 1e-3 * max(total, 1.0)
+
+
+def test_incremental_dedup_partitions_the_batch(spark):
+    """Every new-batch doc gets exactly one verdict; verdict counts sum
+    to the batch size; catalog hits are consistent with the pair set."""
+    from glaciersgee_spark.operators.dedup import (
+        q_e_dedup_near_md5,
+        q_e_incremental_dedup,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.verdict: r.n_docs for r in q_e_incremental_dedup(spark, SF_SMOKE).collect()}
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_new = d.where(F.col("doc_id") % 10 >= 7).count()
+    assert sum(rows.values()) == n_new
+    # any pair that crosses the boundary forces at least one catalog dup
+    pairs = q_e_dedup_near_md5(spark, SF_SMOKE).collect()
+    crossing = any(
+        (p.id_a % 10 >= 7) != (p.id_b % 10 >= 7) for p in pairs
+    )
+    if crossing:
+        assert rows.get("dup_of_catalog", 0) >= 1
+
+
+def test_jaccard_sweep_is_monotone(spark):
+    from glaciersgee_spark.operators.dedup import (
+        q_e_jaccard_sweep,
+        q_e_jaccard_verify,
+    )
+
+    r = q_e_jaccard_sweep(spark, SF_SMOKE).collect()[0]
+    assert r.pairs_j30 >= r.pairs_j50 >= r.pairs_j70 >= r.pairs_j90 >= 0
+    # cross-check one threshold against the verify pipeline
+    n50 = q_e_jaccard_verify(spark, SF_SMOKE).where(F.col("jaccard") >= 0.5).count()
+    assert r.pairs_j50 == n50
