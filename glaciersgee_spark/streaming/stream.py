@@ -242,3 +242,25 @@ def window_topk_batches(spark: SparkSession, sf_dir: str, table_name: str):
         rows, "ws timestamp, event_type string, n long, rk int"
     ).createOrReplaceTempView(table_name)
     return q
+
+
+def window_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed user cardinality: exact COUNT(DISTINCT) is
+    unsupported in streaming aggregations (unbounded per-window state),
+    so the stream form carries the HLL sketch — O(k) state per window,
+    mergeable across triggers. q_d_window_users' exact batch form is
+    the sketch's accuracy audit (tests assert the error bound)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            "event_type",
+            "n_users_approx",
+            "n_events",
+        )
+    )

@@ -214,3 +214,27 @@ def test_window_topk_stream_matches_batch(spark):
         for r in q_d_window_topk(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_window_users_stream_sketch_within_tolerance(spark):
+    """The streaming HLL cardinality must land within 10% of the exact
+    batch distinct count for every (window, type) — the audit the
+    batch form exists to provide."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_window_users
+
+    _run_to_memory(
+        S.window_users_stream(spark, SF_SMOKE), "t_window_users", "complete"
+    )
+    got = {
+        (r.ws, r.event_type): (r.n_users_approx, r.n_events)
+        for r in spark.sql("SELECT * FROM t_window_users").collect()
+    }
+    want = {
+        (r.ws, r.event_type): (r.n_users, r.n_events)
+        for r in q_d_window_users(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k, (approx, n_ev) in got.items():
+        exact, n_ev_b = want[k]
+        assert n_ev == n_ev_b  # plain counts are exact in both forms
+        assert abs(approx - exact) <= max(2, 0.1 * exact)
