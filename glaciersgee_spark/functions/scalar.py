@@ -156,7 +156,7 @@ def q_c_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class,
            COALESCE(NULLIF(o_orderpriority, '5-LOW'), NULLIF(o_orderstatus, 'F'), 'fallback')
              AS first_defined
-    FROM orders WHERE o_orderkey % 4 = 0
+    FROM orders WHERE o_orderkey % 6 = 0
     """,
 )
 def q_c_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
