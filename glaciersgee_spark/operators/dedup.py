@@ -1711,3 +1711,79 @@ def q_e_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for thr in (0.3, 0.5, 0.7, 0.9)
         ]
     )
+
+
+@query(
+    "q_e_band_explain",
+    oracle=f"""
+    WITH {_DUCK_MD5_CTES},
+    matches AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT m.n_bands,
+           COUNT(*) AS n_pairs,
+           COUNT(p.id_a) AS n_verified,
+           round(CAST(COUNT(p.id_a) AS DOUBLE) / COUNT(*), 6) AS precision6
+    FROM matches m
+    LEFT JOIN mpairs p ON m.id_a = p.id_a AND m.id_b = p.id_b
+    GROUP BY m.n_bands ORDER BY m.n_bands
+    """,
+)
+def q_e_band_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding explainability: candidate pairs bucketed by HOW MANY of
+    the 4 bands they collided in, with each bucket's verified-dup
+    precision — the debugging ledger behind the OR-construction (a
+    pair matching 3-4 bands is near-certainly a true dup; 1-band
+    matches carry almost all the false-positive verify cost). This is
+    the per-pair EXPLAIN for why a candidate exists.
+
+    Reuses the persisted signature base; per-band co-bucket pairs are
+    counted per pair (one groupBy over the banded expansion — same
+    bound as candidate generation) and LEFT JOIN the verified pair
+    set. Output is ≤n_bands rows."""
+    base = _md5_base(spark, sf_dir)
+    mh = [
+        F.expr(_mh_expr("spark", p, _MH_PERMS)).alias(f"mh{p}")
+        for p in range(N_MINHASH)
+    ]
+
+    def bkey(k: int):
+        col = F.col(f"mh{BAND_SIZE * k}")
+        for j in range(1, BAND_SIZE):
+            col = col * _MHM + F.col(f"mh{BAND_SIZE * k + j}")
+        return col
+
+    banded = base.select("doc_id", *mh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), bkey(k).alias("bkey"))
+                    for k in range(N_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    matches = (
+        cobucket_pairs(banded, ["band", "bkey"], ["doc_id"], distinct=False)
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    verified = _md5_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("ok")
+    )
+    return (
+        matches.join(verified, ["id_a", "id_b"], "left")
+        .groupBy("n_bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count("ok").alias("n_verified"),
+            F.round(F.count("ok").cast("double") / F.count(F.lit(1)), 6).alias(
+                "precision6"
+            ),
+        )
+        .orderBy("n_bands")
+    )

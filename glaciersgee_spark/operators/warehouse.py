@@ -325,3 +325,52 @@ def q_b_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_n").cast("double") / F.col("total"), 6).alias("max_share"),
         F.round(F.col("max_n").cast("double") / F.col("p50"), 6).alias("skew_ratio"),
     )
+
+
+@query(
+    "q_b_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT li.l_returnflag,
+           MIN(m.med) AS median_price,
+           round(quantile_cont(abs(li.l_extendedprice - m.med), 0.5), 6)
+             AS mad,
+           round(quantile_cont(abs(li.l_extendedprice - m.med), 0.5)
+                 * 1.4826, 6) AS sigma_robust
+    FROM lineitem li JOIN med m ON li.l_returnflag = m.l_returnflag
+    GROUP BY li.l_returnflag ORDER BY li.l_returnflag
+    """,
+)
+def q_b_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group (+ the 1.4826·MAD robust
+    sigma): the dispersion estimate that survives the outliers which
+    wreck stddev — the robust-stats complement to q_b_quantiles'
+    tails. Two passes by necessity (the median must exist before
+    deviations do): per-group median → broadcast back → median of
+    absolute deviations, both exact interpolated percentiles
+    (≡ quantile_cont), 6-dp rounded before the deviation so the
+    second pass sees identical inputs in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("ad"),
+    )
+    return (
+        dev.groupBy("l_returnflag")
+        .agg(
+            F.min("med").alias("median_price"),
+            F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"),
+            F.round(F.expr("percentile(ad, 0.5) * 1.4826"), 6).alias(
+                "sigma_robust"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

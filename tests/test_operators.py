@@ -1103,3 +1103,33 @@ def test_window_users_bounds(spark):
     for r in rows:
         assert 1 <= r.n_users <= r.n_events
         assert r.events_per_user >= 1.0
+
+
+def test_band_explain_buckets_partition_candidates(spark):
+    from glaciersgee_spark.operators.dedup import N_MINHASH, BAND_SIZE, q_e_band_explain
+
+    rows = q_e_band_explain(spark, SF_SMOKE).collect()
+    assert rows
+    max_bands = N_MINHASH // BAND_SIZE
+    # precision must be monotone-ish: more matching bands never hurts
+    by_bands = sorted(rows, key=lambda r: r.n_bands)
+    for r in by_bands:
+        assert 1 <= r.n_bands <= max_bands
+        assert 0 <= r.n_verified <= r.n_pairs
+    if len(by_bands) >= 2:
+        assert by_bands[-1].precision6 >= by_bands[0].precision6
+
+
+def test_mad_bounded_by_range(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_mad
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_mad(spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    lohi = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    ).collect()[0]
+    for r in rows:
+        assert lohi.lo <= r.median_price <= lohi.hi
+        assert 0 <= r.mad <= (lohi.hi - lohi.lo)
+        assert abs(r.sigma_robust - round(r.mad * 1.4826, 4)) < 0.01 * max(r.mad, 1)
