@@ -253,6 +253,35 @@ def _md5_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def _banded(base, band_size: int, n_minhash: int, perms) -> DataFrame:
+    """(doc_id, band, bkey): the banded minhash expansion — THE one
+    Spark spelling of the band-key packing (Horner fold base _MHM),
+    mirrored by _duck_bkey in the oracle chain. Every consumer
+    (_md5_pairs, q_e_band_explain) must use this helper so the packing
+    contract cannot fork."""
+    mh = [
+        F.expr(_mh_expr("spark", p, perms)).alias(f"mh{p}") for p in range(n_minhash)
+    ]
+
+    def bkey(k: int):
+        col = F.col(f"mh{band_size * k}")
+        for j in range(1, band_size):
+            col = col * _MHM + F.col(f"mh{band_size * k + j}")
+        return col
+
+    return base.select("doc_id", *mh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), bkey(k).alias("bkey"))
+                    for k in range(n_minhash // band_size)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
 def _md5_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -274,27 +303,7 @@ def _md5_pairs(
     if cached is not None:
         return cached
     base = _md5_base(spark, sf_dir)
-    mh = [
-        F.expr(_mh_expr("spark", p, perms)).alias(f"mh{p}") for p in range(n_minhash)
-    ]
-
-    def bkey(k: int):
-        col = F.col(f"mh{band_size * k}")
-        for j in range(1, band_size):
-            col = col * _MHM + F.col(f"mh{band_size * k + j}")
-        return col
-
-    banded = base.select("doc_id", *mh).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("band"), bkey(k).alias("bkey"))
-                    for k in range(n_minhash // band_size)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    banded = _banded(base, band_size, n_minhash, perms)
     cand = cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
@@ -1688,23 +1697,13 @@ def q_e_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy bounds the pair space to pairs sharing ≥1 shingle; pairs
     below every threshold with zero overlap are correctly absent from
     all four counts), finished by one conditional-count aggregate."""
-    sh = _with_shingles(spark, sf_dir)
-    base = sh.persist()
-    post = base.select(
-        "doc_id", "lang", "source", F.explode("sh").alias("shingle")
-    ).select("doc_id", F.xxhash64("lang", "source", "shingle").alias("pkey"))
-    inter = (
-        cobucket_pairs(post, ["pkey"], ["doc_id"], distinct=False, max_bucket=None)
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    # Every sweep threshold lies above q_e_jaccard_verify's 0.2 floor,
+    # so the sweep is ONE aggregate over the verify pipeline — a single
+    # spelling of the inverted index to keep bit-identical, and the
+    # shingle base is persisted once for both queries in a battery.
+    scored = q_e_jaccard_verify(spark, sf_dir).select(
+        F.col("jaccard").alias("j")
     )
-    sizes = base.select("doc_id", F.size("sh").alias("n"))
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    j = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    ).cast("double")
-    scored = inter.join(na, "id_a").join(nb, "id_b").select(j.alias("j"))
     return scored.agg(
         *[
             F.count(F.when(F.col("j") >= thr, 1)).alias(f"pairs_j{int(thr*100)}")
@@ -1745,30 +1744,15 @@ def q_e_band_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound as candidate generation) and LEFT JOIN the verified pair
     set. Output is ≤n_bands rows."""
     base = _md5_base(spark, sf_dir)
-    mh = [
-        F.expr(_mh_expr("spark", p, _MH_PERMS)).alias(f"mh{p}")
-        for p in range(N_MINHASH)
-    ]
-
-    def bkey(k: int):
-        col = F.col(f"mh{BAND_SIZE * k}")
-        for j in range(1, BAND_SIZE):
-            col = col * _MHM + F.col(f"mh{BAND_SIZE * k + j}")
-        return col
-
-    banded = base.select("doc_id", *mh).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("band"), bkey(k).alias("bkey"))
-                    for k in range(N_MINHASH // BAND_SIZE)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    banded = _banded(base, BAND_SIZE, N_MINHASH, _MH_PERMS)
+    # max_bucket=None — MANDATORY: with distinct=False every in-bucket
+    # pair row is one unit of some pair's band count (the same
+    # exactness rule as q_e_jaccard_verify); the uncapped oracle would
+    # otherwise diverge on a hot bucket.
     matches = (
-        cobucket_pairs(banded, ["band", "bkey"], ["doc_id"], distinct=False)
+        cobucket_pairs(
+            banded, ["band", "bkey"], ["doc_id"], distinct=False, max_bucket=None
+        )
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )

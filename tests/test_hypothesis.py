@@ -95,8 +95,17 @@ def test_cobucket_pairs_equals_naive_self_join(spark, rows):
     assert got == want
 
 
+from glaciersgee_spark.operators.spans import WIN_K, WIN_W  # noqa: E402
+
+_MIN_SHARED = WIN_K + WIN_W - 1  # the theorem's guaranteed-run length
+
+
 @given(
-    shared=st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=12),
+    shared=st.lists(
+        st.sampled_from("abcdefgh"),
+        min_size=_MIN_SHARED,
+        max_size=_MIN_SHARED + 4,
+    ),
     pre_a=st.lists(st.sampled_from("pqrstuv"), min_size=0, max_size=6),
     pre_b=st.lists(st.sampled_from("wxyz"), min_size=0, max_size=6),
 )
@@ -108,9 +117,9 @@ def test_winnow_guarantees_shared_fingerprint(spark, shared, pre_a, pre_b):
     import os
     import tempfile
 
-    from glaciersgee_spark.operators.spans import WIN_K, WIN_W, q_e_winnow
+    from glaciersgee_spark.operators.spans import q_e_winnow
 
-    assert len(shared) >= WIN_K + WIN_W - 1
+    assert len(shared) >= _MIN_SHARED
     doc_a = " ".join(pre_a + shared)
     doc_b = " ".join(pre_b + shared)
     rows = spark.createDataFrame(
