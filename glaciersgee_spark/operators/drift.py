@@ -729,3 +729,54 @@ def q_e_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_e_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    first_seen AS (SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY token),
+    deciles AS (
+      SELECT CAST(fd * 10 / (SELECT MAX(doc_id) + 1 FROM documents) AS INTEGER)
+               AS decile,
+             COUNT(*) AS new_types
+      FROM first_seen GROUP BY decile
+    )
+    SELECT decile, new_types,
+           CAST(SUM(new_types) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM deciles ORDER BY decile
+    """,
+)
+def q_e_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law curve): new distinct token types
+    introduced per corpus decile (by ingest order) and the cumulative
+    vocabulary — a flattening curve says the tokenizer's vocab budget
+    has converged; linear growth says the corpus is still surprising
+    (keep crawling). Same first-occurrence-attribution shape as
+    q_b_growth_curve: min-doc_id per type (one wordcount-sized
+    shuffle), a 10-row decile rollup, one tiny running sum — never a
+    cumulative COUNT(DISTINCT) over growing prefixes."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    max_id = load_table(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + 1).alias("m")
+    )
+    deciles = (
+        first_seen.crossJoin(F.broadcast(max_id))
+        .select(
+            F.expr("CAST(fd * 10 div m AS INT)").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return deciles.select(
+        "decile",
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("cum_vocab"),
+    ).orderBy("decile")

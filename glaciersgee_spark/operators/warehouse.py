@@ -374,3 +374,43 @@ def q_b_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_b_growth_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per_day ORDER BY day
+    """,
+)
+def q_b_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: first-seen day per user → daily new-user
+    counts → cumulative total — the north-star analytics chart, in the
+    one shape that scales (never COUNT(DISTINCT) per day over growing
+    windows, which is O(days × users); first-occurrence attribution
+    makes it two combinable aggregates + one |days|-row running sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("timestamp_ntz")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")

@@ -1133,3 +1133,33 @@ def test_mad_bounded_by_range(spark):
         assert lohi.lo <= r.median_price <= lohi.hi
         assert 0 <= r.mad <= (lohi.hi - lohi.lo)
         assert abs(r.sigma_robust - round(r.mad * 1.4826, 4)) < 0.01 * max(r.mad, 1)
+
+
+def test_growth_curve_monotone_and_conserves_users(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_growth_curve
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_growth_curve(spark, SF_SMOKE).collect()
+    assert rows == sorted(rows, key=lambda r: r.day)
+    assert rows[-1].cum_users == load_table(spark, SF_SMOKE, "events").select(
+        "user_id"
+    ).distinct().count()
+    cum = 0
+    for r in rows:
+        cum += r.new_users
+        assert r.cum_users == cum
+
+
+def test_vocab_growth_conserves_types(spark):
+    from glaciersgee_spark.operators.drift import q_e_vocab_growth
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_vocab_growth(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_types = (
+        d.select(F.explode(F.split("text", " ")).alias("t")).distinct().count()
+    )
+    assert rows[-1].cum_vocab == n_types
+    assert all(0 <= r.decile <= 9 for r in rows)
+    # Heaps: later deciles introduce no more than the first
+    assert rows[-1].new_types <= rows[0].new_types
