@@ -1098,3 +1098,54 @@ def q_a_scene_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+@query(
+    "q_a_monthly_coverage",
+    oracle="""
+    WITH tiles AS (
+      SELECT DISTINCT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_b,
+             user_id AS tile
+      FROM events
+    ),
+    grid AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_grid
+             FROM events)
+    SELECT t.month_b,
+           COUNT(*) AS n_tiles_covered,
+           g.n_grid,
+           round(CAST(COUNT(*) AS DOUBLE) / g.n_grid, 6) AS coverage_pct
+    FROM tiles t CROSS JOIN grid g
+    GROUP BY t.month_b, g.n_grid
+    ORDER BY t.month_b
+    """,
+)
+def q_a_monthly_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly grid-coverage KPI: the fraction of known tiles that
+    received at least one acquisition each month — the collection-
+    health chart between q_a_gap_detect (per-tile gaps) and
+    q_a_scene_freshness (per-tile staleness): one number per month for
+    the wall dashboard.
+
+    DISTINCT (month, tile) first (map-side combinable — the scene
+    table collapses to ≤months×grid rows before anything wide), then a
+    months-row rollup against the 1-row grid-size broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    tiles = ev.select(
+        F.date_trunc("month", "ts").cast("timestamp_ntz").alias("month_b"),
+        F.col("user_id").alias("tile"),
+    ).distinct()
+    grid = ev.agg(F.countDistinct("user_id").alias("n_grid"))
+    return (
+        tiles.groupBy("month_b")
+        .agg(F.count(F.lit(1)).alias("n_tiles_covered"))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "month_b",
+            "n_tiles_covered",
+            "n_grid",
+            F.round(
+                F.col("n_tiles_covered").cast("double") / F.col("n_grid"), 6
+            ).alias("coverage_pct"),
+        )
+        .orderBy("month_b")
+    )

@@ -414,3 +414,77 @@ def q_b_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+@query(
+    "q_b_fk_audit",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS fk,
+           COUNT(*) AS n_child,
+           COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans,
+           round(CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS orphan_rate
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           COUNT(*),
+           COUNT(*) FILTER (WHERE o.o_orderkey IS NULL),
+           round(CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS DOUBLE)
+                 / COUNT(*), 6)
+    FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON li.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           COUNT(*),
+           COUNT(*) FILTER (WHERE n.n_nationkey IS NULL),
+           round(CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS DOUBLE)
+                 / COUNT(*), 6)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY fk
+    """,
+)
+def q_b_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts and rates for the
+    three FK edges of the star schema (orders→customer,
+    lineitem→orders, customer→nation) — the data-quality ledger an
+    ingest promotes on (a non-zero orphan rate means the snapshot's
+    tables are from inconsistent cuts).
+
+    Three LEFT JOINs, each broadcasting its parent's key set (parents
+    are dims or distinct-key projections — at 100 TB lineitem→orders
+    switches to a shuffle join, same ledger); combinable counts, one
+    3-row result."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ck, parent_keys, pk):
+        j = child.join(
+            F.broadcast(parent_keys.withColumn("__hit", F.lit(1))),
+            child[ck] == parent_keys[pk],
+            "left",
+        )
+        miss = F.count(F.when(F.col("__hit").isNull(), 1))
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            miss.alias("n_orphans"),
+            F.round(miss.cast("double") / F.count(F.lit(1)), 6).alias(
+                "orphan_rate"
+            ),
+        )
+    
+    e1 = edge(
+        "orders.o_custkey -> customer", o, "o_custkey",
+        c.select("c_custkey").distinct(), "c_custkey",
+    )
+    e2 = edge(
+        "lineitem.l_orderkey -> orders", li, "l_orderkey",
+        o.select("o_orderkey").distinct(), "o_orderkey",
+    )
+    e3 = edge(
+        "customer.c_nationkey -> nation", c, "c_nationkey",
+        n.select("n_nationkey").distinct(), "n_nationkey",
+    )
+    return e1.unionByName(e2).unionByName(e3).orderBy("fk")

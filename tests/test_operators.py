@@ -1163,3 +1163,35 @@ def test_vocab_growth_conserves_types(spark):
     assert all(0 <= r.decile <= 9 for r in rows)
     # Heaps: later deciles introduce no more than the first
     assert rows[-1].new_types <= rows[0].new_types
+
+
+def test_monthly_coverage_bounded(spark):
+    from glaciersgee_spark.operators.etl import q_a_monthly_coverage
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_a_monthly_coverage(spark, SF_SMOKE).collect()
+    assert rows
+    grid = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    for r in rows:
+        assert 1 <= r.n_tiles_covered <= r.n_grid == grid
+        assert 0.0 < r.coverage_pct <= 1.0
+
+
+def test_fk_audit_clean_star_schema(spark):
+    # the synthetic star is referentially intact: zero orphans expected,
+    # child counts match the raw tables
+    from glaciersgee_spark.operators.warehouse import q_b_fk_audit
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.fk: r for r in q_b_fk_audit(spark, SF_SMOKE).collect()}
+    assert len(rows) == 3
+    o = load_table(spark, SF_SMOKE, "orders").count()
+    li = load_table(spark, SF_SMOKE, "lineitem").count()
+    c = load_table(spark, SF_SMOKE, "customer").count()
+    assert rows["orders.o_custkey -> customer"].n_child == o
+    assert rows["lineitem.l_orderkey -> orders"].n_child == li
+    assert rows["customer.c_nationkey -> nation"].n_child == c
+    for r in rows.values():
+        assert r.n_orphans >= 0 and 0.0 <= r.orphan_rate <= 1.0
