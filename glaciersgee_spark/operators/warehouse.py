@@ -488,3 +488,100 @@ def q_b_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.select("n_nationkey").distinct(), "n_nationkey",
     )
     return e1.unionByName(e2).unionByName(e3).orderBy("fk")
+
+
+@query(
+    "q_b_pit_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WHERE user_id % 17 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+      FROM ordered
+    ),
+    hist AS (
+      SELECT user_id, run_id, MIN(event_type) AS state,
+             MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, run_id
+    ),
+    hist2 AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+               AS valid_to
+      FROM hist
+    ),
+    probes AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE user_id % 17 = 0 AND event_id % 5 = 0
+    )
+    SELECT p.user_id, p.ts, p.event_type, h.state AS state_at_ts,
+           CAST(p.event_type = h.state AS BOOLEAN) AS state_consistent
+    FROM probes p JOIN hist2 h
+      ON p.user_id = h.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def q_b_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: resolve each probe event against the type-2
+    history q_b_scd2 derives — THE consumer of an SCD2 table (feature
+    stores and training-data builds join facts to dimension state
+    *as of the fact's timestamp*, never to today's row; doing this
+    wrong is the classic label-leakage bug).
+
+    The interval predicate (valid_from ≤ ts < valid_to) rides the
+    SAME (user_id) equi-key as the history build, so Spark plans a
+    hash join with the range as a residual filter — never a
+    nested-loop over time. An event on a run boundary resolves to the
+    run it OPENS (half-open intervals), so state_consistent is TRUE
+    everywhere by construction — the audit column a leaky join would
+    flip."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 17 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("run_id"),
+    )
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"), F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    hist2 = hist.select(
+        F.col("user_id").alias("h_user"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    probes = ev.where(F.col("event_id") % 5 == 0).select(
+        "user_id", "ts", "event_type"
+    )
+    j = probes.join(
+        hist2,
+        (probes.user_id == hist2.h_user)
+        & (probes.ts >= hist2.valid_from)
+        & (hist2.valid_to.isNull() | (probes.ts < hist2.valid_to)),
+    )
+    return j.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("state").alias("state_at_ts"),
+        (F.col("event_type") == F.col("state")).alias("state_consistent"),
+    )

@@ -1195,3 +1195,19 @@ def test_fk_audit_clean_star_schema(spark):
     assert rows["customer.c_nationkey -> nation"].n_child == c
     for r in rows.values():
         assert r.n_orphans >= 0 and 0.0 <= r.orphan_rate <= 1.0
+
+
+def test_pit_join_resolves_every_probe_consistently(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_pit_join
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_pit_join(spark, SF_SMOKE).collect()
+    n_probes = (
+        load_table(spark, SF_SMOKE, "events")
+        .where((F.col("user_id") % 17 == 0) & (F.col("event_id") % 5 == 0))
+        .count()
+    )
+    # every probe hits exactly one validity interval
+    assert len(rows) == n_probes
+    # half-open intervals make the as-of state the probe's own type
+    assert all(r.state_consistent for r in rows)
