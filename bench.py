@@ -1,5 +1,12 @@
-"""t3 bench harness: emit ONE JSON line
-{"metric", "value", "unit", "queries", "cold", "sf"}.
+"""t3 bench harness.
+
+Output protocol (round-3 fix — BENCH_r01/r02 recorded `parsed: null`
+because the old single huge JSON line was truncated by the driver's
+bounded stdout capture): the FIRST line is a short, always-parseable
+summary JSON {"metric", "value", "unit", "sf", "n_queries"}; then one
+small JSON line per query {"query", "sec", "cold"}; then the summary
+is repeated as the LAST line (so both head- and tail-bounded captures
+contain a parseable total).
 
 Methodology (documented in BASELINE.md §protocol): each query runs
 FOUR times — an untimed warm-up (Catalyst planning, whole-stage
@@ -73,18 +80,17 @@ def main() -> None:
             print(f"# BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
     total = round(sum(v for v in per.values() if v > 0), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": per,
-                "cold": cold,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per),
+    }
+    print(json.dumps(summary), flush=True)
+    for name in sorted(per):
+        print(json.dumps({"query": name, "sec": per[name], "cold": cold.get(name)}))
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 

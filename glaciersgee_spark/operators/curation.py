@@ -402,8 +402,8 @@ PACK_BLOCK = 128  # context-window block size in tokens
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_tok) AS sum_tokens,
-           SUM(padded_blocks) AS padded_blocks,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(padded_blocks) AS BIGINT) AS padded_blocks,
            CAST(floor((SUM(n_tok) + {PACK_BLOCK - 1}) / {PACK_BLOCK}.0)
                 AS BIGINT) AS packed_blocks,
            round(CAST(SUM(padded_blocks) * {PACK_BLOCK} - SUM(n_tok) AS DOUBLE)

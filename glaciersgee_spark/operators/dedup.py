@@ -1292,7 +1292,7 @@ def q_e_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN n <= 8 THEN '5-8'
                 ELSE '9+' END AS size_bucket,
            COUNT(*) AS n_groups,
-           SUM(n) AS n_docs
+           CAST(SUM(n) AS BIGINT) AS n_docs
     FROM groups GROUP BY size_bucket ORDER BY size_bucket
     """,
 )
@@ -1417,7 +1417,7 @@ def q_e_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     groups AS (SELECT curl, COUNT(*) AS n FROM canon GROUP BY curl)
     SELECT COUNT(*) AS n_canonical,
-           SUM(n) AS n_urls,
+           CAST(SUM(n) AS BIGINT) AS n_urls,
            round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate,
            MAX(n) AS max_group,
            COUNT(*) FILTER (WHERE n = 1) AS n_singletons

@@ -191,7 +191,7 @@ def q_e_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n_tok) AS all_tok FROM lens)
     SELECT len_bucket,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            round(CAST(SUM(n_tok) AS DOUBLE) / tot.all_tok, 6) AS token_share
     FROM bucketed CROSS JOIN tot
     GROUP BY len_bucket, tot.all_tok ORDER BY len_bucket
@@ -387,7 +387,7 @@ def q_e_tok_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT b.lang) AS n_langs,
-           SUM(b.n_tok) AS total_tokens,
+           CAST(SUM(b.n_tok) AS BIGINT) AS total_tokens,
            round(CAST(SUM(b.n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
            COUNT(*) FILTER (WHERE b.n_tok >= 10 AND b.n_chars < 2000)
              AS n_clean,
@@ -564,7 +564,7 @@ def q_e_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_present
       FROM tf GROUP BY token HAVING SUM(c) >= 50
     )
-    SELECT token, s1 AS total_count, n_present,
+    SELECT token, CAST(s1 AS BIGINT) AS total_count, n_present,
            round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n.nd)
                  / (CAST(s1 AS DOUBLE) * (1.0 - 1.0 / n.nd)), 6)
              AS burstiness
@@ -652,7 +652,7 @@ BUDGET_DEN = 2
     capstar AS (
       SELECT c.cap AS cap0 FROM caps c JOIN istar ON c.i = istar.i0
     )
-    SELECT r.source, r.n_tok AS n_tokens,
+    SELECT r.source, CAST(r.n_tok AS BIGINT) AS n_tokens,
            CAST(CASE WHEN istar.i0 IS NULL OR r.i < istar.i0 THEN r.n_tok
                      ELSE LEAST(r.n_tok, capstar.cap0) END AS BIGINT)
              AS alloc_tokens,

@@ -851,7 +851,8 @@ def q_a_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
     ),
     hood AS (
-      SELECT cpath AS path, crow AS row_, SUM(n_scenes) AS n_hood
+      SELECT cpath AS path, crow AS row_,
+             CAST(SUM(n_scenes) AS BIGINT) AS n_hood
       FROM spread
       WHERE cpath BETWEEN 0 AND 24 AND crow BETWEEN 0 AND 24
       GROUP BY cpath, crow

@@ -211,7 +211,7 @@ SHARD_BYTES = 4096  # webdataset-style shard budget (bytes, corpus-scaled)
     )
     SELECT lang, shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_objects,
-           SUM(n_bytes) AS shard_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM sharded GROUP BY lang, shard_id
     """,
@@ -266,9 +266,9 @@ def q_e_mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            COUNT(e.vec_id) AS n_paired,
            round(CAST(COUNT(e.vec_id) AS DOUBLE) / COUNT(*), 6) AS pair_rate,
-           SUM(CASE WHEN e.vec_id IS NOT NULL
-                    THEN octet_length(CAST(d.text AS BLOB)) ELSE 0 END)
-             AS paired_bytes,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL
+                         THEN octet_length(CAST(d.text AS BLOB)) ELSE 0 END)
+                AS BIGINT) AS paired_bytes,
            COUNT(DISTINCT e.label) AS n_labels
     FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
     GROUP BY d.lang ORDER BY d.lang

@@ -1540,7 +1540,7 @@ def q_e_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM c, qs) WHERE rk <= {IVF_NPROBE}),
     tot AS (SELECT COUNT(*) AS n_total FROM cell)
     SELECT p.qid,
-           SUM(s.n) AS n_probed,
+           CAST(SUM(s.n) AS BIGINT) AS n_probed,
            tot.n_total,
            round(CAST(SUM(s.n) AS DOUBLE) / tot.n_total, 6) AS scan_frac,
            array_to_string(list_sort(list(p.cid)), ',') AS probed_cids
@@ -1627,7 +1627,7 @@ def q_e_ann_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cid, label, COUNT(*) AS n FROM lab GROUP BY cid, label
     ),
     per_cell AS (
-      SELECT cid, SUM(n) AS n_cell, MAX(n) AS n_major,
+      SELECT cid, CAST(SUM(n) AS BIGINT) AS n_cell, MAX(n) AS n_major,
              COUNT(*) AS n_labels
       FROM cells GROUP BY cid
     )

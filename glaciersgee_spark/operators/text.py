@@ -95,7 +95,7 @@ def q_e_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
@@ -274,7 +274,8 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS total_bpe,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT)
+             AS total_bpe,
            {davg(f"CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS DOUBLE)")}
              AS avg_bpe_tokens,
            {davg("CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS avg_ws_tokens
@@ -653,7 +654,7 @@ def q_e_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
       FROM documents GROUP BY source
     ),
     tot AS (SELECT {dsum('SQRT(CAST(n_docs AS DOUBLE))')} AS z FROM per)

@@ -179,8 +179,8 @@ def q_b_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN a.a_cents <> b.b_cents THEN 'changed'
                 ELSE 'unchanged' END AS diff_status,
            COUNT(*) AS n_rows,
-           SUM(COALESCE(b.b_cents, 0) - COALESCE(a.a_cents, 0))
-             AS delta_cents
+           CAST(SUM(COALESCE(b.b_cents, 0) - COALESCE(a.a_cents, 0))
+                AS BIGINT) AS delta_cents
     FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
     GROUP BY diff_status ORDER BY diff_status
     """,
@@ -286,7 +286,8 @@ def q_b_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
     stats AS (
-      SELECT COUNT(*) AS n_keys, SUM(n) AS total, MAX(n) AS max_n,
+      SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total,
+             MAX(n) AS max_n,
              round(quantile_cont(n, 0.50), 6) AS p50,
              round(quantile_cont(n, 0.99), 6) AS p99
       FROM per

@@ -74,6 +74,29 @@ def compare(name, spark_df, sql, con) -> Mismatch | None:
     scols = spark_df.columns
     duck = con.sql(sql)
     dcols = list(duck.columns)
+    dtypes = [str(t) for t in duck.types]
+
+    # Driver-faithfulness guard (round-2 postmortem): the external driver
+    # canonicalizes through pandas, which renders DuckDB HUGEINT/DECIMAL as
+    # float64 while Spark emits int64 — hash-red even though fetchall()
+    # (below) would hide it by converting HUGEINT to Python int. Fail here
+    # unless the Spark side is genuinely decimal too.
+    spark_decimal = {
+        f.name.lower() for f in spark_df.schema.fields
+        if f.dataType.typeName() == "decimal"
+    }
+    for c, t in zip(dcols, dtypes):
+        if (t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")) and (
+            c.lower() not in spark_decimal
+        ):
+            return Mismatch(
+                name,
+                "oracle-dtype",
+                f"oracle column {c!r} is DuckDB {t} (driver's pandas "
+                f"canonicalizer → float64 vs Spark int64); "
+                f"CAST(... AS BIGINT) it in the oracle SQL",
+            )
+
     drows = duck.fetchall()
 
     if len(srows) != len(drows):
