@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, LongType
 
-from glaciersgee_spark.operators.lsh import cobucket_pairs
+from glaciersgee_spark.operators.lsh import cobucket_pairs, posting_copairs
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -421,17 +421,17 @@ def q_e_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode("sh").alias("shingle"),
     ).select("doc_id", F.xxhash64("lang", "source", "shingle").alias("pkey"))
-    # max_bucket=None — MANDATORY here: with distinct=False each
-    # bucket is a shingle POSTING LIST and every in-bucket pair row is
-    # one unit of some pair's |∩|. Capping would silently deflate
-    # intersection counts for every pair touching a popular shingle
-    # (not merely drop degenerate candidates, as in the LSH callers).
-    # The quadratic bound comes from the (lang, source) blocking
-    # instead; an exact verify cannot drop contributions and stay
-    # exact.
+    # Every posting pair row is one unit of some pair's |∩|, so an
+    # exact verify cannot cap/drop contributions — instead of the
+    # capped collect_list path (cobucket_pairs) this uses the
+    # spill-safe posting self-join: a corpus-frequent shingle costs
+    # quadratic output rows (inherent to exactness; the (lang, source)
+    # blocking is the structural bound) but never an unbounded
+    # in-memory bucket array. `post` projects off the persisted
+    # shingle base, so both join branches re-read cache, not parquet.
     inter = (
-        cobucket_pairs(post, ["pkey"], ["doc_id"], distinct=False, max_bucket=None)
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        posting_copairs(post, ["pkey"], "doc_id")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sizes = base.select("doc_id", F.size("sh").alias("n"))
@@ -1364,10 +1364,11 @@ def q_e_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = base.select(
         "doc_id", "lang", "source", F.explode("sh").alias("shingle")
     ).select("doc_id", F.xxhash64("lang", "source", "shingle").alias("pkey"))
-    # max_bucket=None for the same exactness reason as q_e_jaccard_verify.
+    # Spill-safe posting self-join for the same exactness reason as
+    # q_e_jaccard_verify (contributions must not be capped).
     inter = (
-        cobucket_pairs(post, ["pkey"], ["doc_id"], distinct=False, max_bucket=None)
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        posting_copairs(post, ["pkey"], "doc_id")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sizes = base.select("doc_id", F.size("sh").alias("n"))
@@ -1745,15 +1746,14 @@ def q_e_band_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     set. Output is ≤n_bands rows."""
     base = _md5_base(spark, sf_dir)
     banded = _banded(base, BAND_SIZE, N_MINHASH, _MH_PERMS)
-    # max_bucket=None — MANDATORY: with distinct=False every in-bucket
-    # pair row is one unit of some pair's band count (the same
-    # exactness rule as q_e_jaccard_verify); the uncapped oracle would
-    # otherwise diverge on a hot bucket.
+    # Every co-bucket pair row is one unit of some pair's band count
+    # (the same exactness rule as q_e_jaccard_verify — the uncapped
+    # oracle would diverge on a capped hot bucket), so this uses the
+    # spill-safe posting self-join over the persisted signature base
+    # rather than a capped collect_list bucket expansion.
     matches = (
-        cobucket_pairs(
-            banded, ["band", "bkey"], ["doc_id"], distinct=False, max_bucket=None
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        posting_copairs(banded, ["band", "bkey"], "doc_id")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     verified = _md5_pairs(spark, sf_dir).select(

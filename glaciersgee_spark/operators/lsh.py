@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 # Default hot-bucket cap: caps worst-case per-bucket expansion at
 # ~500k pairs. The driver corpus's largest co-bucket is ~10² entities,
@@ -57,13 +57,26 @@ def cobucket_pairs(
     """
     id_c = entity_cols[0]
     ent = F.struct(*[F.col(c) for c in entity_cols])
-    size_ok = F.size("es") >= 2
+    # Bucket-size filter BEFORE collect_list (round-3 fix): a window
+    # count partitioned on the bucket key streams through WindowExec's
+    # spillable row buffer, so a degenerate 10⁶-entity bucket is
+    # dropped without ever materializing it — the old post-agg
+    # `size(es) <= max_bucket` filter only ran after collect_list had
+    # built the whole bucket in one non-spillable aggregation array.
+    # The groupBy below clusters on the same keys, so the window's
+    # hash partitioning is reused: still ONE shuffle, ONE evaluation
+    # of the banded lineage. Singleton buckets (no pairs) are pruned
+    # here too, before their rows reach the aggregation.
+    w = Window.partitionBy(*keys)
+    bucket_ok = F.col("_bucket_n") >= 2
     if max_bucket is not None:
-        size_ok = size_ok & (F.size("es") <= max_bucket)
+        bucket_ok = bucket_ok & (F.col("_bucket_n") <= max_bucket)
     buckets = (
-        banded.groupBy(*keys)
+        banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .where(bucket_ok)
+        .drop("_bucket_n")
+        .groupBy(*keys)
         .agg(F.collect_list(ent).alias("es"))
-        .where(size_ok)
     )
     pair_expr = (
         "flatten(transform(es, (x, i) -> "
@@ -73,6 +86,43 @@ def cobucket_pairs(
     )
     pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select("p.a", "p.b")
     return pairs.distinct() if distinct else pairs
+
+
+def posting_copairs(
+    post: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Spill-safe EXACT co-occurrence pairs: one output row per
+    (ordered pair, shared posting key), so a downstream
+    ``groupBy(id_a, id_b).count()`` is exactly the posting-intersection
+    size — the inverted-index shape behind exact Jaccard / containment
+    / band-count verification.
+
+    Unlike `cobucket_pairs(distinct=False, max_bucket=None)` (the
+    round-2 spelling), this is a self-equi-join on the posting key:
+    sort-merge join streams both sides and spills its per-key match
+    buffer to disk, so a degenerate corpus-frequent posting key (a
+    stop-shingle, an all-zeros band) costs quadratic OUTPUT rows but
+    never holds the whole posting list in one in-memory aggregation
+    array. Exact ops must not cap contributions — this is the shape
+    that stays exact AND survives the hot key. Callers are expected to
+    hand in a persisted/cheap lineage (both join branches re-read it)
+    and can audit hot keys with `bucket_overflow`.
+    """
+    kl = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    cond = kl[0]
+    for c in kl[1:]:
+        cond = cond & c
+    cond = cond & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    return (
+        post.alias("l")
+        .join(post.alias("r"), cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+    )
 
 
 def bucket_overflow(

@@ -178,9 +178,11 @@ def q_e_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join); per-(doc, window) min and the rightmost-of-min pick
     are two map-side-combinable aggregations over the SAME (doc_id)
     co-partitioning, so the wmin join back to `win` is AQE-local. The
-    membership subtree feeds two consumers (wmin + the join probe), so
-    it is persisted for the local bench; at 100 TB it would be a
-    shuffle-reused exchange on doc_id either way."""
+    membership subtree feeds two consumers (wmin + the join probe),
+    deduplicated by Spark's ReusedExchange within the single action —
+    no persist, so a long-lived session running the whole battery
+    holds no leaked cache partitions (round-3 fix; the round-2 persist
+    was never unpersisted)."""
     sh = _shingled(spark, sf_dir, WIN_K)
     m = sh.groupBy("doc_id").agg(F.max("pos").alias("n_gram"))
     win = (
@@ -196,7 +198,6 @@ def q_e_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w"),
         )
-        .persist()
     )
     wmin = win.groupBy("doc_id", "w").agg(F.min("key").alias("mkey"))
     fp = (

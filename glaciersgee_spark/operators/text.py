@@ -75,11 +75,15 @@ def q_e_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar dimension, embedded as a literal
-    idf = F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    # Corpus size as a 1-row broadcast aggregate (repo convention),
+    # not an eager driver-side d.count() at plan-build — keeps the
+    # declared query lazy and avoids a separate full-scan job.
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
     return (
         tf.where(F.col("doc_id") % 20 == 0)
         .join(df, "token")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
@@ -705,7 +709,8 @@ def lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability per doc under the corpus unigram distribution. The
     token stream is fanned out once (two consumers reuse the single
     repartition; no-op on many-file scans); the corpus token total is
-    a bounded driver scalar like q_e_tfidf's n_docs."""
+    a 1-row broadcast aggregate (repo convention — no driver-side
+    count at plan-build)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LM_CACHE.get(key)
     if cached is not None:
@@ -715,10 +720,11 @@ def lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    t_total = float(toks.count())
-    logp = f"round(ln(CAST(c AS DOUBLE) / CAST({t_total!r} AS DOUBLE)), 6)"
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t_total"))
+    logp = "round(ln(CAST(c AS DOUBLE) / t_total), 6)"
     lm = (
         toks.join(F.broadcast(cnt), "token")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

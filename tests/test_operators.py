@@ -197,6 +197,46 @@ def test_cobucket_pairs_caps_hot_buckets(spark):
     assert audit[0].n_pairs_dropped == 66
 
 
+def test_cobucket_pairs_filters_before_aggregation(spark):
+    """Memory safety at scale (round-3 fix): the hot-bucket filter must
+    run BELOW the collect_list aggregate in the physical plan — a
+    spillable window count drops oversized buckets before any
+    aggregation buffer materializes them — and the whole thing still
+    costs a single shuffle."""
+    from glaciersgee_spark.operators.lsh import cobucket_pairs
+
+    banded = spark.createDataFrame(
+        [(i, 0, i % 3) for i in range(30)], "id long, band int, bkey long"
+    )
+    plan = (
+        cobucket_pairs(banded, ["band", "bkey"], ["id"], distinct=False, max_bucket=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    agg_at = plan.index("collect_list")
+    filt_at = plan.index("_bucket_n")
+    assert filt_at > agg_at, "bucket-size filter must be below (after) the agg in plan text"
+    assert plan.count("Exchange") == 1, f"expected exactly one shuffle:\n{plan}"
+
+
+def test_posting_copairs_exact_counts(spark):
+    """posting_copairs emits one row per (pair, shared key) — the exact
+    inverted-index contract — with id_a < id_b, and never drops
+    contributions from a hot posting key."""
+    from glaciersgee_spark.operators.lsh import posting_copairs
+
+    rows = [(1, 10), (2, 10), (3, 10), (1, 20), (2, 20), (9, 30)]
+    post = spark.createDataFrame(rows, "doc_id long, pkey long")
+    pairs = posting_copairs(post, ["pkey"], "doc_id")
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(1, 2), (1, 2), (1, 3), (2, 3)]  # (1,2) shares keys 10 AND 20
+
+    # hot key: all contributions kept (exactness), count = C(n,2)
+    hot = spark.createDataFrame([(i, 0) for i in range(40)], "doc_id long, pkey long")
+    assert posting_copairs(hot, ["pkey"], "doc_id").count() == 40 * 39 // 2
+
+
 def test_recursive_spine_has_no_month_gaps(spark):
     """The densified month spine must be contiguous min..max and mark
     exactly the order-free months as gaps."""
