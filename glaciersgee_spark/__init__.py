@@ -25,6 +25,7 @@ __all__ = ["QUERIES", "ORACLE", "load_all_queries"]
 def load_all_queries() -> None:
     """Import every operator module so its @query registrations run."""
     import glaciersgee_spark.operators.etl  # noqa: F401
+    import glaciersgee_spark.operators.spatial  # noqa: F401
     import glaciersgee_spark.operators.relational  # noqa: F401
     import glaciersgee_spark.operators.dedup  # noqa: F401
     import glaciersgee_spark.operators.similarity  # noqa: F401

@@ -459,3 +459,197 @@ def q_e_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "packing_gain_frac"
         ),
     )
+
+
+# --- round-3 additions: character-entropy quality signal + Gopher-style
+# multi-rule filter ----------------------------------------------------
+
+# Counted alphabet for the character-entropy signal (the corpus is
+# lowercase words + spaces; anything outside is simply not counted).
+_ENT_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def _ent_cnt(ch: str) -> str:
+    """Occurrences of one char via length delta — identical text in
+    both dialects, whole-stage-codegen-able, no per-char explode (a
+    char explode would replicate the text column 27x through a
+    shuffle)."""
+    return f"(length(text) - length(replace(text, '{ch}', '')))"
+
+
+def _ent_term(i: int) -> str:
+    """One -p*ln(p) term in integer micro-nats: 6-dp half-up BEFORE
+    summation so the 27-term fold is exact integer math in both
+    engines (float fold order differs between engines; ln() differs in
+    the last ulp, absorbed by the rounding)."""
+    p = f"(CAST(c_{i} AS DOUBLE) / tot)"
+    return (
+        f"CASE WHEN c_{i} > 0 THEN "
+        f"CAST(floor(-({p}) * ln({p}) * 1000000 + 0.5) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+
+
+_ENT_CNTS = ",\n             ".join(
+    f"{_ent_cnt(ch)} AS c_{i}" for i, ch in enumerate(_ENT_ALPHABET)
+)
+_ENT_TOT = " + ".join(f"c_{i}" for i in range(len(_ENT_ALPHABET)))
+_ENT_H = " + ".join(_ent_term(i) for i in range(len(_ENT_ALPHABET)))
+
+
+@query(
+    "q_e_char_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang,
+             {_ENT_CNTS}
+      FROM documents
+    ),
+    t AS (SELECT lang, ({_ENT_TOT}) AS tot, * FROM c),
+    h AS (SELECT lang, ({_ENT_H}) AS h_micro FROM t)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           round(CAST(CAST(SUM(h_micro) AS BIGINT) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS avg_entropy,
+           round(CAST(MIN(h_micro) AS DOUBLE) / 1000000.0, 6) AS min_entropy,
+           round(CAST(MAX(h_micro) AS DOUBLE) / 1000000.0, 6) AS max_entropy,
+           COUNT(*) FILTER (WHERE h_micro < 2750000) AS n_low_entropy
+    FROM h GROUP BY lang ORDER BY lang
+    """,
+)
+def q_e_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per doc (Shannon, nats), rolled
+    up per lang — the spam/gibberish signal character-level quality
+    filters key on (low entropy = repeated characters/boilerplate,
+    near-uniform = random noise).
+
+    Single narrow projection per doc: 27 JVM-side replace() counts +
+    an integer-micro-nat entropy fold — no explode, no UDF, no
+    shuffle before the per-lang rollup. Entropy terms are rounded to
+    6 dp half-up individually so both engines sum identical integers
+    (ln's last-ulp wobble is absorbed; floor(x+0.5) avoids the
+    round-tie divergence)."""
+    d = load_table(spark, sf_dir, "documents")
+    cnts = [
+        F.expr(_ent_cnt(ch)).alias(f"c_{i}")
+        for i, ch in enumerate(_ENT_ALPHABET)
+    ]
+    t = d.select("lang", *cnts).withColumn("tot", F.expr(_ENT_TOT))
+    h = t.select("lang", F.expr(_ENT_H).alias("h_micro"))
+    return (
+        h.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("h_micro").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("avg_entropy"),
+            F.round(F.min("h_micro").cast("double") / 1000000.0, 6).alias(
+                "min_entropy"
+            ),
+            F.round(F.max("h_micro").cast("double") / 1000000.0, 6).alias(
+                "max_entropy"
+            ),
+            F.count(F.when(F.col("h_micro") < 2_750_000, 1)).alias(
+                "n_low_entropy"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_e_gopher_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, source, tok, COUNT(*) AS c
+      FROM toks GROUP BY doc_id, source, tok
+    ),
+    per AS (
+      SELECT doc_id, source,
+             SUM(c) AS n_tok,
+             MAX(c) AS max_tok,
+             SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END) AS stop_hits,
+             SUM(len(tok) * c) AS n_alpha
+      FROM tf GROUP BY doc_id, source
+    ),
+    r AS (
+      SELECT source,
+             n_tok BETWEEN 15 AND 80 AS r_len,
+             (CAST(n_alpha AS DOUBLE) / n_tok) BETWEEN 3.0 AND 4.6 AS r_wordlen,
+             (CAST(max_tok AS DOUBLE) / n_tok) <= 0.15 AS r_rep,
+             stop_hits >= 2 AS r_stop
+      FROM per
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE r_len) AS pass_len,
+           COUNT(*) FILTER (WHERE r_wordlen) AS pass_wordlen,
+           COUNT(*) FILTER (WHERE r_rep) AS pass_rep,
+           COUNT(*) FILTER (WHERE r_stop) AS pass_stop,
+           COUNT(*) FILTER (WHERE r_len AND r_wordlen AND r_rep AND r_stop)
+             AS pass_all,
+           round(CAST(COUNT(*) FILTER (WHERE r_len AND r_wordlen AND r_rep
+                                         AND r_stop) AS DOUBLE)
+                 / COUNT(*), 6) AS pass_rate
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q_e_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style multi-rule document filter, reported as a
+    per-source rule funnel: token-count bounds, mean-word-length
+    bounds, most-frequent-token repetition cap, and minimum stopword
+    hits — the composable rule battery (rather than one opaque score;
+    q_e_quality_filter is the single-score variant).
+
+    Shape: one (doc, token) count aggregation (map-side combinable —
+    the same shuffle any TF computation pays), one per-doc rollup, one
+    per-source rollup; rule evaluation is pure codegen arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = tf.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_tok"),
+        F.max("c").alias("max_tok"),
+        F.sum(
+            F.when(F.col("tok").isin("the", "a"), F.col("c")).otherwise(0)
+        ).alias("stop_hits"),
+        F.sum(F.length("tok") * F.col("c")).alias("n_alpha"),
+    )
+    r = per.select(
+        "source",
+        F.col("n_tok").between(15, 80).alias("r_len"),
+        (F.col("n_alpha").cast("double") / F.col("n_tok"))
+        .between(3.0, 4.6)
+        .alias("r_wordlen"),
+        ((F.col("max_tok").cast("double") / F.col("n_tok")) <= 0.15).alias(
+            "r_rep"
+        ),
+        (F.col("stop_hits") >= 2).alias("r_stop"),
+    )
+    all_pass = (
+        F.col("r_len") & F.col("r_wordlen") & F.col("r_rep") & F.col("r_stop")
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("r_len"), 1)).alias("pass_len"),
+            F.count(F.when(F.col("r_wordlen"), 1)).alias("pass_wordlen"),
+            F.count(F.when(F.col("r_rep"), 1)).alias("pass_rep"),
+            F.count(F.when(F.col("r_stop"), 1)).alias("pass_stop"),
+            F.count(F.when(all_pass, 1)).alias("pass_all"),
+            F.round(
+                F.count(F.when(all_pass, 1)).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )

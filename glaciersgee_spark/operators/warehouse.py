@@ -586,3 +586,103 @@ def q_b_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("state_at_ts"),
         (F.col("event_type") == F.col("state")).alias("state_consistent"),
     )
+
+
+# Target bin count: the compaction target size is derived from the
+# ledger itself (total // _COMPACT_BINS), so the planner exercises the
+# same packing math at every scale factor.
+_COMPACT_BINS = 40
+# Prefix-sum chunk width: per-chunk scans parallelize; only the ~n/50
+# chunk totals ever pass through the global (single-partition) window.
+_COMPACT_CHUNK = 50
+
+
+@query(
+    "q_b_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT o_orderkey % 500 AS file_id,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS f_bytes
+      FROM orders GROUP BY 1
+    ),
+    tgt AS (
+      SELECT CAST(CAST(SUM(f_bytes) AS BIGINT) // {_COMPACT_BINS} AS BIGINT)
+        AS target FROM files
+    ),
+    cum AS (
+      SELECT file_id, f_bytes,
+             COALESCE(SUM(f_bytes) OVER (ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM files
+    )
+    SELECT CAST(before // tgt.target AS BIGINT) AS bin_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(f_bytes) AS BIGINT) AS bin_bytes,
+           MIN(file_id) AS first_file,
+           MAX(file_id) AS last_file,
+           round(CAST(CAST(SUM(f_bytes) AS BIGINT) AS DOUBLE)
+                 / tgt.target, 6) AS fill_rate
+    FROM cum CROSS JOIN tgt GROUP BY 1, tgt.target ORDER BY bin_id
+    """,
+)
+def q_b_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance op a
+    lakehouse runs nightly: synthetic file ledger (file_id, f_bytes
+    derived deterministically from orders), files packed in id order
+    (= write order, preserving scan locality) into target-sized output
+    bins by cumulative size.
+
+    The naive spelling is one global running sum — a single-partition
+    window over EVERY file, the classic driver-bottleneck at a 100 TB
+    table's millions of files. This is the two-phase distributed
+    prefix sum instead: (1) per-chunk running sums, partitioned by
+    chunk key — fully parallel; (2) a global running sum over the
+    per-chunk TOTALS only (n/chunk rows — bounded, the only
+    single-partition pass); (3) broadcast the chunk offsets back.
+    Identical result to the naive window, verified against the
+    oracle's naive spelling.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    files = o.groupBy((F.col("o_orderkey") % 500).alias("file_id")).agg(
+        F.sum(cents).alias("f_bytes")
+    )
+    # target size derived from the ledger total — 1-row broadcast
+    # aggregate per the repo convention (no driver-side scalar).
+    tgt = files.agg(F.sum("f_bytes").alias("s")).select(
+        F.expr(f"CAST(s div {_COMPACT_BINS} AS BIGINT)").alias("target")
+    )
+    chunked = files.withColumn("chunk", F.expr(f"file_id div {_COMPACT_CHUNK}"))
+    w_in = (
+        Window.partitionBy("chunk")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = chunked.withColumn(
+        "within_before", F.coalesce(F.sum("f_bytes").over(w_in), F.lit(0))
+    )
+    totals = chunked.groupBy("chunk").agg(F.sum("f_bytes").alias("ctot"))
+    w_c = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("chunk", "offset")
+    binned = (
+        within.join(F.broadcast(offsets), "chunk")
+        .crossJoin(F.broadcast(tgt))
+        .withColumn("before", F.col("offset") + F.col("within_before"))
+        .withColumn("bin_id", F.expr("before div target"))
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("f_bytes").alias("bin_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+            F.round(
+                F.sum("f_bytes").cast("double") / F.max("target"), 6
+            ).alias("fill_rate"),
+        )
+        .orderBy("bin_id")
+    )
