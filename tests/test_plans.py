@@ -397,3 +397,63 @@ def test_skew_audit_two_aggregations_only(spark):
     f = PI.formatted(df)
     assert PI.count_shuffles(f) <= 3
     assert not PI.has_python_boundary(PI.executed(df))
+
+
+def test_bbox_contains_broadcasts_aoi_cells(spark):
+    """The spatial containment join must be a broadcast equi-join on
+    the grid-cell key (small AOI set), pure JVM, with the refine
+    predicate as a join residual — never a nested-loop theta join of
+    the full point set."""
+    from glaciersgee_spark.operators.spatial import q_a_bbox_contains
+
+    df = q_a_bbox_contains(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "BroadcastHashJoin" in x
+    assert "CartesianProduct" not in x and "BroadcastNestedLoopJoin" not in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_bbox_overlap_claim_cell_needs_no_distinct(spark):
+    """Claim-cell dedup means the pair stream is exact without any
+    HashAggregate(distinct) stage between the join and the rollup."""
+    from glaciersgee_spark.operators.spatial import q_a_bbox_overlap
+
+    df = q_a_bbox_overlap(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "BroadcastHashJoin" in x
+    assert "CartesianProduct" not in x and "BroadcastNestedLoopJoin" not in x
+    # join → per-AOI agg → final AOI join → sort: ≤4 exchanges, and no
+    # extra dedup aggregation keyed on the pair
+    assert PI.count_shuffles(PI.formatted(df)) <= 4
+
+
+def test_compaction_plan_prefix_sum_is_chunk_partitioned(spark):
+    """The two-phase prefix sum: the per-file running sum must ride a
+    chunk-partitioned window (parallel), with SinglePartition reserved
+    for the chunk-totals pass and the 1-row target aggregate."""
+    from glaciersgee_spark.operators.warehouse import q_b_compaction_plan
+
+    df = q_b_compaction_plan(spark, SF_SMOKE)
+    x = PI.executed(df)
+    # the per-file window is partitioned by the chunk key
+    assert "windowspecdefinition(chunk#" in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_char_entropy_single_rollup_shuffle(spark):
+    """27 replace() counts + the entropy fold are one scan-side
+    projection: the only exchanges are the per-lang rollup and the
+    final sort — and nothing leaves the JVM."""
+    from glaciersgee_spark.operators.curation import q_e_char_entropy
+
+    df = q_e_char_entropy(spark, SF_SMOKE)
+    assert PI.count_shuffles(PI.formatted(df)) <= 2
+    assert not PI.has_python_boundary(PI.executed(df))
+
+
+def test_gopher_rules_pure_jvm(spark):
+    from glaciersgee_spark.operators.curation import q_e_gopher_rules
+
+    df = q_e_gopher_rules(spark, SF_SMOKE)
+    assert not PI.has_python_boundary(PI.executed(df))
+    assert "CartesianProduct" not in PI.executed(df)
