@@ -1841,3 +1841,132 @@ def q_e_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@query(
+    "q_e_ivf_pq",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v
+          WHERE vec_id BETWEEN 1 AND {IVF_NLIST}),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    sc AS (SELECT v.vec_id, c.cid,
+                  {_d_cos6('v.ve', 'c.cv', 'v.nrm', 'c.cn')} AS cscore
+           FROM v, c WHERE v.vec_id <> 0),
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cscore DESC, cid ASC) AS rk
+               FROM sc) WHERE rk = 1),
+    probe AS (SELECT cid FROM (
+                SELECT c.cid,
+                       ROW_NUMBER() OVER (
+                         ORDER BY {_d_cos6('c.cv', 'q.qv', 'c.cn', 'q.qn')} DESC,
+                                  c.cid ASC) AS rk
+                FROM c, q) WHERE rk <= {IVF_NPROBE}),
+    cand AS (SELECT cell.vec_id FROM cell JOIN probe USING (cid)),
+    dists AS (
+      SELECT v.vec_id, c.cid, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_dist6('v.ve', 'c.cv', s)}" for s in range(PQ_M))} END AS d6
+      FROM v JOIN cand USING (vec_id), c, (SELECT unnest(range(0, {PQ_M})) AS s) s
+    ),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d6 ASC, cid ASC) AS rk
+        FROM dists
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT c.cid, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_lut6('q.qv', 'c.cv', s)}" for s in range(PQ_M))} END AS l6
+      FROM c, q, (SELECT unnest(range(0, {PQ_M})) AS s) s
+    ),
+    parts AS (
+      SELECT codes.vec_id,
+             {', '.join(f"MAX(CASE WHEN codes.s = {s} THEN lut.l6 END) AS l{s}" for s in range(PQ_M))}
+      FROM codes JOIN lut ON codes.cid = lut.cid AND codes.s = lut.s
+      GROUP BY codes.vec_id
+    ),
+    adc AS (
+      SELECT vec_id,
+             round({'(' * (PQ_M - 1)}l0{''.join(f" + l{s})" for s in range(1, PQ_M))}, 6) AS adc6
+      FROM parts
+    )
+    SELECT a.vec_id, v.label, a.adc6,
+           {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS cos6
+    FROM adc a JOIN v ON a.vec_id = v.vec_id, q
+    ORDER BY a.adc6 DESC, a.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_e_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index — the configuration real ANN systems
+    deploy (FAISS IVFx,PQy): the coarse quantizer routes the query to
+    nprobe=4 of nlist=16 cells, and only vectors in probed cells are
+    scored, by asymmetric-distance LUT gather instead of a full dot
+    product. Composes the verified q_e_sim_topk_ivf routing with the
+    verified q_e_sim_topk_pq kernel; exact cosine rides along so the
+    two-level approximation error is visible per row (round 3).
+
+    At 100 TB this is both the scan story (probe = partition pruning
+    on the cell key: read nprobe/nlist of the table) AND the memory
+    story (8-byte codes, 32x smaller than raw vectors); the 128-entry
+    LUT and the probe list are broadcast literals. Collects are the
+    bounded codebook/query panels (16+1 rows), per the module
+    convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, IVF_NLIST)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored_c = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(cent))
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cscore"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("cid").asc())
+    cell = (
+        scored_c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    probe = (
+        cent.join(F.broadcast(qv))
+        .select("cid", _cos6("cemb", "qemb").alias("qscore"))
+        .orderBy(F.col("qscore").desc(), F.col("cid").asc())
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    crows = sorted(
+        e.where(F.col("vec_id").between(1, PQ_K)).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    c_r = np.array([r.embedding for r in crows], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUBDIM
+    )
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q_r = np.array(qrow.embedding, dtype=np.float64).reshape(PQ_M, PQ_SUBDIM)
+    lut = np.round(np.einsum("sj,csj->cs", q_r, c_r), 6)
+
+    @F.pandas_udf(DoubleType())
+    def _adc6(emb: pd.Series) -> pd.Series:
+        v = _to_mat(emb)
+        v_r = v.reshape(-1, PQ_M, PQ_SUBDIM)
+        d = np.round(((v_r[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6)
+        codes = d.argmin(axis=1)  # first min == the oracle's (d6, cid) rank
+        acc = np.zeros(len(v))
+        for s in range(PQ_M):  # fixed order == oracle's left-assoc sum
+            acc = acc + lut[codes[:, s], s]
+        return pd.Series(np.round(acc, 6))
+
+    cand = cell.join(F.broadcast(probe), "cid").select("vec_id")
+    ef = fan_out(e.join(cand, "vec_id"), "vec_id")
+    return (
+        ef.select("vec_id", "label", "embedding", _adc6("embedding").alias("adc6"))
+        .orderBy(F.col("adc6").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .join(F.broadcast(qv))
+        .select("vec_id", "label", "adc6", _cos6("embedding", "qemb").alias("cos6"))
+    )

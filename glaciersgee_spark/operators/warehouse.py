@@ -686,3 +686,136 @@ def q_b_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+def _zorder_bits(x: str, y: str, shift: str) -> str:
+    """16-bit Morton interleave of two 8-bit coordinates, built from an
+    engine-specific right-shift template (`shift.format(c=..., i=...)`)
+    — Spark spells it shiftright(c, i), DuckDB (c >> i); `& 1` and the
+    power-of-two multiplies are shared."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({shift.format(c=x, i=i)} & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shift.format(c=y, i=i)} & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+# Probe box for the pruning metric: a 16x16 region, the selective
+# two-column range predicate min-max file skipping is supposed to win.
+_Z_BOX = (64, 79, 64, 79)
+_Z_FILE_CELLS = 1024  # cells per file: 64 files over the 256x256 grid
+
+
+@query(
+    "q_b_zorder_cluster",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey % 256 AS x, o_custkey % 256 AS y FROM orders
+    ),
+    z AS (
+      SELECT x, y,
+             ({_zorder_bits('x', 'y', '({c} >> {i})')}) AS zval,
+             (x * 256 + y) AS rval
+      FROM pts
+    ),
+    layouts AS (
+      SELECT 'linear' AS layout, CAST(rval // {_Z_FILE_CELLS} AS BIGINT)
+               AS file_id, x, y FROM z
+      UNION ALL
+      SELECT 'zorder' AS layout, CAST(zval // {_Z_FILE_CELLS} AS BIGINT)
+               AS file_id, x, y FROM z
+    ),
+    files AS (
+      SELECT layout, file_id,
+             MIN(x) AS xmin, MAX(x) AS xmax,
+             MIN(y) AS ymin, MAX(y) AS ymax
+      FROM layouts GROUP BY layout, file_id
+    )
+    SELECT layout,
+           COUNT(*) AS n_files,
+           COUNT(*) FILTER (WHERE xmin <= {_Z_BOX[1]} AND {_Z_BOX[0]} <= xmax
+                              AND ymin <= {_Z_BOX[3]} AND {_Z_BOX[2]} <= ymax)
+             AS files_scanned,
+           round(CAST(COUNT(*) FILTER (WHERE xmin <= {_Z_BOX[1]}
+                                         AND {_Z_BOX[0]} <= xmax
+                                         AND ymin <= {_Z_BOX[3]}
+                                         AND {_Z_BOX[2]} <= ymax) AS DOUBLE)
+                 / COUNT(*), 6) AS scan_frac,
+           round(CAST(CAST(SUM((xmax - xmin + 1) * (ymax - ymin + 1))
+                           AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+             AS avg_bbox_area
+    FROM files GROUP BY layout ORDER BY layout
+    """,
+)
+def q_b_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the data-layout decision
+    behind min-max file skipping on multi-column predicates (Delta
+    OPTIMIZE ZORDER BY / Iceberg sort orders): rows keyed by two
+    8-bit coordinates are packed into 64 equal files either in
+    row-major (linear) order or along the Z-curve; per-file min-max
+    ranges then score a fixed 16x16 box probe. The linear layout's
+    files span the full y range (every file is "scanned"); Z-order
+    files are ~32x32 tiles, so the probe touches 1-4 of 64 — the
+    measured argument for clustering a 100 TB table on its two hot
+    filter columns.
+
+    Shape: one scan, the interleave is pure codegen bit math, both
+    layouts aggregate from the same projection (UNION ALL of two
+    narrow selects), two map-side-combinable groupBys, 2-row result.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_orderkey") % 256).alias("x"),
+        (F.col("o_custkey") % 256).alias("y"),
+    )
+    z = pts.select(
+        "x",
+        "y",
+        F.expr(_zorder_bits("x", "y", "shiftright({c}, {i})")).alias("zval"),
+        (F.col("x") * 256 + F.col("y")).alias("rval"),
+    )
+    both = z.select(
+        F.lit("linear").alias("layout"),
+        F.expr(f"rval div {_Z_FILE_CELLS}").cast("long").alias("file_id"),
+        "x",
+        "y",
+    ).unionAll(
+        z.select(
+            F.lit("zorder").alias("layout"),
+            F.expr(f"zval div {_Z_FILE_CELLS}").cast("long").alias("file_id"),
+            "x",
+            "y",
+        )
+    )
+    files = both.groupBy("layout", "file_id").agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    x0, x1, y0, y1 = _Z_BOX
+    hit = (
+        (F.col("xmin") <= x1)
+        & (F.col("xmax") >= x0)
+        & (F.col("ymin") <= y1)
+        & (F.col("ymax") >= y0)
+    )
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.count(F.when(hit, 1)).alias("files_scanned"),
+            F.round(
+                F.count(F.when(hit, 1)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("scan_frac"),
+            F.round(
+                F.sum(
+                    (F.col("xmax") - F.col("xmin") + 1)
+                    * (F.col("ymax") - F.col("ymin") + 1)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bbox_area"),
+        )
+        .orderBy("layout")
+    )
