@@ -155,3 +155,114 @@ def test_winnow_guarantees_shared_fingerprint(spark, shared, pre_a, pre_b):
     a_hashes = {k for d, k in fps if d == 1}
     b_hashes = {k for d, k in fps if d == 2}
     assert a_hashes & b_hashes, "shared run produced no shared fingerprint"
+
+
+@given(rects=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=90),   # x0
+        st.integers(min_value=0, max_value=8),    # dx
+        st.integers(min_value=0, max_value=90),   # y0
+        st.integers(min_value=0, max_value=8),    # dy
+    ),
+    min_size=1,
+    max_size=20,
+))
+@_SET
+def test_claim_cell_join_equals_distinct_theta_join(spark, rects):
+    """The grid+claim-cell spatial join must find exactly the pairs a
+    naive theta join finds — each exactly once (the PBSM dedup
+    guarantee q_a_bbox_overlap rests on), for ARBITRARY rectangles."""
+    CELL = 10
+    rows = [
+        (i, x0, x0 + 1 + dx, y0, y0 + 1 + dy)
+        for i, (x0, dx, y0, dy) in enumerate(rects)
+    ]
+    r = spark.createDataFrame(
+        rows, "rid long, x0 long, x1 long, y0 long, y1 long"
+    )
+    a = r.select(*[F.col(c).alias(f"a_{c}") for c in r.columns])
+    b = r.select(*[F.col(c).alias(f"b_{c}") for c in r.columns])
+    overlap = (
+        (F.col("a_x0") <= F.col("b_x1"))
+        & (F.col("b_x0") <= F.col("a_x1"))
+        & (F.col("a_y0") <= F.col("b_y1"))
+        & (F.col("b_y0") <= F.col("a_y1"))
+        & (F.col("a_rid") < F.col("b_rid"))
+    )
+    naive = {(p.a_rid, p.b_rid) for p in a.join(b, overlap).collect()}
+
+    cells = r.select(
+        "*",
+        F.explode(
+            F.sequence(F.expr(f"x0 div {CELL}"), F.expr(f"x1 div {CELL}"))
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.expr(f"y0 div {CELL}"), F.expr(f"y1 div {CELL}"))
+        ).alias("cy"),
+    )
+    ca = cells.select(
+        *[F.col(c).alias(f"a_{c}") for c in ["rid", "x0", "x1", "y0", "y1"]],
+        "cx",
+        "cy",
+    )
+    cb = cells.select(
+        *[F.col(c).alias(f"b_{c}") for c in ["rid", "x0", "x1", "y0", "y1"]],
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    claim = (
+        (F.col("cx") == F.col("bcx"))
+        & (F.col("cy") == F.col("bcy"))
+        & overlap
+        & (F.col("cx") == F.floor(F.greatest("a_x0", "b_x0") / CELL))
+        & (F.col("cy") == F.floor(F.greatest("a_y0", "b_y0") / CELL))
+    )
+    grid_rows = [(p.a_rid, p.b_rid) for p in ca.join(cb, claim).collect()]
+    assert len(grid_rows) == len(set(grid_rows)), "claim-cell emitted a dup"
+    assert set(grid_rows) == naive
+
+
+@given(sizes=st.lists(
+    st.integers(min_value=1, max_value=1000), min_size=1, max_size=60
+))
+@_SET
+def test_two_phase_prefix_sum_equals_naive(spark, sizes):
+    """q_b_compaction_plan's chunked prefix sum must equal the naive
+    single-partition running sum for ANY file-size sequence."""
+    from pyspark.sql import Window
+
+    CHUNK = 7
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    files = spark.createDataFrame(rows, "file_id long, f_bytes long")
+
+    w_naive = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        (r.file_id, r.before)
+        for r in files.withColumn(
+            "before", F.coalesce(F.sum("f_bytes").over(w_naive), F.lit(0))
+        ).collect()
+    }
+
+    chunked = files.withColumn("chunk", F.expr(f"file_id div {CHUNK}"))
+    w_in = (
+        Window.partitionBy("chunk")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = chunked.withColumn(
+        "wb", F.coalesce(F.sum("f_bytes").over(w_in), F.lit(0))
+    )
+    totals = chunked.groupBy("chunk").agg(F.sum("f_bytes").alias("ctot"))
+    w_c = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("chunk", "off")
+    got = {
+        (r.file_id, r.before)
+        for r in within.join(F.broadcast(offsets), "chunk")
+        .withColumn("before", F.col("off") + F.col("wb"))
+        .collect()
+    }
+    assert got == naive
