@@ -580,3 +580,42 @@ def q_c_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nullsafe_eq"
         ),
     )
+
+
+@query(
+    "q_c_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(o_orderdate AS DATE)
+             + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                         ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER)
+             AS next_monday,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1995 * 12 + 6) AS BIGINT) AS months_from_jun95
+    FROM orders WHERE o_orderkey % 9 = 1
+    """,
+)
+def q_c_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval family (round 3): quarter, add_months with
+    end-of-month clamping (both engines clamp Jan 31 + 1 mo → Feb 28),
+    last_day, next-weekday, ISO week start, and integer month
+    distance. Spark's next_day('Mon') is reproduced in the oracle with
+    isodow arithmetic (strictly-later next Monday)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 9 == 1)
+    d = F.col("o_orderdate")
+    dd = d.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).cast("long").alias("qtr"),
+        F.add_months(dd, 3).alias("plus3m"),
+        F.last_day(dd).alias("eom"),
+        F.next_day(dd, "Mon").alias("next_monday"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        (F.year(d) * 12 + F.month(d) - (1995 * 12 + 6))
+        .cast("long")
+        .alias("months_from_jun95"),
+    )

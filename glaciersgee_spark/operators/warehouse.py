@@ -819,3 +819,103 @@ def q_b_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@query(
+    "q_b_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    log AS (
+      SELECT 0 AS version, 'U' AS op, k, cents FROM base WHERE k % 4 <> 3
+      UNION ALL
+      SELECT 1, 'U', k, (cents * 21) // 20 FROM base WHERE k % 5 = 0 AND k % 4 <> 3
+      UNION ALL
+      SELECT 1, 'D', k, 0 FROM base WHERE k % 7 = 0 AND k % 4 <> 3
+      UNION ALL
+      SELECT 2, 'U', k, cents FROM base WHERE k % 4 = 3
+      UNION ALL
+      SELECT 2, 'U', k, (cents * 9) // 10 FROM base WHERE k % 6 = 0 AND k % 4 <> 3
+    ),
+    v AS (SELECT unnest([0, 1, 2]) AS as_of),
+    visible AS (
+      SELECT v.as_of, l.k, l.op, l.cents,
+             ROW_NUMBER() OVER (PARTITION BY v.as_of, l.k
+                                ORDER BY l.version DESC, l.op ASC) AS rk
+      FROM log l JOIN v ON l.version <= v.as_of
+    )
+    SELECT as_of,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM visible WHERE rk = 1 AND op <> 'D'
+    GROUP BY as_of ORDER BY as_of
+    """,
+)
+def q_b_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a CDC delta log (round 3): a version ledger of
+    upserts and deletes (derived deterministically from orders) is
+    replayed to reconstruct the table AS OF each version — the
+    Delta/Iceberg `VERSION AS OF` semantics built from a plain change
+    log, reported as per-version row counts and totals. 'D' < 'U' in
+    the tie-break, so a same-version delete+upsert resolves to the
+    upsert deterministically.
+
+    Shape: the log is ~2 scans of orders worth of narrow projections
+    (the optimizer shares the scan); last-writer-wins per (as_of, key)
+    is one window over the (as_of, k) partitioning — the same
+    partitioning the final rollup re-uses. The versions side is a
+    3-row broadcast. At 100 TB this is exactly the MERGE-log replay
+    a snapshot reader performs, shuffling the log once by key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    b = base.where(F.col("k") % 4 != 3)
+    log = (
+        b.select(F.lit(0).alias("version"), F.lit("U").alias("op"), "k", "cents")
+        .unionAll(
+            b.where(F.col("k") % 5 == 0).select(
+                F.lit(1), F.lit("U"), F.col("k"), F.expr("(cents * 21) div 20")
+            )
+        )
+        .unionAll(
+            b.where(F.col("k") % 7 == 0).select(
+                F.lit(1), F.lit("D"), F.col("k"), F.lit(0).cast("long")
+            )
+        )
+        .unionAll(
+            base.where(F.col("k") % 4 == 3).select(
+                F.lit(2), F.lit("U"), F.col("k"), F.col("cents")
+            )
+        )
+        .unionAll(
+            b.where(F.col("k") % 6 == 0).select(
+                F.lit(2), F.lit("U"), F.col("k"), F.expr("(cents * 9) div 10")
+            )
+        )
+    )
+    versions = spark.range(3).select(F.col("id").cast("int").alias("as_of"))
+    w = Window.partitionBy("as_of", "k").orderBy(
+        F.col("version").desc(), F.col("op").asc()
+    )
+    visible = (
+        log.join(F.broadcast(versions), F.col("version") <= F.col("as_of"))
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("op") != "D"))
+    )
+    return (
+        visible.groupBy("as_of")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("as_of")
+    )
