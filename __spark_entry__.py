@@ -72,6 +72,13 @@ _R2_LATENT_FIXED = (
     "q_a_tile_neighbors", "q_b_snapshot_diff", "q_b_skew_audit",
 )
 
+# New in round 3 — first-time driver evidence wanted.
+_R3_NEW = (
+    "q_a_bbox_contains", "q_a_bbox_overlap", "q_d_foreachbatch_sink",
+    "q_b_compaction_plan", "q_b_zorder_cluster", "q_b_time_travel",
+    "q_e_char_entropy", "q_e_gopher_rules", "q_e_ivf_pq", "q_c_interval",
+)
+
 _V = TypeVar("_V")
 
 
@@ -83,9 +90,11 @@ def _rotated(d: dict[str, _V]) -> dict[str, _V]:
             return 0
         if n in _R2_LATENT_FIXED:
             return 1
-        if n not in _DRIVER_VERIFIED:
+        if n in _R3_NEW:
             return 2
-        return 3
+        if n not in _DRIVER_VERIFIED:
+            return 3
+        return 4
 
     idx = {n: i for i, n in enumerate(names)}
     return {n: d[n] for n in sorted(names, key=lambda n: (prio(n), idx[n]))}
