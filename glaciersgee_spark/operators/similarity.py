@@ -1970,3 +1970,87 @@ def q_e_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qv))
         .select("vec_id", "label", "adc6", _cos6("embedding", "qemb").alias("cos6"))
     )
+
+
+@query(
+    "q_e_hubness",
+    oracle=f"""
+    WITH {_KM_CTES},
+    members AS (
+      SELECT a.vec_id, a.cid, v.ve, v.nrm
+      FROM asg a JOIN v USING (vec_id)
+    ),
+    edges AS (
+      SELECT x.vec_id, x.cid,
+             {_d_cos6('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} AS cs,
+             y.vec_id AS nbr
+      FROM members x JOIN members y
+        ON x.cid = y.cid AND x.vec_id <> y.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, cid, nbr,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, nbr ASC) AS rk
+      FROM edges
+    ),
+    indeg AS (
+      SELECT cid, nbr, COUNT(*) AS d
+      FROM ranked WHERE rk <= 5 GROUP BY cid, nbr
+    ),
+    sizes AS (SELECT cid, COUNT(*) AS n_cell FROM asg GROUP BY cid)
+    SELECT i.cid, s.n_cell,
+           COUNT(*) AS n_reached,
+           CAST(s.n_cell - COUNT(*) AS BIGINT) AS n_antihubs,
+           MAX(i.d) AS max_indeg,
+           COUNT(*) FILTER (WHERE i.d >= 8) AS n_hubs
+    FROM indeg i JOIN sizes s ON i.cid = s.cid
+    GROUP BY i.cid, s.n_cell
+    ORDER BY i.cid
+    """,
+)
+def q_e_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the in-cell kNN graph (round 3): the in-degree
+    distribution of k=5 neighbor lists per cell — hubs (in-degree ≥ 8)
+    dominate neighbor lists and degrade ANN recall/dedup quality in
+    high dimensions (Radovanović et al.); antihubs (never anyone's
+    neighbor) are the unreachable tail. The standard diagnostic run
+    before trusting a kNN-based dedup or retrieval stage.
+
+    Same O(Σ|cell|²) cell-scoped bound as q_e_knn_graph (shared
+    broadcast-centroid assignment); the in-degree flip is one extra
+    map-side-combinable (cid, nbr) aggregation riding the same keys,
+    then a 16-row rollup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+    x = members.select("vec_id", "cid", F.col("embedding").alias("xe"))
+    y = members.select(
+        F.col("vec_id").alias("nbr"), F.col("cid").alias("ycid"),
+        F.col("embedding").alias("ye"),
+    )
+    edges = (
+        x.join(y, (F.col("cid") == F.col("ycid")) & (F.col("vec_id") != F.col("nbr")))
+        .select("vec_id", "cid", "nbr", _cos6("xe", "ye").alias("cs"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("nbr").asc())
+    ranked = edges.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+    indeg = ranked.groupBy("cid", "nbr").agg(F.count(F.lit(1)).alias("d"))
+    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_cell"))
+    return (
+        indeg.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.max("d").alias("max_indeg"),
+            F.count(F.when(F.col("d") >= 8, 1)).alias("n_hubs"),
+        )
+        .join(F.broadcast(sizes), "cid")
+        .select(
+            "cid",
+            "n_cell",
+            "n_reached",
+            (F.col("n_cell") - F.col("n_reached")).cast("long").alias("n_antihubs"),
+            "max_indeg",
+            "n_hubs",
+        )
+        .orderBy("cid")
+    )

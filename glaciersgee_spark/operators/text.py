@@ -1005,3 +1005,106 @@ def q_e_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_ranks"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope6"),
     )
+
+
+# Interpolated bigram LM: λ·MLE-bigram + (1-λ)·unigram, λ = 0.7.
+_BG_L = "0.7"
+_BG_U = "0.3"
+
+
+@query(
+    "q_e_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+    bg AS (
+      SELECT a.doc_id, a.source, a.tok AS prev, b.tok AS cur
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bgc AS (SELECT prev, cur, COUNT(*) AS c2 FROM bg GROUP BY prev, cur),
+    scored AS (
+      SELECT bg.doc_id, bg.source,
+             round(ln({_BG_L} * (CAST(bgc.c2 AS DOUBLE) / up.c1)
+                      + {_BG_U} * (CAST(uc.c1 AS DOUBLE) / tot.t)), 6) AS lp
+      FROM bg
+      JOIN bgc ON bg.prev = bgc.prev AND bg.cur = bgc.cur
+      JOIN uni up ON bg.prev = up.tok
+      JOIN uni uc ON bg.cur = uc.tok
+      CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, source, {davg('lp')} AS avg_lp
+      FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {davg('avg_lp')} AS avg_bigram_logp,
+           COUNT(*) FILTER (WHERE avg_lp < -3.43) AS n_lowq
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q_e_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (round 3): mean
+    ln(0.7·c(w₁w₂)/c(w₁) + 0.3·c(w₂)/T) over each doc's bigram
+    positions, rolled up per source with a low-quality count — the
+    step up from q_e_ngram_lm's unigram score that actually penalizes
+    scrambled word order, the signal separating template/boilerplate
+    text from natural sequences.
+
+    Shape: positional self-join per doc (co-partitioned on doc_id),
+    bigram counts (map-side combinable), broadcast unigram vocab ×2,
+    1-row total broadcast; ln rounded 6 dp per position and both
+    averaging levels exact-decimal — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    a = toks.select("doc_id", "source", "pos", F.col("tok").alias("prev"))
+    b = toks.select(
+        F.col("doc_id").alias("b_doc"), (F.col("pos") - 1).alias("b_pos"),
+        F.col("tok").alias("cur"),
+    )
+    bg = a.join(
+        b, (F.col("doc_id") == F.col("b_doc")) & (F.col("pos") == F.col("b_pos"))
+    ).select("doc_id", "source", "prev", "cur")
+    bgc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    up = uni.select(F.col("tok").alias("prev"), F.col("c1").alias("c1p"))
+    uc = uni.select(F.col("tok").alias("cur"), F.col("c1").alias("c1c"))
+    scored = (
+        bg.join(bgc, ["prev", "cur"])
+        .join(F.broadcast(up), "prev")
+        .join(F.broadcast(uc), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.log(
+                    0.7 * (F.col("c2").cast("double") / F.col("c1p"))
+                    + 0.3 * (F.col("c1c").cast("double") / F.col("t"))
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.expr(davg("lp")).alias("avg_lp")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(davg("avg_lp")).alias("avg_bigram_logp"),
+            F.count(F.when(F.col("avg_lp") < -3.43, 1)).alias("n_lowq"),
+        )
+        .orderBy("source")
+    )
