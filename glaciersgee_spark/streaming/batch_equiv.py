@@ -512,3 +512,104 @@ def q_d_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ws", "event_type", "n")
         .orderBy("ws", "event_type")
     )
+
+
+@query(
+    "q_d_checkpoint_resume",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_d_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a stream RESTART, end to end (round 3): the
+    events table is staged as two half-files; drain #1 sees only half
+    A (availableNow, parquet append sink, checkpoint C), the query
+    STOPS, half B arrives, drain #2 resumes from the SAME checkpoint
+    and sink. The returned aggregate over the sink equals the batch
+    aggregate over the full table IF AND ONLY IF every row was
+    delivered exactly once across the restart — a re-delivered half
+    would double counts and hash-mismatch the oracle, so the
+    correctness gate itself proves the checkpoint contract
+    (previously only a unit test, tests/test_streaming.py).
+
+    Staging is one narrow projection per sf_dir, cached on disk after
+    the first call. At scale this is the nightly-ingest resume path:
+    file-source offsets live in the checkpoint, the sink is
+    idempotent-append by virtue of the committed-batch log.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from glaciersgee_spark.session import ensure_confs
+    from pyspark.sql import types as T
+
+    ensure_confs(spark)
+    staged = os.path.join(
+        tempfile.gettempdir(), "ggee_ckpt_halves",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(staged, "_READY")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, "half_a"))
+        ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, "half_b"))
+        open(marker, "w").close()
+
+    src = tempfile.mkdtemp(prefix="ggee_ckpt_src_")
+    sink = tempfile.mkdtemp(prefix="ggee_ckpt_sink_")
+    ck = tempfile.mkdtemp(prefix="ggee_ckpt_ck_")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def _arrive(half: str) -> None:
+        hdir = os.path.join(staged, half)
+        for f in os.listdir(hdir):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{half}_{f}")
+                try:
+                    os.link(os.path.join(hdir, f), dst)
+                except OSError:
+                    shutil.copyfile(os.path.join(hdir, f), dst)
+
+    def _drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _arrive("half_a")
+    _drain()
+    _arrive("half_b")
+    _drain()  # resumes from the SAME checkpoint: half A must not replay
+
+    out = spark.read.parquet(sink)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
