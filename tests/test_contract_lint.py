@@ -1,0 +1,63 @@
+"""Driver-contract lints over the ENTIRE declared inventory.
+
+Two whole-inventory invariants that individual parity rows can't
+enforce (each guards a bug class that actually shipped once):
+
+1. No query output column may be array/map/binary — the driver's
+   pandas canonicalizer cannot hash them (the convention is
+   `array_join(sort_array(...), ',')` strings instead).
+2. No oracle output column may be DuckDB HUGEINT/DECIMAL (unless the
+   Spark side is decimal too) — the round-2 postmortem: uncast
+   SUM(BIGINT) renders as float64 through pandas vs Spark's int64 and
+   hash-mismatches even though values are equal. tests/parity.py now
+   also rejects this per-query at compare time; this lint catches ALL
+   queries in one cheap DuckDB-only pass (17 latent instances escaped
+   the per-query gate in round 2 because only ~50 queries/round get
+   driver-checked).
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from tests.conftest import SF_SMOKE
+from tests.parity import make_duck
+
+# Real Structured Streaming queries execute a stream when the plan is
+# built — their output schemas are covered by the parity battery.
+_STREAM_EXEC = {"q_d_foreachbatch_sink", "q_d_checkpoint_resume"}
+
+
+def test_no_unhashable_output_columns(spark):
+    qs = entry.queries()
+    bad = {}
+    for name, fn in qs.items():
+        if name in _STREAM_EXEC:
+            continue
+        df = fn(spark, SF_SMOKE)
+        hits = [
+            (f.name, f.dataType.typeName())
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "binary")
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"driver canonicalizer cannot hash these columns: {bad}"
+
+
+def test_no_hugeint_or_decimal_oracle_columns():
+    ora = entry.oracle_sql()
+    con = make_duck(SF_SMOKE)
+    bad = {}
+    for name, sql in ora.items():
+        rel = con.sql(sql)
+        hits = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        f"oracle columns the driver canonicalizes as float64: {bad} — "
+        f"wrap the final SUM in CAST(... AS BIGINT)"
+    )
