@@ -1045,7 +1045,7 @@ _BG_U = "0.3"
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           {davg('avg_lp')} AS avg_bigram_logp,
+           {davg('avg_lp', 12)} AS avg_bigram_logp,
            COUNT(*) FILTER (WHERE avg_lp < -3.43) AS n_lowq
     FROM per_doc GROUP BY source ORDER BY source
     """,
@@ -1060,8 +1060,12 @@ def q_e_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: positional self-join per doc (co-partitioned on doc_id),
     bigram counts (map-side combinable), broadcast unigram vocab ×2,
-    1-row total broadcast; ln rounded 6 dp per position and both
-    averaging levels exact-decimal — bit-identical across engines."""
+    1-row total broadcast; ln rounded 6 dp per position, per-doc
+    means exact-decimal, and the per-source mean-of-means cast at
+    scale 12 — a per-doc mean sum_micro/n has at most 12 meaningful
+    decimals (6 micro digits + ≤6 from n's 2^a·5^b part), so the
+    scale-12 cast is exact and can never hit the half-up-vs-half-even
+    rounding-tie divergence a scale-6 re-round produced at sf0.1."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
@@ -1103,7 +1107,7 @@ def q_e_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.expr(davg("avg_lp")).alias("avg_bigram_logp"),
+            F.expr(davg("avg_lp", 12)).alias("avg_bigram_logp"),
             F.count(F.when(F.col("avg_lp") < -3.43, 1)).alias("n_lowq"),
         )
         .orderBy("source")
