@@ -78,7 +78,7 @@ _R3_NEW = (
     "q_b_compaction_plan", "q_b_zorder_cluster", "q_b_time_travel",
     "q_e_char_entropy", "q_e_gopher_rules", "q_e_ivf_pq", "q_c_interval",
     "q_e_hubness", "q_e_bigram_lm", "q_d_checkpoint_resume",
-    "q_a_polygon_contains",
+    "q_a_polygon_contains", "q_b_scan_xml", "q_b_histogram",
 )
 
 _V = TypeVar("_V")

@@ -1801,3 +1801,120 @@ def q_b_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % 97).alias("bucket"),
         (F.col("id") * F.col("id") % 1_000_003).alias("h"),
     )
+
+
+@query(
+    "q_b_scan_xml",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_name
+    FROM supplier WHERE s_suppkey % 2 = 0
+    """,
+)
+def q_b_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (round 3) — Spark 4 ships the XML data
+    source built in (the spark-xml merge): write a supplier extract as
+    row-tagged XML, read it back with an explicit schema (never
+    inferred). The interchange format B2B/ERP feeds still arrive in;
+    same declared-schema discipline as the csv/jsonl scans."""
+    sup = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="ggee_xml_")
+    (
+        sup.where(F.col("s_suppkey") % 2 == 0)
+        .select("s_suppkey", F.col("s_nationkey").cast("long"), "s_name")
+        .write.format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .mode("overwrite")
+        .save(out + "/x")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(out + "/x")
+    )
+    return df.select(
+        "s_suppkey", F.col("s_nationkey").cast("int"), "s_name"
+    )
+
+
+# Histogram shape: 10 equi-width bins over the account-balance domain
+# plus the exact decile (equi-depth) edges — the pair of summaries a
+# cost-based optimizer keeps per column.
+_HIST_LO, _HIST_HI, _HIST_BINS = -1000.0, 10000.0, 10
+
+
+@query(
+    "q_b_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(greatest(
+               floor((c_acctbal - {_HIST_LO}) * {_HIST_BINS}
+                     / ({_HIST_HI} - {_HIST_LO})), 0), {_HIST_BINS - 1})
+             AS BIGINT) AS bin_id,
+             c_acctbal
+      FROM customer
+    ),
+    d AS (
+      SELECT quantile_cont(c_acctbal,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM customer
+    )
+    SELECT b.bin_id,
+           COUNT(*) AS n_rows,
+           round(MIN(b.c_acctbal), 2) AS bin_min,
+           round(MAX(b.c_acctbal), 2) AS bin_max,
+           round(qs[CAST(least(b.bin_id, 8) AS INTEGER) + 1], 6)
+             AS decile_edge
+    FROM b CROSS JOIN d
+    GROUP BY b.bin_id, d.qs ORDER BY b.bin_id
+    """,
+)
+def q_b_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column histogram pair (round 3): 10 equi-width bins (count +
+    actual min/max per bin) alongside the exact equi-depth decile
+    edges — the two summaries a cost-based optimizer keeps per column
+    (width for range selectivity, depth for skew).
+
+    One scan: the bin id is pure codegen arithmetic feeding a
+    combinable groupBy; the decile edges are ONE array-percentile
+    aggregate (one sort buffer, not nine — the q_b_quantiles lesson)
+    broadcast back as a 1-row cross join."""
+    c = load_table(spark, sf_dir, "customer")
+    width_bin = F.expr(
+        f"CAST(least(greatest(floor((c_acctbal - {_HIST_LO}) * {_HIST_BINS}"
+        f" / ({_HIST_HI} - {_HIST_LO})), 0), {_HIST_BINS - 1}) AS BIGINT)"
+    )
+    b = c.select(width_bin.alias("bin_id"), "c_acctbal")
+    d = c.agg(
+        F.expr(
+            "percentile(c_acctbal, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9))"
+        ).alias("qs")
+    )
+    return (
+        b.crossJoin(F.broadcast(d))
+        .groupBy("bin_id", "qs")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("c_acctbal"), 2).alias("bin_min"),
+            F.round(F.max("c_acctbal"), 2).alias("bin_max"),
+        )
+        .select(
+            "bin_id",
+            "n_rows",
+            "bin_min",
+            "bin_max",
+            F.round(
+                F.col("qs")[F.least(F.col("bin_id"), F.lit(8)).cast("int")], 6
+            ).alias("decile_edge"),
+        )
+        .orderBy("bin_id")
+    )
