@@ -62,6 +62,12 @@ HEADLINERS = [
     ("q_e_char_entropy", "27 scan-side replace() counts + integer entropy fold; one rollup shuffle"),
     ("q_e_gopher_rules", "TF shuffle + two combinable rollups; rules are pure codegen"),
     ("q_e_jaccard_verify", "spill-safe posting self-join over the persisted shingle base (round 3)"),
+    ("q_a_polygon_contains", "bbox-cell grid join + integer sign-test refine; no nested loop"),
+    ("q_b_time_travel", "one (as_of, key) window shuffle reused by the rollup; versions broadcast"),
+    ("q_b_histogram", "one scan: codegen bins + ONE array-percentile broadcast back"),
+    ("q_e_ivf_pq", "probe-filtered scan; ADC Arrow kernel is the only Python boundary"),
+    ("q_e_hubness", "cell-scoped pair scoring; in-degree rides the same keys"),
+    ("q_e_bigram_lm", "doc-co-partitioned positional self-join; broadcast vocab ×2"),
 ]
 
 
