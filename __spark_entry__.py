@@ -81,6 +81,15 @@ _R3_NEW = (
     "q_a_polygon_contains", "q_b_scan_xml", "q_b_histogram",
 )
 
+# Implementations rewritten in round 3 (posting_copairs / lazy-count /
+# persist changes) — their r1/r2 driver evidence predates the rewrite,
+# so they re-check ahead of the already-verified block.
+_R3_REWRITTEN = (
+    "q_e_jaccard_verify", "q_e_jaccard_sweep", "q_e_containment",
+    "q_e_band_explain", "q_e_winnow", "q_e_tfidf", "q_e_ngram_lm",
+    "q_e_ppl_buckets", "q_e_sim_topk_pq",
+)
+
 _V = TypeVar("_V")
 
 
@@ -94,9 +103,11 @@ def _rotated(d: dict[str, _V]) -> dict[str, _V]:
             return 1
         if n in _R3_NEW:
             return 2
-        if n not in _DRIVER_VERIFIED:
+        if n in _R3_REWRITTEN:
             return 3
-        return 4
+        if n not in _DRIVER_VERIFIED:
+            return 4
+        return 5
 
     idx = {n: i for i, n in enumerate(names)}
     return {n: d[n] for n in sorted(names, key=lambda n: (prio(n), idx[n]))}

@@ -884,6 +884,42 @@ def _pq_lut6(q: str, c: str, s: int) -> str:
     )
 
 
+def _pq_adc_kernel(e):
+    """The ONE shared PQ/ADC Arrow kernel (q_e_sim_topk_pq and
+    q_e_ivf_pq must stay bit-identical, so they call this instead of
+    forking the code): collects the 16-row codebook and the 1-row
+    query (bounded panels, module convention), builds the 16x8 LUT,
+    and returns a pandas UDF that encodes each vector (argmin
+    sub-distance, first-min tie-break == the oracle's (d6, cid) rank)
+    and gathers the ADC sum in fixed subspace order (== the oracle's
+    left-associated sum)."""
+    crows = sorted(
+        e.where(F.col("vec_id").between(1, PQ_K))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    c_r = np.array([r.embedding for r in crows], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUBDIM
+    )
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q_r = np.array(qrow.embedding, dtype=np.float64).reshape(PQ_M, PQ_SUBDIM)
+    lut = np.round(np.einsum("sj,csj->cs", q_r, c_r), 6)
+
+    @F.pandas_udf(DoubleType())
+    def _adc6(emb: pd.Series) -> pd.Series:
+        v = _to_mat(emb)
+        v_r = v.reshape(-1, PQ_M, PQ_SUBDIM)
+        d = np.round(((v_r[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6)
+        codes = d.argmin(axis=1)
+        acc = np.zeros(len(v))
+        for s in range(PQ_M):
+            acc = acc + lut[codes[:, s], s]
+        return pd.Series(np.round(acc, 6))
+
+    return _adc6
+
+
 @query(
     "q_e_sim_topk_pq",
     oracle=f"""
@@ -944,30 +980,7 @@ def q_e_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8-term ADC sum accumulates in fixed subspace order matching
     the oracle's left-associated sum."""
     e = load_table(spark, sf_dir, "embeddings")
-    crows = sorted(
-        e.where(F.col("vec_id").between(1, PQ_K)).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
-    cmat = np.array([r.embedding for r in crows], dtype=np.float64)  # (16, 64)
-    c_r = cmat.reshape(PQ_K, PQ_M, PQ_SUBDIM)
-    qrow = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]
-    q_r = np.array(qrow.embedding, dtype=np.float64).reshape(PQ_M, PQ_SUBDIM)
-    lut = np.round(np.einsum("sj,csj->cs", q_r, c_r), 6)  # (16, 8)
-
-    @F.pandas_udf(DoubleType())
-    def _adc6(emb: pd.Series) -> pd.Series:
-        v = _to_mat(emb)
-        v_r = v.reshape(-1, PQ_M, PQ_SUBDIM)
-        # (n, 16, 8): squared L2 per (vector, codebook entry, subspace)
-        d = np.round(
-            ((v_r[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6
-        )
-        codes = d.argmin(axis=1)  # (n, 8); first min == (d6, cid) rank
-        acc = np.zeros(len(v))
-        for s in range(PQ_M):  # fixed order == oracle's left-assoc sum
-            acc = acc + lut[codes[:, s], s]
-        return pd.Series(np.round(acc, 6))
-
+    _adc6 = _pq_adc_kernel(e)
     ef = fan_out(e.where(F.col("vec_id") != 0), "vec_id")
     qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
     return (
@@ -1850,6 +1863,8 @@ def q_e_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v
           WHERE vec_id BETWEEN 1 AND {IVF_NLIST}),
     q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    ck AS (SELECT vec_id AS cid, ve AS cv FROM v
+           WHERE vec_id BETWEEN 1 AND {PQ_K}),
     sc AS (SELECT v.vec_id, c.cid,
                   {_d_cos6('v.ve', 'c.cv', 'v.nrm', 'c.cn')} AS cscore
            FROM v, c WHERE v.vec_id <> 0),
@@ -1866,9 +1881,9 @@ def q_e_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM c, q) WHERE rk <= {IVF_NPROBE}),
     cand AS (SELECT cell.vec_id FROM cell JOIN probe USING (cid)),
     dists AS (
-      SELECT v.vec_id, c.cid, s.s,
-             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_dist6('v.ve', 'c.cv', s)}" for s in range(PQ_M))} END AS d6
-      FROM v JOIN cand USING (vec_id), c, (SELECT unnest(range(0, {PQ_M})) AS s) s
+      SELECT v.vec_id, ck.cid, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_dist6('v.ve', 'ck.cv', s)}" for s in range(PQ_M))} END AS d6
+      FROM v JOIN cand USING (vec_id), ck, (SELECT unnest(range(0, {PQ_M})) AS s) s
     ),
     codes AS (
       SELECT vec_id, s, cid FROM (
@@ -1879,9 +1894,9 @@ def q_e_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rk = 1
     ),
     lut AS (
-      SELECT c.cid, s.s,
-             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_lut6('q.qv', 'c.cv', s)}" for s in range(PQ_M))} END AS l6
-      FROM c, q, (SELECT unnest(range(0, {PQ_M})) AS s) s
+      SELECT ck.cid, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_lut6('q.qv', 'ck.cv', s)}" for s in range(PQ_M))} END AS l6
+      FROM ck, q, (SELECT unnest(range(0, {PQ_M})) AS s) s
     ),
     parts AS (
       SELECT codes.vec_id,
@@ -1939,28 +1954,7 @@ def q_e_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(IVF_NPROBE)
         .select("cid")
     )
-    crows = sorted(
-        e.where(F.col("vec_id").between(1, PQ_K)).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
-    c_r = np.array([r.embedding for r in crows], dtype=np.float64).reshape(
-        PQ_K, PQ_M, PQ_SUBDIM
-    )
-    qrow = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]
-    q_r = np.array(qrow.embedding, dtype=np.float64).reshape(PQ_M, PQ_SUBDIM)
-    lut = np.round(np.einsum("sj,csj->cs", q_r, c_r), 6)
-
-    @F.pandas_udf(DoubleType())
-    def _adc6(emb: pd.Series) -> pd.Series:
-        v = _to_mat(emb)
-        v_r = v.reshape(-1, PQ_M, PQ_SUBDIM)
-        d = np.round(((v_r[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6)
-        codes = d.argmin(axis=1)  # first min == the oracle's (d6, cid) rank
-        acc = np.zeros(len(v))
-        for s in range(PQ_M):  # fixed order == oracle's left-assoc sum
-            acc = acc + lut[codes[:, s], s]
-        return pd.Series(np.round(acc, 6))
-
+    _adc6 = _pq_adc_kernel(e)
     cand = cell.join(F.broadcast(probe), "cid").select("vec_id")
     ef = fan_out(e.join(cand, "vec_id"), "vec_id")
     return (

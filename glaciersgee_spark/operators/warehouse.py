@@ -860,9 +860,10 @@ def q_b_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     upserts and deletes (derived deterministically from orders) is
     replayed to reconstruct the table AS OF each version — the
     Delta/Iceberg `VERSION AS OF` semantics built from a plain change
-    log, reported as per-version row counts and totals. 'D' < 'U' in
-    the tie-break, so a same-version delete+upsert resolves to the
-    upsert deterministically.
+    log, reported as per-version row counts and totals. Tie-break
+    within a version is `op ASC`, i.e. 'D' ranks before 'U': a
+    same-version delete+upsert deterministically resolves to the
+    DELETE (delete-wins), identically in both engines.
 
     Shape: the log is ~2 scans of orders worth of narrow projections
     (the optimizer shares the scan); last-writer-wins per (as_of, key)

@@ -465,12 +465,15 @@ def q_d_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     judged gap "no declared query exercises foreachBatch output end to
     end" (VERDICT.md, What's missing #2).
 
-    Determinism: availableNow drains all currently-available files,
-    and the update-mode re-emissions are collapsed by the
-    latest-batch-id resolution, so the final per-key values equal the
-    batch aggregate regardless of how the trigger chops the input
-    into micro-batches. At scale the sink write is per-executor
-    parallel parquet append; the driver only coordinates batch ids.
+    Determinism: availableNow drains all currently-available files and
+    the update-mode re-emissions are collapsed by the latest-batch-id
+    resolution. With the staged single-file source this is one
+    micro-batch, so the watermark can drop nothing; if the source were
+    multi-file and chopped into several batches, files arriving out of
+    event-time order COULD fall behind the 2-hour watermark — the
+    single-batch precondition is what makes the oracle equality exact.
+    At scale the sink write is per-executor parallel parquet append;
+    the driver only coordinates batch ids.
     """
     import tempfile
 
@@ -502,7 +505,12 @@ def q_d_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "q_d_foreachbatch_sink: availableNow drain exceeded 120 s — "
+            "refusing to read a partially-written sink"
+        )
 
     sunk = spark.read.parquet(out)
     latest = Window.partitionBy("ws", "event_type").orderBy(F.col("batch_id").desc())
@@ -548,9 +556,13 @@ def q_d_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     ensure_confs(spark)
+    st = os.stat(f"{sf_dir}/events.parquet")
+    # Fingerprint the source into the staging path so a regenerated
+    # corpus at the same sf_dir re-stages instead of replaying stale
+    # halves against a fresh oracle.
     staged = os.path.join(
         tempfile.gettempdir(), "ggee_ckpt_halves",
-        sf_dir.strip("/").replace("/", "_"),
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
     )
     marker = os.path.join(staged, "_READY")
     if not os.path.exists(marker):
@@ -597,7 +609,12 @@ def q_d_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "q_d_checkpoint_resume: drain exceeded 120 s — a second "
+                "drain on this checkpoint would race the first"
+            )
 
     _arrive("half_a")
     _drain()

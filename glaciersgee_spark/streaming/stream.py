@@ -57,18 +57,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ensure_confs(spark)
+    srcf = f"{sf_dir}/events.parquet"
+    st = os.stat(srcf)
+    # The source fingerprint is part of the staged path, so a
+    # regenerated corpus at the same sf_dir invalidates the stage
+    # automatically instead of replaying stale data.
     staged = os.path.join(
-        tempfile.gettempdir(), "ggee_stream_src", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "ggee_stream_src",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
     )
     os.makedirs(staged, exist_ok=True)
     dst = os.path.join(staged, "events.parquet")
     if not os.path.exists(dst):
         try:
-            os.link(f"{sf_dir}/events.parquet", dst)
+            os.link(srcf, dst)
         except OSError:  # cross-device: fall back to a copy
             import shutil
 
-            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+            shutil.copyfile(srcf, dst)
     raw = spark.readStream.schema(_RAW).parquet(staged)
     # Watermarks/event-time require TIMESTAMP (not NTZ); session tz is
     # UTC so the cast preserves wall-clock values exactly.
@@ -236,7 +243,9 @@ def window_topk_batches(spark: SparkSession, sf_dir: str, table_name: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("window_topk_batches: availableNow drain exceeded 120 s")
     rows = sorted(acc.values())
     spark.createDataFrame(
         rows, "ws timestamp, event_type string, n long, rk int"
