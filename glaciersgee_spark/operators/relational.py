@@ -1918,3 +1918,89 @@ def q_b_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@query(
+    "q_b_cube",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+             AS grain,
+           COUNT(*) AS n,
+           {dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with the GROUPING() grain marker
+    (round 3) — all four grouping sets (detail, each single-dim
+    subtotal, grand total) in one statement; completes the
+    grouping-sets family next to q_b_grouping_sets' ROLLUP.
+
+    Same re-aggregation discipline: the finest grain is aggregated
+    ONCE over the fact (≤15 partial rows), then cube() runs on the
+    partials — the naive direct cube Expands every input row ×4
+    grains ahead of the shuffle. GROUPING() bits are computed by
+    cube() itself and match the oracle's GROUPING() exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(30,6)))").alias("psum"),
+    )
+    return (
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("sum_price"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("grain"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "grain",
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "q_b_agg_bitwise",
+    oracle="""
+    SELECT l_orderkey % 23 AS grp,
+           bit_or(CAST(l_orderkey % 256 AS BIGINT)) AS flags_or,
+           bit_and(CAST(l_orderkey % 256 + 256 AS BIGINT)) AS flags_and,
+           bit_xor(CAST(l_orderkey % 256 AS BIGINT)) AS flags_xor,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_orderkey % 331 = 0
+    GROUP BY grp ORDER BY grp
+    """,
+)
+def q_b_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (round 3): BIT_OR / BIT_AND / BIT_XOR
+    over derived flag words per group — the union/intersection/parity
+    of permission masks and QA bitfields (the aggregate complement of
+    q_c_bitwise's scalar ops). All three are O(1)-state, fully
+    map-side-combinable, and order-insensitive — the ideal 100 TB
+    aggregate shape. Groups are kept SMALL (a %331 key filter; 23 ∤
+    331 so the group key stays non-constant under it) because OR/AND
+    saturate to all-ones/the-carry-bit over large uniform groups,
+    which parity could never falsify."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 331 == 0
+    )
+    flags = (F.col("l_orderkey") % 256).cast("long")
+    return (
+        li.groupBy((F.col("l_orderkey") % 23).alias("grp"))
+        .agg(
+            F.bit_or(flags).alias("flags_or"),
+            F.bit_and(flags + 256).alias("flags_and"),
+            F.bit_xor(flags).alias("flags_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("grp")
+    )
