@@ -2004,3 +2004,66 @@ def q_b_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "q_b_join_asof_nearest",
+    oracle="""
+    SELECT p_id, p_ts, c_id, dist_s FROM (
+      SELECT p.event_id AS p_id, p.ts AS p_ts, c.event_id AS c_id,
+             CAST(abs(epoch_us(c.ts) - epoch_us(p.ts)) // 1000000
+                  AS BIGINT) AS dist_s,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                        c.ts ASC, c.event_id ASC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE
+                    AND p.ts + INTERVAL 30 MINUTE
+    ) WHERE rn = 1
+    """,
+)
+def q_b_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (round 3): for each purchase, the click
+    closest in time in EITHER direction within a ±30-minute tolerance
+    — pandas merge_asof(direction='nearest') semantics, the variant
+    sensor-fusion and feature-store lookups need when the match may
+    legitimately trail the probe. q_b_join_asof is the backward-only
+    classic.
+
+    The tolerance is load-bearing at scale: it bounds the per-probe
+    candidate set so the range join stays an equi-join on user_id
+    with a bounded time residual (at 100 TB, add time-bucket keys so
+    candidates co-locate). Distance is exact integer µs (no float
+    time math); ties break on (earlier ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c.ts") <= F.col("p.ts") + F.expr("INTERVAL 30 MINUTE")),
+    )
+    dist_us = F.abs(
+        F.unix_micros(F.col("c.ts").cast("timestamp"))
+        - F.unix_micros(F.col("p.ts").cast("timestamp"))
+    )
+    w = Window.partitionBy(F.col("p.event_id")).orderBy(
+        dist_us.asc(), F.col("c.ts").asc(), F.col("c.event_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("p.event_id").alias("p_id"),
+            F.col("p.ts").alias("p_ts"),
+            F.col("c.event_id").alias("c_id"),
+            F.expr("abs(unix_micros(CAST(c.ts AS TIMESTAMP))"
+                   " - unix_micros(CAST(p.ts AS TIMESTAMP))) div 1000000")
+            .cast("long")
+            .alias("dist_s"),
+        )
+    )
