@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from glaciersgee_spark.registry import davg, query
+from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
 
 # Minimum combined token count to score drift on (rarer tokens are
@@ -780,3 +780,100 @@ def q_e_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).cast("long").alias("cum_vocab"),
     ).orderBy("decile")
+
+
+# PSI verdict thresholds (the standard model-monitoring bands).
+_PSI_STABLE, _PSI_MODERATE = 0.1, 0.25
+
+
+def _psi_feature_sql(feature: str, bin_expr: str) -> str:
+    """One feature's binned slice counts (add-1 smoothed) — the UNION
+    ALL branch of the oracle (DuckDB has no stack())."""
+    return f"""
+      SELECT '{feature}' AS feature, {bin_expr} AS bin,
+             COUNT(*) FILTER (WHERE doc_id % 2 = 0) + 1 AS ca,
+             COUNT(*) FILTER (WHERE doc_id % 2 <> 0) + 1 AS cb
+      FROM documents GROUP BY bin
+    """
+
+
+@query(
+    "q_e_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+      {_psi_feature_sql('len_bucket', "CAST(n_chars // 400 AS VARCHAR)")}
+      UNION ALL
+      {_psi_feature_sql('source', 'source')}
+      UNION ALL
+      {_psi_feature_sql('lang', 'lang')}
+    ),
+    tot AS (
+      SELECT feature, CAST(SUM(ca) AS BIGINT) AS ta,
+             CAST(SUM(cb) AS BIGINT) AS tb
+      FROM binned GROUP BY feature
+    ),
+    terms AS (
+      SELECT b.feature,
+             round((CAST(b.ca AS DOUBLE) / t.ta - CAST(b.cb AS DOUBLE) / t.tb)
+                   * ln((CAST(b.ca AS DOUBLE) / t.ta)
+                        / (CAST(b.cb AS DOUBLE) / t.tb)), 6) AS term
+      FROM binned b JOIN tot t ON b.feature = t.feature
+    )
+    SELECT feature,
+           COUNT(*) AS n_bins,
+           {dsum('term')} AS psi,
+           CASE WHEN {dsum('term')} < {_PSI_STABLE} THEN 'stable'
+                WHEN {dsum('term')} < {_PSI_MODERATE} THEN 'moderate'
+                ELSE 'major' END AS verdict
+    FROM terms GROUP BY feature ORDER BY feature
+    """,
+)
+def q_e_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus slices (doc_id
+    parity stands in for crawl t vs t+1), per monitored feature
+    (length bucket, source, lang) with the standard <0.1 / <0.25
+    verdict bands — the model-monitoring drift scalar, complementing
+    q_e_corpus_drift's per-token movers with a single decision number
+    per feature (round 3).
+
+    One scan: stack() pivots each doc to its three (feature, bin)
+    rows, one combinable groupBy produces both slices' counts
+    (conditional aggregates, add-1 smoothed so no bin divides by
+    zero), totals ride a tiny per-feature join, and the PSI sum is
+    exact-decimal over 6-dp-rounded terms — bit-identical across
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        F.expr(
+            "stack(3, 'len_bucket', CAST(n_chars div 400 AS STRING),"
+            " 'source', source, 'lang', lang) AS (feature, bin)"
+        ),
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+    )
+    binned = feat.groupBy("feature", "bin").agg(
+        (F.count(F.when(F.col("in_a"), 1)) + 1).alias("ca"),
+        (F.count(F.when(~F.col("in_a"), 1)) + 1).alias("cb"),
+    )
+    tot = binned.groupBy("feature").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    terms = binned.join(tot, "feature").select(
+        "feature", F.round((pa - pb) * F.log(pa / pb), 6).alias("term")
+    )
+    psi = F.expr(dsum("term"))
+    verdict = (
+        F.when(psi < _PSI_STABLE, "stable")
+        .when(psi < _PSI_MODERATE, "moderate")
+        .otherwise("major")
+    )
+    return (
+        terms.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            psi.alias("psi"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("feature")
+    )

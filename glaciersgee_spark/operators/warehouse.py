@@ -920,3 +920,92 @@ def q_b_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("as_of")
     )
+
+
+@query(
+    "q_b_dq_checks",
+    oracle="""
+    WITH staged AS (
+      SELECT CASE WHEN o_orderkey % 79 = 0 THEN o_orderkey + 1
+                  ELSE o_orderkey END AS k,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_custkey END AS ck,
+             CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS st,
+             CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS tp
+      FROM orders
+    )
+    SELECT 'accepted_values_orderstatus' AS check_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE st NOT IN ('O', 'F', 'P')) AS n_violations,
+           COUNT(*) FILTER (WHERE st NOT IN ('O', 'F', 'P')) = 0 AS passed
+    FROM staged
+    UNION ALL
+    SELECT 'not_null_custkey', COUNT(*),
+           COUNT(*) - COUNT(ck),
+           COUNT(*) - COUNT(ck) = 0
+    FROM staged
+    UNION ALL
+    SELECT 'positive_totalprice', COUNT(*),
+           COUNT(*) FILTER (WHERE tp <= 0.0),
+           COUNT(*) FILTER (WHERE tp <= 0.0) = 0
+    FROM staged
+    UNION ALL
+    SELECT 'unique_orderkey', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT k),
+           COUNT(*) - COUNT(DISTINCT k) = 0
+    FROM staged
+    ORDER BY check_name
+    """,
+)
+def q_b_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality check ledger (round 3) — the dbt-test
+    shape: accepted-values, not-null, range, and key-uniqueness
+    constraints evaluated in ONE scan over a STAGING table (orders
+    with deterministic ingest corruptions injected — nulled FKs,
+    negated amounts, rogue status codes, key collisions), one row per
+    check with its violation count and pass verdict. The promote-gate
+    complement to q_b_fk_audit's referential edges; checks run
+    against dirty staging data so every violation counter is
+    non-trivially exercised (a clean-table version would be
+    unfalsifiable by the oracle).
+
+    Spark spelling: a single aggregate computes every check's
+    violation count (conditional counts + one exact distinct), then a
+    4-row stack() unpivots the ledger — the oracle's per-check UNION
+    ALL scans produce the same rows. At 100 TB the single-pass form
+    is the difference between one scan and one per check."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    staged = o.select(
+        F.when(key % 79 == 0, key + 1).otherwise(key).alias("k"),
+        F.when(key % 97 == 0, F.lit(None)).otherwise(F.col("o_custkey")).alias("ck"),
+        F.when(key % 83 == 0, "X").otherwise(F.col("o_orderstatus")).alias("st"),
+        F.when(key % 89 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("tp"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(~F.col("st").isin("O", "F", "P"), 1)).alias("v_status"),
+        (F.count(F.lit(1)) - F.count("ck")).alias("v_null"),
+        F.count(F.when(F.col("tp") <= 0.0, 1)).alias("v_range"),
+        (F.count(F.lit(1)) - F.countDistinct("k")).alias("v_uniq"),
+    )
+    ledger = agg.select(
+        F.expr(
+            "stack(4,"
+            " 'accepted_values_orderstatus', v_status,"
+            " 'not_null_custkey', v_null,"
+            " 'positive_totalprice', v_range,"
+            " 'unique_orderkey', v_uniq) AS (check_name, n_violations)"
+        ),
+        "n_rows",
+    )
+    return ledger.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
