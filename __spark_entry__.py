@@ -80,7 +80,8 @@ _R3_NEW = (
     "q_e_hubness", "q_e_bigram_lm", "q_d_checkpoint_resume",
     "q_a_polygon_contains", "q_b_scan_xml", "q_b_histogram",
     "q_b_cube", "q_b_agg_bitwise", "q_b_join_asof_nearest",
-    "q_e_psi_drift", "q_b_dq_checks",
+    "q_e_psi_drift", "q_b_dq_checks", "q_e_sim_topk_filtered",
+    "q_a_quadkey_pyramid",
 )
 
 # Implementations rewritten in round 3 (posting_copairs / lazy-count /

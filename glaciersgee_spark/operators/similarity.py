@@ -2048,3 +2048,89 @@ def q_e_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# Filtered-search target label (10 labels, ~1/10 selectivity — the
+# regime where post-filtering visibly starves the result set).
+_FILTER_LABEL = 3
+
+
+@query(
+    "q_e_sim_topk_filtered",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    pre AS (
+      SELECT vec_id, score, rk FROM (
+        SELECT v.vec_id,
+               {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                          v.vec_id ASC) AS rk
+        FROM v, q WHERE v.vec_id <> 0 AND v.label = {_FILTER_LABEL}
+      ) WHERE rk <= 20
+    ),
+    post AS (
+      SELECT vec_id FROM (
+        SELECT v.vec_id, v.label,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                          v.vec_id ASC) AS rk
+        FROM v, q WHERE v.vec_id <> 0
+      ) WHERE rk <= 20 AND label = {_FILTER_LABEL}
+    )
+    SELECT pre.rk AS rank, pre.vec_id, pre.score,
+           post.vec_id IS NOT NULL AS in_postfilter
+    FROM pre LEFT JOIN post ON pre.vec_id = post.vec_id
+    ORDER BY pre.rk
+    """,
+)
+def q_e_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (round 3): top-k under a metadata
+    predicate (label = 3, ~1/10 selectivity), contrasting the two
+    industry strategies per row — PRE-filtering (push the predicate
+    into the scan, rank only matching vectors: always k results,
+    the correct semantics) versus POST-filtering (rank globally, then
+    filter the top-k: the in_postfilter flag shows how few survive at
+    1/10 selectivity — the starved-result-set failure every filtered
+    vector store must solve).
+
+    Plan: the predicate reaches the parquet scan (PushedFilters), the
+    query is a 1-row broadcast, Arrow-batched scoring, and top-k is
+    TakeOrderedAndProject — pre-filtering at 100 TB reads only the
+    label partition, which is exactly why it wins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", _cos6("embedding", "qemb").alias("score"))
+    )
+    # Corpus-wide ordering via orderBy().limit() — TakeOrderedAndProject
+    # (per-partition top-k + driver merge), never a single-partition
+    # rank window over the whole corpus; the rank window then runs on
+    # the bounded 20-row result only.
+    w20 = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    pre = (
+        scored.where(F.col("label") == _FILTER_LABEL)
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w20))
+        .select("rank", "vec_id", "score")
+    )
+    post = (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .where(F.col("label") == _FILTER_LABEL)
+        .select(F.col("vec_id").alias("p_id"))
+    )
+    return (
+        pre.join(F.broadcast(post), pre.vec_id == F.col("p_id"), "left")
+        .select(
+            "rank",
+            "vec_id",
+            "score",
+            F.col("p_id").isNotNull().alias("in_postfilter"),
+        )
+        .orderBy("rank")
+    )

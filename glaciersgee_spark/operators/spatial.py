@@ -347,3 +347,95 @@ def q_a_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aoi_id")
     )
+
+
+def _quadkey_bits(x: str, y: str, shift: str, zoom: int) -> str:
+    """Quadkey at `zoom` from two 5-bit coordinates: the top `zoom`
+    bits of each axis, interleaved (y bit high) — the Bing-maps tile
+    id scheme. `shift` is the engine's right-shift template."""
+    terms = []
+    for i in range(zoom):
+        src = 5 - zoom + i  # bit positions (zoom-1 .. 0) of the axis
+        terms.append(f"(({shift.format(c=x, i=src)} & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shift.format(c=y, i=src)} & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_PYRAMID_ZOOMS = (1, 2, 3, 4)
+
+
+@query(
+    "q_a_quadkey_pyramid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id % 32 AS x, user_id % 32 AS y FROM events
+    ),
+    keyed AS (
+      {' UNION ALL '.join(
+          "SELECT " + str(z) + " AS zoom, "
+          + _quadkey_bits('x', 'y', '({c} >> {i})', z)
+          + " AS qkey FROM pts"
+          for z in _PYRAMID_ZOOMS
+      )}
+    ),
+    per_tile AS (
+      SELECT zoom, qkey, COUNT(*) AS n FROM keyed GROUP BY zoom, qkey
+    )
+    SELECT zoom,
+           COUNT(*) AS n_tiles,
+           CAST(SUM(n) AS BIGINT) AS n_points,
+           MIN(n) AS min_tile,
+           MAX(n) AS max_tile,
+           round(CAST(MAX(n) AS DOUBLE) * COUNT(*) / CAST(SUM(n) AS DOUBLE), 6)
+             AS hotspot_ratio
+    FROM per_tile GROUP BY zoom ORDER BY zoom
+    """,
+)
+def q_a_quadkey_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey tile-pyramid rollup (round 3): scene points aggregated
+    at four zoom levels of the Bing-maps quadkey scheme (interleaved
+    top bits per axis — each zoom-z tile is the parent of four zoom-
+    z+1 tiles), reporting tile counts, occupancy extremes and the
+    hotspot ratio (max tile ÷ mean tile) per level — the density
+    pyramid behind map rendering and spatial-partitioning decisions
+    (which zoom level makes tiles even enough to be partition keys).
+
+    One scan: the per-zoom quadkeys are pure codegen bit math over a
+    4-branch UNION of narrow projections (the optimizer shares the
+    scan), then two combinable groupBys. At 100 TB the finest zoom's
+    (zoom, qkey) count table IS the spatial-partitioning histogram;
+    coarser levels re-aggregate from it by construction (parent key =
+    child key div 4), though the declared form recomputes for oracle
+    clarity."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 32).alias("x"), (F.col("user_id") % 32).alias("y")
+    )
+    branches = [
+        ev.select(
+            F.lit(z).alias("zoom"),
+            F.expr(
+                _quadkey_bits("x", "y", "shiftright({c}, {i})", z)
+            ).alias("qkey"),
+        )
+        for z in _PYRAMID_ZOOMS
+    ]
+    keyed = branches[0]
+    for b in branches[1:]:
+        keyed = keyed.unionAll(b)
+    per_tile = keyed.groupBy("zoom", "qkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_tile.groupBy("zoom")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n").alias("n_points"),
+            F.min("n").alias("min_tile"),
+            F.max("n").alias("max_tile"),
+            F.round(
+                F.max("n").cast("double")
+                * F.count(F.lit(1))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("hotspot_ratio"),
+        )
+        .orderBy("zoom")
+    )
