@@ -1009,3 +1009,68 @@ def q_b_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+@query(
+    "q_b_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+               - DATE '1970-01-01' AS d,
+             user_id
+      FROM events
+    ),
+    wroll AS (
+      SELECT d,
+             COUNT(DISTINCT user_id) OVER (
+               ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wau
+      FROM pairs
+    ),
+    wau1 AS (SELECT d, MAX(wau) AS wau FROM wroll GROUP BY d),
+    dau AS (SELECT d, COUNT(*) AS dau FROM pairs GROUP BY d)
+    SELECT dau.d AS day_idx, dau.dau, wau1.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau1.wau, 6) AS stickiness
+    FROM dau JOIN wau1 ON dau.d = wau1.d
+    ORDER BY day_idx
+    """,
+)
+def q_b_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct cardinality (round 3): per day, the distinct
+    active users that day (DAU) and over the trailing 7 days (WAU)
+    with the DAU/WAU stickiness ratio — the retention dashboard's
+    headline numbers, and the window shape (sliding DISTINCT) that
+    plain windowed sums cannot express.
+
+    Spark has no COUNT(DISTINCT) window: the spelling is
+    size(collect_set() OVER range-frame) over the deduplicated
+    (day, user) pairs — input to the frame is one row per pair, not
+    per event. At 100 TB the exact form becomes per-day HLL sketches
+    merged across the 7-day window (sketches union; this exact form
+    is their accuracy audit, the q_d_window_users convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(
+        F.date_trunc("day", F.col("ts")).cast("date"),
+        F.lit("1970-01-01").cast("date"),
+    )
+    pairs = ev.select(d.alias("d"), "user_id").distinct()
+    wspec = Window.orderBy("d").rangeBetween(-6, 0)
+    wau = (
+        pairs.withColumn(
+            "wau", F.size(F.collect_set("user_id").over(wspec)).cast("long")
+        )
+        .groupBy("d")
+        .agg(F.max("wau").alias("wau"))
+    )
+    dau = pairs.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day_idx"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day_idx")
+    )
