@@ -81,7 +81,7 @@ _R3_NEW = (
     "q_a_polygon_contains", "q_b_scan_xml", "q_b_histogram",
     "q_b_cube", "q_b_agg_bitwise", "q_b_join_asof_nearest",
     "q_e_psi_drift", "q_b_dq_checks", "q_e_sim_topk_filtered",
-    "q_a_quadkey_pyramid", "q_b_rolling_distinct",
+    "q_a_quadkey_pyramid", "q_b_rolling_distinct", "q_e_minhash_bbit",
 )
 
 # Implementations rewritten in round 3 (posting_copairs / lazy-count /

@@ -1771,3 +1771,98 @@ def q_e_band_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_bands")
     )
+
+
+@query(
+    "q_e_minhash_bbit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    h AS (SELECT doc_id, {_DUCK_SHHASH} AS hh FROM d),
+    mh AS (SELECT doc_id,
+                  [{', '.join(_mh_expr('duck', p) for p in range(N_MINHASH))}] AS mhs
+           FROM h),
+    bands AS (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, {k} AS band,"
+          f" mhs[{BAND_SIZE * k + 1}] * {_MHM} + mhs[{BAND_SIZE * k + 2}] AS bkey"
+          " FROM mh"
+          for k in range(N_MINHASH // BAND_SIZE))}
+    ),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           round(list_sum(list_transform(range(1, {N_MINHASH + 1}),
+                   i -> CASE WHEN x.mhs[i] = y.mhs[i] THEN 1 ELSE 0 END))
+                 / {float(N_MINHASH)}, 6) AS est_full6,
+           round(greatest(0.0,
+             2.0 * (list_sum(list_transform(range(1, {N_MINHASH + 1}),
+                      i -> CASE WHEN x.mhs[i] % 2 = y.mhs[i] % 2
+                           THEN 1 ELSE 0 END))
+                    / {float(N_MINHASH)}) - 1.0), 6) AS est_1bit6,
+           round(abs(
+             round(list_sum(list_transform(range(1, {N_MINHASH + 1}),
+                     i -> CASE WHEN x.mhs[i] = y.mhs[i] THEN 1 ELSE 0 END))
+                   / {float(N_MINHASH)}, 6)
+             - round(greatest(0.0,
+                 2.0 * (list_sum(list_transform(range(1, {N_MINHASH + 1}),
+                          i -> CASE WHEN x.mhs[i] % 2 = y.mhs[i] % 2
+                               THEN 1 ELSE 0 END))
+                        / {float(N_MINHASH)}) - 1.0), 6)), 6) AS gap6
+    FROM cand c
+    JOIN mh x ON c.id_a = x.doc_id JOIN mh y ON c.id_b = y.doc_id
+    """,
+)
+def q_e_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing audit (b=1; Li & König 2010): for every
+    LSH candidate pair, the full-width 8-signature Jaccard estimate
+    next to the 1-bit estimate — agreement of each signature's LOWEST
+    bit, debiased by 2A−1 (the r→0 limit of the Li-König estimator;
+    clamped at 0) — and their gap. The storage trade b-bit hashing
+    buys at scale: 1 bit per signature instead of ~27, a 27× smaller
+    signature store probed by the SAME banding, paid for in estimator
+    variance that THIS audit measures on the actual corpus.
+
+    Same candidate generation and signature chain as
+    q_e_minhash_est_err (shared helpers, literally parallel oracle
+    CTEs); integer agreement sums with one final division keep both
+    estimates bit-identical across engines."""
+    base = _md5_base(spark, sf_dir)
+    mharr = F.array(*[F.expr(_mh_expr("spark", p)) for p in range(N_MINHASH)])
+    mh = base.select("doc_id", mharr.alias("mhs"))
+    banded = _banded(base, BAND_SIZE, N_MINHASH, _MH_PERMS)
+    cand = cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    ma = mh.select(F.col("doc_id").alias("id_a"), F.col("mhs").alias("mhs_a"))
+    mb = mh.select(F.col("doc_id").alias("id_b"), F.col("mhs").alias("mhs_b"))
+    agree_full = F.aggregate(
+        F.zip_with("mhs_a", "mhs_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    agree_bit = F.aggregate(
+        F.zip_with(
+            "mhs_a", "mhs_b", lambda x, y: F.when(x % 2 == y % 2, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est_full6 = F.round(agree_full / float(N_MINHASH), 6)
+    est_1bit6 = F.round(
+        F.greatest(F.lit(0.0), 2.0 * (agree_bit / float(N_MINHASH)) - 1.0), 6
+    )
+    return (
+        cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est_full6.alias("est_full6"),
+            est_1bit6.alias("est_1bit6"),
+            F.round(F.abs(est_full6 - est_1bit6), 6).alias("gap6"),
+        )
+    )
