@@ -241,6 +241,22 @@ _DUCK_MD5_CTES = _duck_md5_ctes(BAND_SIZE)
 # configurations (4×2 over 8 perms and 8×2 over 16) share ONE persisted copy.
 _MD5_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 _MD5_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Shared persisted shingle base for the exact inverted-index ops
+# (q_e_jaccard_verify, q_e_containment, q_e_jaccard_sweep's truth set).
+# Keyed per (app, sf_dir) so a long-lived session (bench battery,
+# two-SF parity) reuses ONE cached copy instead of stacking a fresh
+# never-unpersisted persist() per call — the round-3 winnow leak class.
+_SHINGLE_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_JV_TRUTH_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def _shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_BASE_CACHE.get(key)
+    if cached is None:
+        cached = _with_shingles(spark, sf_dir).persist()
+        _SHINGLE_BASE_CACHE[key] = cached
+    return cached
 
 
 def _md5_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,7 +414,6 @@ def q_e_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard verification stage (SQL-checkable half of
     the near-dup pipeline): blocked candidate pairs (same lang+source)
     scored with exact |∩|/|∪| over distinct bigram shingles."""
-    sh = _with_shingles(spark, sf_dir)
     # Inverted-index formulation: explode shingles, group postings by
     # shingle value and expand in-posting pairs, so only pairs that
     # actually share a shingle ever materialize (pairs with empty
@@ -410,11 +425,12 @@ def q_e_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # The posting key is xxhash64(lang, source, shingle) — one int64
     # instead of three strings in the shuffle — and the shingled base
-    # is persisted (the posting path and the size path would otherwise
-    # each re-run scan→split→shingle). Counts are identical to the
-    # string-keyed oracle grouping modulo 64-bit collisions (~10⁻⁹ at
-    # this cardinality).
-    base = sh.persist()
+    # is the shared per-(app, sf_dir) persisted copy (the posting path
+    # and the size path would otherwise each re-run
+    # scan→split→shingle). Counts are identical to the string-keyed
+    # oracle grouping modulo 64-bit collisions (~10⁻⁹ at this
+    # cardinality).
+    base = _shingle_base(spark, sf_dir)
     post = base.select(
         "doc_id",
         "lang",
@@ -1087,11 +1103,11 @@ def _mix_bkey_duck(band_size: int, k: int) -> str:
     return expr
 
 
-def _sweep_cands(spark: SparkSession, sf_dir: str, band_size: int, n_minhash: int) -> DataFrame:
+def _sweep_banded(spark: SparkSession, sf_dir: str, band_size: int, n_minhash: int) -> DataFrame:
     base = _md5_base(spark, sf_dir)
     perms = _MH_PERMS_HR if n_minhash > N_MINHASH else _MH_PERMS
     mh = [F.expr(_mh_expr("spark", p, perms)).alias(f"mh{p}") for p in range(n_minhash)]
-    banded = base.select("doc_id", *mh).select(
+    return base.select("doc_id", *mh).select(
         "doc_id",
         F.explode(
             F.array(
@@ -1105,6 +1121,10 @@ def _sweep_cands(spark: SparkSession, sf_dir: str, band_size: int, n_minhash: in
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def _sweep_cands(spark: SparkSession, sf_dir: str, band_size: int, n_minhash: int) -> DataFrame:
+    banded = _sweep_banded(spark, sf_dir, band_size, n_minhash)
     return cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
@@ -1180,13 +1200,18 @@ def q_e_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is the q_e_jaccard_verify inverted-index pipeline — block-
     bounded, never all-pairs. Cost is 3 bandings, not 3 pipelines.
     """
-    truth = (
-        q_e_jaccard_verify(spark, sf_dir)
-        .where(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", F.lit(1).alias("is_true"))
-        .persist()
-    )
-    n_true = truth.count()  # bounded scalar (block-local true pairs)
+    tkey = (spark.sparkContext.applicationId, sf_dir)
+    cached = _JV_TRUTH_CACHE.get(tkey)
+    if cached is None:
+        truth = (
+            q_e_jaccard_verify(spark, sf_dir)
+            .where(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", F.lit(1).alias("is_true"))
+            .persist()
+        )
+        n_true = truth.count()  # bounded scalar (block-local true pairs)
+        _JV_TRUTH_CACHE[tkey] = cached = (truth, n_true)
+    truth, n_true = cached
     per_cfg = []
     for tag, bs, n in _SWEEP:
         cand = _sweep_cands(spark, sf_dir, bs, n)
@@ -1359,8 +1384,7 @@ def q_e_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-materializing shuffle is bounded by pairs that actually
     share a shingle), only the final score differs: inter/na and
     inter/nb instead of inter/union."""
-    sh = _with_shingles(spark, sf_dir)
-    base = sh.persist()
+    base = _shingle_base(spark, sf_dir)
     post = base.select(
         "doc_id", "lang", "source", F.explode("sh").alias("shingle")
     ).select("doc_id", F.xxhash64("lang", "source", "shingle").alias("pkey"))
@@ -1829,7 +1853,15 @@ def q_e_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same candidate generation and signature chain as
     q_e_minhash_est_err (shared helpers, literally parallel oracle
     CTEs); integer agreement sums with one final division keep both
-    estimates bit-identical across engines."""
+    estimates bit-identical across engines.
+
+    Cap dependency (shared with q_e_minhash_est_err): candidates come
+    from the default-capped cobucket_pairs while the oracle's DISTINCT
+    self-join is uncapped — exact parity holds because no (band, bkey)
+    bucket in this corpus approaches the cap (asserted for the whole
+    banding in tests/test_operators.py's bucket-overflow audit); a
+    corpus with a hotter bucket would surface as a row-count mismatch,
+    not silent wrongness."""
     base = _md5_base(spark, sf_dir)
     mharr = F.array(*[F.expr(_mh_expr("spark", p)) for p in range(N_MINHASH)])
     mh = base.select("doc_id", mharr.alias("mhs"))

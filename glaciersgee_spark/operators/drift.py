@@ -506,12 +506,16 @@ def q_e_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
-    wv = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+    # Top-V vocab via distributed TakeOrdered (orderBy + limit), NOT a
+    # row_number over an unpartitioned vocab-sized window: at 100 TB
+    # the vocabulary has billions of distinct tokens and a global rank
+    # window sorts them all in one task. Only membership matters here,
+    # so no re-rank is needed.
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("rk", F.row_number().over(wv))
-        .where(F.col("rk") <= PMI_V)
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(PMI_V)
         .select("token")
     )
     vt = toks.join(F.broadcast(vocab), "token").select("doc_id", "token")

@@ -9,8 +9,9 @@ would differ at 100 TB.
 
 from __future__ import annotations
 
-import tempfile
 import weakref
+
+from glaciersgee_spark.tmpdirs import scratch_dir
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -66,7 +67,7 @@ def q_b_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Restricted to lossless-in-JSON types so the oracle hash-matches.
     """
     orders = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="ggee_json_")
+    out = scratch_dir(prefix="ggee_json_")
     subset = orders.where(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
@@ -92,7 +93,7 @@ def q_b_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_b_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source with explicit schema (| separator, no inference)."""
     cust = load_table(spark, sf_dir, "customer")
-    out = tempfile.mkdtemp(prefix="ggee_csv_")
+    out = scratch_dir(prefix="ggee_csv_")
     sinks.write_csv(
         cust.where(F.col("c_custkey") % 3 == 0).select(
             "c_custkey", F.col("c_nationkey").cast("long"), "c_mktsegment"
@@ -128,7 +129,7 @@ def q_b_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory encoding).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="ggee_part_")
+    out = scratch_dir(prefix="ggee_part_")
     sinks.write_parquet_partitioned(
         li.where(F.col("l_quantity") >= 47.0).select("l_returnflag", "l_quantity"),
         out,
@@ -159,7 +160,7 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .where(F.col("o_totalprice") > 50000.0)
         .select("o_orderkey", "o_orderpriority")
     )
-    out = tempfile.mkdtemp(prefix="ggee_bkt_")
+    out = scratch_dir(prefix="ggee_bkt_")
     names = (f"ggee_bkt_lineitem_{len(per)}", f"ggee_bkt_orders_{len(per)}")
     (
         li.write.mode("overwrite")
@@ -850,12 +851,18 @@ def q_b_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_b_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort with explicit null placement.
+    """Multi-key sort with explicit null placement, materialized as a
+    global rank WITHOUT a single-partition window (round 4).
 
-    The value-hash is order-insensitive, so ordering is materialized as
-    a global row_number — single-partition window, acceptable only for
-    a bounded verification slice (keyed sample), never the full fact
-    table; the distributed sort itself is range-partitioned by Spark.
+    Two-phase distributed rank (the q_b_compaction_plan prefix-sum
+    pattern): rows are chunked by (null-key, price decile-bucket) — a
+    key that is monotone with the sort order, so chunk boundaries never
+    split a tie (equal prices share a bucket) — then (1) row_number
+    within each chunk, partition-parallel; (2) a global running count
+    over the per-chunk TOTALS only (≤ |statuses|·|price buckets| rows,
+    bounded by the price domain, not the corpus); (3) broadcast the
+    chunk offsets back and add. Identical to the naive global
+    row_number, verified against the oracle's naive spelling.
     """
     o = (
         load_table(spark, sf_dir, "orders")
@@ -866,10 +873,33 @@ def q_b_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
-    w = Window.orderBy(
-        F.col("nk").asc_nulls_first(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    chunked = o.withColumn(
+        "bch", F.expr("CAST(floor(o_totalprice / 10000.0) AS BIGINT)")
+    ).withColumn(
+        # equality key for the offset join (nk is nullable; \x01 is a
+        # sentinel no single-char status can collide with)
+        "ck",
+        F.concat_ws("|", F.coalesce(F.col("nk"), F.lit("\x01")), F.col("bch")),
     )
-    return o.withColumn("sort_rank", F.row_number().over(w))
+    w_in = Window.partitionBy("ck").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    within = chunked.withColumn("wr", F.row_number().over(w_in))
+    totals = chunked.groupBy("ck", "nk", "bch").agg(
+        F.count(F.lit(1)).alias("ctot")
+    )
+    w_c = Window.orderBy(
+        F.col("nk").asc_nulls_first(), F.col("bch").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("ck", "offset")
+    return within.join(F.broadcast(offsets), "ck").select(
+        "o_orderkey",
+        "nk",
+        "o_totalprice",
+        (F.col("offset") + F.col("wr")).alias("sort_rank"),
+    )
 
 
 @query(
@@ -1313,7 +1343,7 @@ def _dpp_fact_path(spark: SparkSession, sf_dir: str) -> str:
     per = _DPP.setdefault(spark, {})
     if sf_dir in per:
         return per[sf_dir]
-    out = tempfile.mkdtemp(prefix="ggee_dpp_")
+    out = scratch_dir(prefix="ggee_dpp_")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_quantity", F.year("l_shipdate").cast("long").alias("ship_year")
     )
@@ -1382,7 +1412,7 @@ def q_b_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet and ORC scans identically (columnar batch read, pushdown,
     pruning — same Catalyst datasource path)."""
     sup = load_table(spark, sf_dir, "supplier")
-    out = tempfile.mkdtemp(prefix="ggee_orc_")
+    out = scratch_dir(prefix="ggee_orc_")
     sinks.write_orc(sup.select("s_suppkey", "s_nationkey", "s_acctbal"), out)
     schema = T.StructType(
         [
@@ -1522,7 +1552,7 @@ def q_b_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     string → double is exact) is what's being verified.
     """
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="ggee_text_")
+    out = scratch_dir(prefix="ggee_text_")
     lines = o.where(F.col("o_orderkey") % 7 == 0).select(
         F.concat_ws(
             "|",
@@ -1711,7 +1741,7 @@ def q_b_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the good/corrupt split from the clean source.
     """
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="ggee_corrupt_")
+    out = scratch_dir(prefix="ggee_corrupt_")
     lines = o.where(F.col("o_orderkey") % 10 == 1).select(
         F.when(
             F.col("o_orderkey") % 97 == 0,
@@ -1817,7 +1847,7 @@ def q_b_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferred). The interchange format B2B/ERP feeds still arrive in;
     same declared-schema discipline as the csv/jsonl scans."""
     sup = load_table(spark, sf_dir, "supplier")
-    out = tempfile.mkdtemp(prefix="ggee_xml_")
+    out = scratch_dir(prefix="ggee_xml_")
     (
         sup.where(F.col("s_suppkey") % 2 == 0)
         .select("s_suppkey", F.col("s_nationkey").cast("long"), "s_name")

@@ -822,8 +822,12 @@ def q_e_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars, one final groupBy doc_id."""
     d = load_table(spark, sf_dir, "documents")
     dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    avgdl = dl.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    # avgdl AND n_docs as ONE 1-row broadcast aggregate (repo
+    # convention, like q_e_tfidf) — no eager driver-side count() at
+    # plan-build, no extra scan job.
+    scal = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = (
@@ -832,9 +836,9 @@ def q_e_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # scalar literal, like q_e_tfidf
     idf6 = F.round(
-        F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        6,
     )
     contrib = F.round(
         idf6
@@ -851,7 +855,7 @@ def q_e_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(df), "token")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(scal))
         .select("doc_id", contrib.alias("c"))
     )
     return scored.groupBy("doc_id").agg(
@@ -980,17 +984,20 @@ def q_e_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ln values are rounded to 6 dp (libm guard), their
     products to 12 dp, and every sum rides exact decimal; the closed-
     form slope then divides two identically-built doubles. Plan:
-    wordcount shuffle → top-1000 rank (tiny) → single-row aggregate."""
+    wordcount shuffle → distributed top-1000 (TakeOrdered via
+    orderBy+limit, not a global rank window — a vocab-sized
+    unpartitioned window would sort billions of distinct tokens in one
+    task at 100 TB) → re-rank the 1000-row result → 1-row aggregate."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = tok.orderBy(F.col("n").desc(), F.col("token").asc()).limit(1000)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     ranked = (
-        tok.select("n", F.row_number().over(w).alias("r"))
-        .where(F.col("r") <= 1000)
+        top.select("n", F.row_number().over(w).alias("r"))
         .select(
             F.round(F.log(F.col("r").cast("double")), 6).alias("lx"),
             F.round(F.log(F.col("n").cast("double")), 6).alias("ly"),

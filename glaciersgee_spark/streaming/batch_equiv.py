@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from glaciersgee_spark.registry import dsum, query
 from glaciersgee_spark.tables import load_table
+from glaciersgee_spark.tmpdirs import scratch_dir
 
 
 @query(
@@ -475,16 +476,14 @@ def q_d_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the sink write is per-executor parallel parquet append;
     the driver only coordinates batch ids.
     """
-    import tempfile
-
     from glaciersgee_spark.streaming.stream import read_events_stream
 
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     counts = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    out = tempfile.mkdtemp(prefix="ggee_fb_out_")
-    ck = tempfile.mkdtemp(prefix="ggee_fb_ck_")
+    out = scratch_dir(prefix="ggee_fb_out_")
+    ck = scratch_dir(prefix="ggee_fb_ck_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -566,20 +565,32 @@ def q_d_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marker = os.path.join(staged, "_READY")
     if not os.path.exists(marker):
+        # Stage into a process-unique dir and atomically rename it into
+        # place: a concurrent stager (parallel pytest/battery) can never
+        # rewrite halves under a directory another stream is already
+        # reading (the loser's rename fails on the existing target and
+        # its staging dir is discarded).
+        import uuid
+
+        tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type"
         )
         ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(staged, "half_a"))
+        ).parquet(os.path.join(tmp, "half_a"))
         ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(staged, "half_b"))
-        open(marker, "w").close()
+        ).parquet(os.path.join(tmp, "half_b"))
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.rename(tmp, staged)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
 
-    src = tempfile.mkdtemp(prefix="ggee_ckpt_src_")
-    sink = tempfile.mkdtemp(prefix="ggee_ckpt_sink_")
-    ck = tempfile.mkdtemp(prefix="ggee_ckpt_ck_")
+    src = scratch_dir(prefix="ggee_ckpt_src_")
+    sink = scratch_dir(prefix="ggee_ckpt_sink_")
+    ck = scratch_dir(prefix="ggee_ckpt_ck_")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

@@ -206,39 +206,48 @@ def window_topk_batches(spark: SparkSession, sf_dir: str, table_name: str):
     """True-stream form of q_d_window_topk via the foreachBatch sink:
     watermarked windowed counts stream in update mode; each micro-batch
     is ranked (top-2 per window, ties on event_type) with ordinary
-    batch DataFrame ops and upserted into a driver-registered temp
-    view — the foreachBatch escape hatch for logic (ranking) that
-    streaming aggregations can't express.
+    batch DataFrame ops and upserted into a parquet sink tagged by
+    batch_id — the q_d_foreachbatch_sink pattern. The write is
+    per-executor parallel parquet append; NOTHING accumulates on the
+    driver (round 4: replaces a driver-side dict that grew with window
+    count forever — unbounded on an unbounded stream).
 
-    Returns the started query; callers await it and read
-    `table_name`. State per window is the per-type count map —
-    watermark-bounded like any windowed agg; the rank runs on the
-    CHANGED windows each batch only.
+    Upsert resolution at read time: latest batch_id wins per
+    (window, rank) key — exactly what MERGE INTO would do in a
+    transactional sink. Returns the started query; callers await it
+    and read `table_name`. State per window is the per-type count
+    map — watermark-bounded like any windowed agg; the rank runs on
+    the CHANGED windows each batch only.
     """
     from pyspark.sql import Window as W
+
+    from glaciersgee_spark.tmpdirs import scratch_dir
 
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     counts = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    acc: dict[tuple, tuple] = {}
+    out = scratch_dir(prefix="ggee_topk_out_")
 
     def upsert_topk(batch_df, batch_id: int) -> None:
         rk = W.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
-        top = (
+        (
             batch_df.withColumn("rk", F.row_number().over(rk))
             .where(F.col("rk") <= 2)
-            .collect()
+            .select(
+                F.col("w.start").alias("ws"),
+                "event_type",
+                "n",
+                "rk",
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(out)
         )
-        for r in top:
-            acc[(r.w.start, r.rk)] = (r.w.start, r.event_type, r.n, r.rk)
 
     q = (
         counts.writeStream.outputMode("update")
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="ggee_ck_topk_"),
-        )
+        .option("checkpointLocation", scratch_dir(prefix="ggee_ck_topk_"))
         .foreachBatch(upsert_topk)
         .trigger(availableNow=True)
         .start()
@@ -246,10 +255,14 @@ def window_topk_batches(spark: SparkSession, sf_dir: str, table_name: str):
     if not q.awaitTermination(120):
         q.stop()
         raise TimeoutError("window_topk_batches: availableNow drain exceeded 120 s")
-    rows = sorted(acc.values())
-    spark.createDataFrame(
-        rows, "ws timestamp, event_type string, n long, rk int"
-    ).createOrReplaceTempView(table_name)
+    latest = W.partitionBy("ws", "rk").orderBy(F.col("batch_id").desc())
+    (
+        spark.read.parquet(out)
+        .withColumn("_r", F.row_number().over(latest))
+        .where(F.col("_r") == 1)
+        .select("ws", "event_type", "n", "rk")
+        .createOrReplaceTempView(table_name)
+    )
     return q
 
 

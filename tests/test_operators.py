@@ -220,6 +220,38 @@ def test_cobucket_pairs_filters_before_aggregation(spark):
     assert plan.count("Exchange") == 1, f"expected exactly one shuffle:\n{plan}"
 
 
+def test_corpus_banding_never_overflows_default_cap(spark):
+    """Precondition audit for every capped-candidate query
+    (q_e_dedup_near_md5, q_e_minhash_est_err, q_e_minhash_bbit,
+    q_e_jaccard_sweep configs): their oracles' DISTINCT self-joins are
+    uncapped, so exact parity requires that NO (band, bkey) bucket of
+    the real corpus banding reaches cobucket_pairs' default cap. If a
+    regenerated corpus ever violates this, the failure surfaces HERE
+    (and as a parity row-count mismatch), not as silent wrongness."""
+    from glaciersgee_spark.operators.dedup import (
+        _MH_PERMS,
+        _MH_PERMS_HR,
+        _SWEEP,
+        _banded,
+        _md5_base,
+        _sweep_banded,
+    )
+    from glaciersgee_spark.operators.lsh import bucket_overflow
+
+    base = _md5_base(spark, SF_SMOKE)
+    # The base-M packed bandings the pair queries run (near_md5 default
+    # + high-recall variant, est_err, bbit):
+    for bs, n, perms in ((2, 8, _MH_PERMS), (2, 16, _MH_PERMS_HR)):
+        banded = _banded(base, bs, n, perms)
+        n_over = bucket_overflow(banded, ["band", "bkey"]).count()
+        assert n_over == 0, f"_banded {bs}x{n}: {n_over} buckets over the cap"
+    # The 31-mix folded bandings of every q_e_jaccard_sweep config:
+    for tag, bs, n in _SWEEP:
+        banded = _sweep_banded(spark, SF_SMOKE, bs, n)
+        n_over = bucket_overflow(banded, ["band", "bkey"]).count()
+        assert n_over == 0, f"sweep config {tag}: {n_over} buckets over the cap"
+
+
 def test_posting_copairs_exact_counts(spark):
     """posting_copairs emits one row per (pair, shared key) — the exact
     inverted-index contract — with id_a < id_b, and never drops
