@@ -78,6 +78,8 @@ _DRIVER_VERIFIED = {
 # New in round 4 — first-time driver evidence wanted.
 _R4_NEW = (
     "q_b_hll_rolling", "q_b_quantiles_approx", "q_b_kll_quantiles",
+    "q_b_incr_agg", "q_e_cc_stars", "q_e_graph_triangles",
+    "q_e_embed_drift", "q_e_fuzzy_vocab",
 )
 
 # Implementations rewritten in round 4 (lazy bm25 count, scale-safe

@@ -881,3 +881,88 @@ def q_e_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# 6-dp quantization via floor integer math — deterministic across
+# engines where round(double, 6) tie-breaking is not (the bigram_lm
+# lesson); shared verbatim by the Spark query and the oracle.
+_ED_Q6 = "(CAST(floor(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)"
+_ED_DELTA = _ED_Q6.format(x="ma - mb")
+
+
+@query(
+    "q_e_embed_drift",
+    oracle=f"""
+    WITH el AS (
+      SELECT label, vec_id % 2 AS sl,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, idx,
+             {davg('CASE WHEN sl = 0 THEN x END')} AS ma,
+             {davg('CASE WHEN sl = 1 THEN x END')} AS mb
+      FROM el GROUP BY label, idx
+    ),
+    dist AS (
+      SELECT label,
+             {dsum(f'{_ED_DELTA} * {_ED_DELTA}', scale=12)} AS sq
+      FROM cent GROUP BY label
+    ),
+    cnt AS (
+      SELECT label,
+             COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS n_a,
+             COUNT(*) FILTER (WHERE vec_id % 2 = 1) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT d.label, c.n_a, c.n_b,
+           {_ED_Q6.format(x='sqrt(d.sq)')} AS dist6
+    FROM dist d JOIN cnt c ON d.label = c.label
+    ORDER BY d.label
+    """,
+)
+def q_e_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (round 4): per label, the L2
+    distance between the centroid of slice A (vec_id % 2 = 0, playing
+    last week's corpus) and slice B (% 2 = 1, this week's) — the
+    representation-shift alarm that catches an encoder change, a
+    scraper change, or label contamination BEFORE it poisons an index
+    rebuild; the embedding-space sibling of q_e_corpus_drift's token
+    movers and q_e_psi_drift's feature bands.
+
+    One posexplode pass computes BOTH slice centroids as conditional
+    exact-decimal means sharing a single (label, idx) shuffle; per-dim
+    deltas are 6-dp floor-quantized (deterministic where round() ties
+    are not), squared products ride a scale-12 exact-decimal sum, and
+    one sqrt per label finishes. At 100 TB: ~64 slim partials per
+    upstream partition, K·64 rows after the shuffle, K rows out —
+    the same map-side-combined shape as q_e_embed_centroid.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("sl"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "x"),
+    )
+    cent = el.groupBy("label", "idx").agg(
+        F.expr(davg("CASE WHEN sl = 0 THEN x END")).alias("ma"),
+        F.expr(davg("CASE WHEN sl = 1 THEN x END")).alias("mb"),
+    )
+    dist = cent.groupBy("label").agg(
+        F.expr(dsum(f"{_ED_DELTA} * {_ED_DELTA}", scale=12)).alias("sq")
+    )
+    cnt = e.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    return (
+        dist.join(cnt, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.expr(_ED_Q6.format(x="sqrt(sq)")).alias("dist6"),
+        )
+        .orderBy("label")
+    )

@@ -1119,3 +1119,93 @@ def q_e_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# SymSpell fuzzy-vocab parameters: only tokens seen >= _FZ_MIN times
+# enter the index (rarer is noise), and pairs must differ (a < b).
+_FZ_MIN = 5
+
+# 1-deletion neighborhood (plus the token itself), shared shape in
+# both dialects: variant v of token t at position i drops t[i].
+_FZ_SPARK_VARS = (
+    "array_union(array(tok), transform(sequence(1, length(tok)),"
+    " i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, length(tok)))))"
+)
+_FZ_DUCK_VARS = (
+    "list_distinct(list_append(list_transform(range(1, len(tok) + 1),"
+    " i -> substr(tok, 1, CAST(i - 1 AS INT))"
+    " || substr(tok, CAST(i + 1 AS INT), len(tok))), tok))"
+)
+
+
+@query(
+    "q_e_fuzzy_vocab",
+    oracle=f"""
+    WITH wc AS (
+      SELECT token AS tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token HAVING COUNT(*) >= {_FZ_MIN}
+    ),
+    vars AS (
+      SELECT tok, n, unnest({_FZ_DUCK_VARS}) AS v FROM wc
+    ),
+    cand AS (
+      SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b, a.n AS n_a, b.n AS n_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.tok < b.tok
+    )
+    SELECT tok_a, tok_b, n_a, n_b,
+           CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(tok_a, tok_b) = 1
+    ORDER BY tok_a, tok_b
+    """,
+)
+def q_e_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary join via SYMMETRIC-DELETE blocking (the
+    SymSpell trick): every frequent token expands to its 1-deletion
+    neighborhood (token + |token| variants), candidates are pairs
+    sharing a variant, and an exact levenshtein == 1 verify keeps true
+    typo/variant pairs — the vocab-normalization and typo-mining step
+    of a text-cleaning pipeline.
+
+    The scale story is the blocking: edit-distance-1 neighbors MUST
+    share a deletion variant, so the candidate space is an equi-join
+    on a key whose per-token fan-out is |token|+1 — never the |V|²
+    all-pairs scan, and never a wildcard index probe per token. The
+    filter-verify split is exactly the LSH/minhash discipline applied
+    to strings; verification cost is bounded by candidates that
+    actually collide. Spark levenshtein ≡ DuckDB levenshtein
+    (unit-cost edit distance) — asserted by the dist column riding
+    the hashed output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _FZ_MIN)
+    )
+    vars_ = wc.select("tok", "n", F.explode(F.expr(_FZ_SPARK_VARS)).alias("v"))
+    a = vars_.select(
+        F.col("v"), F.col("tok").alias("tok_a"), F.col("n").alias("n_a")
+    )
+    b = vars_.select(
+        F.col("v"), F.col("tok").alias("tok_b"), F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "v")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "n_a", "n_b")
+        .distinct()
+    )
+    return (
+        cand.where(F.levenshtein("tok_a", "tok_b") == 1)
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_a",
+            "n_b",
+            F.levenshtein("tok_a", "tok_b").cast("int").alias("dist"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )

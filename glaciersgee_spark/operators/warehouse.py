@@ -368,10 +368,16 @@ def q_b_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.groupBy("l_returnflag")
         .agg(
             F.min("med").alias("median_price"),
-            F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"),
-            F.round(F.expr("percentile(ad, 0.5) * 1.4826"), 6).alias(
-                "sigma_robust"
-            ),
+            # ONE percentile buffer: two percentile(ad, ...) aggregates
+            # would each keep and sort their own copy of the group
+            # (the q_b_quantiles lesson); sigma derives in the select.
+            F.expr("percentile(ad, 0.5)").alias("p"),
+        )
+        .select(
+            "l_returnflag",
+            "median_price",
+            F.round(F.col("p"), 6).alias("mad"),
+            F.round(F.col("p") * 1.4826, 6).alias("sigma_robust"),
         )
         .orderBy("l_returnflag")
     )
@@ -1280,15 +1286,15 @@ def q_b_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " array(0.50D, 0.95D))"
         ).alias("kq")
     )
-    exact = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(l_extendedprice, array(0.50, 0.95))").alias("ex"),
-    )
-    both = exact.crossJoin(F.broadcast(merged))
-    # rank of the sketch value among the actual data, per quantile
-    ranks = (
-        li.crossJoin(F.broadcast(both.select("kq")))
+    # ONE audit pass: the 1-row merged-quantile table broadcasts onto
+    # the scan, and exact count + exact percentiles + both rank counts
+    # ride a single aggregate (two lineitem scans total: the KLL
+    # partials pass and this one — not three).
+    both = (
+        li.crossJoin(F.broadcast(merged))
         .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(l_extendedprice, array(0.50, 0.95))").alias("ex"),
             F.sum(
                 (F.col("l_extendedprice") <= F.col("kq").getItem(0)).cast("long")
             ).alias("r50"),
@@ -1298,8 +1304,7 @@ def q_b_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        both.crossJoin(F.broadcast(ranks))
-        .select(
+        both.select(
             "n",
             F.round(F.col("ex").getItem(0), 6).alias("p50_exact"),
             F.round(F.col("ex").getItem(1), 6).alias("p95_exact"),
@@ -1310,4 +1315,63 @@ def q_b_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("r95").cast("double") / F.col("n") - 0.95) <= 0.03
             ).alias("merge_ok_p95"),
         )
+    )
+
+
+@query(
+    "q_b_incr_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           COUNT(*) FILTER (WHERE o_orderkey % 11 = 0) AS n_from_delta
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_b_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (round 4) — the materialized-
+    view refresh shape: yesterday's aggregate table (orders with
+    o_orderkey % 11 <> 0 playing the stored base partials) is merged
+    with the aggregate of ONLY the newly-arrived delta (% 11 = 0) via
+    a full-outer merge on the group key — count and sum partials
+    re-aggregate exactly, so the maintained table equals a full
+    recompute WITHOUT rescanning the base fact.
+
+    That is the whole point at 100 TB: the nightly refresh scans the
+    day's delta (~0.1% of the fact) plus a group-key-sized partial
+    table, not the accumulated history. Sums ride exact integer cents
+    (floor(x·100+0.5) — the cross-engine-deterministic money round).
+    The oracle is the full recompute over the union, so parity proves
+    merge-equals-recompute; n_from_delta pins the split so a wrong
+    partition predicate cannot cancel out.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    is_delta = F.col("o_orderkey") % 11 == 0
+    base = (
+        o.where(~is_delta)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("b_n"), F.sum(cents).alias("b_sum"))
+    )
+    delta = (
+        o.where(is_delta)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("d_n"), F.sum(cents).alias("d_sum"))
+    )
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("b_n"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("b_sum"), F.lit(0))
+                + F.coalesce(F.col("d_sum"), F.lit(0))
+            ).alias("sum_cents"),
+            F.coalesce(F.col("d_n"), F.lit(0)).alias("n_from_delta"),
+        )
+        .orderBy("o_orderpriority")
     )

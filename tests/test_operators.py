@@ -1283,3 +1283,78 @@ def test_pit_join_resolves_every_probe_consistently(spark):
     assert len(rows) == n_probes
     # half-open intervals make the as-of state the probe's own type
     assert all(r.state_consistent for r in rows)
+
+
+def test_cc_stars_matches_label_propagation(spark):
+    """The round-bounded star-contraction components must be byte-equal
+    to the min-label-propagation components on the real pair graph —
+    two independent algorithms, one answer."""
+    from glaciersgee_spark.operators.dedup import q_e_cc_stars, q_e_dedup_cluster
+
+    a = {tuple(r) for r in q_e_cc_stars(spark, SF_SMOKE).collect()}
+    b = {tuple(r) for r in q_e_dedup_cluster(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_incr_agg_merge_equals_recompute(spark):
+    """Base+delta partial merge must equal the one-shot aggregate."""
+    import pyspark.sql.functions as F
+
+    from glaciersgee_spark.operators.warehouse import q_b_incr_agg
+    from glaciersgee_spark.tables import load_table
+
+    got = {
+        (r.o_orderpriority, r.n_rows, r.sum_cents)
+        for r in q_b_incr_agg(spark, SF_SMOKE).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    want = {
+        (r.o_orderpriority, r.n, r.s)
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_fuzzy_vocab_pairs_are_true_distance_one(spark):
+    """Every emitted pair must be at edit distance exactly 1, and the
+    blocking must find the known distance-1 pairs a brute-force scan
+    over the same frequent vocabulary finds (no recall loss)."""
+    import pyspark.sql.functions as F
+
+    from glaciersgee_spark.operators.text import _FZ_MIN, q_e_fuzzy_vocab
+    from glaciersgee_spark.tables import load_table
+
+    got = {
+        (r.tok_a, r.tok_b) for r in q_e_fuzzy_vocab(spark, SF_SMOKE).collect()
+    }
+    wc = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _FZ_MIN)
+    )
+    a = wc.select(F.col("tok").alias("ta"))
+    b = wc.select(F.col("tok").alias("tb"))
+    brute = {
+        (r.ta, r.tb)
+        for r in a.crossJoin(b)
+        .where((F.col("ta") < F.col("tb")) & (F.levenshtein("ta", "tb") == 1))
+        .collect()
+    }
+    assert got == brute
+
+
+def test_scratch_dirs_registered_for_cleanup():
+    """Every scratch_dir is tracked and removable by the atexit hook."""
+    import os
+
+    from glaciersgee_spark import tmpdirs
+
+    d = tmpdirs.scratch_dir("ggee_test_")
+    assert os.path.isdir(d) and d in tmpdirs._REGISTERED
+    tmpdirs._cleanup()
+    assert not os.path.exists(d) and not tmpdirs._REGISTERED
