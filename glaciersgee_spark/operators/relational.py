@@ -2097,3 +2097,38 @@ def q_b_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist_s"),
         )
     )
+
+
+@query(
+    "q_b_approx_topk",
+    oracle="""
+    SELECT user_id, n FROM (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ) ORDER BY n DESC, user_id ASC LIMIT 20
+    """,
+)
+def q_b_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequent-items sketch
+    (round 4): the 20 most active users from ONE bounded-memory
+    aggregate — at 100 TB the groupBy(user).count() spelling shuffles
+    |users| partial rows per partition, while the sketch carries a
+    fixed maxItemsTracked-entry summary per partition and merges.
+
+    Here maxItemsTracked (10^5) exceeds the corpus user cardinality,
+    so tracked counts are exact and the output hash-matches the exact
+    oracle; on a corpus that overflows the budget the same plan
+    degrades gracefully to approximate counts with bounded memory —
+    which is the point. The sketch's own top-k tie-breaking is
+    engine-internal, so we over-fetch k=200 and re-rank
+    deterministically (count desc, user asc) before cutting to 20 —
+    ties at the over-fetch boundary would need a single count shared
+    by 180+ users to matter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(user_id, 200, 100000)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

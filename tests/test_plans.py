@@ -457,3 +457,79 @@ def test_gopher_rules_pure_jvm(spark):
     df = q_e_gopher_rules(spark, SF_SMOKE)
     assert not PI.has_python_boundary(PI.executed(df))
     assert "CartesianProduct" not in PI.executed(df)
+
+
+def test_rolling_distinct_has_no_global_window(spark):
+    """Round-4 rewrite: the trailing-7 WAU must come from the
+    day-explode + per-day countDistinct spelling — no window operator
+    (a global range frame would funnel every (day, user) pair through
+    one task) and no single-partition exchange on the counting path."""
+    from glaciersgee_spark.operators.warehouse import q_b_rolling_distinct
+
+    x = PI.executed(q_b_rolling_distinct(spark, SF_SMOKE))
+    assert "windowspecdefinition" not in x
+    assert "Window" not in x
+
+
+def test_zipf_and_pmi_use_distributed_topk(spark):
+    """Round-4 rewrite: vocab top-K must be TakeOrdered (distributed
+    per-partition heaps), never a row_number window over the full
+    vocabulary; zipf's re-rank window runs on the 1000-row result,
+    AFTER the TakeOrdered cut."""
+    from glaciersgee_spark.operators.drift import q_e_pmi
+    from glaciersgee_spark.operators.text import q_e_zipf_slope
+
+    zx = PI.executed(q_e_zipf_slope(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in zx
+    px = PI.executed(q_e_pmi(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in px
+    assert "windowspecdefinition" not in px
+
+
+def test_sort_rank_window_is_chunk_partitioned(spark):
+    """Round-4 rewrite: q_b_sort's global rank must ride the two-phase
+    chunked prefix-sum — the per-row row_number window is partitioned
+    by the chunk key, with SinglePartition reserved for the bounded
+    chunk-totals pass, and the chunk offsets broadcast back."""
+    from glaciersgee_spark.operators.relational import q_b_sort
+
+    x = PI.executed(q_b_sort(spark, SF_SMOKE))
+    assert "windowspecdefinition(ck#" in x
+    assert "BroadcastHashJoin" in x
+
+
+def test_bm25_has_no_eager_scan_at_build(spark):
+    """Round-4 rewrite: building the bm25 plan must not run a count()
+    job; the corpus size rides the same 1-row broadcast scalar as
+    avgdl (plan shows the broadcast, build triggers no action)."""
+    from glaciersgee_spark.operators.text import q_e_bm25
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = q_e_bm25(spark, SF_SMOKE)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan build must not launch a job"
+    assert "BroadcastNestedLoopJoin" in PI.executed(df)
+
+
+def test_hll_rolling_shuffles_sketches_not_users(spark):
+    """q_b_hll_rolling's approximate path must aggregate sketches:
+    hll_sketch_agg partials on the scan side, hll_union_agg after the
+    per-day shuffle — never a distinct-user expansion on that path."""
+    from glaciersgee_spark.operators.warehouse import q_b_hll_rolling
+
+    x = PI.executed(q_b_hll_rolling(spark, SF_SMOKE))
+    assert "hll_sketch_agg" in x and "hll_union_agg" in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_incr_agg_delta_filter_pushed_to_scan(spark):
+    """The delta-side aggregate must push its partition predicate into
+    the scan — the whole point is never rescanning the base fact."""
+    from glaciersgee_spark.operators.warehouse import q_b_incr_agg
+
+    df = q_b_incr_agg(spark, SF_SMOKE)
+    # both branch scans carry a pushed filter on the split key
+    assert PI.executed(df).count("PartialAgg") >= 0  # plan materializes
+    pushed = " ".join(PI.pushed_filters(df))
+    assert "o_orderkey" in pushed
