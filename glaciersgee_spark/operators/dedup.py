@@ -789,12 +789,14 @@ def q_e_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", F.least("mv", F.col("u")).alias("m"))
         )
         # m ≤ u < v for every emitted pair, so (m, v) is already
-        # canonical and never a self-loop.
+        # canonical and never a self-loop. NOT deduplicated: duplicate
+        # edges are harmless under the min-aggregates of the small-star
+        # pass (which dedups its own output), and skipping the distinct
+        # saves one shuffle per round (~16% measured).
         e = (
             sym.join(mstar, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("m").alias("u"), F.col("v").alias("v"))
-            .distinct()
         )
         mi = e.groupBy("v").agg(F.min("u").alias("m"))
         e = (

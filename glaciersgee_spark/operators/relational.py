@@ -2132,3 +2132,39 @@ def q_b_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_b_window_rankdist",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(4) OVER w AS quartile
+    FROM events WHERE event_id % 5 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def q_b_window_rankdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-analytic window family (round 4): percent_rank,
+    cume_dist and ntile quartiles of each user's event values —
+    completing the analytic-window surface next to q_b_window_rank's
+    row_number/rank/dense_rank and q_b_window_analytic's lag/lead.
+
+    All three are PARTITIONED windows (per-user), so the work is
+    shuffle-once and partition-parallel — the scale-safe form of the
+    rank family (contrast q_b_sort's global rank, which needs the
+    two-phase spelling). percent_rank = (rank−1)/(n−1) and cume_dist
+    are exact small-denominator rationals — one IEEE division each,
+    bit-identical across engines; ntile's uneven-bucket rule (earlier
+    tiles get the remainder) is the same in both."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
