@@ -68,6 +68,13 @@ HEADLINERS = [
     ("q_e_ivf_pq", "probe-filtered scan; ADC Arrow kernel is the only Python boundary"),
     ("q_e_hubness", "cell-scoped pair scoring; in-degree rides the same keys"),
     ("q_e_bigram_lm", "doc-co-partitioned positional self-join; broadcast vocab ×2"),
+    ("q_b_rolling_distinct", "round-4 rewrite: 7-day explode + per-day countDistinct — NO window operator"),
+    ("q_b_hll_rolling", "per-day HLL sketches union-merged per anchor; only sketches shuffle"),
+    ("q_b_bitmap_distinct", "bucketed bitmap partials, OR-merged global reach; ids never leave the map side"),
+    ("q_b_sort", "round-4 rewrite: two-phase chunked global rank; offsets broadcast back"),
+    ("q_e_zipf_slope", "round-4 rewrite: distributed TakeOrdered top-1000, re-rank after the cut"),
+    ("q_e_fuzzy_vocab", "symmetric-delete blocking: variant-key equi-join + levenshtein verify"),
+    ("q_e_cc_stars", "star-contraction round: min-aggregates + join, no driver convergence action"),
 ]
 
 

@@ -1349,12 +1349,22 @@ def test_fuzzy_vocab_pairs_are_true_distance_one(spark):
 
 
 def test_scratch_dirs_registered_for_cleanup():
-    """Every scratch_dir is tracked and removable by the atexit hook."""
+    """Every scratch_dir is tracked and removable by the atexit hook.
+
+    The session-wide registry is swapped out for the check: running the
+    real _cleanup() mid-session would delete staging dirs that other
+    tests' cached tables (bucketed/DPP/scan round-trips) still read.
+    """
     import os
 
     from glaciersgee_spark import tmpdirs
 
-    d = tmpdirs.scratch_dir("ggee_test_")
-    assert os.path.isdir(d) and d in tmpdirs._REGISTERED
-    tmpdirs._cleanup()
-    assert not os.path.exists(d) and not tmpdirs._REGISTERED
+    saved = tmpdirs._REGISTERED[:]
+    tmpdirs._REGISTERED.clear()
+    try:
+        d = tmpdirs.scratch_dir("ggee_test_")
+        assert os.path.isdir(d) and d in tmpdirs._REGISTERED
+        tmpdirs._cleanup()
+        assert not os.path.exists(d) and not tmpdirs._REGISTERED
+    finally:
+        tmpdirs._REGISTERED.extend(saved)
