@@ -733,53 +733,29 @@ def q_e_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_e_cc_stars",
-    oracle=f"""
-    WITH RECURSIVE {_DUCK_MD5_CTES},
-    ue AS (
-      SELECT id_a AS u, id_b AS v FROM mpairs
-      UNION ALL
-      SELECT id_b AS u, id_a AS v FROM mpairs
-    ),
-    reach(u, r) AS (
-      SELECT u, u FROM ue
-      UNION
-      SELECT ue.u, reach.r FROM ue JOIN reach ON ue.v = reach.u
-    ),
-    lab AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
-    SELECT doc_id, cluster_id,
-           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-    FROM lab
-    """,
-)
-def q_e_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components via alternating LARGE-STAR / SMALL-STAR
-    contraction (Kiveris et al. 2014) over the same near-dup pair graph
-    as q_e_dedup_cluster — the round-bounded scale path VERDICT r3 left
-    as a conditional: min-label propagation needs up to DIAMETER rounds
-    (each a full join), star contraction provably converges in
-    O(log² n) rounds w.h.p. regardless of diameter, and each round here
-    is two groupBy+join passes over the shrinking edge list with NO
-    driver-side convergence action at all (fixed 3 alternations —
-    near-dup clusters are near-cliques of diameter ≤3, which one
-    large-star round almost fully contracts; a production run on an
-    unknown graph caps at ~2·log₂ n).
+def star_components(e: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.
+    2014) over canonical (u < v) edges → (n, lab) component labels.
 
-    Large-star: group the SYMMETRIZED edges by u, m = min(N(u) ∪ {{u}}),
+    Large-star: group the SYMMETRIZED edges by u, m = min(N(u) ∪ {u}),
     emit (m, v) for the strictly-larger neighbors. Small-star: group
-    the canonical (u<v) edges by their LARGER endpoint, m = min of the
+    the canonical edges by their LARGER endpoint, m = min of the
     smaller neighbors, re-point them and the pivot at m. Both preserve
-    connectivity and monotonically pull every node toward its
-    component minimum; the fixpoint is the star whose center IS the
-    min label, so the final labeling (min over incident nodes ∪ self)
-    equals q_e_dedup_cluster's — same oracle, byte-identical output.
-    localCheckpoint truncates lineage per round as in dedup_cluster.
+    connectivity and monotonically pull every node toward its component
+    minimum; the fixpoint is the star whose center IS the min label.
+
+    Convergence is detected by an exact 1-row checksum over the
+    materialized edge list (count, Σu, Σv, Σxxhash64(u,v)) — since the
+    edge multiset only ever moves toward the fixpoint, an unchanged
+    checksum means an unchanged star set. That is one bounded scalar
+    action per alternation on an already-checkpointed frame (the
+    dedup_cluster convergence convention); near-clique dup graphs stop
+    after 2-3 alternations, a chain of length n needs ~log₂ n (the
+    property test drives a 40-chain through this exact loop), and
+    max_rounds=12 covers components of diameter ≈ 4000.
     """
-    pairs = q_e_dedup_near_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint()
-    # canonical edges u < v (the generator guarantees id_a < id_b)
-    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    for _ in range(3):
+    prev = None
+    for _ in range(max_rounds):
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -809,11 +785,63 @@ def q_e_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        chk = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum("u"),
+                F.sum("v"),
+                # decimal: a sum of full-range int64 hashes would
+                # overflow BIGINT (ANSI mode throws)
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if chk == prev:
+            break
+        prev = chk
     # Converged star: label every node with min(incident ∪ self).
     nodes = e.select(F.col("u").alias("n"), F.col("u").alias("nb")).unionByName(
         e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
     )
-    lab = nodes.groupBy("n").agg(F.min("nb").alias("lab"))
+    return nodes.groupBy("n").agg(F.min("nb").alias("lab"))
+
+
+
+@query(
+    "q_e_cc_stars",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MD5_CTES},
+    ue AS (
+      SELECT id_a AS u, id_b AS v FROM mpairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM mpairs
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM ue
+      UNION
+      SELECT ue.u, reach.r FROM ue JOIN reach ON ue.v = reach.u
+    ),
+    lab AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+)
+def q_e_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction over the same near-dup pair graph as q_e_dedup_cluster
+    — the round-bounded scale path VERDICT r3 left as a conditional:
+    min-label propagation needs up to DIAMETER rounds (each a full
+    join), star contraction provably converges in O(log² n) rounds
+    w.h.p. regardless of diameter. The loop lives in
+    :func:`star_components` (convergence-checked via a 1-row checksum
+    per alternation; property-tested on chain graphs where fixed round
+    counts fail); the final labeling (min over incident ∪ self) equals
+    q_e_dedup_cluster's — same oracle, byte-identical output.
+    """
+    pairs = q_e_dedup_near_md5(spark, sf_dir).select("id_a", "id_b").localCheckpoint()
+    # canonical edges u < v (the generator guarantees id_a < id_b)
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    lab = star_components(e)
     sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
     return lab.join(sizes, "lab").select(
         F.col("n").alias("doc_id"),

@@ -1368,3 +1368,19 @@ def test_scratch_dirs_registered_for_cleanup():
         assert not os.path.exists(d) and not tmpdirs._REGISTERED
     finally:
         tmpdirs._REGISTERED.extend(saved)
+
+
+def test_star_components_converges_on_chains(spark):
+    """Chain graphs are the adversarial case for star contraction (a
+    fixed small round count silently mislabels them — caught by
+    simulation in round 4); the convergence-checked loop must label a
+    40-chain, a reversed chain, and a mixed forest exactly."""
+    from glaciersgee_spark.operators.dedup import star_components
+
+    chain = [(i, i + 1) for i in range(40)]
+    forest = chain + [(100, 101), (101, 103), (100, 103), (200, 250)]
+    e = spark.createDataFrame(forest, "u long, v long")
+    got = {(r.n, r.lab) for r in star_components(e).collect()}
+    want = {(i, 0) for i in range(41)}
+    want |= {(100, 100), (101, 100), (103, 100), (200, 200), (250, 200)}
+    assert got == want
