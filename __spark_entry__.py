@@ -7,7 +7,7 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
 the least driver-side evidence are rotated to the front. Round-4
-rotation (from CORRECTNESS_r01+r02+r03): the 11 round-4 additions
+rotation (from CORRECTNESS_r01+r02+r03): the 12 round-4 additions
 first (first-time evidence wanted), then the round-4 REWRITTEN ops
 that have never been driver-checked (bm25 lazy-count fix, zipf/pmi
 distributed top-K, window_topk sink rewrite), then the round-1-era
@@ -80,7 +80,7 @@ _R4_NEW = (
     "q_b_hll_rolling", "q_b_quantiles_approx", "q_b_kll_quantiles",
     "q_b_incr_agg", "q_e_cc_stars", "q_e_graph_triangles",
     "q_e_embed_drift", "q_e_fuzzy_vocab", "q_b_approx_topk",
-    "q_b_bitmap_distinct", "q_b_window_rankdist",
+    "q_b_bitmap_distinct", "q_b_window_rankdist", "q_e_recall_curve",
 )
 
 # Implementations rewritten in round 4 (lazy bm25 count, scale-safe

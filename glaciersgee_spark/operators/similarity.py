@@ -140,11 +140,26 @@ def q_e_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One persisted copy of the banding per (app, sf_dir): five declared
+# queries consume it (sim_join, sim_topk_lsh, ann_recall, recall_curve,
+# …) and a long-lived battery session would otherwise stack a fresh
+# never-unpersisted persist() per call (the round-4 shingle-base fix,
+# applied to the SRP side).
+_BANDED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, band, bucket) — each vector lands in N_BANDS buckets."""
-    e = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    d = e.select("vec_id", _srp_buckets("embedding").alias("buckets"))
-    return d.select("vec_id", F.posexplode("buckets").alias("band", "bucket"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BANDED_CACHE.get(key)
+    if cached is None:
+        e = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
+        d = e.select("vec_id", _srp_buckets("embedding").alias("buckets"))
+        cached = d.select(
+            "vec_id", F.posexplode("buckets").alias("band", "bucket")
+        ).persist()
+        _BANDED_CACHE[key] = cached
+    return cached
 
 
 @query(
@@ -601,10 +616,11 @@ def q_e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     score. At 100 TB the exact side runs on a sampled panel exactly
     like this, amortized across the corpus scan."""
     e = load_table(spark, sf_dir, "embeddings")
-    # The SRP signature kernel feeds THREE consumers (query buckets,
-    # probe join, candidate count): persist the slim (id, band, bucket)
-    # frame so the matmul pass runs once, not per consumer.
-    bands = _banded(spark, sf_dir).persist()
+    # The SRP signature kernel feeds THREE consumers here (query
+    # buckets, probe join, candidate count); _banded hands back the
+    # shared per-(app, sf_dir) persisted frame, so the matmul pass
+    # runs once per session, not per consumer or per call.
+    bands = _banded(spark, sf_dir)
     qids = list(_RECALL_QIDS)
     qb = (
         bands.where(F.col("vec_id").isin(qids))
@@ -639,6 +655,120 @@ def q_e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cand",
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
         F.round(F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6).alias("recall6"),
+    )
+
+
+_CURVE_KS = (1, 5, 10, 20)
+
+
+@query(
+    "q_e_recall_curve",
+    oracle=f"""
+    WITH p AS (SELECT {_PF_DUCK} AS pf),
+    v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v, p),
+    bk AS (SELECT vec_id, {_DUCK_BUCKETS} AS buckets FROM d),
+    bands AS (SELECT vec_id,
+                     CAST(generate_subscripts(buckets, 1) - 1 AS BIGINT) AS band,
+                     CAST(unnest(buckets) AS BIGINT) AS bucket
+              FROM bk),
+    qb AS (SELECT vec_id AS qid, band, bucket FROM bands
+           WHERE vec_id IN {_RECALL_QIDS}),
+    cand AS (SELECT DISTINCT qb.qid, b.vec_id
+             FROM qb JOIN bands b ON qb.band = b.band AND qb.bucket = b.bucket
+             WHERE b.vec_id <> qb.qid),
+    qv AS (SELECT vec_id AS qid, ve AS qv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    ranked_a AS (
+      SELECT c.qid, c.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.qid
+               ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                        c.vec_id ASC) AS rka
+      FROM cand c JOIN v ON c.vec_id = v.vec_id JOIN qv q ON c.qid = q.qid
+    ),
+    ranked_e AS (
+      SELECT q.qid, v.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                        v.vec_id ASC) AS rke
+      FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+    ),
+    j AS (SELECT a.qid, a.rka, e.rke
+          FROM ranked_a a JOIN ranked_e e
+            ON a.qid = e.qid AND a.vec_id = e.vec_id),
+    grid AS (SELECT DISTINCT qid, unnest([{', '.join(map(str, _CURVE_KS))}]) AS k
+             FROM cand)
+    SELECT g.qid, CAST(g.k AS INT) AS k,
+           COUNT(*) FILTER (WHERE j.rka <= g.k AND j.rke <= g.k) AS n_hit,
+           round(COUNT(*) FILTER (WHERE j.rka <= g.k AND j.rke <= g.k)
+                 / CAST(g.k AS DOUBLE), 6) AS recall_at_k
+    FROM grid g LEFT JOIN j ON g.qid = j.qid
+    GROUP BY g.qid, g.k
+    ORDER BY g.qid, g.k
+    """,
+)
+def q_e_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k CURVE for the SRP-LSH candidate index (round 4):
+    recall at k ∈ {1, 5, 10, 20} per panel query in one pass — the
+    full operating curve an index owner tunes against, where
+    q_e_ann_recall reports only the k=10 point (recall@1 shows whether
+    the single best neighbor survives banding; recall@20 whether the
+    curve has flattened — i.e. whether more probes would even help).
+
+    Reuses the whole audit skeleton: one banding pass, one candidate
+    DISTINCT, one panel-score kernel scoring each vector against all 5
+    queries in a single Arrow batch; both rank windows share the same
+    (qid)-partitioned sort. The k dimension is a 4-row explode on the
+    5-qid spine — measurement cost does not grow with k."""
+    bands = _banded(spark, sf_dir)
+    qids = list(_RECALL_QIDS)
+    qb = (
+        bands.where(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qid"), "band", "bucket")
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    scores = _panel_scores(spark, sf_dir)
+    rk = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ranked_a = (
+        scores.join(cand, ["qid", "vec_id"])
+        .withColumn("rka", F.row_number().over(rk))
+        .select("qid", "vec_id", "rka")
+    )
+    ranked_e = scores.withColumn("rke", F.row_number().over(rk)).select(
+        "qid", "vec_id", "rke"
+    )
+    j = ranked_a.join(ranked_e, ["qid", "vec_id"]).select("qid", "rka", "rke")
+    grid = (
+        cand.select("qid")
+        .distinct()
+        .select(
+            "qid",
+            F.explode(F.array(*[F.lit(k) for k in _CURVE_KS])).alias("k"),
+        )
+    )
+    hit = (F.col("rka") <= F.col("k")) & (F.col("rke") <= F.col("k"))
+    return (
+        grid.join(j, "qid", "left")
+        .groupBy("qid", "k")
+        .agg(F.count(F.when(hit, 1)).alias("n_hit"))
+        .select(
+            "qid",
+            F.col("k").cast("int").alias("k"),
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.col("k").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid", "k")
     )
 
 
