@@ -6,18 +6,21 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 
 Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
-the least driver-side evidence are rotated to the front. Round-4
-rotation (from CORRECTNESS_r01+r02+r03): the 12 round-4 additions
-first (first-time evidence wanted), then the round-4 REWRITTEN ops
-that have never been driver-checked (bm25 lazy-count fix, zipf/pmi
-distributed top-K, window_topk sink rewrite), then the round-1-era
-Group B window/subquery/pivot family and the whole q_c_* scalar
-surface (unchecked since round 1 — VERDICT r3 next-steps #1), then
-every other never-driver-checked op (B/C/D before A/E/F), with the
-137 already-driver-verified ops at the back (rewritten-this-round ones
-first among them). Local parity (tests/run_parity.py) covers the full
-inventory at sf0.01 AND sf0.1 every round regardless of the driver cap
-(the registry itself is the count of record).
+the least driver-side evidence are rotated to the front. Round-5
+rotation (from CORRECTNESS_r01..r04 — all 187 checked rows green, so
+_DRIVER_VERIFIED now holds the r1-r4 union): the round-5 additions
+first (first-time evidence wanted), then the 61 ops that have NEVER
+had a driver CORRECTNESS row, in the VERDICT r4 order — all of Group F
+(the UDF surface), the 10 streaming batch-equivalents, the 10 Group B
+stragglers, the 6 Group A stragglers, then the Group E tail with the
+span/winnow/multimodal/tokenizer/curation families ahead of the drift
+metrics. Ops REWRITTEN this round (graph_triangles degree orientation,
+window_topk count-sink, cc_stars convergence guard) queue right after
+— their r4 evidence predates the rewrite but the rewrites are
+hash-identical and locally parity-green; the 50-cap lands on the
+never-checked set first. Local parity (tests/run_parity.py) covers the
+full inventory at sf0.01 AND sf0.1 every round regardless of the
+driver cap (the registry itself is the count of record).
 """
 
 from __future__ import annotations
@@ -29,8 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 import glaciersgee_spark
 
-# Verified by the driver in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json:
-# rows+schema+hash all true) — lowest re-check priority.
+# Verified by the driver in rounds 1-4 (CORRECTNESS_r0{1,2,3,4}.json:
+# rows+schema+hash all true on every checked row) — lowest re-check
+# priority.
 _DRIVER_VERIFIED = {
     "q_a_bbox_contains", "q_a_bbox_overlap", "q_a_best_per_group",
     "q_a_composite_agg", "q_a_date_features", "q_a_distinct_scenes",
@@ -40,70 +44,97 @@ _DRIVER_VERIFIED = {
     "q_a_quadkey_pyramid", "q_a_revisit_stats", "q_a_rollup_multires",
     "q_a_scene_count_hist", "q_a_scene_streak", "q_a_sort_first",
     "q_a_tile_neighbors", "q_a_trend_slope", "q_b_agg_approx",
-    "q_b_agg_bitwise", "q_b_agg_collect", "q_b_agg_distinct", "q_b_agg_hash",
-    "q_b_agg_salted", "q_b_compaction_plan", "q_b_cube", "q_b_dq_checks",
-    "q_b_filter_complex", "q_b_grouping_sets", "q_b_having", "q_b_histogram",
-    "q_b_intersect_except", "q_b_join_anti", "q_b_join_asof",
-    "q_b_join_asof_nearest", "q_b_join_broadcast", "q_b_join_bucketed",
-    "q_b_join_cross", "q_b_join_full", "q_b_join_inner", "q_b_join_left",
-    "q_b_join_range", "q_b_join_right", "q_b_join_salted", "q_b_join_semi",
-    "q_b_join_theta", "q_b_limit_topk", "q_b_project", "q_b_rolling_distinct",
-    "q_b_scan_csv", "q_b_scan_json", "q_b_scan_parquet", "q_b_scan_xml",
-    "q_b_sink_partitioned", "q_b_skew_audit", "q_b_snapshot_diff", "q_b_sort",
-    "q_b_time_travel", "q_b_topk_pergroup", "q_b_union", "q_b_zorder_cluster",
-    "q_c_interval", "q_d_checkpoint_resume", "q_d_foreachbatch_sink",
+    "q_b_agg_argmax", "q_b_agg_bitwise", "q_b_agg_collect",
+    "q_b_agg_distinct", "q_b_agg_hash", "q_b_agg_salted", "q_b_approx_topk",
+    "q_b_bitmap_distinct", "q_b_compaction_plan", "q_b_cte_pipeline",
+    "q_b_cube", "q_b_dq_checks", "q_b_explode", "q_b_filter_complex",
+    "q_b_funnel", "q_b_grouping_sets", "q_b_having", "q_b_histogram",
+    "q_b_hll_rolling", "q_b_incr_agg", "q_b_intersect_except",
+    "q_b_join_anti", "q_b_join_asof", "q_b_join_asof_nearest",
+    "q_b_join_broadcast", "q_b_join_bucketed", "q_b_join_cross",
+    "q_b_join_dpp", "q_b_join_full", "q_b_join_inner", "q_b_join_lateral",
+    "q_b_join_left", "q_b_join_nullsafe", "q_b_join_range",
+    "q_b_join_right", "q_b_join_salted", "q_b_join_semi", "q_b_join_theta",
+    "q_b_kll_quantiles", "q_b_limit_topk", "q_b_pivot", "q_b_project",
+    "q_b_quantiles_approx", "q_b_recursive_cte", "q_b_rolling_distinct",
+    "q_b_sample", "q_b_scan_csv", "q_b_scan_json", "q_b_scan_orc",
+    "q_b_scan_parquet", "q_b_scan_text", "q_b_scan_xml",
+    "q_b_sink_partitioned", "q_b_skew_audit", "q_b_snapshot_diff",
+    "q_b_sort", "q_b_subquery", "q_b_time_travel", "q_b_topk_pergroup",
+    "q_b_union", "q_b_unpivot", "q_b_upsert_merge", "q_b_window_analytic",
+    "q_b_window_frame", "q_b_window_rank", "q_b_window_rankdist",
+    "q_b_window_trailing", "q_b_zorder_cluster", "q_c_array", "q_c_bitwise",
+    "q_c_cast", "q_c_cond", "q_c_date", "q_c_hash", "q_c_interval",
+    "q_c_json", "q_c_map", "q_c_math", "q_c_null", "q_c_regex",
+    "q_c_string", "q_c_struct", "q_c_url", "q_c_variant",
+    "q_d_checkpoint_resume", "q_d_foreachbatch_sink", "q_d_window_topk",
     "q_e_ann_cost", "q_e_ann_recall", "q_e_band_explain", "q_e_bigram_lm",
-    "q_e_burstiness", "q_e_char_entropy", "q_e_cluster_balance",
-    "q_e_cluster_purity", "q_e_containment", "q_e_cross_dedup",
-    "q_e_curation_funnel", "q_e_dedup_apply", "q_e_dedup_cluster",
-    "q_e_dedup_embed", "q_e_dedup_exact", "q_e_dedup_near",
-    "q_e_dedup_near_md5", "q_e_dedup_simhash", "q_e_dedup_soft",
-    "q_e_diversity_sample", "q_e_dup_sizes", "q_e_embed_centroid",
-    "q_e_embed_outliers", "q_e_embed_quantize", "q_e_fingerprint",
-    "q_e_gopher_rules", "q_e_hard_negatives", "q_e_hubness",
-    "q_e_incremental_dedup", "q_e_ivf_pq", "q_e_ivf_recall",
+    "q_e_bm25", "q_e_burstiness", "q_e_cc_stars", "q_e_char_entropy",
+    "q_e_cluster_balance", "q_e_cluster_purity", "q_e_containment",
+    "q_e_cross_dedup", "q_e_curation_funnel", "q_e_dedup_apply",
+    "q_e_dedup_cluster", "q_e_dedup_embed", "q_e_dedup_exact",
+    "q_e_dedup_near", "q_e_dedup_near_md5", "q_e_dedup_simhash",
+    "q_e_dedup_soft", "q_e_diversity_sample", "q_e_dup_sizes",
+    "q_e_embed_centroid", "q_e_embed_drift", "q_e_embed_outliers",
+    "q_e_embed_quantize", "q_e_fingerprint", "q_e_fuzzy_vocab",
+    "q_e_gopher_rules", "q_e_graph_triangles", "q_e_hard_negatives",
+    "q_e_hubness", "q_e_incremental_dedup", "q_e_ivf_pq", "q_e_ivf_recall",
     "q_e_jaccard_sweep", "q_e_jaccard_verify", "q_e_kmeans_iter",
     "q_e_knn_graph", "q_e_knn_pergroup", "q_e_label_balance",
     "q_e_len_buckets", "q_e_lsh_tuning", "q_e_minhash_bbit",
     "q_e_minhash_est_err", "q_e_minhash_recall", "q_e_mix_weights",
     "q_e_mm_pairs", "q_e_mm_shard_manifest", "q_e_ngram_lm", "q_e_nmi",
-    "q_e_pack_efficiency", "q_e_ppl_buckets", "q_e_pq_recall", "q_e_psi_drift",
-    "q_e_semdedup", "q_e_sim_join", "q_e_sim_topk", "q_e_sim_topk_filtered",
-    "q_e_sim_topk_ivf", "q_e_sim_topk_lsh", "q_e_sim_topk_pq",
-    "q_e_simhash_recall", "q_e_source_overlap", "q_e_summary_card",
-    "q_e_text_stats", "q_e_text_tokens", "q_e_tfidf", "q_e_token_bpe",
-    "q_e_token_budget", "q_e_url_dedup",
+    "q_e_pack_efficiency", "q_e_pmi", "q_e_ppl_buckets", "q_e_pq_recall",
+    "q_e_psi_drift", "q_e_recall_curve", "q_e_semdedup", "q_e_sim_join",
+    "q_e_sim_topk", "q_e_sim_topk_filtered", "q_e_sim_topk_ivf",
+    "q_e_sim_topk_lsh", "q_e_sim_topk_pq", "q_e_simhash_recall",
+    "q_e_source_overlap", "q_e_summary_card", "q_e_text_stats",
+    "q_e_text_tokens", "q_e_tfidf", "q_e_token_bpe", "q_e_token_budget",
+    "q_e_url_dedup", "q_e_zipf_slope",
 }
 
-# New in round 4 — first-time driver evidence wanted.
-_R4_NEW = (
-    "q_b_hll_rolling", "q_b_quantiles_approx", "q_b_kll_quantiles",
-    "q_b_incr_agg", "q_e_cc_stars", "q_e_graph_triangles",
-    "q_e_embed_drift", "q_e_fuzzy_vocab", "q_b_approx_topk",
-    "q_b_bitmap_distinct", "q_b_window_rankdist", "q_e_recall_curve",
+# New in round 5 — first-time driver evidence wanted.
+_R5_NEW: tuple[str, ...] = ()
+
+# Never driver-checked (61 after folding the r4 greens), fronted in
+# the VERDICT r4 order: Group F, streaming D, B stragglers, A
+# stragglers, then Group E with the most-novel-semantics families
+# (spans/winnowing, multimodal, packing/tokenizer, curation/splits)
+# ahead of the drift metrics.
+_R5_FRONT = (
+    # Group F — the whole UDF surface (never checked)
+    "q_f_udf_scalar", "q_f_pandas_scalar", "q_f_pandas_grouped_agg",
+    "q_f_udtf", "q_f_pandas_group_map", "q_f_cogroup_map",
+    "q_f_maparrow", "q_f_pandas_iter",
+    # Group D — streaming batch-equivalents (never checked)
+    "q_d_tumbling", "q_d_sliding", "q_d_session", "q_d_watermark_late",
+    "q_d_stateful_dedup", "q_d_stream_static_join",
+    "q_d_stateful_custom", "q_d_stream_stream_join",
+    "q_d_lateness_audit", "q_d_window_users",
+    # Group B stragglers
+    "q_b_mad", "q_b_quantiles", "q_b_profile", "q_b_scd2",
+    "q_b_pit_join", "q_b_fk_audit", "q_b_growth_curve", "q_b_observe",
+    "q_b_scan_corrupt", "q_b_scan_range",
+    # Group A stragglers
+    "q_a_anomaly_days", "q_a_cloud_window", "q_a_gapfill_interp",
+    "q_a_monthly_coverage", "q_a_scene_freshness", "q_a_stereo_pairs",
+    # Group E — spans/winnowing, multimodal, packing/tokenizer,
+    # curation/splits first; drift metrics last
+    "q_e_span_dedup", "q_e_winnow", "q_e_window_dedup",
+    "q_e_multimodal", "q_e_mm_decode", "q_e_mm_framesample",
+    "q_e_seq_pack", "q_e_doc_chunk", "q_e_bpe_pairs", "q_e_lang_id",
+    "q_e_lang_topterms", "q_e_quality_filter", "q_e_quality_classifier",
+    "q_e_pii_scrub", "q_e_decontaminate", "q_e_train_split",
+    "q_e_stratified_sample", "q_e_rrf_fusion", "q_e_repetition",
+    "q_e_boilerplate", "q_e_corpus_drift", "q_e_ngram_novelty",
+    "q_e_tok_entropy", "q_e_vocab_coverage", "q_e_vocab_growth",
+    "q_e_embed_gram", "q_e_power_iter",
 )
 
-# Implementations rewritten in round 4 (lazy bm25 count, scale-safe
-# rolling_distinct / zipf / pmi / sort spellings, shared shingle-base
-# cache, window_topk parquet-upsert sink) — driver evidence, where it
-# exists, predates the rewrite.
-_R4_REWRITTEN = (
-    "q_e_bm25", "q_e_zipf_slope", "q_e_pmi", "q_d_window_topk",
-    "q_b_rolling_distinct", "q_b_sort", "q_e_jaccard_verify",
-    "q_e_containment", "q_e_jaccard_sweep", "q_e_minhash_bbit",
-)
-
-# Unchecked since round 1 (VERDICT r3 next-steps #1 names these
-# explicitly): the relational window/CTE/pivot family and the whole
-# scalar-function surface.
-_R1_ERA_PRIORITY = (
-    "q_b_window_rank", "q_b_window_analytic", "q_b_window_frame",
-    "q_b_window_trailing", "q_b_subquery", "q_b_cte_pipeline",
-    "q_b_pivot", "q_b_unpivot",
-    "q_c_array", "q_c_bitwise", "q_c_cast", "q_c_cond", "q_c_date",
-    "q_c_hash", "q_c_json", "q_c_map", "q_c_math", "q_c_null",
-    "q_c_regex", "q_c_string", "q_c_struct", "q_c_url", "q_c_variant",
-)
+# Rewritten in round 5 (degree-oriented triangles, count-upsert topk
+# sink, convergence-guarded cc_stars) — r4 driver evidence predates
+# the rewrite; queue for re-check after the never-checked set.
+_R5_REWRITTEN = ("q_e_graph_triangles", "q_d_window_topk", "q_e_cc_stars")
 
 _V = TypeVar("_V")
 
@@ -111,23 +142,23 @@ _V = TypeVar("_V")
 def _rotated(d: dict[str, _V]) -> dict[str, _V]:
     names = list(d)
 
-    def prio(n: str) -> int:
-        checked = n in _DRIVER_VERIFIED
-        if n in _R4_NEW:
-            return 0
-        if n in _R4_REWRITTEN and not checked:
-            return 1
-        if n in _R1_ERA_PRIORITY and not checked:
-            return 2
-        if not checked:
-            # remaining unchecked: B/C/D ahead of A/E/F stragglers
-            return 3 if n.split("_")[1] in ("b", "c", "d") else 4
-        if n in _R4_REWRITTEN:
-            return 5
-        return 6
+    front = {n: i for i, n in enumerate(_R5_FRONT)}
+
+    def prio(n: str) -> tuple[int, int]:
+        if n in _R5_NEW:
+            return (0, 0)
+        if n in front:
+            return (1, front[n])
+        if n not in _DRIVER_VERIFIED:
+            # safety net: anything never checked but missing from the
+            # explicit front list still beats the verified tail
+            return (2, 0)
+        if n in _R5_REWRITTEN:
+            return (3, 0)
+        return (4, 0)
 
     idx = {n: i for i, n in enumerate(names)}
-    return {n: d[n] for n in sorted(names, key=lambda n: (prio(n), idx[n]))}
+    return {n: d[n] for n in sorted(names, key=lambda n: (*prio(n), idx[n]))}
 
 
 def entry(spark: SparkSession) -> DataFrame:

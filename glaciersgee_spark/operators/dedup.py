@@ -755,6 +755,7 @@ def star_components(e: DataFrame, max_rounds: int = 12) -> DataFrame:
     max_rounds=12 covers components of diameter ≈ 4000.
     """
     prev = None
+    converged = False
     for _ in range(max_rounds):
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -788,16 +789,26 @@ def star_components(e: DataFrame, max_rounds: int = 12) -> DataFrame:
         chk = tuple(
             e.agg(
                 F.count(F.lit(1)),
-                F.sum("u"),
-                F.sum("v"),
-                # decimal: a sum of full-range int64 hashes would
-                # overflow BIGINT (ANSI mode throws)
+                # decimal sums throughout: Σ over billions of edges of
+                # int64 ids/hashes would overflow BIGINT (ANSI throws)
+                F.sum(F.col("u").cast("decimal(38,0)")),
+                F.sum(F.col("v").cast("decimal(38,0)")),
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
             ).collect()[0]
         )
         if chk == prev:
+            converged = True
             break
         prev = chk
+    if not converged:
+        # The final min(incident ∪ self) labeling is only valid at the
+        # contracted fixpoint; locally-min labels on an unconverged
+        # star set would be silently wrong.
+        raise RuntimeError(
+            f"star_components: no checksum fixpoint within {max_rounds} "
+            "alternations (component diameter exceeds the round budget "
+            "— raise max_rounds)"
+        )
     # Converged star: label every node with min(incident ∪ self).
     nodes = e.select(F.col("u").alias("n"), F.col("u").alias("nb")).unionByName(
         e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
@@ -2017,6 +2028,58 @@ def q_e_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_oriented_edges(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """Direct each canonical (a < b) edge from its lower-(degree, id)
+    endpoint to the higher → (src, dst, dst_d). A hub's edges all
+    point INTO it (spokes rank below it), so out-degree is bounded by
+    O(√E) regardless of the raw degree distribution — the orientation
+    pin tests/test_operators.py checks on a star graph."""
+    withd = (
+        pairs.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lower_first = (
+        F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    )
+    return withd.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    )
+
+
+def oriented_triangle_count(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """1-row `n_triangles` count over an undirected canonical (a < b)
+    edge list via degree-ordered wedge enumeration.
+
+    Total order: rank(n) = (degree(n), n). Each edge is directed
+    low-rank → high-rank; each triangle has exactly one corner with
+    two out-edges (its rank-minimum), so counting (wedge, closing
+    directed edge) joins counts every triangle exactly once. Per-node
+    wedge work is out-degree², and degree-keyed orientation bounds
+    out-degree by O(√E) regardless of the raw degree distribution —
+    a hub's edges all point INTO it, so the hub generates zero wedges
+    (pinned by the star-graph test).
+    """
+    directed = degree_oriented_edges(pairs, deg)
+    wedges = (
+        directed.alias("e1")
+        .join(
+            directed.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (
+                F.struct(F.col("e1.dst_d"), F.col("e1.dst"))
+                < F.struct(F.col("e2.dst_d"), F.col("e2.dst"))
+            ),
+        )
+        .select(F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z"))
+    )
+    # wedge endpoints are rank-ordered y < z, matching edge direction
+    return wedges.join(
+        directed, (F.col("y") == F.col("src")) & (F.col("z") == F.col("dst"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 @query(
     "q_e_graph_triangles",
     oracle=f"""
@@ -2054,13 +2117,17 @@ def q_e_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge would over-collapse; the q_e_dedup_cluster labels need a
     similarity re-verify before apply).
 
-    Oriented wedge enumeration: the canonical a<b edge orientation
-    makes every triangle a single ordered wedge x<y<z closed by one
-    edge probe, so each triangle is counted exactly once with NO
-    dedup pass and per-node wedge work bounded by out-degree². At
-    100 TB the orientation is by (degree, id) instead of raw id —
-    caps out-degree at O(√E) (the arboricity bound) — same plan
-    shape, different sort key. Wedge totals Σd(d−1)/2 come from the
+    Oriented wedge enumeration with the DEGREE-keyed total order
+    (round 5): every edge is directed from its lower-(degree, id)
+    endpoint to the higher, so each triangle is exactly one wedge
+    (two out-edges at its lowest-ranked corner) closed by one directed
+    edge probe — counted once, NO dedup pass. Orienting by (degree,
+    id) instead of raw id caps out-degree at O(√E) (the arboricity
+    bound): a hub of degree d ranks ABOVE its spoke neighbors, so its
+    d² wedge pairs land on the spokes instead of the hub — the skew
+    that would stall the id-oriented stage on a power-law dup graph at
+    100×. Triangle count is orientation-invariant, so the oracle's
+    x<y<z spelling is unchanged. Wedge totals Σd(d−1)/2 come from the
     degree table, not enumeration.
     """
     pairs = q_e_dedup_near_md5(spark, sf_dir).select(
@@ -2072,21 +2139,7 @@ def q_e_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    wedges = (
-        pairs.alias("e1")
-        .join(
-            pairs.alias("e2"),
-            F.col("e1.b") == F.col("e2.a"),
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
-    tri = wedges.join(
-        pairs, (F.col("x") == F.col("a")) & (F.col("z") == F.col("b"))
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = oriented_triangle_count(pairs, deg)
     paths = deg.agg(
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges")
     )

@@ -364,19 +364,39 @@ def q_d_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 interleaved delivery lanes inside each hour (lane = event_id %
     16): identical deterministic permutation in both engines, and the
     lane interleaving manufactures the out-of-order arrivals a real
-    multi-partition consumer sees. Batch equivalent of per-batch
-    watermark accounting: one global arrival-order running max (the stream applies it incrementally;
-    the batch replay needs a single-partition pass over ~arrival
-    order, the one intentionally serial step) then a combinable
-    rollup."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy(
-        F.date_trunc("hour", "ts"), F.col("event_id") % 16, "event_id"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    arr = ev.select(
+    multi-partition consumer sees.
+
+    The arrival-order running max is a PREFIX MAX, so it decomposes by
+    the leading sort key (the hour chunk) — the q_b_sort two-phase
+    discipline (relational.py q_b_sort): (1) per-hour running max over
+    (lane, event_id), partition-parallel; (2) a running max over the
+    |hours|-row per-chunk maxima only (bounded by the time domain, not
+    the corpus); (3) hw = greatest(within-chunk, strictly-earlier
+    chunks), broadcast offset join. Identical rows to the naive global
+    window (round 5: replaces a full-corpus single-partition window)."""
+    ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "ts",
-        F.max("ts").over(w).alias("hw"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        (F.col("event_id") % 16).alias("lane"),
+        "event_id",
+    )
+    w_in = Window.partitionBy("hr").orderBy("lane", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = ev.withColumn("hw_in", F.max("ts").over(w_in))
+    w_c = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    prev = (
+        ev.groupBy("hr")
+        .agg(F.max("ts").alias("hmax"))
+        .withColumn("prev_hw", F.max("hmax").over(w_c))
+        .select("hr", "prev_hw")
+    )
+    # greatest() skips NULL (first chunk has no predecessor)
+    arr = within.join(F.broadcast(prev), "hr").select(
+        "event_type",
+        "ts",
+        F.greatest("hw_in", "prev_hw").alias("hw"),
     )
     late = F.col("ts") < F.col("hw") - F.expr("INTERVAL 10 MINUTE")
     # integer µs→s floor division (lag is non-negative by construction)

@@ -205,19 +205,23 @@ def sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_topk_batches(spark: SparkSession, sf_dir: str, table_name: str):
     """True-stream form of q_d_window_topk via the foreachBatch sink:
     watermarked windowed counts stream in update mode; each micro-batch
-    is ranked (top-2 per window, ties on event_type) with ordinary
-    batch DataFrame ops and upserted into a parquet sink tagged by
-    batch_id — the q_d_foreachbatch_sink pattern. The write is
-    per-executor parallel parquet append; NOTHING accumulates on the
-    driver (round 4: replaces a driver-side dict that grew with window
-    count forever — unbounded on an unbounded stream).
+    appends its CHANGED (window, event_type) count rows to a parquet
+    sink tagged by batch_id — the q_d_foreachbatch_sink pattern. The
+    write is per-executor parallel parquet append; NOTHING accumulates
+    on the driver (round 4: replaces a driver-side dict that grew with
+    window count forever — unbounded on an unbounded stream).
 
-    Upsert resolution at read time: latest batch_id wins per
-    (window, rank) key — exactly what MERGE INTO would do in a
-    transactional sink. Returns the started query; callers await it
-    and read `table_name`. State per window is the per-type count
-    map — watermark-bounded like any windowed agg; the rank runs on
-    the CHANGED windows each batch only.
+    The sink stores COUNTS, not ranks (round 5): update mode emits only
+    the (window, type) pairs a batch changed, so ranking inside the
+    batch would let a batch that touched only a non-top type claim rank
+    1 for its window. Read-time resolution instead does what MERGE INTO
+    would: latest batch_id wins per (window, event_type) — the merged
+    frame IS the complete current count table — then top-2 per window
+    is ranked over it (one window op partitioned by ws). Correct for
+    any batch split, not just the single availableNow batch. Returns
+    the started query; callers await it and read `table_name`. State
+    per window is the per-type count map — watermark-bounded like any
+    windowed agg.
     """
     from pyspark.sql import Window as W
 
@@ -229,16 +233,12 @@ def window_topk_batches(spark: SparkSession, sf_dir: str, table_name: str):
     )
     out = scratch_dir(prefix="ggee_topk_out_")
 
-    def upsert_topk(batch_df, batch_id: int) -> None:
-        rk = W.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    def upsert_counts(batch_df, batch_id: int) -> None:
         (
-            batch_df.withColumn("rk", F.row_number().over(rk))
-            .where(F.col("rk") <= 2)
-            .select(
+            batch_df.select(
                 F.col("w.start").alias("ws"),
                 "event_type",
                 "n",
-                "rk",
                 F.lit(batch_id).alias("batch_id"),
             )
             .write.mode("append")
@@ -248,18 +248,21 @@ def window_topk_batches(spark: SparkSession, sf_dir: str, table_name: str):
     q = (
         counts.writeStream.outputMode("update")
         .option("checkpointLocation", scratch_dir(prefix="ggee_ck_topk_"))
-        .foreachBatch(upsert_topk)
+        .foreachBatch(upsert_counts)
         .trigger(availableNow=True)
         .start()
     )
     if not q.awaitTermination(120):
         q.stop()
         raise TimeoutError("window_topk_batches: availableNow drain exceeded 120 s")
-    latest = W.partitionBy("ws", "rk").orderBy(F.col("batch_id").desc())
+    latest = W.partitionBy("ws", "event_type").orderBy(F.col("batch_id").desc())
+    rk = W.partitionBy("ws").orderBy(F.col("n").desc(), F.col("event_type").asc())
     (
         spark.read.parquet(out)
         .withColumn("_r", F.row_number().over(latest))
         .where(F.col("_r") == 1)
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 2)
         .select("ws", "event_type", "n", "rk")
         .createOrReplaceTempView(table_name)
     )

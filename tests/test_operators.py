@@ -1370,6 +1370,69 @@ def test_scratch_dirs_registered_for_cleanup():
         tmpdirs._REGISTERED.extend(saved)
 
 
+def test_star_components_raises_on_round_exhaustion(spark):
+    """Round-5 ADVICE fix: exhausting max_rounds before the checksum
+    fixpoint must raise, not silently return locally-min labels — a
+    40-chain needs ~7 alternations, so max_rounds=2 cannot converge."""
+    import pytest as _pytest
+
+    from glaciersgee_spark.operators.dedup import star_components
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "u long, v long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        star_components(e, max_rounds=2)
+
+
+def _tri_fixture(spark, edges):
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    deg = (
+        pairs.select(F.col("a").alias("n"))
+        .unionByName(pairs.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return pairs, deg
+
+
+def test_oriented_triangles_counts_known_graphs(spark):
+    """Triangle counts on graphs with known answers: a star K1,20 has
+    0; K4 has 4; a wheel W5 (hub + 5-cycle) has 5; two disjoint
+    triangles sharing no node count 2."""
+    from glaciersgee_spark.operators.dedup import oriented_triangle_count
+
+    cases = [
+        ([(0, i) for i in range(1, 21)], 0),
+        ([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], 4),
+        (
+            [(0, i) for i in range(1, 6)]
+            + [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)],
+            5,
+        ),
+        ([(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)], 2),
+    ]
+    for edges, want in cases:
+        pairs, deg = _tri_fixture(spark, edges)
+        got = oriented_triangle_count(pairs, deg).collect()[0].n_triangles
+        assert got == want, (edges, got, want)
+
+
+def test_triangle_orientation_points_into_the_hub(spark):
+    """Round-5 scale fix pin: on a star graph the hub has the highest
+    (degree, id) rank, so every directed edge must point INTO it —
+    hub out-degree 0 means the hub generates zero wedge pairs (the
+    O(√E) arboricity bound the degree orientation exists for)."""
+    from glaciersgee_spark.operators.dedup import degree_oriented_edges
+
+    pairs, deg = _tri_fixture(spark, [(0, i) for i in range(1, 31)])
+    directed = degree_oriented_edges(pairs, deg).collect()
+    assert all(r.dst == 0 for r in directed)
+    assert all(r.src != 0 for r in directed)
+
+
 def test_star_components_converges_on_chains(spark):
     """Chain graphs are the adversarial case for star contraction (a
     fixed small round count silently mislabels them — caught by

@@ -471,6 +471,19 @@ def test_rolling_distinct_has_no_global_window(spark):
     assert "Window" not in x
 
 
+def test_lateness_audit_window_is_hour_partitioned(spark):
+    """Round-5 rewrite: the arrival-order running max must ride the
+    two-phase chunked prefix max — the per-row window is partitioned
+    by the hour chunk (never a full-corpus single-partition window);
+    the unpartitioned window is reserved for the bounded |hours|-row
+    chunk-maxima pass, whose offsets come back via broadcast join."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_lateness_audit
+
+    x = PI.executed(q_d_lateness_audit(spark, SF_SMOKE))
+    assert "windowspecdefinition(hr#" in x
+    assert "BroadcastHashJoin" in x
+
+
 def test_zipf_and_pmi_use_distributed_topk(spark):
     """Round-4 rewrite: vocab top-K must be TakeOrdered (distributed
     per-partition heaps), never a row_number window over the full
@@ -524,12 +537,17 @@ def test_hll_rolling_shuffles_sketches_not_users(spark):
 
 
 def test_incr_agg_delta_filter_pushed_to_scan(spark):
-    """The delta-side aggregate must push its partition predicate into
-    the scan — the whole point is never rescanning the base fact."""
+    """Each branch aggregate must apply its split predicate at the
+    scan stage — the whole point is never rescanning the base fact.
+    Parquet can't push a modulo, so the pushable half (IsNotNull on
+    the split key) must appear on BOTH branch scans and the modulo
+    itself must sit in scan-side Filter nodes ahead of the aggregate
+    (two of them: base %11<>0, delta %11=0)."""
     from glaciersgee_spark.operators.warehouse import q_b_incr_agg
 
     df = q_b_incr_agg(spark, SF_SMOKE)
-    # both branch scans carry a pushed filter on the split key
-    assert PI.executed(df).count("PartialAgg") >= 0  # plan materializes
-    pushed = " ".join(PI.pushed_filters(df))
-    assert "o_orderkey" in pushed
+    pushed = PI.pushed_filters(df)
+    assert sum("o_orderkey" in p for p in pushed) >= 2, pushed
+    x = PI.executed(df)
+    n_mod_filters = x.count("% 11")
+    assert n_mod_filters >= 2, f"expected both split filters in plan:\n{x}"
