@@ -94,7 +94,9 @@ _DRIVER_VERIFIED = {
 }
 
 # New in round 5 — first-time driver evidence wanted.
-_R5_NEW: tuple[str, ...] = ()
+_R5_NEW: tuple[str, ...] = (
+    "q_b_join_bloom", "q_b_countmin_freq", "q_e_feature_hashing",
+)
 
 # Never driver-checked (61 after folding the r4 greens), fronted in
 # the VERDICT r4 order: Group F, streaming D, B stragglers, A

@@ -2168,3 +2168,91 @@ def q_b_window_rankdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "q_b_join_bloom",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q_b_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (round 5) — the runtime-filter idiom
+    for the join keys dynamic partition pruning can't reach (o_custkey
+    is not a partition column): build a Bloom filter over the FILTERED
+    dimension's keys, pre-filter the fact scan with it, then run the
+    exact equi-join on the survivors.
+
+    The filter is built as plain DataFrame ops (no optimizer-threshold
+    magic): each dim key sets k=2 bit positions xxhash64(key, seed)
+    mod 2^16; positions aggregate into a ≤1024-row (word, mask) table
+    via bit_or — a fixed 8 KiB regardless of dim size, map-side
+    combinable, broadcastable. The fact probes with two broadcast
+    joins on the word index + bit tests, so at 100 TB the unmatched
+    ~80% of the fact never reaches the join's shuffle — the bloom
+    plays the role InjectRuntimeFilter's bloom_filter_agg plays inside
+    Catalyst, spelled explicitly. No false negatives by construction,
+    so the output is EXACT and the oracle is the plain join: a bloom
+    bug that dropped a true match would hash-mismatch. False positives
+    only cost shuffle bytes; they are eliminated by the exact join.
+    """
+    m_bits = 1 << 16  # 1024 words of 64 bits = 8 KiB broadcast
+    seeds = (0x51ED, 0xB10C)
+
+    def bitpos(key, seed: int):
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bits = (
+        dim.select(
+            F.explode(
+                F.array(*[bitpos(F.col("c_custkey"), s) for s in seeds])
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 64").alias("bf_w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bf_m"),
+        )
+        .groupBy("bf_w")
+        .agg(F.bit_or("bf_m").alias("bf_m"))
+    )
+    probe = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    hit = F.lit(True)
+    for i, s in enumerate(seeds):
+        probe = probe.withColumn(f"p{i}", bitpos(F.col("o_custkey"), s)).join(
+            F.broadcast(
+                bits.select(
+                    F.col("bf_w").alias(f"bf_w{i}"),
+                    F.col("bf_m").alias(f"bf_m{i}"),
+                )
+            ),
+            F.expr(f"p{i} div 64") == F.col(f"bf_w{i}"),
+            "left",
+        )
+        bit = F.expr(f"shiftleft(1L, CAST(p{i} % 64 AS INT))")
+        hit = hit & (F.col(f"bf_m{i}").bitwiseAND(bit) != 0)
+    passed = probe.where(hit).select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    return (
+        passed.join(F.broadcast(dim), passed.o_custkey == dim.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

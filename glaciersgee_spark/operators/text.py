@@ -1209,3 +1209,68 @@ def q_e_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok_a", "tok_b")
     )
+
+
+# Feature-hashing collision audit: shared quantization string (the
+# floor-based money round — round(,6) half-up/half-even tie-breaking
+# diverges cross-engine at exact .5e-7 rationals like 1/128).
+_FH_RATE6 = (
+    "CAST(floor((CAST(1 AS DOUBLE) - CAST(n_buckets AS DOUBLE) / n_types)"
+    " * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+)
+
+
+@query(
+    "q_e_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT token) AS n_types,
+             COUNT(DISTINCT CAST(concat('0x', substring(md5(token), 1, 15))
+                                 AS BIGINT) % 1024) AS n_buckets
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           {_FH_RATE6} AS collision_rate6
+    FROM per ORDER BY doc_id
+    """,
+)
+def q_e_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization audit (round 5): map each token to
+    one of 1024 hash buckets (first 60 md5 bits mod 1024 — the
+    cross-engine hash idiom) and measure, per sampled doc, how much
+    vocabulary the fixed-width feature space loses to collisions
+    (collision_rate = 1 − distinct buckets / distinct tokens).
+
+    This is the feature layer a 100 TB training pipeline puts under
+    linear/GBDT baselines precisely BECAUSE it scales: the feature
+    space is fixed-width (no vocab build, no global dictionary
+    shuffle, new tokens never resize anything), the transform is one
+    map-side expression, and THIS audit is the accompanying
+    measurement that tells you whether 2^10 buckets is too small for
+    the observed per-doc vocabulary. The whole plan is one explode +
+    one combinable groupBy; the two COUNT(DISTINCT …) share one
+    Expand pass. Panel: doc_id % 7 == 0.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    bkt = F.expr(
+        "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % 1024"
+    )
+    per = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("token").alias("n_types"),
+        F.countDistinct(bkt).alias("n_buckets"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tok",
+        "n_types",
+        "n_buckets",
+        F.expr(_FH_RATE6).alias("collision_rate6"),
+    ).orderBy("doc_id")

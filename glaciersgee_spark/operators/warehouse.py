@@ -1439,3 +1439,102 @@ def q_b_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Count-min sketch geometry (q_b_countmin_freq): 3 hash rows × 256
+# buckets = 768 bounded counters. Hash = first 60 md5 bits (the
+# cross-engine idiom: Spark conv(hex,16,10) ≡ DuckDB '0x…' cast), so
+# BOTH engines build the identical sketch and the oracle checks the
+# approximation itself, not just an exact companion.
+_CM_D = 3
+_CM_W = 256
+_CM_SPARK_BKT = (
+    "CAST(conv(substring(md5(concat('cm', CAST(i AS STRING), ':', k)),"
+    " 1, 15), 16, 10) AS BIGINT) % 256"
+)
+_CM_DUCK_BKT = (
+    "CAST(concat('0x', substring(md5(concat('cm', CAST(i AS VARCHAR),"
+    " ':', k)), 1, 15)) AS BIGINT) % 256"
+)
+
+
+@query(
+    "q_b_countmin_freq",
+    oracle=f"""
+    WITH keyed AS (SELECT CAST(o_custkey AS VARCHAR) AS k, o_custkey
+                   FROM orders),
+    tripled AS (
+      SELECT k, s.i, {_CM_DUCK_BKT} AS bkt
+      FROM keyed CROSS JOIN (VALUES (0), (1), (2)) AS s(i)
+    ),
+    sketch AS (
+      SELECT i, bkt, COUNT(*) AS n FROM tripled GROUP BY i, bkt
+    ),
+    panel AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS k, o_custkey AS key,
+             COUNT(*) AS exact_n
+      FROM orders WHERE o_custkey % 97 = 0 GROUP BY o_custkey
+    ),
+    probes AS (
+      SELECT p.key, p.exact_n, s.i, {_CM_DUCK_BKT.replace("k)", "p.k)")} AS bkt
+      FROM panel p CROSS JOIN (VALUES (0), (1), (2)) AS s(i)
+    )
+    SELECT pr.key, CAST(pr.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(sk.n) AS BIGINT) AS cm_est,
+           CAST(MIN(sk.n) - pr.exact_n AS BIGINT) AS overcount
+    FROM probes pr JOIN sketch sk ON pr.i = sk.i AND pr.bkt = sk.bkt
+    GROUP BY pr.key, pr.exact_n
+    ORDER BY pr.key
+    """,
+)
+def q_b_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (round 5) — the fourth
+    point on the distinct/frequency design space next to countDistinct
+    (exact, Expand shuffle), HLL (approx distinct, q_b_hll_rolling)
+    and bitmaps (exact mergeable, q_b_bitmap_distinct): per-KEY
+    frequency from a fixed 3×256-counter grid that is map-side
+    combinable, linearly mergeable across shards/days, and never
+    grows with key cardinality — the state shape for "how often did
+    this key occur" over 100 TB where a per-key exact table is itself
+    a giant shuffle.
+
+    One-sided error by construction: est ≥ exact always (collisions
+    only ADD), with P(est > exact + 2e/256·N) ≤ (1/e)^3 per probe.
+    Both engines build the SAME sketch from the same md5 buckets, so
+    parity verifies estimates AND the emitted `overcount` column pins
+    the one-sidedness cross-engine (a negative value anywhere is a
+    sketch bug). Probe panel: custkey % 97 == 0.
+    """
+    keyed = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k"), "o_custkey"
+    )
+    idx = F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i")
+    sketch = (
+        keyed.select("k", idx)
+        .select("i", F.expr(_CM_SPARK_BKT).alias("bkt"))
+        .groupBy("i", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    panel = (
+        keyed.where(F.col("o_custkey") % 97 == 0)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    probes = panel.select(
+        "key",
+        "exact_n",
+        F.col("key").cast("string").alias("k"),
+        idx,
+    ).select("key", "exact_n", "i", F.expr(_CM_SPARK_BKT).alias("bkt"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bkt"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("n").alias("cm_est"))
+        .select(
+            "key",
+            "exact_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("key")
+    )

@@ -551,3 +551,42 @@ def test_incr_agg_delta_filter_pushed_to_scan(spark):
     x = PI.executed(df)
     n_mod_filters = x.count("% 11")
     assert n_mod_filters >= 2, f"expected both split filters in plan:\n{x}"
+
+
+def test_join_bloom_prefilters_fact_before_exact_join(spark):
+    """Round-5 q_b_join_bloom: the fact side must pass the bloom bit
+    tests (shiftleft masks via broadcast word-table joins) before the
+    exact equi-join — ≥3 broadcast joins (two probe words + the dim),
+    no sort-merge join, no python boundary, and the bit-test filter
+    present in the executed plan."""
+    from glaciersgee_spark.operators.relational import q_b_join_bloom
+
+    x = PI.executed(q_b_join_bloom(spark, SF_SMOKE))
+    assert x.count("BroadcastHashJoin") >= 3
+    assert "shiftleft" in x
+    assert "SortMergeJoin" not in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_countmin_sketch_is_bounded_and_broadcast(spark):
+    """Round-5 q_b_countmin_freq: the probe joins the 768-row sketch
+    via broadcast (never shuffling the panel against the corpus), and
+    the whole plan stays JVM-side."""
+    from glaciersgee_spark.operators.warehouse import q_b_countmin_freq
+
+    x = PI.executed(q_b_countmin_freq(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in x
+    assert not PI.has_python_boundary(x)
+
+
+def test_feature_hashing_is_one_expand_pass(spark):
+    """Round-5 q_e_feature_hashing: the two COUNT(DISTINCT) must share
+    one Expand (not two scans), with the doc_id sample filter pushed
+    to the parquet scan."""
+    from glaciersgee_spark.operators.text import q_e_feature_hashing
+
+    df = q_e_feature_hashing(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert x.count("Expand") >= 1
+    assert not PI.has_python_boundary(x)
+    assert any("doc_id" in p for p in PI.pushed_filters(df))
