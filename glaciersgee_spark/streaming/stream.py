@@ -123,10 +123,18 @@ def running_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the running totals each batch (update mode). The batch
     equivalent's final row per user equals this op's last emission.
     """
+    return running_counts_over(
+        read_events_stream(spark, sf_dir).select("user_id", "value")
+    )
+
+
+def running_counts_over(ev: DataFrame) -> DataFrame:
+    """The stateful per-user counter transform over any streaming
+    (user_id, value) frame — factored out so the checkpoint-restart
+    test can drive it over a staged multi-file source (state-store
+    recovery across query restarts, tests/test_streaming.py)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
     out_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),

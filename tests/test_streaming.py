@@ -238,3 +238,81 @@ def test_window_users_stream_sketch_within_tolerance(spark):
         exact, n_ev_b = want[k]
         assert n_ev == n_ev_b  # plain counts are exact in both forms
         assert abs(approx - exact) <= max(2, 0.1 * exact)
+
+
+def test_stateful_restart_resumes_from_checkpoint(spark):
+    """State-store recovery (round 5, VERDICT r4 #6): run the stateful
+    per-user counter over file A, STOP the query, add file B, restart
+    with the SAME checkpoint. The restarted run must (a) process only
+    the unseen file (source-offset recovery) and (b) resume the
+    per-user state, so every user appearing in B emits the A+B total,
+    never a B-only recount."""
+    import glob
+    import os
+    import shutil
+
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value", "event_id")
+    half_a = ev.where(F.col("event_id") % 2 == 0).select("user_id", "value")
+    half_b = ev.where(F.col("event_id") % 2 == 1).select("user_id", "value")
+
+    src = scratch_dir(prefix="ggee_rst_src_")
+    ck = scratch_dir(prefix="ggee_rst_ck_")
+    out = scratch_dir(prefix="ggee_rst_out_")
+
+    def stage(df, name: str) -> None:
+        tmp = scratch_dir(prefix="ggee_rst_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(src, name))
+
+    def run(run_id: int):
+        # memory sinks can't recover from a checkpoint; the parquet
+        # foreachBatch sink (the window_topk pattern) can
+        def sink(batch_df, batch_id: int) -> None:
+            batch_df.withColumn("run", F.lit(run_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        sdf = (
+            spark.readStream.schema("user_id long, value double")
+            .parquet(src)
+            .select("user_id", "value")
+        )
+        q = (
+            S.running_counts_over(sdf)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ck)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return q
+
+    stage(half_a, "a.parquet")
+    run(1)
+    r1 = spark.read.parquet(out).where(F.col("run") == 1)
+    assert r1.agg(F.sum("n_events")).collect()[0][0] == half_a.count() > 0
+
+    stage(half_b, "b.parquet")
+    run(2)
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.read.parquet(out)
+        .where(F.col("run") == 2)
+        .select("user_id", "n_events")
+        .collect()
+    }
+    # run 2 emits exactly the users present in B (update mode emits
+    # only changed keys), each with the resumed A+B running total
+    want = {
+        (r.user_id, r.n)
+        for r in ev.join(half_b.select("user_id").distinct(), "user_id", "semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
