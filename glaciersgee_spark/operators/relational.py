@@ -2256,3 +2256,85 @@ def q_b_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Key-sampled join-cardinality estimation (q_b_join_cardest): both
+# sides keep a key iff the shared md5 key-hash lands under the rate,
+# so a sampled key contributes its COMPLETE c1·c2 pair count and the
+# estimator is unbiased per key — skewed keys are measured exactly
+# whenever sampled (row-Bernoulli sampling would square-bias them).
+_CARD_RATE_PCT = 5
+_CARD_KEYHASH = (
+    "CAST(concat('0x', substring(md5(concat('jc:', CAST({k} AS VARCHAR))),"
+    " 1, 15)) AS BIGINT) % 100"
+)
+_CARD_KEYHASH_SPARK = (
+    "CAST(conv(substring(md5(concat('jc:', CAST({k} AS STRING))),"
+    " 1, 15), 16, 10) AS BIGINT) % 100"
+)
+
+
+@query(
+    "q_b_join_cardest",
+    oracle=f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n_samp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE {_CARD_KEYHASH.format(k='o.o_orderkey')} < {_CARD_RATE_PCT}
+    ),
+    x AS (
+      SELECT COUNT(*) AS n_exact
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(s.n_samp * {100 // _CARD_RATE_PCT} AS BIGINT) AS est_rows,
+           CAST(x.n_exact AS BIGINT) AS exact_rows,
+           CAST(floor(abs(s.n_samp * {100 // _CARD_RATE_PCT} - x.n_exact)
+                / CAST(x.n_exact AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS rel_err6
+    FROM s CROSS JOIN x
+    """,
+)
+def q_b_join_cardest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by key sampling (round 5) — the
+    what-will-this-join-cost probe run BEFORE committing a 100 TB
+    shuffle: sample 5% of JOIN KEYS (the same md5 hash gate on both
+    sides, so a sampled key keeps ALL its rows on both sides), join
+    only the survivors, scale by 1/p. Per-key completeness makes the
+    estimate Σ c1·c2 over a key sample — unbiased, and skew keys are
+    measured exactly whenever drawn (row-level Bernoulli on each side
+    would bias pair counts by p² and miss skew entirely). The hash
+    gate evaluates inside the scan stage (before any exchange), so the
+    probe shuffles ~p of the real join's rows. The exact join rides along as
+    the declared audit companion; rel_err6 is the measured estimator
+    error, identical in both engines because both sample the same md5
+    keys.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keep_o = (
+        F.expr(_CARD_KEYHASH_SPARK.format(k="o_orderkey")) < _CARD_RATE_PCT
+    )
+    keep_l = (
+        F.expr(_CARD_KEYHASH_SPARK.format(k="l_orderkey")) < _CARD_RATE_PCT
+    )
+    samp = (
+        o.where(keep_o)
+        .join(li.where(keep_l), o.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("n_samp"))
+    )
+    exact = o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    scale = 100 // _CARD_RATE_PCT
+    return (
+        samp.crossJoin(F.broadcast(exact))
+        .select(
+            (F.col("n_samp") * scale).cast("long").alias("est_rows"),
+            F.col("n_exact").cast("long").alias("exact_rows"),
+            F.expr(
+                f"CAST(floor(abs(n_samp * {scale} - n_exact)"
+                " / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)"
+                " / 1000000.0"
+            ).alias("rel_err6"),
+        )
+    )

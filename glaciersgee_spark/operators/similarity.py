@@ -24,6 +24,8 @@ accumulation error (~1e-13) — never at float32-sourced magnitudes.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -2263,4 +2265,160 @@ def q_e_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_id").isNotNull().alias("in_postfilter"),
         )
         .orderBy("rank")
+    )
+
+
+# nDCG@10 / MRR@10 machinery (q_e_retrieval_ndcg): the log2 position
+# discounts are embedded as INTEGER nano-unit literals computed once
+# here and spliced into BOTH dialects, so neither engine ever calls
+# libm log2 — the DCG sums are exact integer arithmetic end to end.
+_NDCG_K = 10
+_DISC_NANO = {i: round(1e9 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)}
+
+
+def _disc_case(col: str) -> str:
+    # BIGINT cast: (11 − rank) × ~1e9 overflows INT32 under ANSI
+    whens = " ".join(f"WHEN {i} THEN {d}" for i, d in _DISC_NANO.items())
+    return f"CAST(CASE {col} {whens} ELSE 0 END AS BIGINT)"
+
+
+_NDCG6 = (
+    "CAST(floor(coalesce(dcg_nano, 0) / CAST(idcg_nano AS DOUBLE)"
+    " * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+)
+_MRR6 = (
+    "CAST(floor(CASE WHEN first_hit IS NULL THEN CAST(0 AS DOUBLE)"
+    " ELSE CAST(1000000 AS DOUBLE) / first_hit END + 0.5) AS DOUBLE)"
+    " / 1000000.0"
+)
+
+
+@query(
+    "q_e_retrieval_ndcg",
+    oracle=f"""
+    WITH p AS (SELECT {_PF_DUCK} AS pf),
+    v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v, p),
+    bk AS (SELECT vec_id, {_DUCK_BUCKETS} AS buckets FROM d),
+    bands AS (SELECT vec_id,
+                     CAST(generate_subscripts(buckets, 1) - 1 AS BIGINT) AS band,
+                     CAST(unnest(buckets) AS BIGINT) AS bucket
+              FROM bk),
+    qb AS (SELECT vec_id AS qid, band, bucket FROM bands
+           WHERE vec_id IN {_RECALL_QIDS}),
+    cand AS (SELECT DISTINCT qb.qid, b.vec_id
+             FROM qb JOIN bands b ON qb.band = b.band AND qb.bucket = b.bucket
+             WHERE b.vec_id <> qb.qid),
+    qv AS (SELECT vec_id AS qid, ve AS qv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    ranked_a AS (
+      SELECT c.qid, c.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.qid
+               ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                        c.vec_id ASC) AS rka
+      FROM cand c JOIN v ON c.vec_id = v.vec_id JOIN qv q ON c.qid = q.qid
+    ),
+    ranked_e AS (
+      SELECT q.qid, v.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                        v.vec_id ASC) AS rke
+      FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+    ),
+    j AS (SELECT a.qid, a.rka, e.rke
+          FROM ranked_a a JOIN ranked_e e
+            ON a.qid = e.qid AND a.vec_id = e.vec_id),
+    dcg AS (
+      SELECT qid,
+             SUM(CASE WHEN rka <= {_NDCG_K} AND rke <= {_NDCG_K}
+                      THEN (11 - rke) * ({_disc_case('rka')}) ELSE 0 END)
+               AS dcg_nano,
+             MIN(CASE WHEN rka <= {_NDCG_K} AND rke <= {_NDCG_K}
+                      THEN rka END) AS first_hit
+      FROM j GROUP BY qid),
+    idcg AS (
+      SELECT qid, SUM((11 - rke) * ({_disc_case('rke')})) AS idcg_nano
+      FROM ranked_e WHERE rke <= {_NDCG_K} GROUP BY qid)
+    SELECT i.qid,
+           CAST(coalesce(d.dcg_nano, 0) AS BIGINT) AS dcg_nano,
+           CAST(i.idcg_nano AS BIGINT) AS idcg_nano,
+           {_NDCG6} AS ndcg6,
+           {_MRR6} AS mrr6
+    FROM idcg i LEFT JOIN dcg d ON i.qid = d.qid
+    ORDER BY i.qid
+    """,
+)
+def q_e_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval quality of the SRP-LSH index (round 5):
+    nDCG@10 and MRR@10 per panel query — the position-weighted
+    metrics a RAG/retrieval owner reads next to q_e_recall_curve's
+    set-overlap curve (recall says WHETHER the true neighbors
+    surface; nDCG says WHERE they land; MRR how soon the first one
+    does).
+
+    Relevance is graded by true rank (rel = 11 − exact rank for the
+    true top-10, 0 beyond), so the metric needs no external labels.
+    Reuses the whole recall-audit skeleton — one shared banding pass,
+    one candidate DISTINCT, one Arrow panel-score kernel, the same
+    (qid)-partitioned rank windows — then folds ranks into exact
+    integer DCG sums: log2 discounts ride as nano-unit literals
+    spliced into both dialects, so the only float op is the final
+    quantized DCG/IDCG division. At 100 TB the panel is a sample and
+    every stage stays cell-scoped, exactly like the recall audits."""
+    bands = _banded(spark, sf_dir)
+    qids = list(_RECALL_QIDS)
+    qb = (
+        bands.where(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qid"), "band", "bucket")
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    scores = _panel_scores(spark, sf_dir)
+    rk = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ranked_a = (
+        scores.join(cand, ["qid", "vec_id"])
+        .withColumn("rka", F.row_number().over(rk))
+        .select("qid", "vec_id", "rka")
+    )
+    ranked_e = scores.withColumn("rke", F.row_number().over(rk)).select(
+        "qid", "vec_id", "rke"
+    )
+    j = ranked_a.join(ranked_e, ["qid", "vec_id"]).select("qid", "rka", "rke")
+    in_top = (F.col("rka") <= _NDCG_K) & (F.col("rke") <= _NDCG_K)
+    dcg = j.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                in_top,
+                (F.lit(11) - F.col("rke")) * F.expr(_disc_case("rka")),
+            ).otherwise(F.lit(0))
+        ).alias("dcg_nano"),
+        F.min(F.when(in_top, F.col("rka"))).alias("first_hit"),
+    )
+    idcg = (
+        ranked_e.where(F.col("rke") <= _NDCG_K)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (F.lit(11) - F.col("rke")) * F.expr(_disc_case("rke"))
+            ).alias("idcg_nano")
+        )
+    )
+    return (
+        idcg.join(dcg, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("dcg_nano", F.lit(0)).cast("long").alias("dcg_nano"),
+            F.col("idcg_nano").cast("long").alias("idcg_nano"),
+            F.expr(_NDCG6).alias("ndcg6"),
+            F.expr(_MRR6).alias("mrr6"),
+        )
+        .orderBy("qid")
     )

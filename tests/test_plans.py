@@ -590,3 +590,31 @@ def test_feature_hashing_is_one_expand_pass(spark):
     assert x.count("Expand") >= 1
     assert not PI.has_python_boundary(x)
     assert any("doc_id" in p for p in PI.pushed_filters(df))
+
+
+def test_retrieval_ndcg_reuses_persisted_audit_subtrees(spark):
+    """Round-5 q_e_retrieval_ndcg: rides the shared banding/panel
+    caches like the recall audits — cached subtrees read back, no
+    cartesian beyond the declared 5-row panel broadcast, bounded
+    shuffle count."""
+    from glaciersgee_spark.operators.similarity import q_e_retrieval_ndcg
+
+    df = q_e_retrieval_ndcg(spark, SF_SMOKE)
+    f = PI.formatted(df)
+    x = PI.executed(df)
+    assert PI.count_shuffles(f) <= 12
+    assert "CartesianProduct" not in x
+    assert "InMemoryTableScan" in x or "TableCacheQueryStage" in x
+
+
+def test_join_cardest_samples_before_the_join(spark):
+    """Round-5 q_b_join_cardest: the md5 key gate must sit in the scan
+    stage of BOTH sampled inputs (two md5 filters ahead of the sampled
+    join), with the 1-row aggregates merged by broadcast, and no
+    Python boundary."""
+    from glaciersgee_spark.operators.relational import q_b_join_cardest
+
+    x = PI.executed(q_b_join_cardest(spark, SF_SMOKE))
+    assert x.count("md5") >= 2
+    assert "BroadcastNestedLoopJoin" in x or "BroadcastHashJoin" in x
+    assert not PI.has_python_boundary(x)
