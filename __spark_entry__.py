@@ -96,7 +96,8 @@ _DRIVER_VERIFIED = {
 # New in round 5 — first-time driver evidence wanted.
 _R5_NEW: tuple[str, ...] = (
     "q_b_join_bloom", "q_b_countmin_freq", "q_e_feature_hashing",
-    "q_e_retrieval_ndcg", "q_b_join_cardest",
+    "q_e_retrieval_ndcg", "q_b_join_cardest", "q_b_scan_binary",
+    "q_b_scan_pysource",
 )
 
 # Never driver-checked (61 after folding the r4 greens), fronted in

@@ -2338,3 +2338,123 @@ def q_b_join_cardest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err6"),
         )
     )
+
+
+@query(
+    "q_b_scan_binary",
+    oracle="""
+    WITH lines AS (
+      SELECT o_orderkey % 4 AS bucket,
+             concat('ORD|', CAST(o_orderkey AS VARCHAR), '|',
+                    o_orderstatus) AS line,
+             o_orderkey
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    SELECT bucket,
+           CAST(strlen(string_agg(line, chr(10) ORDER BY o_orderkey)
+                       || chr(10)) AS BIGINT) AS n_bytes,
+           md5(string_agg(line, chr(10) ORDER BY o_orderkey) || chr(10))
+             AS content_md5
+    FROM lines GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_b_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source (round 5) — the opaque-artifact ingest path
+    the multimodal stack (operators/multimodal.py) assumes: whole
+    files arrive as (path, length, content BINARY) rows, exactly how
+    image/audio shards enter a training pipeline before any decode
+    UDF runs.
+
+    Round-trip: stage 4 deterministic text shards (bucket = key % 4;
+    repartition(bucket) puts each bucket in ONE task and
+    sortWithinPartitions fixes the line order, so every shard's bytes
+    are reproducible), read them back with `format("binaryFile")`,
+    and emit per shard the byte length plus the md5 content digest —
+    the manifest a multimodal ingest writes for integrity checking.
+    The oracle reconstructs each shard's exact bytes from the parquet
+    source, so a wrong byte anywhere breaks the digest. At 100 TB
+    binaryFile scans parallelize per file and never materialize
+    content twice; the digest is computed stream-side per file.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 9 == 0)
+    out = scratch_dir(prefix="ggee_bin_")
+    (
+        o.select(
+            (F.col("o_orderkey") % 4).alias("bucket"),
+            F.concat_ws(
+                "|",
+                F.lit("ORD"),
+                F.col("o_orderkey").cast("string"),
+                "o_orderstatus",
+            ).alias("value"),
+            "o_orderkey",
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("o_orderkey")
+        .select("bucket", "value")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .text(out)
+    )
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(out)
+        .select(
+            F.regexp_extract("path", r"bucket=(\d+)", 1)
+            .cast("long")
+            .alias("bucket"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_b_scan_pysource",
+    oracle="""
+    WITH m AS (
+      SELECT sid AS scene_id,
+             CAST(sid % 36 AS INT) AS tile_x,
+             CAST((sid // 36) % 18 AS INT) AS tile_y,
+             CAST(sid % 16 AS INT) AS day,
+             ((sid * 37) % 1000) / 10.0 AS cloud_pct
+      FROM generate_series(0, 399) t(sid)
+    )
+    SELECT day, COUNT(*) AS n_scenes,
+           CAST(SUM(CASE WHEN cloud_pct < 20.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clear,
+           round(MIN(cloud_pct), 1) AS min_cloud
+    FROM m GROUP BY day ORDER BY day
+    """,
+)
+def q_b_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the PySpark 4 Python Data Source API
+    (round 5, sources/pysource.py): register a user-defined batch
+    source, scan its 4 declared InputPartitions executor-side, and
+    aggregate on top — the protocol for ingesting from systems with no
+    built-in source (REST catalogs, instrument feeds). The source is a
+    deterministic integer-arithmetic scene-manifest generator, so the
+    oracle regenerates the same rows from generate_series; what parity
+    verifies is the connector path (schema declaration, partition
+    planning, per-partition iteration, type mapping) end to end. At
+    100 TB partitions() returns the real split set and each executor
+    streams only its shard — same contract as any V2 source.
+    """
+    from glaciersgee_spark.sources.pysource import SceneManifestDataSource
+
+    # idempotent per session: re-registering replaces the entry
+    spark.dataSource.register(SceneManifestDataSource)
+    m = spark.read.format("ggee_scene_manifest").load()
+    return (
+        m.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_scenes"),
+            F.sum(F.when(F.col("cloud_pct") < 20.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clear"),
+            F.round(F.min("cloud_pct"), 1).alias("min_cloud"),
+        )
+        .orderBy("day")
+    )

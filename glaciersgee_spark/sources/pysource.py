@@ -1,0 +1,61 @@
+"""Custom connector via the PySpark 4 Python Data Source API.
+
+The one source surface the scan family (q_b_scan_*) didn't yet cover:
+a user-defined batch connector (`pyspark.sql.datasource.DataSource`)
+— the public API for "read from a system Spark has no built-in source
+for" (a REST catalog, an instrument feed, an in-house manifest
+service). Spark plans it like any source: `partitions()` declares the
+split set (here 4), each executor pulls only its `InputPartition`
+through `read()`, and the rows enter the plan as ordinary columns —
+filters/projections compose on top.
+
+This instance is a deterministic synthetic scene-manifest generator
+(pure integer arithmetic per scene id), so the DuckDB oracle can
+regenerate the identical rows from generate_series — the connector
+protocol is what's under test, not the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+ROWS_PER_PART = 100
+N_PARTS = 4
+
+
+class SceneManifestDataSource(DataSource):
+    """4-partition deterministic scene manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ggee_scene_manifest"
+
+    def schema(self) -> str:
+        return (
+            "scene_id BIGINT, tile_x INT, tile_y INT, day INT,"
+            " cloud_pct DOUBLE"
+        )
+
+    def reader(self, schema) -> "SceneManifestReader":
+        return SceneManifestReader()
+
+
+class SceneManifestReader(DataSourceReader):
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(N_PARTS)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        base = partition.value * ROWS_PER_PART
+        for i in range(ROWS_PER_PART):
+            sid = base + i
+            # pure integer derivations; int/10.0 is one correctly-
+            # rounded IEEE division — identical in the SQL oracle
+            yield (
+                sid,
+                sid % 36,
+                (sid // 36) % 18,
+                sid % 16,
+                ((sid * 37) % 1000) / 10.0,
+            )

@@ -618,3 +618,31 @@ def test_join_cardest_samples_before_the_join(spark):
     assert x.count("md5") >= 2
     assert "BroadcastNestedLoopJoin" in x or "BroadcastHashJoin" in x
     assert not PI.has_python_boundary(x)
+
+
+def test_scan_binary_reads_whole_files(spark):
+    """Round-5 q_b_scan_binary: the binaryFile source must appear in
+    the plan (whole-file rows), with the digest computed JVM-side."""
+    from glaciersgee_spark.operators.relational import q_b_scan_binary
+
+    df = q_b_scan_binary(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "binaryFile" in x or "content" in x
+    assert not PI.has_python_boundary(x)
+    assert df.count() == 4
+
+
+def test_scan_pysource_plans_declared_partitions(spark):
+    """Round-5 q_b_scan_pysource: the custom Python source must plan
+    its 4 declared InputPartitions (checked via the source RDD's
+    partition count) and feed an ordinary combinable aggregate."""
+    from glaciersgee_spark.sources.pysource import (
+        N_PARTS,
+        ROWS_PER_PART,
+        SceneManifestDataSource,
+    )
+
+    spark.dataSource.register(SceneManifestDataSource)
+    m = spark.read.format("ggee_scene_manifest").load()
+    assert m.rdd.getNumPartitions() == N_PARTS
+    assert m.count() == N_PARTS * ROWS_PER_PART
