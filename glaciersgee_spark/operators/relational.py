@@ -2393,6 +2393,9 @@ def q_b_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("o_orderkey")
         .select("bucket", "value")
         .write.mode("overwrite")
+        # pin: a session-level default codec would change the bytes
+        # the digest manifest is defined over
+        .option("compression", "none")
         .partitionBy("bucket")
         .text(out)
     )

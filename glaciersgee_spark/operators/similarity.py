@@ -2335,8 +2335,7 @@ _MRR6 = (
              SUM(CASE WHEN rka <= {_NDCG_K} AND rke <= {_NDCG_K}
                       THEN (11 - rke) * ({_disc_case('rka')}) ELSE 0 END)
                AS dcg_nano,
-             MIN(CASE WHEN rka <= {_NDCG_K} AND rke <= {_NDCG_K}
-                      THEN rka END) AS first_hit
+             MIN(CASE WHEN rke = 1 THEN rka END) AS first_hit
       FROM j GROUP BY qid),
     idcg AS (
       SELECT qid, SUM((11 - rke) * ({_disc_case('rke')})) AS idcg_nano
@@ -2355,8 +2354,9 @@ def q_e_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nDCG@10 and MRR@10 per panel query — the position-weighted
     metrics a RAG/retrieval owner reads next to q_e_recall_curve's
     set-overlap curve (recall says WHETHER the true neighbors
-    surface; nDCG says WHERE they land; MRR how soon the first one
-    does).
+    surface; nDCG says WHERE they land; MRR is the reciprocal system
+    rank of the TRUE nearest neighbor — the single-relevant-item
+    form, 0 when banding drops it entirely).
 
     Relevance is graded by true rank (rel = 11 − exact rank for the
     true top-10, 0 beyond), so the metric needs no external labels.
@@ -2400,7 +2400,7 @@ def q_e_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(11) - F.col("rke")) * F.expr(_disc_case("rka")),
             ).otherwise(F.lit(0))
         ).alias("dcg_nano"),
-        F.min(F.when(in_top, F.col("rka"))).alias("first_hit"),
+        F.min(F.when(F.col("rke") == 1, F.col("rka"))).alias("first_hit"),
     )
     idcg = (
         ranked_e.where(F.col("rke") <= _NDCG_K)

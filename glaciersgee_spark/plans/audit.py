@@ -75,6 +75,15 @@ HEADLINERS = [
     ("q_e_zipf_slope", "round-4 rewrite: distributed TakeOrdered top-1000, re-rank after the cut"),
     ("q_e_fuzzy_vocab", "symmetric-delete blocking: variant-key equi-join + levenshtein verify"),
     ("q_e_cc_stars", "star-contraction round: min-aggregates + join, no driver convergence action"),
+    ("q_d_lateness_audit", "round-5 rewrite: two-phase chunked prefix max — per-hour windows parallel, SinglePartition only over chunk maxima"),
+    ("q_e_graph_triangles", "round-5 rewrite: (degree, id)-oriented wedges — hub out-degree 0, O(√E) bound"),
+    ("q_b_join_bloom", "8 KiB bit_or bloom word table broadcast-probes the fact before the exact join"),
+    ("q_b_countmin_freq", "768-counter CM sketch: map-side combinable build, broadcast probe, MIN fold"),
+    ("q_e_feature_hashing", "one explode + one combinable groupBy; both COUNT(DISTINCT) share one Expand"),
+    ("q_e_retrieval_ndcg", "shared banding/panel caches; integer nano-unit DCG sums, one quantized division"),
+    ("q_b_join_cardest", "md5 key gate in both scan stages; sampled join shuffles ~p of the real join"),
+    ("q_b_scan_binary", "whole-file binaryFile rows; JVM-side md5 digest per shard"),
+    ("q_b_scan_pysource", "custom Python source: 4 declared InputPartitions feed a combinable aggregate"),
 ]
 
 
