@@ -2159,3 +2159,104 @@ def q_e_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gcc6"),
         )
     )
+
+
+_PR_ROUNDS = 3
+_PR_DAMP_PCT = 85  # d = 0.85 as integer percent — exact in both engines
+
+
+def _duck_pagerank_ctes() -> str:
+    """Unrolled integer-PageRank rounds for the oracle (r0 → r3)."""
+    parts = [
+        "deg AS (SELECT u, COUNT(*) AS d FROM ue GROUP BY u)",
+        "r0 AS (SELECT u AS n, CAST(1000000 AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, _PR_ROUNDS + 1):
+        parts.append(
+            f"c{i} AS (SELECT ue.v, SUM(r{i - 1}.r // deg.d) AS s"
+            f" FROM ue JOIN r{i - 1} ON ue.u = r{i - 1}.n"
+            " JOIN deg ON ue.u = deg.u GROUP BY ue.v)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT deg.u AS n,"
+            f" CAST(150000 + ({_PR_DAMP_PCT} * COALESCE(c{i}.s, 0)) // 100"
+            f" AS BIGINT) AS r"
+            f" FROM deg LEFT JOIN c{i} ON deg.u = c{i}.v)"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_e_graph_pagerank",
+    oracle=f"""
+    WITH {_DUCK_MD5_CTES},
+    ue AS (
+      SELECT id_a AS u, id_b AS v FROM mpairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM mpairs
+    ),
+    {_duck_pagerank_ctes()}
+    SELECT r{_PR_ROUNDS}.n AS doc_id,
+           CAST(r{_PR_ROUNDS}.r AS BIGINT) AS rank_micro,
+           CAST(deg.d AS BIGINT) AS degree
+    FROM r{_PR_ROUNDS} JOIN deg ON r{_PR_ROUNDS}.n = deg.u
+    ORDER BY doc_id
+    """,
+)
+def q_e_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality on the near-dup graph (round 5) — completes
+    the graph-analytics trio next to q_e_cc_stars (components) and
+    q_e_graph_triangles (clique quality): within a dup cluster, the
+    highest-rank node is the canonical-representative pick that keeps
+    the copy other documents are closest to, instead of an arbitrary
+    min-id.
+
+    _PR_ROUNDS (3) damped rounds (d = 0.85) in EXACT INTEGER micro-units
+    — contribution = rank div degree, update = 150000 + (85·Σ) div 100
+    — because float PageRank sums are partition-order-dependent and
+    would hash-drift cross-engine (the SIMHASH/dsum lesson applied to
+    an iterative kernel). This is the unnormalized random-surfer form
+    (×10⁶, per-node teleport mass): ranks compare WITHIN the graph,
+    which is all representative-picking needs. Each round is one
+    co-partitioned join + one combinable groupBy on the same key — at
+    100 TB this is rounds × (join + agg) on a pairs table that LSH
+    already bounded, never a matrix materialization. Dangling nodes
+    cannot exist (the symmetrized graph gives every node degree ≥ 1).
+    """
+    pairs = q_e_dedup_near_md5(spark, sf_dir).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).distinct()
+    return integer_pagerank(pairs).orderBy("doc_id")
+
+
+def integer_pagerank(pairs: DataFrame, rounds: int = _PR_ROUNDS) -> DataFrame:
+    """Exact-integer damped PageRank over canonical (u, v) edges →
+    (doc_id, rank_micro, degree). See q_e_graph_pagerank for the
+    arithmetic contract; unit-tested on star/ring graphs."""
+    ue = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = ue.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    rank = deg.select(F.col("u").alias("n"), F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(rounds):
+        contrib = (
+            ue.join(rank, ue.u == rank.n)
+            .join(deg, "u")
+            .select("v", F.expr("r div d").alias("c"))
+        )
+        inbox = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        rank = (
+            deg.join(inbox, deg.u == inbox.v, "left")
+            .select(
+                F.col("u").alias("n"),
+                F.expr(
+                    f"CAST(150000 + ({_PR_DAMP_PCT} * coalesce(s, 0))"
+                    " div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return rank.join(deg, rank.n == deg.u).select(
+        F.col("n").alias("doc_id"),
+        F.col("r").alias("rank_micro"),
+        F.col("d").cast("long").alias("degree"),
+    )

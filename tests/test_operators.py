@@ -1447,3 +1447,23 @@ def test_star_components_converges_on_chains(spark):
     want = {(i, 0) for i in range(41)}
     want |= {(100, 100), (101, 100), (103, 100), (200, 200), (250, 200)}
     assert got == want
+
+
+def test_integer_pagerank_star_and_ring(spark):
+    """Round-5 q_e_graph_pagerank kernel: on a star K1,10 the hub must
+    outrank every spoke (it absorbs all spoke mass); on a 6-ring every
+    node has identical rank (symmetry — any divergence means the
+    integer update is order-dependent, the exact bug the micro-unit
+    arithmetic exists to prevent)."""
+    from glaciersgee_spark.operators.dedup import integer_pagerank
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 11)], "u long, v long")
+    rows = {r.doc_id: r.rank_micro for r in integer_pagerank(star).collect()}
+    assert all(rows[0] > rows[i] for i in range(1, 11))
+    assert len(set(rows[i] for i in range(1, 11))) == 1  # spokes identical
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "u long, v long"
+    )
+    ranks = {r.rank_micro for r in integer_pagerank(ring).collect()}
+    assert len(ranks) == 1
