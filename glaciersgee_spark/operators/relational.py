@@ -2247,8 +2247,11 @@ def q_b_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderpriority", "o_totalprice"
     )
     cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    # no broadcast hint on the exact join: at 100 TB the filtered dim
+    # is exactly the side too big to broadcast (that's why the bloom
+    # exists) — AQE picks broadcast locally, shuffle at scale
     return (
-        passed.join(F.broadcast(dim), passed.o_custkey == dim.c_custkey)
+        passed.join(dim, passed.o_custkey == dim.c_custkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

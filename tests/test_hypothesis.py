@@ -266,3 +266,105 @@ def test_two_phase_prefix_sum_equals_naive(spark, sizes):
         .collect()
     }
     assert got == naive
+
+
+@st.composite
+def _key_sets(draw):
+    dim = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1,
+            max_size=30,
+            unique=True,
+        )
+    )
+    fact = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    return dim, fact
+
+
+@given(_key_sets())
+@_SET
+def test_bloom_word_table_has_no_false_negatives(spark, ks):
+    """Round-5 q_b_join_bloom kernel property: for ARBITRARY dim/fact
+    key sets, every fact key that IS in the dim must pass the bloom
+    bit tests — a false negative anywhere breaks the exactness claim
+    the oracle relies on."""
+    dim_keys, fact_keys = ks
+    m_bits = 1 << 16
+    seeds = (0x51ED, 0xB10C)
+
+    def bitpos(key, seed):
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k long")
+    bits = (
+        dim.select(
+            F.explode(F.array(*[bitpos(F.col("k"), s) for s in seeds])).alias("p")
+        )
+        .select(
+            F.expr("p div 64").alias("bf_w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("bf_m"),
+        )
+        .groupBy("bf_w")
+        .agg(F.bit_or("bf_m").alias("bf_m"))
+    )
+    probe = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+    hit = F.lit(True)
+    for i, s in enumerate(seeds):
+        probe = probe.withColumn(f"p{i}", bitpos(F.col("k"), s)).join(
+            bits.select(
+                F.col("bf_w").alias(f"bf_w{i}"), F.col("bf_m").alias(f"bf_m{i}")
+            ),
+            F.expr(f"p{i} div 64") == F.col(f"bf_w{i}"),
+            "left",
+        )
+        bit = F.expr(f"shiftleft(1L, CAST(p{i} % 64 AS INT))")
+        hit = hit & (F.col(f"bf_m{i}").bitwiseAND(bit) != 0)
+    passed = {r.k for r in probe.where(hit).select("k").collect()}
+    assert set(fact_keys) & set(dim_keys) <= passed
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=80)
+)
+@_SET
+def test_countmin_estimate_is_one_sided(spark, keys):
+    """Round-5 q_b_countmin_freq kernel property: for ARBITRARY key
+    multisets, min-over-rows of the bucket counts is ≥ the true
+    frequency of every key (collisions only ADD)."""
+    df = spark.createDataFrame(
+        [(str(k),) for k in keys], "k string"
+    )
+    bkt = (
+        "CAST(conv(substring(md5(concat('cm', CAST(i AS STRING), ':', k)),"
+        " 1, 15), 16, 10) AS BIGINT) % 256"
+    )
+    idx = F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("i")
+    sketch = (
+        df.select("k", idx)
+        .select("i", F.expr(bkt).alias("bkt"))
+        .groupBy("i", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = (
+        df.distinct()
+        .select("k", idx)
+        .select("k", "i", F.expr(bkt).alias("bkt"))
+    )
+    est = {
+        r.k: r.e
+        for r in probes.join(sketch, ["i", "bkt"])
+        .groupBy("k")
+        .agg(F.min("n").alias("e"))
+        .collect()
+    }
+    from collections import Counter
+
+    truth = Counter(str(k) for k in keys)
+    assert all(est[k] >= n for k, n in truth.items())
