@@ -2422,3 +2422,164 @@ def q_e_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_PROBE_GRID = (1, 2, 4, 8)
+
+
+@query(
+    "q_e_ivf_probe_curve",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v
+          WHERE vec_id BETWEEN 1 AND {IVF_NLIST}),
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT v.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                        ORDER BY {_d_cos6('v.ve', 'c.cv', 'v.nrm', 'c.cn')} DESC,
+                                 c.cid ASC) AS rk
+               FROM v, c) WHERE rk = 1),
+    qv AS (SELECT vec_id AS qid, ve AS qv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    qrk AS (SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY {_d_cos6('c.cv', 'q.qv', 'c.cn', 'q.qn')} DESC,
+                              c.cid ASC) AS prank
+            FROM c, qv q),
+    cand AS (SELECT q.qid, cell.vec_id, q.prank
+             FROM qrk q JOIN cell ON cell.cid = q.cid
+             WHERE q.prank <= {max(_PROBE_GRID)} AND cell.vec_id <> q.qid),
+    scored AS (SELECT cd.qid, cd.vec_id, cd.prank,
+                      {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+               FROM cand cd JOIN v ON cd.vec_id = v.vec_id
+               JOIN qv q ON cd.qid = q.qid),
+    grid AS (SELECT q.qid, g.p FROM qv q
+             CROSS JOIN (VALUES {', '.join(f'({p})' for p in _PROBE_GRID)}) g(p)),
+    ranked_a AS (SELECT g.qid, g.p, s.vec_id,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY g.qid, g.p
+                          ORDER BY s.score DESC, s.vec_id ASC) AS rka
+                 FROM grid g JOIN scored s
+                   ON s.qid = g.qid AND s.prank <= g.p),
+    exact AS (SELECT qid, vec_id FROM (
+                SELECT q.qid, v.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                                  v.vec_id ASC) AS rk
+                FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+              ) WHERE rk <= {_RECALL_K}),
+    ncand AS (SELECT qid, p, COUNT(*) AS n_cand
+              FROM grid JOIN scored s USING (qid)
+              WHERE s.prank <= grid.p GROUP BY qid, p),
+    hits AS (SELECT a.qid, a.p, COUNT(*) AS n_hit
+             FROM ranked_a a JOIN exact e
+               ON a.qid = e.qid AND a.vec_id = e.vec_id
+             WHERE a.rka <= {_RECALL_K} GROUP BY a.qid, a.p)
+    SELECT g.qid, CAST(g.p AS INT) AS nprobe,
+           CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / CAST({_RECALL_K} AS DOUBLE), 6)
+             AS recall6
+    FROM grid g
+    LEFT JOIN ncand nc ON g.qid = nc.qid AND g.p = nc.p
+    LEFT JOIN hits h ON g.qid = h.qid AND g.p = h.p
+    ORDER BY g.qid, nprobe
+    """,
+)
+def q_e_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs nprobe CURVE for the IVF index (round 5):
+    nprobe ∈ {1, 2, 4, 8} per panel query in one pass — the
+    operating curve q_e_recall_curve gives LSH, for the OTHER index
+    family, and the tuning artifact q_e_ivf_recall's fixed nprobe=4
+    point sits on. Read with q_e_ann_cost (candidate volume per
+    probe), this answers the real sizing question: how many cells
+    must I scan before recall flattens?
+
+    Plan: ONE cell-assignment pass (broadcast 16 centroids), ONE
+    query-cell rank (5×16 broadcast), candidates carry their cell's
+    probe rank, and a single (qid, nprobe)-partitioned rank window
+    over the grid-expanded candidates scores all four curve points —
+    measurement cost grows with Σ probed cells, not with the curve's
+    resolution. Exact side reuses the shared Arrow panel scores. The
+    emitted n_cand per probe level is the cost axis of the same
+    curve."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id").between(1, IVF_NLIST)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cell = (
+        fan_out(e, "vec_id")
+        .join(F.broadcast(cent))
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cscore"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cscore").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    qids = list(_RECALL_QIDS)
+    qv = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("qscore").desc(), F.col("cid").asc()
+    )
+    qrk = (
+        cent.join(F.broadcast(qv))
+        .select("qid", "cid", _cos6("cemb", "qemb").alias("qscore"))
+        .withColumn("prank", F.row_number().over(wq))
+        .where(F.col("prank") <= max(_PROBE_GRID))
+        .select("qid", "cid", "prank")
+    )
+    cand = (
+        cell.join(F.broadcast(qrk), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "prank")
+    )
+    scores = _panel_scores(spark, sf_dir)
+    scored = cand.join(scores, ["qid", "vec_id"]).persist()
+    grid = qv.select(
+        "qid",
+        F.explode(F.array(*[F.lit(p) for p in _PROBE_GRID])).alias("p"),
+    )
+    expanded = grid.join(scored, "qid").where(F.col("prank") <= F.col("p"))
+    rka_w = Window.partitionBy("qid", "p").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ranked_a = expanded.withColumn("rka", F.row_number().over(rka_w))
+    rk = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scores.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    ncand = expanded.groupBy("qid", "p").agg(F.count(F.lit(1)).alias("n_cand"))
+    hits = (
+        ranked_a.where(F.col("rka") <= _RECALL_K)
+        .join(exact, ["qid", "vec_id"])
+        .groupBy("qid", "p")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        grid.join(ncand, ["qid", "p"], "left")
+        .join(hits, ["qid", "p"], "left")
+        .select(
+            "qid",
+            F.col("p").cast("int").alias("nprobe"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6
+            ).alias("recall6"),
+        )
+        .orderBy("qid", "nprobe")
+    )

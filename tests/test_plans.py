@@ -646,3 +646,24 @@ def test_scan_pysource_plans_declared_partitions(spark):
     m = spark.read.format("ggee_scene_manifest").load()
     assert m.rdd.getNumPartitions() == N_PARTS
     assert m.count() == N_PARTS * ROWS_PER_PART
+
+
+def test_ivf_probe_curve_single_grid_window(spark):
+    """Round-5 q_e_ivf_probe_curve: all four curve points ride ONE
+    (qid, nprobe)-partitioned rank window over the grid-expanded
+    candidates (never a per-nprobe re-scan), no cartesian, Arrow panel
+    kernel is the only Python boundary."""
+    from glaciersgee_spark.operators.similarity import q_e_ivf_probe_curve
+
+    df = q_e_ivf_probe_curve(spark, SF_SMOKE)
+    x = PI.executed(df)
+    assert "CartesianProduct" not in x
+    assert x.count("windowspecdefinition(qid#") >= 1
+    rows = df.collect()
+    # recall is monotone non-decreasing in nprobe per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.nprobe, r.n_hit))
+    for q, pts in by_q.items():
+        hs = [h for _, h in sorted(pts)]
+        assert hs == sorted(hs), (q, hs)
