@@ -98,6 +98,7 @@ _R5_NEW: tuple[str, ...] = (
     "q_b_join_bloom", "q_b_countmin_freq", "q_e_feature_hashing",
     "q_e_retrieval_ndcg", "q_b_join_cardest", "q_b_scan_binary",
     "q_b_scan_pysource", "q_e_graph_pagerank", "q_e_ivf_probe_curve",
+    "q_e_semdedup_sweep",
 )
 
 # Never driver-checked (61 after folding the r4 greens), fronted in

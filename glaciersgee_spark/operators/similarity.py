@@ -2583,3 +2583,94 @@ def q_e_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "nprobe")
     )
+
+
+_SEM_GRID = (0.2, 0.3, 0.4, 0.5)
+
+
+@query(
+    "q_e_semdedup_sweep",
+    oracle=f"""
+    WITH {_KM_CTES},
+    pairs AS (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+             {_d_cos6('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} AS cos
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v x ON a.vec_id = x.vec_id JOIN v y ON b.vec_id = y.vec_id
+      WHERE {_d_cos6('x.ve', 'y.ve', 'x.nrm', 'y.nrm')} >= {min(_SEM_GRID)}
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings),
+    grid AS (SELECT CAST(eps AS DOUBLE) AS eps
+             FROM (VALUES {', '.join(f'({e})' for e in _SEM_GRID)}) g(eps))
+    SELECT g.eps,
+           CAST(COUNT(*) FILTER (WHERE p.cos >= g.eps) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.cos >= g.eps THEN p.id_b END)
+                AS BIGINT) AS n_dropped,
+           CAST(floor((CAST(1 AS DOUBLE)
+                 - COUNT(DISTINCT CASE WHEN p.cos >= g.eps THEN p.id_b END)
+                   / CAST(n.n_vec AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS kept_frac6
+    FROM grid g CROSS JOIN n LEFT JOIN pairs p ON true
+    GROUP BY g.eps, n.n_vec
+    ORDER BY g.eps
+    """,
+)
+def q_e_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold SWEEP (round 5): pairs, dropped docs and
+    kept-fraction at ε ∈ {0.2, 0.3, 0.4, 0.5} — the corpus-sizing
+    knob behind q_e_semdedup's fixed ε=0.4: SemDeDup's headline
+    result is exactly this curve (how much data ε removes vs how much
+    quality survives), and a pipeline owner picks ε from it, not from
+    a default. Completes the tuning-curve family: lsh_tuning (banding
+    configs), recall_curve (LSH k), ivf_probe_curve (IVF probes),
+    THIS (embedding-dedup ε).
+
+    One pass: the in-cell pair set is scored ONCE at the loosest ε;
+    every curve point is a conditional aggregate over the same pairs
+    (COUNT FILTER + conditional DISTINCT share one Expand) — cost is
+    the ε=min pair set, not 4 re-scans. Left join keeps the grid
+    total even if a cell yields no pairs (the empty-crossJoin trap).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    asg = asg.join(e.select("vec_id", "embedding"), "vec_id")
+    a = asg.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = asg.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (a["cid"] == b["cid_b"]) & (a["id_a"] < b["id_b"]))
+        .select("id_b", _cos6("ea", "eb").alias("cos"))
+        .where(F.col("cos") >= min(_SEM_GRID))
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n_vec"))
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(x)) for x in _SEM_GRID])
+        ).alias("eps")
+    )
+    hit = F.col("cos") >= F.col("eps")
+    return (
+        grid.crossJoin(F.broadcast(n))
+        .join(pairs, F.lit(True), "left")
+        .groupBy("eps", "n_vec")
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("id_b"))).alias("n_dropped"),
+        )
+        .select(
+            "eps",
+            "n_pairs",
+            "n_dropped",
+            F.expr(
+                "CAST(floor((CAST(1 AS DOUBLE)"
+                " - n_dropped / CAST(n_vec AS DOUBLE)) * 1000000.0 + 0.5)"
+                " AS DOUBLE) / 1000000.0"
+            ).alias("kept_frac6"),
+        )
+        .orderBy("eps")
+    )

@@ -1467,3 +1467,25 @@ def test_integer_pagerank_star_and_ring(spark):
     )
     ranks = {r.rank_micro for r in integer_pagerank(ring).collect()}
     assert len(ranks) == 1
+
+
+def test_semdedup_sweep_curve_is_monotone(spark):
+    """Round-5 q_e_semdedup_sweep: tighter epsilon keeps more — n_pairs
+    and n_dropped non-increasing in eps, kept_frac6 non-decreasing, and
+    the eps=0.4 point agrees with q_e_semdedup's dropped-doc count."""
+    from glaciersgee_spark.operators.similarity import (
+        q_e_semdedup,
+        q_e_semdedup_sweep,
+    )
+
+    rows = sorted(
+        q_e_semdedup_sweep(spark, SF_SMOKE).collect(), key=lambda r: r.eps
+    )
+    pairs = [r.n_pairs for r in rows]
+    dropped = [r.n_dropped for r in rows]
+    kept = [r.kept_frac6 for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert dropped == sorted(dropped, reverse=True)
+    assert kept == sorted(kept)
+    at_04 = next(r for r in rows if abs(r.eps - 0.4) < 1e-9)
+    assert at_04.n_dropped == q_e_semdedup(spark, SF_SMOKE).count()
