@@ -98,7 +98,9 @@ _R5_NEW: tuple[str, ...] = (
     "q_b_join_bloom", "q_b_countmin_freq", "q_e_feature_hashing",
     "q_e_retrieval_ndcg", "q_b_join_cardest", "q_b_scan_binary",
     "q_b_scan_pysource", "q_e_graph_pagerank", "q_e_ivf_probe_curve",
-    "q_e_semdedup_sweep",
+    "q_e_semdedup_sweep", "q_e_weighted_sample", "q_e_dpo_pairs",
+    "q_e_minhash_union", "q_e_quality_calibration", "q_b_skyline",
+    "q_b_join_interval", "q_e_knn_classify",
 )
 
 # Never driver-checked (61 after folding the r4 greens), fronted in

@@ -653,3 +653,334 @@ def q_e_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_weighted_sample (round 5)
+# ---------------------------------------------------------------------------
+
+_WS_N = 200  # systematic picks per corpus
+
+
+@query(
+    "q_e_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars AS w,
+             SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM documents
+    ),
+    t AS (SELECT SUM(n_chars) AS wt FROM documents)
+    SELECT doc_id, CAST(w AS BIGINT) AS weight,
+           CAST((c * {_WS_N}) // wt - ((c - w) * {_WS_N}) // wt AS BIGINT)
+             AS n_picks,
+           CAST((c * {_WS_N}) // wt AS BIGINT) AS last_pick_idx
+    FROM d, t
+    WHERE (c * {_WS_N}) // wt > ((c - w) * {_WS_N}) // wt
+    ORDER BY doc_id
+    """,
+)
+def q_e_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling: the
+    deterministic weighted-sampling stage a mixture pipeline uses to
+    draw a fixed-size training subset where selection probability is
+    proportional to document weight (here n_chars, the token-budget
+    proxy). Doc i is picked when the cumulative-weight interval
+    (C_{{i-1}}, C_i] crosses one of N equally-spaced thresholds
+    j*W/N — pure integer arithmetic (selected iff
+    floor(C_i*N/W) > floor(C_{{i-1}}*N/W)), so both engines agree
+    bit-for-bit with no RNG and no float thresholds. Heavy docs that
+    straddle several thresholds report multiplicity in n_picks — the
+    with-replacement PPS semantics.
+
+    Scale: the cumulative sum is NOT a single-partition window — it is
+    the q_b_sort two-phase prefix pattern (relational.py:853): chunk
+    by doc_id div 4096 (monotone with the order, so boundaries never
+    split it), partition-parallel within-chunk running sums, then a
+    prefix over the |chunks|-row totals only, broadcast back. C_i*N
+    stays in BIGINT up to W ≈ 4.6e16 (100 TB of text ≈ 1e14 chars —
+    within range; past that the multiply moves to DECIMAL(38,0) with
+    this plan shape unchanged).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    chunked = d.withColumn("ch", F.expr("doc_id div 4096"))
+    w_in = (
+        Window.partitionBy("ch")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = chunked.withColumn("cw", F.sum("w").over(w_in))
+    totals = chunked.groupBy("ch").agg(F.sum("w").alias("ctot"))
+    w_c = Window.orderBy("ch").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("ch", "off")
+    wt = d.agg(F.sum("w").alias("wt"))
+    cum = (
+        within.join(F.broadcast(offsets), "ch")
+        .withColumn("c", F.col("off") + F.col("cw"))
+        .crossJoin(F.broadcast(wt))
+    )
+    hi = F.expr(f"(c * {_WS_N}) div wt")
+    lo = F.expr(f"((c - w) * {_WS_N}) div wt")
+    return (
+        cum.where(hi > lo)
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            (hi - lo).alias("n_picks"),
+            hi.alias("last_pick_idx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_dpo_pairs (round 5)
+# ---------------------------------------------------------------------------
+
+# Composite argmax encoding: score_ppm * 1e8 + doc_id packs (score, id)
+# into one BIGINT so min/max are combinable single-pass aggregates with
+# a deterministic id tie-break in BOTH engines (DuckDB arg_max leaves
+# ties unspecified). Requires doc_id < 1e8 — asserted in the lint test;
+# at larger id domains the encoding widens to DECIMAL(38,0) unchanged.
+_DPO_ENC = 100_000_000
+_DPO_MARGIN_PPM = 50_000  # ≥ 5-point distinct-ratio gap
+
+
+@query(
+    "q_e_dpo_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             len(list_distinct(string_split(text, ' '))) * 1000000
+               // len(string_split(text, ' ')) AS score_ppm
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             MAX(score_ppm * {_DPO_ENC} + doc_id) AS ck,
+             MIN(score_ppm * {_DPO_ENC} + doc_id) AS rk
+      FROM s GROUP BY lang, source
+    )
+    SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(ck % {_DPO_ENC} AS BIGINT) AS chosen_id,
+           CAST(rk % {_DPO_ENC} AS BIGINT) AS rejected_id,
+           CAST(ck // {_DPO_ENC} AS BIGINT) AS chosen_ppm,
+           CAST(rk // {_DPO_ENC} AS BIGINT) AS rejected_ppm,
+           CAST(ck // {_DPO_ENC} - rk // {_DPO_ENC} AS BIGINT) AS margin_ppm
+    FROM g
+    WHERE ck // {_DPO_ENC} - rk // {_DPO_ENC} >= {_DPO_MARGIN_PPM}
+    ORDER BY lang, source
+    """,
+)
+def q_e_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining (the DPO/RLHF data-construction stage):
+    within each (lang, source) prompt group, pair the highest-quality
+    document (chosen) against the lowest (rejected), keeping groups
+    whose quality margin clears a threshold — the contrastive-pair
+    harvest run over a scored corpus before preference tuning.
+
+    Quality is the integer distinct-token ratio in ppm (vocabulary
+    richness — exact integer division, no float drift). The argmax and
+    argmin are single-pass COMBINABLE aggregates via the composite
+    encoding score_ppm*1e8+doc_id (map-side partials merge with plain
+    MAX/MIN — no per-group window over the corpus, no skew: a group
+    with 1e9 docs costs its scan plus one 8-byte partial per task).
+    One shuffle of |groups| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split("text", " ").alias("tk"),
+    )
+    s = tk.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("size(array_distinct(tk)) * 1000000L div size(tk)").alias(
+            "score_ppm"
+        ),
+    )
+    enc = F.col("score_ppm") * _DPO_ENC + F.col("doc_id")
+    g = s.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(enc).alias("ck"),
+        F.min(enc).alias("rk"),
+    )
+    cd = F.col("ck") % _DPO_ENC
+    rd = F.col("rk") % _DPO_ENC
+    cp = F.expr(f"ck div {_DPO_ENC}")
+    rp = F.expr(f"rk div {_DPO_ENC}")
+    return (
+        g.select(
+            "lang",
+            "source",
+            "n_docs",
+            cd.alias("chosen_id"),
+            rd.alias("rejected_id"),
+            cp.alias("chosen_ppm"),
+            rp.alias("rejected_ppm"),
+            (cp - rp).alias("margin_ppm"),
+        )
+        .where(F.col("margin_ppm") >= _DPO_MARGIN_PPM)
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_quality_calibration (round 5)
+# ---------------------------------------------------------------------------
+
+# Gopher-lite gold label (independent spelling from the classifier's
+# logit so the diagram measures agreement between two signals, not a
+# tautology): length band + mean-token-length band + stopword floor.
+_CAL_GOLD_DUCK = (
+    "n_tokens BETWEEN 10 AND 5000 AND avg_token_len BETWEEN 2.5 AND 10.0"
+    " AND stop_ratio >= 0.02"
+)
+
+
+@query(
+    "q_e_quality_calibration",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_STOP_IN}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-round({_W0}
+                   + {_W_LEN} * (CAST(n_tokens AS DOUBLE) / 100.0)
+                   + {_W_DISTINCT} * distinct_ratio
+                   + {_W_STOP} * stop_ratio
+                   + {_W_TOKLEN} * (avg_token_len / 10.0), 6))), 6) AS score,
+             CASE WHEN {_CAL_GOLD_DUCK} THEN 1 ELSE 0 END AS gold
+      FROM feat
+    ),
+    binned AS (
+      SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin, score, gold
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS n_docs, SUM(gold) AS n_pos,
+             round(CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_pred6,
+             round(CAST(SUM(gold) AS DOUBLE) / COUNT(*), 6) AS frac_pos6
+      FROM binned GROUP BY bin
+    ),
+    gaps AS (
+      SELECT bin, n_docs, n_pos, mean_pred6, frac_pos6,
+             round(abs(mean_pred6 - frac_pos6), 6) AS gap6
+      FROM bins
+    ),
+    ece AS (
+      SELECT round(CAST(SUM(CAST(n_docs * gap6 AS DECIMAL(30,6))) AS DOUBLE)
+                   / SUM(n_docs), 6) AS ece6
+      FROM gaps
+    )
+    SELECT g.bin, CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.n_pos AS BIGINT) AS n_pos,
+           g.mean_pred6, g.frac_pos6, g.gap6, e.ece6
+    FROM gaps g, ece e
+    ORDER BY g.bin
+    """,
+)
+def q_e_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    quality classifier: bucket predicted keep-probability into 10 bins
+    and compare, per bin, the mean predicted score against the
+    empirical rate of an INDEPENDENT gold heuristic (gopher-lite:
+    length band, mean-token-length band, stopword floor). ECE is the
+    doc-weighted mean |gap| — the one number a curation team watches
+    before trusting classifier thresholds to delete 100 TB of data.
+
+    Scale: score + gold are scan-side codegen expressions (zero
+    Python); the diagram is ONE combinable groupBy over 10 bins (mean
+    via exact decimal sums); ECE folds the 10-row bin table through a
+    second 1-row aggregate broadcast back with a literal cross join —
+    no window over the corpus, no driver collect. Same shape at any
+    corpus size: per-task state is 10 bins × 3 partials.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _CLS_STOPWORDS])
+    feat = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / n_tok
+        ).alias("stop_ratio"),
+        ((F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+    )
+    logit = F.round(
+        F.lit(_W0)
+        + F.lit(_W_LEN) * (F.col("n_tokens").cast("double") / 100.0)
+        + F.lit(_W_DISTINCT) * F.col("distinct_ratio")
+        + F.lit(_W_STOP) * F.col("stop_ratio")
+        + F.lit(_W_TOKLEN) * (F.col("avg_token_len") / 10.0),
+        6,
+    )
+    gold = (
+        F.col("n_tokens").between(10, 5000)
+        & F.col("avg_token_len").between(2.5, 10.0)
+        & (F.col("stop_ratio") >= 0.02)
+    ).cast("int")
+    scored = feat.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        gold.alias("gold"),
+    )
+    binned = scored.withColumn(
+        "bin", F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long")
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("gold").alias("n_pos"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_pred6"),
+        F.round(F.sum("gold").cast("double") / F.count(F.lit(1)), 6).alias(
+            "frac_pos6"
+        ),
+    )
+    gaps = bins.withColumn(
+        "gap6", F.round(F.abs(F.col("mean_pred6") - F.col("frac_pos6")), 6)
+    )
+    ece = gaps.agg(
+        F.round(
+            F.sum((F.col("n_docs") * F.col("gap6")).cast("decimal(30,6)")).cast(
+                "double"
+            )
+            / F.sum("n_docs"),
+            6,
+        ).alias("ece6")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(ece))
+        .select("bin", "n_docs", "n_pos", "mean_pred6", "frac_pos6", "gap6", "ece6")
+        .orderBy("bin")
+    )

@@ -2260,3 +2260,132 @@ def integer_pagerank(pairs: DataFrame, rounds: int = _PR_ROUNDS) -> DataFrame:
         F.col("r").alias("rank_micro"),
         F.col("d").cast("long").alias("degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_minhash_union (round 5)
+# ---------------------------------------------------------------------------
+
+# 1e6 / 16 permutations: slot-agreement fraction in exact ppm.
+_MU_SLOT_PPM = 1_000_000 // N_MINHASH_HR
+
+
+def _mu_min_expr(dialect: str, j: int) -> str:
+    a, b = _MH_PERMS_HR[j]
+    return f"MIN(({a} * (x % {_MHM}) + {b}) % {_MHM})"
+
+
+_MU_SIG_DUCK = ", ".join(
+    f"{_mu_min_expr('duck', j)} AS m{j}" for j in range(N_MINHASH_HR)
+)
+_MU_KEQ_DUCK = " + ".join(
+    f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH_HR)
+)
+_MU_EXACT_PPM = "COALESCE(i.i, 0) * 1000000 // (g.n_a + g.n_b - COALESCE(i.i, 0))"
+
+
+@query(
+    "q_e_minhash_union",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    h AS (SELECT source, {_DUCK_SHHASH} AS hh FROM d),
+    eh AS (SELECT DISTINCT source, unnest(hh) AS x FROM h),
+    sig AS (SELECT source, COUNT(*) AS n, {_MU_SIG_DUCK}
+            FROM eh GROUP BY source),
+    inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+              FROM eh a JOIN eh b ON a.x = b.x AND a.source < b.source
+              GROUP BY 1, 2),
+    grid AS (SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b,
+                    ({_MU_KEQ_DUCK}) AS k_eq
+             FROM sig a JOIN sig b ON a.source < b.source)
+    SELECT g.sa AS source_a, g.sb AS source_b,
+           CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+           CAST(g.n_a + g.n_b - COALESCE(i.i, 0) AS BIGINT) AS n_union,
+           CAST(g.k_eq AS BIGINT) AS k_eq,
+           CAST(g.k_eq * {_MU_SLOT_PPM} AS BIGINT) AS est_ppm,
+           CAST({_MU_EXACT_PPM} AS BIGINT) AS exact_ppm,
+           CAST(abs(g.k_eq * {_MU_SLOT_PPM} - ({_MU_EXACT_PPM})) AS BIGINT)
+             AS err_ppm
+    FROM grid g LEFT JOIN inter i ON g.sa = i.sa AND g.sb = i.sb
+    ORDER BY source_a, source_b
+    """,
+)
+def q_e_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-algebra across corpus slices: per-SOURCE MinHash
+    signatures built by direct min-merge over each source's exploded
+    shingle hashes — the signature of a source equals the signature of
+    the UNION of its documents' shingle sets, which is exactly why
+    MinHash state is mergeable: a 100 TB pipeline keeps one k-slot
+    signature per shard/day and folds them with elementwise MIN to
+    answer "how similar are these two crawls?" without touching the
+    raw shingles again. Pairwise source Jaccard is then estimated as
+    the slot-agreement fraction (k_eq/16, exact ppm integers), and the
+    exact inverted-index Jaccard companion is computed alongside so
+    err_ppm audits the estimator itself — both engines run the same
+    md5-affine hash family, so parity checks the APPROXIMATION, not
+    just the plumbing.
+
+    Scale: the signature build is one COMBINABLE groupBy(source) of 16
+    MIN partials (8-byte each, map-side merged — no per-source state
+    growth); the exact companion is the posting-intersection shape
+    (groupBy shingle hash, in-posting pair expansion bounded by
+    |sources| per posting, one shuffle); the pair grid is
+    |sources|² rows — driver-free and broadcast-trivial.
+    """
+    base = _shingle_base(spark, sf_dir)
+    eh = base.select(
+        "source", F.explode(F.expr(_SPARK_SHHASH)).alias("x")
+    ).distinct()
+    sig = eh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(_mu_min_expr("spark", j)).alias(f"m{j}")
+            for j in range(N_MINHASH_HR)
+        ],
+    )
+    inter = (
+        cobucket_pairs(eh, ["x"], ["source"], distinct=False, max_bucket=None)
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    keq = sum(
+        (F.col(f"a.m{j}") == F.col(f"b.m{j}")).cast("long")
+        for j in range(N_MINHASH_HR)
+    )
+    grid = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("sa"),
+        F.col("b.source").alias("sb"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        keq.alias("k_eq"),
+    )
+    j = grid.join(
+        F.broadcast(inter),
+        (grid.sa == inter.sa) & (grid.sb == inter.sb),
+        "left",
+    ).select(grid.sa, grid.sb, "n_a", "n_b", "k_eq", "i")
+    n_inter = F.coalesce(F.col("i"), F.lit(0))
+    n_union = F.col("n_a") + F.col("n_b") - n_inter
+    est = F.col("k_eq") * _MU_SLOT_PPM
+    exact = F.expr(
+        f"coalesce(i, 0) * 1000000L div (n_a + n_b - coalesce(i, 0))"
+    )
+    return j.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_a",
+        "n_b",
+        n_inter.cast("long").alias("n_inter"),
+        n_union.cast("long").alias("n_union"),
+        "k_eq",
+        est.cast("long").alias("est_ppm"),
+        exact.cast("long").alias("exact_ppm"),
+        F.abs(est - exact).cast("long").alias("err_ppm"),
+    ).orderBy("source_a", "source_b")

@@ -2464,3 +2464,180 @@ def q_b_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_skyline (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_skyline",
+    oracle="""
+    SELECT p_partkey, p_retailprice, CAST(p_size AS INTEGER) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p_retailprice, p_partkey
+    """,
+)
+def q_b_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) query: parts not dominated on
+    (minimize p_retailprice, maximize p_size) — the multi-criteria
+    shortlist shape (cheapest-for-its-size catalog audit).
+
+    The naive spelling is an O(n²) NOT-EXISTS self-join (the oracle
+    keeps it as truth). The distributed plan is a two-phase prune:
+    (1) bucket prices into coarse ranges, take MAX(p_size) per bucket
+    (combinable aggregate, ≤ |price domain|/50 rows), prefix-max those
+    bucket maxima over the TINY bucket table only (the q_b_sort offset
+    idiom), broadcast back, and keep rows whose size beats every
+    strictly-cheaper bucket's max — sound because a strictly lower
+    bucket implies strictly lower price, so any such row is dominated;
+    complete because every pruned point's dominator chain (strictly
+    decreasing price) terminates at a survivor. (2) exact dominance
+    anti-join among the surviving candidates only — survivors are
+    bounded by |buckets| × per-bucket frontier, broadcast-sized at any
+    corpus scale. At 100 TB the fact scan is touched once, the
+    quadratic stage never sees more than the candidate set.
+    """
+    pb = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.floor(F.col("p_retailprice") / 50.0).alias("bkt"),
+    )
+    bmax = pb.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bmax.withColumn("pmax", F.max("bmax").over(w)).select("bkt", "pmax")
+    surv = (
+        pb.join(F.broadcast(offsets), "bkt")
+        .where(F.col("pmax").isNull() | (F.col("p_size") > F.col("pmax")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    p, q = surv.alias("p"), surv.alias("q")
+    dominated = (
+        (F.col("q.p_retailprice") <= F.col("p.p_retailprice"))
+        & (F.col("q.p_size") >= F.col("p.p_size"))
+        & (
+            (F.col("q.p_retailprice") < F.col("p.p_retailprice"))
+            | (F.col("q.p_size") > F.col("p.p_size"))
+        )
+    )
+    return (
+        p.join(F.broadcast(q), dominated, "left_anti")
+        .select("p_partkey", "p_retailprice", F.col("p_size").cast("int"))
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_join_interval (round 5)
+# ---------------------------------------------------------------------------
+
+_IV_EPOCH = "DATE '1992-01-01'"
+_IV_W = 7  # grid bucket width, days
+
+
+@query(
+    "q_b_join_interval",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_custkey % 97 AS tenant,
+             date_diff('day', {_IV_EPOCH}, CAST(o_orderdate AS DATE)) AS s,
+             date_diff('day', {_IV_EPOCH}, CAST(o_orderdate AS DATE))
+               + o_orderkey % 14 + 1 AS e
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    b AS (
+      SELECT l_suppkey % 97 AS tenant,
+             date_diff('day', {_IV_EPOCH}, CAST(l_shipdate AS DATE)) AS s,
+             date_diff('day', {_IV_EPOCH}, CAST(l_shipdate AS DATE))
+               + l_orderkey % 10 + 1 AS e
+      FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey % 5 = 0
+    )
+    SELECT a.tenant AS tenant, COUNT(*) AS n_overlaps,
+           CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+             AS overlap_days
+    FROM a JOIN b ON a.tenant = b.tenant AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.tenant
+    ORDER BY tenant
+    """,
+)
+def q_b_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join on a time grid: per-tenant order-activity
+    windows (orders side) overlap-joined against shipment windows
+    (lineitem side) — both sides corpus-sized, the general two-interval
+    overlap the as-of/band joins don't cover.
+
+    The naive plan is an equi-join on tenant with the overlap predicate
+    residual — per-tenant quadratic, and with no tenant key at all it
+    is the full cartesian. The scale plan is GRID BUCKETING: each
+    interval explodes to the 7-day buckets it covers (bounded span ⇒
+    ≤ 3-4 rows each), the join runs on (tenant, bucket) — an equi key
+    whose per-key cardinality is bounded by activity per tenant-week,
+    not per tenant — and each qualifying pair is counted EXACTLY ONCE
+    by the responsibility rule bucket == floor(overlap_start / 7)
+    (every overlapping pair shares the bucket containing its overlap
+    start, and only that bucket emits it — no DISTINCT pass, no
+    duplicate shuffle). The oracle keeps the naive spelling, so parity
+    proves the grid + responsibility decomposition, not just the
+    arithmetic. Sums are exact integers (day units).
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 5 == 0)
+    )
+    a = o.select(
+        (F.col("o_custkey") % 97).alias("tenant"),
+        F.datediff(F.to_date("o_orderdate"), F.expr(_IV_EPOCH)).alias("s"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.expr(_IV_EPOCH))
+            + F.col("o_orderkey") % 14
+            + 1
+        ).alias("e"),
+    )
+    b = li.select(
+        (F.col("l_suppkey") % 97).alias("tenant"),
+        F.datediff(F.to_date("l_shipdate"), F.expr(_IV_EPOCH)).alias("s"),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.expr(_IV_EPOCH))
+            + F.col("l_orderkey") % 10
+            + 1
+        ).alias("e"),
+    )
+    grid = F.explode(
+        F.sequence(
+            F.expr(f"s div {_IV_W}"), F.expr(f"e div {_IV_W}")
+        )
+    ).alias("bucket")
+    ga = a.select("tenant", "s", "e", grid)
+    gb = b.select("tenant", "s", "e", grid)
+    pair = ga.alias("a").join(
+        gb.alias("b"),
+        (F.col("a.tenant") == F.col("b.tenant"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        & (
+            F.col("a.bucket")
+            == F.expr(f"greatest(a.s, b.s) div {_IV_W}")
+        ),
+    )
+    return (
+        pair.groupBy(F.col("a.tenant").alias("tenant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+                + 1
+            ).alias("overlap_days"),
+        )
+        .orderBy("tenant")
+    )

@@ -2674,3 +2674,90 @@ def q_e_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eps")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_knn_classify (round 5)
+# ---------------------------------------------------------------------------
+
+_KNN_CLS_K = 10
+_KNN_CLS_MOD = 40  # panel: vec_id % 40 == 0
+
+
+@query(
+    "q_e_knn_classify",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlab, ve AS qv, nrm AS qn
+          FROM v WHERE vec_id % {_KNN_CLS_MOD} = 0),
+    sc AS (SELECT q.qid, q.qlab, v.vec_id, v.label,
+                  {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+           FROM v, q WHERE v.vec_id <> q.qid),
+    top AS (SELECT qid, qlab, label FROM (
+              SELECT qid, qlab, label,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY score DESC, vec_id ASC) AS rk
+              FROM sc) WHERE rk <= {_KNN_CLS_K}),
+    votes AS (SELECT qid, qlab, label, COUNT(*) AS c
+              FROM top GROUP BY qid, qlab, label),
+    pred AS (SELECT qid, qlab, label AS pred_label, c FROM (
+               SELECT qid, qlab, label, c,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY c DESC, label ASC) AS rk
+               FROM votes) WHERE rk = 1)
+    SELECT qid AS vec_id, CAST(qlab AS INTEGER) AS label,
+           CAST(pred_label AS INTEGER) AS pred_label,
+           CAST(c AS BIGINT) AS n_agree,
+           pred_label <> qlab AS mismatch
+    FROM pred ORDER BY vec_id
+    """,
+)
+def q_e_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label audit (mislabel detection): for a
+    deterministic query panel, predict each vector's cluster label
+    from its 10 nearest neighbors' majority vote and flag
+    disagreements — the label-QA pass a curation pipeline runs over
+    human/model labels before trusting them for training (a mismatch
+    row is a candidate mislabel or cluster-boundary point).
+
+    Scale: scores are one broadcast of the panel against the vector
+    scan (Arrow-batched numpy cosine — no shuffle added); top-k is a
+    window partitioned BY QUERY (bounded |panel| × k state); the vote
+    is a combinable groupBy over panel×k rows. At 100 TB the
+    brute-force panel scan swaps for the IVF/LSH candidate generation
+    already in this module — the vote/audit layers are unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qp = e.where(F.col("vec_id") % _KNN_CLS_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qemb"),
+    )
+    sc = (
+        fan_out(e, "vec_id")
+        .join(F.broadcast(qp))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlab", "vec_id", "label",
+            _cos6("embedding", "qemb").alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    top = sc.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= _KNN_CLS_K
+    )
+    votes = top.groupBy("qid", "qlab", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("label").asc())
+    pred = votes.withColumn("rk", F.row_number().over(w2)).where(F.col("rk") == 1)
+    return pred.select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlab").cast("int").alias("label"),
+        F.col("label").cast("int").alias("pred_label"),
+        F.col("c").alias("n_agree"),
+        (F.col("label") != F.col("qlab")).alias("mismatch"),
+    ).orderBy("vec_id")

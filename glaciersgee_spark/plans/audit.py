@@ -84,6 +84,13 @@ HEADLINERS = [
     ("q_b_join_cardest", "md5 key gate in both scan stages; sampled join shuffles ~p of the real join"),
     ("q_b_scan_binary", "whole-file binaryFile rows; JVM-side md5 digest per shard"),
     ("q_b_scan_pysource", "custom Python source: 4 declared InputPartitions feed a combinable aggregate"),
+    ("q_e_weighted_sample", "two-phase chunked prefix sum; BIGINT threshold test, no RNG"),
+    ("q_e_dpo_pairs", "composite-encoded argmax/argmin: one combinable groupBy, no per-group window"),
+    ("q_e_minhash_union", "per-source 16-slot MIN merge; exact companion is the posting-pair shape"),
+    ("q_e_quality_calibration", "scan-side score+gold; 10-bin combinable rollup + 1-row ECE broadcast"),
+    ("q_b_skyline", "bucket prefix-max prune broadcast back; quadratic stage only on survivors"),
+    ("q_b_join_interval", "7-day grid equi-join; responsibility bucket emits each pair once"),
+    ("q_e_knn_classify", "panel broadcast × Arrow cosine; per-query window; combinable vote"),
 ]
 
 

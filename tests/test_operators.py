@@ -1489,3 +1489,172 @@ def test_semdedup_sweep_curve_is_monotone(spark):
     assert kept == sorted(kept)
     at_04 = next(r for r in rows if abs(r.eps - 0.4) < 1e-9)
     assert at_04.n_dropped == q_e_semdedup(spark, SF_SMOKE).count()
+
+
+def test_weighted_sample_pick_budget_and_monotonicity(spark):
+    """Systematic PPS invariants: multiplicities sum to exactly N picks,
+    every pick index is hit at most once, indices are strictly
+    increasing in doc_id order, and the heaviest doc can never be
+    missed once its weight exceeds one stride W/N."""
+    from glaciersgee_spark.operators.curation import _WS_N, q_e_weighted_sample
+
+    rows = q_e_weighted_sample(spark, SF_SMOKE).collect()
+    assert sum(r.n_picks for r in rows) == _WS_N
+    idx = [r.last_pick_idx for r in rows]
+    assert idx == sorted(idx) and len(set(idx)) == len(idx)
+    assert all(r.n_picks >= 1 and r.weight > 0 for r in rows)
+
+
+def test_dpo_pairs_margin_gate_and_distinct_sides(spark):
+    """Every emitted pair clears the margin gate, chosen beats rejected,
+    and the two sides are different documents."""
+    from glaciersgee_spark.operators.curation import _DPO_MARGIN_PPM, q_e_dpo_pairs
+
+    rows = q_e_dpo_pairs(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.margin_ppm >= _DPO_MARGIN_PPM
+        assert r.chosen_ppm - r.rejected_ppm == r.margin_ppm
+        assert r.chosen_id != r.rejected_id
+
+
+def test_minhash_union_full_grid_and_estimator_bounds(spark):
+    """The source-pair grid is complete (C(|sources|, 2) rows even for
+    disjoint pairs), the slot-agreement estimate is a valid ppm, and
+    err_ppm is literally |est − exact|."""
+    from glaciersgee_spark.operators.dedup import q_e_minhash_union
+
+    rows = q_e_minhash_union(spark, SF_SMOKE).collect()
+    srcs = {r.source_a for r in rows} | {r.source_b for r in rows}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert 0 <= r.est_ppm <= 1_000_000 and 0 <= r.exact_ppm <= 1_000_000
+        assert r.err_ppm == abs(r.est_ppm - r.exact_ppm)
+        assert r.n_union == r.n_a + r.n_b - r.n_inter
+
+
+def test_quality_calibration_partitions_corpus_and_ece_consistent(spark):
+    """Bins partition the corpus exactly; the reported ECE equals the
+    doc-weighted mean of the per-bin gaps to 1e-6."""
+    from glaciersgee_spark.operators.curation import q_e_quality_calibration
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_quality_calibration(spark, SF_SMOKE).collect()
+    n_total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    ece = sum(r.n_docs * r.gap6 for r in rows) / n_total
+    assert abs(rows[0].ece6 - ece) < 1e-6
+    assert all(r.ece6 == rows[0].ece6 for r in rows)
+
+
+def test_skyline_is_a_complete_antichain(spark):
+    """Soundness: no skyline point dominates another (antichain).
+    Completeness: every non-skyline part is dominated by some skyline
+    point — checked brute-force against the full small-SF table."""
+    from glaciersgee_spark.operators.relational import q_b_skyline
+    from glaciersgee_spark.tables import load_table
+
+    sky = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in q_b_skyline(spark, SF_SMOKE).collect()
+    ]
+    assert len(sky) > 0
+
+    def dominates(q, p):
+        return (
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+        )
+
+    for p in sky:
+        assert not any(dominates(q, p) for q in sky if q[0] != p[0])
+    allp = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    ]
+    skykeys = {p[0] for p in sky}
+    for p in allp:
+        if p[0] not in skykeys:
+            assert any(dominates(q, p) for q in sky)
+
+
+def test_join_interval_grid_equals_naive_theta(spark):
+    """The grid + responsibility decomposition must reproduce the naive
+    per-tenant theta join exactly (counts AND day sums)."""
+    import pyspark.sql.functions as F
+
+    from glaciersgee_spark.operators.relational import _IV_EPOCH, q_b_join_interval
+    from glaciersgee_spark.tables import load_table
+
+    got = {
+        (r.tenant, r.n_overlaps, r.overlap_days)
+        for r in q_b_join_interval(spark, SF_SMOKE).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").where(
+        (F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 5 == 0)
+    )
+    a = o.select(
+        (F.col("o_custkey") % 97).alias("t"),
+        F.datediff(F.to_date("o_orderdate"), F.expr(_IV_EPOCH)).alias("s"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.expr(_IV_EPOCH))
+            + F.col("o_orderkey") % 14
+            + 1
+        ).alias("e"),
+    )
+    b = li.select(
+        (F.col("l_suppkey") % 97).alias("t"),
+        F.datediff(F.to_date("l_shipdate"), F.expr(_IV_EPOCH)).alias("s"),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.expr(_IV_EPOCH))
+            + F.col("l_orderkey") % 10
+            + 1
+        ).alias("e"),
+    )
+    naive = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .groupBy(F.col("a.t").alias("tenant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+                + 1
+            ).alias("d"),
+        )
+    )
+    want = {(r.tenant, r.n, r.d) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_knn_classify_vote_bounds_and_panel(spark):
+    """Every prediction carries between 1 and k votes, predicted labels
+    come from the label domain, and the output covers exactly the
+    declared panel."""
+    from glaciersgee_spark.operators.similarity import (
+        _KNN_CLS_K,
+        _KNN_CLS_MOD,
+        q_e_knn_classify,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_knn_classify(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    panel = {
+        r.vec_id for r in e.where(F.col("vec_id") % _KNN_CLS_MOD == 0).collect()
+    }
+    labels = {r.label for r in e.select("label").distinct().collect()}
+    assert {r.vec_id for r in rows} == panel and len(rows) > 0
+    for r in rows:
+        assert 1 <= r.n_agree <= _KNN_CLS_K
+        assert r.pred_label in labels
+        assert r.mismatch == (r.pred_label != r.label)
