@@ -97,3 +97,138 @@ def q_e_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf6").desc(), F.col("doc_id").asc()).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# q_e_mmr_diversify (round 5)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+MMR_POOL = 20
+
+# Cross-engine 6-dp quantizer (the _FH_RATE6 floor idiom — round()
+# half-up/half-even tie behavior diverges between engines; floor+0.5
+# is identical everywhere, including for the negative MMR scores).
+def _q6(x: str) -> str:
+    return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as a CTE chain (k is a fixed literal, so the
+    iteration unrolls into k dependent CTE steps — no recursion)."""
+    steps = [
+        f"""sel1 AS (
+      SELECT doc_id, rel6, {_q6(f'{MMR_LAMBDA} * rel6')} AS mmr6,
+             CAST(1 AS BIGINT) AS rk
+      FROM cand ORDER BY rel6 DESC, doc_id ASC LIMIT 1
+    )"""
+    ]
+    prev_union = "SELECT doc_id FROM sel1"
+    for k in range(2, MMR_K + 1):
+        steps.append(
+            f"""prev{k} AS ({prev_union}),
+    pen{k} AS (
+      SELECT c.doc_id, c.rel6, MAX(s.s) AS pen
+      FROM cand c
+      JOIN sims s ON s.ia = c.doc_id
+      JOIN prev{k} p ON s.ib = p.doc_id
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM prev{k})
+      GROUP BY c.doc_id, c.rel6
+    ),
+    sel{k} AS (
+      SELECT doc_id, rel6,
+             {_q6(f'{MMR_LAMBDA} * rel6 - {round(1 - MMR_LAMBDA, 1)} * pen')}
+               AS mmr6,
+             CAST({k} AS BIGINT) AS rk
+      FROM pen{k} ORDER BY mmr6 DESC, doc_id ASC LIMIT 1
+    )"""
+        )
+        prev_union += f" UNION ALL SELECT doc_id FROM sel{k}"
+    allsel = " UNION ALL ".join(f"SELECT * FROM sel{k}" for k in range(1, MMR_K + 1))
+    return f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    rel AS (SELECT v.vec_id AS doc_id,
+                   {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS rel6
+            FROM v, q WHERE v.vec_id <> 0),
+    cand AS (SELECT doc_id, rel6 FROM rel
+             ORDER BY rel6 DESC, doc_id ASC LIMIT {MMR_POOL}),
+    cv AS (SELECT c.doc_id, c.rel6, v.ve, v.nrm
+           FROM cand c JOIN v ON c.doc_id = v.vec_id),
+    sims AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                    {_d_cos6('a.ve', 'b.ve', 'a.nrm', 'b.nrm')} AS s
+             FROM cv a JOIN cv b ON a.doc_id <> b.doc_id),
+    {','.join(steps)}
+    SELECT rk, doc_id, rel6, mmr6 FROM ({allsel}) ORDER BY rk
+    """
+
+
+@query("q_e_mmr_diversify", oracle=_mmr_oracle())
+def q_e_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): from the top-20 cosine candidates, greedily select 5
+    results maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    selected — the diversification pass a RAG retrieval stack runs so
+    the context window isn't 5 near-copies of the same passage.
+
+    Scale split: the RELEVANCE pass is the corpus-sized stage (panel
+    broadcast × Arrow cosine scan + distributed TakeOrdered top-20 —
+    swap in this module's ANN candidates at 100 TB); the greedy loop
+    then runs on a FIXED 20-row panel (20 rel rows + 380 pair sims
+    collected — the bounded-codebook idiom of kmeans_iter/ivf_pq, k·n
+    driver comparisons, corpus-size-independent). Scores are 6-dp
+    floor-quantized in both engines so greedy ties break identically;
+    the oracle unrolls the same greedy as 5 dependent CTE steps.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    rel = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), _cos6("embedding", "qemb").alias("rel6"))
+    )
+    cand = rel.orderBy(F.col("rel6").desc(), F.col("doc_id").asc()).limit(MMR_POOL)
+    cv = cand.join(
+        e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    sims = a.join(b, F.col("a.doc_id") != F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("ia"),
+        F.col("b.doc_id").alias("ib"),
+        _cos6("a.embedding", "b.embedding").alias("s"),
+    )
+    pool = [(r.doc_id, r.rel6) for r in cand.collect()]
+    sim = {(r.ia, r.ib): r.s for r in sims.collect()}
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+    selected: list[tuple[int, int, float, float]] = []  # rk, doc, rel6, mmr6
+    chosen: list[int] = []
+    for rk in range(1, MMR_K + 1):
+        best = None
+        for doc, r6 in pool:
+            if doc in chosen:
+                continue
+            pen = max((sim[(doc, j)] for j in chosen), default=0.0)
+            m6 = q6(lam * r6) if not chosen else q6(lam * r6 - mu * pen)
+            if best is None or (m6, -doc) > (best[3], -best[1]):
+                best = (rk, doc, r6, m6)
+        assert best is not None, "candidate pool exhausted before k picks"
+        selected.append(best)
+        chosen.append(best[1])
+    schema = T.StructType(
+        [
+            T.StructField("rk", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rel6", T.DoubleType()),
+            T.StructField("mmr6", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(selected, schema).orderBy("rk")

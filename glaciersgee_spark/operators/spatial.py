@@ -439,3 +439,95 @@ def q_a_quadkey_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zoom")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_geohash (round 5)
+# ---------------------------------------------------------------------------
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 15  # per axis; 30 bits total = 6 base-32 chars
+
+
+def _gh_interleave(divop: str) -> str:
+    """30-bit geohash integer: even bit positions (from the MSB) carry
+    longitude, odd carry latitude — the standard geohash convention,
+    spelled with pure div/mod arithmetic so both engines agree."""
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"((ix {divop} {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
+        terms.append(f"((iy {divop} {2 ** i}) % 2) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+def _gh_chars(divop: str) -> str:
+    parts = [
+        f"substring('{_GH_ALPHABET}', "
+        f"CAST((gh30 {divop} {2 ** (5 * (5 - j))}) % 32 AS INTEGER) + 1, 1)"
+        for j in range(6)
+    ]
+    return " || ".join(parts)
+
+
+@query(
+    "q_a_geohash",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey AS id,
+             (o_orderkey * 7) % 360 AS k7,
+             (o_orderkey * 23) % 180 AS k23
+      FROM orders
+    ),
+    ixy AS (
+      SELECT id, ((2 * k7 + 1) * 32768) // 720 AS ix,
+                 ((4 * k23 + 1) * 32768) // 720 AS iy
+      FROM pts
+    ),
+    g AS (SELECT id, {_gh_interleave('//')} AS gh30 FROM ixy),
+    s AS (SELECT id, {_gh_chars('//')} AS gh6 FROM g)
+    SELECT substring(gh6, 1, 3) AS gh3,
+           COUNT(*) AS n_points,
+           COUNT(DISTINCT gh6) AS n_cells6
+    FROM s GROUP BY gh3 ORDER BY gh3
+    """,
+)
+def q_a_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding + hierarchical prefix rollup: each synthetic
+    point (lat/lon derived from order keys, the spatial-module
+    derivation convention) is encoded to a 6-character geohash by the
+    standard base-32 bit-interleave, then rolled up per 3-character
+    prefix — the string-PREFIX containment property (a geohash cell's
+    ancestors are its prefixes) that makes geohash the layout key of
+    choice for spatial data lakes: prefix range scans prune partitions
+    with plain string predicates, no spatial index needed.
+
+    Everything is exact integer arithmetic: quantized half-cell-offset
+    coordinates → 15-bit axis integers via one BIGINT multiply/div,
+    30 interleave terms and the 6 char lookups as pure div/mod
+    expressions — scan-side whole-stage codegen, ONE combinable
+    groupBy (count + distinct-6char per 3-char cell), no UDF, no
+    shuffle beyond the rollup. The quadkey pyramid (q_a_quadkey_*) is
+    the Z-order sibling; geohash adds the interleaved-axis base-32
+    form real lake layouts use.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") * 7) % 360).alias("k7"),
+        ((F.col("o_orderkey") * 23) % 180).alias("k23"),
+    )
+    ixy = pts.select(
+        "id",
+        F.expr("((2 * k7 + 1) * 32768) div 720").alias("ix"),
+        F.expr("((4 * k23 + 1) * 32768) div 720").alias("iy"),
+    )
+    g = ixy.select("id", F.expr(_gh_interleave("div")).alias("gh30"))
+    s = g.select("id", F.expr(_gh_chars("div")).alias("gh6"))
+    return (
+        s.groupBy(F.substring("gh6", 1, 3).alias("gh3"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("gh6").alias("n_cells6"),
+        )
+        .orderBy("gh3")
+    )

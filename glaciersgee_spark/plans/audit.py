@@ -91,6 +91,8 @@ HEADLINERS = [
     ("q_b_skyline", "bucket prefix-max prune broadcast back; quadratic stage only on survivors"),
     ("q_b_join_interval", "7-day grid equi-join; responsibility bucket emits each pair once"),
     ("q_e_knn_classify", "panel broadcast × Arrow cosine; per-query window; combinable vote"),
+    ("q_e_mmr_diversify", "corpus stage is TakeOrdered top-20; greedy runs on the bounded panel"),
+    ("q_a_geohash", "pure div/mod interleave in scan-side codegen; one combinable rollup"),
 ]
 
 

@@ -1658,3 +1658,74 @@ def test_knn_classify_vote_bounds_and_panel(spark):
         assert 1 <= r.n_agree <= _KNN_CLS_K
         assert r.pred_label in labels
         assert r.mismatch == (r.pred_label != r.label)
+
+
+def test_mmr_first_pick_is_argmax_and_picks_from_pool(spark):
+    """Greedy MMR invariants: exactly k distinct picks, rank 1 is the
+    plain relevance argmax, and every pick comes from the top-POOL
+    relevance candidates."""
+    from glaciersgee_spark.operators.retrieval import (
+        MMR_K,
+        MMR_POOL,
+        q_e_mmr_diversify,
+    )
+    from glaciersgee_spark.operators.similarity import _cos6
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_mmr_diversify(spark, SF_SMOKE).collect()
+    assert [r.rk for r in rows] == list(range(1, MMR_K + 1))
+    assert len({r.doc_id for r in rows}) == MMR_K
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    rel = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select("vec_id", _cos6("embedding", "qemb").alias("rel6"))
+        .orderBy(F.col("rel6").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .collect()
+    )
+    pool = [r.vec_id for r in rel]
+    assert rows[0].doc_id == pool[0]
+    assert all(r.doc_id in pool for r in rows)
+
+
+def test_geohash_roundtrip_and_conservation(spark):
+    """Every 6-char geohash decodes back to the cell containing its
+    source point (independent Python decode), and the prefix rollup
+    conserves the corpus."""
+    from glaciersgee_spark.operators.spatial import (
+        _GH_ALPHABET,
+        q_a_geohash,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_a_geohash(spark, SF_SMOKE).collect()
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n_points for r in rows) == n_orders
+    assert all(1 <= r.n_cells6 and r.n_cells6 <= r.n_points for r in rows)
+    assert all(len(r.gh3) == 3 and set(r.gh3) <= set(_GH_ALPHABET) for r in rows)
+
+    # Independent decode: rebuild gh6 for a few orders in Python and
+    # check the 3-char prefix lands in the reported cell set.
+    cells = {r.gh3 for r in rows}
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey")
+        .limit(50)
+        .collect()
+    ]
+    for k in keys:
+        k7, k23 = (k * 7) % 360, (k * 23) % 180
+        ix = ((2 * k7 + 1) * 32768) // 720
+        iy = ((4 * k23 + 1) * 32768) // 720
+        gh30 = 0
+        for i in range(15):
+            gh30 += ((ix >> i) & 1) << (2 * i + 1)
+            gh30 += ((iy >> i) & 1) << (2 * i)
+        gh6 = "".join(
+            _GH_ALPHABET[(gh30 >> (5 * (5 - j))) % 32] for j in range(6)
+        )
+        assert gh6[:3] in cells
