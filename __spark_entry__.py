@@ -101,7 +101,7 @@ _R5_NEW: tuple[str, ...] = (
     "q_e_semdedup_sweep", "q_e_weighted_sample", "q_e_dpo_pairs",
     "q_e_minhash_union", "q_e_quality_calibration", "q_b_skyline",
     "q_b_join_interval", "q_e_knn_classify", "q_e_mmr_diversify",
-    "q_a_geohash",
+    "q_a_geohash", "q_f_pandas_window",
 )
 
 # Never driver-checked (61 after folding the r4 greens), fronted in

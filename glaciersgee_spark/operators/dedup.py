@@ -2337,21 +2337,35 @@ def q_e_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|² rows — driver-free and broadcast-trivial.
     """
     base = _shingle_base(spark, sf_dir)
-    eh = base.select(
-        "source", F.explode(F.expr(_SPARK_SHHASH)).alias("x")
-    ).distinct()
-    sig = eh.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
+    # No pre-distinct: MIN is duplicate-insensitive, so the signature
+    # aggregate takes the raw explode and dedups the size with ONE
+    # countDistinct — and the exact-intersection branch dedups as a
+    # side effect of its posting groupBy(x) + collect_set (bounded by
+    # |sources| per posting), so the corpus-sized distinct shuffle the
+    # first spelling paid TWICE never runs at all.
+    raw = base.select("source", F.explode(F.expr(_SPARK_SHHASH)).alias("x"))
+    sig = raw.groupBy("source").agg(
+        F.countDistinct("x").alias("n"),
         *[
             F.expr(_mu_min_expr("spark", j)).alias(f"m{j}")
             for j in range(N_MINHASH_HR)
         ],
     )
+    post = raw.groupBy("x").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    ).where(F.size("ss") >= 2)
     inter = (
-        cobucket_pairs(eh, ["x"], ["source"], distinct=False, max_bucket=None)
-        .groupBy(
-            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        post.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (sa, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "sb -> struct(sa, sb))))"
+                )
+            ).alias("p")
         )
+        .select(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     a, b = sig.alias("a"), sig.alias("b")

@@ -193,16 +193,19 @@ def q_e_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"), _cos6("embedding", "qemb").alias("rel6"))
     )
     cand = rel.orderBy(F.col("rel6").desc(), F.col("doc_id").asc()).limit(MMR_POOL)
-    cv = cand.join(
-        e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    pool = [(r.doc_id, r.rel6) for r in cand.collect()]
+    # Pairwise sims probe the embeddings scan by the COLLECTED id list
+    # (pushed IN-filter) instead of re-deriving the candidate frame —
+    # the corpus-sized cosine scan runs exactly once, in `cand`.
+    sub = e.where(F.col("vec_id").isin([d for d, _ in pool])).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
     )
-    a, b = cv.alias("a"), cv.alias("b")
+    a, b = sub.alias("a"), sub.alias("b")
     sims = a.join(b, F.col("a.doc_id") != F.col("b.doc_id")).select(
         F.col("a.doc_id").alias("ia"),
         F.col("b.doc_id").alias("ib"),
         _cos6("a.embedding", "b.embedding").alias("s"),
     )
-    pool = [(r.doc_id, r.rel6) for r in cand.collect()]
     sim = {(r.ia, r.ib): r.s for r in sims.collect()}
 
     def q6(x: float) -> float:

@@ -93,6 +93,7 @@ HEADLINERS = [
     ("q_e_knn_classify", "panel broadcast × Arrow cosine; per-query window; combinable vote"),
     ("q_e_mmr_diversify", "corpus stage is TakeOrdered top-20; greedy runs on the bounded panel"),
     ("q_a_geohash", "pure div/mod interleave in scan-side codegen; one combinable rollup"),
+    ("q_f_pandas_window", "Arrow window UDF: one user_id shuffle, O(frame) state per row"),
 ]
 
 

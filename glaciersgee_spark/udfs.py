@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from glaciersgee_spark.registry import query
@@ -454,4 +454,55 @@ def q_f_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
     return fan_out(o.select("o_orderkey", "o_totalprice")).select(
         "o_orderkey", _log_revenue_iter("o_totalprice").alias("log_rev")
+    )
+
+
+# -------------------------------------------------- windowed pandas agg
+
+
+@F.pandas_udf(T.DoubleType())
+def _midrange(v: pd.Series) -> float:
+    """Midrange (min+max)/2 of the window frame — one float add and
+    halve over exact parquet doubles, IEEE-identical to the SQL
+    (MIN(value) OVER w + MAX(value) OVER w) / 2 spelling."""
+    return float((v.min() + v.max()) / 2.0)
+
+
+@query(
+    "q_f_pandas_window",
+    oracle="""
+    SELECT event_id, user_id,
+           (MIN(value) OVER w + MAX(value) OVER w) / 2 AS mid3
+    FROM events
+    WHERE user_id % 7 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q_f_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDF over a BOUNDED WINDOW frame — the fourth Arrow eval
+    shape of the declared UDF surface (after scalar, scalar-iter, and
+    grouped-agg): a GROUPED_AGG pandas UDF applied `.over()` a
+    rows-bounded window, computing the trailing-3-event midrange per
+    user. This is the API a pipeline reaches for when a rolling
+    statistic has no built-in window aggregate (rolling MAD, rolling
+    trimmed mean); midrange keeps the oracle exactly expressible so
+    the Arrow window plumbing itself is what parity checks.
+
+    Scale: one shuffle on user_id (the window partition key); each
+    frame is materialized per row over at most 3 values, streamed
+    through WindowInPandasExec's spillable buffer — state is O(frame),
+    not O(partition). Deterministic frame membership via the
+    (ts, event_id) total order.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.select("event_id", "user_id", _midrange("value").over(w).alias("mid3"))
+        .orderBy("event_id")
     )

@@ -1729,3 +1729,32 @@ def test_geohash_roundtrip_and_conservation(spark):
             _GH_ALPHABET[(gh30 >> (5 * (5 - j))) % 32] for j in range(6)
         )
         assert gh6[:3] in cells
+
+
+def test_pandas_window_matches_builtin_spelling(spark):
+    """The Arrow window UDF must agree bit-for-bit with the built-in
+    (MIN OVER + MAX OVER)/2 spelling on the same frame."""
+    from pyspark.sql import Window
+
+    from glaciersgee_spark.udfs import q_f_pandas_window
+    from glaciersgee_spark.tables import load_table
+
+    got = {
+        (r.event_id, r.user_id, r.mid3)
+        for r in q_f_pandas_window(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") % 7 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    want = {
+        (r.event_id, r.user_id, r.mid3)
+        for r in ev.select(
+            "event_id",
+            "user_id",
+            ((F.min("value").over(w) + F.max("value").over(w)) / 2).alias("mid3"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
