@@ -101,7 +101,9 @@ _R5_NEW: tuple[str, ...] = (
     "q_e_semdedup_sweep", "q_e_weighted_sample", "q_e_dpo_pairs",
     "q_e_minhash_union", "q_e_quality_calibration", "q_b_skyline",
     "q_b_join_interval", "q_e_knn_classify", "q_e_mmr_diversify",
-    "q_a_geohash", "q_f_pandas_window",
+    "q_a_geohash", "q_f_pandas_window", "q_b_merge_schema",
+    "q_e_bloom_dedup", "q_e_shard_assign", "q_e_zscore_norm",
+    "q_a_nearest_aoi",
 )
 
 # Never driver-checked (61 after folding the r4 greens), fronted in

@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from glaciersgee_spark.registry import davg, query
+from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
 
 # ---------------------------------------------------------------------------
@@ -983,4 +983,143 @@ def q_e_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.crossJoin(F.broadcast(ece))
         .select("bin", "n_docs", "n_pos", "mean_pred6", "frac_pos6", "gap6", "ece6")
         .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_shard_assign (round 5)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@query(
+    "q_e_shard_assign",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_N_SHARDS} AS shard,
+             n_chars
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM s GROUP BY shard
+    )
+    SELECT shard, n_docs, total_chars,
+           CAST(floor(10000.0 * total_chars
+                      / SUM(total_chars) OVER ()) AS BIGINT) AS share_bp
+    FROM per ORDER BY shard
+    """,
+)
+def q_e_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit
+    (round 5): every document lands in one of 16 shards by
+    content-stable md5 bucket (same idiom as q_e_train_split — the
+    same doc gets the same shard on any engine, cluster, or rerun,
+    which `repartition` cannot promise), and the audit reports each
+    shard's doc count, byte mass, and share of the corpus in basis
+    points — the number the packing job reads to know whether shard
+    sizes are close enough for the data-parallel reader (a tail shard
+    >> mean stalls every epoch boundary at training time).
+
+    Scale: one narrow stage (hash + project) into a 16-row combinable
+    aggregate; the share-of-total window runs over the 16-row frame,
+    not the corpus. At 100 TB with 64 Ki shards the same plan holds —
+    the audit frame is |shards| rows, driver-free throughout.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {_N_SHARDS}"
+    )
+    per = d.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        F.floor(
+            10000.0 * F.col("total_chars") / F.sum("total_chars").over(w)
+        ).alias("share_bp"),
+    ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# q_e_zscore_norm (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_zscore_norm",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, round(ln(CAST(n_chars AS DOUBLE) + 1.0), 6) AS s6
+      FROM documents
+    ),
+    stats AS (
+      SELECT source,
+             {davg('s6')} AS mu,
+             {dsum('s6 * s6', 12, 38)} / COUNT(*) AS ex2,
+             COUNT(*) AS n
+      FROM scored GROUP BY source
+    ),
+    z AS (
+      SELECT sc.source,
+             CAST(greatest(-3, least(3,
+               floor((sc.s6 - st.mu) / sqrt(st.ex2 - st.mu * st.mu))
+             )) AS BIGINT) AS z_bin
+      FROM scored sc JOIN stats st ON sc.source = st.source
+    )
+    SELECT source, z_bin, COUNT(*) AS n_docs
+    FROM z GROUP BY source, z_bin ORDER BY source, z_bin
+    """,
+)
+def q_e_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score standardization (round 5): every curation
+    pipeline that MIXES sources must put their quality scores on one
+    scale first — a raw threshold keeps verbose sources and starves
+    terse ones. Per source: mean and variance of the (log-length)
+    score via exact-decimal sums, then each doc's z-score bucketed
+    into integer bins clamped to [-3, 3]; output is the per-source
+    z-histogram the mixing step thresholds against.
+
+    Determinism: the per-row score is rounded at 6 dp (IEEE-identical
+    in both engines); Σs and Σs² go through decimal so μ and E[s²] are
+    bit-identical regardless of row order; σ, the division, and floor
+    then operate on identical doubles — identical bins. Scale: two
+    passes over the corpus (stats, then bucket) with a |sources|-row
+    broadcast joining the stats back; both aggregates are map-side
+    combinable, no window over corpus-sized input.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source", F.round(F.log(F.col("n_chars") + F.lit(1.0)), 6).alias("s6")
+    )
+    stats = scored.groupBy("source").agg(
+        F.expr(davg("s6")).alias("mu"),
+        F.expr(f"{dsum('s6 * s6', 12, 38)} / COUNT(*)").alias("ex2"),
+    )
+    z_bin = (
+        F.greatest(
+            F.lit(-3),
+            F.least(
+                F.lit(3),
+                F.floor(
+                    (F.col("s6") - F.col("mu"))
+                    / F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu"))
+                ),
+            ),
+        )
+    ).cast("long")
+    return (
+        scored.join(F.broadcast(stats), "source")
+        .select("source", z_bin.alias("z_bin"))
+        .groupBy("source", "z_bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "z_bin")
     )

@@ -2403,3 +2403,156 @@ def q_e_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.cast("long").alias("exact_ppm"),
         F.abs(est - exact).cast("long").alias("err_ppm"),
     ).orderBy("source_a", "source_b")
+
+
+# ------------------------------------------------ bloom-membership dedup
+
+_BD_BITS = 1024  # 32 words of 32 used bits each (shift stays < 63 under
+# DuckDB/ANSI checked arithmetic) — deliberately tight so the
+# false-positive audit column is non-trivially exercised at test SFs
+_BD_SEEDS = (1, 2)
+
+
+def _bd_pos(key_sql: str, seed: int) -> str:
+    """md5-derived Bloom bit position — the cross-engine hash idiom
+    (same spelling family as q_e_train_split's bucket)."""
+    return (
+        f"CAST(conv(substring(md5(concat({key_sql}, '#{seed}')), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_BD_BITS}"
+    )
+
+
+@query(
+    "q_e_bloom_dedup",
+    oracle=f"""
+    WITH cat AS (
+      SELECT md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR))
+             AS k
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    pos AS (
+      SELECT CAST(concat('0x', substring(md5(concat(k, '#1')), 1, 15))
+                  AS BIGINT) % {_BD_BITS} AS p FROM cat
+      UNION ALL
+      SELECT CAST(concat('0x', substring(md5(concat(k, '#2')), 1, 15))
+                  AS BIGINT) % {_BD_BITS} AS p FROM cat
+    ),
+    bloom AS (
+      SELECT p // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS m
+      FROM pos GROUP BY 1
+    ),
+    ck AS (SELECT DISTINCT k FROM cat),
+    batch0 AS (
+      SELECT source,
+             md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR))
+               AS k
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    batch AS (
+      SELECT source, k,
+             CAST(concat('0x', substring(md5(concat(k, '#1')), 1, 15))
+                  AS BIGINT) % {_BD_BITS} AS p1,
+             CAST(concat('0x', substring(md5(concat(k, '#2')), 1, 15))
+                  AS BIGINT) % {_BD_BITS} AS p2
+      FROM batch0
+    ),
+    probe AS (
+      SELECT b.source,
+             (b1.m IS NOT NULL
+              AND (b1.m & (CAST(1 AS BIGINT) << CAST(b.p1 % 32 AS INT))) <> 0
+              AND b2.m IS NOT NULL
+              AND (b2.m & (CAST(1 AS BIGINT) << CAST(b.p2 % 32 AS INT))) <> 0)
+               AS cand,
+             EXISTS (SELECT 1 FROM ck WHERE ck.k = b.k) AS dup
+      FROM batch b
+      LEFT JOIN bloom b1 ON b.p1 // 32 = b1.w
+      LEFT JOIN bloom b2 ON b.p2 // 32 = b2.w
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_dup,
+           CAST(SUM(CASE WHEN cand AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos
+    FROM probe GROUP BY source ORDER BY source
+    """,
+)
+def q_e_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-membership incremental dedup (round 5): screen an arriving
+    batch against the already-ingested catalog with a 4-KiB Bloom
+    filter over content keys (the q_e_dedup_exact key — the corpus has
+    zero exact text dups, FIXTURES.md), then verify only the screen's survivors
+    with the exact key join — per source: batch size, Bloom candidates,
+    true duplicates, and the false-positive overshoot. Complements
+    q_e_incremental_dedup (which pays the exact catalog probe for every
+    batch row) and q_b_join_bloom (where the Bloom prunes a JOIN): here
+    the sketch itself is the product — the membership gate a 100 TB
+    ingest runs BEFORE touching the catalog at all.
+
+    Scale: the filter is a 32-row (word, mask) table built by a
+    map-side-combinable bit_or (duplicate keys are absorbed by OR, so
+    no distinct pass over the catalog), broadcast to the batch; only
+    candidate rows would proceed to the exact catalog join in the
+    apply form, so catalog shuffle bytes scale with the TRUE-dup rate
+    plus the measured n_false_pos — the quantity this audit reports.
+    No false negatives by construction (every catalog key sets its own
+    bits), so n_true_dup ≤ n_candidates always; a Bloom bug that
+    dropped a member would surface as the oracle hash mismatch.
+    m = 1024 bits is deliberately tight at test SFs to exercise the
+    false-positive column; production sizes m from n/ln2 · k.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cat = d.where(F.col("doc_id") % 3 != 0).select(_exact_key().alias("k"))
+    bits = (
+        cat.select(
+            F.explode(
+                F.array(*[F.expr(_bd_pos("k", s)) for s in _BD_SEEDS])
+            ).alias("p")
+        )
+        .groupBy(F.expr("p div 32").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(p % 32 AS INT)))").alias("m"))
+    )
+    batch = d.where(F.col("doc_id") % 3 == 0).select(
+        "source", _exact_key().alias("k")
+    ).select(
+        "source",
+        "k",
+        *[
+            F.expr(_bd_pos("k", s)).alias(f"p{i}")
+            for i, s in enumerate(_BD_SEEDS, 1)
+        ],
+    )
+    probe = batch
+    cand = F.lit(True)
+    for i in (1, 2):
+        probe = probe.join(
+            F.broadcast(
+                bits.select(F.col("w").alias(f"w{i}"), F.col("m").alias(f"m{i}"))
+            ),
+            F.expr(f"p{i} div 32") == F.col(f"w{i}"),
+            "left",
+        )
+        bit = F.expr(f"shiftleft(1L, CAST(p{i} % 32 AS INT))")
+        cand = cand & F.col(f"m{i}").isNotNull() & (
+            F.col(f"m{i}").bitwiseAND(bit) != 0
+        )
+    ck = cat.distinct().withColumn("dup_mark", F.lit(True))
+    probe = probe.join(F.broadcast(ck), "k", "left").select(
+        "source",
+        cand.alias("cand"),
+        F.coalesce(F.col("dup_mark"), F.lit(False)).alias("dup"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        probe.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            one(F.col("cand")).alias("n_candidates"),
+            one(F.col("dup")).alias("n_true_dup"),
+            one(F.col("cand") & ~F.col("dup")).alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )

@@ -2641,3 +2641,59 @@ def q_b_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tenant")
     )
+
+
+@query(
+    "q_b_merge_schema",
+    oracle="""
+    SELECT CASE WHEN year(o_orderdate) < 1998 THEN 'LEGACY'
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_b_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan (round 5): two parquet generations of the
+    same table — a legacy shard written before `o_orderpriority`
+    existed and a current shard that carries it — read back in ONE
+    scan with `mergeSchema=true`, the missing column null-filled for
+    legacy rows. This is the ingest reality of any long-lived 100 TB
+    table: producers add columns over time and the reader must union
+    the footer schemas instead of failing or re-writing history.
+
+    Scale: schema merge is a FOOTER-ONLY operation — Spark reads one
+    footer per file at planning time, never data pages, so the cost is
+    O(files), not O(bytes); the scan itself stays a plain columnar
+    read with pushdown intact (the null-fill is a metadata projection,
+    not a row transform). The oracle states the same semantics from
+    the unsplit source table: rows from the legacy generation get the
+    'LEGACY' sentinel that coalescing the null-filled column produces.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    out = scratch_dir(prefix="ggee_evolve_")
+    legacy = o.where(F.expr("year(o_orderdate) < 1998")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    current = o.where(F.expr("year(o_orderdate) >= 1998")).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    legacy.write.mode("overwrite").parquet(f"{out}/gen=legacy")
+    current.write.mode("overwrite").parquet(f"{out}/gen=current")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/gen=legacy", f"{out}/gen=current")
+    )
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("priority")
+    )

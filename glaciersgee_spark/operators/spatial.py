@@ -531,3 +531,111 @@ def q_a_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gh3")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_nearest_aoi (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_a_nearest_aoi",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, event_id % 100 AS x, user_id % 100 AS y
+      FROM events WHERE event_id % 7 = 0
+    ),
+    aoi AS ({_AOI_SQL}),
+    d AS (
+      SELECT p.event_id, a.aoi_id,
+             (2*p.x - (a.xmin + a.xmax)) * (2*p.x - (a.xmin + a.xmax))
+           + (2*p.y - (a.ymin + a.ymax)) * (2*p.y - (a.ymin + a.ymax)) AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY (2*p.x - (a.xmin + a.xmax)) * (2*p.x - (a.xmin + a.xmax))
+                      + (2*p.y - (a.ymin + a.ymax)) * (2*p.y - (a.ymin + a.ymax)),
+                        a.aoi_id) AS rn
+      FROM pts p CROSS JOIN aoi a
+    )
+    SELECT aoi_id, COUNT(*) AS n_points,
+           CAST(MIN(d2) AS BIGINT) AS min_d2,
+           CAST(MAX(d2) AS BIGINT) AS max_d2,
+           CAST(SUM(d2) AS BIGINT) AS sum_d2
+    FROM d WHERE rn = 1 GROUP BY aoi_id ORDER BY aoi_id
+    """,
+)
+def q_a_nearest_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial assignment (round 5): each event point
+    is assigned to its CLOSEST AOI center (squared Euclidean, ties to
+    the lower aoi_id) — the nearest-facility join behind "which glacier
+    does this scene observe" style routing. Completes the spatial
+    predicate family next to containment (q_a_bbox_contains) and
+    intersection (q_a_bbox_overlap).
+
+    Scale shape: the AOI side is a bounded dimension (25 centers),
+    collected once and compiled into a LITERAL struct array, so the
+    per-point argmin is a pure codegen expression — array_min over
+    transform picks (d2, aoi_id) lexicographic minimum with NO join,
+    NO ×|AOI| row expansion, and the only shuffle is the final
+    |AOI|-row combinable rollup. Contrast the naive crossJoin +
+    row_number spelling (the oracle), which expands every point ×25
+    ahead of a corpus-sized shuffle. With an UNBOUNDED AOI set this
+    flips to the grid discipline used by the containment ops: bucket
+    centers to cells, probe each point's ring of neighboring cells,
+    exact-refine — same claim-cell trick, no all-pairs. Distances stay
+    in integer arithmetic (doubled coordinates keep centers integral),
+    so every engine agrees bit-for-bit.
+    """
+    centers = (
+        _aoi(spark, sf_dir)
+        .select(
+            "aoi_id",
+            (F.col("xmin") + F.col("xmax")).alias("c2x"),
+            (F.col("ymin") + F.col("ymax")).alias("c2y"),
+        )
+        .collect()  # bounded dimension panel (25 rows)
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.c2x)).cast("long").alias("c2x"),
+                F.lit(int(r.c2y)).cast("long").alias("c2y"),
+                F.lit(int(r.aoi_id)).cast("long").alias("aoi_id"),
+            )
+            for r in sorted(centers, key=lambda r: r.aoi_id)
+        ]
+    )
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            (F.col("event_id") % 100).cast("long").alias("x"),
+            (F.col("user_id") % 100).cast("long").alias("y"),
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            arr,
+            lambda c: F.struct(
+                (
+                    (2 * F.col("x") - c["c2x"]) * (2 * F.col("x") - c["c2x"])
+                    + (2 * F.col("y") - c["c2y"]) * (2 * F.col("y") - c["c2y"])
+                ).alias("d2"),
+                c["aoi_id"].alias("aoi_id"),
+            ),
+        )
+    )
+    assigned = pts.select(best.alias("b")).select(
+        F.col("b.aoi_id").alias("aoi_id"), F.col("b.d2").alias("d2")
+    )
+    return (
+        assigned.groupBy("aoi_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+            F.sum("d2").alias("sum_d2"),
+        )
+        .orderBy("aoi_id")
+    )

@@ -94,6 +94,8 @@ HEADLINERS = [
     ("q_e_mmr_diversify", "corpus stage is TakeOrdered top-20; greedy runs on the bounded panel"),
     ("q_a_geohash", "pure div/mod interleave in scan-side codegen; one combinable rollup"),
     ("q_f_pandas_window", "Arrow window UDF: one user_id shuffle, O(frame) state per row"),
+    ("q_e_bloom_dedup", "32-row bit_or sketch broadcast; no distinct over the catalog"),
+    ("q_a_nearest_aoi", "argmin over a literal center array in codegen; no join, no expansion"),
 ]
 
 

@@ -1758,3 +1758,85 @@ def test_pandas_window_matches_builtin_spelling(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_merge_schema_conserves_and_sentinels(spark):
+    """Every source order appears exactly once after the two-generation
+    merge; pre-1995 rows carry the LEGACY sentinel."""
+    from glaciersgee_spark.operators.relational import q_b_merge_schema
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_merge_schema(spark, SF_SMOKE).collect()
+    o = load_table(spark, SF_SMOKE, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    legacy = {r.priority: r.n_orders for r in rows}["LEGACY"]
+    assert legacy == o.where(F.expr("year(o_orderdate) < 1998")).count()
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    """Bloom membership can overshoot but never undershoot: every true
+    dup is a candidate, and false positives are exactly the overshoot."""
+    from glaciersgee_spark.operators.dedup import q_e_bloom_dedup
+
+    rows = q_e_bloom_dedup(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_true_dup <= r.n_candidates <= r.n_batch
+        assert r.n_false_pos == r.n_candidates - r.n_true_dup
+
+
+def test_shard_assign_partitions_the_corpus(spark):
+    from glaciersgee_spark.operators.curation import q_e_shard_assign
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_shard_assign(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    # floor(bp) per shard: total within one bp-per-shard of 10000
+    total_bp = sum(r.share_bp for r in rows)
+    assert 10000 - len(rows) <= total_bp <= 10000
+
+
+def test_zscore_bins_partition_and_clamp(spark):
+    from glaciersgee_spark.operators.curation import q_e_zscore_norm
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_zscore_norm(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert all(-3 <= r.z_bin <= 3 for r in rows)
+
+
+def test_nearest_aoi_agrees_with_bruteforce(spark):
+    """Re-derive the argmin in plain Python for every sampled point."""
+    from collections import defaultdict
+
+    from glaciersgee_spark.operators.spatial import _aoi, q_a_nearest_aoi
+    from glaciersgee_spark.tables import load_table
+
+    centers = [
+        (r.aoi_id, r.xmin + r.xmax, r.ymin + r.ymax)
+        for r in _aoi(spark, SF_SMOKE).collect()
+    ]
+    pts = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_id") % 7 == 0)
+        .select("event_id", "user_id")
+        .collect()
+    )
+    want = defaultdict(lambda: [0, 1 << 60, -1, 0])
+    for p in pts:
+        x, y = p.event_id % 100, p.user_id % 100
+        d2, aid = min(
+            ((2 * x - cx) ** 2 + (2 * y - cy) ** 2, a) for a, cx, cy in centers
+        )
+        s = want[aid]
+        s[0] += 1
+        s[1] = min(s[1], d2)
+        s[2] = max(s[2], d2)
+        s[3] += d2
+    got = {
+        r.aoi_id: [r.n_points, r.min_d2, r.max_d2, r.sum_d2]
+        for r in q_a_nearest_aoi(spark, SF_SMOKE).collect()
+    }
+    assert got == {k: list(v) for k, v in want.items()}
