@@ -1123,3 +1123,85 @@ def q_e_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "z_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_rank_corr (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_rank_corr",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             n_chars AS sa,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS sb
+      FROM documents
+    ),
+    r AS (
+      SELECT lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sa, doc_id)
+               AS ra,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sb, doc_id)
+               AS rb
+      FROM f
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+           round(1.0 - 6.0 * SUM((ra - rb) * (ra - rb))
+                 / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * COUNT(*)
+                    - COUNT(*)), 6) AS rho6
+    FROM r GROUP BY lang HAVING COUNT(*) >= 2 ORDER BY lang
+    """,
+)
+def q_e_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank agreement between two quality signals (round 5):
+    before a pipeline trusts a cheap proxy score (here char mass) as a
+    stand-in for a costlier one (token count), it measures per-language
+    rank correlation — ρ near 1 means the proxy preserves the ordering
+    the threshold actually cuts on, and a low-ρ language is where
+    proxy-based filtering silently diverges. ρ = 1 − 6Σd²/(n³−n) with
+    d the per-doc rank difference.
+
+    Determinism: both ranks are row_number over (integer score,
+    doc_id) — no tie ambiguity in either engine; Σd² is exact BIGINT;
+    the single closing division is IEEE on identical integers. Scale:
+    two rank windows PARTITIONED by lang (one shuffle each, AQE splits
+    skewed languages), then a combinable per-lang aggregate — nothing
+    global, no corpus-sized unpartitioned window (the q_b_topk_pergroup
+    discipline, not q_b_sort's global case).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("sa"),
+        F.size(F.split("text", " ")).cast("long").alias("sb"),
+    )
+    wa = Window.partitionBy("lang").orderBy("sa", "doc_id")
+    wb = Window.partitionBy("lang").orderBy("sb", "doc_id")
+    r = f.select(
+        "lang",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    agg = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    )
+    n = F.col("n_docs").cast("double")
+    return (
+        agg.where(F.col("n_docs") >= 2)
+        .select(
+            "lang",
+            "n_docs",
+            "sum_d2",
+            F.round(
+                F.lit(1.0) - 6.0 * F.col("sum_d2") / (n * n * n - F.col("n_docs")),
+                6,
+            ).alias("rho6"),
+        )
+        .orderBy("lang")
+    )

@@ -966,3 +966,65 @@ def q_e_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_gini_mass (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_gini_mass",
+    oracle="""
+    WITH r AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS i
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(x) AS BIGINT) AS total_chars,
+           round((2.0 * SUM(i * x) - (COUNT(*) + 1.0) * SUM(x))
+                 / (CAST(COUNT(*) AS DOUBLE) * SUM(x)), 6) AS gini6
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def q_e_gini_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini concentration of document byte mass (round 5):
+    how unequally a language's corpus mass is spread across its docs —
+    G ≈ 0 means uniform doc sizes, G → 1 means a few giant documents
+    carry the language. The mixing stage reads this next to
+    q_e_mix_weights: a high-Gini language's token budget is hostage to
+    a handful of documents, so dedup/chunking decisions hit it
+    disproportionately. G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) over ascending
+    per-lang ranks.
+
+    Determinism: rank is row_number over (integer mass, doc_id) —
+    tie-free; both Σi·x and Σx are exact BIGINT sums; one closing IEEE
+    division. Scale: ONE lang-partitioned rank window (AQE splits a
+    skewed language) into a combinable per-lang aggregate; the
+    unbounded-window-free spelling of the Lorenz/Gini rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").cast("long").alias("total_chars"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(
+            (2.0 * F.col("six") - (n + 1.0) * F.col("total_chars"))
+            / (n * F.col("total_chars")),
+            6,
+        ).alias("gini6"),
+    ).orderBy("lang")

@@ -96,6 +96,7 @@ HEADLINERS = [
     ("q_f_pandas_window", "Arrow window UDF: one user_id shuffle, O(frame) state per row"),
     ("q_e_bloom_dedup", "32-row bit_or sketch broadcast; no distinct over the catalog"),
     ("q_a_nearest_aoi", "argmin over a literal center array in codegen; no join, no expansion"),
+    ("q_e_gini_mass", "one lang-partitioned rank window into a combinable agg; exact BIGINT sums"),
 ]
 
 

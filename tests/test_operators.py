@@ -1840,3 +1840,47 @@ def test_nearest_aoi_agrees_with_bruteforce(spark):
         for r in q_a_nearest_aoi(spark, SF_SMOKE).collect()
     }
     assert got == {k: list(v) for k, v in want.items()}
+
+
+def test_rank_corr_matches_bruteforce(spark):
+    """Spearman per lang re-derived in plain Python."""
+    from collections import defaultdict
+
+    from glaciersgee_spark.operators.curation import q_e_rank_corr
+    from glaciersgee_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    ).collect()
+    by_lang = defaultdict(list)
+    for r in docs:
+        by_lang[r.lang].append((r.doc_id, r.n_chars, len(r.text.split(" "))))
+    want = {}
+    for lang, rows in by_lang.items():
+        if len(rows) < 2:
+            continue
+        ra = {d: i + 1 for i, (d, *_ ) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0])))}
+        rb = {d: i + 1 for i, (d, *_ ) in enumerate(
+            sorted(rows, key=lambda t: (t[2], t[0])))}
+        n = len(rows)
+        sd2 = sum((ra[d] - rb[d]) ** 2 for d, *_ in rows)
+        want[lang] = (n, sd2, round(1.0 - 6.0 * sd2 / (float(n) * n * n - n), 6))
+    got = {
+        r.lang: (r.n_docs, r.sum_d2, r.rho6)
+        for r in q_e_rank_corr(spark, SF_SMOKE).collect()
+    }
+    assert got == want and got
+
+
+def test_gini_mass_bounds_and_conservation(spark):
+    from glaciersgee_spark.operators.drift import q_e_gini_mass
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_gini_mass(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r.total_chars for r in rows) == total
+    # Gini of a finite positive sample lies in [0, 1 - 1/n]
+    assert all(0.0 <= r.gini6 < 1.0 for r in rows)

@@ -667,3 +667,25 @@ def test_ivf_probe_curve_single_grid_window(spark):
     for q, pts in by_q.items():
         hs = [h for _, h in sorted(pts)]
         assert hs == sorted(hs), (q, hs)
+
+
+def test_nearest_aoi_plan_is_joinless(spark):
+    """The literal-array argmin form must compile to a plan with NO
+    join operator at all — the whole point vs the crossJoin spelling."""
+    from glaciersgee_spark.operators.spatial import q_a_nearest_aoi
+    from glaciersgee_spark.plans import inspect as PI
+
+    plan = PI.formatted(q_a_nearest_aoi(spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert not PI.has_python_boundary(plan)
+
+
+def test_bloom_dedup_probe_joins_broadcast(spark):
+    """Both word-lookup probes and the exact verify join must broadcast
+    the sketch/catalog side — the fact never shuffles for membership."""
+    from glaciersgee_spark.operators.dedup import q_e_bloom_dedup
+    from glaciersgee_spark.plans import inspect as PI
+
+    plan = PI.formatted(q_e_bloom_dedup(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
