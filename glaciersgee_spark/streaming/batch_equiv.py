@@ -661,3 +661,99 @@ def q_d_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_d_stream_union",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS lane,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_d_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source streaming UNION, END TO END (round 5): two
+    independent file sources (the events feed split by user parity —
+    the two-datacenter/two-topic ingest shape) are unioned INSIDE one
+    REAL Structured Streaming query, watermarked once on the merged
+    event time, aggregated into tumbling per-lane hourly counts, and
+    drained with availableNow into a foreachBatch parquet upsert sink
+    (the q_d_foreachbatch_sink MERGE discipline — latest batch_id wins
+    per key). Third true-stream execution surface after foreachBatch
+    and checkpoint-restart: union is the one streaming topology where
+    BOTH legs must share watermark bookkeeping, which a batch
+    equivalent can't exercise.
+
+    Scale: each leg scans its own source in parallel; union is a
+    zero-shuffle concatenation of micro-batch partitions; the one
+    shuffle is the windowed groupBy. Exact integer cents make the
+    merged aggregate order-insensitive. The staged sources are
+    single-batch under availableNow, so the watermark can drop
+    nothing and the batch oracle is exact (same precondition as the
+    other true streams).
+    """
+    ev_all = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    src_a = scratch_dir(prefix="ggee_su_a_")
+    src_b = scratch_dir(prefix="ggee_su_b_")
+    ev_all.where(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(src_a)
+    ev_all.where(F.col("user_id") % 2 == 1).write.mode("overwrite").parquet(src_b)
+    schema = spark.read.parquet(src_a).schema
+
+    def leg(path: str, lane: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(path)
+            .withColumn("lane", F.lit(lane))
+        )
+
+    u = leg(src_a, "even").unionByName(leg(src_b, "odd")).withWatermark(
+        "ts", "2 hours"
+    )
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    counts = u.groupBy(F.window("ts", "1 hour").alias("w"), "lane").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("value_cents"),
+    )
+    out = scratch_dir(prefix="ggee_su_out_")
+    ck = scratch_dir(prefix="ggee_su_ck_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col("w.start").cast("timestamp_ntz").alias("ws"),
+                "lane",
+                "n",
+                "value_cents",
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "q_d_stream_union: availableNow drain exceeded 120 s — "
+            "refusing to read a partially-written sink"
+        )
+    sunk = spark.read.parquet(out)
+    latest = Window.partitionBy("ws", "lane").orderBy(F.col("batch_id").desc())
+    return (
+        sunk.withColumn("_rk", F.row_number().over(latest))
+        .where(F.col("_rk") == 1)
+        .select("ws", "lane", "n", "value_cents")
+        .orderBy("ws", "lane")
+    )

@@ -316,3 +316,16 @@ def test_stateful_restart_resumes_from_checkpoint(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_union_conserves_events(spark):
+    """The two-leg streaming union must account for every event exactly
+    once, and lanes must partition by user parity."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_stream_union
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_d_stream_union(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r.n for r in rows) == ev.count()
+    even = sum(r.n for r in rows if r.lane == "even")
+    assert even == ev.where(F.col("user_id") % 2 == 0).count()
