@@ -1028,3 +1028,110 @@ def q_e_gini_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini6"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q_e_js_drift (round 5)
+# ---------------------------------------------------------------------------
+
+_LN2_6 = 0.693147  # round(ln 2, 6) — shared literal in both engines
+
+
+@query(
+    "q_e_js_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    st AS (
+      SELECT source, token, COUNT(*) AS cs FROM toks GROUP BY source, token
+    ),
+    ct AS (SELECT token, SUM(cs) AS c FROM st GROUP BY token),
+    ns AS (
+      SELECT source, SUM(cs) AS nstot, COUNT(*) AS vocab_used
+      FROM st GROUP BY source
+    ),
+    nn AS (SELECT SUM(cs) AS n FROM st),
+    pq AS (
+      SELECT st.source,
+             CAST(st.cs AS DOUBLE) / ns.nstot AS p,
+             CAST(ct.c AS DOUBLE) / nn.n AS q
+      FROM st
+      JOIN ct USING (token)
+      JOIN ns USING (source)
+      CROSS JOIN nn
+    ),
+    terms AS (
+      SELECT source,
+             0.5 * (p * round(ln(p / ((p + q) / 2)), 6)
+                    + q * round(ln(q / ((p + q) / 2)), 6)
+                    - q * {_LN2_6}) AS x
+      FROM pq
+    )
+    SELECT t.source,
+           CAST(ns.nstot AS BIGINT) AS n_tokens,
+           CAST(ns.vocab_used AS BIGINT) AS vocab_used,
+           round({dsum('x', 12, 38)} + 0.5 * {_LN2_6}, 6) AS jsd6
+    FROM terms t JOIN ns ON t.source = ns.source
+    GROUP BY t.source, ns.nstot, ns.vocab_used
+    ORDER BY t.source
+    """,
+)
+def q_e_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence from the corpus unigram
+    distribution (round 5): the symmetric, bounded ([0, ln 2]) single
+    number that ranks which source's vocabulary deviates most from the
+    mixture it feeds — next to q_e_psi_drift (bucketed PSI) and
+    q_e_corpus_drift (per-token movers) this is the scalar leaderboard
+    form. The q-side sum over tokens ABSENT from a source collapses in
+    closed form (for cs=0, m=q/2 so the term is q·ln2), so only rows
+    with cs>0 are ever materialized: JSD = Σ_{{cs>0}} ½(p·ln(p/m) +
+    q·ln(q/m) − q·ln2) + ½ln2.
+
+    Determinism: p and q are IEEE divisions of exact BIGINT counts
+    (identical in both engines); every ln is rounded at 6 dp per the
+    house convention before entering products; the per-source sum runs
+    through the exact-decimal dsum at scale 12, so term order cannot
+    move the result. Scale: one token-count shuffle builds st; corpus
+    counts and totals RE-AGGREGATE from st (partials, never the raw
+    stream twice); ns and the 1-row grand total broadcast; the st↔ct
+    join co-partitions on token. Nothing corpus-sized crosses a
+    driver, no window at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cs"))
+    ct = st.groupBy("token").agg(F.sum("cs").alias("c"))
+    ns = st.groupBy("source").agg(
+        F.sum("cs").alias("nstot"), F.count(F.lit(1)).alias("vocab_used")
+    )
+    nn = st.agg(F.sum("cs").alias("n"))
+    p = F.col("cs").cast("double") / F.col("nstot")
+    q = F.col("c").cast("double") / F.col("n")
+    m = (p + q) / 2
+    x = 0.5 * (
+        p * F.round(F.log(p / m), 6)
+        + q * F.round(F.log(q / m), 6)
+        - q * F.lit(_LN2_6)
+    )
+    terms = (
+        st.join(ct, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .select("source", "nstot", "vocab_used", x.alias("x"))
+    )
+    return (
+        terms.groupBy("source", "nstot", "vocab_used")
+        .agg(
+            F.round(
+                F.expr(dsum("x", 12, 38)) + F.lit(0.5 * _LN2_6), 6
+            ).alias("jsd6")
+        )
+        .select(
+            "source",
+            F.col("nstot").cast("long").alias("n_tokens"),
+            F.col("vocab_used").cast("long").alias("vocab_used"),
+            "jsd6",
+        )
+        .orderBy("source")
+    )

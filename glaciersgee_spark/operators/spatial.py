@@ -639,3 +639,83 @@ def q_a_nearest_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aoi_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_coverage_gap (round 5)
+# ---------------------------------------------------------------------------
+
+_CG_MOD = 211  # observation sampling — leaves holes at every test SF
+_CG_DIM = 20  # 20×20 grid of 5-unit cells over the [0,100) plane
+
+
+@query(
+    "q_a_coverage_gap",
+    oracle=f"""
+    WITH obs AS (
+      SELECT DISTINCT (event_id % 100) // 5 AS cx, (user_id % 100) // 5 AS cy
+      FROM events WHERE event_id % {_CG_MOD} = 0
+    ),
+    xs AS (SELECT unnest(generate_series(0, {_CG_DIM - 1})) AS cx),
+    ys AS (SELECT unnest(generate_series(0, {_CG_DIM - 1})) AS cy),
+    miss AS (
+      SELECT g.cx, g.cy FROM (SELECT * FROM xs CROSS JOIN ys) g
+      WHERE NOT EXISTS (SELECT 1 FROM obs o WHERE o.cx = g.cx AND o.cy = g.cy)
+    )
+    SELECT CAST(x.cx AS BIGINT) AS cx,
+           COUNT(m.cy) AS n_missing,
+           CAST({_CG_DIM} - COUNT(m.cy) AS BIGINT) AS n_observed,
+           COALESCE(string_agg(CAST(m.cy AS VARCHAR), ',' ORDER BY m.cy), '')
+             AS missing_ys
+    FROM xs x LEFT JOIN miss m ON m.cx = x.cx
+    GROUP BY x.cx ORDER BY cx
+    """,
+)
+def q_a_coverage_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial coverage-hole audit (round 5): which grid cells has the
+    (sampled) observation stream NEVER seen — the mosaicking gap report
+    that tells an acquisition planner where to task the next pass.
+    One row per grid column: how many of its 20 cells are unobserved
+    and which (a compact y-list), empty columns included.
+
+    Scale: observed cells collapse via a combinable groupBy to ≤ |grid|
+    rows BEFORE any join (the corpus never meets the grid directly);
+    the full grid is metadata-sized (dim² rows, generated, broadcast),
+    so the anti-join and the final per-column rollup are dimension-table
+    work regardless of corpus size. The y-list is bounded by the grid
+    dimension — never a corpus-sized collect_list.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % _CG_MOD == 0
+    )
+    obs = (
+        ev.select(
+            F.expr("(event_id % 100) div 5").alias("cx"),
+            F.expr("(user_id % 100) div 5").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    xs = spark.range(_CG_DIM).select(F.col("id").alias("cx"))
+    ys = spark.range(_CG_DIM).select(F.col("id").alias("cy"))
+    grid = xs.crossJoin(ys)  # dim² metadata rows — the declared cartesian
+    miss = grid.join(obs, ["cx", "cy"], "left_anti")
+    agg = miss.groupBy("cx").agg(
+        F.count(F.lit(1)).alias("n_missing"),
+        F.expr(
+            "concat_ws(',', transform(sort_array(collect_list(cy)),"
+            " v -> CAST(v AS STRING)))"
+        ).alias("missing_ys"),
+    )
+    return (
+        xs.join(agg, "cx", "left")
+        .select(
+            "cx",
+            F.coalesce(F.col("n_missing"), F.lit(0)).cast("long").alias("n_missing"),
+            (F.lit(_CG_DIM) - F.coalesce(F.col("n_missing"), F.lit(0)))
+            .cast("long")
+            .alias("n_observed"),
+            F.coalesce(F.col("missing_ys"), F.lit("")).alias("missing_ys"),
+        )
+        .orderBy("cx")
+    )

@@ -1884,3 +1884,29 @@ def test_gini_mass_bounds_and_conservation(spark):
     assert sum(r.total_chars for r in rows) == total
     # Gini of a finite positive sample lies in [0, 1 - 1/n]
     assert all(0.0 <= r.gini6 < 1.0 for r in rows)
+
+
+def test_coverage_gap_columns_complete_and_consistent(spark):
+    from glaciersgee_spark.operators.spatial import _CG_DIM, q_a_coverage_gap
+
+    rows = q_a_coverage_gap(spark, SF_SMOKE).collect()
+    assert len(rows) == _CG_DIM
+    for r in rows:
+        assert r.n_missing + r.n_observed == _CG_DIM
+        ys = [int(v) for v in r.missing_ys.split(",") if v != ""]
+        assert len(ys) == r.n_missing and ys == sorted(ys)
+
+
+def test_js_drift_bounded_and_token_conserving(spark):
+    """JSD lies in [0, ln 2]; per-source token totals sum to the corpus
+    token count."""
+    from glaciersgee_spark.operators.drift import q_e_js_drift
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_js_drift(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.jsd6 <= 0.693148
+    d = load_table(spark, SF_SMOKE, "documents")
+    total = d.select(F.size(F.split("text", " ")).alias("k")).agg(F.sum("k")).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == total
