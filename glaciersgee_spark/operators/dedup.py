@@ -2556,3 +2556,87 @@ def q_e_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ split-leakage audit
+
+
+@query(
+    "q_e_split_leakage",
+    oracle=f"""
+    WITH pairs AS ({_ORACLE['q_e_dedup_near_md5']}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    ),
+    tagged AS (
+      SELECT least(sa.split, sb.split) AS split_lo,
+             greatest(sa.split, sb.split) AS split_hi
+      FROM pairs p
+      JOIN sp sa ON p.id_a = sa.doc_id
+      JOIN sp sb ON p.id_b = sb.doc_id
+    )
+    SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_pairs_total,
+           (split_lo <> split_hi) AS leaks
+    FROM tagged GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi
+    """,
+)
+def q_e_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split-leakage audit (round 5): near-duplicate
+    pairs that STRADDLE the split boundary are eval contamination the
+    exact-match decontamination pass (q_e_decontaminate) cannot see —
+    a test doc whose near-twin sits in train inflates every benchmark
+    number. Composes the verified near-dup pair set (q_e_dedup_near_md5
+    pipeline, oracle CTE reused verbatim) with q_e_train_split's
+    content-stable hash buckets; one row per unordered split pair with
+    the total for rate computation and a `leaks` marker on the
+    cross-split rows.
+
+    Scale: the pair set is the already-banded LSH output (slim — dup
+    pairs, not the corpus); the two split lookups are co-partitioned
+    hash joins on doc_id (AQE broadcasts the slim side locally); the
+    rollup is ≤ 6 rows, and the share window runs over those 6 rows
+    only. least/greatest canonicalize the pair so train→test and
+    test→train never split a count.
+    """
+    pairs = q_e_dedup_near_md5(spark, sf_dir).select("id_a", "id_b")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    sp = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sp_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sp_b"))
+    tagged = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sp_a", "sp_b").alias("split_lo"),
+            F.greatest("sp_a", "sp_b").alias("split_hi"),
+        )
+    )
+    agg = tagged.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "split_lo",
+        "split_hi",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_total"),
+        (F.col("split_lo") != F.col("split_hi")).alias("leaks"),
+    ).orderBy("split_lo", "split_hi")

@@ -1910,3 +1910,23 @@ def test_js_drift_bounded_and_token_conserving(spark):
     d = load_table(spark, SF_SMOKE, "documents")
     total = d.select(F.size(F.split("text", " ")).alias("k")).agg(F.sum("k")).collect()[0][0]
     assert sum(r.n_tokens for r in rows) == total
+
+
+def test_split_leakage_accounts_all_pairs(spark):
+    """Rows partition the near-dup pair set; totals and the leak marker
+    are self-consistent."""
+    from glaciersgee_spark.operators.dedup import (
+        q_e_dedup_near_md5,
+        q_e_split_leakage,
+    )
+
+    rows = q_e_split_leakage(spark, SF_SMOKE).collect()
+    n_pairs = q_e_dedup_near_md5(spark, SF_SMOKE).count()
+    if n_pairs == 0:
+        assert rows == []
+        return
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.n_pairs_total == n_pairs
+        assert r.leaks == (r.split_lo != r.split_hi)
+        assert r.split_lo <= r.split_hi
