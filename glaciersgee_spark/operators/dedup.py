@@ -2640,3 +2640,80 @@ def q_e_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_total"),
         (F.col("split_lo") != F.col("split_hi")).alias("leaks"),
     ).orderBy("split_lo", "split_hi")
+
+
+# ------------------------------------------------ survivorship policy
+
+
+@query(
+    "q_e_dedup_survivors",
+    oracle=f"""
+    WITH cl AS ({_ORACLE['q_e_dedup_cluster']}),
+    mem AS (
+      SELECT c.doc_id, c.cluster_id, d.source, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id ASC) AS best_rk
+      FROM cl c JOIN documents d ON c.doc_id = d.doc_id
+      WHERE c.cluster_size >= 2
+    )
+    SELECT source,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_minid,
+           CAST(SUM(CASE WHEN best_rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_best,
+           CAST(SUM(CASE WHEN best_rk = 1 THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS policy_delta
+    FROM mem GROUP BY source ORDER BY source
+    """,
+)
+def q_e_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-policy audit (round 5): real dedup pipelines argue
+    about WHICH copy of a near-dup cluster to keep — lowest id (stable,
+    arbitrary) or highest quality (here: byte mass, doc_id tie-break).
+    This op runs BOTH rules over the verified duplicate clusters and
+    reports, per source, how many docs each policy would keep — the
+    policy_delta column is the number of documents whose survival
+    flips, i.e. exactly what's at stake in the policy debate. Only
+    true clusters (size ≥ 2) participate; singletons survive any rule.
+
+    Scale: the CC label table (slim: members of dup clusters only)
+    joins the doc table once on doc_id (co-partitioned); the best-rank
+    window partitions by cluster_id, so its frame is bounded by the
+    largest dup cluster, never the corpus; the rollup is |sources|
+    rows. Oracle composes the registered recursive-CTE cluster oracle
+    verbatim.
+    """
+    cl = q_e_dedup_cluster(spark, sf_dir).where(F.col("cluster_size") >= 2)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    mem = cl.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    mem = mem.withColumn("best_rk", F.row_number().over(w))
+    return (
+        mem.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_minid"),
+            F.sum(F.when(F.col("best_rk") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_best"),
+        )
+        .select(
+            "source",
+            "n_members",
+            "kept_minid",
+            "kept_best",
+            (F.col("kept_best") - F.col("kept_minid")).alias("policy_delta"),
+        )
+        .orderBy("source")
+    )

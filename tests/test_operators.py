@@ -1930,3 +1930,23 @@ def test_split_leakage_accounts_all_pairs(spark):
         assert r.n_pairs_total == n_pairs
         assert r.leaks == (r.split_lo != r.split_hi)
         assert r.split_lo <= r.split_hi
+
+
+def test_dedup_survivors_policies_consistent(spark):
+    """Each policy keeps exactly one doc per cluster; deltas cancel
+    across sources (both policies keep |clusters| docs overall)."""
+    from glaciersgee_spark.operators.dedup import (
+        q_e_dedup_cluster,
+        q_e_dedup_survivors,
+    )
+
+    rows = q_e_dedup_survivors(spark, SF_SMOKE).collect()
+    cl = q_e_dedup_cluster(spark, SF_SMOKE).where(F.col("cluster_size") >= 2)
+    n_clusters = cl.select("cluster_id").distinct().count()
+    if n_clusters == 0:
+        assert rows == []
+        return
+    assert sum(r.kept_minid for r in rows) == n_clusters
+    assert sum(r.kept_best for r in rows) == n_clusters
+    assert sum(r.policy_delta for r in rows) == 0
+    assert sum(r.n_members for r in rows) == cl.count()
