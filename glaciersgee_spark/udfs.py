@@ -33,7 +33,10 @@ from glaciersgee_spark.tables import fan_out, load_table
 # ------------------------------------------------------- scalar Python UDF
 
 
-@F.udf(returnType=T.LongType())
+# useArrow=False explicitly: this op IS the declared row-at-a-time
+# boundary (and the explicit choice silences Spark 4's eval-type
+# inference warning at import).
+@F.udf(returnType=T.LongType(), useArrow=False)
 def _digit_sum(n: int) -> int:
     return sum(int(c) for c in str(n))
 
