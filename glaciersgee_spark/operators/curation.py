@@ -1205,3 +1205,72 @@ def q_e_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_length_gate (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_length_gate",
+    oracle="""
+    WITH st AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.05), 6) AS p05,
+             round(quantile_cont(n_chars, 0.95), 6) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars < st.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN d.n_chars > st.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_long,
+           CAST(SUM(CASE WHEN d.n_chars >= st.p05 AND d.n_chars <= st.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           st.p05, st.p95
+    FROM documents d JOIN st ON d.lang = st.lang
+    GROUP BY d.lang, st.p05, st.p95 ORDER BY d.lang
+    """,
+)
+def q_e_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive percentile length gate (round 5): instead of the fixed
+    min/max length rules (q_e_gopher_rules), cut each LANGUAGE at its
+    own p05/p95 of byte mass — the per-distribution form that doesn't
+    punish naturally-terse languages with an absolute floor. Reports
+    per lang how many docs the gate would drop on each side plus the
+    thresholds themselves.
+
+    Two passes: (1) one grouped exact-percentile aggregate (single
+    array buffer — the q_b_quantiles measured discipline; at 100 TB
+    this pass moves to approx_percentile with this exact form as the
+    audit); (2) the |langs|-row threshold table broadcasts back onto
+    the scan, classification is scan-side codegen, and the rollup is
+    map-side combinable. Thresholds interpolate identically in both
+    engines (bit-level equivalence proven by q_e_text_stats' median),
+    so the integer-vs-double boundary comparisons agree everywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.05, 0.95))").alias("qv")
+    ).select(
+        "lang",
+        F.round(F.col("qv").getItem(0), 6).alias("p05"),
+        F.round(F.col("qv").getItem(1), 6).alias("p95"),
+    )
+    j = d.join(F.broadcast(st), "lang")
+    short = F.col("n_chars") < F.col("p05")
+    long_ = F.col("n_chars") > F.col("p95")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        j.groupBy("lang", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            one(short).alias("n_short"),
+            one(long_).alias("n_long"),
+            one(~short & ~long_).alias("n_kept"),
+        )
+        .select("lang", "n_docs", "n_short", "n_long", "n_kept", "p05", "p95")
+        .orderBy("lang")
+    )

@@ -2717,3 +2717,74 @@ def q_e_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ dup-arrival timeline
+
+
+@query(
+    "q_e_dup_timeline",
+    oracle=f"""
+    WITH pairs AS ({_ORACLE['q_e_dedup_near_md5']}),
+    mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    db AS (
+      SELECT doc_id, CAST(doc_id * 10 // (mid + 1) AS BIGINT) AS decile
+      FROM documents CROSS JOIN mx
+    ),
+    arrivals AS (SELECT DISTINCT id_b FROM pairs),
+    flagged AS (
+      SELECT db.decile, (a.id_b IS NOT NULL) AS is_dup
+      FROM db LEFT JOIN arrivals a ON db.doc_id = a.id_b
+    )
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_arrivals,
+           CAST(floor(1000000.0 * SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS dup_ppm
+    FROM flagged GROUP BY decile ORDER BY decile
+    """,
+)
+def q_e_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-arrival timeline (round 5): near-dup ARRIVAL rate by
+    doc_id decile (ingest order stands in for crawl time) — a dup pair
+    (a, b) with a < b is charged to the LATER doc's decile, because
+    that's the copy a streaming dedup would have refused. A rising
+    curve means the crawl is increasingly re-fetching known content —
+    the signal to retune frontier politeness or dedup budget before
+    the next 10 TB arrives.
+
+    Scale: the pair set is the banded LSH output (slim); arrivals
+    dedup to distinct id_b (bounded by the dup-doc count); ONE
+    co-partitioned left join against the doc table's decile projection
+    (the 1-row max broadcasts); 10-row rollup with exact integer ppm.
+    """
+    pairs = q_e_dedup_near_md5(spark, sf_dir).select("id_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("mid"))
+    db = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.expr("CAST(doc_id * 10 div (mid + 1) AS BIGINT)").alias("decile"),
+    )
+    arrivals = pairs.distinct().withColumn("is_dup", F.lit(True))
+    flagged = db.join(
+        arrivals, db.doc_id == arrivals.id_b, "left"
+    ).select("decile", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    return (
+        flagged.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_arrivals"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_dup_arrivals",
+            F.floor(
+                1000000.0 * F.col("n_dup_arrivals") / F.col("n_docs")
+            ).alias("dup_ppm"),
+        )
+        .orderBy("decile")
+    )

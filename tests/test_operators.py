@@ -1950,3 +1950,30 @@ def test_dedup_survivors_policies_consistent(spark):
     assert sum(r.kept_best for r in rows) == n_clusters
     assert sum(r.policy_delta for r in rows) == 0
     assert sum(r.n_members for r in rows) == cl.count()
+
+
+def test_length_gate_partitions_each_lang(spark):
+    from glaciersgee_spark.operators.curation import q_e_length_gate
+
+    rows = q_e_length_gate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_short + r.n_kept + r.n_long == r.n_docs
+        assert r.p05 <= r.p95
+        # a p05/p95 gate keeps the bulk of any distribution
+        assert r.n_kept >= r.n_docs * 0.8
+
+
+def test_dup_timeline_conserves_docs_and_arrivals(spark):
+    from glaciersgee_spark.operators.dedup import (
+        q_e_dedup_near_md5,
+        q_e_dup_timeline,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_dup_timeline(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    arrivals = q_e_dedup_near_md5(spark, SF_SMOKE).select("id_b").distinct().count()
+    assert sum(r.n_dup_arrivals for r in rows) == arrivals
+    assert all(0 <= r.decile <= 9 for r in rows)
