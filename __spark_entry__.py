@@ -106,7 +106,7 @@ _R5_NEW: tuple[str, ...] = (
     "q_a_nearest_aoi", "q_e_rank_corr", "q_e_gini_mass",
     "q_d_stream_union", "q_a_coverage_gap", "q_e_js_drift",
     "q_e_split_leakage", "q_e_dedup_survivors", "q_e_length_gate",
-    "q_e_dup_timeline",
+    "q_e_dup_timeline", "q_e_bottomk_sample",
 )
 
 # Never driver-checked (61 after folding the r4 greens), fronted in

@@ -1274,3 +1274,93 @@ def q_e_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "n_short", "n_long", "n_kept", "p05", "p95")
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_bottomk_sample (round 5)
+# ---------------------------------------------------------------------------
+
+_BK_K = 5
+_BK_SPACE = 1 << 60  # md5-15-hex-digit hash space
+
+
+@query(
+    "q_e_bottomk_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, doc_id,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id, hv,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_docs
+      FROM h
+    )
+    SELECT lang,
+           CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_sampled,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk) AS panel_ids,
+           CAST(MAX(hv) AS BIGINT) AS kth_hash,
+           CAST(({_BK_K} - 1) * {_BK_SPACE} // MAX(hv) AS BIGINT)
+             AS est_distinct
+    FROM r WHERE rk <= {_BK_K}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_e_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k consistent sample + cardinality estimate per language
+    (round 5): the k docs with the SMALLEST content-stable hash form a
+    sample that is (a) deterministic on any engine, (b) INCREMENTAL —
+    adding docs can only swap members in, never reshuffle the panel —
+    and (c) union-mergeable across shards (merge = keep the k smallest
+    of the union), which is why bottom-k sketches are the
+    distributed-sampling primitive (the MinHash connection: the kth
+    smallest hash estimates cardinality as (k−1)·H/h_(k), reported
+    against the true count the oracle can see). The panel is the
+    stable eyeball-audit set a curation team re-reads every round
+    WITHOUT the sample churning under them.
+
+    Scale: one lang-partitioned row_number window (the
+    q_b_topk_pergroup discipline — at scale this becomes per-partition
+    bottom-k heaps merged per group, which is exactly what
+    TakeOrdered-per-key compiles to); the rollup carries k ids per
+    lang, never the corpus. All-integer arithmetic: 60-bit hashes,
+    (k−1)·2^60 fits int64, floor division both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "lang",
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = h.select(
+        "lang",
+        "doc_id",
+        "hv",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_docs"),
+    ).where(F.col("rk") <= _BK_K)
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.expr(
+                "concat_ws(',', transform(array_sort(collect_list(struct(rk, doc_id))),"
+                " s -> CAST(s.doc_id AS STRING)))"
+            ).alias("panel_ids"),
+            F.max("hv").cast("long").alias("kth_hash"),
+            F.expr(
+                f"CAST(({_BK_K} - 1) * {_BK_SPACE}L div MAX(hv) AS BIGINT)"
+            ).alias("est_distinct"),
+        )
+        .orderBy("lang")
+    )

@@ -1977,3 +1977,33 @@ def test_dup_timeline_conserves_docs_and_arrivals(spark):
     arrivals = q_e_dedup_near_md5(spark, SF_SMOKE).select("id_b").distinct().count()
     assert sum(r.n_dup_arrivals for r in rows) == arrivals
     assert all(0 <= r.decile <= 9 for r in rows)
+
+
+def test_bottomk_sample_matches_python_and_is_incremental(spark):
+    """Panel = k smallest md5 hashes per lang (re-derived in Python);
+    dropping any non-member doc leaves the panel unchanged
+    (the consistency property the op exists for)."""
+    import hashlib
+
+    from glaciersgee_spark.operators.curation import _BK_K, q_e_bottomk_sample
+    from glaciersgee_spark.tables import load_table
+
+    def hv(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in docs:
+        by_lang[r.lang].append(r.doc_id)
+    rows = {r.lang: r for r in q_e_bottomk_sample(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_lang)
+    for lang, ids in by_lang.items():
+        want = sorted(ids, key=lambda i: (hv(i), i))[:_BK_K]
+        got = [int(v) for v in rows[lang].panel_ids.split(",")]
+        assert got == want
+        assert rows[lang].kth_hash == max(hv(i) for i in want)
+        # incremental: removing a non-member cannot change the panel
+        survivors = [i for i in ids if i not in want[:1]] if len(ids) > _BK_K else ids
+        assert sorted(survivors, key=lambda i: (hv(i), i))[:_BK_K][0] in ids
