@@ -8,19 +8,21 @@ Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
 the least driver-side evidence are rotated to the front. Round-5
 rotation (from CORRECTNESS_r01..r04 — all 187 checked rows green, so
-_DRIVER_VERIFIED now holds the r1-r4 union): the round-5 additions
-first (first-time evidence wanted), then the 61 ops that have NEVER
-had a driver CORRECTNESS row, in the VERDICT r4 order — all of Group F
-(the UDF surface), the 10 streaming batch-equivalents, the 10 Group B
-stragglers, the 6 Group A stragglers, then the Group E tail with the
-span/winnow/multimodal/tokenizer/curation families ahead of the drift
-metrics. Ops REWRITTEN this round (graph_triangles degree orientation,
-window_topk count-sink, cc_stars convergence guard) queue right after
-— their r4 evidence predates the rewrite but the rewrites are
-hash-identical and locally parity-green; the 50-cap lands on the
-never-checked set first. Local parity (tests/run_parity.py) covers the
-full inventory at sf0.01 AND sf0.1 every round regardless of the
-driver cap (the registry itself is the count of record).
+_DRIVER_VERIFIED holds the r1-r4 union): the 35 round-5 additions
+first (first-time evidence on the newest code), then the 61 ops that
+have NEVER had a driver CORRECTNESS row, in the VERDICT r4 order —
+all of Group F (the UDF surface), the 10 streaming batch-equivalents,
+the 10 Group B stragglers, the 6 Group A stragglers, then the Group E
+tail with the span/winnow/multimodal/tokenizer/curation families ahead
+of the drift metrics. With the cap at ~50 the checked set lands on all
+35 new ops + Group F (8) + the first 7 streaming rows; the remainder
+queues for round 6. Ops REWRITTEN this round (graph_triangles degree
+orientation, window_topk count-sink, cc_stars convergence guard)
+queue right after the never-checked set — their r4 evidence predates
+the rewrite but the rewrites are hash-identical and locally
+parity-green. Local parity (tests/run_parity.py) covers the full
+inventory at sf0.01 AND sf0.1 every round regardless of the driver
+cap (the registry itself is the count of record).
 """
 
 from __future__ import annotations
