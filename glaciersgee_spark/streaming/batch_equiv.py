@@ -696,13 +696,37 @@ def q_d_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing and the batch oracle is exact (same precondition as the
     other true streams).
     """
-    ev_all = load_table(spark, sf_dir, "events").select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    # The two split sources are STAGED once per corpus fingerprint
+    # (mtime+size, the read_events_stream convention) — re-running the
+    # op streams from the existing stage instead of re-writing the
+    # sources every call.
+    import os
+    import tempfile
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ggee_su_src",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
     )
-    src_a = scratch_dir(prefix="ggee_su_a_")
-    src_b = scratch_dir(prefix="ggee_su_b_")
-    ev_all.where(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(src_a)
-    ev_all.where(F.col("user_id") % 2 == 1).write.mode("overwrite").parquet(src_b)
+    src_a, src_b = f"{base}/even", f"{base}/odd"
+    marker = f"{base}/_STAGED"
+    if not os.path.exists(marker):
+        ev_all = load_table(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "value",
+        )
+        # few-file staging: the availableNow listing and per-file
+        # open cost dominate a small stream — 4 files per leg keeps
+        # source parallelism without 64 tiny splits
+        ev_all.where(F.col("user_id") % 2 == 0).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(src_a)
+        ev_all.where(F.col("user_id") % 2 == 1).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(src_b)
+        with open(marker, "w") as fh:
+            fh.write("ok")
     schema = spark.read.parquet(src_a).schema
 
     def leg(path: str, lane: str) -> DataFrame:

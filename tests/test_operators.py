@@ -1743,7 +1743,7 @@ def test_pandas_window_matches_builtin_spelling(spark):
         (r.event_id, r.user_id, r.mid3)
         for r in q_f_pandas_window(spark, SF_SMOKE).collect()
     }
-    ev = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") % 7 == 0)
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") % 19 == 0)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
