@@ -1036,6 +1036,31 @@ def q_e_gini_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LN2_6 = 0.693147  # round(ln 2, 6) — shared literal in both engines
 
+# One persisted (source, token, cs) partial table per (app, sf): four
+# consumers (st itself, ct, ns, nn) would otherwise each re-run the
+# corpus explode + count — Catalyst has no cross-branch common-subtree
+# reuse, so without the persist the physical plan scans the corpus 4×
+# (caught by tests/test_plans.py's re-aggregation pin). Same shared-
+# cache convention as dedup._SHINGLE_BASE_CACHE.
+_ST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ST_CACHE.get(key)
+    if cached is None:
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        cached = (
+            toks.groupBy("source", "token")
+            .agg(F.count(F.lit(1)).alias("cs"))
+            .persist()
+        )
+        _ST_CACHE[key] = cached
+    return cached
+
 
 @query(
     "q_e_js_drift",
@@ -1098,9 +1123,7 @@ def q_e_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     join co-partitions on token. Nothing corpus-sized crosses a
     driver, no window at all.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("source", F.explode(F.split("text", " ")).alias("token"))
-    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cs"))
+    st = _source_token_counts(spark, sf_dir)
     ct = st.groupBy("token").agg(F.sum("cs").alias("c"))
     ns = st.groupBy("source").agg(
         F.sum("cs").alias("nstot"), F.count(F.lit(1)).alias("vocab_used")

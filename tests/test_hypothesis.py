@@ -368,3 +368,88 @@ def test_countmin_estimate_is_one_sided(spark, keys):
 
     truth = Counter(str(k) for k in keys)
     assert all(est[k] >= n for k, n in truth.items())
+
+
+# ---------------------------------------------------------------- bottom-k
+# Pure-Python properties of q_e_bottomk_sample's math (no Spark session):
+# the docstring's mergeability claim and the estimator's construction.
+
+import hashlib  # noqa: E402
+
+from glaciersgee_spark.operators.curation import _BK_K  # noqa: E402
+
+
+def _bk_hv(i: int) -> int:
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+
+def _bk_panel(ids):
+    return sorted(ids, key=lambda i: (_bk_hv(i), i))[:_BK_K]
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+    b=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_bottomk_panel_is_union_mergeable(a, b):
+    """panel(A ∪ B) == panel(panel(A) ∪ panel(B)) — merging shard
+    panels loses nothing, the property that makes bottom-k the
+    distributed-sampling primitive."""
+    assert _bk_panel(a | b) == _bk_panel(set(_bk_panel(a)) | set(_bk_panel(b)))
+
+
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+    extra=st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_bottomk_panel_is_incremental(ids, extra):
+    """Adding one doc changes the panel by at most one swap-in."""
+    before, after = _bk_panel(ids), _bk_panel(ids | {extra})
+    assert len(set(before) - set(after)) <= 1
+
+
+# ------------------------------------------------------------------- JSD
+# q_e_js_drift's closed-form absent-token collapse: only cs>0 terms are
+# materialized; verify against the direct full-vocab JSD.
+
+import math  # noqa: E402
+
+
+@given(
+    cs=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=30).filter(
+        lambda v: sum(v) > 0
+    ),
+    ct_extra=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_jsd_closed_form_equals_direct(cs, ct_extra):
+    n = min(len(cs), len(ct_extra))
+    cs, ct_extra = cs[:n], ct_extra[:n]
+    ct = [c + e for c, e in zip(cs, ct_extra)]
+    if sum(ct) == 0 or sum(cs) == 0:
+        return
+    ns_, nn_ = sum(cs), sum(ct)
+    # direct: sum over ALL vocab (cs may be 0)
+    direct = 0.0
+    for c, t in zip(cs, ct):
+        p, q = c / ns_, t / nn_
+        if p == 0 and q == 0:
+            continue
+        m = (p + q) / 2
+        if p > 0:
+            direct += 0.5 * p * math.log(p / m)
+        if q > 0:
+            direct += 0.5 * q * math.log(q / m)
+    # shipped closed form: cs>0 rows only, + ln2 tail
+    ln2 = math.log(2.0)
+    closed = 0.5 * ln2
+    for c, t in zip(cs, ct):
+        if c == 0:
+            continue
+        p, q = c / ns_, t / nn_
+        m = (p + q) / 2
+        closed += 0.5 * (p * math.log(p / m) + q * math.log(q / m) - q * ln2)
+    assert abs(direct - closed) < 1e-9
+    assert -1e-9 <= direct <= ln2 + 1e-9

@@ -689,3 +689,32 @@ def test_bloom_dedup_probe_joins_broadcast(spark):
     plan = PI.formatted(q_e_bloom_dedup(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_js_drift_reaggregates_from_partials(spark):
+    """Corpus totals must derive from the (source, token) partials —
+    exactly ONE exchange should read the raw token stream (plus the
+    co-partition/broadcast exchanges downstream of the partials)."""
+    from glaciersgee_spark.operators.drift import q_e_js_drift
+    from glaciersgee_spark.plans import inspect as PI
+
+    plan = PI.formatted(q_e_js_drift(spark, SF_SMOKE))
+    tree = plan.split("(1) ")[0]
+    # the (source, token) partials are a persisted shared frame: all
+    # four consumers (st/ct/ns/nn) must read InMemoryTableScan — the
+    # corpus explode+count runs ONCE to build the cache, never per
+    # branch (Catalyst has no cross-branch subtree reuse)
+    assert tree.count("InMemoryTableScan") >= 4, tree
+    assert not PI.has_python_boundary(plan)
+
+
+def test_gini_mass_single_window_partitioned_by_lang(spark):
+    from glaciersgee_spark.operators.drift import q_e_gini_mass
+    from glaciersgee_spark.plans import inspect as PI
+
+    import re
+
+    plan = PI.formatted(q_e_gini_mass(spark, SF_SMOKE))
+    assert len(re.findall(r"Window\s+\(\d+\)", plan)) == 1, plan
+    assert "windowspecdefinition(lang" in plan, plan  # partitioned by lang
+    assert not PI.has_python_boundary(plan)
