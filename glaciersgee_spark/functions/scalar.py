@@ -619,3 +619,48 @@ def q_c_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("months_from_jun95"),
     )
+
+
+@query(
+    "q_c_try",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 7) END AS safe_div,
+           CASE WHEN o_orderkey % 100 <= 7
+                THEN 9223372036854775800 + o_orderkey % 100
+                ELSE NULL END AS safe_add,
+           CASE WHEN o_orderkey % 5 + 1 <= 3
+                THEN (o_orderkey % 5 + 1) * 10
+                ELSE NULL END AS safe_elem
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def q_c_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe function family (round 5): Spark 4 runs ANSI
+    mode, where division by zero, BIGINT overflow, and out-of-bounds
+    element access THROW — `try_divide` / `try_add` / `try_element_at`
+    are the sanctioned NULL-on-error escape hatches a long-running
+    pipeline uses so one poison row cannot kill a 100 TB job.
+    Completes the family next to q_c_cast's try_cast. The oracle
+    states the semantics as explicit CASE guards, which is also the
+    portable spelling (DuckDB throws on the same conditions).
+
+    All three columns exercise the error path on data-derived
+    conditions: divisor hits zero every 7th key, the addend overflows
+    int64 for every residue above 7, and the array index walks out of
+    bounds on residues 3 and 4 (indexes are 1-based; index 0 is
+    invalid even for the try_ form, so the derivation starts at 1). Scan-side codegen, zero shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+    return o.select(
+        "o_orderkey",
+        F.expr("try_divide(o_totalprice, o_orderkey % 7)").alias("safe_div"),
+        F.expr("try_add(9223372036854775800L, o_orderkey % 100)").alias(
+            "safe_add"
+        ),
+        F.expr(
+            "try_element_at(array(10L, 20L, 30L),"
+            " CAST(o_orderkey % 5 + 1 AS INT))"
+        ).alias("safe_elem"),
+    )

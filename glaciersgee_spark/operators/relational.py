@@ -2697,3 +2697,55 @@ def q_b_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "q_b_paginate_keyset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25 OFFSET 50
+    """,
+)
+def q_b_paginate_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (round 5): page 3 of the price-ranked orders
+    WITHOUT an OFFSET scan. OFFSET n forces the engine to produce and
+    discard n rows on every page — O(page·n) total work, the classic
+    deep-pagination anti-pattern; the keyset form remembers the last
+    (price, key) of the previous page and filters PAST it, so every
+    page costs one TakeOrdered regardless of depth.
+
+    Two TakeOrdered steps: (1) the previous pages' boundary = row 50
+    of the same ordering (per-partition heaps of 50 + a 50-row driver
+    merge — never a global sort); (2) the page itself = rows strictly
+    after the boundary in (price DESC, key ASC) order, LIMIT 25 —
+    again heaps, pre-filtered at the scan by the boundary predicate.
+    The oracle states the same page as LIMIT/OFFSET, which is exact
+    because the composite key is a total order (no ties to split).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    prev = o.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(50)
+    # boundary = the LAST row of the previous pages: reverse the page
+    # ordering and take 1 — a 1-row frame to broadcast
+    bound = (
+        prev.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("bp"), F.col("o_orderkey").alias("bk")
+        )
+    )
+    after = o.join(F.broadcast(bound)).where(
+        (F.col("o_totalprice") < F.col("bp"))
+        | (
+            (F.col("o_totalprice") == F.col("bp"))
+            & (F.col("o_orderkey") > F.col("bk"))
+        )
+    )
+    return (
+        after.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -2007,3 +2007,34 @@ def test_bottomk_sample_matches_python_and_is_incremental(spark):
         # incremental: removing a non-member cannot change the panel
         survivors = [i for i in ids if i not in want[:1]] if len(ids) > _BK_K else ids
         assert sorted(survivors, key=lambda i: (hv(i), i))[:_BK_K][0] in ids
+
+
+def test_paginate_keyset_equals_offset_form(spark):
+    from glaciersgee_spark.operators.relational import q_b_paginate_keyset
+    from glaciersgee_spark.tables import load_table
+
+    got = [
+        (r.o_orderkey, r.o_totalprice)
+        for r in q_b_paginate_keyset(spark, SF_SMOKE).collect()
+    ]
+    o = load_table(spark, SF_SMOKE, "orders")
+    want = [
+        (r.o_orderkey, r.o_totalprice)
+        for r in o.orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(75)
+        .collect()
+    ][50:]
+    assert got == want and len(got) == 25
+
+
+def test_try_family_null_exactly_on_error_conditions(spark):
+    from glaciersgee_spark.functions.scalar import q_c_try
+
+    rows = q_c_try(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert (r.safe_div is None) == (r.o_orderkey % 7 == 0)
+        assert (r.safe_add is None) == (r.o_orderkey % 100 > 7)
+        assert (r.safe_elem is None) == (r.o_orderkey % 5 + 1 > 3)
