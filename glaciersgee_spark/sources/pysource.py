@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 ROWS_PER_PART = 100
 N_PARTS = 4
@@ -41,6 +46,9 @@ class SceneManifestDataSource(DataSource):
     def reader(self, schema) -> "SceneManifestReader":
         return SceneManifestReader()
 
+    def streamReader(self, schema) -> "SceneManifestStreamReader":
+        return SceneManifestStreamReader()
+
 
 class SceneManifestReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
@@ -59,3 +67,42 @@ class SceneManifestReader(DataSourceReader):
                 sid % 16,
                 ((sid * 37) % 1000) / 10.0,
             )
+
+
+# ------------------------------------------------ streaming reader form
+
+BATCH_ROWS = 100  # rows admitted per micro-batch offset step
+STREAM_END = N_PARTS * ROWS_PER_PART  # the full manifest, then idle
+
+
+class SceneManifestStreamReader(DataSourceStreamReader):
+    """Offset-tracked streaming form of the same manifest: offsets are
+    row positions; each micro-batch admits BATCH_ROWS more scene ids,
+    split into 2 input partitions. availableNow drains to STREAM_END
+    (latestOffset) and stops — deterministic total content equal to
+    the batch reader's, which is what the oracle checks."""
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": STREAM_END}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        mid = (lo + hi) // 2
+        return [InputPartition((lo, mid)), InputPartition((mid, hi))]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for sid in range(lo, hi):
+            yield (
+                sid,
+                sid % 36,
+                (sid // 36) % 18,
+                sid % 16,
+                ((sid * 37) % 1000) / 10.0,
+            )
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -781,3 +781,64 @@ def q_d_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ws", "lane", "n", "value_cents")
         .orderBy("ws", "lane")
     )
+
+
+@query(
+    "q_d_stream_pysource",
+    oracle="""
+    WITH m AS (
+      SELECT sid AS scene_id,
+             CAST(sid % 36 AS INT) AS tile_x,
+             ((sid * 37) % 1000) / 10.0 AS cloud_pct
+      FROM generate_series(0, 399) t(sid)
+    )
+    SELECT tile_x, COUNT(*) AS n_scenes,
+           CAST(SUM(CAST(floor(cloud_pct * 10.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cloud_decis
+    FROM m GROUP BY tile_x ORDER BY tile_x
+    """,
+)
+def q_d_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source, STREAMING form (round 5) — the
+    fourth true-stream execution surface: the same user-defined
+    connector q_b_scan_pysource reads in batch is consumed here
+    through `readStream` with an offset-tracked
+    DataSourceStreamReader (initialOffset → latestOffset → partitions
+    per micro-batch → executor-side read → commit), aggregated, and
+    drained with availableNow into a memory sink in complete mode.
+    This is the protocol for streaming from systems Spark has no
+    built-in source for (queues, instrument feeds, REST cursors) —
+    offset bookkeeping, micro-batch partition planning, and restart
+    semantics all live in the user class.
+
+    The stream admits 100 scene ids per offset step split across 2
+    input partitions; availableNow drains to the declared end (400)
+    and stops, so the total content equals the batch connector's and
+    the generate_series oracle is exact. Integer deci-percent sums
+    keep the rollup order-insensitive. At scale the reader's
+    partitions() returns real splits per offset range — executors
+    fetch shards in parallel exactly like a V2 streaming source.
+    """
+    from glaciersgee_spark.sources.pysource import SceneManifestDataSource
+
+    spark.dataSource.register(SceneManifestDataSource)
+    m = spark.readStream.format("ggee_scene_manifest").load()
+    decis = F.expr("CAST(floor(cloud_pct * 10.0 + 0.5) AS BIGINT)")
+    agg = m.groupBy("tile_x").agg(
+        F.count(F.lit(1)).alias("n_scenes"),
+        F.sum(decis).alias("cloud_decis"),
+    )
+    name = "ggee_pysource_stream_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "q_d_stream_pysource: availableNow drain exceeded 120 s"
+        )
+    return spark.table(name).orderBy("tile_x")

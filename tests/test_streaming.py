@@ -329,3 +329,29 @@ def test_stream_union_conserves_events(spark):
     assert sum(r.n for r in rows) == ev.count()
     even = sum(r.n for r in rows if r.lane == "even")
     assert even == ev.where(F.col("user_id") % 2 == 0).count()
+
+
+def test_stream_pysource_equals_batch_connector(spark):
+    """The offset-tracked streaming read must deliver exactly the batch
+    connector's content (same 400 synthetic scenes)."""
+    from glaciersgee_spark.sources.pysource import SceneManifestDataSource
+    from glaciersgee_spark.streaming.batch_equiv import q_d_stream_pysource
+
+    got = {
+        (r.tile_x, r.n_scenes, r.cloud_decis)
+        for r in q_d_stream_pysource(spark, SF_SMOKE).collect()
+    }
+    spark.dataSource.register(SceneManifestDataSource)
+    m = spark.read.format("ggee_scene_manifest").load()
+    want = {
+        (r.tile_x, r.n_scenes, r.cloud_decis)
+        for r in m.groupBy("tile_x")
+        .agg(
+            F.count(F.lit(1)).alias("n_scenes"),
+            F.sum(F.expr("CAST(floor(cloud_pct * 10.0 + 0.5) AS BIGINT)")).alias(
+                "cloud_decis"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 36
