@@ -8,14 +8,14 @@ Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
 the least driver-side evidence are rotated to the front. Round-5
 rotation (from CORRECTNESS_r01..r04 — all 187 checked rows green, so
-_DRIVER_VERIFIED holds the r1-r4 union): the 38 round-5 additions
+_DRIVER_VERIFIED holds the r1-r4 union): the 39 round-5 additions
 first (first-time evidence on the newest code), then the 61 ops that
 have NEVER had a driver CORRECTNESS row, in the VERDICT r4 order —
 all of Group F (the UDF surface), the 10 streaming batch-equivalents,
 the 10 Group B stragglers, the 6 Group A stragglers, then the Group E
 tail with the span/winnow/multimodal/tokenizer/curation families ahead
 of the drift metrics. With the cap at ~50 the checked set lands on all
-38 new ops + Group F (8) + the first streaming rows; the remainder
+39 new ops + Group F (8) + the first streaming rows; the remainder
 queues for round 6. Ops REWRITTEN this round (graph_triangles degree
 orientation, window_topk count-sink, cc_stars convergence guard)
 queue right after the never-checked set — their r4 evidence predates
@@ -109,7 +109,7 @@ _R5_NEW: tuple[str, ...] = (
     "q_d_stream_union", "q_a_coverage_gap", "q_e_js_drift",
     "q_e_split_leakage", "q_e_dedup_survivors", "q_e_length_gate",
     "q_e_dup_timeline", "q_e_bottomk_sample", "q_c_try",
-    "q_b_paginate_keyset", "q_d_stream_pysource",
+    "q_b_paginate_keyset", "q_d_stream_pysource", "q_d_stream_pysink",
 )
 
 # Never driver-checked (61 after folding the r4 greens), fronted in

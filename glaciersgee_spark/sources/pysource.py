@@ -19,11 +19,15 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 ROWS_PER_PART = 100
@@ -106,3 +110,87 @@ class SceneManifestStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+# ------------------------------------------------ streaming writer form
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    """Staged file produced by one write task (picklable)."""
+
+    path: str
+    n_rows: int
+
+
+class JsonlSinkDataSource(DataSource):
+    """Custom exactly-once JSON-lines streaming SINK: write tasks stage
+    part files, the driver-side commit() publishes them into a
+    per-batch manifest — uncommitted staging files are invisible to
+    readers, so a failed task or abandoned batch leaves no partial
+    output (the same stage-then-publish contract every transactional
+    sink implements)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ggee_jsonl_sink"
+
+    def schema(self) -> str:  # writer-only source still declares one
+        return "event_id BIGINT, user_id BIGINT, value_cents BIGINT"
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlStreamWriter":
+        return JsonlStreamWriter(self.options["path"], [f.name for f in schema.fields])
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, base: str, cols: list) -> None:
+        self.base = base
+        self.cols = cols
+
+    def write(self, iterator) -> JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.base, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps({c: row[c] for c in self.cols}) + "\n")
+                n += 1
+        return JsonlCommit(path=path, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = os.path.join(self.base, f"_commit_{batchId}.json")
+        files = [
+            {"path": m.path, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        with open(manifest, "w") as fh:
+            json.dump(files, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_committed_jsonl(spark, base: str):
+    """Read back ONLY the files the sink's commit() published."""
+    import glob
+    import json
+
+    files: list = []
+    for manifest in sorted(glob.glob(f"{base}/_commit_*.json")):
+        with open(manifest) as fh:
+            files.extend(e["path"] for e in json.load(fh))
+    schema = "event_id BIGINT, user_id BIGINT, value_cents BIGINT"
+    return spark.read.schema(schema).json(files)

@@ -842,3 +842,64 @@ def q_d_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_d_stream_pysource: availableNow drain exceeded 120 s"
         )
     return spark.table(name).orderBy("tile_x")
+
+
+@query(
+    "q_d_stream_pysink",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events WHERE user_id % 5 = 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_d_stream_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python streaming SINK (round 5) — the write-side dual of
+    q_d_stream_pysource, completing the connector matrix (batch read,
+    stream read, stream write): an events stream is written through a
+    user-defined `DataSourceStreamWriter` implementing the
+    stage-then-publish contract — executor write() tasks stage part
+    files and return commit messages, the driver-side commit()
+    publishes them into a per-batch manifest, abort() deletes staged
+    files — so readers see committed batches only and a failed task
+    leaves no partial output (what every transactional sink does,
+    spelled out in ~40 lines of user code). The read-back goes through
+    the manifests, never the staging dir, and the rollup matches the
+    batch oracle exactly.
+
+    At scale: write tasks run per-partition on executors (local FS
+    here, object store in production), commit() is O(tasks) driver
+    work per batch — the same cost profile as the built-in file sink's
+    _spark_metadata log.
+    """
+    from glaciersgee_spark.sources.pysource import (
+        JsonlSinkDataSource,
+        read_committed_jsonl,
+    )
+    from glaciersgee_spark.streaming.stream import read_events_stream
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = scratch_dir(prefix="ggee_pysink_")
+    ev = read_events_stream(spark, sf_dir).where(F.col("user_id") % 5 == 0)
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    rows = ev.select("event_id", "user_id", cents.alias("value_cents"))
+    q = (
+        rows.writeStream.format("ggee_jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", f"{out}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("q_d_stream_pysink: availableNow drain exceeded 120 s")
+    sunk = read_committed_jsonl(spark, out)
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("sum_cents"),
+        )
+        .orderBy("user_id")
+    )

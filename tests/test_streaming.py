@@ -355,3 +355,42 @@ def test_stream_pysource_equals_batch_connector(spark):
         .collect()
     }
     assert got == want and len(got) == 36
+
+
+def test_stream_pysink_reads_committed_only(spark):
+    """An orphan staging file (simulating a failed/uncommitted task)
+    must be invisible to the manifest read-back."""
+    import json
+    import os
+
+    from glaciersgee_spark.sources.pysource import read_committed_jsonl
+    from glaciersgee_spark.streaming.batch_equiv import q_d_stream_pysink
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.user_id: (r.n, r.sum_cents) for r in q_d_stream_pysink(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") % 5 == 0)
+    want = {
+        r.user_id: (r.n, r.sum_cents)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).alias(
+                "sum_cents"
+            ),
+        )
+        .collect()
+    }
+    assert rows == want and rows
+    # plant an orphan staged file next to a real sink dir and re-read
+    import glob
+
+    manis = glob.glob("/tmp/ggee_pysink_*/_commit_0.json")
+    assert manis
+    # newest manifest = the sink dir THIS test's call just wrote
+    base = os.path.dirname(max(manis, key=os.path.getmtime))
+    orphan = os.path.join(base, "_staging", "part-orphan.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write(json.dumps({"event_id": 1, "user_id": 0, "value_cents": 10**9}) + "\n")
+    again = read_committed_jsonl(spark, base)
+    total = again.agg(F.sum("value_cents")).collect()[0][0]
+    assert total == sum(v[1] for v in rows.values())
