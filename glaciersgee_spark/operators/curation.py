@@ -1167,10 +1167,12 @@ def q_e_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both ranks are row_number over (integer score,
     doc_id) — no tie ambiguity in either engine; Σd² is exact BIGINT;
     the single closing division is IEEE on identical integers. Scale:
-    two rank windows PARTITIONED by lang (one shuffle each, AQE splits
-    skewed languages), then a combinable per-lang aggregate — nothing
-    global, no corpus-sized unpartitioned window (the q_b_topk_pergroup
-    discipline, not q_b_sort's global case).
+    two rank windows PARTITIONED by lang (one shuffle each), then a
+    combinable per-lang aggregate — nothing global, no corpus-sized
+    unpartitioned window. A window partition is not AQE-splittable,
+    so the cost bound is the largest language's sort; if one language
+    dominates, the q_b_sort two-phase chunked-rank spelling applies
+    per-lang with a score-bucket chunk key — same ranks, same hashes.
     """
     d = load_table(spark, sf_dir, "documents")
     f = d.select(
@@ -1323,10 +1325,12 @@ def q_e_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable eyeball-audit set a curation team re-reads every round
     WITHOUT the sample churning under them.
 
-    Scale: one lang-partitioned row_number window (the
-    q_b_topk_pergroup discipline — at scale this becomes per-partition
-    bottom-k heaps merged per group, which is exactly what
-    TakeOrdered-per-key compiles to); the rollup carries k ids per
+    Scale: one lang-partitioned row_number window. A window partition
+    is not AQE-splittable, so at a skewed 100 TB the rank+filter
+    spelling is replaced by per-partition bottom-k heaps merged per
+    group (aggregate of k-element sorted arrays — mergeable exactly
+    because bottom-k is union-mergeable, the property tested in
+    tests/test_hypothesis.py); the rollup carries k ids per
     lang, never the corpus. All-integer arithmetic: 60-bit hashes,
     (k−1)·2^60 fits int64, floor division both engines.
     """

@@ -1001,9 +1001,11 @@ def q_e_gini_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: rank is row_number over (integer mass, doc_id) —
     tie-free; both Σi·x and Σx are exact BIGINT sums; one closing IEEE
-    division. Scale: ONE lang-partitioned rank window (AQE splits a
-    skewed language) into a combinable per-lang aggregate; the
-    unbounded-window-free spelling of the Lorenz/Gini rollup.
+    division. Scale: ONE lang-partitioned rank window into a combinable
+    per-lang aggregate. A window partition is not AQE-splittable, so
+    the bound is the largest language's sort; under heavy language
+    skew the q_b_sort two-phase chunked-rank spelling applies with a
+    (lang, mass-bucket) chunk key — same rows, same hashes.
     """
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")

@@ -718,3 +718,16 @@ def test_gini_mass_single_window_partitioned_by_lang(spark):
     assert len(re.findall(r"Window\s+\(\d+\)", plan)) == 1, plan
     assert "windowspecdefinition(lang" in plan, plan  # partitioned by lang
     assert not PI.has_python_boundary(plan)
+
+
+def test_paginate_keyset_is_takeordered_not_sort(spark):
+    """Both the boundary and the page must compile to
+    TakeOrderedAndProject (per-partition heaps) — no global Sort, no
+    OFFSET-style produce-and-discard."""
+    from glaciersgee_spark.operators.relational import q_b_paginate_keyset
+    from glaciersgee_spark.plans import inspect as PI
+
+    tree = PI.formatted(q_b_paginate_keyset(spark, SF_SMOKE)).split("(1) ")[0]
+    assert tree.count("TakeOrderedAndProject") >= 2, tree
+    assert "+- Sort" not in tree, tree
+    assert "BroadcastExchange" in tree, tree  # 1-row boundary broadcast
