@@ -932,7 +932,10 @@ def q_b_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_b_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via ranked window + filter (scales: one shuffle
-    on the group key; AQE handles group skew)."""
+    on the group key). Output is bounded at k per group; under heavy
+    group skew the rank window's partition is not AQE-splittable, so
+    the skew-proof spelling is per-partition top-k heaps merged per
+    group (TakeOrdered-per-key) — same rows."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
