@@ -1167,12 +1167,13 @@ def q_e_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both ranks are row_number over (integer score,
     doc_id) — no tie ambiguity in either engine; Σd² is exact BIGINT;
     the single closing division is IEEE on identical integers. Scale:
-    two rank windows PARTITIONED by lang (one shuffle each), then a
-    combinable per-lang aggregate — nothing global, no corpus-sized
-    unpartitioned window. A window partition is not AQE-splittable,
-    so the cost bound is the largest language's sort; if one language
-    dominates, the q_b_sort two-phase chunked-rank spelling applies
-    per-lang with a score-bucket chunk key — same ranks, same hashes.
+    BOTH ranks are SHIPPED in the q_b_sort two-phase chunked form —
+    a window partition is not AQE-splittable, so the naive per-lang
+    window is bounded by the dominant language's full sort; chunking
+    by (lang, score-bucket) keeps phase 1 partition-parallel under any
+    language skew, the offsets pass runs over bucket totals only, and
+    the two rank frames co-partition-join on doc_id. Same ranks, same
+    hashes as the naive spelling (pinned by the brute-force test).
     """
     d = load_table(spark, sf_dir, "documents")
     f = d.select(
@@ -1181,13 +1182,34 @@ def q_e_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("sa"),
         F.size(F.split("text", " ")).cast("long").alias("sb"),
     )
-    wa = Window.partitionBy("lang").orderBy("sa", "doc_id")
-    wb = Window.partitionBy("lang").orderBy("sb", "doc_id")
-    r = f.select(
-        "lang",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wb).alias("rb"),
-    )
+
+    def chunked_rank(score: str, width: int, out: str):
+        # q_b_sort two-phase rank per lang: chunk by a score bucket
+        # (monotone with the (score, doc_id) order, ties share a
+        # bucket); offsets run over the ≤|langs|·|buckets| totals only
+        base = f.select(
+            "doc_id", "lang", score, F.expr(f"{score} div {width}").alias("bch")
+        )
+        w_in = Window.partitionBy("lang", "bch").orderBy(score, "doc_id")
+        within = base.withColumn("wr", F.row_number().over(w_in))
+        totals = base.groupBy("lang", "bch").agg(
+            F.count(F.lit(1)).alias("ctot")
+        )
+        w_c = (
+            Window.partitionBy("lang")
+            .orderBy("bch")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.withColumn(
+            "offset", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+        ).select("lang", "bch", "offset")
+        return within.join(F.broadcast(offsets), ["lang", "bch"]).select(
+            "doc_id", "lang", (F.col("offset") + F.col("wr")).alias(out)
+        )
+
+    ra = chunked_rank("sa", 512, "ra")
+    rb = chunked_rank("sb", 128, "rb").select("doc_id", "rb")
+    r = ra.join(rb, "doc_id").select("lang", "ra", "rb")
     d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
     agg = r.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

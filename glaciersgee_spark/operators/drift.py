@@ -1001,18 +1001,45 @@ def q_e_gini_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: rank is row_number over (integer mass, doc_id) —
     tie-free; both Σi·x and Σx are exact BIGINT sums; one closing IEEE
-    division. Scale: ONE lang-partitioned rank window into a combinable
-    per-lang aggregate. A window partition is not AQE-splittable, so
-    the bound is the largest language's sort; under heavy language
-    skew the q_b_sort two-phase chunked-rank spelling applies with a
-    (lang, mass-bucket) chunk key — same rows, same hashes.
+    division. Scale: the rank is SHIPPED in the q_b_sort two-phase
+    chunked form per language — a window partition is not
+    AQE-splittable, so the naive per-lang window's bound is the
+    dominant language's full sort; chunking by the (lang, mass-bucket)
+    key keeps phase 1 partition-parallel under any language skew while
+    the offsets pass runs over the bucket totals only. Same ranks,
+    same hashes as the naive spelling (pinned by test).
     """
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    r = d.select(
+    # Two-phase chunked rank (the q_b_sort pattern, applied per lang):
+    # chunk key = mass bucket, monotone with the (x, doc_id) order and
+    # never splitting ties (equal x ⇒ equal bucket). Phase 1 ranks
+    # within (lang, bucket) — partition-parallel even when one
+    # language dominates the corpus; phase 2 computes chunk offsets
+    # with a running count over the per-(lang, bucket) TOTALS only
+    # (≤ |langs|·|buckets| rows, bounded by the n_chars domain, not
+    # the corpus); the broadcast join adds them back. Identical ranks
+    # to the naive per-lang window — the oracle is unchanged.
+    base = d.select(
         "lang",
         F.col("n_chars").cast("long").alias("x"),
-        F.row_number().over(w).cast("long").alias("i"),
+        "doc_id",
+        F.expr("n_chars div 512").alias("bch"),
+    )
+    w_in = Window.partitionBy("lang", "bch").orderBy("x", "doc_id")
+    within = base.withColumn("wr", F.row_number().over(w_in))
+    totals = base.groupBy("lang", "bch").agg(F.count(F.lit(1)).alias("ctot"))
+    w_c = (
+        Window.partitionBy("lang")
+        .orderBy("bch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("lang", "bch", "offset")
+    r = within.join(F.broadcast(offsets), ["lang", "bch"]).select(
+        "lang",
+        "x",
+        (F.col("offset") + F.col("wr")).cast("long").alias("i"),
     )
     agg = r.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -715,8 +715,12 @@ def test_gini_mass_single_window_partitioned_by_lang(spark):
     import re
 
     plan = PI.formatted(q_e_gini_mass(spark, SF_SMOKE))
-    assert len(re.findall(r"Window\s+\(\d+\)", plan)) == 1, plan
-    assert "windowspecdefinition(lang" in plan, plan  # partitioned by lang
+    # two-phase chunked rank: the corpus-sized window partitions by
+    # (lang, bucket) — partition-parallel under language skew — and
+    # the only other window (the offsets running count) runs over the
+    # bucket TOTALS, never the corpus
+    assert len(re.findall(r"Window\s+\(\d+\)", plan)) == 2, plan
+    assert re.search(r"windowspecdefinition\(lang#\d+, bch#\d+", plan), plan
     assert not PI.has_python_boundary(plan)
 
 
