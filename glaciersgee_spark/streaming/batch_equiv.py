@@ -709,9 +709,13 @@ def q_d_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ggee_su_src",
         f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
     )
-    src_a, src_b = f"{base}/even", f"{base}/odd"
-    marker = f"{base}/_STAGED"
-    if not os.path.exists(marker):
+    if not os.path.isdir(base):
+        # Build under a process-unique dir, then PUBLISH with one
+        # atomic rename: a concurrent session either wins the rename
+        # (and its complete stage is what everyone reads) or loses
+        # (and silently adopts the winner's) — no process can ever
+        # observe a half-written stage.
+        tmp = f"{base}.tmp.{os.getpid()}"
         ev_all = load_table(spark, sf_dir, "events").select(
             "event_id", F.col("ts").cast("timestamp").alias("ts"),
             "user_id", "value",
@@ -721,12 +725,17 @@ def q_d_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         # source parallelism without 64 tiny splits
         ev_all.where(F.col("user_id") % 2 == 0).coalesce(4).write.mode(
             "overwrite"
-        ).parquet(src_a)
+        ).parquet(f"{tmp}/even")
         ev_all.where(F.col("user_id") % 2 == 1).coalesce(4).write.mode(
             "overwrite"
-        ).parquet(src_b)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        ).parquet(f"{tmp}/odd")
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another session published first — use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    src_a, src_b = f"{base}/even", f"{base}/odd"
     schema = spark.read.parquet(src_a).schema
 
     def leg(path: str, lane: str) -> DataFrame:
