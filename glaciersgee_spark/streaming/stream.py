@@ -72,10 +72,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(dst):
         try:
             os.link(srcf, dst)
-        except OSError:  # cross-device: fall back to a copy
-            import shutil
+        except OSError:
+            # EEXIST: a concurrent session linked first — its file is
+            # complete (link is atomic), use it. Anything else (e.g.
+            # cross-device): copy to a unique temp name and publish
+            # with an atomic rename so no reader ever sees a partial
+            # or truncated file.
+            if not os.path.exists(dst):
+                import shutil
 
-            shutil.copyfile(srcf, dst)
+                tmp = f"{dst}.tmp.{os.getpid()}"
+                shutil.copyfile(srcf, tmp)
+                os.replace(tmp, dst)
     raw = spark.readStream.schema(_RAW).parquet(staged)
     # Watermarks/event-time require TIMESTAMP (not NTZ); session tz is
     # UTC so the cast preserves wall-clock values exactly.
