@@ -6,23 +6,23 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 
 Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
-the least driver-side evidence are rotated to the front. Round-5
-rotation (from CORRECTNESS_r01..r04 — all 187 checked rows green, so
-_DRIVER_VERIFIED holds the r1-r4 union): the 39 round-5 additions
-first (first-time evidence on the newest code), then the 61 ops that
-have NEVER had a driver CORRECTNESS row, in the VERDICT r4 order —
-all of Group F (the UDF surface), the 10 streaming batch-equivalents,
-the 10 Group B stragglers, the 6 Group A stragglers, then the Group E
-tail with the span/winnow/multimodal/tokenizer/curation families ahead
-of the drift metrics. With the cap at ~50 the checked set lands on all
-39 new ops + Group F (8) + the first streaming rows; the remainder
-queues for round 6. Ops REWRITTEN this round (graph_triangles degree
-orientation, window_topk count-sink, cc_stars convergence guard)
-queue right after the never-checked set — their r4 evidence predates
-the rewrite but the rewrites are hash-identical and locally
-parity-green. Local parity (tests/run_parity.py) covers the full
-inventory at sf0.01 AND sf0.1 every round regardless of the driver
-cap (the registry itself is the count of record).
+the least driver-side evidence are rotated to the front. Round-6
+rotation (from CORRECTNESS_r01..r05 — all 237 checked rows green on
+their latest check, so _DRIVER_VERIFIED now holds the r1-r5 union):
+the 50 ops that have NEVER had a driver CORRECTNESS row go first —
+they fit the ~50-row cap exactly, so round 6 completes first-time
+driver evidence for the whole 287-op inventory. Order within the 50
+keeps the round-5 queue: the 7 remaining streaming batch-equivalents,
+the 10 Group B stragglers, the 6 Group A stragglers, then the 27-op
+Group E tail (spans/winnowing, multimodal, packing/tokenizer,
+curation/splits ahead of the drift metrics). Behind them queue (a)
+the 3 ops rewritten in round 5 (graph_triangles degree orientation,
+window_topk count-sink, cc_stars convergence guard — their r4 rows
+predate the rewrite; re-check lands in round 7 per VERDICT r5 item 3)
+and (b) any round-6 additions (first-time evidence in round 7). Local
+parity (tests/run_parity.py) covers the full inventory at sf0.01 AND
+sf0.1 every round regardless of the driver cap (the registry itself
+is the count of record).
 """
 
 from __future__ import annotations
@@ -95,8 +95,11 @@ _DRIVER_VERIFIED = {
     "q_e_url_dedup", "q_e_zipf_slope",
 }
 
-# New in round 5 — first-time driver evidence wanted.
-_R5_NEW: tuple[str, ...] = (
+# Went green in round 5 (CORRECTNESS_r05.json: 50/50 rows+schema+hash
+# all true — the 39 round-5 additions, the full Group F surface, and
+# the first 3 streaming batch-equivalents) — folded into the verified
+# tail.
+_DRIVER_VERIFIED |= {
     "q_b_join_bloom", "q_b_countmin_freq", "q_e_feature_hashing",
     "q_e_retrieval_ndcg", "q_b_join_cardest", "q_b_scan_binary",
     "q_b_scan_pysource", "q_e_graph_pagerank", "q_e_ivf_probe_curve",
@@ -110,21 +113,21 @@ _R5_NEW: tuple[str, ...] = (
     "q_e_split_leakage", "q_e_dedup_survivors", "q_e_length_gate",
     "q_e_dup_timeline", "q_e_bottomk_sample", "q_c_try",
     "q_b_paginate_keyset", "q_d_stream_pysource", "q_d_stream_pysink",
-)
-
-# Never driver-checked (61 after folding the r4 greens), fronted in
-# the VERDICT r4 order: Group F, streaming D, B stragglers, A
-# stragglers, then Group E with the most-novel-semantics families
-# (spans/winnowing, multimodal, packing/tokenizer, curation/splits)
-# ahead of the drift metrics.
-_R5_FRONT = (
-    # Group F — the whole UDF surface (never checked)
     "q_f_udf_scalar", "q_f_pandas_scalar", "q_f_pandas_grouped_agg",
     "q_f_udtf", "q_f_pandas_group_map", "q_f_cogroup_map",
     "q_f_maparrow", "q_f_pandas_iter",
+    "q_d_tumbling", "q_d_sliding", "q_d_session",
+}
+
+# The 50 ops that have NEVER had a driver CORRECTNESS row — exactly
+# the driver's ~50-row cap, so round 6 completes first-time evidence
+# for the whole inventory. Round-5 queue order preserved: streaming D
+# remainder, B stragglers, A stragglers, then the Group E tail
+# (spans/winnowing, multimodal, packing/tokenizer, curation/splits
+# ahead of the drift metrics).
+_R6_FRONT = (
     # Group D — streaming batch-equivalents (never checked)
-    "q_d_tumbling", "q_d_sliding", "q_d_session", "q_d_watermark_late",
-    "q_d_stateful_dedup", "q_d_stream_static_join",
+    "q_d_watermark_late", "q_d_stateful_dedup", "q_d_stream_static_join",
     "q_d_stateful_custom", "q_d_stream_stream_join",
     "q_d_lateness_audit", "q_d_window_users",
     # Group B stragglers
@@ -149,8 +152,14 @@ _R5_FRONT = (
 
 # Rewritten in round 5 (degree-oriented triangles, count-upsert topk
 # sink, convergence-guarded cc_stars) — r4 driver evidence predates
-# the rewrite; queue for re-check after the never-checked set.
-_R5_REWRITTEN = ("q_e_graph_triangles", "q_d_window_topk", "q_e_cc_stars")
+# the rewrite; behind the never-checked 50 this round, re-check lands
+# in round 7 (VERDICT r5 item 3).
+_REWRITTEN = ("q_e_graph_triangles", "q_d_window_topk", "q_e_cc_stars")
+
+# New in round 6 — queue behind the never-checked 50 and the
+# rewritten trio so CORRECTNESS_r06 stays 50/50 first-time rows;
+# first-time driver evidence for these lands in round 7.
+_R6_NEW: tuple[str, ...] = ()
 
 _V = TypeVar("_V")
 
@@ -158,20 +167,19 @@ _V = TypeVar("_V")
 def _rotated(d: dict[str, _V]) -> dict[str, _V]:
     names = list(d)
 
-    front = {n: i for i, n in enumerate(_R5_FRONT)}
+    front = {n: i for i, n in enumerate(_R6_FRONT)}
+    fresh = {n: i for i, n in enumerate(_REWRITTEN + _R6_NEW)}
 
     def prio(n: str) -> tuple[int, int]:
-        if n in _R5_NEW:
-            return (0, 0)
         if n in front:
-            return (1, front[n])
+            return (0, front[n])
+        if n in fresh:
+            return (2, fresh[n])
         if n not in _DRIVER_VERIFIED:
             # safety net: anything never checked but missing from the
-            # explicit front list still beats the verified tail
-            return (2, 0)
-        if n in _R5_REWRITTEN:
-            return (3, 0)
-        return (4, 0)
+            # explicit front list still beats the rewritten/new queue
+            return (1, 0)
+        return (3, 0)
 
     idx = {n: i for i, n in enumerate(names)}
     return {n: d[n] for n in sorted(names, key=lambda n: (*prio(n), idx[n]))}

@@ -1070,9 +1070,10 @@ def q_e_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
       SELECT sc.source,
-             CAST(greatest(-3, least(3,
-               floor((sc.s6 - st.mu) / sqrt(st.ex2 - st.mu * st.mu))
-             )) AS BIGINT) AS z_bin
+             CAST(greatest(-3, least(3, COALESCE(
+               floor((sc.s6 - st.mu)
+                     / NULLIF(sqrt(greatest(st.ex2 - st.mu * st.mu, 0)), 0)),
+               0))) AS BIGINT) AS z_bin
       FROM scored sc JOIN stats st ON sc.source = st.source
     )
     SELECT source, z_bin, COUNT(*) AS n_docs
@@ -1091,7 +1092,13 @@ def q_e_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the per-row score is rounded at 6 dp (IEEE-identical
     in both engines); Σs and Σs² go through decimal so μ and E[s²] are
     bit-identical regardless of row order; σ, the division, and floor
-    then operate on identical doubles — identical bins. Scale: two
+    then operate on identical doubles — identical bins. A zero- (or
+    round-off-negative-) variance source would diverge between the
+    engines on the raw division (Spark ANSI throws DIVIDE_BY_ZERO,
+    DuckDB yields ±inf/NaN), so the divisor is guarded identically in
+    both spellings: variance clamped at 0, σ=0 NULLIF'd, and the NULL
+    z coalesced to bin 0 — a constant-score source lands wholly in
+    the center bin on both engines. Scale: two
     passes over the corpus (stats, then bucket) with a |sources|-row
     broadcast joining the stats back; both aggregates are map-side
     combinable, no window over corpus-sized input.
@@ -1109,9 +1116,20 @@ def q_e_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-3),
             F.least(
                 F.lit(3),
-                F.floor(
-                    (F.col("s6") - F.col("mu"))
-                    / F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu"))
+                F.coalesce(
+                    F.floor(
+                        (F.col("s6") - F.col("mu"))
+                        / F.nullif(
+                            F.sqrt(
+                                F.greatest(
+                                    F.col("ex2") - F.col("mu") * F.col("mu"),
+                                    F.lit(0.0),
+                                )
+                            ),
+                            F.lit(0.0),
+                        )
+                    ),
+                    F.lit(0),
                 ),
             ),
         )

@@ -121,7 +121,7 @@ def _mmr_oracle() -> str:
         f"""sel1 AS (
       SELECT doc_id, rel6, {_q6(f'{MMR_LAMBDA} * rel6')} AS mmr6,
              CAST(1 AS BIGINT) AS rk
-      FROM cand ORDER BY rel6 DESC, doc_id ASC LIMIT 1
+      FROM cand ORDER BY mmr6 DESC, doc_id ASC LIMIT 1
     )"""
     ]
     prev_union = "SELECT doc_id FROM sel1"

@@ -75,16 +75,22 @@ class SceneManifestReader(DataSourceReader):
 
 # ------------------------------------------------ streaming reader form
 
-BATCH_ROWS = 100  # rows admitted per micro-batch offset step
+BATCH_ROWS = 100  # input-partition granularity within an offset range
 STREAM_END = N_PARTS * ROWS_PER_PART  # the full manifest, then idle
 
 
 class SceneManifestStreamReader(DataSourceStreamReader):
     """Offset-tracked streaming form of the same manifest: offsets are
-    row positions; each micro-batch admits BATCH_ROWS more scene ids,
-    split into 2 input partitions. availableNow drains to STREAM_END
-    (latestOffset) and stops — deterministic total content equal to
-    the batch reader's, which is what the oracle checks."""
+    row positions. latestOffset() reports everything the (static)
+    manifest holds — for availableNow that is the drain target
+    captured at query start, so the whole backlog lands in one
+    micro-batch whose offset range partitions() splits into
+    BATCH_ROWS-row input partitions for parallel executor-side reads.
+    (Incremental per-poll offset stepping would under-report the
+    availableNow target and truncate the drain; a live feed would
+    instead return its real high-water mark here.) Deterministic
+    total content equals the batch reader's, which is what the
+    oracle checks."""
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
@@ -94,8 +100,10 @@ class SceneManifestStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["pos"], end["pos"]
-        mid = (lo + hi) // 2
-        return [InputPartition((lo, mid)), InputPartition((mid, hi))]
+        return [
+            InputPartition((p, min(p + BATCH_ROWS, hi)))
+            for p in range(lo, hi, BATCH_ROWS)
+        ] or [InputPartition((lo, hi))]
 
     def read(self, partition: InputPartition):
         lo, hi = partition.value

@@ -820,8 +820,10 @@ def q_d_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset bookkeeping, micro-batch partition planning, and restart
     semantics all live in the user class.
 
-    The stream admits 100 scene ids per offset step split across 2
-    input partitions; availableNow drains to the declared end (400)
+    latestOffset() reports the full static manifest (the availableNow
+    drain target captured at query start), and partitions() splits the
+    admitted offset range into 100-row input partitions — 4 parallel
+    executor-side reads here; availableNow drains to that end (400)
     and stops, so the total content equals the batch connector's and
     the generate_series oracle is exact. Integer deci-percent sums
     keep the rollup order-insensitive. At scale the reader's

@@ -453,3 +453,42 @@ def test_jsd_closed_form_equals_direct(cs, ct_extra):
         closed += 0.5 * (p * math.log(p / m) + q * math.log(q / m) - q * ln2)
     assert abs(direct - closed) < 1e-9
     assert -1e-9 <= direct <= ln2 + 1e-9
+
+
+@st.composite
+def _single_bucket_parts(draw):
+    """Adversarial skyline input: EVERY price lands in one 50-wide
+    bucket (the distribution that made round 5's survivor-broadcast
+    form unbounded — VERDICT r5 'What's wrong' #1), with heavy price
+    and size ties so same-price strict-on-size dominance is exercised."""
+    n = draw(st.integers(min_value=1, max_value=30))
+    cents = draw(
+        st.lists(st.integers(min_value=0, max_value=4999), min_size=n, max_size=n)
+    )
+    sizes = draw(
+        st.lists(st.integers(min_value=1, max_value=8), min_size=n, max_size=n)
+    )
+    return [(i, c / 100.0, s) for i, (c, s) in enumerate(zip(cents, sizes))]
+
+
+@given(rows=_single_bucket_parts())
+@_SET
+def test_skyline_single_bucket_equals_naive(spark, rows):
+    """The windowed prefix-max skyline must equal the O(n²) dominance
+    definition even when all prices mass into ONE bucket (the offset
+    table is a single NULL-offset row and all pruning falls to the
+    bucket-partitioned in-bucket window)."""
+    from glaciersgee_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    got = {(r.p_partkey, r.p_retailprice, r.p_size) for r in skyline_2d(df).collect()}
+
+    def dominates(q, p):
+        return q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+
+    want = {
+        p for p in rows if not any(dominates(q, p) for q in rows if q[0] != p[0])
+    }
+    assert got == want

@@ -735,3 +735,18 @@ def test_paginate_keyset_is_takeordered_not_sort(spark):
     assert tree.count("TakeOrderedAndProject") >= 2, tree
     assert "+- Sort" not in tree, tree
     assert "BroadcastExchange" in tree, tree  # 1-row boundary broadcast
+
+
+def test_skyline_has_no_quadratic_stage(spark):
+    """Round-6 rewrite: the 2-D skyline is exact prefix-max algebra —
+    the plan must contain NO nested-loop join (round 5's survivor set
+    went through an unguarded broadcast nested-loop anti-join, which
+    a low-bucket-massed price distribution makes unbounded) and the
+    per-price pruning window must be partitioned by the price bucket,
+    never a full-corpus single-partition window."""
+    from glaciersgee_spark.operators.relational import q_b_skyline
+
+    x = PI.executed(q_b_skyline(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in x
+    assert "CartesianProduct" not in x
+    assert "windowspecdefinition(bkt#" in x

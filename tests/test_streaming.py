@@ -384,7 +384,11 @@ def test_stream_pysink_reads_committed_only(spark):
     # plant an orphan staged file next to a real sink dir and re-read
     import glob
 
-    manis = glob.glob("/tmp/ggee_pysink_*/_commit_0.json")
+    import tempfile
+
+    manis = glob.glob(
+        os.path.join(tempfile.gettempdir(), "ggee_pysink_*", "_commit_0.json")
+    )
     assert manis
     # newest manifest = the sink dir THIS test's call just wrote
     base = os.path.dirname(max(manis, key=os.path.getmtime))
