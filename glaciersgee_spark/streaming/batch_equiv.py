@@ -914,3 +914,63 @@ def q_d_stream_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_d_stream_ivjoin",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.event_id) AS n_clicks_30m
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    GROUP BY p.event_id, p.user_id ORDER BY p.event_id
+    """,
+)
+def q_d_stream_ivjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream interval join, END TO END (round 6) — the sixth
+    true-stream execution surface, and the one where BOTH sides carry
+    live watermarks inside a single streaming query: purchases and
+    clicks arrive as separate file streams in 4 time-ordered chunks
+    (two chunks per micro-batch via maxFilesPerTrigger=2), the
+    event-time range condition (click within 30 min before the
+    purchase) bounds each side's join state, and append-mode pairs
+    drain through availableNow into a parquet sink. Because the drain
+    is genuinely multi-batch, the watermarks ADVANCE mid-query and
+    the state store provably evicts expired rows (asserted on the
+    query's stateOperators metrics in tests/test_streaming.py) —
+    q_d_stream_stream_join declares the same semantics in batch form;
+    this op is its real streaming execution.
+
+    Exactness: chunks are day-partitioned so arrival order respects
+    event time; a batch-k purchase's admissible clicks are in chunk k
+    or the ≤30-min tail of chunk k−1, and the click-state eviction
+    bound (purchase watermark − 30 min, with a 1 h delay) always
+    retains that tail — no pair is lost, so the batch interval-join
+    oracle is exact. Scale: the join shuffles both legs on user_id
+    per micro-batch; state per side is bounded by (watermark delay +
+    30 min) of traffic, the contract that makes stream-stream joins
+    runnable forever.
+    """
+    from pyspark.sql import types as T
+
+    from glaciersgee_spark.streaming.stream import drain_interval_join
+
+    sink = scratch_dir(prefix="ggee_ivj_sink_")
+    ck = scratch_dir(prefix="ggee_ivj_ck_")
+    drain_interval_join(spark, sf_dir, sink, ck)
+    pairs = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("purchase_id", T.LongType()),
+                T.StructField("p_user", T.LongType()),
+                T.StructField("c_ts", T.TimestampType()),
+            ]
+        )
+    ).parquet(sink)
+    return (
+        pairs.groupBy("purchase_id", F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_clicks_30m"))
+        .orderBy("purchase_id")
+    )

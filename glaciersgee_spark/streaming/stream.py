@@ -305,3 +305,152 @@ def window_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ------------------------------------------------ true-stream interval join
+
+_IVJ_SCHEMA_P = T.StructType(
+    [
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("p_user", T.LongType()),
+        T.StructField("p_ts", T.TimestampNTZType()),
+    ]
+)
+_IVJ_SCHEMA_C = T.StructType(
+    [
+        T.StructField("c_user", T.LongType()),
+        T.StructField("c_ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def stage_ivjoin_sources(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the purchase and click legs as 4 time-ordered chunk files
+    each (events days 1-8 / 9-16 / 17-24 / 25-31), mtime-increasing so
+    the file source admits exactly one chunk per micro-batch under
+    maxFilesPerTrigger=1 — the multi-batch arrival pattern that makes
+    the two-sided watermark actually advance and join state actually
+    get evicted mid-query (a single-batch drain never exercises
+    either). Staged once per corpus fingerprint (mtime+size, the
+    read_events_stream convention) with the atomic rename idiom of
+    q_d_checkpoint_resume so concurrent sessions never see a
+    half-staged leg. Chunking is by event-time DAY, so later chunks
+    never carry earlier timestamps and nothing is watermark-late.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from glaciersgee_spark.tables import load_table
+
+    ensure_confs(spark)
+    st = os.stat(f"{sf_dir}/events.parquet")
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ggee_ivj_src",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    marker = os.path.join(staged, "_READY")
+    if os.path.exists(marker):
+        return staged
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events")
+    chunk = F.least(F.lit(3), ((F.dayofmonth("ts") - 1) / 8).cast("int"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        chunk.alias("chk"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        chunk.alias("chk"),
+    )
+    for leg, df in (("purchases", p), ("clicks", c)):
+        legdir = os.path.join(tmp, leg)
+        os.makedirs(legdir)
+        for i in range(4):
+            part = os.path.join(tmp, f"_w_{leg}_{i}")
+            df.where(F.col("chk") == i).drop("chk").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part)
+            pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            dst = os.path.join(legdir, f"chunk_{i}.parquet")
+            os.rename(os.path.join(part, pf), dst)
+            shutil.rmtree(part, ignore_errors=True)
+            # strictly increasing mtimes pin the admission order
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    open(os.path.join(tmp, "_READY"), "w").close()
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return staged
+
+
+def drain_interval_join(spark: SparkSession, sf_dir: str, sink: str, ck: str):
+    """Run the watermarked purchase⋈click interval join as a REAL
+    multi-batch stream (availableNow, one time-chunk per trigger on
+    each leg) into an append parquet sink; returns the terminated
+    StreamingQuery so callers can assert on its state-store metrics
+    (tests check numRowsRemoved > 0 — state actually evicted as the
+    watermarks pass).
+
+    Exactness under chunked arrival: chunks are day-partitioned, so a
+    batch-k purchase's admissible clicks (≤ 30 min earlier) are in
+    chunk k or the tail of chunk k-1; the click watermark's state
+    bound is p_wm − 30 min = (max p_ts of k−1) − 1 h − 30 min, which
+    retains that tail, so no pair is ever lost and the batch oracle
+    is exact (the same argument q_d_stream_ivjoin's docstring makes).
+    """
+    staged = stage_ivjoin_sources(spark, sf_dir)
+    # Watermarks/event-time require TIMESTAMP (not NTZ); session tz is
+    # UTC (ensure_confs in staging) so the cast preserves wall-clock.
+    p = (
+        spark.readStream.schema(_IVJ_SCHEMA_P)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/purchases")
+        .withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        spark.readStream.schema(_IVJ_SCHEMA_C)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/clicks")
+        .withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "p_user", "c_ts")
+    # State-partition count is fixed at checkpoint creation from
+    # spark.sql.shuffle.partitions; the legs are a few thousand rows
+    # per trigger here, so 4 state partitions (not the session's 32)
+    # keep the per-batch store-init cost proportionate — a production
+    # deployment sizes this to its per-trigger volume ONCE, up front,
+    # because it cannot be changed across restarts. Restored after the
+    # drain; the batteries run queries sequentially so nothing races.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "interval-join drain exceeded 180 s — refusing to read a "
+                "partially-written sink"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q

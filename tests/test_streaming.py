@@ -398,3 +398,45 @@ def test_stream_pysink_reads_committed_only(spark):
     again = read_committed_jsonl(spark, base)
     total = again.agg(F.sum("value_cents")).collect()[0][0]
     assert total == sum(v[1] for v in rows.values())
+
+
+def test_stream_ivjoin_multibatch_evicts_state_and_matches_batch(spark):
+    """q_d_stream_ivjoin's drain must be genuinely multi-batch (>= 2
+    data micro-batches), must EVICT join state as the watermarks pass
+    (numRowsRemoved > 0 on the stateOperators metrics — the bounded-
+    state contract that makes stream-stream joins runnable forever),
+    and its pair total must equal the batch interval join's."""
+    from glaciersgee_spark.streaming.batch_equiv import (
+        q_d_stream_ivjoin,
+        q_d_stream_stream_join,
+    )
+    from glaciersgee_spark.streaming.stream import drain_interval_join
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    sink = scratch_dir(prefix="ggee_ivj_t_sink_")
+    ck = scratch_dir(prefix="ggee_ivj_t_ck_")
+    q = drain_interval_join(spark, SF_SMOKE, sink, ck)
+    prog = q.recentProgress
+    assert len(prog) >= 2
+    removed = sum(
+        s["numRowsRemoved"] for p in prog for s in p["stateOperators"]
+    )
+    assert removed > 0
+    got_pairs = spark.read.parquet(sink).count()
+    want_pairs = (
+        q_d_stream_stream_join(spark, SF_SMOKE)
+        .agg(F.sum("n_clicks_30m").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got_pairs == want_pairs > 0
+    # the declared op's per-purchase counts agree with the batch form
+    a = {
+        (r.purchase_id, r.user_id, r.n_clicks_30m)
+        for r in q_d_stream_ivjoin(spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r.purchase_id, r.user_id, r.n_clicks_30m)
+        for r in q_d_stream_stream_join(spark, SF_SMOKE).collect()
+    }
+    assert a == b
