@@ -159,7 +159,10 @@ _REWRITTEN = ("q_e_graph_triangles", "q_d_window_topk", "q_e_cc_stars")
 # New in round 6 — queue behind the never-checked 50 and the
 # rewritten trio so CORRECTNESS_r06 stays 50/50 first-time rows;
 # first-time driver evidence for these lands in round 7.
-_R6_NEW: tuple[str, ...] = ("q_d_stream_ivjoin",)
+_R6_NEW: tuple[str, ...] = (
+    "q_d_stream_ivjoin", "q_b_runlength", "q_e_template_skeleton",
+    "q_e_dup_inflation", "q_e_tail_index", "q_e_length_ks",
+)
 
 _V = TypeVar("_V")
 

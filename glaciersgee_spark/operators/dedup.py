@@ -2788,3 +2788,142 @@ def q_e_dup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_template_skeleton (round 6)
+# ---------------------------------------------------------------------------
+
+_SKEL_SPARK = (
+    "md5(array_join(transform(slice(split(text, ' '), 1, 20), "
+    "w -> CAST(length(w) AS STRING)), '-'))"
+)
+_SKEL_DUCK = (
+    "md5(array_to_string(list_transform((string_split(text, ' '))[1:20], "
+    "w -> CAST(length(w) AS VARCHAR)), '-'))"
+)
+
+
+@query(
+    "q_e_template_skeleton",
+    oracle=f"""
+    WITH fam AS (
+      SELECT {_SKEL_DUCK} AS skeleton_key,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             MIN(doc_id) AS rep_doc
+      FROM documents GROUP BY 1
+    )
+    SELECT skeleton_key, n_docs, n_sources, rep_doc
+    FROM fam WHERE n_docs >= 2
+    ORDER BY n_docs DESC, skeleton_key ASC LIMIT 15
+    """,
+)
+def q_e_template_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural template mining (round 6): docs are fingerprinted by
+    SHAPE, not content — the word-length sequence of their first 20
+    tokens, md5'd into a skeleton key. Docs sharing a skeleton are
+    boilerplate/template families (form letters, scaffolded pages,
+    generator output) that content-level dedup misses because the
+    filled-in words differ; the top families are what a curation pass
+    reviews for template stripping. Complements q_e_boilerplate
+    (repeated exact lines) and q_e_dedup_near (shingle overlap) with
+    the structure-level third axis.
+
+    Scale: the skeleton is one scan-side codegen projection (split →
+    slice → transform → join → md5 — no Python), the family rollup is
+    ONE combinable groupBy on the key, and the top-15 cut is a
+    TakeOrdered (per-partition heaps), never a global sort. The
+    deterministic (n_docs DESC, key ASC) order makes the cut exact on
+    any engine."""
+    d = load_table(spark, sf_dir, "documents")
+    fam = (
+        d.select(F.expr(_SKEL_SPARK).alias("skeleton_key"), "source", "doc_id")
+        .groupBy("skeleton_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return fam.orderBy(
+        F.col("n_docs").desc(), F.col("skeleton_key").asc()
+    ).limit(15)
+
+
+# ---------------------------------------------------------------------------
+# q_e_dup_inflation (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_dup_inflation",
+    oracle="""
+    WITH keyed AS (
+      SELECT source,
+             md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR))
+               AS content_key,
+             COUNT(*) AS n_in_key,
+             MAX(n_chars) AS key_chars
+      FROM documents GROUP BY source, 2
+    )
+    SELECT source,
+           CAST(SUM(n_in_key) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_keys,
+           CAST((SUM(n_in_key) * 10000) // COUNT(*) AS BIGINT)
+             AS doc_inflation_bp,
+           CAST(SUM(n_in_key * key_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(key_chars) AS BIGINT) AS canon_chars,
+           CAST((SUM(n_in_key * key_chars) * 10000) // SUM(key_chars)
+                AS BIGINT) AS char_inflation_bp
+    FROM keyed GROUP BY source ORDER BY source
+    """,
+)
+def q_e_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-inflation economics (round 6): per source, how much
+    BIGGER the corpus is than its deduplicated core — doc-count and
+    token-weighted inflation in exact basis points. This is the number
+    a data buyer/mixer actually budgets with: a source at 13000 bp
+    char inflation contributes 30% less unique training signal than
+    its raw byte count claims. Uses the canonical q_e_dedup_exact
+    content key (_exact_key contract), under which every doc in a key
+    shares n_chars — so the canonical-core mass is a per-key constant
+    and NO window/row-pick is needed.
+
+    Scale: two combinable groupBys (key-level, then source-level), one
+    shuffle each, all-BIGINT arithmetic (integer div — no float
+    drift). The dedup-economics companion to q_e_dup_sizes (histogram)
+    and q_e_dedup_survivors (policy audit)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = (
+        d.select(
+            "source",
+            _exact_key().alias("content_key"),
+            "n_chars",
+        )
+        .groupBy("source", "content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_key"),
+            F.max("n_chars").alias("key_chars"),
+        )
+    )
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.sum("n_in_key").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.expr("CAST((SUM(n_in_key) * 10000) DIV COUNT(*) AS BIGINT)").alias(
+                "doc_inflation_bp"
+            ),
+            F.sum(F.col("n_in_key") * F.col("key_chars"))
+            .cast("long")
+            .alias("sum_chars"),
+            F.sum("key_chars").cast("long").alias("canon_chars"),
+            F.expr(
+                "CAST((SUM(n_in_key * key_chars) * 10000) DIV SUM(key_chars)"
+                " AS BIGINT)"
+            ).alias("char_inflation_bp"),
+        )
+        .orderBy("source")
+    )

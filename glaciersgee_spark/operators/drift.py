@@ -1187,3 +1187,196 @@ def q_e_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_tail_index (round 6)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100  # order statistics used by the Hill estimator (top k+1)
+
+
+@query(
+    "q_e_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ),
+    top AS (SELECT * FROM ranked WHERE rn <= {_HILL_K} + 1),
+    ref AS (
+      SELECT lang, MAX(rn) AS ref_rn,
+             MAX(CASE WHEN rn_is_max THEN n_chars END) AS x_ref
+      FROM (SELECT *, rn = MAX(rn) OVER (PARTITION BY lang) AS rn_is_max
+            FROM top)
+      GROUP BY lang
+    )
+    SELECT t.lang, CAST(r.ref_rn - 1 AS BIGINT) AS k_used,
+           r.x_ref,
+           round({davg("round(ln(CAST(t.n_chars AS DOUBLE)), 6)"
+                       " - round(ln(CAST(r.x_ref AS DOUBLE)), 6)")}, 6)
+             AS hill_inv6
+    FROM top t JOIN ref r ON t.lang = r.lang
+    WHERE t.rn < r.ref_rn
+    GROUP BY t.lang, r.ref_rn, r.x_ref
+    ORDER BY t.lang
+    """,
+)
+def q_e_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail exponent of the per-language length distribution
+    (round 6): the Hill estimator 1/α = mean(ln xᵢ − ln x₍ₖ₊₁₎) over
+    the top-k order statistics — the drift monitor that tells a
+    packing/budgeting stage whether a language's byte mass is
+    power-law-hostage to a few giant docs (large 1/α) or
+    exponential-tailed (small). Complements q_e_zipf_slope (token
+    frequencies) and q_e_gini_mass (Lorenz concentration) with the
+    extreme-value view.
+
+    Scale: the global top-(k+1) per language is computed with the
+    two-phase per-group TakeOrdered idiom — rank within (lang, 64-way
+    doc_id shard) keeps each first-phase window partition-local and
+    ≤ corpus/64 rows, the union of shard top-(k+1)s provably contains
+    the global top-(k+1), and the second rank runs on ≤ 64·(k+1) rows
+    per language. No full-corpus single-partition window anywhere.
+    Logs are 6-dp-rounded before the exact-decimal mean (bit-identical
+    cross-engine); the subtraction of two 6-dp doubles is exact."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    w1 = Window.partitionBy("lang", "shard").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    pre = (
+        d.withColumn("shard", (F.col("doc_id") % 64).cast("int"))
+        .withColumn("prn", F.row_number().over(w1))
+        .where(F.col("prn") <= _HILL_K + 1)
+    )
+    w2 = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    top = pre.withColumn("rn", F.row_number().over(w2)).where(
+        F.col("rn") <= _HILL_K + 1
+    )
+    ref = top.groupBy("lang").agg(
+        F.max("rn").alias("ref_rn"),
+        F.max(F.struct("rn", "n_chars")).getField("n_chars").alias("x_ref"),
+    )
+    ln6 = "round(ln(CAST(n_chars AS DOUBLE)), 6)"
+    lnr6 = "round(ln(CAST(x_ref AS DOUBLE)), 6)"
+    return (
+        top.join(F.broadcast(ref), "lang")
+        .where(F.col("rn") < F.col("ref_rn"))
+        .groupBy("lang", "ref_rn", "x_ref")
+        .agg(
+            F.expr(f"round({davg(f'{ln6} - {lnr6}')}, 6)").alias("hill_inv6")
+        )
+        .select(
+            "lang",
+            (F.col("ref_rn") - 1).cast("long").alias("k_used"),
+            "x_ref",
+            "hill_inv6",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_length_ks (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_length_ks",
+    oracle="""
+    WITH support AS (
+      SELECT n_chars AS x, COUNT(*) AS ct FROM documents GROUP BY 1
+    ),
+    corpus AS (
+      SELECT x, SUM(ct) OVER (ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_t
+      FROM support
+    ),
+    src AS (
+      SELECT source, n_chars AS x, COUNT(*) AS cs
+      FROM documents GROUP BY source, 2
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(cs) AS BIGINT) AS n_s FROM src GROUP BY source
+    ),
+    grid AS (
+      SELECT t.source, c.x, c.cum_t, COALESCE(s.cs, 0) AS cs
+      FROM totals t CROSS JOIN corpus c
+      LEFT JOIN src s ON s.source = t.source AND s.x = c.x
+    ),
+    cum AS (
+      SELECT source, x, cum_t,
+             SUM(cs) OVER (PARTITION BY source ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_s
+      FROM grid
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_t FROM documents)
+    SELECT c.source, t.n_s AS n_docs,
+           floor(MAX(abs(c.cum_s * n.n_t - c.cum_t * t.n_s)) * 1000000.0
+                 / (t.n_s * n.n_t)) / 1000000.0 AS ks6
+    FROM cum c JOIN totals t ON c.source = t.source CROSS JOIN n
+    GROUP BY c.source, t.n_s, n.n_t
+    ORDER BY c.source
+    """,
+)
+def q_e_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift of each source's length distribution
+    against the corpus (round 6): KS = max |CDF_source − CDF_corpus|
+    over the observed support — the nonparametric companion to
+    q_e_psi_drift (fixed buckets) and q_e_js_drift (token mixture):
+    PSI misses shape shifts inside a bucket, KS does not, and it needs
+    no binning choice at all.
+
+    Exactness: the sup statistic is computed in pure BIGINT cross-
+    multiplied form |cum_s·N − cum_t·n_s| (no per-point float CDFs),
+    with ONE closing floor-quantized division per source. Scale: the
+    corpus collapses to its length support first (combinable groupBy;
+    |support| distinct values, corpus-size-independent), the
+    source×support grid is |sources|·|support| rows, and every window
+    runs over ≤ |support| rows partitioned by source — never over
+    corpus rows. The support frame rides a broadcast join."""
+    d = load_table(spark, sf_dir, "documents")
+    support = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    wt = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    corpus = support.withColumn("cum_t", F.sum("ct").over(wt)).select("x", "cum_t")
+    src = d.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    totals = src.groupBy("source").agg(F.sum("cs").cast("long").alias("n_s"))
+    grid = (
+        totals.join(F.broadcast(corpus))
+        .join(src, ["source", "x"], "left")
+        .select(
+            "source", "x", "cum_t", "n_s", F.coalesce("cs", F.lit(0)).alias("cs")
+        )
+    )
+    ws = Window.partitionBy("source").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cum_s", F.sum("cs").over(ws))
+    n_t = d.count()
+    return (
+        cum.groupBy("source", "n_s")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_s") * F.lit(n_t) - F.col("cum_t") * F.col("n_s"))
+            ).alias("mx")
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            (
+                F.floor(F.col("mx") * 1000000.0 / (F.col("n_s") * F.lit(n_t)))
+                / 1000000.0
+            ).alias("ks6"),
+        )
+        .orderBy("source")
+    )

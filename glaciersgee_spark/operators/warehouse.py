@@ -1538,3 +1538,84 @@ def q_b_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_runlength (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_runlength",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS new_run
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_id
+      FROM flagged
+    ),
+    per_run AS (
+      SELECT user_id, run_id, event_type, COUNT(*) AS run_len
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT event_type,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           CAST((SUM(run_len) * 10000) // COUNT(*) AS BIGINT) AS avg_run_bp
+    FROM per_run GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_b_runlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encodability audit (round 6): under the table's
+    natural (user, time) clustering, how long are the constant runs of
+    `event_type`? — the statistic a lakehouse layout planner reads
+    before choosing RLE/dictionary encodings and sort keys (long runs
+    ⇒ the column compresses to near-nothing under this sort; runs ≈ 1
+    ⇒ re-clustering or Z-order is what would buy compression, the
+    q_b_zorder_cluster companion). Gaps-and-islands spelling: lag →
+    new-run flag → running sum = run id → per-run length → per-type
+    rollup with exact basis-point mean run length.
+
+    Scale: both windows are partitioned by user_id (distributed,
+    bounded by the per-user event count), the run rollup is a
+    combinable groupBy, and the final aggregate is |event_types| rows.
+    All-BIGINT arithmetic — no float drift."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = ev.withColumn(
+        "new_run",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn("run_id", F.sum("new_run").over(run))
+    per_run = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        per_run.groupBy("event_type")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run"),
+            F.expr("CAST((SUM(run_len) * 10000) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_run_bp"
+            ),
+        )
+        .orderBy("event_type")
+    )

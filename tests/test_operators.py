@@ -2038,3 +2038,139 @@ def test_try_family_null_exactly_on_error_conditions(spark):
         assert (r.safe_div is None) == (r.o_orderkey % 7 == 0)
         assert (r.safe_add is None) == (r.o_orderkey % 100 > 7)
         assert (r.safe_elem is None) == (r.o_orderkey % 5 + 1 > 3)
+
+
+def test_template_skeleton_families_are_real(spark):
+    """Top families are shape-collision classes: sizes ≥ 2, sorted by
+    (n_docs DESC, key ASC), and each family's size matches a direct
+    recount of its skeleton key."""
+    from glaciersgee_spark.operators.dedup import _SKEL_SPARK, q_e_template_skeleton
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_template_skeleton(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 15
+    sizes = [(r.n_docs, r.skeleton_key) for r in rows]
+    assert sizes == sorted(sizes, key=lambda t: (-t[0], t[1]))
+    assert all(r.n_docs >= 2 and r.n_sources <= r.n_docs for r in rows)
+    d = load_table(spark, SF_SMOKE, "documents")
+    direct = {
+        r.k: r.n
+        for r in d.selectExpr(f"{_SKEL_SPARK} AS k")
+        .groupBy("k")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for r in rows:
+        assert direct[r.skeleton_key] == r.n_docs
+
+
+def test_dup_inflation_identities(spark):
+    """Inflation ≥ 10000 bp by construction; doc totals reconcile with
+    the corpus; canonical mass never exceeds raw mass."""
+    from glaciersgee_spark.operators.dedup import q_e_dup_inflation
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_dup_inflation(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.n_keys <= r.n_docs
+        assert r.canon_chars <= r.sum_chars
+        assert r.doc_inflation_bp >= 10000
+        assert r.char_inflation_bp >= 10000
+        assert r.doc_inflation_bp == (r.n_docs * 10000) // r.n_keys
+
+
+def test_tail_index_matches_bruteforce(spark):
+    """The two-phase per-group top-k must equal a driver-side brute
+    force of the Hill estimator for every language."""
+    import math
+
+    from glaciersgee_spark.operators.drift import _HILL_K, q_e_tail_index
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.lang: r for r in q_e_tail_index(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "lang", "n_chars", "doc_id"
+    ).collect()
+    bylang = {}
+    for r in docs:
+        bylang.setdefault(r.lang, []).append((r.n_chars, r.doc_id))
+    for lang, pts in bylang.items():
+        pts.sort(key=lambda t: (-t[0], t[1]))
+        top = pts[: _HILL_K + 1]
+        if len(top) < 2:
+            assert lang not in rows
+            continue
+        ref = top[-1][0]
+        lns = [
+            round(math.log(x), 6) - round(math.log(ref), 6)
+            for x, _ in top[:-1]
+        ]
+        want = round(sum(round(v, 6) for v in lns) / len(lns), 6)
+        got = rows[lang]
+        assert got.k_used == len(top) - 1
+        assert got.x_ref == ref
+        assert abs(got.hill_inv6 - want) < 5e-6
+        assert got.hill_inv6 >= 0
+
+
+def test_length_ks_matches_bruteforce(spark):
+    """Exact KS per source vs a driver-side CDF sweep."""
+    from glaciersgee_spark.operators.drift import q_e_length_ks
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.source: r for r in q_e_length_ks(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    allx = sorted({r.n_chars for r in docs})
+    n_t = len(docs)
+    for source in {r.source for r in docs}:
+        xs = [r.n_chars for r in docs if r.source == source]
+        n_s = len(xs)
+        best = 0
+        for x in allx:
+            cs = sum(1 for v in xs if v <= x)
+            ct = sum(1 for r in docs if r.n_chars <= x)
+            best = max(best, abs(cs * n_t - ct * n_s))
+        import math
+
+        want = math.floor(best * 1_000_000.0 / (n_s * n_t)) / 1_000_000.0
+        got = rows[source]
+        assert got.n_docs == n_s
+        assert abs(got.ks6 - want) < 1e-9
+        assert 0.0 <= got.ks6 <= 1.0
+
+
+def test_runlength_matches_bruteforce(spark):
+    """Gaps-and-islands runs vs a driver-side replay of every user's
+    ordered event stream."""
+    from glaciersgee_spark.operators.warehouse import q_b_runlength
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.event_type: r for r in q_b_runlength(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    byuser = {}
+    for r in ev:
+        byuser.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    runs = {}
+    for user, seq in byuser.items():
+        seq.sort()
+        prev = None
+        for _, _, et in seq:
+            if et != prev:
+                runs.setdefault(et, []).append(1)
+            else:
+                runs[et][-1] += 1
+            prev = et
+    assert set(runs) == set(rows)
+    for et, lens in runs.items():
+        r = rows[et]
+        assert r.n_events == sum(lens)
+        assert r.n_runs == len(lens)
+        assert r.max_run == max(lens)
+        assert r.avg_run_bp == (sum(lens) * 10000) // len(lens)
