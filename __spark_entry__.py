@@ -162,6 +162,7 @@ _REWRITTEN = ("q_e_graph_triangles", "q_d_window_topk", "q_e_cc_stars")
 _R6_NEW: tuple[str, ...] = (
     "q_d_stream_ivjoin", "q_b_runlength", "q_e_template_skeleton",
     "q_e_dup_inflation", "q_e_tail_index", "q_e_length_ks",
+    "q_d_stream_dedup", "q_e_filter_agreement", "q_e_dsir_weights",
 )
 
 _V = TypeVar("_V")

@@ -1408,3 +1408,77 @@ def q_e_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_filter_agreement (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_filter_agreement",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, lang, tok
+    ),
+    per AS (
+      SELECT doc_id, lang,
+             CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(MAX(c) AS BIGINT) AS mx,
+             COUNT(*) AS n_types
+      FROM tf GROUP BY doc_id, lang
+    ),
+    gates AS (
+      SELECT lang,
+             n_tok BETWEEN 15 AND 80 AS g_len,
+             n_types * 10 > n_tok * 3 AS g_ttr,
+             mx * 100 <= n_tok * 15 AS g_rep
+      FROM per
+    )
+    SELECT lang, g_len, g_ttr, g_rep, COUNT(*) AS n_docs
+    FROM gates GROUP BY lang, g_len, g_ttr, g_rep
+    ORDER BY lang, g_len, g_ttr, g_rep
+    """,
+)
+def q_e_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-filter ensemble agreement (round 6): the three cheap
+    gate families the repo ships — length bounds (Gopher r_len),
+    type/token-ratio (q_e_quality_filter's distinct gate), and
+    most-frequent-token repetition cap (Gopher r_rep) — evaluated
+    TOGETHER per doc, with the per-language contingency table of all
+    8 verdict combinations. The off-diagonal cells (filters
+    disagreeing) are exactly the docs a curation team hand-reviews
+    before trusting any single filter at 100 TB; unanimous cells are
+    safe to automate. Completes the filter family with the
+    measurement ABOUT the filters.
+
+    Determinism: every gate is pure integer arithmetic (×10/×100
+    cross-multiplications instead of float ratios — no threshold-edge
+    float divergence between engines). Scale: one (doc, token) TF
+    aggregation (the shuffle any TF pass pays), a per-doc combinable
+    rollup, then a ≤ |langs|·8-row contingency aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = tf.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.max("c").cast("long").alias("mx"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    gates = per.select(
+        "lang",
+        F.col("n_tok").between(15, 80).alias("g_len"),
+        (F.col("n_types") * 10 > F.col("n_tok") * 3).alias("g_ttr"),
+        (F.col("mx") * 100 <= F.col("n_tok") * 15).alias("g_rep"),
+    )
+    return (
+        gates.groupBy("lang", "g_len", "g_ttr", "g_rep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "g_len", "g_ttr", "g_rep")
+    )

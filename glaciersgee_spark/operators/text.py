@@ -1274,3 +1274,128 @@ def q_e_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buckets",
         F.expr(_FH_RATE6).alias("collision_rate6"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_e_dsir_weights (round 6)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed feature space (the q_e_feature_hashing idiom)
+_DSIR_TARGET = "src0"  # the high-quality target domain
+
+
+@query(
+    "q_e_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(unnest(string_split(text, ' '))),
+                                         1, 15)) AS BIGINT) % {_DSIR_B} AS b
+      FROM documents
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_t FROM tok
+           WHERE source = '{_DSIR_TARGET}'),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_r FROM tok),
+    ct AS (SELECT b, COUNT(*) AS c_t FROM tok
+           WHERE source = '{_DSIR_TARGET}' GROUP BY b),
+    cr AS (SELECT b, COUNT(*) AS c_r FROM tok GROUP BY b),
+    lr AS (
+      SELECT cr.b,
+             round(ln(CAST((COALESCE(ct.c_t, 0) + 1) * (nr.n_r + {_DSIR_B})
+                           AS DOUBLE)
+                      / CAST((cr.c_r + 1) * (nt.n_t + {_DSIR_B}) AS DOUBLE)),
+                   6) AS lr6
+      FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nt CROSS JOIN nr
+    ),
+    per AS (
+      SELECT t.doc_id, t.source,
+             round({davg("lr.lr6")}, 6) AS w6
+      FROM tok t JOIN lr ON t.b = lr.b
+      GROUP BY t.doc_id, t.source
+    ),
+    mu AS (SELECT round({davg("w6")}, 6) AS mu6 FROM per)
+    SELECT source,
+           CAST(greatest(-5, least(5, floor((w6 - mu.mu6) * 100.0)))
+                AS BIGINT) AS w_bin,
+           COUNT(*) AS n_docs
+    FROM per CROSS JOIN mu GROUP BY source, 2 ORDER BY source, w_bin
+    """,
+)
+def q_e_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (round 6; Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per doc, the mean hashed-n-gram log-likelihood ratio between a
+    TARGET domain's unigram LM and the raw-corpus LM — the importance
+    weight that up-samples raw data resembling the high-quality
+    target. Reported as the per-source histogram of clamped
+    centi-nat bins CENTERED on the corpus-mean weight (the raw
+    add-one-smoothed level carries a corpus-size-dependent offset —
+    DSIR resamples on RELATIVE weight, so the centered histogram is
+    the decision-relevant shape): the mixture designer reads which
+    sources carry target-looking mass BEFORE committing a resampling
+    pass.
+    Completes the targeted-selection family next to q_e_ppl_buckets
+    (absolute LM score) and q_e_mix_weights (source-level budgets)
+    with the RELATIVE, target-conditioned signal.
+
+    Scale: features are the fixed 1024-bucket hash space (no vocab
+    build — the q_e_feature_hashing argument), so both LMs are
+    1024-row combinable aggregates; the log-ratio table broadcasts to
+    a single token-side join; the per-doc mean is one more combinable
+    rollup. Add-one smoothing keeps every bucket finite. Determinism:
+    BIGINT count products, one correctly-rounded double division into
+    a 6-dp ln, exact-decimal per-doc mean, integer bin clamp."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_DSIR_B}"
+        ).alias("b"),
+    )
+    n_t = tok.where(F.col("source") == _DSIR_TARGET).count()
+    n_r = tok.count()
+    ct = (
+        tok.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    cr = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    lr = (
+        cr.join(ct, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("c_t", F.lit(0)) + 1)
+                        * F.lit(n_r + _DSIR_B)
+                    ).cast("double")
+                    / ((F.col("c_r") + 1) * F.lit(n_t + _DSIR_B)).cast("double")
+                ),
+                6,
+            ).alias("lr6"),
+        )
+    )
+    per = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.expr(f"round({davg('lr6')}, 6)").alias("w6"))
+    )
+    mu = per.agg(F.expr(f"round({davg('w6')}, 6)").alias("mu6"))
+    return (
+        per.join(F.broadcast(mu))
+        .select(
+            "source",
+            F.expr(
+                "CAST(greatest(-5, least(5, floor((w6 - mu6) * 100.0)))"
+                " AS BIGINT)"
+            ).alias("w_bin"),
+        )
+        .groupBy("source", "w_bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "w_bin")
+    )

@@ -974,3 +974,58 @@ def q_d_stream_ivjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clicks_30m"))
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "q_d_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_keys,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_d_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup END TO END (round 6) — the seventh true-stream
+    surface: `dropDuplicatesWithinWatermark` over the day-chunked
+    events feed (2 chunks per availableNow trigger), first arrival per
+    (user, type, minute) key appended to a parquet sink, dedup state
+    EVICTED as the watermark passes (numRowsRemoved > 0 asserted in
+    tests/test_streaming.py) — the bounded-state contract that lets an
+    at-least-once ingest run deduplicated forever, where a plain
+    dropDuplicates would accrete state without bound.
+    q_d_stateful_dedup declares the same semantics in batch form (with
+    a deterministic min-event_id keep-rule for its row-level oracle);
+    this op executes the REAL streaming path and rolls up to per-type
+    key counts, which are arrival-order-invariant: every duplicate of
+    a key shares its minute, a minute never straddles day chunks, so
+    each key emits exactly once under any batching.
+
+    Scale: state is one row per in-flight key within (watermark + 1
+    minute) of traffic; the sink append is per-executor parallel
+    parquet; the read-back rollup is |event_types| rows."""
+    from pyspark.sql import types as T
+
+    from glaciersgee_spark.streaming.stream import drain_stream_dedup
+
+    sink = scratch_dir(prefix="ggee_sdd_sink_")
+    ck = scratch_dir(prefix="ggee_sdd_ck_")
+    drain_stream_dedup(spark, sf_dir, sink, ck)
+    keys = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("minute_b", T.TimestampType()),
+            ]
+        )
+    ).parquet(sink)
+    return (
+        keys.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

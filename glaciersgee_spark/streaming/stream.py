@@ -454,3 +454,115 @@ def drain_interval_join(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return q
+
+
+# ------------------------------------------------ true-stream dedup
+
+_EVCH_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def stage_event_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events feed as 4 day-partitioned, mtime-ordered chunk
+    files (days 1-8 / 9-16 / 17-24 / 25-31) — the shared multi-batch
+    arrival fixture for true-stream ops that need watermarks to
+    actually advance (a single-file source drains in one batch and
+    never exercises state eviction). Same fingerprint + atomic-rename
+    staging contract as stage_ivjoin_sources. Day chunking means a
+    1-minute dedup key NEVER straddles chunks, so within-watermark
+    dedup is exact under chunked arrival."""
+    import os
+    import shutil
+    import uuid
+
+    from glaciersgee_spark.tables import load_table
+
+    ensure_confs(spark)
+    st = os.stat(f"{sf_dir}/events.parquet")
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ggee_evch",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    marker = os.path.join(staged, "_READY")
+    if os.path.exists(marker):
+        return staged
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.least(F.lit(3), ((F.dayofmonth("ts") - 1) / 8).cast("int")).alias("chk"),
+    )
+    legdir = os.path.join(tmp, "events")
+    os.makedirs(legdir)
+    for i in range(4):
+        part = os.path.join(tmp, f"_w_{i}")
+        ev.where(F.col("chk") == i).drop("chk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(legdir, f"chunk_{i}.parquet")
+        os.rename(os.path.join(part, pf), dst)
+        shutil.rmtree(part, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    open(os.path.join(tmp, "_READY"), "w").close()
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return staged
+
+
+def drain_stream_dedup(spark: SparkSession, sf_dir: str, sink: str, ck: str):
+    """Run dropDuplicatesWithinWatermark over the chunked events feed
+    as a REAL multi-batch stream and append the surviving first
+    arrivals to a parquet sink; returns the terminated StreamingQuery
+    for state-metric assertions (dedup state must EVICT as the
+    watermark passes — numRowsRemoved > 0 in tests).
+
+    Exactness: the dedup key is (user_id, event_type, minute), every
+    duplicate of a key shares its minute, a minute never straddles
+    the day-partitioned chunks, so all duplicates of a key arrive in
+    ONE micro-batch — each key emits exactly once regardless of
+    batching, and the batch DISTINCT oracle is exact."""
+    staged = stage_event_chunks(spark, sf_dir)
+    keys = (
+        spark.readStream.schema(_EVCH_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/events")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts").cast("timestamp")).alias(
+                "minute_b"
+            ),
+        )
+        .withWatermark("minute_b", "1 hour")
+        .dropDuplicatesWithinWatermark()
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            keys.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "stream-dedup drain exceeded 180 s — refusing to read a "
+                "partially-written sink"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q

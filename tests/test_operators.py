@@ -2174,3 +2174,32 @@ def test_runlength_matches_bruteforce(spark):
         assert r.n_runs == len(lens)
         assert r.max_run == max(lens)
         assert r.avg_run_bp == (sum(lens) * 10000) // len(lens)
+
+
+def test_filter_agreement_partitions_corpus(spark):
+    """The 8-cell contingency per lang partitions the corpus exactly,
+    and each gate's marginal matches a direct recount."""
+    from glaciersgee_spark.operators.curation import q_e_filter_agreement
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_filter_agreement(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    # marginal of g_len == direct recount of the token-count bounds
+    got_len = sum(r.n_docs for r in rows if r.g_len)
+    want_len = d.where(F.size(F.split("text", " ")).between(15, 80)).count()
+    assert got_len == want_len
+
+
+def test_dsir_weights_center_and_total(spark):
+    """Centered bins must straddle 0 (mass on both sides unless the
+    corpus is degenerate) and cover every doc exactly once."""
+    from glaciersgee_spark.operators.text import q_e_dsir_weights
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_dsir_weights(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    bins = {r.w_bin for r in rows}
+    assert all(-5 <= b <= 5 for b in bins)
+    assert any(b < 0 for b in bins) and any(b >= 0 for b in bins)

@@ -440,3 +440,36 @@ def test_stream_ivjoin_multibatch_evicts_state_and_matches_batch(spark):
         for r in q_d_stream_stream_join(spark, SF_SMOKE).collect()
     }
     assert a == b
+
+
+def test_stream_dedup_multibatch_evicts_state_and_matches_batch(spark):
+    """q_d_stream_dedup must run ≥ 2 micro-batches, evict dedup state
+    as the watermark passes, and emit exactly one row per distinct
+    (user, type, minute) key."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_stream_dedup
+    from glaciersgee_spark.streaming.stream import drain_stream_dedup
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    sink = scratch_dir(prefix="ggee_sdd_t_sink_")
+    ck = scratch_dir(prefix="ggee_sdd_t_ck_")
+    q = drain_stream_dedup(spark, SF_SMOKE, sink, ck)
+    prog = q.recentProgress
+    assert len(prog) >= 2
+    removed = sum(
+        s["numRowsRemoved"] for p in prog for s in p["stateOperators"]
+    )
+    assert removed > 0
+    got = spark.read.parquet(sink).count()
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", F.date_trunc("minute", "ts"))
+        .distinct()
+        .count()
+    )
+    assert got == want > 0
+    rows = {
+        (r.event_type, r.n_keys, r.n_users)
+        for r in q_d_stream_dedup(spark, SF_SMOKE).collect()
+    }
+    assert sum(r[1] for r in rows) == want
