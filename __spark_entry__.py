@@ -11,7 +11,8 @@ rotation (from CORRECTNESS_r01..r05 — all 237 checked rows green on
 their latest check, so _DRIVER_VERIFIED now holds the r1-r5 union):
 the 50 ops that have NEVER had a driver CORRECTNESS row go first —
 they fit the ~50-row cap exactly, so round 6 completes first-time
-driver evidence for the whole 287-op inventory. Order within the 50
+driver evidence for the whole round-5 287-op inventory (the 9
+round-6 additions queue behind and land in round 7). Order within the 50
 keeps the round-5 queue: the 7 remaining streaming batch-equivalents,
 the 10 Group B stragglers, the 6 Group A stragglers, then the 27-op
 Group E tail (spans/winnowing, multimodal, packing/tokenizer,
@@ -163,6 +164,7 @@ _R6_NEW: tuple[str, ...] = (
     "q_d_stream_ivjoin", "q_b_runlength", "q_e_template_skeleton",
     "q_e_dup_inflation", "q_e_tail_index", "q_e_length_ks",
     "q_d_stream_dedup", "q_e_filter_agreement", "q_e_dsir_weights",
+    "q_d_stream_session", "q_e_span_mass",
 )
 
 _V = TypeVar("_V")

@@ -1482,3 +1482,124 @@ def q_e_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "g_len", "g_ttr", "g_rep")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_span_mass (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_span_mass",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, source, i,
+             md5(array_to_string(list_slice(toks, i, i + {WIN_TOKENS - 1}), ' '))
+               AS wh
+      FROM (SELECT doc_id, source,
+                   unnest(range(1, len(toks) - {WIN_TOKENS - 2})) AS i, toks
+            FROM tk WHERE len(toks) >= {WIN_TOKENS})
+    ),
+    shared AS (
+      SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT w.doc_id, w.source,
+             unnest(range(w.i, w.i + {WIN_TOKENS})) AS pos
+      FROM wins w JOIN shared s ON w.wh = s.wh
+    ),
+    per_doc AS (
+      SELECT doc_id, source, COUNT(*) AS n_cov
+      FROM (SELECT DISTINCT doc_id, source, pos FROM cov)
+      GROUP BY doc_id, source
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tok,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.n_tok,
+           CAST(COALESCE(SUM(p.n_cov), 0) AS BIGINT) AS n_dup_tok,
+           CAST((COALESCE(SUM(p.n_cov), 0) * 1000000) // t.n_tok AS BIGINT)
+             AS dup_ppm
+    FROM tot t LEFT JOIN per_doc p ON t.source = p.source
+    GROUP BY t.source, t.n_docs, t.n_tok
+    ORDER BY t.source
+    """,
+)
+def q_e_span_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-duplication token MASS per source (round 6): the
+    fraction of each source's tokens lying inside at least one
+    duplicated 8-token window — the corpus-level headline number of
+    Lee et al. 2021 ("what % of the training set is verbatim-repeated
+    text"), where q_e_window_dedup reports the per-doc window
+    FRACTION, this reports the union-of-spans TOKEN coverage the
+    dedup pass would actually delete. Exact in ppm.
+
+    Scale: window expansion is the same scan-side higher-order
+    expression as q_e_window_dedup (no shuffle); the shared-hash set
+    is one combinable count-distinct aggregate broadcast back;
+    coverage expands only DUPLICATED windows ×8 positions and
+    collapses them with a distinct-positions aggregate (bounded by 8×
+    the duplicated-window count, never the corpus); the rollup is
+    |sources| rows of BIGINT arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = fan_out(
+        d.select("doc_id", "source", F.split("text", " ").alias("tk")).where(
+            F.size("tk") >= WIN_TOKENS
+        ),
+        "doc_id",
+    )
+    wins = tk.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {WIN_TOKENS - 1}), "
+                f"i -> struct(i AS i, md5(array_join(slice(tk, i, "
+                f"{WIN_TOKENS}), ' ')) AS wh))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "source", F.col("s.i").alias("i"), F.col("s.wh").alias("wh"))
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh")
+    )
+    cov = (
+        wins.join(F.broadcast(shared), "wh")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(f"sequence(i, i + {WIN_TOKENS - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    per_doc = cov.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_cov")
+    )
+    tot = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        tot.join(per_doc, "source", "left")
+        .groupBy("source", "n_docs", "n_tok")
+        .agg(F.coalesce(F.sum("n_cov"), F.lit(0)).cast("long").alias("n_dup_tok"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tok",
+            "n_dup_tok",
+            F.expr("CAST((n_dup_tok * 1000000) DIV n_tok AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1029,3 +1029,86 @@ def q_d_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_d_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    ),
+    wm AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id, session_start, n_events
+    FROM per CROSS JOIN wm
+    WHERE session_end + INTERVAL 30 MINUTE < mx - INTERVAL 1 HOUR
+    ORDER BY user_id, session_start
+    """,
+)
+def q_d_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows END TO END (round 6) — the eighth true-stream
+    surface, and the only one whose state MERGES across micro-batches:
+    `session_window(ts, '30 minutes')` over the day-chunked events
+    feed in append mode — a session straddling a chunk boundary exists
+    as two partial windows in the state store until the later batch
+    merges them, which no single-batch drain can exercise
+    (q_d_session declares the same gaps-and-islands semantics in
+    batch form; the memory-sink unit test runs the stream in complete
+    mode — this op runs the REAL append-mode lifecycle: merge →
+    watermark passes window end → emit once → evict).
+
+    Emission contract, encoded in the oracle: an append-mode session
+    emits only when the watermark (max event time − 1 h) passes its
+    window END (last event + the 30-min gap), so sessions in the final
+    90 minutes of the feed are still open at drain end and are
+    EXCLUDED by the oracle's WHERE — the same late-tail accounting a
+    production run does when reconciling a stream against its batch
+    backfill. Emitted set is batching-invariant (verified empirically
+    and in tests): every session whose end clears the final watermark
+    emits exactly once regardless of which batch closed it.
+
+    Scale: session state is one (user, open-window) row within the
+    watermark horizon; merges are per-key state-store operations; the
+    sink append is executor-parallel parquet."""
+    from pyspark.sql import types as T
+
+    from glaciersgee_spark.streaming.stream import drain_stream_session
+
+    sink = scratch_dir(prefix="ggee_ssn_sink_")
+    ck = scratch_dir(prefix="ggee_ssn_ck_")
+    drain_stream_session(spark, sf_dir, sink, ck)
+    out = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("session_start", T.TimestampType()),
+                T.StructField("session_end", T.TimestampType()),
+                T.StructField("n_events", T.LongType()),
+            ]
+        )
+    ).parquet(sink)
+    return (
+        out.select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

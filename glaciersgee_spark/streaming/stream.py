@@ -566,3 +566,53 @@ def drain_stream_dedup(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return q
+
+
+def drain_stream_session(spark: SparkSession, sf_dir: str, sink: str, ck: str):
+    """Run the 30-minute-gap session_window aggregation over the
+    day-chunked events feed as a REAL multi-batch append stream into a
+    parquet sink; returns the terminated StreamingQuery. Sessions that
+    straddle a chunk boundary are MERGED in the state store across
+    micro-batches (the behavior no single-batch drain exercises), and
+    a session only emits once the 1-hour watermark passes its window
+    end (last event + 30-min gap) — sessions in the final 90 minutes
+    of the feed stay un-emitted, which the declared op's oracle
+    excludes explicitly."""
+    staged = stage_event_chunks(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(_EVCH_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "stream-session drain exceeded 180 s — refusing to read a "
+                "partially-written sink"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q

@@ -2203,3 +2203,20 @@ def test_dsir_weights_center_and_total(spark):
     bins = {r.w_bin for r in rows}
     assert all(-5 <= b <= 5 for b in bins)
     assert any(b < 0 for b in bins) and any(b >= 0 for b in bins)
+
+
+def test_span_mass_bounds_and_consistency(spark):
+    """Duplicated-token mass is bounded by the total mass, ppm is the
+    exact integer ratio, and a source with zero shared windows reports
+    zero."""
+    from glaciersgee_spark.operators.curation import q_e_span_mass
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_span_mass(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert {r.source for r in rows} == {
+        r.source for r in d.select("source").distinct().collect()
+    }
+    for r in rows:
+        assert 0 <= r.n_dup_tok <= r.n_tok
+        assert r.dup_ppm == (r.n_dup_tok * 1_000_000) // r.n_tok

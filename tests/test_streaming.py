@@ -473,3 +473,40 @@ def test_stream_dedup_multibatch_evicts_state_and_matches_batch(spark):
         for r in q_d_stream_dedup(spark, SF_SMOKE).collect()
     }
     assert sum(r[1] for r in rows) == want
+
+
+def test_stream_session_merges_across_batches_and_matches_batch(spark):
+    """q_d_stream_session must be multi-batch, and its emitted-session
+    set must equal the batch gaps-and-islands sessions whose window
+    end clears the final watermark — including sessions that straddle
+    a chunk boundary (merged in state across micro-batches)."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_session, q_d_stream_session
+    from glaciersgee_spark.streaming.stream import drain_stream_session
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    sink = scratch_dir(prefix="ggee_ssn_t_sink_")
+    ck = scratch_dir(prefix="ggee_ssn_t_ck_")
+    q = drain_stream_session(spark, SF_SMOKE, sink, ck)
+    assert len(q.recentProgress) >= 2
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in q_d_stream_session(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    batch = q_d_session(spark, SF_SMOKE)
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch.collect()
+        if r.session_end is not None
+    }
+    import datetime
+
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch.collect()
+        if r.session_end + datetime.timedelta(minutes=30)
+        < mx - datetime.timedelta(hours=1)
+    }
+    assert got == want and len(got) > 0
