@@ -1356,34 +1356,56 @@ def q_e_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" % {_DSIR_B}"
         ).alias("b"),
     )
-    n_t = tok.where(F.col("source") == _DSIR_TARGET).count()
-    n_r = tok.count()
-    ct = (
-        tok.where(F.col("source") == _DSIR_TARGET)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    cr = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    lr = (
-        cr.join(ct, "b", "left")
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce("c_t", F.lit(0)) + 1)
-                        * F.lit(n_r + _DSIR_B)
-                    ).cast("double")
-                    / ((F.col("c_r") + 1) * F.lit(n_t + _DSIR_B)).cast("double")
-                ),
-                6,
-            ).alias("lr6"),
+    # BOTH unigram LMs come out of ONE combinable groupBy over the
+    # token explode (count + count-if-target per bucket): the explode
+    # is the corpus-sized stage, so it must run exactly twice in the
+    # whole plan — once here, once for the per-doc probe join below.
+    # The totals n_t/n_r fold out of the same 1024-row frame (driver
+    # sums of a bounded collect — no extra corpus scans).
+    counts = [
+        (r.b, r.c_r, r.c_t)
+        for r in tok.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("c_t"),
         )
+        .collect()
+    ]
+    n_r = sum(c_r for _, c_r, _ in counts)
+    n_t = sum(c_t for _, _, c_t in counts)
+    from pyspark.sql import types as T
+
+    # ln stays JVM-side (the round(ln, 6) idiom the whole repo's
+    # cross-engine determinism rests on) — only the bounded counts
+    # frame round-trips the driver.
+    lr = spark.createDataFrame(
+        counts,
+        T.StructType(
+            [
+                T.StructField("b", T.LongType()),
+                T.StructField("c_r", T.LongType()),
+                T.StructField("c_t", T.LongType()),
+            ]
+        ),
+    ).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1) * F.lit(n_r + _DSIR_B)).cast("double")
+                / ((F.col("c_r") + 1) * F.lit(n_t + _DSIR_B)).cast("double")
+            ),
+            6,
+        ).alias("lr6"),
     )
+    # per is consumed by BOTH the corpus-mean pass and the final
+    # binning — Catalyst has no cross-branch subtree reuse, so without
+    # the persist the token join would run twice (plan-pinned in
+    # test_plans). One slim row per doc.
     per = (
         tok.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
         .agg(F.expr(f"round({davg('lr6')}, 6)").alias("w6"))
+        .persist()
     )
     mu = per.agg(F.expr(f"round({davg('w6')}, 6)").alias("mu6"))
     return (

@@ -750,3 +750,15 @@ def test_skyline_has_no_quadratic_stage(spark):
     assert "BroadcastNestedLoopJoin" not in x
     assert "CartesianProduct" not in x
     assert "windowspecdefinition(bkt#" in x
+
+
+def test_dsir_per_doc_frame_is_cached(spark):
+    """Round-6 plan shape: q_e_dsir_weights' per-doc weight frame is
+    consumed by both the corpus-mean pass and the final binning —
+    Catalyst has no cross-branch subtree reuse, so the frame must be
+    persisted (InMemoryTableScan on both branches) or the corpus-sized
+    token join would run twice."""
+    from glaciersgee_spark.operators.text import q_e_dsir_weights
+
+    x = PI.executed(q_e_dsir_weights(spark, SF_SMOKE))
+    assert x.count("InMemoryTableScan") >= 2
