@@ -1254,8 +1254,14 @@ def q_e_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("lang").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    top = pre.withColumn("rn", F.row_number().over(w2)).where(
-        F.col("rn") <= _HILL_K + 1
+    # top is consumed by BOTH the ref aggregate and the main join —
+    # without the persist each branch re-runs the two-phase corpus
+    # rank (Catalyst has no cross-branch subtree reuse; plan-pinned).
+    # ≤ 64·(k+1) rows per lang after the prune: trivially cacheable.
+    top = (
+        pre.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _HILL_K + 1)
+        .persist()
     )
     ref = top.groupBy("lang").agg(
         F.max("rn").alias("ref_rn"),
@@ -1342,14 +1348,19 @@ def q_e_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over ≤ |support| rows partitioned by source — never over
     corpus rows. The support frame rides a broadcast join."""
     d = load_table(spark, sf_dir, "documents")
-    support = d.groupBy(F.col("n_chars").alias("x")).agg(
-        F.count(F.lit(1)).alias("ct")
+    # ONE corpus scan: the (source, length) counts collapse the corpus
+    # to a slim aggregated frame, persisted because EVERY downstream
+    # piece (support, corpus CDF, totals, the grid join, n_t) derives
+    # from it — without the persist each branch would re-scan the
+    # corpus (no cross-branch subtree reuse; plan-pinned).
+    src = (
+        d.groupBy("source", F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .persist()
     )
+    support = src.groupBy("x").agg(F.sum("cs").alias("ct"))
     wt = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     corpus = support.withColumn("cum_t", F.sum("ct").over(wt)).select("x", "cum_t")
-    src = d.groupBy("source", F.col("n_chars").alias("x")).agg(
-        F.count(F.lit(1)).alias("cs")
-    )
     totals = src.groupBy("source").agg(F.sum("cs").cast("long").alias("n_s"))
     grid = (
         totals.join(F.broadcast(corpus))
@@ -1362,7 +1373,7 @@ def q_e_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     cum = grid.withColumn("cum_s", F.sum("cs").over(ws))
-    n_t = d.count()
+    n_t = src.agg(F.sum("cs")).collect()[0][0]
     return (
         cum.groupBy("source", "n_s")
         .agg(

@@ -762,3 +762,16 @@ def test_dsir_per_doc_frame_is_cached(spark):
 
     x = PI.executed(q_e_dsir_weights(spark, SF_SMOKE))
     assert x.count("InMemoryTableScan") >= 2
+
+
+def test_tail_index_and_length_ks_cache_shared_frames(spark):
+    """Round-6 plan shape: both drift ops' shared intermediate frames
+    (tail_index's pruned top-(k+1); length_ks' (source, length) count
+    frame) are persisted — each is consumed by ≥ 2 branches, and
+    without the cache every branch re-runs corpus-sized lineage."""
+    from glaciersgee_spark.operators.drift import q_e_length_ks, q_e_tail_index
+
+    tx = PI.executed(q_e_tail_index(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in tx
+    kx = PI.executed(q_e_length_ks(spark, SF_SMOKE))
+    assert "InMemoryTableScan" in kx
