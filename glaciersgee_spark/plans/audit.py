@@ -88,7 +88,7 @@ HEADLINERS = [
     ("q_e_dpo_pairs", "composite-encoded argmax/argmin: one combinable groupBy, no per-group window"),
     ("q_e_minhash_union", "per-source 16-slot MIN merge; exact companion is the posting-pair shape"),
     ("q_e_quality_calibration", "scan-side score+gold; 10-bin combinable rollup + 1-row ECE broadcast"),
-    ("q_b_skyline", "bucket prefix-max prune broadcast back; quadratic stage only on survivors"),
+    ("q_b_skyline", "exact prefix-max skyline: per-price group max + chunked strictly-cheaper prefix max; NO quadratic stage (r6 rewrite)"),
     ("q_b_join_interval", "7-day grid equi-join; responsibility bucket emits each pair once"),
     ("q_e_knn_classify", "panel broadcast × Arrow cosine; per-query window; combinable vote"),
     ("q_e_mmr_diversify", "corpus stage is TakeOrdered top-20; greedy runs on the bounded panel"),
@@ -97,6 +97,11 @@ HEADLINERS = [
     ("q_e_bloom_dedup", "32-row bit_or sketch broadcast; no distinct over the catalog"),
     ("q_a_nearest_aoi", "argmin over a literal center array in codegen; no join, no expansion"),
     ("q_e_gini_mass", "one lang-partitioned rank window into a combinable agg; exact BIGINT sums"),
+    ("q_e_tail_index", "two-phase sharded per-group top-k; pruned frame persisted across branches (r6)"),
+    ("q_e_length_ks", "corpus collapses to the (source, length) support once, persisted; windows run over support rows only (r6)"),
+    ("q_e_dsir_weights", "both LMs from ONE token-explode groupBy; log-ratio table broadcast; per-doc frame persisted (r6)"),
+    ("q_b_runlength", "gaps-and-islands with user-partitioned windows only; no global window (r6)"),
+    ("q_e_span_mass", "shared-hash set broadcast; only duplicated windows explode x8 positions (r6)"),
 ]
 
 
