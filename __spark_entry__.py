@@ -164,7 +164,8 @@ _R6_NEW: tuple[str, ...] = (
     "q_d_stream_ivjoin", "q_b_runlength", "q_e_template_skeleton",
     "q_e_dup_inflation", "q_e_tail_index", "q_e_length_ks",
     "q_d_stream_dedup", "q_e_filter_agreement", "q_e_dsir_weights",
-    "q_d_stream_session", "q_e_span_mass",
+    "q_d_stream_session", "q_e_span_mass", "q_e_hapax_rate",
+    "q_e_cond_entropy",
 )
 
 _V = TypeVar("_V")

@@ -1421,3 +1421,149 @@ def q_e_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "w_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_hapax_rate (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_hapax_rate",
+    oracle="""
+    WITH tf AS (
+      SELECT source, tok, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    )
+    SELECT source,
+           COUNT(*) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) FILTER (WHERE c = 1) AS n_hapax,
+           CAST((COUNT(*) FILTER (WHERE c = 1)) * 10000 // COUNT(*)
+                AS BIGINT) AS hapax_bp
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def q_e_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena rate per source (round 6): the share of a
+    source's vocabulary seen exactly once — the classic
+    productive-vocabulary / OOV-tail indicator (Baayen's LNRE
+    statistics): a high hapax share predicts tokenizer OOV pressure
+    and un-learnable long-tail tokens, a near-zero share flags
+    templated/generated text whose vocabulary is closed. Reads next
+    to q_e_zipf_slope (the law's exponent) and q_e_vocab_growth (the
+    heap curve) as the third classic vocabulary statistic.
+
+    Scale: one (source, token) TF aggregation (map-side combinable —
+    the shuffle any TF pass pays) into a |sources|-row COUNT-FILTER
+    rollup; all-BIGINT basis points."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+            F.expr(
+                "CAST((COUNT(CASE WHEN c = 1 THEN 1 END)) * 10000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("hapax_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_cond_entropy (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_cond_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bg AS (
+      SELECT a.lang, a.tok AS prev, b.tok AS cur
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS (SELECT lang, prev, cur, COUNT(*) AS c2 FROM bg
+           GROUP BY lang, prev, cur),
+    w AS (
+      SELECT lang, prev, cur, c2,
+             SUM(c2) OVER (PARTITION BY lang, prev) AS c1,
+             SUM(c2) OVER (PARTITION BY lang) AS n
+      FROM c2
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_bigrams,
+           COUNT(DISTINCT prev) AS n_contexts,
+           round(CAST(SUM(CAST(c2 * (round(ln(CAST(c1 AS DOUBLE)), 6)
+                                     - round(ln(CAST(c2 AS DOUBLE)), 6))
+                               AS DECIMAL(30,6))) AS DOUBLE) / MAX(n), 6)
+             AS h6
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def q_e_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy H(next | prev) per language
+    (round 6): the language's ENTROPY RATE estimate −Σ p(a,b)·
+    ln(p(b|a)) — the sequence-level predictability signal next to
+    q_e_char_entropy / q_e_tok_entropy (unigram surprise): scrambled
+    or templated text shows near-unigram conditional entropy, natural
+    word order shows a markedly lower rate; the gap is the signal
+    q_e_bigram_lm scores per doc, here as the per-language corpus
+    statistic.
+
+    Exactness: H = (1/N)·Σ c₂·(ln c₁ − ln c₂) in count form — no
+    per-cell probability divisions; lns are 6-dp-rounded (the
+    cross-engine idiom), each product is exact in double (BIGINT ×
+    exact 6-dp difference, ≪ 2^53), and the sum runs through exact
+    decimal. Scale: the bigram explode collapses immediately to
+    (lang, prev, cur) counts (combinable — the same shuffle any
+    bigram LM pays); the context totals ride whole-partition windows
+    over the bigram-TYPE frame (bounded by vocab², corpus-size-
+    independent), then a |langs|-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+                "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+                "(x, y) -> struct(x AS prev, y AS cur))"
+            )
+        ).alias("s"),
+    ).select("lang", F.col("s.prev").alias("prev"), F.col("s.cur").alias("cur"))
+    c2 = bg.groupBy("lang", "prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = Window.partitionBy("lang", "prev")
+    wl = Window.partitionBy("lang")
+    w = c2.withColumn("c1", F.sum("c2").over(w1)).withColumn(
+        "n", F.sum("c2").over(wl)
+    )
+    term = (
+        "CAST(c2 * (round(ln(CAST(c1 AS DOUBLE)), 6)"
+        " - round(ln(CAST(c2 AS DOUBLE)), 6)) AS DECIMAL(30,6))"
+    )
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.countDistinct("prev").alias("n_contexts"),
+            F.expr(f"round(CAST(SUM({term}) AS DOUBLE) / MAX(n), 6)").alias(
+                "h6"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -2220,3 +2220,59 @@ def test_span_mass_bounds_and_consistency(spark):
     for r in rows:
         assert 0 <= r.n_dup_tok <= r.n_tok
         assert r.dup_ppm == (r.n_dup_tok * 1_000_000) // r.n_tok
+
+
+def test_hapax_rate_identities(spark):
+    """Hapax ≤ types ≤ tokens; bp exact; marginals reconcile against a
+    direct token count."""
+    from glaciersgee_spark.operators.text import q_e_hapax_rate
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_hapax_rate(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    total = d.select(F.explode(F.split("text", " "))).count()
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert r.n_hapax <= r.n_types <= r.n_tokens
+        assert r.hapax_bp == (r.n_hapax * 10000) // r.n_types
+
+
+def test_cond_entropy_bounds_and_bruteforce(spark):
+    """0 ≤ H(cur|prev) and it must match a driver-side replay of the
+    count-form formula for every language."""
+    import math
+    from collections import Counter
+
+    from glaciersgee_spark.operators.text import q_e_cond_entropy
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.lang: r for r in q_e_cond_entropy(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("lang", "text").collect()
+    c2 = Counter()
+    for r in docs:
+        toks = r.text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c2[(r.lang, a, b)] += 1
+    bylang = {}
+    for (lang, a, b), c in c2.items():
+        bylang.setdefault(lang, []).append((a, b, c))
+    for lang, cells in bylang.items():
+        c1 = Counter()
+        for a, _, c in cells:
+            c1[a] += c
+        n = sum(c for _, _, c in cells)
+        import decimal
+
+        s = sum(
+            decimal.Decimal(
+                round(
+                    c * (round(math.log(c1[a]), 6) - round(math.log(c), 6)), 6
+                )
+            ).quantize(decimal.Decimal("0.000001"))
+            for a, _, c in cells
+        )
+        want = round(float(s) / n, 6)
+        got = rows[lang]
+        assert got.n_bigrams == n
+        assert got.h6 >= 0
+        assert abs(got.h6 - want) < 5e-6
