@@ -11,8 +11,8 @@ rotation (from CORRECTNESS_r01..r05 — all 237 checked rows green on
 their latest check, so _DRIVER_VERIFIED now holds the r1-r5 union):
 the 50 ops that have NEVER had a driver CORRECTNESS row go first —
 they fit the ~50-row cap exactly, so round 6 completes first-time
-driver evidence for the whole round-5 287-op inventory (the 9
-round-6 additions queue behind and land in round 7). Order within the 50
+driver evidence for the whole round-5 287-op inventory (the _R6_NEW
+additions queue behind and land in round 7). Order within the 50
 keeps the round-5 queue: the 7 remaining streaming batch-equivalents,
 the 10 Group B stragglers, the 6 Group A stragglers, then the 27-op
 Group E tail (spans/winnowing, multimodal, packing/tokenizer,

@@ -1555,6 +1555,12 @@ def q_e_span_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
+    # wins is consumed twice (shared-hash agg + coverage probe); the
+    # expansion deliberately RECOMPUTES rather than persists — the
+    # frame is corpus×windows-sized, and q_e_window_dedup's identical
+    # two-consumer shape measured persisting it NEUTRAL once fan_out
+    # parallelizes the expansion (see its comment). Only the SLIM
+    # frames get the persist treatment (tail_index/length_ks/dsir).
     wins = tk.select(
         "doc_id",
         "source",

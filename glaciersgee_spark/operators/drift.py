@@ -1195,6 +1195,11 @@ def q_e_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HILL_K = 100  # order statistics used by the Hill estimator (top k+1)
 
+# App-scoped persisted caches for the round-6 drift ops, keyed per
+# (app, sf_dir) — see dedup._SHINGLE_BASE_CACHE for the convention.
+_HILL_TOP_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+_KS_SRC_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
 
 @query(
     "q_e_tail_index",
@@ -1258,11 +1263,19 @@ def q_e_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the persist each branch re-runs the two-phase corpus
     # rank (Catalyst has no cross-branch subtree reuse; plan-pinned).
     # ≤ 64·(k+1) rows per lang after the prune: trivially cacheable.
-    top = (
-        pre.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= _HILL_K + 1)
-        .persist()
-    )
+    # App-scoped cache (the _SHINGLE_BASE_CACHE convention) so a
+    # long-lived session reuses ONE copy instead of stacking a fresh
+    # never-unpersisted persist per call — the round-3 winnow leak
+    # class.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    top = _HILL_TOP_CACHE.get(key)
+    if top is None:
+        top = (
+            pre.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= _HILL_K + 1)
+            .persist()
+        )
+        _HILL_TOP_CACHE[key] = top
     ref = top.groupBy("lang").agg(
         F.max("rn").alias("ref_rn"),
         F.max(F.struct("rn", "n_chars")).getField("n_chars").alias("x_ref"),
@@ -1352,12 +1365,17 @@ def q_e_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to a slim aggregated frame, persisted because EVERY downstream
     # piece (support, corpus CDF, totals, the grid join, n_t) derives
     # from it — without the persist each branch would re-scan the
-    # corpus (no cross-branch subtree reuse; plan-pinned).
-    src = (
-        d.groupBy("source", F.col("n_chars").alias("x"))
-        .agg(F.count(F.lit(1)).alias("cs"))
-        .persist()
-    )
+    # corpus (no cross-branch subtree reuse; plan-pinned). App-scoped
+    # cache per (app, sf_dir): one copy per session, no per-call leak.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _KS_SRC_CACHE.get(key)
+    if src is None:
+        src = (
+            d.groupBy("source", F.col("n_chars").alias("x"))
+            .agg(F.count(F.lit(1)).alias("cs"))
+            .persist()
+        )
+        _KS_SRC_CACHE[key] = src
     support = src.groupBy("x").agg(F.sum("cs").alias("ct"))
     wt = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     corpus = support.withColumn("cum_t", F.sum("ct").over(wt)).select("x", "cum_t")

@@ -327,11 +327,12 @@ _IVJ_SCHEMA_C = T.StructType(
 def stage_ivjoin_sources(spark: SparkSession, sf_dir: str) -> str:
     """Stage the purchase and click legs as 4 time-ordered chunk files
     each (events days 1-8 / 9-16 / 17-24 / 25-31), mtime-increasing so
-    the file source admits exactly one chunk per micro-batch under
-    maxFilesPerTrigger=1 — the multi-batch arrival pattern that makes
-    the two-sided watermark actually advance and join state actually
-    get evicted mid-query (a single-batch drain never exercises
-    either). Staged once per corpus fingerprint (mtime+size, the
+    the file source admits chunks in event-time order under a
+    maxFilesPerTrigger cap (drain_interval_join uses 2 per trigger →
+    2 data batches + cleanup) — the multi-batch arrival pattern that
+    makes the two-sided watermark actually advance and join state
+    actually get evicted mid-query (a single-batch drain never
+    exercises either). Staged once per corpus fingerprint (mtime+size, the
     read_events_stream convention) with the atomic rename idiom of
     q_d_checkpoint_resume so concurrent sessions never see a
     half-staged leg. Chunking is by event-time DAY, so later chunks

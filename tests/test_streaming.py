@@ -493,19 +493,13 @@ def test_stream_session_merges_across_batches_and_matches_batch(spark):
         (r.user_id, r.session_start, r.n_events)
         for r in q_d_stream_session(spark, SF_SMOKE).collect()
     }
-    ev = load_table(spark, SF_SMOKE, "events")
-    mx = ev.agg(F.max("ts")).collect()[0][0]
-    batch = q_d_session(spark, SF_SMOKE)
-    want = {
-        (r.user_id, r.session_start, r.n_events)
-        for r in batch.collect()
-        if r.session_end is not None
-    }
     import datetime
 
+    ev = load_table(spark, SF_SMOKE, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
     want = {
         (r.user_id, r.session_start, r.n_events)
-        for r in batch.collect()
+        for r in q_d_session(spark, SF_SMOKE).collect()
         if r.session_end + datetime.timedelta(minutes=30)
         < mx - datetime.timedelta(hours=1)
     }
