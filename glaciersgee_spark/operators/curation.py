@@ -1609,3 +1609,123 @@ def q_e_span_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_span_position (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_span_position",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             string_split(text, ' ') AS toks
+      FROM documents WHERE len(string_split(text, ' ')) >= {WIN_TOKENS}
+    ),
+    wins AS (
+      SELECT doc_id, n_tok, i,
+             md5(array_to_string(list_slice(toks, i, i + {WIN_TOKENS - 1}), ' '))
+               AS wh
+      FROM (SELECT doc_id, n_tok,
+                   unnest(range(1, n_tok - {WIN_TOKENS - 2})) AS i, toks
+            FROM tk)
+    ),
+    shared AS (
+      SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT w.doc_id, w.n_tok,
+             unnest(range(w.i, w.i + {WIN_TOKENS})) AS pos
+      FROM wins w JOIN shared s ON w.wh = s.wh
+    ),
+    all_pos AS (
+      SELECT doc_id, n_tok, unnest(range(1, n_tok + 1)) AS pos FROM tk
+    ),
+    dec AS (
+      SELECT a.doc_id, ((a.pos - 1) * 10) // a.n_tok AS decile,
+             CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END AS covered
+      FROM all_pos a
+      LEFT JOIN (SELECT DISTINCT doc_id, pos FROM cov) c
+        ON a.doc_id = c.doc_id AND a.pos = c.pos
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(covered) AS BIGINT) AS n_dup_tokens,
+           CAST((SUM(covered) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM dec GROUP BY decile ORDER BY decile
+    """,
+)
+def q_e_span_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the verbatim duplication lives (round 6): duplicated-span
+    token coverage by relative position decile within the doc — the
+    boilerplate-location audit behind q_e_span_mass's per-source
+    total: crawl corpora concentrate duplicated text at the ends
+    (headers/footers/navigation), and a position-skewed profile says
+    "strip affixes" where a flat profile says "drop whole near-dups".
+    Same duplicated-window machinery as q_e_span_mass / Lee et al.
+    2021, projected onto the position axis.
+
+    Scale: the window expansion and shared-hash set are the
+    q_e_span_mass shapes (scan-side expansion, combinable
+    count-distinct, broadcast-back); coverage explodes only
+    DUPLICATED windows ×8; the position frame is one scan-side
+    sequence explode rolled up immediately; the decile rollup is a
+    10-row aggregate. All-BIGINT ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = fan_out(
+        d.select("doc_id", F.split("text", " ").alias("tk")).where(
+            F.size("tk") >= WIN_TOKENS
+        ),
+        "doc_id",
+    ).withColumn("n_tok", F.size("tk"))
+    wins = tk.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {WIN_TOKENS - 1}), "
+                f"i -> struct(i AS i, md5(array_join(slice(tk, i, "
+                f"{WIN_TOKENS}), ' ')) AS wh))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "n_tok", F.col("s.i").alias("i"), F.col("s.wh").alias("wh"))
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh")
+    )
+    cov = (
+        wins.join(F.broadcast(shared), "wh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {WIN_TOKENS - 1})")).alias("pos"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(1))
+    )
+    all_pos = tk.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.expr("sequence(1, n_tok)")).alias("pos"),
+    )
+    dec = (
+        all_pos.join(cov, ["doc_id", "pos"], "left")
+        .select(
+            F.expr("((pos - 1) * 10) DIV n_tok").alias("decile"),
+            F.coalesce("covered", F.lit(0)).alias("covered"),
+        )
+    )
+    return (
+        dec.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("covered").cast("long").alias("n_dup_tokens"),
+            F.expr(
+                "CAST((SUM(covered) * 1000000) DIV COUNT(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -1590,3 +1590,87 @@ def q_e_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_ngram_simpson (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_ngram_simpson",
+    oracle="""
+    WITH tg AS (
+      SELECT source,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2])) AS g
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    c AS (SELECT source, g, COUNT(*) AS c FROM tg GROUP BY source, g)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_types,
+           CAST((SUM(c * (c - 1)) * 1000000)
+                // (SUM(c) * (SUM(c) - 1)) AS BIGINT) AS simpson_ppm,
+           MAX(CASE WHEN rk = 1 THEN g END) AS top_gram,
+           CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_count
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY c DESC, g ASC) AS rk
+          FROM c)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_e_ngram_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source trigram Simpson concentration (round 6): the
+    probability two randomly drawn trigram OCCURRENCES from a source
+    are the same trigram — Σc(c−1)/(N(N−1)) in exact ppm — the
+    Self-BLEU-style diversity audit collapsed to a combinable
+    aggregate: generated/templated corpora repeat whole phrases, and
+    this is the phrase-level repetition number that unigram diversity
+    (q_e_hapax_rate, q_e_zipf_slope) can't see; the top repeated
+    trigram is surfaced for eyeballing.
+
+    Scale: the trigram expansion is scan-side (higher-order
+    expression); counts collapse immediately to the (source, gram)
+    TYPE frame (combinable — the shuffle any n-gram pass pays); the
+    top-gram pick rides a window over that type frame partitioned by
+    source; the rollup is |sources| rows of BIGINT arithmetic —
+    pairwise-document comparison never happens (Simpson over counts
+    IS the all-pairs collision rate, computed without the pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    tg = fan_out(
+        d.select("source", F.split("text", " ").alias("tk")).where(
+            F.size("tk") >= 3
+        ),
+        "source",
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 2), "
+                "i -> concat(tk[i - 1], ' ', tk[i], ' ', tk[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    c = tg.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("g").asc())
+    ranked = c.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.expr(
+                "CAST((SUM(c * (c - 1)) * 1000000)"
+                " DIV (SUM(c) * (SUM(c) - 1)) AS BIGINT)"
+            ).alias("simpson_ppm"),
+            F.max(F.when(F.col("rk") == 1, F.col("g"))).alias("top_gram"),
+            F.max(F.when(F.col("rk") == 1, F.col("c")))
+            .cast("long")
+            .alias("top_count"),
+        )
+        .orderBy("source")
+    )

@@ -2276,3 +2276,60 @@ def test_cond_entropy_bounds_and_bruteforce(spark):
         assert got.n_bigrams == n
         assert got.h6 >= 0
         assert abs(got.h6 - want) < 5e-6
+
+
+def test_ngram_simpson_matches_bruteforce(spark):
+    """Simpson concentration equals the all-pairs trigram collision
+    rate computed directly on the driver."""
+    from collections import Counter
+
+    from glaciersgee_spark.operators.text import q_e_ngram_simpson
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.source: r for r in q_e_ngram_simpson(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    bysrc = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            continue
+        c = bysrc.setdefault(r.source, Counter())
+        for i in range(len(toks) - 2):
+            c[" ".join(toks[i : i + 3])] += 1
+    for source, c in bysrc.items():
+        n = sum(c.values())
+        coll = sum(v * (v - 1) for v in c.values())
+        r = rows[source]
+        assert r.n_grams == n
+        assert r.n_types == len(c)
+        assert r.simpson_ppm == (coll * 1_000_000) // (n * (n - 1))
+        top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r.top_gram, r.top_count) == top
+
+
+def test_span_position_partitions_token_mass(spark):
+    """Decile rows partition exactly the token mass of window-eligible
+    docs, and the total duplicated mass equals span_mass's corpus
+    total."""
+    from glaciersgee_spark.operators.curation import (
+        WIN_TOKENS,
+        q_e_span_mass,
+        q_e_span_position,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_span_position(spark, SF_SMOKE).collect()
+    assert [r.decile for r in rows] == list(range(10))
+    d = load_table(spark, SF_SMOKE, "documents")
+    eligible = (
+        d.select(F.size(F.split("text", " ")).alias("n"))
+        .where(F.col("n") >= WIN_TOKENS)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in rows) == eligible
+    mass = q_e_span_mass(spark, SF_SMOKE).agg(F.sum("n_dup_tok")).collect()[0][0]
+    assert sum(r.n_dup_tokens for r in rows) == mass
+    for r in rows:
+        assert 0 <= r.n_dup_tokens <= r.n_tokens
+        assert r.dup_ppm == (r.n_dup_tokens * 1_000_000) // r.n_tokens
