@@ -1729,3 +1729,138 @@ def q_e_span_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_k_anonymity (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT lang, source, n_chars // 50 AS len_b, COUNT(*) AS k
+      FROM documents GROUP BY lang, source, 3
+    ),
+    b AS (
+      SELECT CASE WHEN k = 1 THEN '1'
+                  WHEN k BETWEEN 2 AND 4 THEN '2-4'
+                  WHEN k BETWEEN 5 AND 9 THEN '5-9'
+                  ELSE '10+' END AS k_bucket,
+             k
+      FROM qi
+    )
+    SELECT k_bucket,
+           COUNT(*) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_docs
+    FROM b GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def q_e_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the quasi-identifier tuple (round 6;
+    Sweeney 2002): how many documents sit in equivalence classes of
+    size 1 / 2-4 / 5-9 / 10+ under (lang, source, 50-char length
+    bucket) — the re-identification risk measure a release review
+    runs BEFORE publishing corpus metadata: a k=1 class means that
+    metadata row points at exactly one document. Complements
+    q_e_pii_scrub (content-level PII) with the STRUCTURE-level
+    privacy axis.
+
+    Scale: one combinable groupBy on the quasi-identifier tuple
+    (collapses the corpus to its equivalence classes), then a 4-row
+    bucket rollup — all-integer, no windows, no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    qi = d.groupBy(
+        "lang", "source", F.expr("n_chars DIV 50").alias("len_b")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    bucket = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k").between(2, 4), "2-4")
+        .when(F.col("k").between(5, 9), "5-9")
+        .otherwise("10+")
+    )
+    return (
+        qi.select(bucket.alias("k_bucket"), "k")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").cast("long").alias("n_docs"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_shard_mixing (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_shard_mixing",
+    oracle="""
+    WITH sh AS (
+      SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS shard,
+             source
+      FROM documents
+    ),
+    c AS (SELECT shard, source, COUNT(*) AS c FROM sh GROUP BY shard, source),
+    n AS (SELECT shard, SUM(c) AS n FROM c GROUP BY shard),
+    h AS (
+      SELECT c.shard,
+             CAST(MAX(n.n) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_sources,
+             round(CAST(SUM(CAST(c.c * (round(ln(CAST(n.n AS DOUBLE)), 6)
+                                        - round(ln(CAST(c.c AS DOUBLE)), 6))
+                                 AS DECIMAL(30,6))) AS DOUBLE) / MAX(n.n), 6)
+               AS h6
+      FROM c JOIN n ON c.shard = n.shard
+      GROUP BY c.shard
+    )
+    SELECT shard, n_docs, n_sources, h6 FROM h ORDER BY shard
+    """,
+)
+def q_e_shard_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing quality per training shard (round 6): the source
+    entropy H = (1/n)·Σc·(ln n − ln c) inside each of the 16
+    content-hash shards — the audit behind q_e_shard_assign's size
+    balance: equal-SIZED shards can still be badly MIXED (a shard
+    that is all one source gives the data-parallel reader correlated
+    batches); near-uniform per-shard entropy ≈ ln(|sources|) is what
+    a shuffled training order requires. Same count-form exact-entropy
+    spelling as q_e_cond_entropy.
+
+    Scale: one narrow hash+groupBy pass collapses the corpus to the
+    (shard, source) count grid (≤ 16·|sources| rows, combinable);
+    shard totals ride a whole-partition window-free second aggregate;
+    all lns 6-dp through exact decimal."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) % 16"
+            ).alias("shard"),
+            "source",
+        )
+        .groupBy("shard", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = c.groupBy("shard").agg(F.sum("c").alias("n"))
+    term = (
+        "CAST(c * (round(ln(CAST(n AS DOUBLE)), 6)"
+        " - round(ln(CAST(c AS DOUBLE)), 6)) AS DECIMAL(30,6))"
+    )
+    return (
+        c.join(F.broadcast(n), "shard")
+        .groupBy("shard")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.expr(f"round(CAST(SUM({term}) AS DOUBLE) / MAX(n), 6)").alias(
+                "h6"
+            ),
+        )
+        .orderBy("shard")
+    )

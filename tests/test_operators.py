@@ -2333,3 +2333,30 @@ def test_span_position_partitions_token_mass(spark):
     for r in rows:
         assert 0 <= r.n_dup_tokens <= r.n_tokens
         assert r.dup_ppm == (r.n_dup_tokens * 1_000_000) // r.n_tokens
+
+
+def test_k_anonymity_partitions_corpus(spark):
+    """Bucket rows partition the corpus; singleton classes count 1 doc
+    each."""
+    from glaciersgee_spark.operators.curation import q_e_k_anonymity
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.k_bucket: r for r in q_e_k_anonymity(spark, SF_SMOKE).collect()}
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows.values()) == d.count()
+    if "1" in rows:
+        assert rows["1"].n_classes == rows["1"].n_docs
+
+
+def test_shard_mixing_entropy_bounds(spark):
+    """0 ≤ H ≤ ln(n_sources) per shard; doc totals reconcile."""
+    import math
+
+    from glaciersgee_spark.operators.curation import q_e_shard_mixing
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_shard_mixing(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r.h6 <= math.log(r.n_sources) + 1e-5
