@@ -166,7 +166,7 @@ _R6_NEW: tuple[str, ...] = (
     "q_d_stream_dedup", "q_e_filter_agreement", "q_e_dsir_weights",
     "q_d_stream_session", "q_e_span_mass", "q_e_hapax_rate",
     "q_e_cond_entropy", "q_e_ngram_simpson", "q_e_span_position",
-    "q_e_k_anonymity", "q_e_shard_mixing",
+    "q_e_k_anonymity", "q_e_shard_mixing", "q_e_anisotropy",
 )
 
 _V = TypeVar("_V")

@@ -2761,3 +2761,146 @@ def q_e_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_agree"),
         (F.col("label") != F.col("qlab")).alias("mismatch"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q_e_anisotropy (round 6)
+# ---------------------------------------------------------------------------
+
+# 9-dp floor quantizer applied to the unit-normalized elements so the
+# cross-row decimal sums see identical values in both engines (the
+# _q6 idiom at higher precision — round() tie-breaking diverges).
+_AN_QU_SPARK = (
+    "transform(embedding, x -> floor(CAST(x AS DOUBLE)"
+    " / nullif(sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+    " (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), 0)"
+    " * 1000000000.0 + 0.5) / 1000000000.0)"
+)
+_AN_QU_DUCK = (
+    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE)"
+    " / nullif(sqrt(list_sum(list_transform(embedding,"
+    " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 0)"
+    " * 1000000000.0 + 0.5) / 1000000000.0)"
+)
+
+
+@query(
+    "q_e_anisotropy",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, label, {_AN_QU_DUCK} AS qu FROM embeddings
+    ),
+    rows_q AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(qu, x -> x * x)) AS qi
+      FROM u
+    ),
+    el AS (
+      SELECT label, generate_subscripts(qu, 1) AS pos, unnest(qu) AS ue
+      FROM u
+    ),
+    s AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(ue AS DECIMAL(30,9))) AS DOUBLE) AS sd
+      FROM el GROUP BY label, pos
+    ),
+    per_label AS (
+      SELECT label,
+             (SELECT COUNT(*) FROM rows_q r WHERE r.label = s.label) AS n,
+             (SELECT CAST(SUM(CAST(qi AS DECIMAL(30,12))) AS DOUBLE)
+              FROM rows_q r WHERE r.label = s.label) AS q,
+             CAST(SUM(CAST(sd * sd AS DECIMAL(30,12))) AS DOUBLE) AS s2
+      FROM s GROUP BY s.label
+    ),
+    both_lv AS (
+      SELECT CAST(label AS BIGINT) AS label, n, q, s2 FROM per_label
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), SUM(n),
+             CAST(SUM(CAST(q AS DECIMAL(30,12))) AS DOUBLE), NULL
+      FROM per_label
+    ),
+    tot_s AS (
+      SELECT CAST(SUM(CAST(sd2 AS DECIMAL(30,12))) AS DOUBLE) AS s2_all
+      FROM (SELECT pos, p.sd_sum * p.sd_sum AS sd2
+            FROM (SELECT pos, CAST(SUM(CAST(sd AS DECIMAL(30,9)))
+                              AS DOUBLE) AS sd_sum
+                  FROM s GROUP BY pos) p)
+    )
+    SELECT b.label, CAST(b.n AS BIGINT) AS n_vecs,
+           round((COALESCE(b.s2, t.s2_all) - b.q)
+                 / (b.n * (b.n - 1)), 6) AS mean_cos6
+    FROM both_lv b CROSS JOIN tot_s t
+    ORDER BY b.label
+    """,
+)
+def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy (round 6; Ethayarajh 2019): the mean
+    pairwise cosine over ALL vector pairs, per label and for the whole
+    corpus (label −1) — an isotropic (healthy) embedding space sits
+    near 0; a high mean cosine means vectors crowd a narrow cone and
+    cosine similarity loses discriminative power, which silently
+    degrades every downstream ANN/SemDeDup/kNN stage this module
+    ships. The audit to run BEFORE trusting cosine-based curation.
+
+    The O(n²) pair sum is computed WITHOUT the pairs: for unit
+    vectors, Σ_{{i≠j}} uᵢ·uⱼ = ‖Σuᵢ‖² − Σ‖uᵢ‖², so the whole statistic
+    folds into per-dimension sums — one scan, combinable aggregates,
+    nothing pairwise (the same no-pairs trick as q_e_ngram_simpson).
+    Determinism: elements are unit-normalized with array-ordered
+    (fixed-order) norms, 9-dp floor-quantized, and every cross-row
+    sum runs through exact decimal; the closing division is one
+    correctly-rounded step into a 6-dp output. Zero vectors are
+    NULL-guarded out of the normalization. Scale: a 64-row-per-label
+    dimension frame and a |labels|-row rollup — corpus touched once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    u = e.select("vec_id", "label", F.expr(_AN_QU_SPARK).alias("qu"))
+    rows_q = u.select(
+        "label",
+        F.expr(
+            "aggregate(qu, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"
+        ).alias("qi"),
+    )
+    el = u.select("label", F.posexplode("qu").alias("pos0", "ue")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "ue"
+    )
+    s = el.groupBy("label", "pos").agg(
+        F.expr("CAST(SUM(CAST(ue AS DECIMAL(30,9))) AS DOUBLE)").alias("sd")
+    )
+    nq = rows_q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(qi AS DECIMAL(30,12))) AS DOUBLE)").alias("q"),
+    )
+    s2 = s.groupBy("label").agg(
+        F.expr("CAST(SUM(CAST(sd * sd AS DECIMAL(30,12))) AS DOUBLE)").alias(
+            "s2"
+        )
+    )
+    per_label = nq.join(s2, "label").select(
+        F.col("label").cast("long").alias("label"), "n", "q", "s2"
+    )
+    tot_sd = s.groupBy("pos").agg(
+        F.expr("CAST(SUM(CAST(sd AS DECIMAL(30,9))) AS DOUBLE)").alias(
+            "sd_sum"
+        )
+    )
+    s2_all = tot_sd.agg(
+        F.expr(
+            "CAST(SUM(CAST(sd_sum * sd_sum AS DECIMAL(30,12))) AS DOUBLE)"
+        ).alias("s2_all")
+    )
+    overall = (
+        per_label.agg(
+            F.sum("n").alias("n"),
+            F.expr("CAST(SUM(CAST(q AS DECIMAL(30,12))) AS DOUBLE)").alias("q"),
+        )
+        .join(F.broadcast(s2_all))
+        .select(F.lit(-1).cast("long").alias("label"), "n", "q",
+                F.col("s2_all").alias("s2"))
+    )
+    both = per_label.unionByName(overall)
+    return both.select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round((F.col("s2") - F.col("q")) / (F.col("n") * (F.col("n") - 1)), 6)
+        .alias("mean_cos6"),
+    ).orderBy("label")

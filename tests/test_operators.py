@@ -2360,3 +2360,32 @@ def test_shard_mixing_entropy_bounds(spark):
     assert sum(r.n_docs for r in rows) == d.count()
     for r in rows:
         assert 0 <= r.h6 <= math.log(r.n_sources) + 1e-5
+
+
+def test_anisotropy_equals_bruteforce_pairwise_mean(spark):
+    """The no-pairs closed form must equal the literal mean pairwise
+    cosine over all vector pairs (numpy brute force), per label and
+    overall."""
+    import numpy as np
+
+    from glaciersgee_spark.operators.similarity import q_e_anisotropy
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.label: r for r in q_e_anisotropy(spark, SF_SMOKE).collect()}
+    vecs = load_table(spark, SF_SMOKE, "embeddings").select(
+        "label", "embedding"
+    ).collect()
+    by = {}
+    for r in vecs:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        u = v / np.linalg.norm(v)
+        by.setdefault(r.label, []).append(u)
+        by.setdefault(-1, []).append(u)
+    for label, us in by.items():
+        U = np.stack(us)
+        n = len(us)
+        g = U @ U.T
+        want = (g.sum() - np.trace(g)) / (n * (n - 1))
+        got = rows[label]
+        assert got.n_vecs == n
+        assert abs(got.mean_cos6 - want) < 1e-5
