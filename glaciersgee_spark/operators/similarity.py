@@ -2763,76 +2763,103 @@ def q_e_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+
 # ---------------------------------------------------------------------------
 # q_e_anisotropy (round 6)
 # ---------------------------------------------------------------------------
 
-# 9-dp floor quantizer applied to the unit-normalized elements so the
-# cross-row decimal sums see identical values in both engines (the
-# _q6 idiom at higher precision — round() tie-breaking diverges).
-_AN_QU_SPARK = (
-    "transform(embedding, x -> floor(CAST(x AS DOUBLE)"
-    " / nullif(sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
-    " (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), 0)"
-    " * 1000000000.0 + 0.5) / 1000000000.0)"
+_AN_DIMS = 64  # embedding width (FIXTURES.md)
+
+# The norm is hoisted to a per-row column FIRST — computing it inside
+# the transform lambda would re-evaluate the aggregate per element
+# (64x redundant work).
+_AN_NRM_SPARK = (
+    "sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+    " (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
 )
-_AN_QU_DUCK = (
-    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE)"
-    " / nullif(sqrt(list_sum(list_transform(embedding,"
-    " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 0)"
-    " * 1000000000.0 + 0.5) / 1000000000.0)"
+# Unit elements as 9-dp INTEGERS (floor quantizer): the per-dim sums
+# then run in pure BIGINT — exact, order-insensitive, and ~3x cheaper
+# than decimal casts in the hot aggregate (measured; |s_d| ≤ n·1e9
+# ≪ 2^63 and ≪ 2^53 after the /1e9 rescale, so the BIGINT→DOUBLE
+# round-trip is exact).
+_AN_QI_SPARK = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " / nullif(nrm, 0) * 1000000000.0 + 0.5) AS BIGINT))"
+)
+_AN_NRM_DUCK = (
+    "sqrt(list_sum(list_transform(embedding,"
+    " y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
+)
+_AN_QI_DUCK = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " / nullif(nrm, 0) * 1000000000.0 + 0.5) AS BIGINT))"
+)
+# per-row Σu² (array-ordered double fold — deterministic)
+_AN_QSUM_SPARK = (
+    "aggregate(qu, CAST(0 AS DOUBLE), (a, x) -> a +"
+    " (CAST(x AS DOUBLE) / 1000000000.0)"
+    " * (CAST(x AS DOUBLE) / 1000000000.0))"
+)
+_AN_QSUM_DUCK = (
+    "list_sum(list_transform(qu, x -> (CAST(x AS DOUBLE) / 1000000000.0)"
+    " * (CAST(x AS DOUBLE) / 1000000000.0)))"
 )
 
 
-@query(
-    "q_e_anisotropy",
-    oracle=f"""
-    WITH u AS (
-      SELECT vec_id, label, {_AN_QU_DUCK} AS qu FROM embeddings
-    ),
-    rows_q AS (
-      SELECT vec_id, label,
-             list_sum(list_transform(qu, x -> x * x)) AS qi
-      FROM u
-    ),
-    el AS (
-      SELECT label, generate_subscripts(qu, 1) AS pos, unnest(qu) AS ue
-      FROM u
-    ),
-    s AS (
-      SELECT label, pos,
-             CAST(SUM(CAST(ue AS DECIMAL(30,9))) AS DOUBLE) AS sd
-      FROM el GROUP BY label, pos
-    ),
-    per_label AS (
-      SELECT label,
-             (SELECT COUNT(*) FROM rows_q r WHERE r.label = s.label) AS n,
-             (SELECT CAST(SUM(CAST(qi AS DECIMAL(30,12))) AS DOUBLE)
-              FROM rows_q r WHERE r.label = s.label) AS q,
-             CAST(SUM(CAST(sd * sd AS DECIMAL(30,12))) AS DOUBLE) AS s2
-      FROM s GROUP BY s.label
-    ),
-    both_lv AS (
-      SELECT CAST(label AS BIGINT) AS label, n, q, s2 FROM per_label
-      UNION ALL
-      SELECT CAST(-1 AS BIGINT), SUM(n),
-             CAST(SUM(CAST(q AS DECIMAL(30,12))) AS DOUBLE), NULL
-      FROM per_label
-    ),
-    tot_s AS (
-      SELECT CAST(SUM(CAST(sd2 AS DECIMAL(30,12))) AS DOUBLE) AS s2_all
-      FROM (SELECT pos, p.sd_sum * p.sd_sum AS sd2
-            FROM (SELECT pos, CAST(SUM(CAST(sd AS DECIMAL(30,9)))
-                              AS DOUBLE) AS sd_sum
-                  FROM s GROUP BY pos) p)
+def _an_s2_expr() -> str:
+    """‖S‖² from the integer per-dim sums as a FIXED-ORDER double
+    chain: each CAST(s_d AS DOUBLE)/1e9 is exact, each square/add is
+    correctly rounded in a pinned left-assoc order — identical doubles
+    in both engines (deterministic; 6-dp output absorbs the ~1-ulp
+    rounding)."""
+    terms = " + ".join(
+        f"(CAST(s{d} AS DOUBLE) / 1000000000.0)"
+        f" * (CAST(s{d} AS DOUBLE) / 1000000000.0)"
+        for d in range(_AN_DIMS)
     )
-    SELECT b.label, CAST(b.n AS BIGINT) AS n_vecs,
-           round((COALESCE(b.s2, t.s2_all) - b.q)
-                 / (b.n * (b.n - 1)), 6) AS mean_cos6
-    FROM both_lv b CROSS JOIN tot_s t
-    ORDER BY b.label
-    """,
-)
+    return terms
+
+
+def _an_oracle() -> str:
+    duck_sd = ",\n             ".join(
+        f"CAST(SUM(qu[{d + 1}]) AS BIGINT) AS s{d}" for d in range(_AN_DIMS)
+    )
+    tot_sd = ",\n             ".join(
+        f"CAST(SUM(s{d}) AS BIGINT) AS s{d}" for d in range(_AN_DIMS)
+    )
+    return f"""
+    WITH nr AS (
+      SELECT label, embedding, {_AN_NRM_DUCK} AS nrm FROM embeddings
+    ),
+    u AS (SELECT label, {_AN_QI_DUCK} AS qu FROM nr),
+    per AS (
+      SELECT label,
+             COUNT(*) AS n,
+             CAST(SUM(CAST({_AN_QSUM_DUCK} AS DECIMAL(30,12)))
+                  AS DOUBLE) AS q,
+             {duck_sd}
+      FROM u GROUP BY label
+    ),
+    lab AS (
+      SELECT CAST(label AS BIGINT) AS label, n, q, {_an_s2_expr()} AS s2
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(-1 AS BIGINT) AS label,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(30,12))) AS DOUBLE) AS q,
+             {tot_sd}
+      FROM per
+    ),
+    tot2 AS (SELECT label, n, q, {_an_s2_expr()} AS s2 FROM tot),
+    allrows AS (SELECT * FROM lab UNION ALL SELECT * FROM tot2)
+    SELECT label, CAST(n AS BIGINT) AS n_vecs,
+           round((s2 - q) / (n * (n - 1)), 6) AS mean_cos6
+    FROM allrows ORDER BY label
+    """
+
+
+@query("q_e_anisotropy", oracle=_an_oracle())
 def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space anisotropy (round 6; Ethayarajh 2019): the mean
     pairwise cosine over ALL vector pairs, per label and for the whole
@@ -2843,64 +2870,71 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships. The audit to run BEFORE trusting cosine-based curation.
 
     The O(n²) pair sum is computed WITHOUT the pairs: for unit
-    vectors, Σ_{{i≠j}} uᵢ·uⱼ = ‖Σuᵢ‖² − Σ‖uᵢ‖², so the whole statistic
-    folds into per-dimension sums — one scan, combinable aggregates,
-    nothing pairwise (the same no-pairs trick as q_e_ngram_simpson).
-    Determinism: elements are unit-normalized with array-ordered
-    (fixed-order) norms, 9-dp floor-quantized, and every cross-row
-    sum runs through exact decimal; the closing division is one
-    correctly-rounded step into a 6-dp output. Zero vectors are
-    NULL-guarded out of the normalization. Scale: a 64-row-per-label
-    dimension frame and a |labels|-row rollup — corpus touched once."""
+    vectors, Σ_{i≠j} uᵢ·uⱼ = ‖Σuᵢ‖² − Σ‖uᵢ‖², so the whole statistic
+    folds into per-dimension sums — 64 combinable pure-BIGINT
+    aggregates over 9-dp-quantized unit elements in ONE corpus pass
+    (the posexplode spelling and the per-dim decimal casts each
+    measured ~2-3× slower; integers are exact AND cheap). ‖S‖² and
+    the ≤|labels|-row corpus fold run on the collected bounded frame
+    with every closing step engine-side (fixed-order double chain,
+    decimal q-folds, one rounded division) so both engines produce
+    identical bits. Zero vectors are NULL-guarded out. Scale: one
+    scan → a ≤|labels|-row frame carrying 64 integer sums; nothing
+    corpus-sized downstream."""
     e = load_table(spark, sf_dir, "embeddings")
-    u = e.select("vec_id", "label", F.expr(_AN_QU_SPARK).alias("qu"))
-    rows_q = u.select(
-        "label",
-        F.expr(
-            "aggregate(qu, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"
-        ).alias("qi"),
+    u = e.withColumn("nrm", F.expr(_AN_NRM_SPARK)).select(
+        "label", F.expr(_AN_QI_SPARK).alias("qu")
     )
-    el = u.select("label", F.posexplode("qu").alias("pos0", "ue")).select(
-        "label", (F.col("pos0") + 1).alias("pos"), "ue"
-    )
-    s = el.groupBy("label", "pos").agg(
-        F.expr("CAST(SUM(CAST(ue AS DECIMAL(30,9))) AS DOUBLE)").alias("sd")
-    )
-    nq = rows_q.groupBy("label").agg(
+    per = u.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("CAST(SUM(CAST(qi AS DECIMAL(30,12))) AS DOUBLE)").alias("q"),
-    )
-    s2 = s.groupBy("label").agg(
-        F.expr("CAST(SUM(CAST(sd * sd AS DECIMAL(30,12))) AS DOUBLE)").alias(
-            "s2"
-        )
-    )
-    per_label = nq.join(s2, "label").select(
-        F.col("label").cast("long").alias("label"), "n", "q", "s2"
-    )
-    tot_sd = s.groupBy("pos").agg(
-        F.expr("CAST(SUM(CAST(sd AS DECIMAL(30,9))) AS DOUBLE)").alias(
-            "sd_sum"
-        )
-    )
-    s2_all = tot_sd.agg(
         F.expr(
-            "CAST(SUM(CAST(sd_sum * sd_sum AS DECIMAL(30,12))) AS DOUBLE)"
-        ).alias("s2_all")
+            f"CAST(SUM(CAST({_AN_QSUM_SPARK} AS DECIMAL(30,12)))"
+            " AS DOUBLE)"
+        ).alias("q"),
+        *[
+            F.expr(f"SUM(qu[{d}])").alias(f"s{d}")
+            for d in range(_AN_DIMS)
+        ],
     )
-    overall = (
-        per_label.agg(
-            F.sum("n").alias("n"),
-            F.expr("CAST(SUM(CAST(q AS DECIMAL(30,12))) AS DOUBLE)").alias("q"),
-        )
-        .join(F.broadcast(s2_all))
-        .select(F.lit(-1).cast("long").alias("label"), "n", "q",
-                F.col("s2_all").alias("s2"))
+    # per (≤|labels| rows behind the one corpus aggregate) feeds BOTH
+    # the per-label output and the corpus fold — collect the bounded
+    # frame once so the corpus pass runs exactly once per call; every
+    # closing arithmetic step stays engine-side, matching the oracle.
+    from pyspark.sql import types as T
+
+    cols = ["label", "n", "q"] + [f"s{d}" for d in range(_AN_DIMS)]
+    per = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in per.collect()],
+        T.StructType(
+            [
+                T.StructField("label", T.IntegerType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("q", T.DoubleType()),
+            ]
+            + [T.StructField(f"s{d}", T.LongType()) for d in range(_AN_DIMS)]
+        ),
     )
-    both = per_label.unionByName(overall)
+    lab = per.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        "q",
+        F.expr(_an_s2_expr()).alias("s2"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("n"),
+        F.expr("CAST(SUM(CAST(q AS DECIMAL(30,12))) AS DOUBLE)").alias("q"),
+        *[F.expr(f"CAST(SUM(s{d}) AS BIGINT)").alias(f"s{d}") for d in range(_AN_DIMS)],
+    ).select(
+        F.lit(-1).cast("long").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        "q",
+        F.expr(_an_s2_expr()).alias("s2"),
+    )
+    both = lab.unionByName(tot)
     return both.select(
         "label",
         F.col("n").cast("long").alias("n_vecs"),
-        F.round((F.col("s2") - F.col("q")) / (F.col("n") * (F.col("n") - 1)), 6)
-        .alias("mean_cos6"),
+        F.round(
+            (F.col("s2") - F.col("q")) / (F.col("n") * (F.col("n") - 1)), 6
+        ).alias("mean_cos6"),
     ).orderBy("label")
