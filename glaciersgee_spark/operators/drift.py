@@ -1391,19 +1391,23 @@ def q_e_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     cum = grid.withColumn("cum_s", F.sum("cs").over(ws))
-    n_t = src.agg(F.sum("cs")).collect()[0][0]
+    # Corpus total rides a 1-row broadcast crossJoin (the house idiom —
+    # a mid-plan scalar .collect() costs an extra job per call; round 7
+    # aligns this op with its siblings).
+    nt = src.agg(F.sum("cs").cast("long").alias("n_t"))
     return (
-        cum.groupBy("source", "n_s")
+        cum.join(F.broadcast(nt))
+        .groupBy("source", "n_s", "n_t")
         .agg(
             F.max(
-                F.abs(F.col("cum_s") * F.lit(n_t) - F.col("cum_t") * F.col("n_s"))
+                F.abs(F.col("cum_s") * F.col("n_t") - F.col("cum_t") * F.col("n_s"))
             ).alias("mx")
         )
         .select(
             "source",
             F.col("n_s").alias("n_docs"),
             (
-                F.floor(F.col("mx") * 1000000.0 / (F.col("n_s") * F.lit(n_t)))
+                F.floor(F.col("mx") * 1000000.0 / (F.col("n_s") * F.col("n_t")))
                 / 1000000.0
             ).alias("ks6"),
         )

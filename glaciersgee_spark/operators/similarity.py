@@ -2831,7 +2831,7 @@ def _an_oracle() -> str:
     WITH nr AS (
       SELECT label, embedding, {_AN_NRM_DUCK} AS nrm FROM embeddings
     ),
-    u AS (SELECT label, {_AN_QI_DUCK} AS qu FROM nr),
+    u AS (SELECT label, {_AN_QI_DUCK} AS qu FROM nr WHERE nrm > 0),
     per AS (
       SELECT label,
              COUNT(*) AS n,
@@ -2854,7 +2854,7 @@ def _an_oracle() -> str:
     tot2 AS (SELECT label, n, q, {_an_s2_expr()} AS s2 FROM tot),
     allrows AS (SELECT * FROM lab UNION ALL SELECT * FROM tot2)
     SELECT label, CAST(n AS BIGINT) AS n_vecs,
-           round((s2 - q) / (n * (n - 1)), 6) AS mean_cos6
+           round((s2 - q) / NULLIF(n * (n - 1), 0), 6) AS mean_cos6
     FROM allrows ORDER BY label
     """
 
@@ -2878,12 +2878,19 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤|labels|-row corpus fold run on the collected bounded frame
     with every closing step engine-side (fixed-order double chain,
     decimal q-folds, one rounded division) so both engines produce
-    identical bits. Zero vectors are NULL-guarded out. Scale: one
-    scan → a ≤|labels|-row frame carrying 64 integer sums; nothing
-    corpus-sized downstream."""
+    identical bits. Zero-norm vectors have no direction and are
+    excluded from BOTH n and the sums (round 7 — they previously
+    counted in n while contributing nothing); a single-vector label
+    has zero pairs and reports NULL (NULLIF-guarded n·(n−1), both
+    engines). Scale: one scan → a ≤|labels|-row frame carrying 64
+    integer sums; nothing corpus-sized downstream."""
     e = load_table(spark, sf_dir, "embeddings")
-    u = e.withColumn("nrm", F.expr(_AN_NRM_SPARK)).select(
-        "label", F.expr(_AN_QI_SPARK).alias("qu")
+    u = (
+        e.withColumn("nrm", F.expr(_AN_NRM_SPARK))
+        # zero-norm vectors have no direction: excluded from n AND the
+        # sums (they previously inflated n while contributing nothing)
+        .where(F.col("nrm") > 0)
+        .select("label", F.expr(_AN_QI_SPARK).alias("qu"))
     )
     per = u.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2931,10 +2938,15 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_an_s2_expr()).alias("s2"),
     )
     both = lab.unionByName(tot)
+    # n*(n-1) NULLIF-guarded: a single-vector label has zero pairs and
+    # reports NULL (identically in the oracle) instead of throwing
+    # under ANSI / diverging on float div-by-zero.
     return both.select(
         "label",
         F.col("n").cast("long").alias("n_vecs"),
         F.round(
-            (F.col("s2") - F.col("q")) / (F.col("n") * (F.col("n") - 1)), 6
+            (F.col("s2") - F.col("q"))
+            / F.expr("nullif(n * (n - 1), 0)"),
+            6,
         ).alias("mean_cos6"),
     ).orderBy("label")

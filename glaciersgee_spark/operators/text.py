@@ -1614,7 +1614,7 @@ def q_e_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(c) AS BIGINT) AS n_grams,
            COUNT(*) AS n_types,
            CAST((SUM(c * (c - 1)) * 1000000)
-                // (SUM(c) * (SUM(c) - 1)) AS BIGINT) AS simpson_ppm,
+                // NULLIF(SUM(c) * (SUM(c) - 1), 0) AS BIGINT) AS simpson_ppm,
            MAX(CASE WHEN rk = 1 THEN g END) AS top_gram,
            CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_count
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
@@ -1639,7 +1639,11 @@ def q_e_ngram_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-gram pick rides a window over that type frame partitioned by
     source; the rollup is |sources| rows of BIGINT arithmetic —
     pairwise-document comparison never happens (Simpson over counts
-    IS the all-pairs collision rate, computed without the pairs)."""
+    IS the all-pairs collision rate, computed without the pairs).
+    A source with a single trigram occurrence (N(N−1) = 0) yields
+    NULL, NULLIF-guarded identically in both engines (the
+    q_e_zscore_norm guard pattern; ANSI Spark would otherwise throw
+    DIVIDE_BY_ZERO where DuckDB's // returns NULL)."""
     d = load_table(spark, sf_dir, "documents")
     tg = fan_out(
         d.select("source", F.split("text", " ").alias("tk")).where(
@@ -1665,7 +1669,7 @@ def q_e_ngram_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_types"),
             F.expr(
                 "CAST((SUM(c * (c - 1)) * 1000000)"
-                " DIV (SUM(c) * (SUM(c) - 1)) AS BIGINT)"
+                " DIV NULLIF(SUM(c) * (SUM(c) - 1), 0) AS BIGINT)"
             ).alias("simpson_ppm"),
             F.max(F.when(F.col("rk") == 1, F.col("g"))).alias("top_gram"),
             F.max(F.when(F.col("rk") == 1, F.col("c")))

@@ -1058,7 +1058,7 @@ def q_d_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm AS (SELECT MAX(ts) AS mx FROM events)
     SELECT user_id, session_start, n_events
     FROM per CROSS JOIN wm
-    WHERE session_end + INTERVAL 30 MINUTE < mx - INTERVAL 1 HOUR
+    WHERE session_end + INTERVAL 30 MINUTE <= mx - INTERVAL 1 HOUR
     ORDER BY user_id, session_start
     """,
 )
@@ -1083,6 +1083,15 @@ def q_d_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfill. Emitted set is batching-invariant (verified empirically
     and in tests): every session whose end clears the final watermark
     emits exactly once regardless of which batch closed it.
+
+    Boundary semantics, probed empirically on Spark 4.1 (round 7,
+    ADVICE r6; pinned in tests/test_streaming.py): (a) an event at
+    EXACTLY last_ts + 30 min MERGES into the session — session_window
+    overlap treats the window end as inclusive — so the oracle's
+    strictly-greater gap test (`> INTERVAL 30 MINUTE` starts a new
+    session) is the correct mirror; (b) a session whose end EQUALS
+    the final watermark EMITS, so the oracle's cutoff is `<=` (a
+    strict `<` would drop the exact-tie session the stream emits).
 
     Scale: session state is one (user, open-window) row within the
     watermark horizon; merges are per-key state-store operations; the

@@ -324,9 +324,27 @@ _IVJ_SCHEMA_C = T.StructType(
 )
 
 
+def _day_chunk(ev: DataFrame) -> F.Column:
+    """4-way event-time chunk id, DAY-aligned, derived from the feed's
+    observed date span (round 7, ADVICE r6: the previous dayofmonth
+    spelling silently interleaved chunks on a feed spanning more than
+    one calendar month, making rows watermark-late in the stream
+    drains). chunk = min(3, day_index·4 div span_days) over
+    [min(date), max(date)] — boundaries stay day-granular, so (a)
+    later chunks never carry earlier timestamps (arrival respects
+    event time for ANY feed) and (b) a minute / 30-min dedup key still
+    never straddles chunks. Costs one tiny min/max agg at staging
+    time (staging runs once per corpus fingerprint)."""
+    lo, hi = ev.agg(F.min(F.to_date("ts")), F.max(F.to_date("ts"))).first()
+    span_days = (hi - lo).days + 1
+    idx = F.datediff(F.to_date("ts"), F.lit(lo))
+    return F.least(F.lit(3), ((idx * 4) / span_days).cast("int"))
+
+
 def stage_ivjoin_sources(spark: SparkSession, sf_dir: str) -> str:
     """Stage the purchase and click legs as 4 time-ordered chunk files
-    each (events days 1-8 / 9-16 / 17-24 / 25-31), mtime-increasing so
+    each (day-aligned quarters of the feed's observed date span — see
+    _day_chunk), mtime-increasing so
     the file source admits chunks in event-time order under a
     maxFilesPerTrigger cap (drain_interval_join uses 2 per trigger →
     2 data batches + cleanup) — the multi-batch arrival pattern that
@@ -348,7 +366,7 @@ def stage_ivjoin_sources(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(f"{sf_dir}/events.parquet")
     staged = os.path.join(
         tempfile.gettempdir(),
-        "ggee_ivj_src",
+        "ggee_ivj_src2",
         f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
     )
     marker = os.path.join(staged, "_READY")
@@ -356,7 +374,7 @@ def stage_ivjoin_sources(spark: SparkSession, sf_dir: str) -> str:
         return staged
     tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     ev = load_table(spark, sf_dir, "events")
-    chunk = F.least(F.lit(3), ((F.dayofmonth("ts") - 1) / 8).cast("int"))
+    chunk = _day_chunk(ev)
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
@@ -470,7 +488,8 @@ _EVCH_SCHEMA = T.StructType(
 
 def stage_event_chunks(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events feed as 4 day-partitioned, mtime-ordered chunk
-    files (days 1-8 / 9-16 / 17-24 / 25-31) — the shared multi-batch
+    files (day-aligned quarters of the observed date span, _day_chunk)
+    — the shared multi-batch
     arrival fixture for true-stream ops that need watermarks to
     actually advance (a single-file source drains in one batch and
     never exercises state eviction). Same fingerprint + atomic-rename
@@ -487,18 +506,16 @@ def stage_event_chunks(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(f"{sf_dir}/events.parquet")
     staged = os.path.join(
         tempfile.gettempdir(),
-        "ggee_evch",
+        "ggee_evch2",
         f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
     )
     marker = os.path.join(staged, "_READY")
     if os.path.exists(marker):
         return staged
     tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        "ts",
-        F.least(F.lit(3), ((F.dayofmonth("ts") - 1) / 8).cast("int")).alias("chk"),
+    base = load_table(spark, sf_dir, "events")
+    ev = base.select(
+        "user_id", "event_type", "ts", _day_chunk(base).alias("chk")
     )
     legdir = os.path.join(tmp, "events")
     os.makedirs(legdir)

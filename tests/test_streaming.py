@@ -501,6 +501,68 @@ def test_stream_session_merges_across_batches_and_matches_batch(spark):
         (r.user_id, r.session_start, r.n_events)
         for r in q_d_session(spark, SF_SMOKE).collect()
         if r.session_end + datetime.timedelta(minutes=30)
-        < mx - datetime.timedelta(hours=1)
+        <= mx - datetime.timedelta(hours=1)
     }
     assert got == want and len(got) > 0
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pins the two session_window boundary behaviors the
+    q_d_stream_session oracle encodes (probed on Spark 4.1, round 7):
+    (a) an event at EXACTLY last_ts + 30 min MERGES into the running
+    session (inclusive-end window overlap ⇒ the oracle starts a new
+    session only on gap STRICTLY > 30 min); (b) a session whose
+    window end EQUALS the final watermark EMITS in append mode (⇒ the
+    oracle cutoff is `end + gap <= max_ts − delay`, not `<`)."""
+    import glob
+    import os
+    import shutil
+
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    d = scratch_dir(prefix="ggee_ssn_bound_")
+    sch = "user_id long, ts timestamp"
+
+    def mk(rows, w):
+        spark.createDataFrame(rows, "user_id long, tss string").selectExpr(
+            "user_id", "cast(tss as timestamp) ts"
+        ).coalesce(1).write.parquet(f"{d}/{w}")
+
+    # user 1: exact 30-min gap; user 2: session end 09:00 == final wm
+    mk(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),
+            (2, "2024-01-01 08:30:00"),
+        ],
+        "w1",
+    )
+    mk([(3, "2024-01-01 10:00:00")], "w2")  # advances wm to 09:00
+    os.makedirs(f"{d}/src")
+    for i, w in enumerate(["w1", "w2"]):
+        f = glob.glob(f"{d}/{w}/*.parquet")[0]
+        dst = f"{d}/src/chunk_{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    src = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        src.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    _run_to_memory(agg, "t_ssn_bound", "append")
+    rows = {
+        (r.user_id, str(r.s), str(r.e), r.n)
+        for r in spark.sql("SELECT * FROM t_ssn_bound").collect()
+    }
+    assert rows == {
+        # (a) merged single session covering both events
+        (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 2),
+        # (b) exact watermark tie (end == 09:00 == wm) emitted
+        (2, "2024-01-01 08:30:00", "2024-01-01 09:00:00", 1),
+    }
