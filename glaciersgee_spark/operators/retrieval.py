@@ -24,6 +24,32 @@ from glaciersgee_spark.tables import load_table
 RRF_K = 60
 
 
+def _ranked(lst: DataFrame, out: str) -> DataFrame:
+    """Full-list rank over (score DESC, doc_id ASC) in the q_b_sort /
+    q_e_gini_mass two-phase chunked form: the per-row row_number window
+    partitions by a score bucket (monotone with the DESC order, never
+    splitting ties — equal score ⇒ equal bucket), the offsets pass runs
+    a running count over the per-bucket TOTALS only (bounded by the
+    6-dp score domain, not the corpus), and the offsets come back via
+    broadcast join. Identical ranks to the naive global window (round 7
+    — the previous spelling sorted the whole per-doc list in ONE task;
+    at 100 TB "≤ corpus rows" IS the corpus)."""
+    base = lst.withColumn("bch", -F.floor(F.col("score") * 1000.0))
+    w_in = Window.partitionBy("bch").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    within = base.withColumn("wr", F.row_number().over(w_in))
+    totals = base.groupBy("bch").agg(F.count(F.lit(1)).alias("ctot"))
+    w_c = Window.orderBy("bch").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("bch", "offset")
+    return within.join(F.broadcast(offsets), "bch").select(
+        "doc_id", (F.col("offset") + F.col("wr")).cast("long").alias(out)
+    )
+
+
+
 @query(
     "q_e_rrf_fusion",
     oracle=f"""
@@ -64,13 +90,15 @@ def q_e_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderings whose scores are already 6-dp-deterministic (dsum'd BM25,
     rounded cosine); 1/(60+r) and the 2-term sum are per-row IEEE with
     identical trees in both engines, re-rounded to 6 dp. Plan shape:
-    both ranked lists are post-aggregation slivers (≤ corpus-row
-    count), so the global row_number windows and the full-outer fuse
-    run on tiny data; at 100 TB the heavy work stays in the upstream
-    scoring passes (token pipeline one side, ANN probe the other)."""
+    both corpus-proportional rank windows ride the two-phase chunked
+    rank (_ranked — bucket-partitioned row_number + broadcast offsets;
+    SinglePartition reserved for the ≤|score-domain|-row totals pass),
+    the fuse is a doc_id equi-join, and the final top-25 compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort); at
+    100 TB the heavy work stays in the upstream scoring passes (token
+    pipeline one side, ANN probe the other)."""
     bm = q_e_bm25(spark, sf_dir).where(F.col("doc_id") != 0)
-    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    bmr = bm.select("doc_id", F.row_number().over(wb).cast("long").alias("rb"))
+    bmr = _ranked(bm, "rb")
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
@@ -81,7 +109,7 @@ def q_e_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"), _cos6("embedding", "qemb").alias("score")
         )
     )
-    csr = cs.select("doc_id", F.row_number().over(wb).cast("long").alias("rc"))
+    csr = _ranked(cs, "rc")
 
     fused = (
         bmr.join(csr, "doc_id", "full_outer")

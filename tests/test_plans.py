@@ -775,3 +775,24 @@ def test_tail_index_and_length_ks_cache_shared_frames(spark):
     assert "InMemoryTableScan" in tx
     kx = PI.executed(q_e_length_ks(spark, SF_SMOKE))
     assert "InMemoryTableScan" in kx
+
+
+def test_rrf_fusion_rank_windows_are_chunk_partitioned(spark):
+    """Round-7 rewrite: both of q_e_rrf_fusion's full-list rank windows
+    ride the two-phase chunked rank — every corpus-derived row_number
+    window is partitioned by the score bucket (bch), un-partitioned
+    windows exist only over the per-bucket TOTALS aggregates, and the
+    final top-25 compiles to TakeOrderedAndProject, never a global
+    Sort over the fused list."""
+    import re
+
+    from glaciersgee_spark.operators.retrieval import q_e_rrf_fusion
+
+    plan = PI.formatted(q_e_rrf_fusion(spark, SF_SMOKE))
+    tree = plan.split("(1) ")[0]
+    assert "TakeOrderedAndProject" in tree, tree
+    # the two per-row rank windows partition by the score bucket
+    assert len(re.findall(r"windowspecdefinition\(bch#\d+", plan)) >= 2, plan
+    # exactly 4 Window nodes: 2 bucket-partitioned ranks + 2 offsets
+    # passes over the bucket totals (bounded by the 6-dp score domain)
+    assert len(re.findall(r"Window\s+\(\d+\)", plan)) == 4, plan
