@@ -634,3 +634,256 @@ def drain_stream_session(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return q
+
+
+# ------------------------------------------- timer-driven custom state
+
+_SSN_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SSN_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+SSN_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, µs
+
+
+def sessionize_with_timers(ev: DataFrame) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMERS over a
+    streaming (user_id, ts) frame: per-user state is the open session
+    (start, last, n); a session closes EITHER when a later event of
+    the same user arrives with gap > 30 min (emitted immediately) OR
+    when the event-time timer set at last + 30 min fires (emitted by
+    the timeout invocation, state removed — REAL state eviction,
+    asserted on numRowsRemoved in tests).
+
+    This is the timer/eviction surface of Spark 4's
+    `transformWithStateInPandas` expressed through
+    `applyInPandasWithState` + GroupStateTimeout.EventTimeTimeout —
+    the new API's Python runner needs google.protobuf, which this
+    container lacks (see the module docstring); the legacy API
+    expresses identical timer semantics.
+
+    Timer boundary, probed empirically on Spark 4.1 (round 7, pinned
+    in tests/test_streaming.py): a timer fires only when the
+    watermark STRICTLY exceeds its timestamp — an exact tie
+    (last + 30 min == final watermark) does NOT fire, unlike
+    session_window emission where the tie DOES emit. The declared
+    op's oracle encodes the strict `<` accordingly.
+
+    Scale: state is one row per user with an open session inside the
+    watermark horizon; each micro-batch touches only keys with data
+    or expired timers; the per-key fold is Arrow-batched."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        def emit(rows: list) -> pd.DataFrame:
+            # ONE frame per invocation — a 1-row frame per closed
+            # session costs ~|sessions| pandas constructions per batch
+            # (measured 10× the whole drain at sf0.1)
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]] * len(rows), dtype="int64"),
+                    "session_start": pd.to_datetime(
+                        [r[0] for r in rows], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [r[1] for r in rows], unit="us"
+                    ),
+                    "n_events": pd.Series([r[2] for r in rows], dtype="int64"),
+                }
+            )
+        if state.hasTimedOut:
+            s, last, n = state.get
+            state.remove()
+            yield emit([(s, last, n)])
+            return
+        ts_us: list = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_us.extend(
+                    (pdf["ts"].astype("int64") // 1000).tolist()
+                )  # ns → µs
+        ts_us.sort()
+        s, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts_us:
+            if s is None:
+                s, last, n = t, t, 1
+            elif t - last <= SSN_GAP_US:  # tie merges, like session_window
+                last, n = t, n + 1
+            else:
+                closed.append((s, last, n))
+                s, last, n = t, t, 1
+        state.update((s, last, n))
+        # timer at last + gap (ms granularity — µs are 0 in this feed);
+        # fires when the watermark strictly exceeds it
+        state.setTimeoutTimestamp(math.floor((last + SSN_GAP_US) / 1000))
+        if closed:
+            yield emit(closed)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn, _SSN_OUT, _SSN_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def drain_custom_state(spark: SparkSession, sf_dir: str, sink: str, ck: str):
+    """Run timer-driven sessionization over the day-chunked events feed
+    as a REAL multi-batch append stream into a parquet sink; returns
+    the terminated StreamingQuery for state-metric assertions (timers
+    must fire and evict — numRowsRemoved > 0).
+
+    Exactness under chunked arrival (same argument as the sibling
+    drains): chunks are day-partitioned so no row is watermark-late;
+    a session closed by a successor emits in whichever batch carries
+    the successor; a session with no successor emits iff its timer
+    (last + 30 min) is STRICTLY below the final watermark
+    (max ts − 1 h) — both conditions are batching-invariant, so the
+    batch gaps-and-islands oracle is exact."""
+    staged = stage_event_chunks(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(_EVCH_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    out = sessionize_with_timers(ev)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # 16 state partitions, not the sibling drains' 4: this drain's cost
+    # is per-KEY Python work (one fn invocation per user with data or
+    # an expired timer), and the state partition count caps Python
+    # worker parallelism — measured 2× faster at 16 on local[32]
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "custom-state drain exceeded 180 s — refusing to read a "
+                "partially-written sink"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q
+
+
+# --------------------------------------------- update-mode keyed sink
+
+
+class JsonlForeachWriter:
+    """Per-ROW `foreach` sink writer (the third sink surface after
+    foreachBatch and the Python DataSource sink): each task opens one
+    JSONL file per (epoch, partition), stamps every row with its
+    epoch_id — exactly the batch ordering an update-mode consumer
+    needs for latest-wins resolution — and deletes its file on task
+    error (best-effort abort). Delivery is the foreach contract:
+    at-least-once per epoch; safe here because re-emissions within an
+    epoch are identical rows and read-back resolves per-key
+    latest-batch-wins, so duplicates collapse.
+
+    Consumes ROW-based plans only: Spark 4.1's foreach path casts each
+    InternalRow to UnsafeRow, so Arrow-COLUMNAR operator output (e.g.
+    applyInPandasWithState) aborts with a ColumnarBatchRow cast error
+    — hit first-hand; streaming aggregations are row-based and safe."""
+
+    def __init__(self, base: str) -> None:
+        self.base = base
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        import os
+        import uuid
+
+        os.makedirs(self.base, exist_ok=True)
+        self.epoch = epoch_id
+        self.path = os.path.join(
+            self.base, f"rows-{epoch_id}-{partition_id}-{uuid.uuid4().hex}.jsonl"
+        )
+        self.fh = open(self.path, "w")
+        return True
+
+    def process(self, row) -> None:
+        import json
+
+        d = row.asDict()
+        d["batch_id"] = self.epoch
+        self.fh.write(json.dumps(d) + "\n")
+
+    def close(self, error) -> None:
+        import os
+
+        self.fh.close()
+        if error is not None and os.path.exists(self.path):
+            os.remove(self.path)
+
+
+def drain_update_sink(spark: SparkSession, sf_dir: str, sink: str, ck: str):
+    """Drain the watermarked 4-day windowed (window, event_type)
+    counts in UPDATE output mode through the per-row `foreach` sink as
+    a REAL multi-batch stream — each micro-batch delivers only the
+    windows it CHANGED, every sunk row carries its epoch id, and
+    read-back resolves latest-batch-wins per key. (The Python
+    DataSource sink cannot take this drain: PythonTable declares only
+    {BATCH_WRITE, STREAMING_WRITE, TRUNCATE}, no
+    SupportsStreamingUpdateAsAppend, so Spark 4.1 rejects Update mode
+    for it — verified first-hand; `foreach` is the API built for
+    pushing update streams at external keyed stores.) Returns the
+    terminated StreamingQuery."""
+    staged = stage_event_chunks(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(_EVCH_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/events")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "2 hours")
+    )
+    counts = (
+        # 4-DAY windows, not hourly: the feed arrives in day-aligned
+        # quarter chunks, so an hour window never straddles a batch
+        # boundary and would emit exactly once — append in disguise.
+        # Epoch-aligned 4-day windows straddle the chunk cuts, so a
+        # window REALLY re-emits with a grown count in a later batch
+        # (asserted in tests) — the update-mode contract under test.
+        ev.groupBy(F.window("ts", "4 days").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # epoch micros keep the key JSON-serializable and exact
+        .select(F.unix_micros("w.start").alias("ws_us"), "event_type", "n")
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            counts.writeStream.foreach(JsonlForeachWriter(sink))
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "update-sink drain exceeded 180 s — refusing to read a "
+                "partially-committed sink"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q

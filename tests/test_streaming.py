@@ -566,3 +566,173 @@ def test_session_window_boundary_semantics(spark):
         # (b) exact watermark tie (end == 09:00 == wm) emitted
         (2, "2024-01-01 08:30:00", "2024-01-01 09:00:00", 1),
     }
+
+
+def test_event_time_timer_boundary_is_strict(spark):
+    """Pins the timer semantics q_d_stream_custom_state's oracle
+    encodes (probed on Spark 4.1, round 7): an event-time timer fires
+    only when the watermark STRICTLY exceeds its timestamp. user 2's
+    timer (08:00) < final wm (08:30) → its session emits via timeout;
+    user 1's timer (08:30) == wm → does NOT fire; user 3's open
+    session (timer 10:00 > wm) stays unemitted. Timer eviction shows
+    up as numRowsRemoved in the cleanup batch."""
+    import glob
+    import os
+    import shutil
+
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    d = scratch_dir(prefix="ggee_tws_bound_")
+
+    def mk(rows, w, mt):
+        spark.createDataFrame(rows, "user_id long, tss string").selectExpr(
+            "user_id", "cast(tss as timestamp) ts"
+        ).coalesce(1).write.parquet(f"{d}/{w}")
+        f = glob.glob(f"{d}/{w}/*.parquet")[0]
+        os.makedirs(f"{d}/src", exist_ok=True)
+        dst = f"{d}/src/{w}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (mt, mt))
+
+    mk(
+        [(1, "2024-01-01 08:00:00"), (2, "2024-01-01 07:30:00")],
+        "w1",
+        1_700_000_000,
+    )
+    mk([(3, "2024-01-01 09:30:00")], "w2", 1_700_000_010)  # wm → 08:30
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+        .withWatermark("ts", "1 hour")
+    )
+    q = _run_to_memory(S.sessionize_with_timers(src), "t_tws_bound", "append")
+    rows = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.sql("SELECT * FROM t_tws_bound").collect()
+    }
+    assert rows == {(2, "2024-01-01 07:30:00", 1)}, rows
+    removed = sum(
+        s["numRowsRemoved"] for p in q.recentProgress for s in p["stateOperators"]
+    )
+    assert removed == 1
+
+
+def test_stream_custom_state_timers_fire_and_evict(spark):
+    """q_d_stream_custom_state's drain must be genuinely multi-batch,
+    its timers must fire and REMOVE state (numRowsRemoved > 0), and
+    the emitted sessions must equal the batch gaps-and-islands
+    sessions filtered by the op's emission contract (has a successor
+    session OR timer strictly below the final watermark)."""
+    import datetime
+
+    from glaciersgee_spark.streaming.stream import drain_custom_state
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.tmpdirs import scratch_dir
+    from pyspark.sql import Window as W
+
+    sink = scratch_dir(prefix="ggee_tws_t_sink_")
+    ck = scratch_dir(prefix="ggee_tws_t_ck_")
+    q = drain_custom_state(spark, SF_SMOKE, sink, ck)
+    prog = q.recentProgress
+    assert len(prog) >= 2
+    removed = sum(
+        s["numRowsRemoved"] for p in prog for s in p["stateOperators"]
+    )
+    assert removed > 0
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(wl).isNull()
+                | (
+                    F.col("ts")
+                    > F.lag("ts").over(wl) + F.expr("INTERVAL 30 MINUTE")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    last = sess.groupBy("user_id").agg(F.max("sid").alias("mx_sid"))
+    want = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in sess.join(last, "user_id").collect()
+        if r.sid < r.mx_sid
+        or r.e + datetime.timedelta(minutes=30)
+        < mx - datetime.timedelta(hours=1)
+    }
+    # sink timestamps are UTC instants of the same wall-clock values
+    got_naive = {
+        (u, s.replace(tzinfo=None), e.replace(tzinfo=None), n)
+        for (u, s, e, n) in got
+    }
+    assert got_naive == want and len(want) > 0
+
+
+def test_stream_update_reemits_and_latest_wins(spark):
+    """q_d_stream_update's drain must deliver update-mode semantics:
+    at least one (window, type) key emits in >= 2 distinct batches
+    with a GROWN count (the re-emission an append sink cannot
+    express), and the latest-wins resolution equals the complete
+    batch count table."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_stream_update
+    from glaciersgee_spark.streaming.stream import drain_update_sink
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    sink = scratch_dir(prefix="ggee_upd_t_sink_")
+    ck = scratch_dir(prefix="ggee_upd_t_ck_")
+    drain_update_sink(spark, SF_SMOKE, sink, ck)
+    rows = spark.read.schema(
+        "ws_us BIGINT, event_type STRING, n BIGINT, batch_id BIGINT"
+    ).json(f"{sink}/*.jsonl")
+    multi = (
+        rows.groupBy("ws_us", "event_type")
+        .agg(
+            F.countDistinct("batch_id").alias("nb"),
+            (F.max("n") > F.min("n")).alias("grew"),
+        )
+        .where((F.col("nb") >= 2) & F.col("grew"))
+        .count()
+    )
+    assert multi > 0
+    got = {
+        (r.ws, r.event_type, r.n)
+        for r in q_d_stream_update(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r.ws, r.event_type, r.n)
+        for r in ev.groupBy(
+            F.timestamp_seconds(
+                (F.unix_seconds(F.col("ts").cast("timestamp")) / 345600)
+                .cast("long")
+                * 345600
+            )
+            .cast("timestamp_ntz")
+            .alias("ws"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
