@@ -1373,6 +1373,175 @@ def q_e_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_e_kmeans_train — Lloyd's to a fixed round budget (round 7)
+# ---------------------------------------------------------------------------
+
+KMT_ROUNDS = 3
+
+
+def _kmt_oracle() -> str:
+    """Unrolled 3-round Lloyd's as a dependent CTE chain: each round is
+    the q_e_kmeans_iter spelling (cosine argmax assignment, per-dim
+    exact-decimal means) re-seeded from the previous round's means —
+    the round count is a fixed literal, so the loop unrolls with no
+    recursion (the q_e_mmr_diversify oracle discipline)."""
+    rounds = []
+    prev = "seed"
+    for r in range(1, KMT_ROUNDS + 1):
+        rounds.append(f"""sc{r} AS (SELECT v.vec_id, c.cid,
+                  {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} AS cs
+           FROM v, {prev} c),
+    asg{r} AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, cid ASC) AS rk
+              FROM sc{r}) WHERE rk = 1),
+    sz{r} AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned
+              FROM asg{r} GROUP BY cid),
+    dm{r} AS (SELECT a.cid,
+                     CAST(generate_subscripts(v.ve, 1) AS INT) AS d,
+                     unnest(v.ve) AS val
+              FROM asg{r} a JOIN v USING (vec_id)),
+    nl{r} AS (SELECT cid, d, {davg('val', scale=9)} AS nv
+              FROM dm{r} GROUP BY cid, d),
+    ol{r} AS (SELECT cid, CAST(generate_subscripts(cve, 1) AS INT) AS d,
+                     unnest(cve) AS ov
+              FROM {prev}),
+    st{r} AS (SELECT CAST({r} AS BIGINT) AS rnd, n.cid, s.n_assigned,
+                     round(sqrt({dsum('(n.nv - o.ov) * (n.nv - o.ov)',
+                                      scale=12)}), 6) AS shift6,
+                     round({dsum('n.nv', scale=9)}, 6) AS centroid_csum
+              FROM nl{r} n JOIN ol{r} o USING (cid, d)
+                   JOIN sz{r} s ON n.cid = s.cid
+              GROUP BY n.cid, s.n_assigned),
+    c{r + 1} AS (SELECT cid, cve,
+                        sqrt(list_sum(list_transform(cve, x -> x * x)))
+                          AS cnrm
+                 FROM (SELECT cid, list(nv ORDER BY d) AS cve
+                       FROM nl{r} GROUP BY cid))""")
+        prev = f"c{r + 1}"
+    allst = " UNION ALL ".join(
+        f"SELECT * FROM st{r}" for r in range(1, KMT_ROUNDS + 1)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    seed AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
+             FROM v WHERE vec_id BETWEEN 1 AND {KM_K}),
+    {','.join(rounds)}
+    SELECT rnd, cid, n_assigned, shift6, centroid_csum
+    FROM ({allst}) ORDER BY rnd, cid
+    """
+
+
+@query("q_e_kmeans_train", oracle=_kmt_oracle())
+def q_e_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means TRAINING to a fixed 3-round budget (round 7 —
+    the loop q_e_kmeans_iter is one step of, run the way a 100 TB
+    deployment runs it: a driver-side for-loop of bounded distributed
+    rounds, the q_e_cc_stars round-budget discipline applied to
+    Lloyd's): round 1 assigns against the deterministic seeds
+    (vec_id 1..K, cosine argmax, ties to the smaller cid) and each
+    later round re-assigns against the previous round's exact-decimal
+    per-dim means. Reports per (round, cell): membership count,
+    centroid shift ‖new − old‖₂, and the new-centroid checksum — the
+    convergence trace an IVF/SemDeDup training job logs.
+
+    Determinism across rounds: each round's centroids are davg
+    (exact-decimal, scale 9) doubles — identical bits in both engines
+    — and the next round's cosines are 6-dp-rounded off those same
+    doubles, so assignment ties break identically forever. The K×D
+    centroid panel collected between rounds is the bounded-codebook
+    idiom of kmeans_iter/ivf_pq (K·D = 512 doubles, corpus-size-
+    independent); per round the corpus is touched exactly twice
+    (broadcast-cosine assignment scan, posexplode mean agg), and the
+    512-row (cid, d) round frame is persisted for its two consumers
+    (stats agg + next-round collect) then dropped. Empty cells shrink
+    K identically in both engines (no re-seeding — documented Lloyd
+    behavior)."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = sorted(
+        e.where(F.col("vec_id").between(1, KM_K)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent: list[tuple[int, list[float]]] = [
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds
+    ]
+    stats_rows: list[tuple] = []
+    for rnd in range(1, KMT_ROUNDS + 1):
+        cdf = spark.createDataFrame(cent, "cid long, cemb array<double>")
+        scored = e.join(F.broadcast(cdf)).select(
+            "vec_id", "cid", _cos6("embedding", "cemb").alias("cs")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cs").desc(), F.col("cid").asc()
+        )
+        asg = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "cid")
+        )
+        dims = (
+            asg.join(e, "vec_id")
+            .select(
+                "cid", F.posexplode(F.col("embedding").cast("array<double>"))
+            )
+            .select("cid", (F.col("pos") + 1).alias("d"), F.col("col").alias("val"))
+        )
+        newc = dims.groupBy("cid", "d").agg(
+            F.expr(davg("val", scale=9)).alias("nv")
+        )
+        old = spark.createDataFrame(
+            [(cid, d + 1, v) for cid, arr in cent for d, v in enumerate(arr)],
+            "cid long, d int, ov double",
+        )
+        sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+        rf = (
+            newc.join(F.broadcast(old), ["cid", "d"])
+            .join(F.broadcast(sizes), "cid")
+            .persist()
+        )
+        try:
+            stats = (
+                rf.groupBy("cid", "n_assigned")
+                .agg(
+                    F.round(
+                        F.sqrt(F.expr(dsum("(nv - ov) * (nv - ov)", scale=12))),
+                        6,
+                    ).alias("shift6"),
+                    F.round(F.expr(dsum("nv", scale=9)), 6).alias(
+                        "centroid_csum"
+                    ),
+                )
+                .collect()
+            )
+            stats_rows.extend(
+                (rnd, r.cid, r.n_assigned, r.shift6, r.centroid_csum)
+                for r in stats
+            )
+            nxt: dict[int, dict[int, float]] = {}
+            for r in rf.select("cid", "d", "nv").collect():
+                nxt.setdefault(r.cid, {})[r.d] = r.nv
+        finally:
+            rf.unpersist()
+        cent = [
+            (cid, [dv[d] for d in sorted(dv)])
+            for cid, dv in sorted(nxt.items())
+        ]
+    schema = T.StructType(
+        [
+            T.StructField("rnd", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("n_assigned", T.LongType()),
+            T.StructField("shift6", T.DoubleType()),
+            T.StructField("centroid_csum", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(sorted(stats_rows), schema).orderBy("rnd", "cid")
+
+
+# ---------------------------------------------------------------------------
 # q_e_semdedup — cluster-scoped embedding dedup (SemDeDup shape)
 # ---------------------------------------------------------------------------
 

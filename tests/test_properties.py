@@ -683,3 +683,35 @@ def test_jaccard_sweep_is_monotone(spark):
     # cross-check one threshold against the verify pipeline
     n50 = q_e_jaccard_verify(spark, SF_SMOKE).where(F.col("jaccard") >= 0.5).count()
     assert r.pairs_j50 == n50
+
+
+def test_kmeans_train_round1_equals_iter_and_converges(spark):
+    """q_e_kmeans_train's first round IS q_e_kmeans_iter (same seeds,
+    same assignment/update spelling), and the per-cell shift trace is
+    finite and corpus-conserving: every round's memberships sum to the
+    corpus size (Lloyd's never drops a vector)."""
+    from glaciersgee_spark.operators.similarity import (
+        q_e_kmeans_iter,
+        q_e_kmeans_train,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_kmeans_train(spark, SF_SMOKE).collect()
+    r1 = {
+        (r.cid, r.n_assigned, r.shift6, r.centroid_csum)
+        for r in rows
+        if r.rnd == 1
+    }
+    it = {
+        (r.cid, r.n_assigned, r.shift6, r.centroid_csum)
+        for r in q_e_kmeans_iter(spark, SF_SMOKE).collect()
+    }
+    assert r1 == it and len(r1) > 0
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    per_round = {}
+    for r in rows:
+        per_round.setdefault(r.rnd, 0)
+        per_round[r.rnd] += r.n_assigned
+        assert r.shift6 >= 0.0
+    assert set(per_round) == {1, 2, 3}
+    assert all(v == n_vecs for v in per_round.values())
