@@ -1864,3 +1864,235 @@ def q_e_shard_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_quality_auc (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_quality_auc",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_STOP_IN}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-round({_W0}
+                   + {_W_LEN} * (CAST(n_tokens AS DOUBLE) / 100.0)
+                   + {_W_DISTINCT} * distinct_ratio
+                   + {_W_STOP} * stop_ratio
+                   + {_W_TOKLEN} * (avg_token_len / 10.0), 6))), 6) AS score,
+             CASE WHEN {_CAL_GOLD_DUCK} THEN 1 ELSE 0 END AS gold
+      FROM feat
+    ),
+    per AS (
+      SELECT score,
+             CAST(SUM(gold) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(gold) AS BIGINT) AS neg
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cneg
+      FROM per
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           COUNT(*) AS n_thresholds,
+           CAST((CAST(SUM(pos * (2 * cneg + neg)) AS BIGINT) * 1000000)
+                // NULLIF(2 * CAST(SUM(pos) AS BIGINT)
+                            * CAST(SUM(neg) AS BIGINT), 0) AS BIGINT)
+             AS auc_ppm
+    FROM cum
+    """,
+)
+def q_e_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the quality classifier against the gopher-lite gold
+    heuristic (round 7 — the threshold-free companion to
+    q_e_quality_calibration's ECE: calibration says whether the
+    probabilities are honest, AUC says whether the RANKING separates
+    good from bad — the two numbers a curation team reads together
+    before trusting the classifier to delete data). Tie-aware
+    Mann–Whitney form: AUC = Σ_s pos_s·(cneg_<s + neg_s/2) / (P·N),
+    computed in doubled integer units (2·cneg + neg) so the result is
+    an exact BIGINT ppm with no float path at all.
+
+    Scale: score+gold are scan-side codegen; ONE combinable groupBy
+    collapses the corpus to per-score (pos, neg) counts bounded by
+    the 6-dp score DOMAIN (≤ 1e6 rows at any corpus size — the
+    bounded-domain exemption of q_e_gini_mass's offsets pass), the
+    prefix sum and the closing 1-row fold run over that bounded
+    frame. P·N products stay in BIGINT to ~3e9 gold-balanced docs;
+    swap the two closing products to DECIMAL(38,0) beyond that.
+    An all-positive or all-negative corpus NULLIF-guards to NULL."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _CLS_STOPWORDS])
+    feat = d.select(
+        n_tok.cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / n_tok
+        ).alias("stop_ratio"),
+        ((F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+    )
+    logit = F.round(
+        F.lit(_W0)
+        + F.lit(_W_LEN) * (F.col("n_tokens").cast("double") / 100.0)
+        + F.lit(_W_DISTINCT) * F.col("distinct_ratio")
+        + F.lit(_W_STOP) * F.col("stop_ratio")
+        + F.lit(_W_TOKLEN) * (F.col("avg_token_len") / 10.0),
+        6,
+    )
+    gold = (
+        F.col("n_tokens").between(10, 5000)
+        & F.col("avg_token_len").between(2.5, 10.0)
+        & (F.col("stop_ratio") >= 0.02)
+    ).cast("int")
+    scored = feat.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        gold.alias("gold"),
+    )
+    per = scored.groupBy("score").agg(
+        F.sum("gold").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("gold")).cast("long").alias("neg"),
+    )
+    # prefix sum over the ≤|score-domain|-row per-score frame only
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn("cneg", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    return cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+        F.expr(
+            "CAST((CAST(SUM(pos * (2 * cneg + neg)) AS BIGINT) * 1000000)"
+            " DIV NULLIF(2 * CAST(SUM(pos) AS BIGINT)"
+            " * CAST(SUM(neg) AS BIGINT), 0) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_l_diversity (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_l_diversity",
+    oracle="""
+    WITH sv AS (
+      SELECT lang, source, n_chars // 50 AS len_b,
+             string_split(text, ' ')[1] AS sens
+      FROM documents
+    ),
+    vc AS (
+      SELECT lang, source, len_b, sens, COUNT(*) AS c
+      FROM sv GROUP BY lang, source, len_b, sens
+    ),
+    cls AS (
+      SELECT lang, source, len_b,
+             CAST(SUM(c) AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS l,
+             SUM(CAST(c * round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(30,6)))
+               AS s
+      FROM vc GROUP BY lang, source, len_b
+    ),
+    ent AS (
+      SELECT k, l,
+             round(round(ln(CAST(k AS DOUBLE)), 6)
+                   - CAST(s AS DOUBLE) / k, 6) AS h6
+      FROM cls
+    )
+    SELECT l,
+           COUNT(*) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           floor(CAST(SUM(CAST(h6 AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_entropy6
+    FROM ent GROUP BY l ORDER BY l
+    """,
+)
+def q_e_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over q_e_k_anonymity's quasi-identifier
+    classes (Machanavajjhala et al. 2007 — the follow-on privacy bar:
+    a k-anonymous class is still disclosive if everyone in it shares
+    the sensitive value): sensitive attribute = the document's leading
+    token; per QI class (lang, source, 50-char length band) compute k
+    (size), l (distinct sensitive values) and the entropy of the
+    sensitive distribution (entropy-l-diversity needs H ≥ ln l of the
+    published l), then roll up classes BY their l with doc mass and
+    mean entropy — the table a release reviewer reads next to the
+    k-anonymity histogram.
+
+    Scale: TWO combinable groupBys (QI+value counts, then QI classes)
+    — the corpus never shuffles twice, values never leave aggregate
+    form; the l-rollup is |distinct l| rows. Count-form entropy (the
+    q_e_tok_entropy spelling: 6-dp ln per count, exact-decimal sums,
+    one closing division) — identical bits in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sv = d.select(
+        "lang",
+        "source",
+        F.expr("n_chars div 50").alias("len_b"),
+        F.split("text", " ").getItem(0).alias("sens"),
+    )
+    vc = sv.groupBy("lang", "source", "len_b", "sens").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cls = vc.groupBy("lang", "source", "len_b").agg(
+        F.sum("c").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum(
+            (
+                F.col("c") * F.round(F.log(F.col("c").cast("double")), 6)
+            ).cast("decimal(30,6)")
+        ).alias("s"),
+    )
+    ent = cls.select(
+        "k",
+        "l",
+        F.round(
+            F.round(F.log(F.col("k").cast("double")), 6)
+            - F.col("s").cast("double") / F.col("k"),
+            6,
+        ).alias("h6"),
+    )
+    return (
+        ent.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").cast("long").alias("n_docs"),
+            # _q6 floor quantizer, not round(): this mean LANDED on an
+            # exact 5e-7 tie at sf0.1 where Spark's HALF_UP and
+            # DuckDB's HALF_EVEN round() diverge
+            (
+                F.floor(
+                    F.sum(F.col("h6").cast("decimal(30,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("avg_entropy6"),
+        )
+        .orderBy("l")
+    )

@@ -3119,3 +3119,146 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_cos6"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# q_e_davies_bouldin (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_davies_bouldin",
+    oracle=f"""
+    WITH {_KM_CTES},
+    dims AS (SELECT a.cid,
+                    a.vec_id,
+                    CAST(generate_subscripts(v.ve, 1) AS INT) AS d,
+                    unnest(v.ve) AS val
+             FROM asg a JOIN v USING (vec_id)),
+    mean AS (SELECT cid, d, {davg('val', scale=9)} AS nv
+             FROM dims GROUP BY cid, d),
+    md AS (SELECT m.vec_id, m.cid,
+                  round(sqrt({dsum('(m.val - c.nv) * (m.val - c.nv)',
+                                   scale=12)}), 6) AS dist6
+           FROM dims m JOIN mean c ON m.cid = c.cid AND m.d = c.d
+           GROUP BY m.vec_id, m.cid),
+    scat AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+                    round({davg('dist6')}, 6) AS s6
+             FROM md GROUP BY cid),
+    sep AS (SELECT a.cid AS ci, b.cid AS cj,
+                   round(sqrt({dsum('(a.nv - b.nv) * (a.nv - b.nv)',
+                                    scale=12)}), 6) AS m6
+            FROM mean a JOIN mean b ON a.d = b.d AND a.cid <> b.cid
+            GROUP BY a.cid, b.cid),
+    rij AS (SELECT s.ci, s.cj,
+                   round((x.s6 + y.s6) / NULLIF(s.m6, 0), 6) AS r6
+            FROM sep s JOIN scat x ON s.ci = x.cid
+                       JOIN scat y ON s.cj = y.cid),
+    worst AS (SELECT ci, cj, r6 FROM (
+                SELECT ci, cj, r6,
+                       ROW_NUMBER() OVER (PARTITION BY ci
+                                          ORDER BY r6 DESC, cj ASC) AS rk
+                FROM rij) WHERE rk = 1),
+    db AS (SELECT round(CAST(SUM(CAST(r6 AS DECIMAL(30,6))) AS DOUBLE)
+                        / COUNT(*), 6) AS db6 FROM worst)
+    SELECT w.ci AS cid, t.n_members, t.s6,
+           w.cj AS worst_neighbor, w.r6, db.db6
+    FROM worst w JOIN scat t ON w.ci = t.cid CROSS JOIN db
+    ORDER BY cid
+    """,
+)
+def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-quality index over the k-means cells
+    (round 7 — the centroid-based internal validity metric next to
+    q_e_cluster_purity/balance/nmi, and the one that needs NO labels
+    and NO pairs: silhouette is O(Σ|cell|²); DB is per-cell scatter +
+    K×K centroid separations): per cell the mean member→mean-centroid
+    distance S_i, per pair R_ij = (S_i+S_j)/‖μ_i−μ_j‖, per cell its
+    worst neighbor, and the index = mean worst-R — a rising DB over
+    ingest rounds tells the SemDeDup/IVF stack its cells are smearing.
+
+    Scale: ONE corpus explode feeds both the cell means and the
+    member-distance pass (map-side broadcast of the 512-row mean
+    table); everything after the per-member fold is K- or K²-row
+    arithmetic. Exact-decimal means/sums, 6-dp sqrt/divisions,
+    identical-centroid pairs NULLIF to NULL (dropped by the DESC
+    ordering), ties to the smaller neighbor id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    dims = (
+        asg.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "cid",
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")),
+        )
+        .select("cid", "vec_id", (F.col("pos") + 1).alias("d"), F.col("col").alias("val"))
+    )
+    mean = dims.groupBy("cid", "d").agg(F.expr(davg("val", scale=9)).alias("nv"))
+    md = (
+        dims.join(F.broadcast(mean), ["cid", "d"])
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.round(
+                F.sqrt(F.expr(dsum("(val - nv) * (val - nv)", scale=12))), 6
+            ).alias("dist6")
+        )
+    )
+    scat = md.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.expr(davg("dist6")), 6).alias("s6"),
+    )
+    a = mean.select(
+        F.col("cid").alias("ci"), "d", F.col("nv").alias("nva")
+    )
+    b = mean.select(
+        F.col("cid").alias("cj"), F.col("d").alias("db_"), F.col("nv").alias("nvb")
+    )
+    sep = (
+        a.join(b, (F.col("d") == F.col("db_")) & (F.col("ci") != F.col("cj")))
+        .groupBy("ci", "cj")
+        .agg(
+            F.round(
+                F.sqrt(F.expr(dsum("(nva - nvb) * (nva - nvb)", scale=12))), 6
+            ).alias("m6")
+        )
+    )
+    sx = scat.select(F.col("cid").alias("ci"), F.col("s6").alias("sa"))
+    sy = scat.select(F.col("cid").alias("cj"), F.col("s6").alias("sb"))
+    rij = (
+        sep.join(F.broadcast(sx), "ci")
+        .join(F.broadcast(sy), "cj")
+        .select(
+            "ci",
+            "cj",
+            F.round(
+                (F.col("sa") + F.col("sb")) / F.expr("nullif(m6, 0.0)"), 6
+            ).alias("r6"),
+        )
+    )
+    wv = Window.partitionBy("ci").orderBy(F.col("r6").desc(), F.col("cj").asc())
+    worst = (
+        rij.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("ci", "cj", "r6")
+    )
+    db = worst.agg(
+        F.round(
+            F.sum(F.col("r6").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("db6")
+    )
+    return (
+        worst.join(scat, worst.ci == scat.cid)
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("ci").alias("cid"),
+            "n_members",
+            "s6",
+            F.col("cj").alias("worst_neighbor"),
+            "r6",
+            "db6",
+        )
+        .orderBy("cid")
+    )

@@ -1268,3 +1268,42 @@ def q_d_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ws", "event_type")
     )
+
+
+@query(
+    "q_d_stream_complete",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2 ORDER BY ws, event_type
+    """,
+)
+def q_d_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode end to end (round 7) — the eleventh
+    true-stream surface, closing the output-mode triad (append: the
+    window/session/join drains; update: q_d_stream_update; complete:
+    this op): 1-hour tumbling (window, type) counts over the
+    day-chunked events feed, every micro-batch REWRITING the whole
+    served table in a memory sink, so after the multi-batch
+    availableNow drain the table state IS the batch aggregate — no
+    read-side merge, no emission-cutoff accounting (tests assert the
+    drain ran ≥ 2 batches and mid-drain rewrites grew monotonically).
+
+    Complete mode's contract cuts both ways and the op documents the
+    scale boundary honestly: state and sink hold EVERY window ever
+    seen (no watermark eviction), so it serves BOUNDED key domains —
+    a dashboard's |windows|·|types| rows — while unbounded keys
+    belong in update/append mode. The memory sink is the
+    driver-served dashboard table; a production complete sink
+    (console/kafka-compacted) shares the rewrite contract.
+
+    Scale: aggregation is map-side-combinable per batch; the rewrite
+    cost is |result| rows per trigger, priced acceptable exactly
+    because the domain is bounded."""
+    import uuid
+
+    from glaciersgee_spark.streaming.stream import drain_complete_counts
+
+    name = f"t_complete_{uuid.uuid4().hex[:8]}"
+    drain_complete_counts(spark, sf_dir, name)
+    return spark.table(name).orderBy("ws", "event_type")

@@ -887,3 +887,55 @@ def drain_update_sink(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return q
+
+
+# ------------------------------------------- complete-mode e2e drain
+
+
+def drain_complete_counts(spark: SparkSession, sf_dir: str, name: str):
+    """Drain the 1-hour tumbling (window, event_type) counts over the
+    day-chunked events feed in COMPLETE output mode to a memory sink
+    as a REAL multi-batch stream: every micro-batch REWRITES the whole
+    result table (complete mode's contract — the serving pattern for a
+    small dashboard table), so the final table state after the
+    availableNow drain equals the batch aggregate with no read-side
+    merge at all. No watermark: complete mode retains every window's
+    state by design, which is exactly why it is only safe for BOUNDED
+    key domains (|windows within retention| × |types| here); unbounded
+    keys belong in update/append mode (q_d_stream_update and the
+    window-family drains). Returns the terminated StreamingQuery."""
+    staged = stage_event_chunks(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(_EVCH_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/events")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"),
+            "event_type",
+            "n",
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "complete-mode drain exceeded 180 s — refusing to read a "
+                "partially-rewritten table"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q

@@ -715,3 +715,90 @@ def test_kmeans_train_round1_equals_iter_and_converges(spark):
         assert r.shift6 >= 0.0
     assert set(per_round) == {1, 2, 3}
     assert all(v == n_vecs for v in per_round.values())
+
+
+def test_quality_auc_bounds_and_mass(spark):
+    """AUC is a proper probability (ppm in [0, 1e6]), the class
+    masses cover the corpus, the threshold count is bounded by the
+    6-dp score domain, and the rank-sum matches a brute-force
+    tie-aware Mann-Whitney computed independently."""
+    from glaciersgee_spark.operators.curation import q_e_quality_auc
+    from glaciersgee_spark.operators.curation import (
+        _CLS_STOPWORDS,
+        _W0,
+        _W_LEN,
+        _W_DISTINCT,
+        _W_STOP,
+        _W_TOKLEN,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    r = q_e_quality_auc(spark, SF_SMOKE).collect()[0]
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert r.n_pos + r.n_neg == n
+    assert 0 <= r.auc_ppm <= 1_000_000
+    assert 1 <= r.n_thresholds <= 1_000_001
+
+    # brute-force referee on the collected (score, gold) pairs
+    import math
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    pairs = []
+    for row in docs:
+        toks = row.text.split(" ")
+        nt = len(toks)
+        dr = len(set(toks)) / nt
+        sr = sum(1 for t in toks if t in _CLS_STOPWORDS) / nt
+        atl = (row.n_chars - (nt - 1)) / nt
+        logit = round(
+            _W0 + _W_LEN * (nt / 100.0) + _W_DISTINCT * dr
+            + _W_STOP * sr + _W_TOKLEN * (atl / 10.0), 6
+        )
+        score = round(1.0 / (1.0 + math.exp(-logit)), 6)
+        gold = int(10 <= nt <= 5000 and 2.5 <= atl <= 10.0 and sr >= 0.02)
+        pairs.append((score, gold))
+    num2 = 0
+    for s_, g in pairs:
+        if g:
+            num2 += sum(
+                2 if s_ > s2 else (1 if s_ == s2 else 0)
+                for s2, g2 in pairs
+                if not g2
+            )
+    want = num2 * 1_000_000 // (2 * r.n_pos * r.n_neg)
+    assert r.auc_ppm == want
+
+
+def test_l_diversity_conserves_docs_and_entropy_bound(spark):
+    """The l-rollup conserves corpus mass, l=1 classes have zero
+    sensitive-value entropy, and every bucket's mean entropy respects
+    the H <= ln(l) information bound (entropy-l-diversity's yardstick,
+    6-dp slack)."""
+    import math
+
+    from glaciersgee_spark.operators.curation import q_e_l_diversity
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_l_diversity(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert r.l >= 1
+        if r.l == 1:
+            assert r.avg_entropy6 == 0.0
+        assert r.avg_entropy6 <= math.log(r.l) + 1e-5
+
+
+def test_davies_bouldin_structure(spark):
+    """Per-cell worst-neighbor ratios are positive, the index is their
+    mean, memberships cover the embedding corpus, and the worst
+    neighbor is never the cell itself."""
+    from glaciersgee_spark.operators.similarity import q_e_davies_bouldin
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_davies_bouldin(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n
+    assert all(r.r6 > 0 and r.worst_neighbor != r.cid for r in rows)
+    want_db = round(sum(r.r6 for r in rows) / len(rows), 5)
+    assert all(abs(r.db6 - want_db) < 1e-4 for r in rows)

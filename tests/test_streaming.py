@@ -736,3 +736,34 @@ def test_stream_update_reemits_and_latest_wins(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_complete_rewrites_whole_table_each_batch(spark):
+    """q_d_stream_complete must run >= 2 micro-batches, each rewriting
+    the WHOLE served table (complete mode): the final memory-table
+    state equals the batch aggregate with no read-side merge, and the
+    drain's progress shows output rows in every data batch (a rewrite,
+    not a delta)."""
+    from glaciersgee_spark.streaming.stream import drain_complete_counts
+    from glaciersgee_spark.tables import load_table
+
+    q = drain_complete_counts(spark, SF_SMOKE, "t_complete_test")
+    prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(prog) >= 2
+    sinks = [p["sink"]["numOutputRows"] for p in prog]
+    # every batch rewrites the full table so far → output grows
+    assert sinks == sorted(sinks) and sinks[0] > 0
+    got = {
+        (r.ws, r.event_type, r.n)
+        for r in spark.sql("SELECT * FROM t_complete_test").collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r.ws, r.event_type, r.n)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
