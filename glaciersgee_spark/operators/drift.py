@@ -1413,3 +1413,108 @@ def q_e_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_heaps_law (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_heaps_law",
+    oracle="""
+    WITH pts AS (
+      SELECT round(ln(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS x,
+             round(ln(CAST(len(list_distinct(string_split(text, ' ')))
+                           AS DOUBLE)), 6) AS y
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           floor((k * sxy - sx * sy) / NULLIF(k * sxx - sx * sx, 0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS beta6,
+           floor((sy - (k * sxy - sx * sy) / NULLIF(k * sxx - sx * sx, 0) * sx)
+                 / k * 1000000.0 + 0.5) / 1000000.0 AS lnk6,
+           floor((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / NULLIF((k * sxx - sx * sx) * (k * syy - sy * sy), 0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS r2_6
+    FROM s
+    """,
+)
+def q_e_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of type-token scaling across documents (round 7):
+    every document contributes one (ln tokens, ln distinct types)
+    point and log-log OLS recovers V ≈ K·n^β — β near 1 says text is
+    still type-rich at this length scale, β ≪ 1 says types saturate
+    (the lexical-richness number a tokenizer-budget decision reads
+    next to q_e_vocab_growth's corpus-level curve; the corpus-prefix
+    form is degenerate on this fixture — the global vocab saturates
+    in the first ingest decile — so the cross-document form is the
+    well-conditioned fit). Single-token docs carry no scaling signal
+    and are excluded (ln 1 = 0 on both axes).
+
+    Scale: pure scan-side codegen per doc (split/distinct/ln) into
+    ONE map-side-combinable 1-row aggregate of exact-decimal
+    Σx/Σy/Σxy/Σx²/Σy² — no shuffle wider than 1 row, no window, the
+    q_a_trend_slope closed-form discipline. 6-dp lns; floor-quantized
+    outputs (no round() ties); zero-variance corpora NULLIF to NULL."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    pts = (
+        d.where(F.size(words) >= 2)
+        .select(
+            F.round(F.log(F.size(words).cast("double")), 6).alias("x"),
+            F.round(
+                F.log(F.size(F.array_distinct(words)).cast("double")), 6
+            ).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("x").cast("decimal(30,12)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,12)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.expr(
+        "nullif(k * sxx - sx * sx, 0.0)"
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_points"),
+        (F.floor(beta * 1000000.0 + 0.5) / 1000000.0).alias("beta6"),
+        (
+            F.floor(
+                (F.col("sy") - beta * F.col("sx")) / F.col("k") * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("lnk6"),
+        (
+            F.floor(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.expr(
+                    "nullif((k * sxx - sx * sx) * (k * syy - sy * sy), 0.0)"
+                )
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("r2_6"),
+    )

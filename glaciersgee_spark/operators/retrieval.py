@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from glaciersgee_spark.operators.similarity import _cos6, _D_NRM, _d_cos6, _D_VEC
 from glaciersgee_spark.operators.text import BM25_CTES, q_e_bm25
 from glaciersgee_spark.registry import dsum, query
-from glaciersgee_spark.tables import load_table
+from glaciersgee_spark.tables import fan_out, load_table
 
 RRF_K = 60
 
@@ -263,3 +263,143 @@ def q_e_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(selected, schema).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# q_e_sparse_knn (round 7)
+# ---------------------------------------------------------------------------
+
+SPK_DF_LO, SPK_DF_HI, SPK_K = 2, 20, 3
+
+
+@query(
+    "q_e_sparse_knn",
+    oracle=f"""
+    WITH tg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2])) AS g
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM tg GROUP BY doc_id, g),
+    df AS (SELECT g, COUNT(*) AS df FROM tf GROUP BY g
+           HAVING COUNT(*) BETWEEN {SPK_DF_LO} AND {SPK_DF_HI}),
+    w AS (
+      SELECT tf.doc_id, tf.g,
+             round(tf.tf * round(ln(n.nd / df.df), 6), 6) AS w
+      FROM tf JOIN df ON tf.g = df.g CROSS JOIN n
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt({dsum('w * w', scale=12)}) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS da, b.doc_id AS db_, {dsum('a.w * b.w', scale=12)} AS dot
+      FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cs AS (
+      SELECT da, db_, round(dot / (x.nrm * y.nrm), 6) AS cos6
+      FROM dots JOIN nrm x ON da = x.doc_id JOIN nrm y ON db_ = y.doc_id
+    ),
+    sym AS (
+      SELECT da AS doc_id, db_ AS nbr_id, cos6 FROM cs
+      UNION ALL
+      SELECT db_, da, cos6 FROM cs
+    )
+    SELECT doc_id, nbr_id, cos6, rk FROM (
+      SELECT doc_id, nbr_id, cos6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cos6 DESC, nbr_id ASC) AS rk
+      FROM sym
+    ) WHERE rk <= {SPK_K}
+    """,
+)
+def q_e_sparse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical kNN (round 7 — the inverted-index dual of the
+    dense ANN family: BM25/tf-idf stacks answer "nearest documents"
+    through POSTINGS intersections, not vector scans): tf-idf-weighted
+    cosine over word-trigram shingle features restricted to
+    mid-frequency shingles (df ∈ [{SPK_DF_LO}, {SPK_DF_HI}]), top-{SPK_K}
+    neighbors per document.
+
+    Scale discipline — the df cap IS the bound: a shingle with df ≤
+    {SPK_DF_HI} contributes ≤ df² candidate pairs, so the postings
+    self-join is Σ df² ≤ {SPK_DF_HI}·Σ df rows (the lsh.py oversized-
+    bucket filter applied at the feature level; df=1 shingles carry no
+    pairs and df > {SPK_DF_HI} shingles are stopword-like noise that
+    would quadratically blow the join — both pruned BEFORE the join).
+    Per-doc top-k rides a window partitioned by doc_id. Weights/norms/
+    dots are 6-dp-rounded with exact-decimal sums — identical bits in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tg = fan_out(
+        d.select("doc_id", F.split("text", " ").alias("tk")).where(
+            F.size("tk") >= 3
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 2), "
+                "i -> concat(tk[i - 1], ' ', tk[i], ' ', tk[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    tf = tg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(SPK_DF_LO, SPK_DF_HI))
+    )
+    w = (
+        tf.join(df, "g")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "g",
+            F.round(
+                F.col("tf") * F.round(F.log(F.col("nd") / F.col("df")), 6), 6
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.expr(dsum("w * w", scale=12))).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("da"), "g", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("db_"), F.col("g").alias("gb"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("da") < F.col("db_")))
+        .groupBy("da", "db_")
+        .agg(F.expr(dsum("wa * wb", scale=12)).alias("dot"))
+    )
+    nx = nrm.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    ny = nrm.select(F.col("doc_id").alias("db_"), F.col("nrm").alias("nb"))
+    cs = (
+        dots.join(nx, "da")
+        .join(ny, "db_")
+        .select(
+            "da", "db_", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos6")
+        )
+    )
+    sym = cs.select(
+        F.col("da").alias("doc_id"), F.col("db_").alias("nbr_id"), "cos6"
+    ).unionAll(
+        cs.select(
+            F.col("db_").alias("doc_id"), F.col("da").alias("nbr_id"), "cos6"
+        )
+    )
+    wk = Window.partitionBy("doc_id").orderBy(
+        F.col("cos6").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= SPK_K)
+        .select("doc_id", "nbr_id", "cos6", "rk")
+    )

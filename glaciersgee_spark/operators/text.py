@@ -1678,3 +1678,113 @@ def q_e_ngram_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_code_switch (round 7)
+# ---------------------------------------------------------------------------
+
+_CS_SIG_K = 5  # signature depth — q_e_lang_topterms' top-5 contract
+
+
+@query(
+    "q_e_code_switch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS n FROM toks
+      WHERE token NOT IN ({', '.join("'" + s + "'" for s in STOPWORDS)})
+      GROUP BY lang, token
+    ),
+    sig AS (
+      SELECT lang, token FROM (
+        SELECT lang, token,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, token ASC) AS rk
+        FROM counts
+      ) WHERE rk <= {_CS_SIG_K}
+    ),
+    tok_sig AS (
+      SELECT token, COUNT(DISTINCT lang) AS nl, MIN(lang) AS ol
+      FROM sig GROUP BY token
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.lang,
+             COUNT(*) AS n_tok,
+             SUM(CASE WHEN ts.token IS NOT NULL
+                       AND NOT (ts.nl = 1 AND ts.ol = t.lang)
+                      THEN 1 ELSE 0 END) AS n_foreign
+      FROM toks t LEFT JOIN tok_sig ts ON t.token = ts.token
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_foreign > 0) AS docs_mixed,
+           CAST(CAST(SUM(n_foreign) AS BIGINT) * 1000000
+                // NULLIF(CAST(SUM(n_tok) AS BIGINT), 0) AS BIGINT)
+             AS foreign_tok_ppm
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q_e_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / language-mixing audit (round 7): each
+    language's signature is its top-{_CS_SIG_K} stopword-filtered
+    terms (the q_e_lang_topterms contract); a token occurrence is a
+    FOREIGN hit when it signs at least one OTHER language — per
+    language report how many documents contain any foreign-signature
+    token and the foreign-token rate in exact ppm. The number a
+    language-ID consumer reads before trusting doc-level labels: high
+    mixing means doc-level lang tags mislabel token mass (and a
+    lang-stratified dedup or mixture weight inherits the error).
+
+    Scale: the signature table is |langs|·{_CS_SIG_K} rows (windowed
+    over per-lang type counts — the corpus collapses to the type
+    frame first), broadcast to the token scan; per-doc and per-lang
+    rollups are two combinable groupBys; the rate is exact integer
+    ppm. A token signing ONLY its own language never counts; one
+    signing its own AND another does (that is the mixing signal)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = (
+        toks.where(~F.col("token").isin(STOPWORDS))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    sig = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CS_SIG_K)
+        .select(F.col("lang").alias("sig_lang"), "token")
+    )
+    tok_sig = sig.groupBy("token").agg(
+        F.countDistinct("sig_lang").alias("nl"),
+        F.min("sig_lang").alias("ol"),
+    )
+    hit = (
+        F.col("nl").isNotNull() & ~((F.col("nl") == 1) & (F.col("ol") == F.col("lang")))
+    ).cast("long")
+    per_doc = (
+        toks.join(F.broadcast(tok_sig), "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(hit).alias("n_foreign"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_foreign") > 0, 1)).alias("docs_mixed"),
+            F.expr(
+                "CAST(CAST(SUM(n_foreign) AS BIGINT) * 1000000"
+                " DIV NULLIF(CAST(SUM(n_tok) AS BIGINT), 0) AS BIGINT)"
+            ).alias("foreign_tok_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -802,3 +802,57 @@ def test_davies_bouldin_structure(spark):
     assert all(r.r6 > 0 and r.worst_neighbor != r.cid for r in rows)
     want_db = round(sum(r.r6 for r in rows) / len(rows), 5)
     assert all(abs(r.db6 - want_db) < 1e-4 for r in rows)
+
+
+def test_heaps_law_fit_is_sane(spark):
+    """The cross-document type-token fit: 0 < beta <= 1 (types cannot
+    grow faster than tokens), R^2 in [0, 1], and the point count is
+    the multi-token document count."""
+    from glaciersgee_spark.operators.drift import q_e_heaps_law
+    from glaciersgee_spark.tables import load_table
+
+    r = q_e_heaps_law(spark, SF_SMOKE).collect()[0]
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_multi = d.where(F.size(F.split("text", " ")) >= 2).count()
+    assert r.n_points == n_multi
+    assert 0.0 < r.beta6 <= 1.0 + 1e-9
+    assert 0.0 <= r.r2_6 <= 1.0 + 1e-9
+
+
+def test_code_switch_rates_bounded_and_conserving(spark):
+    """Per-language doc counts cover the corpus, mixed docs never
+    exceed doc counts, and the foreign rate is a proper ppm."""
+    from glaciersgee_spark.operators.text import q_e_code_switch
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_code_switch(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert 0 <= r.docs_mixed <= r.n_docs
+        assert 0 <= r.foreign_tok_ppm <= 1_000_000
+
+
+def test_sparse_knn_topk_contract(spark):
+    """Per-doc neighbor lists: <= K rows per doc, ranks contiguous
+    from 1, scores non-increasing within a doc, no self-neighbors,
+    and the relation is symmetric in SCORE (cos(a,b) appears
+    identically from both endpoints when both list each other)."""
+    from glaciersgee_spark.operators.retrieval import SPK_K, q_e_sparse_knn
+
+    rows = q_e_sparse_knn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    per = {}
+    for r in rows:
+        assert r.doc_id != r.nbr_id
+        per.setdefault(r.doc_id, []).append((r.rk, r.cos6, r.nbr_id))
+    score = {}
+    for doc, lst in per.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= SPK_K
+        cs = [x[1] for x in lst]
+        assert cs == sorted(cs, reverse=True)
+        for _, c, nbr in lst:
+            key = (min(doc, nbr), max(doc, nbr))
+            assert score.setdefault(key, c) == c
