@@ -664,3 +664,64 @@ def q_c_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(o_orderkey % 5 + 1 AS INT))"
         ).alias("safe_elem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_c_collation (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c_collation",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+               AS sb
+      FROM documents
+    )
+    SELECT lower(sb) AS source_ci,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT sb) AS n_case_variants,
+           MIN(sb) AS first_variant
+    FROM m GROUP BY lower(sb) ORDER BY source_ci
+    """,
+)
+def q_c_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated string semantics (round 7 — Spark 4's collation
+    surface, the scalar family's newest member): group a case-mangled
+    source column under UTF8_LCASE collation so 'src0' and 'SRC0'
+    land in ONE group, count the binary-distinct case variants inside
+    each, and normalize the emitted key with lower() (the group
+    representative under a case-insensitive collation is whichever
+    variant arrived first — never emit it raw). DuckDB has no column
+    collations in this form, so the oracle spells the equivalent
+    lower()-key grouping — which is exactly the pre-collation
+    workaround the feature replaces (and why the op exists: the
+    collated form keeps comparisons/joins/aggregations case-
+    insensitive WITHOUT rewriting every expression through lower()).
+
+    Scale: one scan, one combinable groupBy; collation comparison is
+    JVM-side codegen like any string compare."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("sb")
+    )
+    g = (
+        m.withColumn("sc", F.expr("collate(sb, 'UTF8_LCASE')"))
+        .groupBy("sc")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.expr("collate(sb, 'UTF8_BINARY')")).alias(
+                "n_case_variants"
+            ),
+            F.min(F.expr("collate(sb, 'UTF8_BINARY')")).alias("first_variant"),
+        )
+    )
+    return g.select(
+        F.expr("collate(lower(sc), 'UTF8_BINARY')").alias("source_ci"),
+        "n_docs",
+        "n_case_variants",
+        "first_variant",
+    ).orderBy("source_ci")

@@ -2096,3 +2096,107 @@ def q_e_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_wilson_ci (round 7)
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96  # 95% two-sided
+_QC_SLA = 0.5  # quality-rate SLA the CI is tested against
+
+
+@query(
+    "q_e_wilson_ci",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ({_STOP_IN}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN {_CAL_GOLD_DUCK} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM feat GROUP BY source
+    ),
+    ci AS (
+      SELECT source, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             {_WILSON_Z * _WILSON_Z} / n AS zz
+      FROM per
+    )
+    SELECT source, n AS n_docs, k AS n_pass,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 AS rate6,
+           floor((p + zz / 2 - {_WILSON_Z} * sqrt(p * (1 - p) / n + zz / (4 * n)))
+                 / (1 + zz) * 1000000.0 + 0.5) / 1000000.0 AS lo6,
+           floor((p + zz / 2 + {_WILSON_Z} * sqrt(p * (1 - p) / n + zz / (4 * n)))
+                 / (1 + zz) * 1000000.0 + 0.5) / 1000000.0 AS hi6,
+           (floor((p + zz / 2 + {_WILSON_Z} * sqrt(p * (1 - p) / n + zz / (4 * n)))
+                  / (1 + zz) * 1000000.0 + 0.5) / 1000000.0) < {_QC_SLA}
+             AS sig_below_sla
+    FROM ci ORDER BY source
+    """,
+)
+def q_e_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval on each source's
+    quality-pass rate (round 7 — the statistical-rigor step between
+    "this source's sample rate looks low" and "cut this source": the
+    Wilson interval is the standard small-n-safe binomial CI, and the
+    decision column says whether the UPPER bound clears the SLA —
+    i.e. the source is significantly below it, not just noisily). Uses
+    the gopher-lite gold rule shared with q_e_quality_calibration as
+    the pass predicate.
+
+    Scale: pass/total per source is one combinable groupBy; the CI is
+    per-row closed-form arithmetic on the |sources|-row frame (sqrt is
+    IEEE-correctly-rounded; identical expression trees both engines;
+    floor-quantized outputs — no round() ties)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _CLS_STOPWORDS])
+    feat = d.select(
+        "source",
+        n_tok.cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / n_tok
+        ).alias("stop_ratio"),
+        ((F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+    )
+    gold = (
+        F.col("n_tokens").between(10, 5000)
+        & F.col("avg_token_len").between(2.5, 10.0)
+        & (F.col("stop_ratio") >= 0.02)
+    ).cast("int")
+    per = feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(gold).cast("long").alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    zz = F.lit(_WILSON_Z * _WILSON_Z) / F.col("n")
+    half = F.lit(_WILSON_Z) * F.sqrt(
+        p * (1 - p) / F.col("n") + zz / (4 * F.col("n"))
+    )
+    lo = (p + zz / 2 - half) / (1 + zz)
+    hi = (p + zz / 2 + half) / (1 + zz)
+    hi6 = F.floor(hi * 1000000.0 + 0.5) / 1000000.0
+    return per.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_pass"),
+        (F.floor(p * 1000000.0 + 0.5) / 1000000.0).alias("rate6"),
+        (F.floor(lo * 1000000.0 + 0.5) / 1000000.0).alias("lo6"),
+        hi6.alias("hi6"),
+        (hi6 < _QC_SLA).alias("sig_below_sla"),
+    ).orderBy("source")

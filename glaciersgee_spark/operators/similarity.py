@@ -3262,3 +3262,87 @@ def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_pq_distortion (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_pq_distortion",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    dists AS (
+      SELECT v.vec_id, v.label, s.s,
+             CASE s.s {' '.join(f"WHEN {s} THEN {_pq_dist6('v.ve', 'c.cv', s)}" for s in range(PQ_M))} END AS d6
+      FROM v, c, (SELECT unnest(range(0, {PQ_M})) AS s) s
+      WHERE v.vec_id <> 0
+    ),
+    mins AS (
+      SELECT vec_id, label, s, MIN(d6) AS md6
+      FROM dists GROUP BY vec_id, label, s
+    )
+    SELECT label,
+           CAST(COUNT(*) / {PQ_M} AS BIGINT) AS n_vecs,
+           floor({dsum('md6')} / (COUNT(*) / {PQ_M})
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_distortion6
+    FROM mins GROUP BY label ORDER BY label
+    """,
+)
+def q_e_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization reconstruction distortion per label
+    (round 7 — the compression-error lens the PQ recall ops don't
+    give: q_e_pq_recall says whether ANN answers survive quantization,
+    this op says how much GEOMETRY each label loses, i.e. which data
+    regions the 16-entry-per-subspace codebook underfits): per vector
+    the encoding error is Σ_s min_c ‖v_s − c_s‖² (the quantity PQ
+    training minimizes), reported as the per-label mean.
+
+    Scale: one Arrow pass per vector against the broadcast 16×8×8
+    codebook (the shared bounded-codebook idiom of the PQ/ADC
+    kernels); the rollup works at the (vector, subspace) grain so the
+    mean is a pure exact-decimal sum — no per-vector float
+    accumulation order exists to diverge. 6-dp sub-distances (numpy
+    min ≡ the oracle's MIN over identical 6-dp values);
+    floor-quantized output."""
+    from pyspark.sql.types import ArrayType
+
+    e = load_table(spark, sf_dir, "embeddings")
+    crows = sorted(
+        e.where(F.col("vec_id").between(1, PQ_K))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    c_r = np.array([r.embedding for r in crows], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUBDIM
+    )
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _min_dists(emb: pd.Series) -> pd.Series:
+        v_r = _to_mat(emb).reshape(-1, PQ_M, PQ_SUBDIM)
+        d = np.round(((v_r[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6)
+        return pd.Series(d.min(axis=1).tolist())
+
+    ef = fan_out(e.where(F.col("vec_id") != 0), "vec_id")
+    mins = ef.select(
+        "vec_id", "label", F.explode(_min_dists("embedding")).alias("md6")
+    )
+    return (
+        mins.groupBy("label")
+        .agg(
+            (F.count(F.lit(1)) / PQ_M).cast("long").alias("n_vecs"),
+            (
+                F.floor(
+                    F.expr(dsum("md6"))
+                    / (F.count(F.lit(1)) / PQ_M)
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("avg_distortion6"),
+        )
+        .orderBy("label")
+    )

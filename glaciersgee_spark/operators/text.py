@@ -1788,3 +1788,118 @@ def q_e_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_chi2_terms (round 7)
+# ---------------------------------------------------------------------------
+
+_CHI2_TOPK = 3
+
+
+@query(
+    "q_e_chi2_terms",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+           FROM documents GROUP BY lang),
+    nt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_tok
+           FROM pres GROUP BY token),
+    a_ AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS a
+           FROM pres GROUP BY lang, token),
+    cells AS (
+      SELECT a_.lang, a_.token, a_.a,
+             nt.n_tok - a_.a AS b,
+             nl.n_lang - a_.a AS c,
+             nd.n - nt.n_tok - nl.n_lang + a_.a AS d
+      FROM a_ JOIN nt ON a_.token = nt.token
+              JOIN nl ON a_.lang = nl.lang
+              CROSS JOIN nd
+    ),
+    chi AS (
+      SELECT lang, token,
+             floor(CAST((a + b + c + d) AS DOUBLE)
+                   * CAST(a * d - b * c AS DOUBLE)
+                   * CAST(a * d - b * c AS DOUBLE)
+                   / NULLIF(CAST((a + b) AS DOUBLE) * (c + d)
+                            * (a + c) * (b + d), 0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS chi2_6
+      FROM cells
+    )
+    SELECT lang, token, chi2_6, rk FROM (
+      SELECT lang, token, chi2_6,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY chi2_6 DESC, token ASC) AS rk
+      FROM chi
+    ) WHERE rk <= {_CHI2_TOPK}
+    """,
+)
+def q_e_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared term-label association (round 7 — the feature-
+    selection companion to q_e_lang_topterms: frequency says a term is
+    COMMON in a language, chi² says it is DISCRIMINATIVE of it): per
+    (lang, token) the 2×2 document-presence contingency table yields
+    χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)); report each language's
+    top-{_CHI2_TOPK} terms. The classic pre-neural feature selector,
+    and still the fastest way to surface label-leaking tokens before
+    training a classifier on weak labels.
+
+    Scale: presence collapses the corpus to DISTINCT (doc, lang,
+    token) then to |langs|·|vocab| cells via combinable counts; the
+    marginals are broadcast joins; χ² is per-cell closed-form (exact
+    integer products into one IEEE division, floor-quantized); top-k
+    rides a window partitioned by lang over the cell frame. Integer
+    products hold to ~3e9 docs (BIGINT); swap to DECIMAL(38) beyond."""
+    d = load_table(spark, sf_dir, "documents")
+    pres = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nl = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_lang"))
+    nt = pres.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    a_ = pres.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    cells = (
+        a_.join(F.broadcast(nt), "token")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "lang",
+            "token",
+            "a",
+            (F.col("n_tok") - F.col("a")).alias("b"),
+            (F.col("n_lang") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("n_tok") - F.col("n_lang") + F.col("a")).alias(
+                "d"
+            ),
+        )
+    )
+    num = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = (
+        F.floor(
+            (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+            * num
+            * num
+            / F.expr(
+                "nullif(CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d),"
+                " 0.0)"
+            )
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    ).alias("chi2_6")
+    chi = cells.select("lang", "token", chi2)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2_6").desc(), F.col("token").asc()
+    )
+    return (
+        chi.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CHI2_TOPK)
+        .select("lang", "token", "chi2_6", "rk")
+    )

@@ -856,3 +856,69 @@ def test_sparse_knn_topk_contract(spark):
         for _, c, nbr in lst:
             key = (min(doc, nbr), max(doc, nbr))
             assert score.setdefault(key, c) == c
+
+
+def test_collation_merges_case_variants(spark):
+    """Case-insensitive grouping must merge both case forms of every
+    source (the mangle puts ~1/3 of docs in uppercase) and conserve
+    the corpus."""
+    from glaciersgee_spark.functions.scalar import q_c_collation
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_c_collation(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert len(rows) == d.select("source").distinct().count()
+    assert all(r.n_case_variants == 2 for r in rows)
+    assert all(r.source_ci == r.source_ci.lower() for r in rows)
+
+
+def test_wilson_ci_brackets_rate(spark):
+    """Interval sanity: lo <= rate <= hi, proper probabilities, pass
+    counts bounded by doc counts, and the SLA flag equals hi < SLA."""
+    from glaciersgee_spark.operators.curation import _QC_SLA, q_e_wilson_ci
+
+    rows = q_e_wilson_ci(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_pass <= r.n_docs
+        assert 0.0 <= r.lo6 <= r.rate6 <= r.hi6 <= 1.0 + 1e-9
+        assert r.sig_below_sla == (r.hi6 < _QC_SLA)
+
+
+def test_chi2_terms_topk_contract(spark):
+    """Every language gets exactly top-3 non-negative chi-squared
+    terms with contiguous ranks and non-increasing scores."""
+    from glaciersgee_spark.operators.text import _CHI2_TOPK, q_e_chi2_terms
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_chi2_terms(spark, SF_SMOKE).collect()
+    langs = {
+        r.lang
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    per = {}
+    for r in rows:
+        assert r.chi2_6 >= 0.0
+        per.setdefault(r.lang, []).append((r.rk, r.chi2_6))
+    assert set(per) == langs
+    for lst in per.values():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, _CHI2_TOPK + 1))
+        cs = [x[1] for x in lst]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_pq_distortion_nonnegative_and_conserving(spark):
+    """Per-label distortions are non-negative and label memberships
+    cover the non-query corpus."""
+    from glaciersgee_spark.operators.similarity import q_e_pq_distortion
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_pq_distortion(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").where("vec_id <> 0").count()
+    assert sum(r.n_vecs for r in rows) == n
+    assert all(r.avg_distortion6 >= 0.0 for r in rows)
