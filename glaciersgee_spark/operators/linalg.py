@@ -179,3 +179,127 @@ def q_e_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_spectral_mass (round 7)
+# ---------------------------------------------------------------------------
+
+# App-scoped integer-Gram cache: within one q_e_spectral_mass call the
+# 2,080-cell frame feeds THREE branches (v1, trace, Rayleigh) and
+# Catalyst has no cross-branch subtree reuse — without the persist the
+# corpus kernel would run three times per call (the dedup._SHINGLE_
+# BASE_CACHE convention).
+_GRAM_CACHE: dict = {}
+
+
+def _gram_int_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GRAM_CACHE.get(key)
+    if cached is None:
+        cached = _gram_int(spark, sf_dir).persist()
+        _GRAM_CACHE[key] = cached
+    return cached
+
+
+@query(
+    "q_e_spectral_mass",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_SCALE:.1f} + 0.5) AS BIGINT)))
+               AS q,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings
+    ),
+    gup AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    gfull AS (
+      SELECT i, j, s FROM gup
+      UNION ALL
+      SELECT j AS i, i AS j, s FROM gup WHERE i <> j
+    ),
+    gv AS (SELECT i, SUM(s * {_V0}) AS num FROM gfull GROUP BY i),
+    nrm AS (SELECT sqrt(CAST(SUM(num * num) AS DOUBLE)) AS n2 FROM gv),
+    v1 AS (SELECT gv.i, round(CAST(gv.num AS DOUBLE) / nrm.n2, 6) AS v
+           FROM gv CROSS JOIN nrm),
+    ray AS (
+      SELECT CAST(SUM(CAST(CAST(g.s AS DOUBLE) / {_SCALE2}.0 * a.v * b.v
+                           AS DECIMAL(30,6))) AS DOUBLE) AS lam1
+      FROM gfull g JOIN v1 a ON g.i = a.i JOIN v1 b ON g.j = b.i
+    ),
+    tr AS (
+      SELECT CAST(SUM(s) AS DOUBLE) / {_SCALE2}.0 AS trace
+      FROM gup WHERE i = j
+    )
+    SELECT floor(tr.trace * 1000000.0 + 0.5) / 1000000.0 AS trace6,
+           floor(ray.lam1 * 1000000.0 + 0.5) / 1000000.0 AS rayleigh1_6,
+           floor(ray.lam1 / tr.trace * 1000000.0 + 0.5) / 1000000.0
+             AS top_share6
+    FROM ray CROSS JOIN tr
+    """,
+)
+def q_e_spectral_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-mass concentration of the embedding Gram matrix
+    (round 7 — the one-number spectrum audit over the linalg kernel:
+    trace(G) = Σλᵢ is the total uncentered variance, the Rayleigh
+    quotient v₁ᵀGv₁ of the one-step power vector lower-bounds λ₁, and
+    their ratio is the top-component variance share — read next to
+    q_e_anisotropy: high top-share IS the anisotropic rogue
+    dimension, and the whitening decision follows from it).
+
+    Scale: ONE corpus pass (the shared q_e_embed_gram partial kernel)
+    persisted for its three 2,080-row consumers (v₁, trace, Rayleigh
+    — Catalyst has no cross-branch reuse); everything downstream is
+    dimension-frame arithmetic. Determinism: the Gram is exact
+    integer, v₁ is 6-dp off one exact norm, the Rayleigh fold is an
+    exact-decimal sum of per-cell IEEE terms, outputs
+    floor-quantized."""
+    gup = _gram_int_cached(spark, sf_dir)
+    lower = gup.where(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "s"
+    )
+    gfull = gup.unionByName(lower)
+    gv = gfull.groupBy("i").agg(F.sum(F.col("s") * _V0).alias("num"))
+    nrm = gv.agg(
+        F.sqrt(F.sum(F.col("num") * F.col("num")).cast("double")).alias("n2")
+    )
+    v1 = gv.crossJoin(F.broadcast(nrm)).select(
+        "i", F.round(F.col("num").cast("double") / F.col("n2"), 6).alias("v")
+    )
+    a = v1.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = v1.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    ray = (
+        gfull.join(F.broadcast(a), F.col("i") == F.col("ia"))
+        .join(F.broadcast(b), F.col("j") == F.col("ib"))
+        .agg(
+            F.sum(
+                (
+                    F.col("s").cast("double")
+                    / _SCALE2
+                    * F.col("va")
+                    * F.col("vb")
+                ).cast("decimal(30,6)")
+            )
+            .cast("double")
+            .alias("lam1")
+        )
+    )
+    tr = (
+        gup.where(F.col("i") == F.col("j"))
+        .agg((F.sum("s").cast("double") / _SCALE2).alias("trace"))
+    )
+    return ray.crossJoin(F.broadcast(tr)).select(
+        (F.floor(F.col("trace") * 1000000.0 + 0.5) / 1000000.0).alias("trace6"),
+        (F.floor(F.col("lam1") * 1000000.0 + 0.5) / 1000000.0).alias(
+            "rayleigh1_6"
+        ),
+        (
+            F.floor(F.col("lam1") / F.col("trace") * 1000000.0 + 0.5)
+            / 1000000.0
+        ).alias("top_share6"),
+    )

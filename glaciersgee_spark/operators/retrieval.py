@@ -403,3 +403,120 @@ def q_e_sparse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= SPK_K)
         .select("doc_id", "nbr_id", "cos6", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_rank_biased_overlap (round 7)
+# ---------------------------------------------------------------------------
+
+RBO_P = 0.9
+RBO_DEPTH = 25
+
+# Literal weight table (1−p)·p^(d−1): Python float repr round-trips the
+# exact double, so inlining the SAME literals into the Spark frame and
+# the SQL VALUES list removes pow() (libm) from both plans entirely.
+_RBO_W = [(d, (1.0 - RBO_P) * RBO_P ** (d - 1)) for d in range(1, RBO_DEPTH + 1)]
+
+
+@query(
+    "q_e_rank_biased_overlap",
+    oracle=f"""
+    WITH {BM25_CTES},
+    bm AS (SELECT doc_id, {dsum('c')} AS score
+           FROM contrib WHERE doc_id <> 0 GROUP BY doc_id),
+    bmt AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS ra
+            FROM (SELECT * FROM bm ORDER BY score DESC, doc_id ASC
+                  LIMIT {RBO_DEPTH})),
+    v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    cs AS (SELECT v.vec_id AS doc_id,
+                  {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+           FROM v, q WHERE v.vec_id <> 0),
+    cst AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rb
+            FROM (SELECT * FROM cs ORDER BY score DESC, doc_id ASC
+                  LIMIT {RBO_DEPTH})),
+    common AS (SELECT bmt.ra, cst.rb
+               FROM bmt JOIN cst ON bmt.doc_id = cst.doc_id),
+    w AS (SELECT * FROM (VALUES
+          {', '.join(f'({d}, {w!r})' for d, w in _RBO_W)}) AS t(d, wt)),
+    xd AS (
+      SELECT w.d, w.wt,
+             (SELECT COUNT(*) FROM common
+              WHERE ra <= w.d AND rb <= w.d) AS x
+      FROM w
+    )
+    SELECT CAST({RBO_DEPTH} AS BIGINT) AS depth,
+           (SELECT COUNT(*) FROM common) AS n_common,
+           floor({dsum('wt * x / d', scale=12)} * 1000000.0 + 0.5) / 1000000.0
+             AS rbo6
+    FROM xd
+    """,
+)
+def q_e_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between the two
+    retrieval rankings q_e_rrf_fusion fuses — BM25 top-{RBO_DEPTH} vs
+    dense-cosine top-{RBO_DEPTH} for query doc/vec 0:
+    RBO@K = Σ_d (1−p)·p^(d−1)·|A_:d ∩ B_:d|/d with p = {RBO_P}. The
+    retrieval-stack A/B number: near 1 the dense index is re-ranking
+    what lexical already finds (fusion adds little); near 0 the lists
+    disagree and fusion genuinely widens coverage.
+
+    Scale: both lists are depth-capped FIRST (TakeOrderedAndProject —
+    per-partition heaps, no global sort; this op never needs full-list
+    ranks, unlike rrf_fusion which two-phase-chunks them), so
+    everything after the cap is ≤{RBO_DEPTH}-row arithmetic: the
+    intersection join, the {RBO_DEPTH}-row literal weight table, and
+    one exact-decimal fold. pow() never runs in either engine — the
+    geometric weights are inlined literals."""
+    bm = q_e_bm25(spark, sf_dir).where(F.col("doc_id") != 0)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmt = (
+        bm.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RBO_DEPTH)
+        .select("doc_id", F.row_number().over(wb).alias("ra"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    cs = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"), _cos6("embedding", "qemb").alias("score")
+        )
+    )
+    cst = (
+        cs.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RBO_DEPTH)
+        .select("doc_id", F.row_number().over(wb).alias("rb"))
+    )
+    common = bmt.join(cst, "doc_id").select("ra", "rb")
+    wdf = bmt.sparkSession.createDataFrame(_RBO_W, "d int, wt double")
+    xd = (
+        F.broadcast(wdf)
+        .join(
+            common,
+            (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d", "wt")
+        .agg(F.count(F.col("ra")).alias("x"))
+    )
+    ncommon = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        xd.agg(
+            (
+                F.floor(
+                    F.expr(dsum("wt * x / d", scale=12)) * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("rbo6")
+        )
+        .crossJoin(F.broadcast(ncommon))
+        .select(
+            F.lit(RBO_DEPTH).cast("long").alias("depth"),
+            "n_common",
+            "rbo6",
+        )
+    )

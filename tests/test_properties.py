@@ -922,3 +922,61 @@ def test_pq_distortion_nonnegative_and_conserving(spark):
     n = load_table(spark, SF_SMOKE, "embeddings").where("vec_id <> 0").count()
     assert sum(r.n_vecs for r in rows) == n
     assert all(r.avg_distortion6 >= 0.0 for r in rows)
+
+
+def test_spectral_mass_bounds(spark):
+    """trace = Σλ and Rayleigh lower-bounds λ1 ⇒ 1/DIM-ish floor and
+    share in (0, 1]; Rayleigh never exceeds trace."""
+    from glaciersgee_spark.operators.similarity import q_e_anisotropy  # noqa: F401
+    from glaciersgee_spark.operators.linalg import q_e_spectral_mass
+
+    r = q_e_spectral_mass(spark, SF_SMOKE).collect()[0]
+    assert r.trace6 > 0
+    assert 0 < r.rayleigh1_6 <= r.trace6 + 1e-6
+    assert 0 < r.top_share6 <= 1.0 + 1e-9
+
+
+def test_rank_biased_overlap_referee(spark):
+    """RBO referee: recompute from the two top-25 lists collected
+    independently; also bounds (0 <= rbo <= 1, n_common <= depth)."""
+    from glaciersgee_spark.operators.retrieval import (
+        RBO_DEPTH,
+        _RBO_W,
+        q_e_rank_biased_overlap,
+    )
+    from glaciersgee_spark.operators.similarity import _cos6, q_e_sim_topk  # noqa: F401
+    from glaciersgee_spark.operators.text import q_e_bm25
+    from glaciersgee_spark.tables import load_table
+    import math
+
+    import pyspark.sql.functions as FF
+
+    r = q_e_rank_biased_overlap(spark, SF_SMOKE).collect()[0]
+    assert r.depth == RBO_DEPTH
+    assert 0 <= r.n_common <= RBO_DEPTH
+    assert 0.0 <= r.rbo6 <= 1.0 + 1e-9
+
+    bm = (
+        q_e_bm25(spark, SF_SMOKE)
+        .where("doc_id <> 0")
+        .orderBy(FF.col("score").desc(), FF.col("doc_id").asc())
+        .limit(RBO_DEPTH)
+        .collect()
+    )
+    a = [row.doc_id for row in bm]
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    qv = e.where("vec_id = 0").select(FF.col("embedding").alias("qemb"))
+    cs = (
+        e.where("vec_id <> 0")
+        .join(FF.broadcast(qv))
+        .select(FF.col("vec_id").alias("doc_id"), _cos6("embedding", "qemb").alias("s"))
+        .orderBy(FF.col("s").desc(), FF.col("doc_id").asc())
+        .limit(RBO_DEPTH)
+        .collect()
+    )
+    b = [row.doc_id for row in cs]
+    want = 0.0
+    for d, w in _RBO_W:
+        x = len(set(a[:d]) & set(b[:d]))
+        want += w * x / d
+    assert abs(r.rbo6 - math.floor(want * 1e6 + 0.5) / 1e6) < 2e-6
