@@ -6,24 +6,19 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 
 Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
-the least driver-side evidence are rotated to the front. Round-6
-rotation (from CORRECTNESS_r01..r05 — all 237 checked rows green on
-their latest check, so _DRIVER_VERIFIED now holds the r1-r5 union):
-the 50 ops that have NEVER had a driver CORRECTNESS row go first —
-they fit the ~50-row cap exactly, so round 6 completes first-time
-driver evidence for the whole round-5 287-op inventory (the _R6_NEW
-additions queue behind and land in round 7). Order within the 50
-keeps the round-5 queue: the 7 remaining streaming batch-equivalents,
-the 10 Group B stragglers, the 6 Group A stragglers, then the 27-op
-Group E tail (spans/winnowing, multimodal, packing/tokenizer,
-curation/splits ahead of the drift metrics). Behind them queue (a)
-the 3 ops rewritten in round 5 (graph_triangles degree orientation,
-window_topk count-sink, cc_stars convergence guard — their r4 rows
-predate the rewrite; re-check lands in round 7 per VERDICT r5 item 3)
-and (b) any round-6 additions (first-time evidence in round 7). Local
-parity (tests/run_parity.py) covers the full inventory at sf0.01 AND
-sf0.1 every round regardless of the driver cap (the registry itself
-is the count of record).
+the least driver-side evidence are rotated to the front. Round-7
+rotation (CORRECTNESS_r06: 50/50 green — the whole _R6_FRONT block —
+so _DRIVER_VERIFIED now holds the r1-r6 union = every op checked at
+least once through round 5's inventory): the front is (a) the 3 ops
+rewritten in round 5 whose r4 rows predate the rewrite (_REWRITTEN),
+(b) the 18 round-6 additions with no driver row yet (_R6_NEW), (c) the
+18 round-7 additions (_R7_NEW), (d) q_e_rrf_fusion, whose r6 row
+predates this round's chunked-rank rewrite, and (e) 10 re-check slots
+(_R7_RECHECK) for the similarity/dedup ops whose green rows date to
+r1-r2 while their FILES have been edited every round since — 50 rows
+exactly at the driver cap. Local parity (tests/run_parity.py) covers
+the full inventory at sf0.01 AND sf0.1 every round regardless of the
+driver cap (the registry itself is the count of record).
 """
 
 from __future__ import annotations
@@ -169,25 +164,56 @@ _R6_NEW: tuple[str, ...] = (
     "q_e_k_anonymity", "q_e_shard_mixing", "q_e_anisotropy",
 )
 
+# Went green in round 6 (CORRECTNESS_r06.json: 50/50 rows+schema+hash
+# all true — exactly the _R6_FRONT block) — folded into the verified
+# tail.
+_DRIVER_VERIFIED |= set(_R6_FRONT)
+
+# New in round 7 — first-time driver evidence this round.
+_R7_NEW: tuple[str, ...] = (
+    "q_d_stream_custom_state", "q_d_stream_update", "q_d_stream_complete",
+    "q_e_kmeans_train", "q_e_quality_auc", "q_e_l_diversity",
+    "q_e_davies_bouldin", "q_e_heaps_law", "q_e_code_switch",
+    "q_e_sparse_knn", "q_c_collation", "q_e_wilson_ci", "q_e_chi2_terms",
+    "q_e_pq_distortion", "q_e_spectral_mass", "q_e_rank_biased_overlap",
+    "q_d_stream_listener", "q_f_udtf_analyze",
+)
+
+# Rewritten in round 7 (two-phase chunked rank) — its r6 row predates
+# the rewrite.
+_R7_REWRITTEN: tuple[str, ...] = ("q_e_rrf_fusion",)
+
+# Oldest-evidence re-checks: green rows from r1-r2 on files
+# (similarity.py, dedup.py) edited every round since — the VERDICT r6
+# item-1 fill for the remaining front slots.
+_R7_RECHECK: tuple[str, ...] = (
+    "q_e_sim_topk", "q_e_sim_join", "q_e_knn_pergroup",
+    "q_e_sim_topk_lsh", "q_e_sim_topk_ivf", "q_e_kmeans_iter",
+    "q_e_semdedup", "q_e_dedup_exact", "q_e_dedup_near",
+    "q_e_dedup_near_md5",
+)
+
 _V = TypeVar("_V")
 
 
 def _rotated(d: dict[str, _V]) -> dict[str, _V]:
     names = list(d)
 
-    front = {n: i for i, n in enumerate(_R6_FRONT)}
-    fresh = {n: i for i, n in enumerate(_REWRITTEN + _R6_NEW)}
+    front = {
+        n: i
+        for i, n in enumerate(
+            _REWRITTEN + _R6_NEW + _R7_NEW + _R7_REWRITTEN + _R7_RECHECK
+        )
+    }
 
     def prio(n: str) -> tuple[int, int]:
         if n in front:
             return (0, front[n])
-        if n in fresh:
-            return (2, fresh[n])
         if n not in _DRIVER_VERIFIED:
             # safety net: anything never checked but missing from the
-            # explicit front list still beats the rewritten/new queue
+            # explicit front list still beats the verified tail
             return (1, 0)
-        return (3, 0)
+        return (2, 0)
 
     idx = {n: i for i, n in enumerate(names)}
     return {n: d[n] for n in sorted(names, key=lambda n: (*prio(n), idx[n]))}

@@ -1307,3 +1307,100 @@ def q_d_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"t_complete_{uuid.uuid4().hex[:8]}"
     drain_complete_counts(spark, sf_dir, name)
     return spark.table(name).orderBy("ws", "event_type")
+
+
+@query(
+    "q_d_stream_listener",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_data_batches,
+           CAST(COUNT(*) AS BIGINT) AS total_input_rows,
+           CAST(COUNT(*) AS BIGINT) AS sum_progress_rows
+    FROM events
+    """,
+)
+def q_d_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingQueryListener observability end to end (round 7 — the
+    monitoring surface every production stream wires before anything
+    else): a listener registered on the session captures every
+    onQueryProgress event while the day-chunked events feed drains
+    (maxFilesPerTrigger=2 over 4 staged chunks ⇒ exactly 2 data
+    micro-batches), and the op's RESULT is built from the captured
+    events themselves — data-batch count and the listener-summed input
+    rows, which must equal the corpus row count exactly (the
+    lost-events reconciliation a metrics pipeline runs against its
+    source of truth). The listener is removed in a finally block —
+    leaking listeners double-count the next query's metrics.
+
+    Scale: the drained aggregate keeps state at |event_types| rows;
+    listener callbacks run on the driver's event bus at one event per
+    micro-batch — O(batches), never O(rows)."""
+    import json
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from glaciersgee_spark.streaming.stream import stage_event_chunks
+
+    done = threading.Event()
+    rows_per_batch: list[int] = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = json.loads(event.progress.json)
+            rows_per_batch.append(int(p["numInputRows"]))
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            done.set()
+
+    staged = stage_event_chunks(spark, sf_dir)
+    listener = _Capture()
+    spark.streams.addListener(listener)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        from pyspark.sql import types as T
+
+        sch = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("ts", T.TimestampNTZType()),
+            ]
+        )
+        counts = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{staged}/events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            counts.writeStream.format("noop")
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", scratch_dir(prefix="ggee_lsn_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("listener drain exceeded 180 s")
+        # listener events are delivered asynchronously on the driver
+        # bus — wait for the termination event before reading captures
+        if not done.wait(60):
+            raise TimeoutError("listener termination event not delivered")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.streams.removeListener(listener)
+    data_batches = [r for r in rows_per_batch if r > 0]
+    return spark.createDataFrame(
+        [(len(data_batches), sum(data_batches), sum(rows_per_batch))],
+        "n_data_batches long, total_input_rows long, sum_progress_rows long",
+    )

@@ -512,3 +512,65 @@ def q_f_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "user_id", _midrange("value").over(w).alias("mid3"))
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------- polymorphic UDTF
+
+
+@query(
+    "q_f_udtf_analyze",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey % 97 AS BIGINT) AS d_1,
+           CAST((o_orderkey // 97) % 97 AS BIGINT) AS d_2,
+           CAST((o_orderkey // (97 * 97)) % 97 AS BIGINT) AS d_3
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+)
+def q_f_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (round 7 — Spark 4's `analyze()` API,
+    the schema-from-arguments surface q_f_udtf's static form can't
+    express): the UDTF's static analyze() receives the constant width
+    argument at PLAN time and returns an AnalyzeResult whose schema
+    has that many digit columns (base-97 key decomposition, width 3
+    here) — the contract behind dynamic unpivot/parse/expand UDTFs
+    whose shape depends on a parameter, resolved before execution so
+    Catalyst plans column pruning over the emitted schema like any
+    static source.
+
+    Scale: per-row Python with Arrow batching, same posture as
+    q_f_udtf — an API-surface proof over a % 40 key sample, not a hot
+    path; the production spelling of THIS expansion is the pure
+    codegen div/mod projection the oracle runs."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class DigitsBase97:
+        @staticmethod
+        def analyze(okey: AnalyzeArgument, width: AnalyzeArgument) -> AnalyzeResult:
+            assert width.value is not None, "width must be a literal"
+            fields = [T.StructField("o_orderkey", T.LongType())] + [
+                T.StructField(f"d_{i}", T.LongType())
+                for i in range(1, int(width.value) + 1)
+            ]
+            return AnalyzeResult(schema=T.StructType(fields))
+
+        def eval(self, okey: int, width: int):
+            digits = []
+            x = okey
+            for _ in range(width):
+                digits.append(x % 97)
+                x //= 97
+            yield (okey, *digits)
+
+    spark.udtf.register("ggee_digits97", DigitsBase97)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 40 == 0)
+    o.createOrReplaceTempView("ggee_udtfa_in")
+    return spark.sql(
+        """
+        SELECT f.o_orderkey, f.d_1, f.d_2, f.d_3
+        FROM ggee_udtfa_in v,
+             LATERAL ggee_digits97(v.o_orderkey, 3) f
+        """
+    )

@@ -980,3 +980,27 @@ def test_rank_biased_overlap_referee(spark):
         x = len(set(a[:d]) & set(b[:d]))
         want += w * x / d
     assert abs(r.rbo6 - math.floor(want * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_udtf_analyze_schema_follows_width_argument(spark):
+    """The polymorphic UDTF's analyze() must derive the output schema
+    from the literal width argument: width 3 in the declared op (3
+    digit columns), and a width-2 invocation of the same UDTF yields
+    a 2-digit schema — the polymorphism a static returnType cannot
+    express."""
+    from glaciersgee_spark.udfs import q_f_udtf_analyze
+
+    df = q_f_udtf_analyze(spark, SF_SMOKE)
+    assert df.columns == ["o_orderkey", "d_1", "d_2", "d_3"]
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert (
+            r.d_1 == r.o_orderkey % 97
+            and r.d_2 == (r.o_orderkey // 97) % 97
+            and r.d_3 == (r.o_orderkey // 97 // 97) % 97
+        )
+    two = spark.sql(
+        "SELECT * FROM ggee_udtfa_in v, LATERAL ggee_digits97(v.o_orderkey, 2) f"
+    )
+    assert two.columns[-2:] == ["d_1", "d_2"] and "d_3" not in two.columns

@@ -767,3 +767,19 @@ def test_stream_complete_rewrites_whole_table_each_batch(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_listener_reconciles_and_detaches(spark):
+    """The listener op's captured metrics must reconcile exactly with
+    the corpus (no lost events), count exactly the 2 data batches the
+    chunked feed produces, and the listener must be DETACHED after the
+    call (running the op twice cannot double-count)."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_stream_listener
+    from glaciersgee_spark.tables import load_table
+
+    r1 = q_d_stream_listener(spark, SF_SMOKE).collect()[0]
+    n = load_table(spark, SF_SMOKE, "events").count()
+    assert r1.n_data_batches == 2
+    assert r1.total_input_rows == n
+    r2 = q_d_stream_listener(spark, SF_SMOKE).collect()[0]
+    assert (r2.n_data_batches, r2.total_input_rows) == (2, n)
