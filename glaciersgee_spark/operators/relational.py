@@ -2774,3 +2774,120 @@ def q_b_paginate_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_sql_variables (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_sql_variables",
+    oracle="""
+    WITH thr AS (SELECT quantile_cont(o_totalprice, 0.9) AS t FROM orders)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           round((SELECT t FROM thr), 6) AS thr6
+    FROM orders CROSS JOIN thr
+    WHERE o_totalprice > thr.t
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_b_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + EXECUTE IMMEDIATE (round 7 — Spark 4's
+    scripting-adjacent surface, the parameterized-SQL workflow a BI /
+    orchestration layer runs: compute a data-driven constant ONCE,
+    bind it by name, reuse it across statements): DECLARE a session
+    variable, SET it to the exact 90th-percentile order price via a
+    scalar subquery, then EXECUTE IMMEDIATE a parameterized query
+    binding the variable with USING — big orders per status, the
+    threshold echoed in the result for auditability.
+
+    Scale: the SET VAR runs one exact-percentile aggregate (a single
+    sort buffer); the main query is a scan-side predicate + combinable
+    groupBy — the variable is a plan-time literal, so the comparison
+    is codegen and NOT a join against the threshold. The oracle
+    inlines the same subquery (DuckDB has no session variables —
+    which is the point: the feature replaces string-splicing)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ggee_sqlvar_o")
+    spark.sql("DECLARE OR REPLACE VARIABLE ggee_thr DOUBLE")
+    spark.sql(
+        "SET VAR ggee_thr = "
+        "(SELECT percentile(o_totalprice, 0.9) FROM ggee_sqlvar_o)"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderstatus,
+                COUNT(*) AS n_big,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS sum_price,
+                round(?, 6) AS thr6
+         FROM ggee_sqlvar_o WHERE o_totalprice > ?
+         GROUP BY o_orderstatus ORDER BY o_orderstatus'
+        USING ggee_thr, ggee_thr
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_metadata_cols (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_metadata_cols",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo,
+             date_diff('day', MIN(CAST(ts AS DATE)),
+                       MAX(CAST(ts AS DATE))) + 1 AS days
+      FROM events
+    )
+    SELECT CAST(least(3, (date_diff('day', span.lo, CAST(ts AS DATE)) * 4)
+                        // span.days) AS INT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events CROSS JOIN span
+    GROUP BY 1 ORDER BY chunk
+    """,
+)
+def q_b_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` file columns (round 7 — the per-file lineage
+    surface every lakehouse audit leans on: which FILE did each row
+    come from, without a path column materialized in the data): scan
+    the day-chunked staged events feed (4 files, one per event-time
+    quarter — the same fixture the stream drains consume), group by
+    `_metadata.file_name`, and report per-file row and user counts.
+    The oracle reproduces the file partitioning from the DATA (the
+    _day_chunk date-quarter formula), which is exactly the
+    lineage-reconciliation such an audit performs: metadata-derived
+    counts must equal data-derived counts or files were dropped or
+    double-read.
+
+    Scale: `_metadata` is populated scan-side by the file source (no
+    join against a listing); the rollup is one combinable groupBy; at
+    a million files the result is |files| rows and the audit shape is
+    unchanged. DuckDB integer `//` mirrors Spark's truncating int
+    cast (CAST of float ROUNDS in DuckDB — the round-7 trap)."""
+    from glaciersgee_spark.streaming.stream import stage_event_chunks
+
+    staged = stage_event_chunks(spark, sf_dir)
+    ev = spark.read.schema(
+        "user_id long, event_type string, ts timestamp_ntz"
+    ).parquet(f"{staged}/events")
+    return (
+        ev.select(
+            F.regexp_extract(F.col("_metadata.file_name"), r"chunk_(\d+)", 1)
+            .cast("int")
+            .alias("chunk"),
+            "user_id",
+        )
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("chunk")
+    )

@@ -1004,3 +1004,32 @@ def test_udtf_analyze_schema_follows_width_argument(spark):
         "SELECT * FROM ggee_udtfa_in v, LATERAL ggee_digits97(v.o_orderkey, 2) f"
     )
     assert two.columns[-2:] == ["d_1", "d_2"] and "d_3" not in two.columns
+
+
+def test_sql_variables_threshold_is_real_percentile(spark):
+    """The bound variable must equal the exact 90th percentile, the
+    result must echo it, and the filtered mass must be ~10% of
+    orders."""
+    from glaciersgee_spark.operators.relational import q_b_sql_variables
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_sql_variables(spark, SF_SMOKE).collect()
+    o = load_table(spark, SF_SMOKE, "orders")
+    thr = o.selectExpr("percentile(o_totalprice, 0.9) AS t").collect()[0].t
+    assert all(abs(r.thr6 - round(thr, 6)) < 1e-9 for r in rows)
+    n_big = sum(r.n_big for r in rows)
+    n = o.count()
+    assert 0 < n_big <= n * 0.11
+
+
+def test_metadata_cols_reconcile_with_data_partitioning(spark):
+    """File-derived counts must equal data-derived counts per chunk
+    (lineage reconciliation), cover all 4 staged files, and sum to the
+    corpus."""
+    from glaciersgee_spark.operators.relational import q_b_metadata_cols
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_metadata_cols(spark, SF_SMOKE).collect()
+    assert [r.chunk for r in rows] == [0, 1, 2, 3]
+    n = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_rows for r in rows) == n
