@@ -2019,8 +2019,9 @@ def q_e_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ent AS (
       SELECT k, l,
-             round(round(ln(CAST(k AS DOUBLE)), 6)
-                   - CAST(s AS DOUBLE) / k, 6) AS h6
+             floor((round(ln(CAST(k AS DOUBLE)), 6)
+                    - CAST(s AS DOUBLE) / k) * 1000000.0 + 0.5)
+               / 1000000.0 AS h6
       FROM cls
     )
     SELECT l,
@@ -2070,10 +2071,18 @@ def q_e_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = cls.select(
         "k",
         "l",
-        F.round(
-            F.round(F.log(F.col("k").cast("double")), 6)
-            - F.col("s").cast("double") / F.col("k"),
-            6,
+        # floor quantizer: h6 divides an exact decimal sum by k, the
+        # same 5e-7-tie class as this op's rollup mean
+        (
+            F.floor(
+                (
+                    F.round(F.log(F.col("k").cast("double")), 6)
+                    - F.col("s").cast("double") / F.col("k")
+                )
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
         ).alias("h6"),
     )
     return (

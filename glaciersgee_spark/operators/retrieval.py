@@ -23,6 +23,39 @@ from glaciersgee_spark.tables import fan_out, load_table
 
 RRF_K = 60
 
+# App-scoped cache of the two scored lists (BM25 per-doc scores and
+# dense-cosine-vs-query-0 scores): q_e_rrf_fusion consumes EACH list
+# twice (the chunked rank's within-pass and totals-pass) and
+# q_e_rank_biased_overlap scores the same two lists again — Catalyst
+# has no cross-branch subtree reuse, so without the persist the token
+# pipeline / cosine scan re-run once per consumer (the
+# dedup._SHINGLE_BASE_CACHE convention).
+_SCORED_CACHE: dict = {}
+
+
+def _scored_lists(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SCORED_CACHE.get(key)
+    if cached is None:
+        bm = q_e_bm25(spark, sf_dir).where(F.col("doc_id") != 0).persist()
+        e = load_table(spark, sf_dir, "embeddings")
+        qv = e.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qemb")
+        )
+        cs = (
+            e.where(F.col("vec_id") != 0)
+            .join(F.broadcast(qv))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                _cos6("embedding", "qemb").alias("score"),
+            )
+            .persist()
+        )
+        cached = (bm, cs)
+        _SCORED_CACHE[key] = cached
+    return cached
+
+
 
 def _ranked(lst: DataFrame, out: str) -> DataFrame:
     """Full-list rank over (score DESC, doc_id ASC) in the q_b_sort /
@@ -97,18 +130,8 @@ def q_e_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps, no global sort); at
     100 TB the heavy work stays in the upstream scoring passes (token
     pipeline one side, ANN probe the other)."""
-    bm = q_e_bm25(spark, sf_dir).where(F.col("doc_id") != 0)
+    bm, cs = _scored_lists(spark, sf_dir)
     bmr = _ranked(bm, "rb")
-
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
-    cs = (
-        e.where(F.col("vec_id") != 0)
-        .join(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"), _cos6("embedding", "qemb").alias("score")
-        )
-    )
     csr = _ranked(cs, "rc")
 
     fused = (
@@ -482,21 +505,12 @@ def q_e_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection join, the {RBO_DEPTH}-row literal weight table, and
     one exact-decimal fold. pow() never runs in either engine — the
     geometric weights are inlined literals."""
-    bm = q_e_bm25(spark, sf_dir).where(F.col("doc_id") != 0)
+    bm, cs = _scored_lists(spark, sf_dir)
     wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     bmt = (
         bm.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(RBO_DEPTH)
         .select("doc_id", F.row_number().over(wb).alias("ra"))
-    )
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
-    cs = (
-        e.where(F.col("vec_id") != 0)
-        .join(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"), _cos6("embedding", "qemb").alias("score")
-        )
     )
     cst = (
         cs.orderBy(F.col("score").desc(), F.col("doc_id").asc())

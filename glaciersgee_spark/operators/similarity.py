@@ -1477,10 +1477,15 @@ def q_e_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy(
             F.col("cs").desc(), F.col("cid").asc()
         )
+        # asg is consumed by BOTH the per-dim means and the sizes agg
+        # inside one rf materialization — persist it per round or the
+        # broadcast-cosine scoring pass runs twice (Catalyst has no
+        # cross-branch reuse); dropped with rf in the finally below
         asg = (
             scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select("vec_id", "cid")
+            .persist()
         )
         dims = (
             asg.join(e, "vec_id")
@@ -1525,6 +1530,7 @@ def q_e_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nxt.setdefault(r.cid, {})[r.d] = r.nv
         finally:
             rf.unpersist()
+            asg.unpersist()
         cent = [
             (cid, [dv[d] for d in sorted(dv)])
             for cid, dv in sorted(nxt.items())
@@ -3125,6 +3131,9 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_e_davies_bouldin (round 7)
 # ---------------------------------------------------------------------------
 
+# App-scoped (assignment, cell-mean) cache — see the in-op comment.
+_DB_CACHE: dict = {}
+
 
 @query(
     "q_e_davies_bouldin",
@@ -3143,7 +3152,8 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM dims m JOIN mean c ON m.cid = c.cid AND m.d = c.d
            GROUP BY m.vec_id, m.cid),
     scat AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
-                    round({davg('dist6')}, 6) AS s6
+                    floor({davg('dist6')} * 1000000.0 + 0.5) / 1000000.0
+                      AS s6
              FROM md GROUP BY cid),
     sep AS (SELECT a.cid AS ci, b.cid AS cj,
                    round(sqrt({dsum('(a.nv - b.nv) * (a.nv - b.nv)',
@@ -3151,7 +3161,8 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM mean a JOIN mean b ON a.d = b.d AND a.cid <> b.cid
             GROUP BY a.cid, b.cid),
     rij AS (SELECT s.ci, s.cj,
-                   round((x.s6 + y.s6) / NULLIF(s.m6, 0), 6) AS r6
+                   floor((x.s6 + y.s6) / NULLIF(s.m6, 0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS r6
             FROM sep s JOIN scat x ON s.ci = x.cid
                        JOIN scat y ON s.cj = y.cid),
     worst AS (SELECT ci, cj, r6 FROM (
@@ -3159,8 +3170,9 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROW_NUMBER() OVER (PARTITION BY ci
                                           ORDER BY r6 DESC, cj ASC) AS rk
                 FROM rij) WHERE rk = 1),
-    db AS (SELECT round(CAST(SUM(CAST(r6 AS DECIMAL(30,6))) AS DOUBLE)
-                        / COUNT(*), 6) AS db6 FROM worst)
+    db AS (SELECT floor(CAST(SUM(CAST(r6 AS DECIMAL(30,6))) AS DOUBLE)
+                        / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS db6
+           FROM worst)
     SELECT w.ci AS cid, t.n_members, t.s6,
            w.cj AS worst_neighbor, w.r6, db.db6
     FROM worst w JOIN scat t ON w.ci = t.cid CROSS JOIN db
@@ -3184,7 +3196,37 @@ def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-centroid pairs NULLIF to NULL (dropped by the DESC
     ordering), ties to the smaller neighbor id."""
     e = load_table(spark, sf_dir, "embeddings")
-    asg, _cent = _km_assign(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DB_CACHE.get(key)
+    if cached is None:
+        # asg feeds the mean pass AND the member-distance probe; mean
+        # feeds the probe and both separation legs — persist both (the
+        # app-scoped convention) or the k-means assignment scoring
+        # replays once per consumer
+        asg, _cent = _km_assign(spark, sf_dir)
+        asg = asg.persist()
+        dims0 = (
+            asg.join(e.select("vec_id", "embedding"), "vec_id")
+            .select(
+                "cid",
+                "vec_id",
+                F.posexplode(F.col("embedding").cast("array<double>")),
+            )
+            .select(
+                "cid",
+                "vec_id",
+                (F.col("pos") + 1).alias("d"),
+                F.col("col").alias("val"),
+            )
+        )
+        mean = (
+            dims0.groupBy("cid", "d")
+            .agg(F.expr(davg("val", scale=9)).alias("nv"))
+            .persist()
+        )
+        cached = (asg, mean)
+        _DB_CACHE[key] = cached
+    asg, mean = cached
     dims = (
         asg.join(e.select("vec_id", "embedding"), "vec_id")
         .select(
@@ -3194,7 +3236,6 @@ def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cid", "vec_id", (F.col("pos") + 1).alias("d"), F.col("col").alias("val"))
     )
-    mean = dims.groupBy("cid", "d").agg(F.expr(davg("val", scale=9)).alias("nv"))
     md = (
         dims.join(F.broadcast(mean), ["cid", "d"])
         .groupBy("vec_id", "cid")
@@ -3206,7 +3247,12 @@ def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scat = md.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.round(F.expr(davg("dist6")), 6).alias("s6"),
+        # floor quantizer, not round(): closing means/divisions of 6-dp
+        # grids are the exact-tie class that diverged HALF_UP vs
+        # HALF_EVEN at sf0.1 (q_e_l_diversity, round 7)
+        (F.floor(F.expr(davg("dist6")) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "s6"
+        ),
     )
     a = mean.select(
         F.col("cid").alias("ci"), "d", F.col("nv").alias("nva")
@@ -3231,8 +3277,14 @@ def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ci",
             "cj",
-            F.round(
-                (F.col("sa") + F.col("sb")) / F.expr("nullif(m6, 0.0)"), 6
+            (
+                F.floor(
+                    (F.col("sa") + F.col("sb"))
+                    / F.expr("nullif(m6, 0.0)")
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
             ).alias("r6"),
         )
     )
@@ -3243,10 +3295,14 @@ def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ci", "cj", "r6")
     )
     db = worst.agg(
-        F.round(
-            F.sum(F.col("r6").cast("decimal(30,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        (
+            F.floor(
+                F.sum(F.col("r6").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
         ).alias("db6")
     )
     return (

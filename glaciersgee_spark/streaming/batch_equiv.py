@@ -1341,8 +1341,13 @@ def q_d_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from glaciersgee_spark.streaming.stream import stage_event_chunks
 
-    done = threading.Event()
-    rows_per_batch: list[int] = []
+    # the session event bus delivers EVERY query's events — capture
+    # them ALL tagged by query id and filter to this op's own query at
+    # the end (filtering inside the callback would race the .start()
+    # return; a concurrent stream would otherwise inflate the counts)
+    cond = threading.Condition()
+    events: list[tuple[str, int]] = []
+    terminated: set[str] = set()
 
     class _Capture(StreamingQueryListener):
         def onQueryStarted(self, event) -> None:
@@ -1350,13 +1355,17 @@ def q_d_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def onQueryProgress(self, event) -> None:
             p = json.loads(event.progress.json)
-            rows_per_batch.append(int(p["numInputRows"]))
+            with cond:
+                events.append((str(p["id"]), int(p["numInputRows"])))
+                cond.notify_all()
 
         def onQueryIdle(self, event) -> None:
             pass
 
         def onQueryTerminated(self, event) -> None:
-            done.set()
+            with cond:
+                terminated.add(str(event.id))
+                cond.notify_all()
 
     staged = stage_event_chunks(spark, sf_dir)
     listener = _Capture()
@@ -1389,16 +1398,22 @@ def q_d_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
+        qid = str(q.id)
         if not q.awaitTermination(180):
             q.stop()
             raise TimeoutError("listener drain exceeded 180 s")
         # listener events are delivered asynchronously on the driver
         # bus — wait for the termination event before reading captures
-        if not done.wait(60):
-            raise TimeoutError("listener termination event not delivered")
+        with cond:
+            if not cond.wait_for(lambda: qid in terminated, timeout=60):
+                raise TimeoutError(
+                    "listener termination event not delivered"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.streams.removeListener(listener)
+    with cond:
+        rows_per_batch = [n for (i, n) in events if i == qid]
     data_batches = [r for r in rows_per_batch if r > 0]
     return spark.createDataFrame(
         [(len(data_batches), sum(data_batches), sum(rows_per_batch))],
