@@ -3189,9 +3189,12 @@ def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst neighbor, and the index = mean worst-R — a rising DB over
     ingest rounds tells the SemDeDup/IVF stack its cells are smearing.
 
-    Scale: ONE corpus explode feeds both the cell means and the
-    member-distance pass (map-side broadcast of the 512-row mean
-    table); everything after the per-member fold is K- or K²-row
+    Scale: the k-means assignment is scored ONCE and persisted (the
+    app-scoped cache convention — it feeds the cell-mean pass and the
+    member-distance probe, and the probe's re-explode off the cached
+    assignment is joins/explodes only, never re-scoring); the 512-row
+    mean table is persisted for its three consumers and broadcast to
+    the probe; everything after the per-member fold is K- or K²-row
     arithmetic. Exact-decimal means/sums, 6-dp sqrt/divisions,
     identical-centroid pairs NULLIF to NULL (dropped by the DESC
     ordering), ties to the smaller neighbor id."""
