@@ -3405,3 +3405,147 @@ def q_e_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_int8_recall (round 7)
+# ---------------------------------------------------------------------------
+
+# Integer quantized-vector spelling shared with q_e_embed_quantize's
+# scale/clamp convention: q = clamp(floor(x/sc + 0.5), ±127) as BIGINT.
+_I8_QL = (
+    f"list_transform(ve, x -> CAST({_D_Q} AS BIGINT))"
+)
+
+
+@query(
+    "q_e_int8_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    s AS (SELECT vec_id, ve, nrm, {_D_AMAX} / 127.0 AS sc FROM v),
+    qz AS (SELECT vec_id, nrm, {_I8_QL} AS q FROM s),
+    qn AS (SELECT vec_id, nrm, q,
+                  list_sum(list_transform(q, y -> y * y)) AS s2
+           FROM qz),
+    panel AS (SELECT vec_id AS qid, q AS qq, s2 AS qs2 FROM qn
+              WHERE vec_id IN {_RECALL_QIDS}),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, n.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY round(
+                   list_sum(list_transform(range(1, 65),
+                                           i -> n.q[i] * p.qq[i]))
+                   / (sqrt(CAST(n.s2 AS DOUBLE)) * sqrt(CAST(p.qs2 AS DOUBLE))),
+                   6) DESC,
+                 n.vec_id ASC) AS rk
+        FROM qn n CROSS JOIN panel p WHERE n.vec_id <> p.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    qv AS (SELECT vec_id AS qid, ve AS qv, nrm AS qnr FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qnr')} DESC,
+                          v.vec_id ASC) AS rk
+        FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    hits AS (SELECT a.qid, COUNT(*) AS n_hit
+             FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY a.qid)
+    SELECT p.qid, COALESCE(h.n_hit, 0) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / {float(_RECALL_K)}, 6) AS recall6
+    FROM (SELECT qid FROM panel) p LEFT JOIN hits h ON p.qid = h.qid
+    ORDER BY p.qid
+    """,
+)
+def q_e_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-quantized retrieval against exact cosine, for
+    the fixed 5-query panel (round 7 — closes the quantization loop:
+    q_e_embed_quantize measures per-vector RECONSTRUCTION error,
+    q_e_pq_distortion measures codebook loss, this op measures what
+    actually matters to a user — whether the 4×-smaller int8 scan
+    returns the same neighbors). Quantization is the embed_quantize
+    convention (per-vector scale max|x|/127, half-up clamp to ±127);
+    the int8 score is the integer-dot cosine idot/√(Σq²·Σq'²) — the
+    per-vector scales cancel in the cosine, so ranking needs ONLY
+    integer sums and two sqrts.
+
+    Determinism: quantized codes are exact integers in both engines
+    (floor(x/sc + 0.5) clamp), the dot and norm sums are integer
+    arithmetic (≤ 127²·64 per dot — exact in float64 regardless of
+    summation order, so the numpy matmul ≡ the oracle's list_sum),
+    and the score rounds at 6 dp with ties to vec_id. Scale: one
+    Arrow pass scoring all 5 queries per batch ((n,64)@(64,5) integer
+    matmul), TakeOrdered-style window per query; the exact side is
+    the shared _panel_scores frame."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        e.where(F.col("vec_id").isin(list(_RECALL_QIDS)))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+
+    def _quant(m: np.ndarray) -> np.ndarray:
+        sc = np.abs(m).max(axis=1) / 127.0
+        q = np.floor(m / sc[:, None] + 0.5)
+        return np.clip(q, -127.0, 127.0)
+
+    qmat = _quant(np.array([r.embedding for r in qrows], dtype=np.float64))
+    qs2 = np.einsum("ij,ij->i", qmat, qmat)
+    qid_lits = F.array(*[F.lit(int(r.vec_id)).cast("long") for r in qrows])
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _i8_panel(emb: pd.Series) -> pd.Series:
+        v = _quant(_to_mat(emb))
+        s2 = np.einsum("ij,ij->i", v, v)
+        sc = np.round(
+            (v @ qmat.T) / (np.sqrt(s2)[:, None] * np.sqrt(qs2)[None, :]), 6
+        )
+        return pd.Series(sc.tolist())
+
+    ef = fan_out(e.select("vec_id", "embedding"), "vec_id")
+    s = ef.select(
+        "vec_id", F.posexplode(_i8_panel("embedding")).alias("qidx", "score")
+    ).select(
+        F.element_at(qid_lits, F.col("qidx") + 1).alias("qid"),
+        "vec_id",
+        "score",
+    ).where(F.col("vec_id") != F.col("qid"))
+    rk = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        s.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        _panel_scores(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    hits = approx.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    panel = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid")
+    )
+    return (
+        panel.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6
+            ).alias("recall6"),
+        )
+        .orderBy("qid")
+    )

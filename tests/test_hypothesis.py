@@ -492,3 +492,70 @@ def test_skyline_single_bucket_equals_naive(spark, rows):
         p for p in rows if not any(dominates(q, p) for q in rows if q[0] != p[0])
     }
     assert got == want
+
+
+@st.composite
+def _scored_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    scores = draw(
+        st.lists(
+            st.floats(
+                min_value=-2.0,
+                max_value=25.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ).map(lambda x: round(x, 6)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return [(i, s) for i, s in enumerate(scores)]
+
+
+@given(rows=_scored_rows())
+@_SET
+def test_chunked_rank_equals_naive_global_rank(spark, rows):
+    """q_e_rrf_fusion's two-phase chunked rank (_ranked) must produce
+    EXACTLY the naive single-partition row_number over
+    (score DESC, doc_id ASC) for arbitrary 6-dp score lists —
+    including all-ties, negative scores, and single rows (the bucket
+    key must never split a tie or reorder across buckets)."""
+    from pyspark.sql import Window
+
+    from glaciersgee_spark.operators.retrieval import _ranked
+
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {
+        (r.doc_id, r.rk)
+        for r in _ranked(df, "rk").collect()
+    }
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    want = {
+        (r.doc_id, r.rk)
+        for r in df.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("rk")
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    k=st.integers(min_value=0, max_value=50),
+    extra=st.integers(min_value=1, max_value=50),
+)
+@_SET
+def test_wilson_interval_brackets_rate_for_arbitrary_counts(spark, k, extra):
+    """For ANY (passes, total) the Wilson interval must bracket the
+    empirical rate inside [0, 1] — including k=0 and k=n, where the
+    naive normal interval breaks (that is why Wilson exists)."""
+    import math
+
+    from glaciersgee_spark.operators.curation import _WILSON_Z
+
+    n = k + extra
+    p = k / n
+    zz = _WILSON_Z * _WILSON_Z / n
+    half = _WILSON_Z * math.sqrt(p * (1 - p) / n + zz / (4 * n))
+    lo = (p + zz / 2 - half) / (1 + zz)
+    hi = (p + zz / 2 + half) / (1 + zz)
+    assert 0.0 <= lo <= p <= hi <= 1.0

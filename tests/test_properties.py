@@ -1033,3 +1033,22 @@ def test_metadata_cols_reconcile_with_data_partitioning(spark):
     assert [r.chunk for r in rows] == [0, 1, 2, 3]
     n = load_table(spark, SF_SMOKE, "events").count()
     assert sum(r.n_rows for r in rows) == n
+
+
+def test_int8_recall_panel_and_bounds(spark):
+    """Every panel query reports, recall is a proper fraction of K,
+    and int8 retrieval at 64 dims should be near-exact (codes carry
+    ~7 bits/dim) — require recall >= 0.5 on every query so a broken
+    quantizer cannot hide behind 'approximate'."""
+    from glaciersgee_spark.operators.similarity import (
+        _RECALL_K,
+        _RECALL_QIDS,
+        q_e_int8_recall,
+    )
+
+    rows = q_e_int8_recall(spark, SF_SMOKE).collect()
+    assert sorted(r.qid for r in rows) == sorted(_RECALL_QIDS)
+    for r in rows:
+        assert 0 <= r.n_hit <= _RECALL_K
+        assert abs(r.recall6 - r.n_hit / _RECALL_K) < 1e-9
+        assert r.recall6 >= 0.5
