@@ -1379,7 +1379,7 @@ def q_e_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMT_ROUNDS = 3
 
 
-def _kmt_oracle() -> str:
+def _kmt_rounds() -> list:
     """Unrolled 3-round Lloyd's as a dependent CTE chain: each round is
     the q_e_kmeans_iter spelling (cosine argmax assignment, per-dim
     exact-decimal means) re-seeded from the previous round's means —
@@ -1420,55 +1420,52 @@ def _kmt_oracle() -> str:
                  FROM (SELECT cid, list(nv ORDER BY d) AS cve
                        FROM nl{r} GROUP BY cid))""")
         prev = f"c{r + 1}"
+    return rounds
+
+
+def _kmt_chain() -> str:
+    """The shared WITH-body of the unrolled training chain, ending at
+    c{KMT_ROUNDS+1} = the TRAINED centroid list table — consumed by
+    q_e_kmeans_train's stats select and q_e_ivf_trained's recall
+    audit so the two can never desynchronize."""
+    rounds = _kmt_rounds()
+    return f"""v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    seed AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
+             FROM v WHERE vec_id BETWEEN 1 AND {KM_K}),
+    {','.join(rounds)}"""
+
+
+def _kmt_oracle() -> str:
     allst = " UNION ALL ".join(
         f"SELECT * FROM st{r}" for r in range(1, KMT_ROUNDS + 1)
     )
     return f"""
-    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
-    seed AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
-             FROM v WHERE vec_id BETWEEN 1 AND {KM_K}),
-    {','.join(rounds)}
+    WITH {_kmt_chain()}
     SELECT rnd, cid, n_assigned, shift6, centroid_csum
     FROM ({allst}) ORDER BY rnd, cid
     """
 
 
-@query("q_e_kmeans_train", oracle=_kmt_oracle())
-def q_e_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means TRAINING to a fixed 3-round budget (round 7 —
-    the loop q_e_kmeans_iter is one step of, run the way a 100 TB
-    deployment runs it: a driver-side for-loop of bounded distributed
-    rounds, the q_e_cc_stars round-budget discipline applied to
-    Lloyd's): round 1 assigns against the deterministic seeds
-    (vec_id 1..K, cosine argmax, ties to the smaller cid) and each
-    later round re-assigns against the previous round's exact-decimal
-    per-dim means. Reports per (round, cell): membership count,
-    centroid shift ‖new − old‖₂, and the new-centroid checksum — the
-    convergence trace an IVF/SemDeDup training job logs.
+# App-scoped training cache: (stats_rows, trained centroids) — shared
+# by q_e_kmeans_train (stats) and q_e_ivf_trained (centroids) so the
+# 3-round loop runs once per (app, sf).
+_KMT_CACHE: dict = {}
 
-    Determinism across rounds: each round's centroids are davg
-    (exact-decimal, scale 9) doubles — identical bits in both engines
-    — and the next round's cosines are 6-dp-rounded off those same
-    doubles, so assignment ties break identically forever. The K×D
-    centroid panel collected between rounds is the bounded-codebook
-    idiom of kmeans_iter/ivf_pq (K·D = 512 doubles, corpus-size-
-    independent); per round the corpus is touched exactly twice
-    (broadcast-cosine assignment scan, posexplode mean agg), and the
-    512-row (cid, d) round frame is persisted for its two consumers
-    (stats agg + next-round collect) then dropped. Empty cells shrink
-    K identically in both engines (no re-seeding — documented Lloyd
-    behavior)."""
-    from pyspark.sql import types as T
 
+def _kmt_train(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KMT_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seeds = sorted(
         e.where(F.col("vec_id").between(1, KM_K)).collect(),
         key=lambda r: r.vec_id,
     )
-    cent: list[tuple[int, list[float]]] = [
+    cent: list = [
         (int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds
     ]
-    stats_rows: list[tuple] = []
+    stats_rows: list = []
     for rnd in range(1, KMT_ROUNDS + 1):
         cdf = spark.createDataFrame(cent, "cid long, cemb array<double>")
         scored = e.join(F.broadcast(cdf)).select(
@@ -1525,7 +1522,7 @@ def q_e_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (rnd, r.cid, r.n_assigned, r.shift6, r.centroid_csum)
                 for r in stats
             )
-            nxt: dict[int, dict[int, float]] = {}
+            nxt: dict = {}
             for r in rf.select("cid", "d", "nv").collect():
                 nxt.setdefault(r.cid, {})[r.d] = r.nv
         finally:
@@ -1535,6 +1532,39 @@ def q_e_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cid, [dv[d] for d in sorted(dv)])
             for cid, dv in sorted(nxt.items())
         ]
+    cached = (sorted(stats_rows), cent)
+    _KMT_CACHE[key] = cached
+    return cached
+
+
+@query("q_e_kmeans_train", oracle=_kmt_oracle())
+def q_e_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means TRAINING to a fixed 3-round budget (round 7 —
+    the loop q_e_kmeans_iter is one step of, run the way a 100 TB
+    deployment runs it: a driver-side for-loop of bounded distributed
+    rounds, the q_e_cc_stars round-budget discipline applied to
+    Lloyd's): round 1 assigns against the deterministic seeds
+    (vec_id 1..K, cosine argmax, ties to the smaller cid) and each
+    later round re-assigns against the previous round's exact-decimal
+    per-dim means. Reports per (round, cell): membership count,
+    centroid shift ‖new − old‖₂, and the new-centroid checksum — the
+    convergence trace an IVF/SemDeDup training job logs.
+
+    Determinism across rounds: each round's centroids are davg
+    (exact-decimal, scale 9) doubles — identical bits in both engines
+    — and the next round's cosines are 6-dp-rounded off those same
+    doubles, so assignment ties break identically forever. The K×D
+    centroid panel collected between rounds is the bounded-codebook
+    idiom of kmeans_iter/ivf_pq (K·D = 512 doubles, corpus-size-
+    independent); per round the corpus is touched exactly twice
+    (broadcast-cosine assignment scan, posexplode mean agg), and the
+    512-row (cid, d) round frame is persisted for its two consumers
+    (stats agg + next-round collect) then dropped. Empty cells shrink
+    K identically in both engines (no re-seeding — documented Lloyd
+    behavior)."""
+    from pyspark.sql import types as T
+
+    stats_rows, _cent = _kmt_train(spark, sf_dir)
     schema = T.StructType(
         [
             T.StructField("rnd", T.LongType()),
@@ -1544,7 +1574,7 @@ def q_e_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("centroid_csum", T.DoubleType()),
         ]
     )
-    return spark.createDataFrame(sorted(stats_rows), schema).orderBy("rnd", "cid")
+    return spark.createDataFrame(stats_rows, schema).orderBy("rnd", "cid")
 
 
 # ---------------------------------------------------------------------------
@@ -3542,6 +3572,158 @@ def q_e_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         panel.join(hits, "qid", "left")
         .select(
             "qid",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6
+            ).alias("recall6"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_ivf_trained (round 7)
+# ---------------------------------------------------------------------------
+
+IVT_NPROBE = 2  # of the KM_K=8 trained cells — the 4/16 scan fraction
+
+
+def _ivt_oracle() -> str:
+    tc = f"c{KMT_ROUNDS + 1}"  # the trained-centroid table the chain ends at
+    return f"""
+    WITH {_kmt_chain()},
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT v.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} DESC,
+                                                  c.cid ASC) AS rk
+               FROM v, {tc} c) WHERE rk = 1),
+    qv AS (SELECT vec_id AS qid, ve AS qvv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    probe AS (SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY {_d_cos6('c.cve', 'q.qvv', 'c.cnrm', 'q.qn')} DESC,
+                                  c.cid ASC) AS rk
+                FROM {tc} c, qv q) WHERE rk <= {IVT_NPROBE}),
+    cand AS (SELECT p.qid, cell.vec_id
+             FROM cell JOIN probe p USING (cid)
+             WHERE cell.vec_id <> p.qid),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT cd.qid, cd.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cd.qid
+                 ORDER BY {_d_cos6('v.ve', 'q.qvv', 'v.nrm', 'q.qn')} DESC,
+                          cd.vec_id ASC) AS rk
+        FROM cand cd JOIN v ON cd.vec_id = v.vec_id JOIN qv q ON cd.qid = q.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_d_cos6('v.ve', 'q.qvv', 'v.nrm', 'q.qn')} DESC,
+                          v.vec_id ASC) AS rk
+        FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    ncand AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+    hits AS (SELECT a.qid, COUNT(*) AS n_hit
+             FROM approx a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+             GROUP BY a.qid)
+    SELECT n.qid, n.n_cand,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / {float(_RECALL_K)}, 6) AS recall6
+    FROM ncand n LEFT JOIN hits h ON n.qid = h.qid
+    ORDER BY n.qid
+    """
+
+
+@query("q_e_ivf_trained", oracle=_ivt_oracle())
+def q_e_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of an IVF index built on the TRAINED centroids
+    (round 7 — closes the VERDICT r6 note that the IVF recall curves
+    were measured against untrained seed cells: this audit re-bases
+    cell assignment and probing on q_e_kmeans_train's round-3 means,
+    so comparing it against q_e_ivf_recall reads trained-vs-seed
+    recall at a comparable scan fraction — nprobe {IVT_NPROBE} of
+    {KM_K} trained cells vs 4 of 16 seeds). Oracle exactness: the
+    DuckDB side re-derives the SAME trained centroids by unrolling
+    the shared training chain (_kmt_chain — the two ops cannot
+    desynchronize) and runs the identical cell/probe/recall spelling
+    as q_e_ivf_recall.
+
+    Scale: training amortizes over the app (the shared _kmt_train
+    cache); assignment is one broadcast-panel Arrow pass persisted
+    for its two consumers; probes are a 5×{KM_K} broadcast rank;
+    candidate re-rank and ground truth share the _panel_scores
+    frame."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _stats, cent = _kmt_train(spark, sf_dir)
+    cdf = spark.createDataFrame(cent, "cid long, cemb array<double>")
+    cell = (
+        fan_out(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(cdf))
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cscore"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cscore").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+        .persist()
+    )
+    qids = list(_RECALL_QIDS)
+    qv = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("qscore").desc(), F.col("cid").asc()
+    )
+    probe = (
+        qv.join(F.broadcast(cdf))
+        .select("qid", "cid", _cos6("qemb", "cemb").alias("qscore"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= IVT_NPROBE)
+        .select("qid", "cid")
+    )
+    cand = (
+        cell.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .persist()
+    )
+    scores = _panel_scores(spark, sf_dir)
+    rk = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        cand.join(scores, ["qid", "vec_id"])
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        scores.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    hits = approx.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        ncand.join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_cand",
             F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
             F.round(
                 F.coalesce("n_hit", F.lit(0)) / float(_RECALL_K), 6

@@ -1052,3 +1052,23 @@ def test_int8_recall_panel_and_bounds(spark):
         assert 0 <= r.n_hit <= _RECALL_K
         assert abs(r.recall6 - r.n_hit / _RECALL_K) < 1e-9
         assert r.recall6 >= 0.5
+
+
+def test_ivf_trained_panel_and_scan_fraction(spark):
+    """Trained-IVF recall audit: full query panel reports, recall is a
+    proper fraction, and the candidate sets are genuine subsets (the
+    probe scans nprobe/K of the corpus, never all of it)."""
+    from glaciersgee_spark.operators.similarity import (
+        _RECALL_K,
+        _RECALL_QIDS,
+        q_e_ivf_trained,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_ivf_trained(spark, SF_SMOKE).collect()
+    assert sorted(r.qid for r in rows) == sorted(_RECALL_QIDS)
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    for r in rows:
+        assert 0 <= r.n_hit <= _RECALL_K
+        assert abs(r.recall6 - r.n_hit / _RECALL_K) < 1e-9
+        assert 0 < r.n_cand < n
