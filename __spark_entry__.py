@@ -12,8 +12,8 @@ so _DRIVER_VERIFIED now holds the r1-r6 union = every op checked at
 least once through round 5's inventory): the front is (a) the 3 ops
 rewritten in round 5 whose r4 rows predate the rewrite (_REWRITTEN),
 (b) the 18 round-6 additions with no driver row yet (_R6_NEW), (c) the
-22 round-7 additions (_R7_NEW), (d) q_e_rrf_fusion, whose r6 row
-predates this round's chunked-rank rewrite, and (e) 6 re-check slots
+23 round-7 additions (_R7_NEW), (d) q_e_rrf_fusion, whose r6 row
+predates this round's chunked-rank rewrite, and (e) 5 re-check slots
 (_R7_RECHECK) for the similarity/dedup ops whose green rows date to
 r1-r2 while their FILES have been edited every round since — 50 rows
 exactly at the driver cap. Local parity (tests/run_parity.py) covers
@@ -178,6 +178,7 @@ _R7_NEW: tuple[str, ...] = (
     "q_e_pq_distortion", "q_e_spectral_mass", "q_e_rank_biased_overlap",
     "q_d_stream_listener", "q_f_udtf_analyze", "q_b_sql_variables",
     "q_b_metadata_cols", "q_e_int8_recall", "q_e_ivf_trained",
+    "q_e_jsd_matrix",
 )
 
 # Rewritten in round 7 (two-phase chunked rank) — its r6 row predates
@@ -189,7 +190,7 @@ _R7_REWRITTEN: tuple[str, ...] = ("q_e_rrf_fusion",)
 # item-1 fill for the remaining front slots.
 _R7_RECHECK: tuple[str, ...] = (
     "q_e_sim_topk", "q_e_sim_join", "q_e_knn_pergroup",
-    "q_e_sim_topk_lsh", "q_e_sim_topk_ivf", "q_e_kmeans_iter",
+    "q_e_sim_topk_lsh", "q_e_sim_topk_ivf",
 )
 
 _V = TypeVar("_V")

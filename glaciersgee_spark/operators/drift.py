@@ -1518,3 +1518,117 @@ def q_e_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("r2_6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_jsd_matrix (round 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_jsd_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    st AS (
+      SELECT source, token, COUNT(*) AS cs FROM toks GROUP BY source, token
+    ),
+    ns AS (SELECT source, SUM(cs) AS nstot FROM st GROUP BY source),
+    vocab AS (SELECT DISTINCT token FROM st),
+    grid AS (SELECT ns.source, v.token, ns.nstot
+             FROM ns CROSS JOIN vocab v),
+    dense AS (
+      SELECT g.source, g.token,
+             COALESCE(CAST(st.cs AS DOUBLE), 0.0) / g.nstot AS p
+      FROM grid g LEFT JOIN st ON g.source = st.source AND g.token = st.token
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.p AS p, b.p AS q
+      FROM dense a JOIN dense b
+        ON a.token = b.token AND a.source < b.source
+    ),
+    terms AS (
+      SELECT src_a, src_b,
+             0.5 * (CASE WHEN p > 0
+                         THEN p * round(ln(2.0 * p / (p + q)), 6)
+                         ELSE 0.0 END
+                    + CASE WHEN q > 0
+                           THEN q * round(ln(2.0 * q / (p + q)), 6)
+                           ELSE 0.0 END) AS x
+      FROM pairs
+    )
+    SELECT src_a, src_b,
+           floor({dsum('x', 12, 38)} * 1000000.0 + 0.5) / 1000000.0 AS jsd6
+    FROM terms GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_e_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-to-source Jensen–Shannon divergence matrix
+    (round 7 — the mixture-design complement to q_e_js_drift's
+    source-vs-corpus scalar: the drift scalar says WHO moved away from
+    the blend, this matrix says WHICH sources are interchangeable —
+    near-zero JSD pairs are redundant under q_e_mix_weights'
+    temperature sampling, high-JSD pairs carry the diversity the
+    budget should protect): upper-triangle JSD over unigram
+    distributions, one-sided support handled exactly (a token absent
+    from one source contributes p·ln2 from the other side only).
+
+    Scale: the corpus collapses ONCE to the shared persisted
+    (source, token) count frame (drift._ST_CACHE — the same frame
+    js_drift/ct consumers ride); the densified grid and the pair join
+    are |sources|²·|vocab| rows of arithmetic, corpus-independent
+    given a bounded vocab (an unbounded vocab would first hash-bucket
+    to a fixed width, the q_e_dsir_weights discipline). 6-dp lns,
+    exact-decimal pair sums, floor-quantized output."""
+    st = _source_token_counts(spark, sf_dir)
+    ns = st.groupBy("source").agg(F.sum("cs").alias("nstot"))
+    vocab = st.select("token").distinct()
+    grid = ns.crossJoin(F.broadcast(vocab))
+    dense = (
+        grid.join(st, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            (
+                F.coalesce(F.col("cs").cast("double"), F.lit(0.0))
+                / F.col("nstot")
+            ).alias("p"),
+        )
+    )
+    a = dense.select(
+        F.col("source").alias("src_a"), "token", F.col("p").alias("p")
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"),
+        F.col("token").alias("token_b"),
+        F.col("p").alias("q"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("token") == F.col("token_b")) & (F.col("src_a") < F.col("src_b")),
+    )
+    x = 0.5 * (
+        F.when(
+            F.col("p") > 0,
+            F.col("p")
+            * F.round(F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))), 6),
+        ).otherwise(0.0)
+        + F.when(
+            F.col("q") > 0,
+            F.col("q")
+            * F.round(F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))), 6),
+        ).otherwise(0.0)
+    )
+    return (
+        pairs.select("src_a", "src_b", x.alias("x"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.floor(F.expr(dsum("x", 12, 38)) * 1000000.0 + 0.5)
+                / 1000000.0
+            ).alias("jsd6")
+        )
+        .orderBy("src_a", "src_b")
+    )

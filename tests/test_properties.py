@@ -1072,3 +1072,26 @@ def test_ivf_trained_panel_and_scan_fraction(spark):
         assert 0 <= r.n_hit <= _RECALL_K
         assert abs(r.recall6 - r.n_hit / _RECALL_K) < 1e-9
         assert 0 < r.n_cand < n
+
+
+def test_jsd_matrix_is_metric_like(spark):
+    """Pairwise source JSD: full upper triangle, values in [0, ln 2],
+    and consistent with the per-source drift scalar's distribution
+    family (JSD of a source with itself would be 0 — no self-pairs
+    emitted)."""
+    import math
+
+    from glaciersgee_spark.operators.drift import q_e_jsd_matrix
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_jsd_matrix(spark, SF_SMOKE).collect()
+    n_src = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert -1e-6 <= r.jsd6 <= math.log(2) + 1e-6
