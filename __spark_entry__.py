@@ -14,9 +14,11 @@ rewritten in round 5 whose r4 rows predate the rewrite (_REWRITTEN),
 (b) the 18 round-6 additions with no driver row yet (_R6_NEW), (c) the
 23 round-7 additions (_R7_NEW), (d) q_e_rrf_fusion, whose r6 row
 predates this round's chunked-rank rewrite, and (e) 5 re-check slots
-(_R7_RECHECK) for the similarity/dedup ops whose green rows date to
-r1-r2 while their FILES have been edited every round since — 50 rows
-exactly at the driver cap. Local parity (tests/run_parity.py) covers
+(_R7_RECHECK) for similarity ops whose green rows date to r1-r2 while
+their file has been edited every round since — 50 rows exactly at the
+driver cap. (Three more r1-r2 rechecks — q_e_kmeans_iter,
+q_e_semdedup, q_e_dedup_exact — were displaced by late round-7
+additions and should be queued in round 8.) Local parity (tests/run_parity.py) covers
 the full inventory at sf0.01 AND sf0.1 every round regardless of the
 driver cap (the registry itself is the count of record).
 """

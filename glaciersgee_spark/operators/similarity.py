@@ -1449,7 +1449,7 @@ def _kmt_oracle() -> str:
 # App-scoped training cache: (stats_rows, trained centroids) — shared
 # by q_e_kmeans_train (stats) and q_e_ivf_trained (centroids) so the
 # 3-round loop runs once per (app, sf).
-_KMT_CACHE: dict = {}
+_KMT_CACHE: dict[tuple[str, str], tuple[list, list]] = {}
 
 
 def _kmt_train(spark: SparkSession, sf_dir: str):
@@ -1462,10 +1462,10 @@ def _kmt_train(spark: SparkSession, sf_dir: str):
         e.where(F.col("vec_id").between(1, KM_K)).collect(),
         key=lambda r: r.vec_id,
     )
-    cent: list = [
+    cent: list[tuple[int, list[float]]] = [
         (int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds
     ]
-    stats_rows: list = []
+    stats_rows: list[tuple] = []
     for rnd in range(1, KMT_ROUNDS + 1):
         cdf = spark.createDataFrame(cent, "cid long, cemb array<double>")
         scored = e.join(F.broadcast(cdf)).select(
@@ -1522,7 +1522,7 @@ def _kmt_train(spark: SparkSession, sf_dir: str):
                 (rnd, r.cid, r.n_assigned, r.shift6, r.centroid_csum)
                 for r in stats
             )
-            nxt: dict = {}
+            nxt: dict[int, dict[int, float]] = {}
             for r in rf.select("cid", "d", "nv").collect():
                 nxt.setdefault(r.cid, {})[r.d] = r.nv
         finally:
@@ -3678,7 +3678,6 @@ def q_e_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") == 1)
         .select("vec_id", "cid")
-        .persist()
     )
     qids = list(_RECALL_QIDS)
     qv = e.where(F.col("vec_id").isin(qids)).select(
@@ -3700,7 +3699,10 @@ def q_e_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .persist()
     )
-    scores = _panel_scores(spark, sf_dir)
+    # scores feeds BOTH the candidate re-rank and the exact ground
+    # truth — persisted like q_e_ann_recall's copy (cell above has ONE
+    # consumer, cand, and is deliberately NOT persisted)
+    scores = _panel_scores(spark, sf_dir).persist()
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )

@@ -544,10 +544,14 @@ def test_chunked_rank_equals_naive_global_rank(spark, rows):
     extra=st.integers(min_value=1, max_value=50),
 )
 @_SET
-def test_wilson_interval_brackets_rate_for_arbitrary_counts(spark, k, extra):
-    """For ANY (passes, total) the Wilson interval must bracket the
-    empirical rate inside [0, 1] — including k=0 and k=n, where the
-    naive normal interval breaks (that is why Wilson exists)."""
+def test_wilson_interval_brackets_rate_for_arbitrary_counts(k, extra):
+    """For ANY (passes, total) the Wilson FORMULA (the expression tree
+    q_e_wilson_ci inlines in both engines — this is a pure-math pin
+    of that shared formula, not an operator drive; the operator's
+    fixture behavior is covered by its parity row and unit test) must
+    bracket the empirical rate inside [0, 1] — including k=0 and
+    k=n, where the naive normal interval breaks (that is why Wilson
+    exists)."""
     import math
 
     from glaciersgee_spark.operators.curation import _WILSON_Z
