@@ -6,21 +6,23 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 
 Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
-the least driver-side evidence are rotated to the front. Round-7
-rotation (CORRECTNESS_r06: 50/50 green — the whole _R6_FRONT block —
-so _DRIVER_VERIFIED now holds the r1-r6 union = every op checked at
-least once through round 5's inventory): the front is (a) the 3 ops
-rewritten in round 5 whose r4 rows predate the rewrite (_REWRITTEN),
-(b) the 18 round-6 additions with no driver row yet (_R6_NEW), (c) the
-23 round-7 additions (_R7_NEW), (d) q_e_rrf_fusion, whose r6 row
-predates this round's chunked-rank rewrite, and (e) 5 re-check slots
-(_R7_RECHECK) for similarity ops whose green rows date to r1-r2 while
-their file has been edited every round since — 50 rows exactly at the
-driver cap. (Three more r1-r2 rechecks — q_e_kmeans_iter,
-q_e_semdedup, q_e_dedup_exact — were displaced by late round-7
-additions and should be queued in round 8.) Local parity (tests/run_parity.py) covers
-the full inventory at sf0.01 AND sf0.1 every round regardless of the
-driver cap (the registry itself is the count of record).
+the least driver-side evidence are rotated to the front. Round-8
+rotation (CORRECTNESS_r07: 50/50 green — the whole r7 front — so
+cumulative driver coverage is COMPLETE at 328/328 and freshness is now
+the metric, VERDICT r7 item 1): the front is (a) the 3 r1-r2 rechecks
+displaced by late round-7 additions (_R8_RECHECK), then (b) the entire
+48-op cohort whose latest green rows date to ROUND 1 (_R1_COHORT —
+relational.py's scan/join/agg core and etl.py's Group A core, the two
+most-edited files since) — 51 names, so the 50-row cap leaves exactly
+one (q_a_trend_slope, the tail entry) heading the round-9 queue.
+Round-8 additions (_R8_NEW) queue immediately behind the front; their
+first-time driver evidence lands in round 9, the same one-round lag
+every prior wave took (they are covered by local parity at both SFs
+this round). The r2-evidence cohort (31 remaining ops) follows them
+for round-9/10 refresh via the _STALE_R2 block. Local parity
+(tests/run_parity.py) covers the full inventory at sf0.01 AND sf0.1
+every round regardless of the driver cap (the registry itself is the
+count of record).
 """
 
 from __future__ import annotations
@@ -117,26 +119,20 @@ _DRIVER_VERIFIED |= {
     "q_d_tumbling", "q_d_sliding", "q_d_session",
 }
 
-# The 50 ops that have NEVER had a driver CORRECTNESS row — exactly
-# the driver's ~50-row cap, so round 6 completes first-time evidence
-# for the whole inventory. Round-5 queue order preserved: streaming D
-# remainder, B stragglers, A stragglers, then the Group E tail
-# (spans/winnowing, multimodal, packing/tokenizer, curation/splits
-# ahead of the drift metrics).
-_R6_FRONT = (
-    # Group D — streaming batch-equivalents (never checked)
+# Went green in rounds 6 and 7 (CORRECTNESS_r0{6,7}.json: 50/50 each,
+# rows+schema+hash all true) — the r6 never-checked 50 plus the whole
+# r7 front (3 r5 rewrites, 18 r6 additions, 23 r7 additions, the
+# rrf_fusion post-rewrite row, 5 r1-r2 similarity rechecks). With
+# these folded in, cumulative driver coverage is 328/328.
+_DRIVER_VERIFIED |= {
     "q_d_watermark_late", "q_d_stateful_dedup", "q_d_stream_static_join",
     "q_d_stateful_custom", "q_d_stream_stream_join",
     "q_d_lateness_audit", "q_d_window_users",
-    # Group B stragglers
     "q_b_mad", "q_b_quantiles", "q_b_profile", "q_b_scd2",
     "q_b_pit_join", "q_b_fk_audit", "q_b_growth_curve", "q_b_observe",
     "q_b_scan_corrupt", "q_b_scan_range",
-    # Group A stragglers
     "q_a_anomaly_days", "q_a_cloud_window", "q_a_gapfill_interp",
     "q_a_monthly_coverage", "q_a_scene_freshness", "q_a_stereo_pairs",
-    # Group E — spans/winnowing, multimodal, packing/tokenizer,
-    # curation/splits first; drift metrics last
     "q_e_span_dedup", "q_e_winnow", "q_e_window_dedup",
     "q_e_multimodal", "q_e_mm_decode", "q_e_mm_framesample",
     "q_e_seq_pack", "q_e_doc_chunk", "q_e_bpe_pairs", "q_e_lang_id",
@@ -146,33 +142,13 @@ _R6_FRONT = (
     "q_e_boilerplate", "q_e_corpus_drift", "q_e_ngram_novelty",
     "q_e_tok_entropy", "q_e_vocab_coverage", "q_e_vocab_growth",
     "q_e_embed_gram", "q_e_power_iter",
-)
-
-# Rewritten in round 5 (degree-oriented triangles, count-upsert topk
-# sink, convergence-guarded cc_stars) — r4 driver evidence predates
-# the rewrite; behind the never-checked 50 this round, re-check lands
-# in round 7 (VERDICT r5 item 3).
-_REWRITTEN = ("q_e_graph_triangles", "q_d_window_topk", "q_e_cc_stars")
-
-# New in round 6 — queue behind the never-checked 50 and the
-# rewritten trio so CORRECTNESS_r06 stays 50/50 first-time rows;
-# first-time driver evidence for these lands in round 7.
-_R6_NEW: tuple[str, ...] = (
+    "q_e_graph_triangles", "q_d_window_topk", "q_e_cc_stars",
     "q_d_stream_ivjoin", "q_b_runlength", "q_e_template_skeleton",
     "q_e_dup_inflation", "q_e_tail_index", "q_e_length_ks",
     "q_d_stream_dedup", "q_e_filter_agreement", "q_e_dsir_weights",
     "q_d_stream_session", "q_e_span_mass", "q_e_hapax_rate",
     "q_e_cond_entropy", "q_e_ngram_simpson", "q_e_span_position",
     "q_e_k_anonymity", "q_e_shard_mixing", "q_e_anisotropy",
-)
-
-# Went green in round 6 (CORRECTNESS_r06.json: 50/50 rows+schema+hash
-# all true — exactly the _R6_FRONT block) — folded into the verified
-# tail.
-_DRIVER_VERIFIED |= set(_R6_FRONT)
-
-# New in round 7 — first-time driver evidence this round.
-_R7_NEW: tuple[str, ...] = (
     "q_d_stream_custom_state", "q_d_stream_update", "q_d_stream_complete",
     "q_e_kmeans_train", "q_e_quality_auc", "q_e_l_diversity",
     "q_e_davies_bouldin", "q_e_heaps_law", "q_e_code_switch",
@@ -181,18 +157,66 @@ _R7_NEW: tuple[str, ...] = (
     "q_d_stream_listener", "q_f_udtf_analyze", "q_b_sql_variables",
     "q_b_metadata_cols", "q_e_int8_recall", "q_e_ivf_trained",
     "q_e_jsd_matrix",
-)
-
-# Rewritten in round 7 (two-phase chunked rank) — its r6 row predates
-# the rewrite.
-_R7_REWRITTEN: tuple[str, ...] = ("q_e_rrf_fusion",)
-
-# Oldest-evidence re-checks: green rows from r1-r2 on files
-# (similarity.py, dedup.py) edited every round since — the VERDICT r6
-# item-1 fill for the remaining front slots.
-_R7_RECHECK: tuple[str, ...] = (
     "q_e_sim_topk", "q_e_sim_join", "q_e_knn_pergroup",
     "q_e_sim_topk_lsh", "q_e_sim_topk_ivf",
+}
+
+# The 3 r1-r2 rechecks the round-7 rotation displaced (promised for
+# round 8 in the r7 rotation docstring) — dedup.py/similarity.py ops
+# whose green rows predate five rounds of edits to their files.
+_R8_RECHECK: tuple[str, ...] = (
+    "q_e_kmeans_iter", "q_e_semdedup", "q_e_dedup_exact",
+)
+
+# Every op whose LATEST green driver row dates to ROUND 1
+# (CORRECTNESS_r01.json) — relational.py's scan/join/agg core first
+# (the most-edited file in the repo: +2,800 lines since r1), then
+# etl.py/spatial.py's Group A core. 48 ops; with the 3 rechecks above
+# the front is 51 names and the driver's 50-row cap leaves the tail
+# entry (q_a_trend_slope) heading the round-9 queue.
+_R1_COHORT: tuple[str, ...] = (
+    # relational.py (r1 evidence)
+    "q_b_scan_parquet", "q_b_scan_json", "q_b_scan_csv",
+    "q_b_sink_partitioned", "q_b_project", "q_b_filter_complex",
+    "q_b_join_inner", "q_b_join_left", "q_b_join_right", "q_b_join_full",
+    "q_b_join_semi", "q_b_join_anti", "q_b_join_broadcast",
+    "q_b_join_bucketed", "q_b_join_theta", "q_b_join_range",
+    "q_b_join_asof", "q_b_join_cross", "q_b_join_salted",
+    "q_b_agg_hash", "q_b_agg_distinct", "q_b_agg_salted",
+    "q_b_grouping_sets", "q_b_having", "q_b_sort", "q_b_limit_topk",
+    "q_b_topk_pergroup", "q_b_union", "q_b_intersect_except",
+    # etl.py / spatial.py (r1 evidence)
+    "q_a_filter_date", "q_a_filter_meta", "q_a_filter_bounds",
+    "q_a_sort_first", "q_a_best_per_group", "q_a_composite_agg",
+    "q_a_scene_count_hist", "q_a_props_extract", "q_a_join_aoi",
+    "q_a_distinct_scenes", "q_a_date_features", "q_a_gap_detect",
+    "q_a_export_manifest", "q_a_ingest_log", "q_a_qa_bitmask",
+    "q_a_rollup_multires", "q_a_revisit_stats", "q_a_scene_streak",
+    "q_a_trend_slope",
+)
+
+# New in round 8 — queued immediately behind the stale-evidence front
+# (the same one-round evidence lag every prior wave took); first-time
+# driver rows land in round 9.
+_R8_NEW: tuple[str, ...] = (
+    "q_d_stream_outer_join", "q_e_ivf_persist", "q_e_bpe_train",
+    "q_b_scan_pysource_filters",
+)
+
+# The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —
+# the round-9/10 refresh queue, oldest evidence after the r1 cohort.
+_STALE_R2: tuple[str, ...] = (
+    "q_b_agg_approx", "q_b_agg_collect", "q_e_ann_recall",
+    "q_e_cluster_balance", "q_e_cross_dedup", "q_e_curation_funnel",
+    "q_e_dedup_apply", "q_e_dedup_cluster", "q_e_dedup_embed",
+    "q_e_dedup_near", "q_e_dedup_near_md5", "q_e_dedup_simhash",
+    "q_e_dedup_soft", "q_e_diversity_sample", "q_e_embed_centroid",
+    "q_e_embed_outliers", "q_e_embed_quantize", "q_e_fingerprint",
+    "q_e_hard_negatives", "q_e_incremental_dedup", "q_e_ivf_recall",
+    "q_e_knn_graph", "q_e_label_balance", "q_e_lsh_tuning",
+    "q_e_minhash_est_err", "q_e_minhash_recall", "q_e_nmi",
+    "q_e_pq_recall", "q_e_simhash_recall", "q_e_source_overlap",
+    "q_e_text_tokens",
 )
 
 _V = TypeVar("_V")
@@ -204,7 +228,7 @@ def _rotated(d: dict[str, _V]) -> dict[str, _V]:
     front = {
         n: i
         for i, n in enumerate(
-            _REWRITTEN + _R6_NEW + _R7_NEW + _R7_REWRITTEN + _R7_RECHECK
+            _R8_RECHECK + _R1_COHORT + _R8_NEW + _STALE_R2
         )
     }
 

@@ -17,9 +17,10 @@ Layout (SURVEY.md §7.5):
   udfs.py       Group F UDF surface
 """
 
+from glaciersgee_spark.caches import clear_caches
 from glaciersgee_spark.registry import ORACLE, QUERIES
 
-__all__ = ["QUERIES", "ORACLE", "load_all_queries"]
+__all__ = ["QUERIES", "ORACLE", "clear_caches", "load_all_queries"]
 
 
 def load_all_queries() -> None:

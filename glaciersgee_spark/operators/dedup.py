@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, LongType
 
+from glaciersgee_spark.caches import register_cache
 from glaciersgee_spark.operators.lsh import cobucket_pairs, posting_copairs
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import fan_out, load_table
@@ -239,15 +240,15 @@ _DUCK_MD5_CTES = _duck_md5_ctes(BAND_SIZE)
 # funnel was the 2nd-most expensive query purely from recomputing it).
 # The hashed-shingle base is band-size-independent, so both banding
 # configurations (4×2 over 8 perms and 8×2 over 16) share ONE persisted copy.
-_MD5_PAIRS_CACHE: dict[tuple, DataFrame] = {}
-_MD5_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MD5_PAIRS_CACHE: dict[tuple, DataFrame] = register_cache({})
+_MD5_BASE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 # Shared persisted shingle base for the exact inverted-index ops
 # (q_e_jaccard_verify, q_e_containment, q_e_jaccard_sweep's truth set).
 # Keyed per (app, sf_dir) so a long-lived session (bench battery,
 # two-SF parity) reuses ONE cached copy instead of stacking a fresh
 # never-unpersisted persist() per call — the round-3 winnow leak class.
-_SHINGLE_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
-_JV_TRUTH_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+_SHINGLE_BASE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_JV_TRUTH_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = register_cache({})
 
 
 def _shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:

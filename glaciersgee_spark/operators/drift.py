@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from glaciersgee_spark.caches import register_cache
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -1071,7 +1072,7 @@ _LN2_6 = 0.693147  # round(ln 2, 6) — shared literal in both engines
 # reuse, so without the persist the physical plan scans the corpus 4×
 # (caught by tests/test_plans.py's re-aggregation pin). Same shared-
 # cache convention as dedup._SHINGLE_BASE_CACHE.
-_ST_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ST_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,8 +1198,8 @@ _HILL_K = 100  # order statistics used by the Hill estimator (top k+1)
 
 # App-scoped persisted caches for the round-6 drift ops, keyed per
 # (app, sf_dir) — see dedup._SHINGLE_BASE_CACHE for the convention.
-_HILL_TOP_CACHE: dict[tuple[str, str], "DataFrame"] = {}
-_KS_SRC_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+_HILL_TOP_CACHE: dict[tuple[str, str], "DataFrame"] = register_cache({})
+_KS_SRC_CACHE: dict[tuple[str, str], "DataFrame"] = register_cache({})
 
 
 @query(

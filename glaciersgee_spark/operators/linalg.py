@@ -25,6 +25,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from glaciersgee_spark.caches import register_cache
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -190,7 +191,7 @@ def q_e_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Catalyst has no cross-branch subtree reuse — without the persist the
 # corpus kernel would run three times per call (the dedup._SHINGLE_
 # BASE_CACHE convention).
-_GRAM_CACHE: dict = {}
+_GRAM_CACHE: dict = register_cache({})
 
 
 def _gram_int_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

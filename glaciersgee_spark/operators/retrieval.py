@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from glaciersgee_spark.operators.similarity import _cos6, _D_NRM, _d_cos6, _D_VEC
 from glaciersgee_spark.operators.text import BM25_CTES, q_e_bm25
+from glaciersgee_spark.caches import register_cache
 from glaciersgee_spark.registry import dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -30,7 +31,7 @@ RRF_K = 60
 # has no cross-branch subtree reuse, so without the persist the token
 # pipeline / cosine scan re-run once per consumer (the
 # dedup._SHINGLE_BASE_CACHE convention).
-_SCORED_CACHE: dict = {}
+_SCORED_CACHE: dict = register_cache({})
 
 
 def _scored_lists(spark: SparkSession, sf_dir: str):
@@ -299,7 +300,7 @@ SPK_DF_LO, SPK_DF_HI, SPK_K = 2, 20, 3
 # cross-branch subtree reuse — without the persist the corpus token
 # explode + df join would run three times per call (the
 # dedup._SHINGLE_BASE_CACHE convention).
-_SPK_W_CACHE: dict = {}
+_SPK_W_CACHE: dict = register_cache({})
 
 
 @query(

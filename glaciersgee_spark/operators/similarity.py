@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
+from glaciersgee_spark.caches import register_cache
 from glaciersgee_spark.operators.lsh import cobucket_pairs
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
@@ -147,7 +148,7 @@ def q_e_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # …) and a long-lived battery session would otherwise stack a fresh
 # never-unpersisted persist() per call (the round-4 shingle-base fix,
 # applied to the SRP side).
-_BANDED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BANDED_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,7 +1450,7 @@ def _kmt_oracle() -> str:
 # App-scoped training cache: (stats_rows, trained centroids) — shared
 # by q_e_kmeans_train (stats) and q_e_ivf_trained (centroids) so the
 # 3-round loop runs once per (app, sf).
-_KMT_CACHE: dict[tuple[str, str], tuple[list, list]] = {}
+_KMT_CACHE: dict[tuple[str, str], tuple[list, list]] = register_cache({})
 
 
 def _kmt_train(spark: SparkSession, sf_dir: str):
@@ -3162,7 +3163,7 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # App-scoped (assignment, cell-mean) cache — see the in-op comment.
-_DB_CACHE: dict = {}
+_DB_CACHE: dict = register_cache({})
 
 
 @query(
@@ -3452,7 +3453,8 @@ _I8_QL = (
     "q_e_int8_recall",
     oracle=f"""
     WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
-    s AS (SELECT vec_id, ve, nrm, {_D_AMAX} / 127.0 AS sc FROM v),
+    s AS (SELECT vec_id, ve, nrm, {_D_AMAX} / 127.0 AS sc FROM v
+          WHERE {_D_AMAX} > 0),
     qz AS (SELECT vec_id, nrm, {_I8_QL} AS q FROM s),
     qn AS (SELECT vec_id, nrm, q,
                   list_sum(list_transform(q, y -> y * y)) AS s2
@@ -3513,7 +3515,16 @@ def q_e_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the score rounds at 6 dp with ties to vec_id. Scale: one
     Arrow pass scoring all 5 queries per batch ((n,64)@(64,5) integer
     matmul), TakeOrdered-style window per query; the exact side is
-    the shared _panel_scores frame."""
+    the shared _panel_scores frame.
+
+    Zero-norm guard (round 8, ADVICE r7): a zero vector has no scale
+    (sc = max|x|/127 = 0 → NaN scores, and NaN sorts ABOVE all
+    doubles in Spark's DESC ordering), so zero-norm vectors are
+    excluded from the quantized candidate side in BOTH engines — the
+    q_e_anisotropy posture (a zero vector has no defined cosine
+    neighborhood). The panel ids are asserted nonzero-norm, and
+    _quant floors its scale so even a stray zero row yields zero
+    codes, never NaN."""
     e = load_table(spark, sf_dir, "embeddings")
     qrows = sorted(
         e.where(F.col("vec_id").isin(list(_RECALL_QIDS)))
@@ -3521,9 +3532,17 @@ def q_e_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r.vec_id,
     )
+    if any(max(abs(float(x)) for x in r.embedding) == 0.0 for r in qrows):
+        raise ValueError(
+            "q_e_int8_recall: a fixed-panel query vector is zero-norm — "
+            "its cosine ranking is undefined; pick nonzero panel ids"
+        )
 
     def _quant(m: np.ndarray) -> np.ndarray:
         sc = np.abs(m).max(axis=1) / 127.0
+        # zero-norm floor: candidates are filtered below, but a zero
+        # scale must never reach the division (NaN codes otherwise)
+        sc = np.where(sc == 0.0, 1.0, sc)
         q = np.floor(m / sc[:, None] + 0.5)
         return np.clip(q, -127.0, 127.0)
 
@@ -3540,7 +3559,13 @@ def q_e_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.Series(sc.tolist())
 
-    ef = fan_out(e.select("vec_id", "embedding"), "vec_id")
+    ef = fan_out(
+        e.select("vec_id", "embedding").where(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+            > 0
+        ),
+        "vec_id",
+    )
     s = ef.select(
         "vec_id", F.posexplode(_i8_panel("embedding")).alias("qidx", "score")
     ).select(

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from glaciersgee_spark.caches import register_cache
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -701,7 +702,7 @@ def q_e_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of q_e_ngram_lm AND q_e_ppl_buckets (same _md5_base discipline as the
 # minhash family) — memoizing it means one corpus pays the LM pipeline
 # once per session, not once per consumer.
-_LM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LM_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,7 +1286,7 @@ _DSIR_B = 1024  # hashed feature space (the q_e_feature_hashing idiom)
 # App-scoped cache for the per-doc DSIR weight frame, keyed per
 # (app, sf_dir) — the _SHINGLE_BASE_CACHE convention: one persisted
 # copy per session, never a per-call persist leak.
-_DSIR_PER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DSIR_PER_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 _DSIR_TARGET = "src0"  # the high-quality target domain
 
 

@@ -30,6 +30,11 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas-UDF boundary (Group F) and toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source filter pushdown (Spark 4.1): off by default
+    # upstream, and a pushFilters-implementing reader REFUSES to plan
+    # without it (DATA_SOURCE_PUSHDOWN_DISABLED) — required by
+    # q_b_scan_pysource_filters' connector-side pruning.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -26,7 +26,14 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -69,6 +76,114 @@ class SceneManifestReader(DataSourceReader):
                 sid % 36,
                 (sid // 36) % 18,
                 sid % 16,
+                ((sid * 37) % 1000) / 10.0,
+            )
+
+
+# ------------------------------------------- filter-pushdown reader form
+
+
+class SceneManifestPushdownDataSource(DataSource):
+    """The same deterministic manifest behind a reader that implements
+    Spark 4.1's `DataSourceReader.pushFilters` — a SEPARATE source name
+    because Spark refuses (DATA_SOURCE_PUSHDOWN_DISABLED, verified
+    first-hand) to plan a pushFilters-implementing reader while
+    `spark.sql.python.filterPushdown.enabled` is false, and the plain
+    connector must keep working on sessions without the conf."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ggee_scene_manifest_pushdown"
+
+    def schema(self) -> str:
+        return (
+            "scene_id BIGINT, tile_x INT, tile_y INT, day INT,"
+            " cloud_pct DOUBLE"
+        )
+
+    def reader(self, schema) -> "SceneManifestPushdownReader":
+        return SceneManifestPushdownReader()
+
+
+class SceneManifestPushdownReader(DataSourceReader):
+    """Connector-side filtering: the manifest service indexes scenes by
+    id and acquisition day, so range/equality/IN predicates on
+    `scene_id` and `day` are ACCEPTED in pushFilters (retained on self,
+    applied in partitions()/read()); anything else — e.g. a cloud_pct
+    bound, which the fictional service has no index for — is yielded
+    back for Spark to evaluate post-scan, the partial-pushdown
+    contract. scene_id bounds prune whole InputPartitions (each covers
+    a contiguous ROWS_PER_PART id range), so a pruned split is never
+    planned, never scheduled, never generated — the Python-source
+    equivalent of parquet row-group skipping."""
+
+    def __init__(self) -> None:
+        # accepted-predicate state; pushFilters may tighten these and
+        # MUST leave the object picklable (it ships to executors)
+        self.id_lo = 0  # inclusive
+        self.id_hi = N_PARTS * ROWS_PER_PART  # exclusive
+        self.day_allowed: set[int] | None = None  # None = no day filter
+        self.pushed: list[Filter] = []  # observability (tests assert)
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            att = getattr(f, "attribute", None)
+            if att == ("scene_id",) and isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+            ):
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    self.id_lo = max(self.id_lo, v)
+                    self.id_hi = min(self.id_hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.id_lo = max(self.id_lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.id_lo = max(self.id_lo, v)
+                elif isinstance(f, LessThan):
+                    self.id_hi = min(self.id_hi, v)
+                else:  # LessThanOrEqual
+                    self.id_hi = min(self.id_hi, v + 1)
+                self.pushed.append(f)
+            elif att == ("day",) and isinstance(f, (EqualTo, In)):
+                vals = (
+                    {int(f.value)}
+                    if isinstance(f, EqualTo)
+                    else {int(v) for v in f.value}
+                )
+                self.day_allowed = (
+                    vals
+                    if self.day_allowed is None
+                    else self.day_allowed & vals
+                )
+                self.pushed.append(f)
+            else:
+                # unsupported (wrong column, OR-shape never arrives —
+                # Spark sends only a top-level AND) → Spark re-applies
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        # split pruning off the accepted scene_id bounds
+        return [
+            InputPartition(i)
+            for i in range(N_PARTS)
+            if i * ROWS_PER_PART < self.id_hi
+            and (i + 1) * ROWS_PER_PART > self.id_lo
+        ] or [InputPartition(0)]  # Spark requires ≥1 split; reads empty
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        base = partition.value * ROWS_PER_PART
+        lo = max(base, self.id_lo)
+        hi = min(base + ROWS_PER_PART, self.id_hi)
+        for sid in range(lo, hi):
+            day = sid % 16
+            if self.day_allowed is not None and day not in self.day_allowed:
+                continue
+            yield (
+                sid,
+                sid % 36,
+                (sid // 36) % 18,
+                day,
                 ((sid * 37) % 1000) / 10.0,
             )
 

@@ -1311,11 +1311,26 @@ def q_d_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_d_stream_listener",
+    # n_data_batches is DERIVED, not hardcoded (round 8, ADVICE r7):
+    # staging cuts the feed into 4 day-aligned chunks (chk = least(3,
+    # day_index*4 // span_days) — the exact _day_chunk spelling) and
+    # maxFilesPerTrigger=2 admits them in mtime order as the fixed
+    # pairs {0,1}, {2,3}; a pair is a DATA batch iff it carries ≥ 1
+    # row, so the expected count is COUNT(DISTINCT chk // 2) — exact
+    # for any corpus, including one whose events span < 4 distinct
+    # days (some chunks then stage empty).
     oracle="""
-    SELECT CAST(2 AS BIGINT) AS n_data_batches,
+    WITH sp AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+                       date_diff('day', MIN(CAST(ts AS DATE)),
+                                 MAX(CAST(ts AS DATE))) + 1 AS span
+                FROM events),
+    ch AS (SELECT least(3, (date_diff('day', sp.lo, CAST(e.ts AS DATE)) * 4)
+                           // sp.span) AS chk
+           FROM events e CROSS JOIN sp)
+    SELECT CAST(COUNT(DISTINCT chk // 2) AS BIGINT) AS n_data_batches,
            CAST(COUNT(*) AS BIGINT) AS total_input_rows,
            CAST(COUNT(*) AS BIGINT) AS sum_progress_rows
-    FROM events
+    FROM ch
     """,
 )
 def q_d_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,8 +1338,11 @@ def q_d_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring surface every production stream wires before anything
     else): a listener registered on the session captures every
     onQueryProgress event while the day-chunked events feed drains
-    (maxFilesPerTrigger=2 over 4 staged chunks ⇒ exactly 2 data
-    micro-batches), and the op's RESULT is built from the captured
+    (maxFilesPerTrigger=2 over 4 staged chunks ⇒ one micro-batch per
+    NON-EMPTY chunk pair — the oracle re-derives that count from the
+    chunk function rather than hardcoding 2, so a corpus spanning
+    fewer than 4 distinct days still agrees), and the op's RESULT is
+    built from the captured
     events themselves — data-batch count and the listener-summed input
     rows, which must equal the corpus row count exactly (the
     lost-events reconciliation a metrics pipeline runs against its

@@ -795,11 +795,15 @@ class JsonlForeachWriter:
     foreachBatch and the Python DataSource sink): each task opens one
     JSONL file per (epoch, partition), stamps every row with its
     epoch_id — exactly the batch ordering an update-mode consumer
-    needs for latest-wins resolution — and deletes its file on task
-    error (best-effort abort). Delivery is the foreach contract:
-    at-least-once per epoch; safe here because re-emissions within an
-    epoch are identical rows and read-back resolves per-key
-    latest-batch-wins, so duplicates collapse.
+    needs for latest-wins resolution — and publishes the file with an
+    atomic rename only when close(None) confirms a clean task: a task
+    that dies MID-WRITE (executor loss, no close() call at all) leaves
+    only a `.tmp` name the read-back glob never matches, so a
+    truncated trailing line can never surface as a spurious all-null
+    row in the PERMISSIVE JSONL read (round 8, ADVICE r7). Delivery is
+    the foreach contract: at-least-once per epoch; safe here because
+    re-emissions within an epoch are identical rows and read-back
+    resolves per-key latest-batch-wins, so duplicates collapse.
 
     Consumes ROW-based plans only: Spark 4.1's foreach path casts each
     InternalRow to UnsafeRow, so Arrow-COLUMNAR operator output (e.g.
@@ -818,7 +822,10 @@ class JsonlForeachWriter:
         self.path = os.path.join(
             self.base, f"rows-{epoch_id}-{partition_id}-{uuid.uuid4().hex}.jsonl"
         )
-        self.fh = open(self.path, "w")
+        # stage under a name the read-back glob (*.jsonl) never
+        # matches; publish atomically in close(None)
+        self.tmp = f"{self.path}.tmp"
+        self.fh = open(self.tmp, "w")
         return True
 
     def process(self, row) -> None:
@@ -832,8 +839,10 @@ class JsonlForeachWriter:
         import os
 
         self.fh.close()
-        if error is not None and os.path.exists(self.path):
-            os.remove(self.path)
+        if error is None:
+            os.replace(self.tmp, self.path)  # atomic publish
+        elif os.path.exists(self.tmp):
+            os.remove(self.tmp)
 
 
 def drain_update_sink(spark: SparkSession, sf_dir: str, sink: str, ck: str):
