@@ -910,6 +910,173 @@ def q_e_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 5  # bounded merge budget, the q_e_kmeans_train discipline
+
+# Symbol-string representation shared by both engines: a word's symbol
+# sequence is each symbol wrapped in mathematical angle brackets
+# (U+27E8/U+27E9, asserted absent from the corpus), so the merge of
+# pair (l, r) is the plain non-overlapping left-to-right
+# replace('⟨l⟩⟨r⟩' → '⟨lr⟩') — exactly BPE's greedy scan — and a
+# symbol boundary can never be confused with symbol CONTENT ('ka b'
+# vs 'k ab' style false matches, the failure of space-separated
+# encodings).
+
+
+def _bpe_rounds() -> list[str]:
+    """Unrolled BPE merge rounds as a dependent CTE chain (the
+    _kmt_rounds discipline): each round explodes adjacent symbol
+    pairs of the previous round's word forms, argmaxes by
+    (occurrences, left, right), and applies the merge with a literal
+    replace. LEFT JOIN ON TRUE keeps the chain total when a round
+    finds no pair (every word already a single symbol)."""
+    rounds = []
+    for r in range(1, BPE_ROUNDS + 1):
+        rounds.append(f"""e{r} AS (
+      SELECT s, freq,
+             unnest(list_transform(range(1, len(sy)),
+                                   i -> sy[i] || '⟩⟨' || sy[i + 1])) AS pr
+      FROM (SELECT s, freq,
+                   string_split(substr(s, 2, length(s) - 2), '⟩⟨') AS sy
+            FROM w{r - 1})),
+    p{r} AS (SELECT string_split(pr, '⟩⟨')[1] AS ls,
+                    string_split(pr, '⟩⟨')[2] AS rs,
+                    CAST(SUM(freq) AS BIGINT) AS n_occ,
+                    CAST(COUNT(DISTINCT s) AS BIGINT) AS n_types
+             FROM e{r} GROUP BY pr),
+    b{r} AS (SELECT ls, rs, n_occ, n_types FROM p{r}
+             ORDER BY n_occ DESC, ls ASC, rs ASC LIMIT 1),
+    w{r} AS (SELECT CASE WHEN b.ls IS NULL THEN w.s
+                         ELSE replace(w.s, '⟨' || b.ls || '⟩⟨' || b.rs || '⟩',
+                                           '⟨' || b.ls || b.rs || '⟩')
+                    END AS s, w.freq
+             FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE)""")
+    return rounds
+
+
+def _bpe_oracle() -> str:
+    trace = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, ls AS left_sym, rs AS right_sym,"
+        f" ls || rs AS merged, n_occ, n_types FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH wt AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t
+    ),
+    w0 AS (SELECT regexp_replace(word, '(.)', '⟨\\1⟩', 'g') AS s, freq
+           FROM wt),
+    {','.join(_bpe_rounds())}
+    SELECT * FROM ({trace}) ORDER BY rnd
+    """
+
+
+@query("q_e_bpe_train", oracle=_bpe_oracle())
+def q_e_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary TRAINING to a fixed 5-merge budget
+    (round 8, VERDICT r7 item 6 — the loop q_e_bpe_pairs is step 1 of,
+    run with the q_e_kmeans_train discipline: a driver-side for-loop
+    of bounded distributed rounds, one 1-row argmax collect per round).
+    Classic Sennrich-style word-type BPE: train on the (word type,
+    corpus frequency) table, count adjacent symbol-pair positions
+    weighted by word frequency, merge the most frequent pair
+    (ties → lexicographically smallest left, then right symbol), and
+    re-count over the merged forms. Emits the merge trace — per round
+    the merged pair, its weighted occurrence count, and how many word
+    types contained it — the artifact a tokenizer-training job logs
+    and ships.
+
+    Engine split, sized for 100 TB: the corpus is touched ONCE (the
+    map-side-combined token count that builds the word-type table —
+    the same shuffle q_e_text_tokens rides); every training round then
+    runs over |word types| rows (persisted once, unpersisted in a
+    finally), each round = one narrow pair explode + one combinable
+    groupBy + a 1-row collect; the merge apply is a literal
+    whole-string replace, narrow and codegen. Determinism: pair counts
+    are exact BIGINTs; replace() is left-to-right non-overlapping in
+    both engines (probed: '⟨l⟩⟨l⟩⟨l⟩' merges once, the BPE greedy
+    contract); the oracle re-derives the identical chain with unrolled
+    CTEs. A round with no remaining pairs stops the loop (the oracle's
+    LEFT JOIN ON TRUE mirrors by passing word forms through)."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # one persisted |word types|-row frame; the corpus scan happens once
+    base = wt.select(
+        F.regexp_replace("w", "(.)", "⟨$1⟩").alias("s"), "freq"
+    ).persist()
+    cur = base
+    trace: list[tuple] = []
+    try:
+        for rnd in range(1, BPE_ROUNDS + 1):
+            syd = cur.withColumn(
+                "sy",
+                F.split(F.expr("substring(s, 2, char_length(s) - 2)"), "⟩⟨"),
+            )
+            # size >= 2 guard: Spark's sequence(1, 0) DESCENDS instead
+            # of returning empty, and ANSI element_at would then throw
+            pairs = syd.where(F.size("sy") >= 2).select(
+                "s",
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy) - 1),"
+                        " i -> struct(element_at(sy, i) AS ls,"
+                        "             element_at(sy, i + 1) AS rs))"
+                    )
+                ).alias("p"),
+            )
+            stats = pairs.groupBy(
+                F.col("p.ls").alias("ls"), F.col("p.rs").alias("rs")
+            ).agg(
+                F.sum("freq").cast("long").alias("n_occ"),
+                F.countDistinct("s").alias("n_types"),
+            )
+            best = (
+                stats.orderBy(
+                    F.col("n_occ").desc(), F.col("ls").asc(), F.col("rs").asc()
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # every word is a single symbol — trained out
+            b = best[0]
+            trace.append(
+                (rnd, b.ls, b.rs, b.ls + b.rs, int(b.n_occ), int(b.n_types))
+            )
+            cur = cur.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"⟨{b.ls}⟩⟨{b.rs}⟩"),
+                    F.lit(f"⟨{b.ls}{b.rs}⟩"),
+                ),
+            )
+    finally:
+        # cur chains narrow transforms ON TOP of the persisted base and
+        # the returned frame is a collected-trace createDataFrame, so
+        # releasing the base here leaks nothing downstream
+        base.unpersist()
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rnd", T.LongType()),
+            T.StructField("left_sym", T.StringType()),
+            T.StructField("right_sym", T.StringType()),
+            T.StructField("merged", T.StringType()),
+            T.StructField("n_occ", T.LongType()),
+            T.StructField("n_types", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(trace, schema).orderBy("rnd")
+
+
 # Per-language keep-rate (percent of the 100 md5 buckets kept): the
 # down/up-weighting move of a training-mix curator, deterministic per
 # doc (content-stable hash bucket, same family as q_e_train_split).

@@ -110,6 +110,9 @@ HEADLINERS = [
     ("q_e_spectral_mass", "one persisted integer-Gram kernel feeds three dimension-frame branches; Python boundary before the shuffle (r7)"),
     ("q_e_kmeans_train", "3 bounded Lloyd rounds: broadcast centroid panels, combinable per-dim means, 512-row round frames persisted (r7)"),
     ("q_e_rank_biased_overlap", "both lists depth-capped by TakeOrdered before ANY join; all downstream work is 25-row arithmetic (r7)"),
+    ("q_b_scan_pysource_filters", "pushFilters three-way split: scene_id bounds prune splits, day IN filters at generation, cloud_pct stays a Spark residual (r8)"),
+    ("q_e_ivf_persist", "serve path reads the persisted codebook+postings parquet — no training lineage, no LocalTableScan; probe is a broadcast K-row rank (r8)"),
+    ("q_e_bpe_train", "one corpus token-count shuffle total; each merge round is a narrow pair explode + combinable groupBy over |word types| rows (r8)"),
 ]
 
 

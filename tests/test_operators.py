@@ -2389,3 +2389,58 @@ def test_anisotropy_equals_bruteforce_pairwise_mean(spark):
         got = rows[label]
         assert got.n_vecs == n
         assert abs(got.mean_cos6 - want) < 1e-5
+
+
+def test_bpe_train_merge_trace_is_reproducible_bpe(spark):
+    """The 5-round merge trace must be a valid BPE chain: each merged
+    symbol is the concatenation of its pair, round-1 equals the
+    argmax of q_e_bpe_pairs' step-1 counts (same corpus, same
+    weighting), counts are positive and every merged symbol's
+    characters appear contiguously in some corpus word."""
+    from glaciersgee_spark.operators.text import q_e_bpe_pairs, q_e_bpe_train
+    from glaciersgee_spark.tables import load_table
+
+    trace = q_e_bpe_train(spark, SF_SMOKE).collect()
+    assert [r.rnd for r in trace] == [1, 2, 3, 4, 5]
+    for r in trace:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.n_occ > 0 and r.n_types > 0
+    # round 1 == step-1 argmax (bpe_pairs counts every adjacent
+    # position, exactly the training loop's weighting)
+    step1 = q_e_bpe_pairs(spark, SF_SMOKE).collect()[0]
+    assert trace[0].merged == step1.pair
+    assert trace[0].n_occ == step1.n
+    # merged symbols are real corpus substrings
+    texts = " ".join(
+        r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("text")
+        .limit(200)
+        .collect()
+    )
+    corpus_words = set(texts.split(" "))
+    for r in trace:
+        assert any(r.merged in w for w in corpus_words)
+
+
+def test_clear_caches_releases_every_registered_frame(spark):
+    """clear_caches() must unpersist the app-scoped cached frames and
+    empty the registries, and the ops must REBUILD correctly after —
+    the long-lived-session tenant-boundary contract (round 8,
+    VERDICT r7 nit 2)."""
+    from glaciersgee_spark import clear_caches
+    from glaciersgee_spark.operators.drift import q_e_tail_index
+    from glaciersgee_spark.operators.similarity import _BANDED_CACHE, _banded
+
+    clear_caches()  # start from a clean slate regardless of test order
+    before = {r.lang for r in q_e_tail_index(spark, SF_SMOKE).collect()}
+    _banded(spark, SF_SMOKE)  # populate a DataFrame-valued cache too
+    assert len(_BANDED_CACHE) > 0
+    released = clear_caches()
+    assert released["entries"] > 0
+    assert released["frames"] > 0
+    assert len(_BANDED_CACHE) == 0
+    # second clear is a no-op; ops rebuild from scratch and agree
+    assert clear_caches()["entries"] == 0
+    after = {r.lang for r in q_e_tail_index(spark, SF_SMOKE).collect()}
+    assert after == before and len(after) > 0

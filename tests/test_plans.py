@@ -863,3 +863,79 @@ def test_sparse_knn_postings_frame_is_cached(spark):
 
     x = PI.executed(q_e_sparse_knn(spark, SF_SMOKE))
     assert x.count("InMemoryTableScan") >= 3, x
+
+
+def test_pysource_pushdown_prunes_partitions_and_keeps_residual(spark):
+    """q_b_scan_pysource_filters' negotiation must land the three-way
+    split: scene_id bounds + day IN pushed into the source (visible as
+    PushedFilters on the BatchScan and as pruned InputPartitions on
+    the reader), cloud_pct refused and re-applied by Spark's own
+    post-scan Filter."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from glaciersgee_spark.operators.relational import (
+        q_b_scan_pysource_filters,
+    )
+    from glaciersgee_spark.sources.pysource import (
+        SceneManifestPushdownReader,
+    )
+
+    # reader-level contract: accepted filters prune splits, the rest
+    # come back out
+    r = SceneManifestPushdownReader()
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("scene_id",), 105),
+                LessThanOrEqual(("scene_id",), 260),
+                In(("day",), (3, 7, 11)),
+                LessThan(("cloud_pct",), 70.0),
+            ]
+        )
+    )
+    assert residual == [LessThan(("cloud_pct",), 70.0)]
+    parts = r.partitions()
+    assert [p.value for p in parts] == [1, 2]  # splits 0 and 3 pruned
+    # plan-level contract: pushed filters on the scan, residual in a
+    # Spark Filter node
+    df = q_b_scan_pysource_filters(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    pushed_line = next(
+        line for line in plan.splitlines() if "PushedFilters:" in line
+    )
+    for frag in (
+        "GreaterThanOrEqual(scene_id,105)",
+        "LessThanOrEqual(scene_id,260)",
+        "In(day,",
+    ):
+        assert frag in pushed_line
+    assert "cloud_pct" not in pushed_line
+    cond_lines = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("Condition :")
+    ]
+    assert any("cloud_pct" in line for line in cond_lines)
+    assert not any("day#" in line for line in cond_lines)
+
+
+def test_ivf_persist_serves_from_artifacts_not_training_lineage(spark):
+    """q_e_ivf_persist's SERVE plan must read the persisted index —
+    two parquet scans under the ggee_ivf_index staging root (codebook
+    + postings) — and carry NO training lineage: no LocalTableScan of
+    driver-collected centroids (the _KMT_CACHE shape the build path
+    uses) and no InMemoryTableScan. Build once, serve from disk."""
+    from glaciersgee_spark.operators.similarity import q_e_ivf_persist
+
+    df = q_e_ivf_persist(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert plan.count("ggee_ivf_index") == 2
+    assert "LocalTableScan" not in plan
+    assert "InMemoryTableScan" not in plan
+    # the artifacts round-trip losslessly: 5 panel queries × top-10
+    assert df.count() == 50

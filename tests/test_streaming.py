@@ -783,3 +783,135 @@ def test_stream_listener_reconciles_and_detaches(spark):
     assert r1.total_input_rows == n
     r2 = q_d_stream_listener(spark, SF_SMOKE).collect()[0]
     assert (r2.n_data_batches, r2.total_input_rows) == (2, n)
+
+
+def test_stream_outer_join_null_extends_only_after_watermark(spark):
+    """q_d_stream_outer_join's drain must (a) emit EXACTLY the batch
+    inner join's matched pairs, (b) null-extend every unmatched
+    purchase at or below the probed eviction cutoff (final watermark
+    − 1 ms) and NONE above it — the emission-on-eviction contract —
+    (c) never emit a purchase both matched and null-extended, and
+    (d) run multi-batch with state eviction (numRowsRemoved > 0)."""
+    import datetime
+
+    from glaciersgee_spark.streaming.batch_equiv import (
+        q_d_stream_stream_join,
+    )
+    from glaciersgee_spark.streaming.stream import drain_outer_interval_join
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    sink = scratch_dir(prefix="ggee_ivjo_t_sink_")
+    ck = scratch_dir(prefix="ggee_ivjo_t_ck_")
+    q = drain_outer_interval_join(spark, SF_SMOKE, sink, ck)
+    prog = q.recentProgress
+    assert len(prog) >= 2
+    removed = sum(
+        s["numRowsRemoved"] for p in prog for s in p["stateOperators"]
+    )
+    assert removed > 0
+    out = spark.read.parquet(sink)
+    matched = out.where(F.col("c_ts").isNotNull())
+    nulls = out.where(F.col("c_ts").isNull())
+    # (a) matched side == batch inner join, pair for pair
+    want_pairs = (
+        q_d_stream_stream_join(spark, SF_SMOKE)
+        .agg(F.sum("n_clicks_30m").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert matched.count() == want_pairs > 0
+    # (c) no purchase is both matched and null-extended
+    assert (
+        nulls.select("purchase_id")
+        .join(matched.select("purchase_id").distinct(), "purchase_id")
+        .count()
+        == 0
+    )
+    # (b) cutoff = min(ms-floor(max p_ts) − 1 h, ms-floor(max c_ts)
+    # − 2 h) − 1 ms, from the round-8 ±1 µs / ±1 ms boundary probes
+    ev = load_table(spark, SF_SMOKE, "events")
+    mx = ev.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "mp"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "mc"
+        ),
+    ).collect()[0]
+    floor_ms = lambda t: t.replace(microsecond=t.microsecond // 1000 * 1000)
+    cutoff = min(
+        floor_ms(mx.mp) - datetime.timedelta(hours=1),
+        floor_ms(mx.mc) - datetime.timedelta(hours=2),
+    ) - datetime.timedelta(milliseconds=1)
+    bp = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    bc = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    bpu = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    inner_ids = (
+        bpu.join(
+            bc,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select("purchase_id")
+        .distinct()
+    )
+    unmatched = {
+        r.purchase_id: r.p_ts
+        for r in bp.join(inner_ids, "purchase_id", "left_anti").collect()
+    }
+    emitted = {r.purchase_id for r in nulls.select("purchase_id").collect()}
+    want_emitted = {
+        pid
+        for pid, ts in unmatched.items()
+        if ts.replace(tzinfo=None) <= cutoff
+    }
+    got = {
+        pid for pid in emitted
+    }
+    assert got == want_emitted
+    # the open tail really is withheld — the contract has teeth
+    assert len(unmatched) > len(want_emitted)
+
+
+def test_heavy_drains_run_on_rocksdb_and_restore_conf(spark):
+    """The two heaviest stateful drains (interval join, timer
+    sessionization) must run on the RocksDB state store provider —
+    rocksdb* custom metrics present on their stateOperators, state
+    landing in SST files — and must RESTORE the session's provider
+    conf afterwards (a foreign session's choice survives the call)."""
+    from glaciersgee_spark.streaming.stream import (
+        _PROVIDER_CONF,
+        drain_custom_state,
+        drain_interval_join,
+    )
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    before = spark.conf.get(_PROVIDER_CONF)
+    q1 = drain_interval_join(
+        spark,
+        SF_SMOKE,
+        scratch_dir(prefix="ggee_rkt1_s_"),
+        scratch_dir(prefix="ggee_rkt1_c_"),
+    )
+    cm1 = q1.lastProgress["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in cm1)
+    assert int(cm1["rocksdbSstFileSize"]) > 0  # state really in RocksDB
+    q2 = drain_custom_state(
+        spark,
+        SF_SMOKE,
+        scratch_dir(prefix="ggee_rkt2_s_"),
+        scratch_dir(prefix="ggee_rkt2_c_"),
+    )
+    cm2 = q2.lastProgress["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in cm2)
+    assert spark.conf.get(_PROVIDER_CONF) == before
