@@ -200,7 +200,8 @@ _R1_COHORT: tuple[str, ...] = (
 # driver rows land in round 9.
 _R8_NEW: tuple[str, ...] = (
     "q_d_stream_outer_join", "q_e_ivf_persist", "q_e_bpe_train",
-    "q_b_scan_pysource_filters",
+    "q_b_scan_pysource_filters", "q_e_bpe_fertility", "q_b_sql_pipe",
+    "q_f_group_arrow",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

@@ -2889,6 +2889,52 @@ def q_b_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_b_sql_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_b_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (round 8 — Spark 4's `|>` operator chain, the
+    linear query form ported from GoogleSQL: each stage consumes the
+    previous stage's table, so the query reads top-to-bottom the way
+    the optimizer actually evaluates it, and appending a stage never
+    forces restructuring nested subqueries): a pricing rollup spelled
+    as FROM → |> WHERE → |> EXTEND (computed column) → |> AGGREGATE
+    … GROUP BY → |> ORDER BY.
+
+    Pipe syntax is PURE SYNTAX — it parses to the same logical plan
+    as the standard spelling, so Catalyst's pushdown/pruning work
+    unchanged (the shipdate predicate reaches the parquet scan,
+    pinned in tests/test_plans.py against the standard-SQL twin).
+    The aggregate rides the exact-decimal dsum convention; the oracle
+    is the standard-SQL equivalent, which is exactly the claim under
+    test: the two spellings are the same query."""
+    ensure = load_table(spark, sf_dir, "lineitem")
+    ensure.createOrReplaceTempView("ggee_pipe_li")
+    return spark.sql(
+        """
+        FROM ggee_pipe_li
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+        |> EXTEND l_extendedprice * (1.0 - l_discount) AS disc_price
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(disc_price AS DECIMAL(30,6))) AS DOUBLE)
+                       AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_disc_price
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_b_metadata_cols (round 7)
 # ---------------------------------------------------------------------------

@@ -945,12 +945,29 @@ def _bpe_rounds() -> list[str]:
              FROM e{r} GROUP BY pr),
     b{r} AS (SELECT ls, rs, n_occ, n_types FROM p{r}
              ORDER BY n_occ DESC, ls ASC, rs ASC LIMIT 1),
-    w{r} AS (SELECT CASE WHEN b.ls IS NULL THEN w.s
+    w{r} AS (SELECT w.word,
+                    CASE WHEN b.ls IS NULL THEN w.s
                          ELSE replace(w.s, '⟨' || b.ls || '⟩⟨' || b.rs || '⟩',
                                            '⟨' || b.ls || b.rs || '⟩')
                     END AS s, w.freq
              FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE)""")
     return rounds
+
+
+# The WITH-body shared by the q_e_bpe_train trace and the
+# q_e_bpe_fertility application oracle (the _kmt_chain discipline:
+# one spelling, two consumers, impossible to desynchronize). Carries
+# `word` through every round so downstream oracles can join the
+# trained forms back to per-language frequencies.
+def _bpe_chain() -> str:
+    return f"""wt AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t
+    ),
+    w0 AS (SELECT word, regexp_replace(word, '(.)', '⟨\\1⟩', 'g') AS s, freq
+           FROM wt),
+    {','.join(_bpe_rounds())}"""
 
 
 def _bpe_oracle() -> str:
@@ -960,45 +977,26 @@ def _bpe_oracle() -> str:
         for r in range(1, BPE_ROUNDS + 1)
     )
     return f"""
-    WITH wt AS (
-      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-      GROUP BY t
-    ),
-    w0 AS (SELECT regexp_replace(word, '(.)', '⟨\\1⟩', 'g') AS s, freq
-           FROM wt),
-    {','.join(_bpe_rounds())}
+    WITH {_bpe_chain()}
     SELECT * FROM ({trace}) ORDER BY rnd
     """
 
 
-@query("q_e_bpe_train", oracle=_bpe_oracle())
-def q_e_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary TRAINING to a fixed 5-merge budget
-    (round 8, VERDICT r7 item 6 — the loop q_e_bpe_pairs is step 1 of,
-    run with the q_e_kmeans_train discipline: a driver-side for-loop
-    of bounded distributed rounds, one 1-row argmax collect per round).
-    Classic Sennrich-style word-type BPE: train on the (word type,
-    corpus frequency) table, count adjacent symbol-pair positions
-    weighted by word frequency, merge the most frequent pair
-    (ties → lexicographically smallest left, then right symbol), and
-    re-count over the merged forms. Emits the merge trace — per round
-    the merged pair, its weighted occurrence count, and how many word
-    types contained it — the artifact a tokenizer-training job logs
-    and ships.
+# App-scoped training cache: the 5-round merge trace — shared by
+# q_e_bpe_train (the trace itself) and q_e_bpe_fertility (which
+# APPLIES the learned merges), so the loop runs once per (app, sf).
+_BPE_CACHE: dict = register_cache({})
 
-    Engine split, sized for 100 TB: the corpus is touched ONCE (the
-    map-side-combined token count that builds the word-type table —
-    the same shuffle q_e_text_tokens rides); every training round then
-    runs over |word types| rows (persisted once, unpersisted in a
-    finally), each round = one narrow pair explode + one combinable
-    groupBy + a 1-row collect; the merge apply is a literal
-    whole-string replace, narrow and codegen. Determinism: pair counts
-    are exact BIGINTs; replace() is left-to-right non-overlapping in
-    both engines (probed: '⟨l⟩⟨l⟩⟨l⟩' merges once, the BPE greedy
-    contract); the oracle re-derives the identical chain with unrolled
-    CTEs. A round with no remaining pairs stops the loop (the oracle's
-    LEFT JOIN ON TRUE mirrors by passing word forms through)."""
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the bounded 5-merge training loop (see q_e_bpe_train's
+    docstring for the discipline) and return the merge trace rows
+    (rnd, left, right, merged, n_occ, n_types); cached per
+    (applicationId, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
     wt = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1059,11 +1057,44 @@ def q_e_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         # cur chains narrow transforms ON TOP of the persisted base and
-        # the returned frame is a collected-trace createDataFrame, so
-        # releasing the base here leaks nothing downstream
+        # the trace is plain rows, so releasing the base leaks nothing
         base.unpersist()
+    _BPE_CACHE[key] = trace
+    return trace
+
+
+@query("q_e_bpe_train", oracle=_bpe_oracle())
+def q_e_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary TRAINING to a fixed 5-merge budget
+    (round 8, VERDICT r7 item 6 — the loop q_e_bpe_pairs is step 1 of,
+    run with the q_e_kmeans_train discipline: a driver-side for-loop
+    of bounded distributed rounds, one 1-row argmax collect per round).
+    Classic Sennrich-style word-type BPE: train on the (word type,
+    corpus frequency) table, count adjacent symbol-pair positions
+    weighted by word frequency, merge the most frequent pair
+    (ties → lexicographically smallest left, then right symbol), and
+    re-count over the merged forms. Emits the merge trace — per round
+    the merged pair, its weighted occurrence count, and how many word
+    types contained it — the artifact a tokenizer-training job logs
+    and ships.
+
+    Engine split, sized for 100 TB: the corpus is touched ONCE (the
+    map-side-combined token count that builds the word-type table —
+    the same shuffle q_e_text_tokens rides); every training round then
+    runs over |word types| rows (persisted once, unpersisted in a
+    finally), each round = one narrow pair explode + one combinable
+    groupBy + a 1-row collect; the merge apply is a literal
+    whole-string replace, narrow and codegen. Determinism: pair counts
+    are exact BIGINTs; replace() is left-to-right non-overlapping in
+    both engines (probed: '⟨l⟩⟨l⟩⟨l⟩' merges once, the BPE greedy
+    contract); the oracle re-derives the identical chain with unrolled
+    CTEs. A round with no remaining pairs stops the loop (the oracle's
+    LEFT JOIN ON TRUE mirrors by passing word forms through). The
+    trace is trained once per (app, sf) in the shared _BPE_CACHE and
+    reused by q_e_bpe_fertility, which APPLIES these merges."""
     from pyspark.sql import types as T
 
+    trace = _bpe_train(spark, sf_dir)
     schema = T.StructType(
         [
             T.StructField("rnd", T.LongType()),
@@ -1075,6 +1106,103 @@ def q_e_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(trace, schema).orderBy("rnd")
+
+
+def _bpe_fert_oracle() -> str:
+    last = f"w{BPE_ROUNDS}"
+    return f"""
+    WITH {_bpe_chain()},
+    lw AS (
+      SELECT lang, t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY lang, t
+    ),
+    sym AS (SELECT word,
+                   CAST(len(string_split(substr(s, 2, length(s) - 2),
+                                         '⟩⟨')) AS BIGINT) AS n_sym
+            FROM {last}),
+    per AS (
+      SELECT lang,
+             CAST(SUM(freq) AS BIGINT) AS n_words,
+             CAST(SUM(freq * n_sym) AS BIGINT) AS tot_sym,
+             CAST(SUM(freq * length(word)) AS BIGINT) AS tot_chars
+      FROM lw JOIN sym USING (word)
+      GROUP BY lang
+    )
+    SELECT lang, n_words,
+           floor(CAST(tot_sym AS DOUBLE) / n_words * 1000000 + 0.5)
+             / 1000000 AS fertility6,
+           floor(CAST(tot_sym AS DOUBLE) / tot_chars * 1000000 + 0.5)
+             / 1000000 AS compress6
+    FROM per ORDER BY lang
+    """
+
+
+@query("q_e_bpe_fertility", oracle=_bpe_fert_oracle())
+def q_e_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merges and audit the tokenizer they
+    produce (round 8 — the apply side of q_e_bpe_train, sharing its
+    _BPE_CACHE trace exactly as q_e_ivf_trained shares _KMT_CACHE):
+    per language, tokens-per-word under the 5-merge vocabulary
+    (FERTILITY — the number a multilingual tokenizer team watches,
+    since a language with high fertility pays proportionally more of
+    its context window for the same text) and tokens-per-character
+    (the compression ratio vs the char baseline, 1.0 = no merging
+    helped). Languages whose words the learned merges cover shrink;
+    languages the training mix under-represents stay near char-level
+    — the fairness audit BPE papers report.
+
+    Engine split: training amortizes via the cache; application is
+    the same 5 literal replaces chained on the |word types| frame,
+    joined to the per-(lang, word) count table — ONE token-count
+    shuffle over the corpus, one |types|-row join, one combinable
+    rollup. Integer exactness end to end (symbol counts and char
+    totals are BIGINTs); the two closing divisions use the
+    floor(x·1e6 + 0.5)/1e6 convention (round-7 HALF_UP/HALF_EVEN
+    trap). Oracle re-applies the merges by unrolling the shared
+    _bpe_chain, so the two engines cannot desynchronize."""
+    trace = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    lw = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s = F.regexp_replace("word", "(.)", "⟨$1⟩")
+    for _rnd, ls, rs, _m, _n, _t in trace:
+        s = F.replace(s, F.lit(f"⟨{ls}⟩⟨{rs}⟩"), F.lit(f"⟨{ls}{rs}⟩"))
+    n_sym = F.size(
+        F.split(F.expr("substring(s_form, 2, char_length(s_form) - 2)"), "⟩⟨")
+    ).cast("long")
+    scored = lw.withColumn("s_form", s).select(
+        "lang",
+        "freq",
+        n_sym.alias("n_sym"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    per = scored.groupBy("lang").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_sym")).cast("long").alias("tot_sym"),
+        F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("tot_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_words",
+        (
+            F.floor(
+                F.col("tot_sym").cast("double") / F.col("n_words") * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("fertility6"),
+        (
+            F.floor(
+                F.col("tot_sym").cast("double") / F.col("tot_chars") * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("compress6"),
+    ).orderBy("lang")
 
 
 # Per-language keep-rate (percent of the 100 md5 buckets kept): the

@@ -45,6 +45,14 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+# Changelog checkpointing: each commit ships the batch's CHANGELOG to
+# the checkpoint instead of re-uploading SST files — the production
+# setting for large state (upload cost ∝ delta, not store size).
+# A/B at sf0.1 (BASELINE.md round 8): ivjoin 3.2 → 2.8 s, custom-state
+# flat — shipped on both drains with the provider.
+_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
 
 # Raw schema of events.parquet as the streaming file source sees it:
 # Spark ≥4.1 reads parquet TIMESTAMP(NANOS) as µs-truncated
@@ -472,8 +480,10 @@ def drain_interval_join(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     # two-sided join state is the repo's largest stateful surface.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     old_prov = spark.conf.get(_PROVIDER_CONF)
+    old_cl = spark.conf.get(_CHANGELOG_CONF, None)  # unset ⇒ None (get() without default throws)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_CONF, "true")
     try:
         q = (
             pairs.writeStream.format("parquet")
@@ -492,6 +502,10 @@ def drain_interval_join(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set(_PROVIDER_CONF, old_prov)
+        if old_cl is None:
+            spark.conf.unset(_CHANGELOG_CONF)
+        else:
+            spark.conf.set(_CHANGELOG_CONF, old_cl)
     return q
 
 
@@ -550,8 +564,14 @@ def drain_outer_interval_join(
         & (F.col("c_ts") <= F.col("p_ts")),
         "leftOuter",
     ).select("purchase_id", "p_user", "p_ts", "c_ts")
+    # same state posture as the inner drain: RocksDB + changelog
+    # checkpointing (two-sided join state is the heavy class)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_prov = spark.conf.get(_PROVIDER_CONF)
+    old_cl = spark.conf.get(_CHANGELOG_CONF, None)  # unset ⇒ None (get() without default throws)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_CONF, "true")
     try:
         q = (
             pairs.writeStream.format("parquet")
@@ -569,6 +589,11 @@ def drain_outer_interval_join(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(_PROVIDER_CONF, old_prov)
+        if old_cl is None:
+            spark.conf.unset(_CHANGELOG_CONF)
+        else:
+            spark.conf.set(_CHANGELOG_CONF, old_cl)
     return q
 
 
@@ -860,6 +885,7 @@ def drain_custom_state(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     out = sessionize_with_timers(ev)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     old_prov = spark.conf.get(_PROVIDER_CONF)
+    old_cl = spark.conf.get(_CHANGELOG_CONF, None)  # unset ⇒ None (get() without default throws)
     # 16 state partitions, not the sibling drains' 4: this drain's cost
     # is per-KEY Python work (one fn invocation per user with data or
     # an expired timer), and the state partition count caps Python
@@ -868,6 +894,7 @@ def drain_custom_state(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     # per-user session store is unbounded-keyed in production.
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_CONF, "true")
     try:
         q = (
             out.writeStream.format("parquet")
@@ -886,6 +913,10 @@ def drain_custom_state(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set(_PROVIDER_CONF, old_prov)
+        if old_cl is None:
+            spark.conf.unset(_CHANGELOG_CONF)
+        else:
+            spark.conf.set(_CHANGELOG_CONF, old_cl)
     return q
 
 

@@ -574,3 +574,68 @@ def q_f_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL ggee_digits97(v.o_orderkey, 3) f
         """
     )
+
+
+# ------------------------------------------------ Arrow grouped map
+
+
+def _lang_mad_arrow(table):
+    """Whole-group Arrow kernel: exact median + MAD of doc lengths for
+    one language. numpy views the Arrow int column zero-copy; median
+    of integers is exact (the even-count midpoint is a .0/.5 half,
+    representable exactly), so the DuckDB median() oracle matches
+    bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+
+    x = table.column("n_chars").to_numpy(zero_copy_only=False).astype("int64")
+    med = float(np.median(x))
+    mad = float(np.median(np.abs(x - med)))
+    return pa.table(
+        {
+            "lang": [table.column("lang")[0].as_py()],
+            "n_docs": [table.num_rows],
+            "med_chars": [med],
+            "mad_chars": [mad],
+        }
+    )
+
+
+@query(
+    "q_f_group_arrow",
+    oracle="""
+    WITH m AS (SELECT lang, median(n_chars) AS med
+               FROM documents GROUP BY lang)
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ANY_VALUE(m.med) AS med_chars,
+           median(abs(d.n_chars - m.med)) AS mad_chars
+    FROM documents d JOIN m ON d.lang = m.lang
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_f_group_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped map (`applyInArrow`, round 8 — completes
+    the grouped-map pair the way q_f_maparrow completed the map pair:
+    whole-group-at-once semantics with ZERO pandas conversion,
+    RecordBatch in / Table out, the boundary for group kernels that
+    already speak Arrow). Kernel: per-language exact median and MAD
+    of document lengths — a robust-statistics pass that genuinely
+    needs the whole group materialized (exact medians don't
+    partial-aggregate), i.e. the contract this API exists for.
+
+    Scale note: parallelism is bounded by group count and each group
+    must fit one executor (the documented applyInArrow contract,
+    same as q_f_pandas_group_map); a 100 TB run with huge groups
+    switches to approx_percentile or the two-phase exact-percentile
+    spelling of q_b_quantiles. Determinism: integer medians are
+    exact .0/.5 doubles in numpy and DuckDB alike."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", "n_chars")
+        .groupBy("lang")
+        .applyInArrow(
+            _lang_mad_arrow,
+            "lang string, n_docs long, med_chars double, mad_chars double",
+        )
+        .orderBy("lang")
+    )

@@ -2444,3 +2444,28 @@ def test_clear_caches_releases_every_registered_frame(spark):
     assert clear_caches()["entries"] == 0
     after = {r.lang for r in q_e_tail_index(spark, SF_SMOKE).collect()}
     assert after == before and len(after) > 0
+
+
+def test_bpe_fertility_applies_cached_merges(spark):
+    """q_e_bpe_fertility must share q_e_bpe_train's cached merge trace
+    (train once per app/sf — the _KMT_CACHE discipline) and its
+    numbers must be internally consistent: 1 <= fertility (symbols
+    per word), and symbols never exceed characters (a merge only
+    shrinks), so compress6 lies in (0, 1]."""
+    from glaciersgee_spark import clear_caches
+    from glaciersgee_spark.operators.text import (
+        _BPE_CACHE,
+        q_e_bpe_fertility,
+        q_e_bpe_train,
+    )
+
+    clear_caches()
+    q_e_bpe_train(spark, SF_SMOKE).collect()
+    assert len(_BPE_CACHE) == 1
+    rows = q_e_bpe_fertility(spark, SF_SMOKE).collect()
+    assert len(_BPE_CACHE) == 1  # fertility reused the trained trace
+    assert {r.lang for r in rows} == {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        assert r.n_words > 0
+        assert 1.0 <= r.fertility6
+        assert 0.0 < r.compress6 <= 1.0

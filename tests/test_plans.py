@@ -939,3 +939,40 @@ def test_ivf_persist_serves_from_artifacts_not_training_lineage(spark):
     assert "InMemoryTableScan" not in plan
     # the artifacts round-trip losslessly: 5 panel queries × top-10
     assert df.count() == 50
+
+
+def test_sql_pipe_is_pure_syntax_same_plan_as_standard_sql(spark):
+    """q_b_sql_pipe's claim is that `|>` chains parse to the SAME
+    logical plan as the standard spelling — so the shipdate predicate
+    still reaches the parquet scan, the scan still prunes to the 5
+    referenced columns, and the shuffle count matches the standard-SQL
+    twin exactly."""
+    from glaciersgee_spark.operators.relational import q_b_sql_pipe
+    from glaciersgee_spark.tables import load_table
+
+    df = q_b_sql_pipe(spark, SF_SMOKE)
+    pushed = PI.pushed_filters(df)
+    assert any("l_shipdate" in f and "GreaterThanOrEqual" in f for f in pushed)
+    read = PI.read_schemas(df)[0]
+    for col in ["l_returnflag", "l_linestatus", "l_extendedprice",
+                "l_discount", "l_shipdate"]:
+        assert col in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView(
+        "ggee_pipe_li_std"
+    )
+    std = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price
+        FROM ggee_pipe_li_std
+        WHERE l_shipdate >= DATE '1996-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    assert PI.count_shuffles(PI.formatted(df)) == PI.count_shuffles(
+        PI.formatted(std)
+    )
+    assert sorted(pushed) == sorted(PI.pushed_filters(std))
