@@ -929,9 +929,19 @@ def test_ivf_persist_serves_from_artifacts_not_training_lineage(spark):
     two parquet scans under the ggee_ivf_index staging root (codebook
     + postings) — and carry NO training lineage: no LocalTableScan of
     driver-collected centroids (the _KMT_CACHE shape the build path
-    uses) and no InMemoryTableScan. Build once, serve from disk."""
+    uses) and no InMemoryTableScan. Build once, serve from disk.
+
+    Cache hygiene: Spark's CacheManager substitutes ANY persisted
+    subtree into matching plans session-wide, so an earlier test's
+    persisted embeddings scan would surface here as an
+    InMemoryTableScan that has nothing to do with this op — clear
+    both cache layers first so the assertion tests the serve path
+    itself."""
+    import glaciersgee_spark
     from glaciersgee_spark.operators.similarity import q_e_ivf_persist
 
+    glaciersgee_spark.clear_caches()
+    spark.catalog.clearCache()
     df = q_e_ivf_persist(spark, SF_SMOKE)
     plan = PI.formatted(df)
     assert plan.count("ggee_ivf_index") == 2

@@ -905,7 +905,11 @@ def test_heavy_drains_run_on_rocksdb_and_restore_conf(spark):
     )
     cm1 = q1.lastProgress["stateOperators"][0]["customMetrics"]
     assert any(k.startswith("rocksdb") for k in cm1)
-    assert int(cm1["rocksdbSstFileSize"]) > 0  # state really in RocksDB
+    # state traffic really went through RocksDB (SstFileSize can be 0
+    # at smoke scale: changelog checkpointing keeps tiny state in the
+    # memtable without flushing an SST — put/get counts cannot)
+    assert int(cm1["rocksdbPutCount"]) > 0
+    assert int(cm1["rocksdbChangeLogWriterCommitLatencyMs"]) > 0
     q2 = drain_custom_state(
         spark,
         SF_SMOKE,
