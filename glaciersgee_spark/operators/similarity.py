@@ -3760,6 +3760,123 @@ def q_e_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ari_oracle() -> str:
+    tc = f"c{KMT_ROUNDS + 1}"
+    return f"""
+    WITH {_kmt_chain()},
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT v.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} DESC,
+                                                  c.cid ASC) AS rk
+               FROM v, {tc} c) WHERE rk = 1),
+    pairs AS (SELECT a.cid AS ca, t.cid AS cb,
+                     CAST(COUNT(*) AS BIGINT) AS nij
+              FROM asg1 a JOIN cell t USING (vec_id)
+              GROUP BY a.cid, t.cid),
+    jt AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS j,
+                  CAST(SUM(nij) AS BIGINT) AS n
+           FROM pairs),
+    am AS (SELECT CAST(SUM(x * (x - 1) // 2) AS BIGINT) AS a
+           FROM (SELECT CAST(SUM(nij) AS BIGINT) AS x
+                 FROM pairs GROUP BY ca)),
+    bm AS (SELECT CAST(SUM(x * (x - 1) // 2) AS BIGINT) AS b
+           FROM (SELECT CAST(SUM(nij) AS BIGINT) AS x
+                 FROM pairs GROUP BY cb)),
+    f AS (SELECT n, j, a, b, n * (n - 1) // 2 AS p
+          FROM jt CROSS JOIN am CROSS JOIN bm)
+    SELECT n, j AS joint_pairs, a AS seed_pairs, b AS trained_pairs,
+           floor(CAST(2 * (p * j - a * b) AS DOUBLE)
+                 / CAST(p * (a + b) - 2 * a * b AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS ari6
+    FROM f
+    """
+
+
+@query("q_e_cluster_ari", oracle=_ari_oracle())
+def q_e_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the SEED k-means partition (round-1
+    assignment against the deterministic vec_id 1..K seeds — the
+    partition q_e_semdedup and the IVF seed index scope their work by)
+    and the TRAINED partition (assignment against q_e_kmeans_train's
+    round-3 means): how much did three Lloyd rounds actually MOVE the
+    clustering (round 8 — the stability audit next to q_e_nmi's
+    label-agreement: NMI asks "do cells match labels", ARI here asks
+    "did training redraw the cells", the number that decides whether
+    cell-scoped artifacts — SemDeDup pair lists, IVF postings — must
+    be rebuilt after a re-train).
+
+    Exact integer combinatorics end to end: the K×K contingency table
+    of pair counts C(nij,2), marginals C(ai,2)/C(bj,2), and
+    C(n,2), combined as ARI = 2(PJ − AB) / (P(A+B) − 2AB) — every
+    term a BIGINT (products ≤ ~1e15 at these SFs; swap to
+    DECIMAL(38,0) beyond ~3e9 rows, the q_e_quality_auc note), one
+    closing division under the floor(x·1e6 + 0.5)/1e6 convention.
+    Scale: two broadcast-panel assignment scans (both shared: seed
+    via _km_assign's spelling, trained via the _KMT_CACHE centroids),
+    one K×K-row contingency groupBy — combinable, no pairs, no
+    windows over corpus-sized frames."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    _stats, cent = _kmt_train(spark, sf_dir)
+    cdf = spark.createDataFrame(cent, "cid long, cemb array<double>")
+    cell = (
+        fan_out(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(cdf))
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cscore"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cscore").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cb"))
+    )
+    pairs = (
+        asg.select("vec_id", F.col("cid").alias("ca"))
+        .join(cell, "vec_id")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    jt = pairs.agg(
+        F.expr("CAST(SUM((nij * (nij - 1)) DIV 2) AS BIGINT)").alias("j"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    am = (
+        pairs.groupBy("ca")
+        .agg(F.sum("nij").cast("long").alias("x"))
+        .agg(F.expr("CAST(SUM((x * (x - 1)) DIV 2) AS BIGINT)").alias("a"))
+    )
+    bm = (
+        pairs.groupBy("cb")
+        .agg(F.sum("nij").cast("long").alias("x"))
+        .agg(F.expr("CAST(SUM((x * (x - 1)) DIV 2) AS BIGINT)").alias("b"))
+    )
+    f = (
+        jt.crossJoin(F.broadcast(am))
+        .crossJoin(F.broadcast(bm))
+        .withColumn("p", F.expr("(n * (n - 1)) DIV 2"))
+    )
+    return f.select(
+        "n",
+        F.col("j").alias("joint_pairs"),
+        F.col("a").alias("seed_pairs"),
+        F.col("b").alias("trained_pairs"),
+        (
+            F.floor(
+                F.expr("CAST(2 * (p * j - a * b) AS DOUBLE)")
+                / F.expr("CAST(p * (a + b) - 2 * a * b AS DOUBLE)")
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("ari6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_e_ivf_persist (round 8) — persisted index lifecycle: build once, serve many
 # ---------------------------------------------------------------------------

@@ -2469,3 +2469,18 @@ def test_bpe_fertility_applies_cached_merges(spark):
         assert r.n_words > 0
         assert 1.0 <= r.fertility6
         assert 0.0 < r.compress6 <= 1.0
+
+
+def test_cluster_ari_bounds_and_population(spark):
+    """ARI must cover every vector exactly once (n == corpus size,
+    pair sums consistent with C(n,2)) and land in [-1, 1]."""
+    from glaciersgee_spark.operators.similarity import q_e_cluster_ari
+    from glaciersgee_spark.tables import load_table
+
+    r = q_e_cluster_ari(spark, SF_SMOKE).collect()[0]
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert r.n == n
+    total_pairs = n * (n - 1) // 2
+    assert 0 <= r.joint_pairs <= min(r.seed_pairs, r.trained_pairs)
+    assert r.seed_pairs <= total_pairs and r.trained_pairs <= total_pairs
+    assert -1.0 <= r.ari6 <= 1.0
