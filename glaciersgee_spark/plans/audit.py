@@ -113,6 +113,10 @@ HEADLINERS = [
     ("q_b_scan_pysource_filters", "pushFilters three-way split: scene_id bounds prune splits, day IN filters at generation, cloud_pct stays a Spark residual (r8)"),
     ("q_e_ivf_persist", "serve path reads the persisted codebook+postings parquet — no training lineage, no LocalTableScan; probe is a broadcast K-row rank (r8)"),
     ("q_e_bpe_train", "one corpus token-count shuffle total; each merge round is a narrow pair explode + combinable groupBy over |word types| rows (r8)"),
+    ("q_e_bpe_fertility", "cached merge trace applied as 5 literal replaces on the |word types| frame; one token-count shuffle + one combinable rollup (r8)"),
+    ("q_b_sql_pipe", "|> chain is pure syntax: shipdate filter pushed to the scan, plan-equal to the standard-SQL twin (r8)"),
+    ("q_f_group_arrow", "applyInArrow whole-group boundary: one lang shuffle, zero pandas conversion (r8)"),
+    ("q_e_cluster_ari", "two shared broadcast-panel assignments into a K×K combinable contingency; exact BIGINT pair sums (r8)"),
 ]
 
 
