@@ -201,7 +201,7 @@ _R1_COHORT: tuple[str, ...] = (
 _R8_NEW: tuple[str, ...] = (
     "q_d_stream_outer_join", "q_e_ivf_persist", "q_e_bpe_train",
     "q_b_scan_pysource_filters", "q_e_bpe_fertility", "q_b_sql_pipe",
-    "q_f_group_arrow", "q_e_cluster_ari",
+    "q_f_group_arrow", "q_e_cluster_ari", "q_d_stream_full_outer",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

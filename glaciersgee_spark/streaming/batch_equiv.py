@@ -1067,6 +1067,124 @@ def q_d_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_d_stream_full_outer",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least(
+             date_trunc('milliseconds',
+                        MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+               - INTERVAL 1 HOUR,
+             date_trunc('milliseconds',
+                        MAX(CASE WHEN event_type = 'click' THEN ts END))
+               - INTERVAL 2 HOUR) AS w
+           FROM events),
+    g AS (SELECT p.purchase_id, p.user_id, p.p_ts,
+                 CAST(COUNT(c.c_ts) AS BIGINT) AS n_clicks
+          FROM p LEFT JOIN c
+            ON p.user_id = c.user_id
+           AND c.c_ts BETWEEN p.p_ts - INTERVAL 30 MINUTE AND p.p_ts
+          GROUP BY p.purchase_id, p.user_id, p.p_ts),
+    uc AS (SELECT c.user_id, c.c_ts FROM c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM p
+             WHERE p.user_id = c.user_id
+               AND c.c_ts BETWEEN p.p_ts - INTERVAL 30 MINUTE AND p.p_ts))
+    SELECT kind, id, user_id, n FROM (
+      SELECT 'pair' AS kind, purchase_id AS id, user_id, n_clicks AS n
+      FROM g WHERE n_clicks > 0
+      UNION ALL
+      SELECT 'purchase_null', purchase_id, user_id, CAST(0 AS BIGINT)
+      FROM g CROSS JOIN wm
+      WHERE n_clicks = 0 AND p_ts <= w - INTERVAL 1 MILLISECOND
+      UNION ALL
+      SELECT 'click_null', CAST(-1 AS BIGINT), user_id,
+             CAST(COUNT(*) AS BIGINT)
+      FROM uc CROSS JOIN wm
+      WHERE c_ts <= w - INTERVAL 30 MINUTE - INTERVAL 1 MILLISECOND
+      GROUP BY user_id
+    ) ORDER BY kind, id, user_id
+    """,
+)
+def q_d_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream FULL OUTER interval join, END TO END (round 8 —
+    the fourteenth true-stream surface, completing the join-semantics
+    family: inner emits matches and silently evicts; LEFT OUTER adds
+    left null-extensions; FULL OUTER adds the RIGHT side's — the
+    "clicks that never led to a purchase" half a funnel-analysis
+    pipeline needs, whose eviction contract no other drain touches).
+
+    Emission cutoffs, probed empirically at ±1 ms around a crafted
+    watermark (drain docstring; pinned in tests): with wm = min over
+    sides of ms-floored max event time − delay, an unmatched purchase
+    null-emits iff p_ts <= wm − 1 ms (the LEFT OUTER boundary), and
+    an unmatched click null-emits iff c_ts <= wm − 30 MIN − 1 ms —
+    the click's state outlives a purchase's by exactly the join
+    interval, because a click stays matchable against purchases up to
+    30 minutes AFTER it. The oracle encodes both cutoffs, so parity
+    proves the per-side state watermarks Spark derives from the
+    condition's two inequalities, not just "some rows eventually
+    appear". Matched rows never also null-emit (probed; asserted).
+
+    Read-back classifies the three emission kinds the sink mixes:
+    per-purchase pair counts, clickless purchases below the left
+    cutoff, and per-user unmatched-click counts below the right
+    cutoff. Scale: identical bounded two-sided RocksDB state as the
+    inner/left drains; outer semantics add only the matched-bit and
+    the eviction-time emission pass."""
+    from pyspark.sql import types as T
+
+    from glaciersgee_spark.streaming.stream import (
+        drain_full_outer_interval_join,
+    )
+
+    sink = scratch_dir(prefix="ggee_ivjf_sink_")
+    ck = scratch_dir(prefix="ggee_ivjf_ck_")
+    drain_full_outer_interval_join(spark, sf_dir, sink, ck)
+    rows = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("purchase_id", T.LongType()),
+                T.StructField("p_user", T.LongType()),
+                T.StructField("p_ts", T.TimestampType()),
+                T.StructField("c_user", T.LongType()),
+                T.StructField("c_ts", T.TimestampType()),
+            ]
+        )
+    ).parquet(sink)
+    pair = (
+        rows.where(F.col("purchase_id").isNotNull() & F.col("c_user").isNotNull())
+        .groupBy("purchase_id", F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("pair").alias("kind"),
+            F.col("purchase_id").alias("id"),
+            "user_id",
+            "n",
+        )
+    )
+    pnull = rows.where(F.col("c_user").isNull()).select(
+        F.lit("purchase_null").alias("kind"),
+        F.col("purchase_id").alias("id"),
+        F.col("p_user").alias("user_id"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    cnull = (
+        rows.where(F.col("purchase_id").isNull())
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("click_null").alias("kind"),
+            F.lit(-1).cast("long").alias("id"),
+            "user_id",
+            "n",
+        )
+    )
+    return pair.unionAll(pnull).unionAll(cnull).orderBy("kind", "id", "user_id")
+
+
+@query(
     "q_d_stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS n_keys,

@@ -597,6 +597,84 @@ def drain_outer_interval_join(
     return q
 
 
+def drain_full_outer_interval_join(
+    spark: SparkSession, sf_dir: str, sink: str, ck: str
+):
+    """FULL OUTER form of the watermarked interval join (round 8 —
+    the fourteenth true-stream surface, completing the join-semantics
+    family after inner and LEFT OUTER): matched pairs emit as found;
+    an unmatched PURCHASE null-extends on left-state eviction exactly
+    as in drain_outer_interval_join; an unmatched CLICK null-extends
+    on right-state eviction — the side no other drain exercises.
+
+    Null-emission boundaries, probed empirically on Spark 4.1 at
+    ±1 ms offsets around a crafted watermark (tests pin them): with
+    wm = min(ms-floor(max p_ts) − 1 h, ms-floor(max c_ts) − 2 h),
+    an unmatched purchase emits iff p_ts <= wm − 1 ms (identical to
+    the LEFT OUTER boundary — a tie at wm does NOT emit), and an
+    unmatched click emits iff c_ts <= wm − 30 min − 1 ms: the click's
+    matchability window extends 30 minutes FORWARD (a click can still
+    match a purchase up to 30 minutes later), so its state outlives a
+    purchase's by exactly the join interval — the per-side state
+    watermarks Spark derives from each inequality of the condition,
+    observed directly. Matched rows never also null-emit (probed).
+
+    Scale: the same bounded two-sided RocksDB state as the sibling
+    drains plus a matched-bit on BOTH sides — full outer costs no
+    extra shuffle, only the second side's eviction emission."""
+    staged = stage_ivjoin_sources(spark, sf_dir)
+    p = (
+        spark.readStream.schema(_IVJ_SCHEMA_P)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/purchases")
+        .withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        spark.readStream.schema(_IVJ_SCHEMA_C)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/clicks")
+        .withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "fullOuter",
+    ).select("purchase_id", "p_user", "p_ts", "c_user", "c_ts")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_prov = spark.conf.get(_PROVIDER_CONF)
+    old_cl = spark.conf.get(_CHANGELOG_CONF, None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_CONF, "true")
+    try:
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "full-outer-interval-join drain exceeded 180 s — refusing "
+                "to read a partially-written sink"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(_PROVIDER_CONF, old_prov)
+        if old_cl is None:
+            spark.conf.unset(_CHANGELOG_CONF)
+        else:
+            spark.conf.set(_CHANGELOG_CONF, old_cl)
+    return q
+
+
 # ------------------------------------------------ true-stream dedup
 
 _EVCH_SCHEMA = T.StructType(

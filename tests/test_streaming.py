@@ -919,3 +919,114 @@ def test_heavy_drains_run_on_rocksdb_and_restore_conf(spark):
     cm2 = q2.lastProgress["stateOperators"][0]["customMetrics"]
     assert any(k.startswith("rocksdb") for k in cm2)
     assert spark.conf.get(_PROVIDER_CONF) == before
+
+
+def test_stream_full_outer_emits_both_sides_after_watermark(spark):
+    """q_d_stream_full_outer must (a) emit exactly the batch inner
+    join's pairs, (b) null-extend unmatched purchases at the LEFT
+    cutoff (wm − 1 ms) and unmatched clicks at the RIGHT cutoff
+    (wm − 30 min − 1 ms) — the click's state outlives a purchase's by
+    the join interval — with both open tails withheld, and (c) evict
+    state (numRowsRemoved > 0)."""
+    import datetime
+
+    from glaciersgee_spark.streaming.batch_equiv import (
+        q_d_stream_stream_join,
+    )
+    from glaciersgee_spark.streaming.stream import (
+        drain_full_outer_interval_join,
+    )
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    sink = scratch_dir(prefix="ggee_ivjf_t_sink_")
+    ck = scratch_dir(prefix="ggee_ivjf_t_ck_")
+    q = drain_full_outer_interval_join(spark, SF_SMOKE, sink, ck)
+    # Full-outer eviction accounting differs from inner/left: the
+    # null-extending removal pass does NOT increment numRowsRemoved
+    # (observed first-hand: state total dropped while removed stayed
+    # 0), so eviction is asserted on the state-size trajectory —
+    # the final batch must hold strictly fewer rows than the peak.
+    totals = [
+        sum(s["numRowsTotal"] for s in p["stateOperators"])
+        for p in q.recentProgress
+    ]
+    assert max(totals) > totals[-1] >= 0
+    out = spark.read.parquet(sink)
+    matched = out.where(
+        F.col("purchase_id").isNotNull() & F.col("c_user").isNotNull()
+    )
+    want_pairs = (
+        q_d_stream_stream_join(spark, SF_SMOKE)
+        .agg(F.sum("n_clicks_30m").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert matched.count() == want_pairs > 0
+    ev = load_table(spark, SF_SMOKE, "events")
+    mx = ev.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "mp"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "mc"
+        ),
+    ).collect()[0]
+    floor_ms = lambda t: t.replace(microsecond=t.microsecond // 1000 * 1000)
+    wm = min(
+        floor_ms(mx.mp) - datetime.timedelta(hours=1),
+        floor_ms(mx.mc) - datetime.timedelta(hours=2),
+    )
+    cut_left = wm - datetime.timedelta(milliseconds=1)
+    cut_right = wm - datetime.timedelta(minutes=30, milliseconds=1)
+    # left side: unmatched purchases below the cutoff, none above
+    bpu = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    bc = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    matched_p = bpu.join(bc, cond).select("purchase_id").distinct()
+    unm_p = {
+        r.purchase_id: r.p_ts
+        for r in bpu.join(matched_p, "purchase_id", "left_anti").collect()
+    }
+    got_pnull = {
+        r.purchase_id
+        for r in out.where(F.col("c_user").isNull())
+        .select("purchase_id")
+        .collect()
+    }
+    want_pnull = {
+        pid
+        for pid, ts in unm_p.items()
+        if ts.replace(tzinfo=None) <= cut_left
+    }
+    assert got_pnull == want_pnull
+    assert len(unm_p) > len(want_pnull)  # open left tail withheld
+    # right side: unmatched clicks below the 30-min-deeper cutoff
+    matched_c = bc.join(bpu, cond).select("c_user", "c_ts").distinct()
+    unm_c = (
+        bc.join(matched_c, ["c_user", "c_ts"], "left_anti")
+        .collect()
+    )
+    want_cnull = sorted(
+        (r.c_user, r.c_ts.replace(tzinfo=None))
+        for r in unm_c
+        if r.c_ts.replace(tzinfo=None) <= cut_right
+    )
+    got_cnull = sorted(
+        (r.c_user, r.c_ts.replace(tzinfo=None))
+        for r in out.where(F.col("purchase_id").isNull())
+        .select("c_user", "c_ts")
+        .collect()
+    )
+    assert got_cnull == want_cnull
+    assert len(unm_c) > len(want_cnull)  # open right tail withheld
