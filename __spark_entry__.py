@@ -202,6 +202,9 @@ _R8_NEW: tuple[str, ...] = (
     "q_d_stream_outer_join", "q_e_ivf_persist", "q_e_bpe_train",
     "q_b_scan_pysource_filters", "q_e_bpe_fertility", "q_b_sql_pipe",
     "q_f_group_arrow", "q_e_cluster_ari", "q_d_stream_full_outer",
+    "q_b_kmv_intersect", "q_f_arrow_udf", "q_e_whiten_diag",
+    "q_e_dedup_blocking", "q_e_jl_distortion", "q_e_t_closeness",
+    "q_e_bt_strength", "q_e_dp_counts", "q_e_conformal_gate",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

@@ -2216,3 +2216,558 @@ def q_e_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi6.alias("hi6"),
         (hi6 < _QC_SLA).alias("sig_below_sla"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_e_t_closeness (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_t_closeness",
+    oracle="""
+    WITH sv AS (
+      SELECT lang, source, n_chars // 50 AS len_b,
+             string_split(text, ' ')[1] AS sens
+      FROM documents
+    ),
+    vc AS (
+      SELECT lang, source, len_b, sens, COUNT(*) AS c
+      FROM sv GROUP BY lang, source, len_b, sens
+    ),
+    g AS (SELECT sens, COUNT(*) AS gc FROM sv GROUP BY sens),
+    nt AS (SELECT COUNT(*) AS nn FROM sv),
+    ck AS (SELECT lang, source, len_b, CAST(SUM(c) AS BIGINT) AS k
+           FROM vc GROUP BY lang, source, len_b),
+    terms AS (
+      SELECT v.lang, v.source, v.len_b, ANY_VALUE(ck.k) AS k,
+             ANY_VALUE(nt.nn) AS nn,
+             SUM(abs(CAST(v.c AS DECIMAL(38,0)) * nt.nn
+                     - CAST(g.gc AS DECIMAL(38,0)) * ck.k)
+                 - CAST(g.gc AS DECIMAL(38,0)) * ck.k) AS s
+      FROM vc v
+      JOIN ck ON v.lang = ck.lang AND v.source = ck.source
+             AND v.len_b = ck.len_b
+      JOIN g ON v.sens = g.sens CROSS JOIN nt
+      GROUP BY v.lang, v.source, v.len_b
+    ),
+    tv AS (
+      SELECT k,
+             floor((CAST(s + CAST(k AS DECIMAL(38,0)) * nn AS DOUBLE)
+                    / (2.0 * CAST(k AS DOUBLE) * CAST(nn AS DOUBLE)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS t6
+      FROM terms
+    )
+    SELECT CAST(least(floor(t6 * 10.0), 9) AS BIGINT) AS t_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           floor(CAST(SUM(CAST(t6 AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_t6,
+           MAX(t6) AS max_t6
+    FROM tv GROUP BY t_decile ORDER BY t_decile
+    """,
+)
+def q_e_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (round 8; Li, Li & Venkatasubramanian, ICDE
+    2007) — the third rung of the privacy ladder after q_e_k_anonymity
+    (class size) and q_e_l_diversity (within-class variety): how far
+    each equivalence class's SENSITIVE-VALUE DISTRIBUTION sits from
+    the corpus-wide distribution, as total-variation distance (= EMD
+    for unordered categoricals). A class can be k-anonymous AND
+    l-diverse yet still leak via skew — t-closeness is the audit that
+    catches it. Same quasi-identifiers (lang, source, 50-char length
+    bucket) and sensitive attribute (first token) as the siblings.
+
+    Exact-integer TV: t = Σ_s |c_s/k − g_s/N| / 2 folds to
+    (Σ_{s∈class}(|c_s·N − g_s·k| − g_s·k) + k·N) / (2kN) — the
+    absent-value mass collapses algebraically to k·N, so NO outer
+    join over the global support is needed and the numerator is an
+    exact DECIMAL sum (order-insensitive, both engines bit-equal);
+    the single closing division is one pinned double expression.
+    Scale: one (class, sens) groupBy, a class-key join back for k, a
+    broadcast-sized sens-marginal join, a 1-row N crossJoin — all
+    map-side combinable; output is the bounded t-decile histogram."""
+    sv = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (F.col("n_chars") / 50).cast("long").alias("len_b"),
+        F.split("text", " ").getItem(0).alias("sens"),
+    )
+    cls = ["lang", "source", "len_b"]
+    vc = sv.groupBy(*cls, "sens").agg(F.count(F.lit(1)).alias("c"))
+    g = sv.groupBy("sens").agg(F.count(F.lit(1)).alias("gc"))
+    nt = sv.agg(F.count(F.lit(1)).alias("nn"))
+    ck = vc.groupBy(*cls).agg(F.sum("c").cast("long").alias("k"))
+    terms = (
+        vc.join(ck, cls)
+        .join(F.broadcast(g), "sens")
+        .crossJoin(F.broadcast(nt))
+        .groupBy(*cls)
+        .agg(
+            F.first("k").alias("k"),
+            F.first("nn").alias("nn"),
+            F.sum(
+                F.expr(
+                    "abs(CAST(c AS DECIMAL(38,0)) * nn"
+                    " - CAST(gc AS DECIMAL(38,0)) * k)"
+                    " - CAST(gc AS DECIMAL(38,0)) * k"
+                )
+            ).alias("s"),
+        )
+    )
+    # 1e6/2e0 exponent literals: Spark SQL parses plain fractional
+    # literals (1000000.0) as DECIMAL, which would silently retype the
+    # whole chain; exponent form is DOUBLE in both dialects.
+    tv = terms.select(
+        "k",
+        F.expr(
+            "floor((CAST(s + CAST(k AS DECIMAL(38,0)) * nn AS DOUBLE)"
+            " / (2e0 * CAST(k AS DOUBLE) * CAST(nn AS DOUBLE)))"
+            " * 1e6 + 0.5) / 1e6"
+        ).alias("t6"),
+    )
+    return (
+        tv.groupBy(
+            F.least(F.floor(F.col("t6") * 10.0), F.lit(9))
+            .cast("long")
+            .alias("t_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").cast("long").alias("n_docs"),
+            F.expr(
+                "floor(CAST(SUM(CAST(t6 AS DECIMAL(30,6))) AS DOUBLE)"
+                " / COUNT(*) * 1e6 + 0.5) / 1e6"
+            ).alias("avg_t6"),
+            F.max("t6").alias("max_t6"),
+        )
+        .orderBy("t_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_bt_strength (round 8)
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 3
+
+
+def _bt_sql(tbl: str) -> str:
+    """Bradley–Terry strength fit as ONE SQL text valid verbatim in
+    BOTH dialects (every literal in exponent form, every aggregate
+    through dsum) — the Spark query and the DuckDB oracle are the
+    same string over different table names, so cross-engine drift is
+    structurally impossible. Tournament: per language, source i beats
+    source j when its 6-dp mean doc length is strictly higher; the
+    ≤C(20,2)-row win matrix then takes _BT_ROUNDS MM updates
+    (Hunter 2004): w_i ← W_i / Σ_j n_ij/(w_i+w_j), renormalized to
+    Σw = n_sources and 6-dp-rounded each round (the kmeans_train
+    round-pinning discipline)."""
+    score = davg("n_chars")
+    rounds = []
+    prev = "w0"
+    for t in range(1, _BT_ROUNDS + 1):
+        rounds.append(f"""
+    d{t} AS (
+      SELECT source, {dsum('term')} AS dsm
+      FROM (
+        SELECT p.si AS source,
+               CAST(p.n AS DOUBLE) / NULLIF(wa.w + wb.w, 0e0) AS term
+        FROM pr p JOIN {prev} wa ON wa.source = p.si
+                  JOIN {prev} wb ON wb.source = p.sj
+        UNION ALL
+        SELECT p.sj AS source,
+               CAST(p.n AS DOUBLE) / NULLIF(wa.w + wb.w, 0e0) AS term
+        FROM pr p JOIN {prev} wa ON wa.source = p.si
+                  JOIN {prev} wb ON wb.source = p.sj
+      ) u GROUP BY source
+    ),
+    r{t} AS (
+      SELECT w.source, w.wtot, w.ncomp,
+             CASE WHEN w.wtot = 0 OR d.dsm IS NULL OR d.dsm = 0e0
+                  THEN 0e0
+                  ELSE CAST(w.wtot AS DOUBLE) / d.dsm END AS wraw
+      FROM wins w LEFT JOIN d{t} d ON d.source = w.source
+    ),
+    n{t} AS (SELECT {dsum('wraw')} AS z, COUNT(*) AS ns FROM r{t}),
+    w{t} AS MATERIALIZED (
+      SELECT r.source, r.wtot, r.ncomp,
+             round(r.wraw / NULLIF(n.z, 0e0) * n.ns, 6) AS w
+      FROM r{t} r CROSS JOIN n{t} n
+    )""")
+        prev = f"w{t}"
+    chain = ",".join(rounds)
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT lang, source, round({score}, 6) AS m
+      FROM {tbl} GROUP BY lang, source
+    ),
+    pr AS MATERIALIZED (
+      SELECT a.source AS si, b.source AS sj,
+             SUM(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS wi,
+             SUM(CASE WHEN b.m > a.m THEN 1 ELSE 0 END) AS wj,
+             SUM(CASE WHEN a.m <> b.m THEN 1 ELSE 0 END) AS n
+      FROM s a JOIN s b ON a.lang = b.lang AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    wins AS MATERIALIZED (
+      SELECT source, CAST(SUM(w) AS BIGINT) AS wtot,
+             CAST(SUM(n) AS BIGINT) AS ncomp
+      FROM (SELECT si AS source, wi AS w, n FROM pr
+            UNION ALL
+            SELECT sj AS source, wj AS w, n FROM pr) u
+      GROUP BY source
+    ),
+    w0 AS MATERIALIZED (SELECT source, wtot, ncomp, 1e0 AS w FROM wins),
+    {chain}
+    SELECT source,
+           ncomp AS n_comparisons,
+           wtot AS n_wins,
+           w AS bt_w6,
+           CAST(row_number() OVER (ORDER BY w DESC, source) AS BIGINT)
+             AS rank
+    FROM {prev}
+    ORDER BY rank
+    """
+
+
+@query("q_e_bt_strength", oracle=_bt_sql("documents"))
+def q_e_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY–TERRY source-strength fit (round 8; Bradley & Terry
+    1952, Hunter's 2004 MM algorithm) — fit latent strengths from
+    pairwise preferences, the statistical core of reward-model /
+    RLHF preference pipelines, run here over a per-language
+    tournament of sources (i beats j in a language when its 6-dp
+    mean doc length is strictly higher; ties abstain). Three MM
+    rounds from uniform strengths, each round renormalized to
+    Σw = n_sources and 6-dp-pinned — the bounded-training-loop
+    discipline of q_e_kmeans_train / q_e_bpe_train applied to a
+    preference model.
+
+    Scale: ONE corpus pass (the (lang, source) mean aggregate into
+    the pairwise win matrix, map-side combinable); the MM rounds run
+    DRIVER-SIDE over the collected ≤C(20,2)-row matrix — the
+    q_e_mmr_diversify bounded-panel precedent — with the oracle's
+    decimal pipeline mirrored op for op (CAST(double AS
+    DECIMAL(30,6)) ≡ Decimal(float).quantize(1e-6, HALF_UP); the
+    float divisions are the same IEEE ops in the same order), so
+    both engines produce identical bits. Engine-side rounds were
+    measured and rejected: as one unrolled SQL each round references
+    its predecessor twice, re-expanding the lineage ~2^rounds under
+    Catalyst inlining (223 s); as materialized per-round queries the
+    ~6 shuffle stages per round on 190 rows still cost 5.5 s warm.
+    The oracle keeps the unrolled chain with MATERIALIZED CTEs (the
+    DuckDB spelling of the same fix, 38 s → ms)."""
+    from pyspark.sql import types as T
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "ggee_bt_docs"
+    )
+    score = davg("n_chars")
+    pr_rows = spark.sql(f"""
+    WITH s AS (
+      SELECT lang, source, round({score}, 6) AS m
+      FROM ggee_bt_docs GROUP BY lang, source
+    )
+    SELECT a.source AS si, b.source AS sj,
+           SUM(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS wi,
+           SUM(CASE WHEN b.m > a.m THEN 1 ELSE 0 END) AS wj,
+           SUM(CASE WHEN a.m <> b.m THEN 1 ELSE 0 END) AS n
+    FROM s a JOIN s b ON a.lang = b.lang AND a.source < b.source
+    GROUP BY a.source, b.source
+    """).collect()
+    # wins folds from the collected matrix in exact integer
+    # arithmetic (the SQL UNION-aggregate mirror, trivially identical)
+    wins_acc: dict = {}
+    for p in pr_rows:
+        a = wins_acc.setdefault(p.si, [0, 0])
+        b = wins_acc.setdefault(p.sj, [0, 0])
+        a[0] += p.wi
+        a[1] += p.n
+        b[0] += p.wj
+        b[1] += p.n
+
+    # MM rounds run driver-side over the ≤C(20,2)-row matrix (the
+    # q_e_mmr_diversify bounded-panel precedent: engine-side rounds
+    # cost ~6 shuffle stages each for 190 rows — measured 5.5 s warm —
+    # while the Python mirror is exact and instant). Decimal mirroring
+    # of the oracle, op for op: CAST(double AS DECIMAL(30,6)) is a
+    # HALF_UP round of the double's exact decimal expansion, which is
+    # precisely Decimal(float).quantize(1e-6, ROUND_HALF_UP); the
+    # float divisions/multiplies are the same IEEE ops the engines
+    # run, in the same order.
+    import decimal
+
+    _D6 = decimal.Decimal("0.000001")
+
+    def _q6sum(vals) -> float:
+        tot = decimal.Decimal(0)
+        for v in vals:
+            tot += decimal.Decimal(v).quantize(
+                _D6, rounding=decimal.ROUND_HALF_UP
+            )
+        return float(tot)
+
+    def _r6(x: float) -> float:
+        return float(
+            decimal.Decimal(x).quantize(_D6, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    wins = {src_: (v[0], v[1]) for src_, v in wins_acc.items()}
+    w = {src: 1.0 for src in wins}
+    for _ in range(_BT_ROUNDS):
+        terms: dict = {src: [] for src in wins}
+        for p in pr_rows:
+            denom = w[p.si] + w[p.sj]
+            if denom != 0.0:  # NULLIF(wa.w + wb.w, 0e0) mirror
+                t = float(p.n) / denom
+                terms[p.si].append(t)
+                terms[p.sj].append(t)
+        wraw = {}
+        for src, (wtot, _nc) in wins.items():
+            dsm = _q6sum(terms[src]) if terms[src] else None
+            wraw[src] = (
+                0.0 if (wtot == 0 or dsm is None or dsm == 0.0)
+                else float(wtot) / dsm
+            )
+        z = _q6sum(wraw.values())
+        ns = len(wins)
+        w = {
+            src: (None if z == 0.0 else _r6(v / z * ns))
+            for src, v in wraw.items()
+        }
+
+    # rank over the 20-row panel: ORDER BY w DESC NULLS LAST, source
+    ordered = sorted(
+        wins, key=lambda s: ((w[s] is None, -(w[s] or 0.0)), s)
+    )
+    out_rows = [
+        (src, wins[src][1], wins[src][0], w[src], i + 1)
+        for i, src in enumerate(ordered)
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_comparisons", T.LongType()),
+            T.StructField("n_wins", T.LongType()),
+            T.StructField("bt_w6", T.DoubleType()),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, out_schema).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# q_e_dp_counts (round 8)
+# ---------------------------------------------------------------------------
+
+# Uniform draws in strictly-open (0,1) from the repo-wide 60-bit md5
+# hash: (h + 0.5) / 2^60 can hit neither endpoint, so ln() is finite.
+_DP_U = (
+    "(CAST({h} AS DOUBLE) + 0.5) / 1152921504606846976.0"
+)
+_DP_H_SPARK = (
+    "CAST(conv(substring(md5(concat(source, '{salt}')), 1, 15), 16, 10)"
+    " AS BIGINT)"
+)
+_DP_H_DUCK = (
+    "CAST(concat('0x', substring(md5(source || '{salt}'), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+def _dp_noise(h_tpl: str) -> str:
+    """Laplace(1/ε), ε=1: difference of two Exp(1) draws,
+    ln(u1) − ln(u2) with each ln 6-dp-rounded (the repo ln
+    convention), the difference rounded again to 6 dp."""
+    u1 = _DP_U.format(h=h_tpl.format(salt="#dp1"))
+    u2 = _DP_U.format(h=h_tpl.format(salt="#dp2"))
+    return f"round(round(ln({u1}), 6) - round(ln({u2}), 6), 6)"
+
+
+@query(
+    "q_e_dp_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_true,
+           {_dp_noise(_DP_H_DUCK)} AS noise6,
+           round(CAST(n_true AS DOUBLE) + {_dp_noise(_DP_H_DUCK)}, 6)
+             AS n_noisy6,
+           round(abs({_dp_noise(_DP_H_DUCK)}), 6) AS abs_err6
+    FROM c ORDER BY source
+    """,
+)
+def q_e_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE histogram release mechanics (round 8;
+    Dwork et al. 2006): per-source document counts released under the
+    Laplace mechanism at ε=1 (sensitivity 1 — one document moves one
+    count by one), reporting true count, noise draw, noisy release,
+    and absolute error. The RELEASE side of the privacy family whose
+    AUDIT side is q_e_k_anonymity / q_e_l_diversity /
+    q_e_t_closeness.
+
+    Honesty note: the Laplace draws here are pseudo-random from the
+    md5 of the source name — DETERMINISTIC so both engines (and every
+    rerun) agree bit-for-bit, which is the oracle contract; a real DP
+    deployment derives them from a secret seed, and this op is the
+    mechanics (noise shape, scale, release arithmetic), not a privacy
+    guarantee. Draw: u = (h + 0.5)/2⁶⁰ strictly inside (0,1);
+    Laplace(1) = ln(u1) − ln(u2) (difference of Exp(1) draws), each
+    ln 6-dp-rounded per the repo convention. Scale: one combinable
+    groupBy; the noise is scan-side codegen over the ≤|sources|-row
+    aggregate."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    noise = _dp_noise(_DP_H_SPARK)
+    return c.select(
+        "source",
+        "n_true",
+        F.expr(noise).alias("noise6"),
+        F.expr(f"round(CAST(n_true AS DOUBLE) + {noise}, 6)").alias(
+            "n_noisy6"
+        ),
+        F.expr(f"round(abs({noise}), 6)").alias("abs_err6"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_e_conformal_gate (round 8)
+# ---------------------------------------------------------------------------
+
+# Calibration/test split: content-stable md5 parity on doc_id (the
+# q_e_train_split convention). Score: 6-dp mean chars per token — a
+# cheap quality proxy whose distribution the gate calibrates against.
+_CF_CAL_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#conf')),"
+    " 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+)
+_CF_CAL_DUCK = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || '#conf'),"
+    " 1, 15)) AS BIGINT) % 2 = 0"
+)
+
+
+@query(
+    "q_e_conformal_gate",
+    oracle=f"""
+    WITH sc AS (
+      SELECT doc_id,
+             round(CAST(n_chars AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS score6,
+             {_CF_CAL_DUCK} AS is_cal
+      FROM documents
+    ),
+    cal AS (SELECT score6 FROM sc WHERE is_cal),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                  (9 * (COUNT(*) + 1) + 9) // 10 AS k
+           FROM cal),
+    thr AS (
+      SELECT (SELECT score6 FROM cal ORDER BY score6
+              LIMIT 1 OFFSET (SELECT k - 1 FROM nc)) AS threshold6
+    ),
+    tst AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             round(CAST(SUM(CASE WHEN score6 <= t.threshold6
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS cov
+      FROM sc CROSS JOIN thr t WHERE NOT is_cal
+    )
+    SELECT nc.n_cal, tst.n_test, nc.k, thr.threshold6,
+           CASE WHEN thr.threshold6 IS NULL THEN 1e0
+                ELSE tst.cov END AS coverage6
+    FROM nc CROSS JOIN thr CROSS JOIN tst
+    """,
+)
+def q_e_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL quality gate (round 8; Vovk's conformal
+    prediction, the Angelopoulos & Bates 2021 split recipe): from a
+    held-out calibration half, take the k = ⌈0.9·(n+1)⌉-th smallest
+    quality score as the distribution-free threshold, then AUDIT the
+    guarantee on the test half — coverage must be ≥ 90% in
+    expectation with no distributional assumption. This is how a
+    production pipeline sets quality-filter cutoffs with a
+    calibrated false-block rate instead of a hand-picked constant
+    (the measured-decision companion to q_e_length_gate /
+    q_e_quality_filter's fixed thresholds).
+
+    Exactness: k is exact integer ceiling arithmetic
+    ((9(n+1)+9) DIV 10 — float 0.9·(n+1) can land either side of an
+    exact multiple); the k-th order statistic is selected exactly.
+    Scale: the Spark spelling collapses the calibration half to
+    per-score counts, then runs the two-phase chunked prefix sum
+    (chunks = unit score buckets; per-chunk frames bounded by the
+    6-dp score domain, the q_e_quality_auc exemption) and picks the
+    threshold as a combinable MIN — never a global sort; the oracle
+    uses the naive ORDER BY/OFFSET selection, fine at DuckDB scale.
+    Coverage is one broadcast-scalar pass over the test half."""
+    sc = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(
+            F.col("n_chars").cast("double") / F.size(F.split("text", " ")),
+            6,
+        ).alias("score6"),
+        F.expr(_CF_CAL_SPARK).alias("is_cal"),
+    )
+    cal = sc.where("is_cal")
+    nc = cal.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr("(9 * (COUNT(*) + 1) + 9) DIV 10").alias("k"),
+    )
+    per = (
+        cal.groupBy("score6")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("chk", F.floor("score6"))
+    )
+    w_in = (
+        Window.partitionBy("chk")
+        .orderBy("score6")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per.withColumn("wc", F.sum("c").over(w_in))
+    totals = per.groupBy("chk").agg(F.sum("c").alias("ctot"))
+    w_c = Window.orderBy("chk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("chk", "off")
+    cum = within.join(F.broadcast(offsets), "chk").select(
+        "score6", (F.col("off") + F.col("wc")).alias("cum")
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(nc.select("k")))
+        .where(F.col("cum") >= F.col("k"))
+        .agg(F.min("score6").alias("threshold6"))
+    )
+    tst = (
+        sc.where(~F.col("is_cal"))
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.sum(
+                    F.when(F.col("score6") <= F.col("threshold6"), 1)
+                    .otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cov"),
+        )
+    )
+    return (
+        nc.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tst))
+        .select(
+            "n_cal",
+            "n_test",
+            "k",
+            "threshold6",
+            F.when(F.col("threshold6").isNull(), F.lit(1.0))
+            .otherwise(F.col("cov"))
+            .alias("coverage6"),
+        )
+    )

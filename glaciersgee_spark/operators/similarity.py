@@ -4035,3 +4035,359 @@ def q_e_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rk", "vec_id", F.col("score").alias("score6"))
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_whiten_diag (round 8)
+# ---------------------------------------------------------------------------
+
+# 6-dp integer element quantizer (the linalg.py Gram convention): the
+# per-dim moment sums then run exactly in BIGINT/DECIMAL, so the mean
+# and std every whitened element divides by are identical doubles in
+# both engines.
+_WH_QV_SPARK = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " * 1000000.0 + 0.5) AS BIGINT))"
+)
+_WH_QV_DUCK = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " * 1000000.0 + 0.5) AS BIGINT))"
+)
+# Whitened element (q-units; the common 1e-6 scale cancels inside the
+# cosine): (q − m_d) / s_d, zero when the dimension is constant —
+# Spark's transform index is 0-based with 1-based element_at, DuckDB's
+# lambda index is 1-based, hence the +1 asymmetry between dialects.
+_WH_W_SPARK = (
+    "transform(qv, (x, i) -> CASE WHEN element_at(sv, i + 1) = 0.0"
+    " THEN 0.0 ELSE (CAST(x AS DOUBLE) - element_at(mv, i + 1))"
+    " / element_at(sv, i + 1) END)"
+)
+_WH_W_DUCK = (
+    "list_transform(qv, (x, i) -> CASE WHEN sv[i] = 0.0"
+    " THEN 0.0 ELSE (CAST(x AS DOUBLE) - mv[i]) / sv[i] END)"
+)
+# Per-dim std from the exact integer moments, in ONE pinned expression
+# shape shared by both engines (greatest() absorbs the ~1-ulp negative
+# a constant dimension's s²/n rounding can produce under sqrt).
+_WH_SD = (
+    "sqrt(greatest((CAST(t AS DOUBLE) - CAST(s AS DOUBLE)"
+    " * CAST(s AS DOUBLE) / n) / n, 0.0))"
+)
+
+
+def _wh_fold_spark(frame: DataFrame) -> DataFrame:
+    """Corpus-level mean pairwise cosine (the q_e_anisotropy fold,
+    label-free): unit-quantize to 9-dp ints, one combinable aggregate
+    carrying 64 BIGINT sums, close with ‖S‖² − Σ‖u‖² engine-side."""
+    u = (
+        frame.withColumn("nrm", F.expr(_AN_NRM_SPARK))
+        .where(F.col("nrm") > 0)
+        .select(F.expr(_AN_QI_SPARK).alias("qu"))
+    )
+    agg = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"CAST(SUM(CAST({_AN_QSUM_SPARK} AS DECIMAL(30,12))) AS DOUBLE)"
+        ).alias("q"),
+        *[F.expr(f"SUM(qu[{d}])").alias(f"s{d}") for d in range(_AN_DIMS)],
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.expr(_an_s2_expr()) - F.col("q"))
+            / F.expr("nullif(n * (n - 1), 0)"),
+            6,
+        ).alias("mc6"),
+    )
+
+
+def _wh_fold_duck(src: str, tag: str) -> str:
+    """The same fold as DuckDB CTEs over `src` (a CTE exposing an
+    `embedding` list column); emits CTE text ending in `fold_{tag}`
+    with columns (n_{tag}, mc_{tag})."""
+    duck_sd = ",\n             ".join(
+        f"CAST(SUM(qu[{d + 1}]) AS BIGINT) AS s{d}" for d in range(_AN_DIMS)
+    )
+    return f"""
+    nr_{tag} AS (
+      SELECT embedding, {_AN_NRM_DUCK} AS nrm FROM {src}
+    ),
+    u_{tag} AS (SELECT {_AN_QI_DUCK} AS qu FROM nr_{tag} WHERE nrm > 0),
+    agg_{tag} AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST({_AN_QSUM_DUCK} AS DECIMAL(30,12)))
+                  AS DOUBLE) AS q,
+             {duck_sd}
+      FROM u_{tag}
+    ),
+    fold_{tag} AS (
+      SELECT CAST(n AS BIGINT) AS n_{tag},
+             round(({_an_s2_expr()} - q) / NULLIF(n * (n - 1), 0), 6)
+               AS mc_{tag}
+      FROM agg_{tag}
+    )"""
+
+
+@query(
+    "q_e_whiten_diag",
+    oracle=f"""
+    WITH qf AS (SELECT {_WH_QV_DUCK} AS qv FROM embeddings),
+    mom AS (
+      SELECT i, COUNT(*) AS n, SUM(q) AS s,
+             SUM(CAST(q * q AS DECIMAL(38,0))) AS t
+      FROM (SELECT unnest(qv) AS q,
+                   unnest(generate_series(0, len(qv) - 1)) AS i
+            FROM qf)
+      GROUP BY i
+    ),
+    ms AS (
+      SELECT list(CAST(s AS DOUBLE) / n ORDER BY i) AS mv,
+             list({_WH_SD} ORDER BY i) AS sv
+      FROM mom
+    ),
+    wf AS (SELECT {_WH_W_DUCK} AS embedding FROM qf CROSS JOIN ms),
+    rawsrc AS (SELECT embedding FROM embeddings),
+    {_wh_fold_duck('rawsrc', 'raw')},
+    {_wh_fold_duck('wf', 'wht')}
+    SELECT n_raw AS n_raw_vecs, n_wht AS n_white_vecs,
+           mc_raw AS mean_cos_raw6, mc_wht AS mean_cos_white6,
+           round(mc_raw - mc_wht, 6) AS reduction6
+    FROM fold_raw CROSS JOIN fold_wht
+    """,
+)
+def q_e_whiten_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGONAL-WHITENING anisotropy audit (round 8; Su et al. 2021
+    "Whitening Sentence Representations" / Mu & Viswanath 2018): does
+    per-dimension standardization (x−μ_d)/σ_d actually restore
+    isotropy on THIS corpus?  Reports the mean pairwise cosine of the
+    raw space (q_e_anisotropy's corpus row) next to the same statistic
+    after whitening, plus the reduction — the measured-decision
+    counterpart to q_e_anisotropy's detection: detect the cone, then
+    check the cheap fix before reaching for full ZCA.
+
+    Mechanics, all no-pairs: elements quantize to 6-dp ints (linalg
+    Gram convention) so the per-dim moments are EXACT integer sums
+    (one combinable 64-group aggregate); μ_d/σ_d derive engine-side in
+    one pinned expression shape; the 64-element (mv, sv) arrays ride a
+    1-row broadcast crossJoin back onto the corpus (never a driver
+    scalar, house idiom); whitened vectors re-enter the q_e_anisotropy
+    fold (9-dp unit ints, ‖Σu‖²−Σ‖u‖²).  Scale: three corpus scans —
+    moments, raw fold, whitened fold — each reducing to a ≤64-number
+    frame before any shuffle; nothing corpus-sized ever crosses.
+    Constant dimensions whiten to 0 (CASE guard, both engines);
+    zero-norm rows are excluded per side exactly as q_e_anisotropy
+    does."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qf = e.select(F.expr(_WH_QV_SPARK).alias("qv"))
+    mom = (
+        qf.select(F.posexplode("qv").alias("i", "q"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.expr("CAST(q * q AS DECIMAL(38,0))")).alias("t"),
+        )
+    )
+    ms = mom.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i,"
+            " CAST(s AS DOUBLE) / n AS m))), x -> x.m)"
+        ).alias("mv"),
+        F.expr(
+            f"transform(array_sort(collect_list(struct(i,"
+            f" {_WH_SD} AS sd))), x -> x.sd)"
+        ).alias("sv"),
+    )
+    wf = qf.crossJoin(F.broadcast(ms)).select(
+        F.expr(_WH_W_SPARK).alias("embedding")
+    )
+    raw = _wh_fold_spark(e.select("embedding"))
+    wht = _wh_fold_spark(wf)
+    return (
+        raw.select(
+            F.col("n").alias("n_raw_vecs"), F.col("mc6").alias("mean_cos_raw6")
+        )
+        .crossJoin(
+            F.broadcast(
+                wht.select(
+                    F.col("n").alias("n_white_vecs"),
+                    F.col("mc6").alias("mean_cos_white6"),
+                )
+            )
+        )
+        .select(
+            "n_raw_vecs",
+            "n_white_vecs",
+            "mean_cos_raw6",
+            "mean_cos_white6",
+            F.round(
+                F.col("mean_cos_raw6") - F.col("mean_cos_white6"), 6
+            ).alias("reduction6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_jl_distortion (round 8)
+# ---------------------------------------------------------------------------
+
+# Johnson–Lindenstrauss sign projection: R[i][j] = ±1 from the parity
+# of the repo-wide 60-bit md5 hash of "i_j" — a deterministic,
+# data-independent matrix both engines derive identically; y = qᵀR
+# stays EXACT INT64 (|q| ≤ ~2e6, 64 terms → |y| ≤ ~1.3e8), so both
+# squared distances are exact integers and the only doubles are the
+# final ratio divisions.
+_JL_R = 16  # target dimensionality (64 → 16, 4× compression)
+_JL_PANEL = 48  # audit panel: C(48,2) = 1,128 pairs, corpus-independent
+_JL_SIGN_SPARK = (
+    "CASE WHEN CAST(conv(substring(md5(concat(CAST(i AS STRING), '_',"
+    " CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+    " THEN 1 ELSE -1 END"
+)
+_JL_SIGN_DUCK = (
+    "CASE WHEN CAST(concat('0x', substring(md5(CAST(i AS VARCHAR) || '_'"
+    " || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0"
+    " THEN 1 ELSE -1 END"
+)
+
+
+@query(
+    "q_e_jl_distortion",
+    oracle=f"""
+    WITH panel AS (
+      SELECT vec_id,
+             unnest({_WH_QV_DUCK}) AS q,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings WHERE vec_id < {_JL_PANEL}
+    ),
+    proj AS (
+      SELECT i, j, {_JL_SIGN_DUCK} AS sgn
+      FROM (SELECT unnest(generate_series(0, 63)) AS i),
+           (SELECT unnest(generate_series(0, {_JL_R} - 1)) AS j)
+    ),
+    y AS (
+      SELECT p.vec_id, pr.j, SUM(p.q * pr.sgn) AS y
+      FROM panel p JOIN proj pr ON p.i = pr.i
+      GROUP BY p.vec_id, pr.j
+    ),
+    dproj AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             SUM(CAST((a.y - b.y) * (a.y - b.y) AS DECIMAL(38,0))) AS d2p
+      FROM y a JOIN y b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    draw AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             SUM(CAST((a.q - b.q) * (a.q - b.q) AS DECIMAL(38,0))) AS d2r
+      FROM panel a JOIN panel b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    rt AS (
+      SELECT CAST(d2p AS DOUBLE) / {_JL_R}.0
+               / NULLIF(CAST(d2r AS DOUBLE), 0.0) AS ratio
+      FROM dproj JOIN draw USING (va, vb)
+    )
+    SELECT CAST({_JL_R} AS BIGINT) AS r,
+           CAST(COUNT(ratio) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST((ratio) AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(ratio), 6) AS mean_ratio6,
+           round(MIN(ratio), 6) AS min_ratio6,
+           round(MAX(ratio), 6) AS max_ratio6,
+           round(CAST(SUM(CASE WHEN abs(ratio - 1.0) <= 0.5
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(ratio), 6) AS frac_within_50pct
+    FROM rt
+    """,
+)
+def q_e_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection DISTORTION audit
+    (round 8; Achlioptas 2003 database-friendly ±1 projections):
+    project 64-dim embeddings to r=16 with a deterministic sign
+    matrix and measure, over a fixed 48-vector panel (1,128 pairs),
+    the squared-distance ratio ‖Rx−Ry‖²/r ÷ ‖x−y‖² — mean/min/max
+    and the fraction within ±50%. The missing member of the module's
+    compression-audit family: PQ (q_e_pq_distortion) and int8
+    (q_e_int8_recall) audit QUANTIZATION; this audits DIMENSIONALITY
+    reduction, the other axis every ANN/sketch stack trades on.
+
+    Exactness: elements quantize to 6-dp ints (linalg convention),
+    the ±1 matrix comes from md5 parity (the repo hash idiom), so
+    y = qᵀR and both squared distances are EXACT integers in both
+    engines — the only doubles are the closing divisions. Scale: the
+    projection is a 1,024-row broadcast; the panel is
+    corpus-size-independent (pairs = C(48,2) regardless of corpus),
+    and projecting a FULL corpus is one broadcast-join + groupBy
+    whose shuffle rows are n·r, not n·64 — the point of doing JL
+    before a pairwise stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = (
+        e.where(F.col("vec_id") < _JL_PANEL)
+        .select("vec_id", F.posexplode(F.expr(_WH_QV_SPARK)).alias("i", "q"))
+        .persist()
+    )
+    proj = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(_JL_R).select(F.col("id").cast("int").alias("j"))
+        )
+        .select("i", "j", F.expr(_JL_SIGN_SPARK).alias("sgn"))
+    )
+    y = (
+        panel.join(F.broadcast(proj), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("sgn")).alias("y"))
+    )
+    ya = y.select(
+        F.col("vec_id").alias("va"), "j", F.col("y").alias("y_a")
+    )
+    yb = y.select(
+        F.col("vec_id").alias("vb"), "j", F.col("y").alias("y_b")
+    )
+    dproj = (
+        ya.join(yb, "j")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((y_a - y_b) * (y_a - y_b) AS DECIMAL(38,0))"
+                )
+            ).alias("d2p")
+        )
+    )
+    pa = panel.select(F.col("vec_id").alias("va"), "i", F.col("q").alias("q_a"))
+    pb = panel.select(F.col("vec_id").alias("vb"), "i", F.col("q").alias("q_b"))
+    draw = (
+        pa.join(pb, "i")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((q_a - q_b) * (q_a - q_b) AS DECIMAL(38,0))"
+                )
+            ).alias("d2r")
+        )
+    )
+    rt = dproj.join(draw, ["va", "vb"]).select(
+        (
+            F.col("d2p").cast("double")
+            / _JL_R
+            / F.expr("NULLIF(CAST(d2r AS DOUBLE), 0.0)")
+        ).alias("ratio")
+    )
+    return rt.agg(
+        F.lit(_JL_R).cast("long").alias("r"),
+        F.count("ratio").alias("n_pairs"),
+        F.round(F.expr(davg("ratio")), 6).alias("mean_ratio6"),
+        F.round(F.min("ratio"), 6).alias("min_ratio6"),
+        F.round(F.max("ratio"), 6).alias("max_ratio6"),
+        F.round(
+            F.sum(
+                F.when(F.abs(F.col("ratio") - 1.0) <= 0.5, 1).otherwise(0)
+            ).cast("double")
+            / F.count("ratio"),
+            6,
+        ).alias("frac_within_50pct"),
+    )

@@ -1619,3 +1619,201 @@ def q_b_runlength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- KMV / theta-sketch set ops
+
+# K-minimum-values sketch parameters (Beyer et al., SIGMOD 2007; the
+# theta-sketch core): per side keep the k smallest 60-bit md5 hashes of
+# the set members; the kth minimum estimates the distinct count as
+# (k-1)/u_k, and the two sketches INTERSECT by joining hash values
+# below theta = min(theta_a, theta_b) — the set-operation capability
+# the resident sketch family (HLL union, KLL, count-min, Bloom,
+# bitmap) does not have: HLL cannot intersect without
+# inclusion-exclusion blowup.
+_KMV_K = 64
+# conv(15 hex chars) domain bound: hashes are uniform on [0, 2^60).
+_KMV_MAXH = 1152921504606846976
+_KMV_H_SPARK = (
+    "CAST(conv(substring(md5(CAST(ck AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
+@query(
+    "q_b_kmv_intersect",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT year(o_orderdate) AS yr, o_custkey AS ck
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    ),
+    h AS (
+      SELECT yr,
+             CAST(concat('0x', substring(md5(CAST(ck AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM d
+    ),
+    bka AS (SELECT hv FROM h WHERE yr = 1995 ORDER BY hv LIMIT {_KMV_K}),
+    bkb AS (SELECT hv FROM h WHERE yr = 1996 ORDER BY hv LIMIT {_KMV_K}),
+    sa AS (SELECT COUNT(*) AS n_bk_a, MAX(hv) AS hk_a FROM bka),
+    sb AS (SELECT COUNT(*) AS n_bk_b, MAX(hv) AS hk_b FROM bkb),
+    na AS (SELECT COUNT(*) AS n_a_exact FROM h WHERE yr = 1995),
+    nb AS (SELECT COUNT(*) AS n_b_exact FROM h WHERE yr = 1996),
+    ni AS (SELECT COUNT(*) AS n_inter_exact
+           FROM (SELECT ck FROM d GROUP BY ck HAVING COUNT(*) = 2)),
+    th AS (SELECT least(
+             CASE WHEN n_bk_a >= {_KMV_K} THEN hk_a ELSE {_KMV_MAXH} END,
+             CASE WHEN n_bk_b >= {_KMV_K} THEN hk_b ELSE {_KMV_MAXH} END
+           ) AS theta
+           FROM sa CROSS JOIN sb),
+    si AS (SELECT COUNT(*) AS s_inter
+           FROM bka JOIN bkb USING (hv) CROSS JOIN th
+           WHERE hv <= theta),
+    est AS (
+      SELECT CAST({_KMV_K} AS BIGINT) AS k,
+             n_a_exact, n_b_exact, n_inter_exact,
+             CASE WHEN n_bk_a < {_KMV_K} THEN CAST(n_bk_a AS DOUBLE)
+                  ELSE round({_KMV_K - 1}.0 * {_KMV_MAXH}.0
+                             / CAST(hk_a AS DOUBLE), 4) END AS est_a,
+             CASE WHEN n_bk_b < {_KMV_K} THEN CAST(n_bk_b AS DOUBLE)
+                  ELSE round({_KMV_K - 1}.0 * {_KMV_MAXH}.0
+                             / CAST(hk_b AS DOUBLE), 4) END AS est_b,
+             round(CAST(s_inter AS DOUBLE) * {_KMV_MAXH}.0
+                   / CAST(theta AS DOUBLE), 4) AS est_inter
+      FROM sa, sb, na, nb, ni, th, si
+    )
+    SELECT k, n_a_exact, est_a, n_b_exact, est_b, n_inter_exact, est_inter,
+           round(abs(est_a - n_a_exact)
+                 / CAST(NULLIF(n_a_exact, 0) AS DOUBLE), 4) AS err_a,
+           round(abs(est_b - n_b_exact)
+                 / CAST(NULLIF(n_b_exact, 0) AS DOUBLE), 4) AS err_b,
+           round(abs(est_inter - n_inter_exact)
+                 / CAST(NULLIF(n_inter_exact, 0) AS DOUBLE), 4) AS err_inter
+    FROM est
+    """,
+)
+def q_b_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta) sketch INTERSECTION (round 8):
+    estimate the year-over-year returning-customer count |A∩B| — the
+    set operation the resident sketch family cannot do (HLL only
+    unions; inclusion-exclusion over HLLs compounds error) — and
+    audit both per-side and intersection estimates against the exact
+    answers, the est-vs-exact convention of q_b_hll_rolling /
+    q_b_countmin_freq.
+
+    Mechanics: 60-bit md5 member hashes (the repo-wide Spark
+    conv(hex,16,10) ≡ DuckDB '0x…' cast idiom); per side the k=64
+    smallest survive; (k−1)/u_k estimates the side cardinality;
+    theta = min of the two kth minima and the bottom-k equi-join
+    restricted to hv ≤ theta estimates the intersection as
+    s·2⁶⁰/theta (complete-sketch sides degenerate to exact counts
+    through the same formula since theta = 2⁶⁰). The ≤k-row sketch
+    IS the shuffle payload at 100 TB: each side's bottom-k runs as
+    TakeOrderedAndProject (per-partition partial top-k, k-row merge
+    — never a global sort), the sketch joins are ≤64-row broadcasts,
+    and the exact audit counts are ordinary combinable aggregates
+    that a production run would simply drop. One distinct shuffle
+    over (year, custkey) feeds every branch via persist."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.where(F.year("o_orderdate").isin(1995, 1996))
+        .select(F.year("o_orderdate").alias("yr"), F.col("o_custkey").alias("ck"))
+        .distinct()
+        .withColumn("hv", F.expr(_KMV_H_SPARK))
+        .persist()
+    )
+
+    def sketch(yr: int, tag: str):
+        s = d.where(F.col("yr") == yr)
+        bk = s.select("hv").orderBy("hv").limit(_KMV_K)
+        stats = bk.agg(
+            F.count(F.lit(1)).alias(f"n_bk_{tag}"),
+            F.max("hv").alias(f"hk_{tag}"),
+        ).crossJoin(s.agg(F.count(F.lit(1)).alias(f"n_{tag}_exact")))
+        return bk, stats
+
+    bka, sa = sketch(1995, "a")
+    bkb, sb = sketch(1996, "b")
+    ni = (
+        d.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("ny"))
+        .where(F.col("ny") == 2)
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    theta = F.least(
+        F.when(F.col("n_bk_a") >= _KMV_K, F.col("hk_a")).otherwise(
+            F.lit(_KMV_MAXH)
+        ),
+        F.when(F.col("n_bk_b") >= _KMV_K, F.col("hk_b")).otherwise(
+            F.lit(_KMV_MAXH)
+        ),
+    )
+    # ≤k-row sketch join; s_inter counts the survivors below theta.
+    si = (
+        bka.join(F.broadcast(bkb), "hv")
+        .crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("hv") <= theta, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("s_inter")
+        )
+    )
+    est_a = F.when(
+        F.col("n_bk_a") < _KMV_K, F.col("n_bk_a").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(float(_KMV_MAXH))
+            / F.col("hk_a").cast("double"),
+            4,
+        )
+    )
+    est_b = F.when(
+        F.col("n_bk_b") < _KMV_K, F.col("n_bk_b").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(float(_KMV_MAXH))
+            / F.col("hk_b").cast("double"),
+            4,
+        )
+    )
+    est_i = F.round(
+        F.col("s_inter").cast("double")
+        * F.lit(float(_KMV_MAXH))
+        / theta.cast("double"),
+        4,
+    )
+    assembled = (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(ni))
+        .crossJoin(F.broadcast(si))
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            "n_a_exact",
+            est_a.alias("est_a"),
+            "n_b_exact",
+            est_b.alias("est_b"),
+            "n_inter_exact",
+            est_i.alias("est_inter"),
+        )
+    )
+    err = lambda e, n: F.round(
+        F.abs(F.col(e) - F.col(n))
+        / F.nullif(F.col(n), F.lit(0)).cast("double"),
+        4,
+    )
+    return assembled.select(
+        "k",
+        "n_a_exact",
+        "est_a",
+        "n_b_exact",
+        "est_b",
+        "n_inter_exact",
+        "est_inter",
+        err("est_a", "n_a_exact").alias("err_a"),
+        err("est_b", "n_b_exact").alias("err_b"),
+        err("est_inter", "n_inter_exact").alias("err_inter"),
+    )

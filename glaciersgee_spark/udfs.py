@@ -639,3 +639,68 @@ def q_f_group_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------ Arrow-optimized scalar UDF
+
+
+# useArrow=True: Spark 4's Arrow-optimized Python UDF — same
+# def-a-scalar-function authoring surface as q_f_udf_scalar's
+# row-at-a-time form, but the executor⇄Python crossing is Arrow
+# record batches instead of one pickled row per call. The kernel is
+# the Luhn check digit (ISO/IEC 7812): from the right, every second
+# digit doubles (and casts out nines), the rest pass through, and the
+# check digit completes the sum to a multiple of 10 — pure integer
+# arithmetic, bit-identical in any engine.
+@F.udf(returnType=T.LongType(), useArrow=True)
+def _luhn_check(n: int) -> int:
+    tot = 0
+    for i, ch in enumerate(str(n)[::-1]):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        tot += d
+    return (10 - tot % 10) % 10
+
+
+@query(
+    "q_f_arrow_udf",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS t
+      FROM orders WHERE o_orderkey % 30 = 0
+    )
+    SELECT o_orderkey,
+           CAST((10 - (list_sum(list_transform(
+                  range(1, length(t) + 1),
+                  p -> CASE
+                         WHEN (length(t) - p) % 2 = 1 THEN
+                           CASE WHEN CAST(t[p] AS BIGINT) * 2 > 9
+                                THEN CAST(t[p] AS BIGINT) * 2 - 9
+                                ELSE CAST(t[p] AS BIGINT) * 2 END
+                         ELSE CAST(t[p] AS BIGINT)
+                       END)) % 10)) % 10 AS BIGINT) AS luhn_check
+    FROM s
+    """,
+)
+def q_f_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED scalar Python UDF (round 8 — `useArrow=True`,
+    the Spark 4 eval type Group F didn't yet declare): closes the
+    scalar-UDF triangle.  q_f_udf_scalar is the row-at-a-time pickle
+    boundary, q_f_pandas_scalar is the pandas_udf Series boundary;
+    this is the third form — scalar authoring ergonomics (a plain
+    int→int function, no pandas import) with Arrow-batched transfer,
+    i.e. what a user should reach for when migrating legacy row UDFs
+    without rewriting them as Series kernels.
+
+    Kernel: Luhn check digit over a `% 30` order-key sample — integer
+    doubling/casting-out-nines, so both engines produce identical
+    BIGINTs with no float anywhere.  Scale posture: still per-row
+    Python inside the batch loop (Arrow removes serialization cost,
+    not interpreter cost) — the production spelling of THIS kernel is
+    the pure SQL digit fold the oracle runs; the declared op exists to
+    prove the boundary and price it honestly in BASELINE.md."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 30 == 0)
+    return o.select("o_orderkey", _luhn_check("o_orderkey").alias("luhn_check"))

@@ -2484,3 +2484,165 @@ def test_cluster_ari_bounds_and_population(spark):
     assert 0 <= r.joint_pairs <= min(r.seed_pairs, r.trained_pairs)
     assert r.seed_pairs <= total_pairs and r.trained_pairs <= total_pairs
     assert -1.0 <= r.ari6 <= 1.0
+
+
+def test_kmv_intersect_estimates_track_exact(spark):
+    """The KMV audit row must be internally consistent: one row, the
+    exact counts positive with |A∩B| <= min(|A|, |B|), and each
+    estimate within the generous 6-sigma KMV band (sigma ~ 1/sqrt(k-2)
+    per side; the intersection compounds both sketches)."""
+    from glaciersgee_spark.operators.warehouse import _KMV_K, q_b_kmv_intersect
+
+    rows = q_b_kmv_intersect(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k == _KMV_K
+    assert 0 < r.n_inter_exact <= min(r.n_a_exact, r.n_b_exact)
+    sigma = 1.0 / (_KMV_K - 2) ** 0.5
+    assert r.err_a <= 6 * sigma and r.err_b <= 6 * sigma
+    assert r.err_inter <= 12 * sigma
+    # complete-sketch degeneracy: a side smaller than k reports exact
+    if r.n_a_exact < _KMV_K:
+        assert r.est_a == float(r.n_a_exact)
+
+
+def test_arrow_udf_luhn_matches_pure_python(spark):
+    """The Arrow-optimized scalar UDF must agree with a reference
+    Python Luhn implementation on every sampled key."""
+    from glaciersgee_spark.udfs import q_f_arrow_udf
+
+    def luhn(n: int) -> int:
+        tot = 0
+        for i, ch in enumerate(str(n)[::-1]):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - 9 if d * 2 > 9 else d * 2
+            tot += d
+        return (10 - tot % 10) % 10
+
+    rows = q_f_arrow_udf(spark, SF_SMOKE).collect()
+    assert rows and all(r.luhn_check == luhn(r.o_orderkey) for r in rows)
+
+
+def test_whiten_diag_centers_the_space(spark):
+    """Diagonal whitening centers the corpus, so the whitened mean
+    pairwise cosine must sit near zero (the centered-space identity:
+    the pair-dot sum of exactly centered vectors is negative and
+    O(1/n) after unit normalization), and the audit row must be
+    internally consistent."""
+    from glaciersgee_spark.operators.similarity import q_e_whiten_diag
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_whiten_diag(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert r.n_raw_vecs == n and r.n_white_vecs == n
+    assert abs(r.mean_cos_white6) < 0.1
+    assert r.reduction6 == round(r.mean_cos_raw6 - r.mean_cos_white6, 6)
+
+
+def test_dedup_blocking_window_decay_and_bounds(spark):
+    """SNM structural bounds: offset-d candidate count is exactly
+    n_docs - d (every row pairs with its d-th successor except the
+    last d), verified <= candidates, and verification decays with
+    window distance (near-dups sort adjacent)."""
+    from glaciersgee_spark.operators.dedup import _SNM_W, q_e_dedup_blocking
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_dedup_blocking(spark, SF_SMOKE).collect()
+    assert [r.d for r in rows] == list(range(1, _SNM_W + 1))
+    n = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where(F.size(F.split("text", " ")) >= 3)
+        .count()
+    )
+    for r in rows:
+        assert r.n_candidates == n - r.d
+        assert 0 <= r.n_verified <= r.n_candidates
+    assert rows[0].n_verified >= rows[-1].n_verified
+
+
+def test_jl_distortion_is_unbiased_and_bounded(spark):
+    """JL sign projections are unbiased (E[ratio] = 1): the panel mean
+    must sit near 1, every ratio must be positive, and the pair count
+    must be exactly C(panel, 2)."""
+    from glaciersgee_spark.operators.similarity import (
+        _JL_PANEL,
+        q_e_jl_distortion,
+    )
+
+    r = q_e_jl_distortion(spark, SF_SMOKE).collect()[0]
+    assert r.n_pairs == _JL_PANEL * (_JL_PANEL - 1) // 2
+    assert 0.7 <= r.mean_ratio6 <= 1.3
+    assert 0.0 < r.min_ratio6 <= r.mean_ratio6 <= r.max_ratio6
+    assert 0.5 <= r.frac_within_50pct <= 1.0
+
+
+def test_t_closeness_partitions_and_bounds(spark):
+    """t-closeness deciles must partition every equivalence class (doc
+    totals equal the corpus), every t must sit in [0, 1), and per
+    decile avg <= max with max inside the decile's upper edge."""
+    from glaciersgee_spark.operators.curation import q_e_t_closeness
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_t_closeness(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert 0 <= r.t_decile <= 9
+        assert 0.0 <= r.avg_t6 <= r.max_t6 < 1.0
+        # every class in decile b has t in [b/10, (b+1)/10) (cap at 9)
+        if r.t_decile < 9:
+            assert r.max_t6 < (r.t_decile + 1) / 10.0
+        assert r.avg_t6 >= r.t_decile / 10.0 - 1e-9
+
+
+def test_bt_strength_fit_is_consistent(spark):
+    """BT invariants: ranks are a permutation, strengths renormalize
+    to n_sources (within the 6-dp rounding budget), and the MM fit
+    preserves win-rate order in aggregate: the top-ranked source must
+    not have fewer wins than the bottom-ranked one."""
+    from glaciersgee_spark.operators.curation import q_e_bt_strength
+
+    rows = q_e_bt_strength(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert sorted(r.rank for r in rows) == list(range(1, n + 1))
+    assert abs(sum(r.bt_w6 for r in rows) - n) < 1e-3 * n
+    assert all(r.bt_w6 >= 0.0 for r in rows)
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert by_rank[0].n_wins >= by_rank[-1].n_wins
+    # strengths are sorted by construction
+    ws = [r.bt_w6 for r in by_rank]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_dp_counts_noise_and_release_are_consistent(spark):
+    """The DP release must satisfy its own arithmetic (noisy = true +
+    noise, err = |noise|) and the Laplace(1) draws must look like
+    Laplace: median |noise| for Laplace(1) is ln 2 ~ 0.69 — accept a
+    wide band, but reject degenerate all-zero or huge noise."""
+    from glaciersgee_spark.operators.curation import q_e_dp_counts
+
+    rows = q_e_dp_counts(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.n_noisy6 - round(r.n_true + r.noise6, 6)) < 1e-9
+        assert abs(r.abs_err6 - round(abs(r.noise6), 6)) < 1e-9
+    errs = sorted(r.abs_err6 for r in rows)
+    med = errs[len(errs) // 2]
+    assert 0.01 < med < 5.0
+
+
+def test_conformal_gate_covers_at_target(spark):
+    """Split-conformal guarantee: test coverage must be >= 0.9 minus
+    a finite-sample slack of ~2/sqrt(n_test), and k must be the exact
+    integer ceiling of 0.9 * (n_cal + 1)."""
+    from glaciersgee_spark.operators.curation import q_e_conformal_gate
+
+    r = q_e_conformal_gate(spark, SF_SMOKE).collect()[0]
+    assert r.k == -((-9 * (r.n_cal + 1)) // 10)  # exact ceil
+    assert r.n_cal + r.n_test > 0
+    slack = 2.0 / max(r.n_test, 1) ** 0.5
+    assert r.coverage6 >= 0.9 - slack
+    assert r.threshold6 is None or r.threshold6 > 0.0
