@@ -117,6 +117,12 @@ HEADLINERS = [
     ("q_b_sql_pipe", "|> chain is pure syntax: shipdate filter pushed to the scan, plan-equal to the standard-SQL twin (r8)"),
     ("q_f_group_arrow", "applyInArrow whole-group boundary: one lang shuffle, zero pandas conversion (r8)"),
     ("q_e_cluster_ari", "two shared broadcast-panel assignments into a K×K combinable contingency; exact BIGINT pair sums (r8)"),
+    ("q_b_kmv_intersect", "bottom-k sides are TakeOrderedAndProject (partial top-k, k-row merge); sketch joins ≤64-row broadcasts (r8)"),
+    ("q_e_dedup_blocking", "two-phase chunked sort-order rank + rank+d equi-join: candidates structurally w·n, never O(n²) (r8)"),
+    ("q_e_jl_distortion", "vec_id<48 panel filter pushed to the scan; 1,024-row sign matrix broadcasts; exact INT64 distances (r8)"),
+    ("q_e_whiten_diag", "combinable per-dim integer moments; 64-element (μ,σ) arrays ride a 1-row broadcast back onto the corpus (r8)"),
+    ("q_e_conformal_gate", "k-th order statistic from per-score counts + chunk-partitioned prefix sums; no global sort anywhere (r8)"),
+    ("q_e_bt_strength", "one corpus pass into the ≤C(20,2) win matrix; MM rounds driver-side on the bounded panel (mmr precedent) (r8)"),
 ]
 
 

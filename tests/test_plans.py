@@ -986,3 +986,83 @@ def test_sql_pipe_is_pure_syntax_same_plan_as_standard_sql(spark):
         PI.formatted(std)
     )
     assert sorted(pushed) == sorted(PI.pushed_filters(std))
+
+
+def test_kmv_bottom_k_is_take_ordered_not_global_sort(spark):
+    """q_b_kmv_intersect's per-side bottom-k must run as
+    TakeOrderedAndProject (per-partition partial top-k, k-row merge)
+    — a global Sort over the distinct-user frame would be the scale
+    trap the sketch exists to avoid. The sketch joins must broadcast."""
+    from glaciersgee_spark.operators.warehouse import q_b_kmv_intersect
+
+    df = q_b_kmv_intersect(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastExchange" in plan
+    # the only Sort allowed is inside TakeOrdered; no standalone
+    # global Sort node over the corpus frame
+    for line in plan.splitlines():
+        if "Sort [" in line and "TakeOrdered" not in line:
+            raise AssertionError(f"unexpected global sort: {line}")
+
+
+def test_dedup_blocking_rank_is_chunk_partitioned(spark):
+    """q_e_dedup_blocking's sort-order rank must be the two-phase
+    chunked form: every row_number window partitions by the chunk
+    key (never an un-partitioned corpus window), offsets come back
+    via broadcast, and the neighborhood join is an equi-join (no
+    nested loop / cartesian)."""
+    from glaciersgee_spark.operators.dedup import q_e_dedup_blocking
+
+    df = q_e_dedup_blocking(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(0)
+        assert "chk" in spec or "partition" not in spec.lower(), spec
+
+
+def test_jl_projection_is_broadcast_and_panel_bounded(spark):
+    """q_e_jl_distortion: the 1,024-row sign matrix must broadcast
+    (never shuffle the exploded panel on i), and the panel filter
+    vec_id < 48 must reach the parquet scan so the corpus is pruned
+    at the source."""
+    from glaciersgee_spark.operators.similarity import q_e_jl_distortion
+
+    df = q_e_jl_distortion(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "BroadcastExchange" in plan
+    pushed = " ".join(PI.pushed_filters(df))
+    assert "LessThan(vec_id,48)" in pushed
+
+
+def test_whiten_diag_moments_are_combinable_and_broadcast_back(spark):
+    """q_e_whiten_diag: the per-dim moment aggregate must be partial
+    (map-side combinable) and the 64-element (mu, sigma) arrays must
+    ride a broadcast — nothing corpus-sized may cross an exchange
+    besides the scan itself."""
+    from glaciersgee_spark.operators.similarity import q_e_whiten_diag
+
+    df = q_e_whiten_diag(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "partial" in plan.lower()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conformal_threshold_has_no_global_sort(spark):
+    """q_e_conformal_gate selects the k-th order statistic from
+    per-score counts + chunk-partitioned prefix sums — the plan must
+    contain no Sort outside window-required local sorts partitioned
+    by chk, and the threshold/test passes must broadcast."""
+    from glaciersgee_spark.operators.curation import q_e_conformal_gate
+
+    df = q_e_conformal_gate(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "TakeOrderedAndProject" not in plan  # not even top-k: pure agg
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange SinglePartition") <= 3  # chunk totals + 1-row folds
