@@ -1645,3 +1645,77 @@ def q_d_stream_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(data_batches), sum(data_batches), sum(rows_per_batch))],
         "n_data_batches long, total_input_rows long, sum_progress_rows long",
     )
+
+
+@query(
+    "q_d_stream_chained_agg",
+    oracle="""
+    WITH wm AS (SELECT date_trunc('milliseconds', MAX(ts))
+                        - INTERVAL 1 HOUR AS w FROM events),
+    sub AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+             time_bucket(INTERVAL 15 MINUTE, ts) AS sub_start,
+             event_type, COUNT(*) AS c15
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(hour_start AS TIMESTAMP) AS hour_start, event_type,
+           CAST(SUM(c15) AS BIGINT) AS c60,
+           CAST(COUNT(*) AS BIGINT) AS n_sub
+    FROM sub CROSS JOIN wm
+    WHERE hour_start + INTERVAL 1 HOUR <= w
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+def q_d_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL AGGREGATIONS end to end (round 8) — the
+    fifteenth true-stream surface and the first with TWO state stores
+    in one query (Spark 3.4+ multiple-stateful-operators,
+    SPARK-40925): 15-minute tumbling counts per event_type flow in
+    append mode into a 1-hour rollup windowed ON the first window
+    column — the pre-aggregation cascade every metrics pipeline runs
+    (minute → hour → day), previously only expressible as two
+    separate jobs with an intermediate sink. The hour agg consumes
+    only FINALIZED sub-windows, so each level emits exactly once.
+
+    Emission contract, encoded in the oracle: a tumbling window
+    emits iff window_end <= wm, wm = ms-floored max event time −
+    1 h — an exact wm == end tie EMITS, matching session_window's
+    convention. Probed empirically on Spark 4.1 at the exact tie and
+    at ±1 ms (4/4 repeated trials + the pinned unit test; one early
+    un-checkpointed memory-sink probe read 0 rows at the tie — a
+    result-visibility race, not semantics, which is why the unit
+    test uses an explicit checkpoint). Every 15-minute sub-window of
+    an emitted hour satisfies the cutoff too (sub_end <= hour_end),
+    so the rollup totals are complete and the emitted set is
+    batching-invariant. n_sub counts the populated sub-windows —
+    the level-1 cardinality the rollup actually merged.
+
+    Scale: both levels are map-side-combinable counts; state is one
+    row per OPEN (window, type) per level — watermark-horizon
+    bounded, independent of traffic; the day-chunked arrival makes
+    the watermark advance so level-1 state provably evicts
+    (asserted in tests via the two stateOperators entries)."""
+    from pyspark.sql import types as T
+
+    from glaciersgee_spark.streaming.stream import drain_chained_windows
+
+    sink = scratch_dir(prefix="ggee_chain_sink_")
+    ck = scratch_dir(prefix="ggee_chain_ck_")
+    drain_chained_windows(spark, sf_dir, sink, ck)
+    rows = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("hour_start", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("c60", T.LongType()),
+                T.StructField("n_sub", T.LongType()),
+            ]
+        )
+    ).parquet(sink)
+    return rows.select(
+        F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "c60",
+        "n_sub",
+    ).orderBy("hour_start", "event_type")

@@ -1159,3 +1159,81 @@ def drain_complete_counts(spark: SparkSession, sf_dir: str, name: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return q
+
+
+def chained_windows(ev: DataFrame) -> DataFrame:
+    """The two-level window cascade over a watermarked (event_type,
+    ts) stream: 15-minute tumbling counts re-windowed into 1-hour
+    rollups via `window(w15, '1 hour')` — shared by the full drain
+    and the synthetic-tie boundary test."""
+    w15 = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w15"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c15"))
+    w60 = w15.groupBy(
+        F.window(F.col("w15"), "1 hour").alias("w60"), "event_type"
+    ).agg(
+        F.sum("c15").cast("long").alias("c60"),
+        F.count(F.lit(1)).cast("long").alias("n_sub"),
+    )
+    return w60.select(
+        F.col("w60.start").alias("hour_start"),
+        "event_type",
+        "c60",
+        "n_sub",
+    )
+
+
+def drain_chained_windows(spark: SparkSession, sf_dir: str, sink: str, ck: str):
+    """TWO CHAINED STATEFUL AGGREGATIONS in one streaming query
+    (Spark 3.4+ multiple-stateful-operators support; SPARK-40925):
+    15-minute tumbling counts per event_type re-aggregated into
+    1-hour rollups by windowing ON the first window column
+    (`window(w15, '1 hour')` — the time-window-of-time-window API).
+    Append chaining means the hour agg consumes only FINALIZED
+    15-minute windows (each emitted exactly once when the watermark
+    passes its end), so the two state stores coexist in one query —
+    the rollup never sees a partial sub-window.
+
+    Emission contract (probed by the synthetic-tie unit test,
+    tests/test_streaming.py): with watermark delay 1 h, a tumbling
+    window emits when wm >= window end, wm = ms-floored max event
+    time − 1 h — an exact wm == end tie EMITS, the session_window
+    convention. An hour window at the cutoff has every sub-window at
+    or below it too (sub-end <= hour end), so the final no-data
+    batch flushes the full chain and the availableNow drain is
+    exact.
+
+    Scale: both aggregates are map-side combinable counts; state is
+    one row per open (window, event_type) per level — bounded by the
+    watermark horizon, independent of traffic volume; the chunked
+    file source makes the watermark ADVANCE mid-query so the
+    first-level store provably evicts."""
+    staged = stage_event_chunks(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(_EVCH_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/events")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    out = chained_windows(ev)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "chained-windows drain exceeded 180 s — refusing to read "
+                "a partially-written sink"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q

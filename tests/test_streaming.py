@@ -1030,3 +1030,75 @@ def test_stream_full_outer_emits_both_sides_after_watermark(spark):
     )
     assert got_cnull == want_cnull
     assert len(unm_c) > len(want_cnull)  # open right tail withheld
+
+
+def test_chained_windows_tie_is_strict_and_runs_two_state_stores(spark):
+    """Pins q_d_stream_chained_agg's emission contract (probed on
+    Spark 4.1, round 8): a tumbling window emits when the watermark
+    REACHES its end — an exact wm == end tie EMITS (the
+    session_window convention) — and the chained query runs TWO
+    stateful operators whose level-1 store evicts.
+    Fixture: hour-A events (08:05, 08:20) + 09:10, then a second
+    file whose max ts 10:00:00.000 puts wm exactly ON hour-A's end
+    (09:00) → hour A EMITS with the complete rollup (c60=2, n_sub=2);
+    re-staged with 09:59:59.999 → wm one ms short → nothing emits."""
+    import glob
+    import os
+    import shutil
+
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    def run(tail_ts: str, qname: str):
+        d = scratch_dir(prefix="ggee_chain_tie_")
+
+        def mk(rows, w, mt):
+            spark.createDataFrame(
+                rows, "event_type string, tss string"
+            ).selectExpr(
+                "event_type", "cast(tss as timestamp) ts"
+            ).coalesce(1).write.parquet(f"{d}/{w}")
+            f = glob.glob(f"{d}/{w}/*.parquet")[0]
+            os.makedirs(f"{d}/src", exist_ok=True)
+            dst = f"{d}/src/{w}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (mt, mt))
+
+        mk(
+            [
+                ("click", "2024-01-01 08:05:00"),
+                ("click", "2024-01-01 08:20:00"),
+                ("view", "2024-01-01 09:10:00"),
+            ],
+            "w1",
+            1_700_000_000,
+        )
+        mk([("view", tail_ts)], "w2", 1_700_000_010)
+        src = (
+            spark.readStream.schema("event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+            .withWatermark("ts", "1 hour")
+        )
+        q = _run_to_memory(S.chained_windows(src), qname, "append")
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        return q, rows
+
+    q_tie, rows_tie = run("2024-01-01 10:00:00", "t_chain_tie")
+    got_tie = {
+        (str(r.hour_start), r.event_type, r.c60, r.n_sub) for r in rows_tie
+    }
+    # wm == hour end (09:00): the tie EMITS, with the COMPLETE rollup
+    # (both sub-windows merged) — hour B (end 10:00 > wm) must not
+    assert got_tie == {("2024-01-01 08:00:00", "click", 2, 2)}, got_tie
+    # two stateful operators present in every progress entry
+    assert all(len(p["stateOperators"]) == 2 for p in q_tie.recentProgress)
+    removed = sum(
+        s["numRowsRemoved"]
+        for p in q_tie.recentProgress
+        for s in p["stateOperators"]
+    )
+    assert removed > 0  # level-1 sub-windows evicted on finalize
+
+    # 1 ms short of the tie: nothing may emit
+    _, rows_short = run("2024-01-01 09:59:59.999", "t_chain_short")
+    assert rows_short == [], rows_short
