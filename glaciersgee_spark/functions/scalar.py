@@ -725,3 +725,38 @@ def q_c_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_case_variants",
         "first_variant",
     ).orderBy("source_ci")
+
+
+@query(
+    "q_c_binary",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(encode(p_name)) AS b64,
+           lower(hex(encode(p_name))) AS hx,
+           decode(unhex(lower(hex(encode(p_name))))) AS roundtrip,
+           CAST(octet_length(encode(p_name)) AS BIGINT) AS n_bytes,
+           CAST(length(p_name) AS BIGINT) AS n_chars
+    FROM part WHERE p_partkey % 40 = 0
+    """,
+)
+def q_c_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding scalar family (round 8): string→bytes
+    (`encode` UTF-8), base64 and hex renderings, the hex→bytes→string
+    round-trip, and byte-vs-char length — the byte-level surface the
+    multimodal BinaryType columns (q_b_scan_binary, q_e_mm_*) and
+    the content-hash family sit on. Dialect notes pinned here: Spark
+    `base64(binary)` ≡ DuckDB `to_base64(blob)`; Spark `hex` emits
+    uppercase and DuckDB lowercase, so both sides normalize through
+    `lower()`; `decode(…, 'UTF-8')` ≡ DuckDB `decode(blob)`. Pure
+    scan-side codegen over a `% 40` key sample; zero shuffles."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 40 == 0)
+    b = F.encode(F.col("p_name"), "UTF-8")
+    hx = F.lower(F.hex(b))
+    return p.select(
+        "p_partkey",
+        F.base64(b).alias("b64"),
+        hx.alias("hx"),
+        F.decode(F.unhex(hx), "UTF-8").alias("roundtrip"),
+        F.octet_length(b).cast("long").alias("n_bytes"),
+        F.length("p_name").cast("long").alias("n_chars"),
+    )

@@ -2771,3 +2771,112 @@ def q_e_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_winsorize (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_winsorize",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                      (5 * COUNT(*) + 99) // 100 AS k_lo,
+                      (95 * COUNT(*) + 99) // 100 AS k_hi
+               FROM documents),
+    lo AS (SELECT (SELECT n_chars FROM documents ORDER BY n_chars
+                   LIMIT 1 OFFSET (SELECT k_lo - 1 FROM n)) AS t_lo),
+    hi AS (SELECT (SELECT n_chars FROM documents ORDER BY n_chars
+                   LIMIT 1 OFFSET (SELECT k_hi - 1 FROM n)) AS t_hi)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars < t_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN n_chars > t_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           ANY_VALUE(t_lo) AS t_lo,
+           ANY_VALUE(t_hi) AS t_hi,
+           round(CAST(SUM(CAST((CAST(n_chars AS DOUBLE))
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_raw6,
+           round(CAST(SUM(CAST((CAST(least(greatest(n_chars, t_lo), t_hi)
+                                     AS DOUBLE)) AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_wins6
+    FROM documents CROSS JOIN lo CROSS JOIN hi
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_e_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION audit (round 8; Hastings et al. 1947 / the
+    standard robust-statistics clip): clip document lengths at the
+    exact p5/p95 ORDER STATISTICS (k = ⌈q·n⌉, exact integer
+    arithmetic — float 0.05·n can land either side of an exact
+    multiple) and report, per source, how much mass each tail clip
+    removes and the raw-vs-winsorized mean shift — the outlier
+    treatment a curation pipeline applies before any mean-based
+    mixture/quota computation trusts its numbers
+    (q_e_zscore_norm standardizes; this BOUNDS).
+
+    Scale spelling: both thresholds come from ONE per-value count
+    frame (n_chars is integer-domain) through the two-phase chunked
+    prefix sum (chunks = n_chars DIV 256 buckets, the conformal-gate
+    discipline) and a combinable MIN — never a global sort; the
+    thresholds broadcast back as a 1-row crossJoin; the per-source
+    rollup is one map-side-combinable groupBy. The oracle uses the
+    naive ORDER BY/OFFSET selection, fine at DuckDB scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.expr("(5 * COUNT(*) + 99) DIV 100").alias("k_lo"),
+        F.expr("(95 * COUNT(*) + 99) DIV 100").alias("k_hi"),
+    )
+    per = (
+        d.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("chk", F.expr("n_chars DIV 256"))
+    )
+    w_in = (
+        Window.partitionBy("chk")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per.withColumn("wc", F.sum("c").over(w_in))
+    totals = per.groupBy("chk").agg(F.sum("c").alias("ctot"))
+    w_c = Window.orderBy("chk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("chk", "off")
+    cum = within.join(F.broadcast(offsets), "chk").select(
+        "n_chars", (F.col("off") + F.col("wc")).alias("cum")
+    )
+    ks = cum.crossJoin(F.broadcast(n))
+    thr = ks.agg(
+        F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("n_chars"))).alias(
+            "t_lo"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("n_chars"))).alias(
+            "t_hi"
+        ),
+    )
+    clipped = d.crossJoin(F.broadcast(thr))
+    wexpr = "CAST(least(greatest(n_chars, t_lo), t_hi) AS DOUBLE)"
+    return (
+        clipped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") < F.col("t_lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("n_chars") > F.col("t_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_hi"),
+            F.first("t_lo").alias("t_lo"),
+            F.first("t_hi").alias("t_hi"),
+            F.round(F.expr(davg("CAST(n_chars AS DOUBLE)")), 6).alias(
+                "mean_raw6"
+            ),
+            F.round(F.expr(davg(wexpr)), 6).alias("mean_wins6"),
+        )
+        .orderBy("source")
+    )

@@ -1150,3 +1150,56 @@ def q_a_monthly_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_b")
     )
+
+
+@query(
+    "q_a_solar_time",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             user_id % 25 AS tile_key,
+             hour(ts + to_seconds((user_id % 25) * 3456 - 41472))
+               AS solar_hour,
+             value
+      FROM events
+    )
+    SELECT solar_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_scenes,
+           CAST(COUNT(DISTINCT tile_key) AS BIGINT) AS n_tiles,
+           {dsum('value')} AS sum_v
+    FROM s GROUP BY solar_hour ORDER BY solar_hour
+    """,
+)
+def q_a_solar_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL SOLAR TIME acquisition audit (round 8): bucket scene
+    acquisitions by local solar hour — UTC timestamp + longitude/15 h
+    — the QA pass a sun-synchronous catalog runs to confirm its
+    descending-node crossings cluster at the designed local time
+    (drifting solar hour = drifting orbit = cross-date radiometry
+    bias). Tile longitude derives from the 25-tile grid the spatial
+    family uses (tile centers every 14.4°): the offset is EXACT
+    integer seconds, tile·3456 − 41472 (= 240 s/degree), so the
+    local-time shift is deterministic interval arithmetic in both
+    engines — no float longitude anywhere.
+
+    Scale: one scan → one combinable groupBy over 24 hour buckets
+    (COUNT DISTINCT over the 25-tile key is a bounded expand);
+    nothing corpus-sized shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.hour(
+            F.col("ts")
+            + F.expr("make_dt_interval(0, 0, 0, (user_id % 25) * 3456 - 41472)")
+        ).alias("solar_hour"),
+        (F.col("user_id") % 25).alias("tile_key"),
+        "value",
+    )
+    return (
+        s.groupBy("solar_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_scenes"),
+            F.countDistinct("tile_key").alias("n_tiles"),
+            F.expr(dsum("value")).alias("sum_v"),
+        )
+        .orderBy("solar_hour")
+    )

@@ -2995,3 +2995,52 @@ def q_b_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk")
     )
+
+
+@query(
+    "q_b_join_hinted",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS acctbal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_b_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-STRATEGY HINT surface (round 8): the same
+    customer⋈nation rollup q_b_join_broadcast runs, but with an
+    explicit `hint("shuffle_hash")` forcing a ShuffledHashJoin over
+    the planner's broadcast choice — the manual-override surface an
+    operator reaches for when statistics mislead the optimizer (a
+    "small" side that explodes after filters, or a broadcast that
+    would OOM the driver at 100 TB dimension sizes). Semantics are
+    hint-invariant (identical oracle), and the physical strategy is
+    pinned in tests/test_plans.py: ShuffledHashJoin present,
+    BroadcastHashJoin absent — proof the hint reached Catalyst, the
+    q_b_sql_pipe convention of declaring engine-control surfaces as
+    queries.
+
+    Scale note: SHUFFLE_HASH shuffles BOTH sides on the key but
+    builds only the hinted side's hash table per partition — the
+    right call when the dim is too big to broadcast yet far smaller
+    than the fact; the integer-cents SUM keeps the rollup exact."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(
+            n.hint("shuffle_hash"),
+            c.c_nationkey == n.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(
+                F.expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("n_name")
+    )

@@ -2646,3 +2646,50 @@ def test_conformal_gate_covers_at_target(spark):
     slack = 2.0 / max(r.n_test, 1) ** 0.5
     assert r.coverage6 >= 0.9 - slack
     assert r.threshold6 is None or r.threshold6 > 0.0
+
+
+def test_winsorize_clip_fractions_and_mean_shift(spark):
+    """Exact-order-statistic winsorization: tail clip mass must be
+    <= the nominal 5% plus the tie mass at each threshold, thresholds
+    ordered, and the winsorized mean must sit inside [t_lo, t_hi]."""
+    from glaciersgee_spark.operators.curation import q_e_winsorize
+
+    rows = q_e_winsorize(spark, SF_SMOKE).collect()
+    n = sum(r.n_docs for r in rows)
+    lo = sum(r.n_clip_lo for r in rows)
+    hi = sum(r.n_clip_hi for r in rows)
+    t_lo, t_hi = rows[0].t_lo, rows[0].t_hi
+    assert t_lo <= t_hi
+    assert lo < 0.05 * n + 1  # strictly-below-threshold mass < k_lo
+    assert hi <= 0.05 * n + 1
+    for r in rows:
+        assert t_lo <= r.mean_wins6 <= t_hi
+        assert r.t_lo == t_lo and r.t_hi == t_hi
+
+
+def test_solar_time_buckets_partition_corpus(spark):
+    """Solar-hour buckets must partition every event, hours in
+    [0, 24), and tile counts bounded by the 25-tile grid."""
+    from glaciersgee_spark.operators.etl import q_a_solar_time
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_a_solar_time(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_scenes for r in rows) == n
+    assert all(0 <= r.solar_hour <= 23 for r in rows)
+    assert all(1 <= r.n_tiles <= 25 for r in rows)
+
+
+def test_c_binary_roundtrip_identity(spark):
+    """The hex->bytes->string round-trip must reproduce the input."""
+    from glaciersgee_spark.functions.scalar import q_c_binary
+
+    rows = q_c_binary(spark, SF_SMOKE).collect()
+    assert rows
+    import base64
+
+    for r in rows:
+        assert len(r.hx) == 2 * r.n_bytes
+        decoded = base64.b64decode(r.b64)
+        assert decoded.hex() == r.hx
+        assert decoded.decode("utf-8") == r.roundtrip

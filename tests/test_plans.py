@@ -1066,3 +1066,15 @@ def test_conformal_threshold_has_no_global_sort(spark):
     assert "TakeOrderedAndProject" not in plan  # not even top-k: pure agg
     assert "BroadcastExchange" in plan
     assert plan.count("Exchange SinglePartition") <= 3  # chunk totals + 1-row folds
+
+
+def test_join_hint_forces_shuffled_hash_over_broadcast(spark):
+    """q_b_join_hinted: nation is broadcast-sized, so only the hint
+    can explain a ShuffledHashJoin in the plan — assert it's there
+    and the planner's default BroadcastHashJoin is not."""
+    from glaciersgee_spark.operators.relational import q_b_join_hinted
+
+    df = q_b_join_hinted(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
