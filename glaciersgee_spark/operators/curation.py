@@ -1871,10 +1871,10 @@ def q_e_shard_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_e_quality_auc",
-    oracle=f"""
-    WITH feat AS (
+# Shared calibration per-score frame (q_e_quality_auc /
+# q_e_pr_auc): the 6-dp sigmoid score, the rule-based gold label, and
+# the per-score (pos, neg) counts — identical text in both oracles.
+_CAL_PER_CTES = f"""feat AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -1900,43 +1900,14 @@ def q_e_shard_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(gold) AS BIGINT) AS pos,
              CAST(COUNT(*) - SUM(gold) AS BIGINT) AS neg
       FROM scored GROUP BY score
-    ),
-    cum AS (
-      SELECT score, pos, neg,
-             COALESCE(SUM(neg) OVER (ORDER BY score
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS cneg
-      FROM per
-    )
-    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-           CAST(SUM(neg) AS BIGINT) AS n_neg,
-           COUNT(*) AS n_thresholds,
-           CAST((CAST(SUM(pos * (2 * cneg + neg)) AS BIGINT) * 1000000)
-                // NULLIF(2 * CAST(SUM(pos) AS BIGINT)
-                            * CAST(SUM(neg) AS BIGINT), 0) AS BIGINT)
-             AS auc_ppm
-    FROM cum
-    """,
-)
-def q_e_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROC AUC of the quality classifier against the gopher-lite gold
-    heuristic (round 7 — the threshold-free companion to
-    q_e_quality_calibration's ECE: calibration says whether the
-    probabilities are honest, AUC says whether the RANKING separates
-    good from bad — the two numbers a curation team reads together
-    before trusting the classifier to delete data). Tie-aware
-    Mann–Whitney form: AUC = Σ_s pos_s·(cneg_<s + neg_s/2) / (P·N),
-    computed in doubled integer units (2·cneg + neg) so the result is
-    an exact BIGINT ppm with no float path at all.
+    )"""
 
-    Scale: score+gold are scan-side codegen; ONE combinable groupBy
-    collapses the corpus to per-score (pos, neg) counts bounded by
-    the 6-dp score DOMAIN (≤ 1e6 rows at any corpus size — the
-    bounded-domain exemption of q_e_gini_mass's offsets pass), the
-    prefix sum and the closing 1-row fold run over that bounded
-    frame. P·N products stay in BIGINT to ~3e9 gold-balanced docs;
-    swap the two closing products to DECIMAL(38,0) beyond that.
-    An all-positive or all-negative corpus NULLIF-guards to NULL."""
+
+def _cal_per_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, pos, neg): the shared per-score calibration frame both
+    threshold-free audits (ROC AUC via q_e_quality_auc, PR average
+    precision via q_e_pr_auc) rank over — 6-dp sigmoid score,
+    rule-based gold label, one combinable groupBy(score)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tok = F.size(words)
@@ -1973,10 +1944,53 @@ def q_e_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         gold.alias("gold"),
     )
-    per = scored.groupBy("score").agg(
+    return scored.groupBy("score").agg(
         F.sum("gold").cast("long").alias("pos"),
         (F.count(F.lit(1)) - F.sum("gold")).cast("long").alias("neg"),
     )
+
+
+@query(
+    "q_e_quality_auc",
+    oracle=f"""
+    WITH {_CAL_PER_CTES},
+    cum AS (
+      SELECT score, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cneg
+      FROM per
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           COUNT(*) AS n_thresholds,
+           CAST((CAST(SUM(pos * (2 * cneg + neg)) AS BIGINT) * 1000000)
+                // NULLIF(2 * CAST(SUM(pos) AS BIGINT)
+                            * CAST(SUM(neg) AS BIGINT), 0) AS BIGINT)
+             AS auc_ppm
+    FROM cum
+    """,
+)
+def q_e_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the quality classifier against the gopher-lite gold
+    heuristic (round 7 — the threshold-free companion to
+    q_e_quality_calibration's ECE: calibration says whether the
+    probabilities are honest, AUC says whether the RANKING separates
+    good from bad — the two numbers a curation team reads together
+    before trusting the classifier to delete data). Tie-aware
+    Mann–Whitney form: AUC = Σ_s pos_s·(cneg_<s + neg_s/2) / (P·N),
+    computed in doubled integer units (2·cneg + neg) so the result is
+    an exact BIGINT ppm with no float path at all.
+
+    Scale: score+gold are scan-side codegen; ONE combinable groupBy
+    collapses the corpus to per-score (pos, neg) counts bounded by
+    the 6-dp score DOMAIN (≤ 1e6 rows at any corpus size — the
+    bounded-domain exemption of q_e_gini_mass's offsets pass), the
+    prefix sum and the closing 1-row fold run over that bounded
+    frame. P·N products stay in BIGINT to ~3e9 gold-balanced docs;
+    swap the two closing products to DECIMAL(38,0) beyond that.
+    An all-positive or all-negative corpus NULLIF-guards to NULL."""
+    per = _cal_per_scores(spark, sf_dir)
     # Un-partitioned prefix sum, DELIBERATELY (round 8, VERDICT r7 nit
     # 1): the frame it runs over is per-SCORE counts, and the score is
     # a 6-dp-rounded sigmoid — its domain is the ≤ 1,000,001 values of
@@ -2879,4 +2893,75 @@ def q_e_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(davg(wexpr)), 6).alias("mean_wins6"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_pr_auc (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_pr_auc",
+    oracle=f"""
+    WITH {_CAL_PER_CTES},
+    cum AS (
+      SELECT score, pos, neg,
+             SUM(pos) OVER (ORDER BY score DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS tp,
+             SUM(neg) OVER (ORDER BY score DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS fp
+      FROM per
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           COUNT(*) AS n_thresholds,
+           CAST(CAST(SUM(pos * ((tp * 1000000) // (tp + fp))) AS BIGINT)
+                // NULLIF(CAST(SUM(pos) AS BIGINT), 0) AS BIGINT)
+             AS ap_ppm,
+           CAST((CAST(SUM(pos) AS BIGINT) * 1000000)
+                // (CAST(SUM(pos) AS BIGINT) + CAST(SUM(neg) AS BIGINT))
+                AS BIGINT) AS prevalence_ppm
+    FROM cum
+    """,
+)
+def q_e_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE PRECISION (PR-curve area) of the quality classifier
+    (round 8) — the threshold-free companion q_e_quality_auc's ROC
+    AUC needs on IMBALANCED gold labels: ROC AUC stays optimistic
+    when negatives dominate, while AP weights precision at every
+    recall step by the positive mass actually retrieved there
+    (Davis & Goadrich 2006). Reported next to prevalence_ppm — AP's
+    no-skill baseline — so the lift is read directly from the row.
+
+    Form: thresholds descend the distinct 6-dp scores; at each,
+    AP += pos_s · P(score >= s), P = TP/(TP+FP), summed in exact
+    integer ppm (per-term floor DIV, deterministic in both engines —
+    the auc_ppm convention). Shares _cal_per_scores / _CAL_PER_CTES
+    with the ROC op: one combinable groupBy(score) collapses the
+    corpus, and the descending prefix sums run over the same
+    bounded-6-dp-domain frame (the documented un-partitioned-window
+    exemption at the q_e_quality_auc site)."""
+    per = _cal_per_scores(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.withColumn("tp", F.sum("pos").over(w)).withColumn(
+        "fp", F.sum("neg").over(w)
+    )
+    return cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+        F.expr(
+            "CAST(CAST(SUM(pos * ((tp * 1000000) DIV (tp + fp))) AS BIGINT)"
+            " DIV NULLIF(CAST(SUM(pos) AS BIGINT), 0) AS BIGINT)"
+        ).alias("ap_ppm"),
+        F.expr(
+            "CAST((CAST(SUM(pos) AS BIGINT) * 1000000)"
+            " DIV (CAST(SUM(pos) AS BIGINT) + CAST(SUM(neg) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("prevalence_ppm"),
     )

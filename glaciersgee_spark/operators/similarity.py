@@ -4391,3 +4391,144 @@ def q_e_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_within_50pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_matryoshka_recall (round 8)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (16, 32, 64)
+
+
+def _mrl_dot_spark(a: str, b: str, d: int) -> str:
+    return (
+        f"aggregate(transform(sequence(1, {d}),"
+        f" i -> CAST(element_at({a}, i) AS DOUBLE)"
+        f" * CAST(element_at({b}, i) AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+
+
+def _mrl_cos_spark(d: int) -> str:
+    dot = _mrl_dot_spark("embedding", "qemb", d)
+    nx = f"sqrt({_mrl_dot_spark('embedding', 'embedding', d)})"
+    nq = f"sqrt({_mrl_dot_spark('qemb', 'qemb', d)})"
+    return f"round({dot} / nullif({nx} * {nq}, 0), 6)"
+
+
+def _mrl_dot_duck(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _mrl_cos_duck(d: int) -> str:
+    dot = _mrl_dot_duck("embedding", "qemb", d)
+    nx = f"sqrt({_mrl_dot_duck('embedding', 'embedding', d)})"
+    nq = f"sqrt({_mrl_dot_duck('qemb', 'qemb', d)})"
+    return f"round({dot} / nullif({nx} * {nq}, 0), 6)"
+
+
+@query(
+    "q_e_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+      WHERE vec_id IN {tuple(_RECALL_QIDS)}
+    ),
+    sc AS (
+      SELECT q.qid, e.vec_id, u.d,
+             CASE u.d
+               {" ".join(f"WHEN {d} THEN {_mrl_cos_duck(d)}" for d in _MRL_DIMS)}
+             END AS score
+      FROM embeddings e CROSS JOIN q
+      CROSS JOIN (SELECT unnest({list(_MRL_DIMS)}) AS d) u
+      WHERE e.vec_id <> q.qid
+    ),
+    rk AS (
+      SELECT qid, vec_id, d,
+             row_number() OVER (PARTITION BY qid, d
+                                ORDER BY score DESC, vec_id ASC) AS r
+      FROM sc
+    ),
+    top AS (SELECT qid, vec_id, d FROM rk WHERE r <= {_RECALL_K}),
+    ref AS (SELECT qid, vec_id FROM top WHERE d = 64)
+    SELECT t.qid, t.d,
+           CAST(COUNT(ref.vec_id) AS BIGINT) AS n_hit,
+           round(CAST(COUNT(ref.vec_id) AS DOUBLE) / {_RECALL_K}, 6)
+             AS recall6
+    FROM top t LEFT JOIN ref
+      ON t.qid = ref.qid AND t.vec_id = ref.vec_id
+    GROUP BY t.qid, t.d ORDER BY t.qid, t.d
+    """,
+)
+def q_e_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (prefix-truncation) recall audit (round 8; Kusupati
+    et al. 2022, MRL): top-10 recall of cosine search over the FIRST
+    16 / 32 / 64 embedding dimensions against the full-dim exact
+    top-10 — the modern serve-time trade (store full vectors, search
+    a prefix, re-rank survivors) and the third member of the
+    compression-audit family: PQ/int8 audit quantization,
+    q_e_jl_distortion audits random projection, this audits PREFIX
+    truncation, which costs zero transform at query time. d=64 is
+    the identity row (recall 1.0), pinning the harness itself.
+
+    Both engines compute the prefix cosines with the SAME sequential
+    index fold (no numpy on either side), so the 6-dp scores are
+    bit-identical. Scale: one corpus × 5-query broadcast pass with
+    three inline folds; the per-(qid, d) rank is the family's
+    qid-partitioned window (q_e_recall_curve precedent — 15 bounded
+    partitions); everything after the rk <= 10 filter is
+    150-row arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(panel))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("d"),
+                            F.expr(_mrl_cos_spark(d)).alias("score"),
+                        )
+                        for d in _MRL_DIMS
+                    ]
+                )
+            ).alias("ds"),
+        )
+        .select("qid", "vec_id", F.col("ds.d").alias("d"), F.col("ds.score").alias("score"))
+    )
+    rk = Window.partitionBy("qid", "d").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        scored.withColumn("r", F.row_number().over(rk))
+        .where(F.col("r") <= _RECALL_K)
+        .select("qid", "vec_id", "d")
+        .persist()
+    )
+    ref = top.where(F.col("d") == 64).select(
+        F.col("qid").alias("rqid"), F.col("vec_id").alias("rv")
+    )
+    return (
+        top.join(
+            ref,
+            (F.col("qid") == F.col("rqid")) & (F.col("vec_id") == F.col("rv")),
+            "left",
+        )
+        .groupBy("qid", "d")
+        .agg(
+            F.count("rv").alias("n_hit"),
+            F.round(F.count("rv").cast("double") / _RECALL_K, 6).alias(
+                "recall6"
+            ),
+        )
+        .orderBy("qid", "d")
+    )

@@ -2199,3 +2199,82 @@ def q_e_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _CHI2_TOPK)
         .select("lang", "token", "chi2_6", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_self_bleu (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_self_bleu",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i + 1])) AS sh
+      FROM documents
+      WHERE doc_id < 32 AND len(string_split(text, ' ')) >= 3
+    ),
+    x AS (SELECT doc_id, unnest(sh) AS g FROM d),
+    df AS (SELECT g, COUNT(*) AS df FROM x GROUP BY g)
+    SELECT x.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           round(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS self_bleu2_6
+    FROM x JOIN df ON x.g = df.g
+    GROUP BY x.doc_id ORDER BY x.doc_id
+    """,
+)
+def q_e_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-BLEU-2 diversity audit (round 8; Zhu et al. 2018,
+    Texygen — the standard corpus-diversity metric for generated
+    text): for each document of a fixed 32-doc panel, the fraction
+    of its distinct bigrams that appear in ANY other panel document
+    — high Self-BLEU means the corpus repeats itself (mode collapse
+    in synthetic data; template mass in scraped data). Distinct-
+    bigram precision is the documented simplification of clipped
+    BLEU (each distinct bigram can match at most once).
+
+    The NO-PAIRS spelling: a candidate bigram of doc i matches
+    "panel minus i" iff its panel document-frequency is >= 2 (doc i
+    itself contributes exactly one of the df counts) — so one
+    groupBy(bigram) replaces the O(panel²) reference join that the
+    metric's definition naively implies, and the same spelling runs
+    corpus-wide at 100 TB (df is map-side combinable; only panel
+    bigrams shuffle here because the scan prunes doc_id < 32 at the
+    source)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 32)
+        .withColumn("tk", F.split("text", " "))
+        .where(F.size("tk") >= 3)
+    )
+    from glaciersgee_spark.operators.dedup import _SPARK_SHINGLES
+
+    x = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("g")
+    ).persist()
+    df = x.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        x.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("self_bleu2_6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2693,3 +2693,75 @@ def test_c_binary_roundtrip_identity(spark):
         decoded = base64.b64decode(r.b64)
         assert decoded.hex() == r.hx
         assert decoded.decode("utf-8") == r.roundtrip
+
+
+def test_matryoshka_identity_row_and_monotone_tendency(spark):
+    """The d=64 rows are the harness identity (recall exactly 1.0);
+    every recall lies in [0, 1] with n_hit consistent; and the
+    panel-mean recall at 32 dims must be >= at 16 dims minus slack
+    (prefix information only grows)."""
+    from glaciersgee_spark.operators.similarity import q_e_matryoshka_recall
+
+    rows = q_e_matryoshka_recall(spark, SF_SMOKE).collect()
+    assert len(rows) == 15
+    by_d: dict = {}
+    for r in rows:
+        assert r.n_hit == round(r.recall6 * 10)
+        assert 0.0 <= r.recall6 <= 1.0
+        by_d.setdefault(r.d, []).append(r.recall6)
+    assert all(v == 1.0 for v in by_d[64])
+    mean = lambda v: sum(v) / len(v)
+    assert mean(by_d[32]) >= mean(by_d[16]) - 0.1
+
+
+def test_pr_auc_bounds_and_baseline(spark):
+    """AP must land in [prevalence, 1e6] ppm (no-skill floor), and
+    the shared per-score frame must agree with the ROC op's counts."""
+    from glaciersgee_spark.operators.curation import (
+        q_e_pr_auc,
+        q_e_quality_auc,
+    )
+
+    ap = q_e_pr_auc(spark, SF_SMOKE).collect()[0]
+    roc = q_e_quality_auc(spark, SF_SMOKE).collect()[0]
+    assert (ap.n_pos, ap.n_neg, ap.n_thresholds) == (
+        roc.n_pos,
+        roc.n_neg,
+        roc.n_thresholds,
+    )
+    # AP is NOT lower-bounded by prevalence for a weak ranker (unlike
+    # ROC's 0.5 baseline) — only hard bounds hold
+    assert 0 < ap.ap_ppm <= 1_000_000
+    assert ap.prevalence_ppm == ap.n_pos * 1_000_000 // (
+        ap.n_pos + ap.n_neg
+    )
+
+
+def test_self_bleu_brute_force_on_panel(spark):
+    """The df>=2 spelling must equal the naive leave-one-out overlap
+    computed in Python on the collected panel."""
+    from glaciersgee_spark.operators.text import q_e_self_bleu
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.doc_id: r for r in q_e_self_bleu(spark, SF_SMOKE).collect()}
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") < 32)
+        .select("doc_id", "text")
+        .collect()
+    )
+    grams = {}
+    for d in docs:
+        tk = d.text.split(" ")
+        if len(tk) >= 3:
+            grams[d.doc_id] = {
+                f"{a} {b}" for a, b in zip(tk[:-1], tk[1:])
+            }
+    assert set(rows) == set(grams)
+    for did, g in grams.items():
+        others = set().union(
+            *[v for k, v in grams.items() if k != did]
+        ) if len(grams) > 1 else set()
+        matched = len(g & others)
+        assert rows[did].n_bigrams == len(g)
+        assert rows[did].n_matched == matched
