@@ -2965,3 +2965,77 @@ def q_e_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("prevalence_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_aes_sample (round 8)
+# ---------------------------------------------------------------------------
+
+_AES_K = 64
+_AES_U_SPARK = (
+    "(CAST(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#aes')),"
+    " 1, 15), 16, 10) AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0"
+)
+_AES_U_DUCK = (
+    "(CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)"
+    " || '#aes'), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)"
+    " / 1152921504606846976.0"
+)
+
+
+@query(
+    "q_e_aes_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(round(ln({_AES_U_DUCK}), 6)
+                   / CAST(n_chars AS DOUBLE), 9) AS skey
+      FROM documents WHERE n_chars > 0
+    ),
+    top AS (SELECT * FROM keyed ORDER BY skey DESC, doc_id LIMIT {_AES_K})
+    SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, source, n_chars, skey
+    FROM top ORDER BY rank
+    """,
+)
+def q_e_aes_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT at cluster scale
+    (round 8; Efraimidis & Spirakis 2006, the A-ES keyed method): each
+    document draws key u^(1/w) (spelled in log space, ln(u)/w, which
+    preserves the order and avoids the underflow u^(1/w) hits for
+    large weights) and the k=64 largest keys ARE a weight-proportional
+    sample without replacement — the only known one-pass, merge-able
+    spelling: per-partition top-k then a k-row merge, no global sort,
+    no sequential draw-and-remove. q_e_weighted_sample is the
+    fixed-quota systematic method over a prefix sum; THIS is the
+    per-item keyed method a 1000-executor job uses when the quota is
+    small and the corpus unordered.
+
+    Weights: n_chars (length-proportional). Determinism: u is the
+    repo's md5 60-bit draw shifted into strictly-open (0,1); ln is
+    6-dp-rounded per the house convention, the /w division and 9-dp
+    round are single pinned ops — identical bits in both engines.
+    Scale: the ORDER BY/LIMIT spells as TakeOrderedAndProject
+    (plan-pinned); the rank window runs over the 64-row result."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            f"round(round(ln({_AES_U_SPARK}), 6)"
+            " / CAST(n_chars AS DOUBLE), 9)"
+        ).alias("skey"),
+    )
+    top = keyed.orderBy(F.col("skey").desc(), F.col("doc_id").asc()).limit(
+        _AES_K
+    )
+    w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        "skey",
+    ).orderBy("rank")

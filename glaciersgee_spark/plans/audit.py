@@ -123,6 +123,14 @@ HEADLINERS = [
     ("q_e_whiten_diag", "combinable per-dim integer moments; 64-element (μ,σ) arrays ride a 1-row broadcast back onto the corpus (r8)"),
     ("q_e_conformal_gate", "k-th order statistic from per-score counts + chunk-partitioned prefix sums; no global sort anywhere (r8)"),
     ("q_e_bt_strength", "one corpus pass into the ≤C(20,2) win matrix; MM rounds driver-side on the bounded panel (mmr precedent) (r8)"),
+    ("q_e_t_closeness", "exact-DECIMAL TV numerator; absent-value mass folds algebraically — no outer join over the global support (r8)"),
+    ("q_b_join_hinted", "hint(shuffle_hash) forces ShuffledHashJoin over the planner's broadcast choice — the manual-override surface, plan-pinned (r8)"),
+    ("q_e_matryoshka_recall", "corpus × 5-query broadcast with three inline prefix-cosine folds; rank is the family's qid-partitioned window (r8)"),
+    ("q_e_winsorize", "both tail thresholds from ONE per-value count frame via chunked prefix sums + combinable MIN; no global sort (r8)"),
+    ("q_e_self_bleu", "panel pruned at the scan; df>=2 groupBy replaces the O(panel²) reference join (r8)"),
+    ("q_e_pr_auc", "shares the ROC op's per-score frame; descending prefix sums over the bounded 6-dp domain (r8)"),
+    ("q_e_aes_sample", "keyed weighted sample: ORDER BY/LIMIT spells as TakeOrderedAndProject — per-partition top-k, k-row merge (r8)"),
+    ("q_a_solar_time", "exact integer-second solar offsets in scan-side codegen; one combinable 24-bucket aggregate (r8)"),
 ]
 
 

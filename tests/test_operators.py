@@ -2765,3 +2765,23 @@ def test_self_bleu_brute_force_on_panel(spark):
         matched = len(g & others)
         assert rows[did].n_bigrams == len(g)
         assert rows[did].n_matched == matched
+
+
+def test_aes_sample_is_weight_biased_and_exact_k(spark):
+    """A-ES invariants: exactly k rows (or the corpus if smaller),
+    ranks a permutation, keys strictly descending (md5 ties
+    impossible), and the sample must be length-BIASED: its mean
+    n_chars exceeds the corpus mean (weights are n_chars)."""
+    from glaciersgee_spark.operators.curation import _AES_K, q_e_aes_sample
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_aes_sample(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents").where("n_chars > 0")
+    n = d.count()
+    assert len(rows) == min(_AES_K, n)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r.skey for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean

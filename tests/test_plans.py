@@ -1078,3 +1078,14 @@ def test_join_hint_forces_shuffled_hash_over_broadcast(spark):
     plan = PI.formatted(df)
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_aes_sample_is_take_ordered(spark):
+    """q_e_aes_sample's k-largest-keys selection must run as
+    TakeOrderedAndProject (per-partition top-k, k-row merge), never
+    a global Sort of the keyed corpus."""
+    from glaciersgee_spark.operators.curation import q_e_aes_sample
+
+    df = q_e_aes_sample(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "TakeOrderedAndProject" in plan
