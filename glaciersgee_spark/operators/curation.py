@@ -3039,3 +3039,110 @@ def q_e_aes_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "skey",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# q_e_dp_quantile (round 8)
+# ---------------------------------------------------------------------------
+
+_DPQ_U_SPARK = (
+    "(CAST(CAST(conv(substring(md5(concat(CAST(v AS STRING), '#dpq')),"
+    " 1, 15), 16, 10) AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0"
+)
+_DPQ_U_DUCK = (
+    "(CAST(CAST(concat('0x', substring(md5(CAST(v AS VARCHAR)"
+    " || '#dpq'), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)"
+    " / 1152921504606846976.0"
+)
+
+
+def _dpq_score(u_expr: str) -> str:
+    """Gumbel-max exponential mechanism at ε=1 for the median:
+    score(v) = −|2·cnt_le(v) − n|/4 + Gumbel(v), Gumbel = −ln(−ln u)
+    with each ln 6-dp-rounded (house convention)."""
+    return (
+        "round(-CAST(abs(2 * cnt_le - nn) AS DOUBLE) / 4.0"
+        f" + round(-ln(round(-ln({u_expr}), 6)), 6), 6)"
+    )
+
+
+@query(
+    "q_e_dp_quantile",
+    oracle=f"""
+    WITH per AS (
+      SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cnt_le
+      FROM per
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    sc AS (SELECT v, cnt_le, nn, {_dpq_score(_DPQ_U_DUCK)} AS score
+           FROM cum CROSS JOIN nt),
+    best AS (SELECT MAX(score) AS ms FROM sc),
+    pick AS (SELECT MIN(v) AS dp_median FROM sc, best WHERE score = ms),
+    tru AS (SELECT MIN(v) AS true_median
+            FROM sc WHERE cnt_le >= (nn + 1) // 2)
+    SELECT CAST(1 AS BIGINT) AS eps,
+           nt.nn AS n_docs,
+           tru.true_median, pick.dp_median,
+           CAST(abs(pick.dp_median - tru.true_median) AS BIGINT)
+             AS abs_err
+    FROM nt, tru, pick
+    """,
+)
+def q_e_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP MEDIAN via the EXPONENTIAL MECHANISM (round 8; McSherry &
+    Talwar 2007), completing the release pair q_e_dp_counts started:
+    counts release through Laplace, ORDER STATISTICS release through
+    exponential — the Laplace mechanism cannot release a median
+    (sensitivity of the median is the data range). Candidates are the
+    distinct length values; utility u(v) = −|cnt_le(v) − n/2|
+    (how far v sits from the true median rank); selection is the
+    Gumbel-max reformulation (argmax of ε·u/2 + Gumbel), which
+    turns the sampling into one deterministic combinable MAX.
+
+    Same honesty label as q_e_dp_counts: draws are md5-pseudo-random
+    (deterministic by oracle contract) — this op is the mechanics,
+    not a privacy guarantee. Scale: per-value counts (integer
+    domain) → the cnt_le prefix over the bounded distinct-value
+    frame (the winsorize exemption) → ONE max + equality probe; the
+    true median reads off the same cum frame for the audit column."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # bounded distinct-value frame (n_chars domain) — same exemption
+    # as q_e_winsorize's selection pass, spelled chunked there; here
+    # the score needs every candidate anyway, so one pass suffices
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.withColumn("cnt_le", F.sum("c").over(w)).select("v", "cnt_le")
+    nt = d.agg(F.count(F.lit(1)).alias("nn"))
+    sc = cum.crossJoin(F.broadcast(nt)).withColumn(
+        "score", F.expr(_dpq_score(_DPQ_U_SPARK))
+    )
+    best = sc.agg(F.max("score").alias("ms"))
+    pick = (
+        sc.crossJoin(F.broadcast(best))
+        .where(F.col("score") == F.col("ms"))
+        .agg(F.min("v").alias("dp_median"))
+    )
+    tru = (
+        sc.where(F.col("cnt_le") >= F.expr("(nn + 1) DIV 2"))
+        .agg(F.min("v").alias("true_median"))
+    )
+    return (
+        nt.crossJoin(F.broadcast(tru))
+        .crossJoin(F.broadcast(pick))
+        .select(
+            F.lit(1).cast("long").alias("eps"),
+            F.col("nn").alias("n_docs"),
+            "true_median",
+            "dp_median",
+            F.abs(F.col("dp_median") - F.col("true_median"))
+            .cast("long")
+            .alias("abs_err"),
+        )
+    )

@@ -2785,3 +2785,29 @@ def test_aes_sample_is_weight_biased_and_exact_k(spark):
     corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_dp_quantile_release_is_near_true_median(spark):
+    """Exponential-mechanism invariants: the released value must be a
+    real candidate (a length present in the corpus), the true median
+    column must be the exact order statistic, and at eps=1 over this
+    corpus the release lands within a loose utility band (the
+    mechanism concentrates exponentially around max-utility)."""
+    from glaciersgee_spark.operators.curation import q_e_dp_quantile
+    from glaciersgee_spark.tables import load_table
+
+    r = q_e_dp_quantile(spark, SF_SMOKE).collect()[0]
+    lens = sorted(
+        x.n_chars
+        for x in load_table(spark, SF_SMOKE, "documents")
+        .select("n_chars")
+        .collect()
+    )
+    assert r.true_median == lens[(len(lens) + 1) // 2 - 1]
+    assert r.dp_median in set(lens)
+    assert r.abs_err == abs(r.dp_median - r.true_median)
+    # utility concentration: released rank within ~n/4 of the median
+    import bisect
+
+    rank = bisect.bisect_right(lens, r.dp_median)
+    assert abs(rank - len(lens) / 2) < len(lens) / 4 + 10
