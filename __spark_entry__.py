@@ -208,6 +208,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_d_stream_chained_agg", "q_c_binary", "q_a_solar_time",
     "q_e_winsorize", "q_b_join_hinted", "q_e_matryoshka_recall",
     "q_e_pr_auc", "q_e_self_bleu", "q_e_aes_sample", "q_e_dp_quantile",
+    "q_f_sql_udf",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

@@ -704,3 +704,55 @@ def q_f_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove the boundary and price it honestly in BASELINE.md."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 30 == 0)
     return o.select("o_orderkey", _luhn_check("o_orderkey").alias("luhn_check"))
+
+
+# ---------------------------------------------------------- SQL-language UDF
+
+
+@query(
+    "q_f_sql_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2)
+             AS charged,
+           CASE WHEN l_quantity < 10 THEN 'lo'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'hi' END AS qty_band
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+)
+def q_f_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-LANGUAGE UDF (round 8; Spark 4's `CREATE FUNCTION …
+    RETURNS … RETURN expr`) — the Group F member that is NOT a
+    Python boundary: the function body is a SQL expression, so
+    Catalyst INLINES it at plan time and the call sites run inside
+    WholeStageCodegen like hand-written expressions — the form every
+    reusable business rule (charged amount, quantity banding) should
+    take before anyone reaches for Python. The oracle inlines the
+    same expressions, which is exactly what the optimizer does.
+
+    Scale: zero Python workers, zero serialization — the whole point;
+    the declared op proves registration, typed signatures, and
+    call-site inlining survive a real plan (pushdown still reaches
+    the scan; pinned in PLANS.md probes via the shared harness)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ggee_charged"
+        "(p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE"
+        " RETURN round(p * (1.0 - d) * (1.0 + t), 2)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ggee_qty_band(q DOUBLE)"
+        " RETURNS STRING RETURN CASE WHEN q < 10 THEN 'lo'"
+        " WHEN q < 30 THEN 'mid' ELSE 'hi' END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ggee_sqludf_li"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               ggee_charged(l_extendedprice, l_discount, l_tax) AS charged,
+               ggee_qty_band(l_quantity) AS qty_band
+        FROM ggee_sqludf_li WHERE l_orderkey % 500 = 0
+        """
+    )

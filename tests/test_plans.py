@@ -1089,3 +1089,20 @@ def test_aes_sample_is_take_ordered(spark):
     df = q_e_aes_sample(spark, SF_SMOKE)
     plan = PI.formatted(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """q_f_sql_udf's SQL-language functions must INLINE: no
+    BatchEvalPython / ArrowEvalPython (it is not a Python boundary),
+    and the key filter must still reach the parquet scan through the
+    function call sites."""
+    from glaciersgee_spark.udfs import q_f_sql_udf
+
+    df = q_f_sql_udf(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+    # the function bodies are INLINED: the raw arithmetic appears in
+    # the Project, no UDF invocation node survives
+    assert "ggee_charged" not in plan
