@@ -208,7 +208,9 @@ _R8_NEW: tuple[str, ...] = (
     "q_d_stream_chained_agg", "q_c_binary", "q_a_solar_time",
     "q_e_winsorize", "q_b_join_hinted", "q_e_matryoshka_recall",
     "q_e_pr_auc", "q_e_self_bleu", "q_e_aes_sample", "q_e_dp_quantile",
-    "q_f_sql_udf",
+    "q_f_sql_udf", "q_e_wasserstein", "q_e_good_turing",
+    "q_e_brier_decomp", "q_e_threshold_sweep", "q_e_neyman_alloc",
+    "q_b_assoc_rules", "q_e_poisson_boot", "q_f_udtf_partition",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

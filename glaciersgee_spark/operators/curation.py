@@ -3146,3 +3146,457 @@ def q_e_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_brier_decomp (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_brier_decomp",
+    oracle=f"""
+    WITH {_CAL_PER_CTES},
+    tot AS (
+      SELECT CAST(SUM(pos + neg) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM per
+    ),
+    terms AS (
+      SELECT per.score, per.pos, per.neg, tot.n, tot.p,
+             CAST(per.pos + per.neg AS BIGINT) AS ns,
+             CAST(per.pos AS DOUBLE) / (per.pos + per.neg) AS os,
+             CAST(tot.p AS DOUBLE) / tot.n AS obar
+      FROM per CROSS JOIN tot
+    )
+    SELECT MAX(n) AS n,
+           CAST(MAX(p) * 1000000 // MAX(n) AS BIGINT) AS base_rate_ppm,
+           round({dsum('pos * (1.0 - score) * (1.0 - score)'
+                       ' + neg * score * score', 12, 38)}
+                 / MAX(n), 6) AS brier6,
+           round(MAX(obar) * (1.0 - MAX(obar)), 6) AS unc6,
+           round({dsum('ns * (score - os) * (score - os)', 12, 38)}
+                 / MAX(n), 6) AS rel6,
+           round({dsum('ns * (os - obar) * (os - obar)', 12, 38)}
+                 / MAX(n), 6) AS res6
+    FROM terms
+    """,
+)
+def q_e_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the quality classifier's Brier
+    score (round 8): BS = UNC + REL − RES, computed per DISTINCT
+    forecast value so the identity is exact (no binning residual).
+    The third leg of the classifier-audit triad — q_e_quality_auc says
+    whether the RANKING separates, q_e_quality_calibration says
+    whether binned probabilities are honest, and the decomposition
+    says where the probability error LIVES: reliability (score ↔
+    observed rate mismatch — fixable by recalibration without
+    retraining) vs resolution (how much the classifier's scores
+    actually distinguish outcome groups — not fixable by any monotone
+    remap). A curation team reads REL ≫ 0 as "recalibrate, keep the
+    model" and RES → 0 as "retrain".
+
+    Exactness: the per-score frame is the exact forecast partition
+    (6-dp sigmoid domain, corpus-size-independent — the q_e_quality_auc
+    bounded-domain exemption); o_s = pos/n_s and ō = P/N are IEEE
+    divisions of BIGINTs (identical bits in both engines), each term
+    is one double product, and the cross-score sums ride 12-dp exact
+    DECIMAL so result doubles are order-insensitive. Scale: shares
+    _cal_per_scores' one combinable groupBy(score); everything after
+    is a ≤1e6-row fold with a 1-row broadcast total."""
+    per = _cal_per_scores(spark, sf_dir)
+    tot = per.agg(
+        F.sum(F.col("pos") + F.col("neg")).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    terms = per.join(F.broadcast(tot)).select(
+        "score",
+        "pos",
+        "neg",
+        "n",
+        "p",
+        (F.col("pos") + F.col("neg")).cast("long").alias("ns"),
+        (F.col("pos").cast("double") / (F.col("pos") + F.col("neg"))).alias(
+            "os"
+        ),
+        (F.col("p").cast("double") / F.col("n")).alias("obar"),
+    )
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.expr("CAST(MAX(p) * 1000000 DIV MAX(n) AS BIGINT)").alias(
+            "base_rate_ppm"
+        ),
+        F.round(
+            F.expr(
+                dsum(
+                    "pos * (1.0 - score) * (1.0 - score)"
+                    " + neg * score * score",
+                    12,
+                    38,
+                )
+            )
+            / F.expr("MAX(n)"),
+            6,
+        ).alias("brier6"),
+        F.round(
+            F.expr("MAX(obar)") * (F.lit(1.0) - F.expr("MAX(obar)")), 6
+        ).alias("unc6"),
+        F.round(
+            F.expr(dsum("ns * (score - os) * (score - os)", 12, 38))
+            / F.expr("MAX(n)"),
+            6,
+        ).alias("rel6"),
+        F.round(
+            F.expr(dsum("ns * (os - obar) * (os - obar)", 12, 38))
+            / F.expr("MAX(n)"),
+            6,
+        ).alias("res6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_threshold_sweep (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_threshold_sweep",
+    oracle=f"""
+    WITH {_CAL_PER_CTES},
+    ppm AS (
+      SELECT CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s_ppm,
+             pos, neg
+      FROM per
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM ppm),
+    grid AS (SELECT unnest(generate_series(1, 9)) AS t)
+    SELECT g.t * 10 AS threshold_pct,
+           CAST(COALESCE(SUM(pos + neg), 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS pos_kept,
+           CAST(COALESCE(SUM(pos), 0) * 1000000
+                // NULLIF(CAST(SUM(pos + neg) AS BIGINT), 0) AS BIGINT)
+             AS precision_ppm,
+           CAST(COALESCE(SUM(pos), 0) * 1000000 // MAX(tot.p) AS BIGINT)
+             AS recall_ppm
+    FROM grid g
+    CROSS JOIN tot
+    LEFT JOIN ppm ON ppm.s_ppm >= g.t * 100000
+    GROUP BY g.t ORDER BY g.t
+    """,
+)
+def q_e_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point table for the quality classifier (round 8): for
+    each cut in the 0.1…0.9 threshold grid, how many documents
+    survive, how many of them are gold-good, and the resulting
+    precision/recall — the table a curation team actually reads to
+    PICK the threshold after q_e_quality_auc/q_e_pr_auc certify the
+    ranking and q_e_brier_decomp certifies the probabilities. (The
+    AUCs integrate over all thresholds; deployment runs exactly one.)
+
+    Exactness: scores enter as round-half-up ppm BIGINTs so the grid
+    comparison is pure integer (no double-literal 0.1 ambiguity);
+    precision/recall are integer DIV ppm, NULLIF-guarded for cuts that
+    keep nothing. Scale: rides _cal_per_scores' bounded per-score
+    frame; the 9-row grid theta-join fans the ≤1e6-row frame out 9×
+    at worst — corpus-size-independent either way — and the positives
+    total is a 1-row broadcast."""
+    per = _cal_per_scores(spark, sf_dir)
+    ppm = per.select(
+        F.expr("CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "s_ppm"
+        ),
+        "pos",
+        "neg",
+    )
+    tot = ppm.agg(F.sum("pos").cast("long").alias("p"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("t"))
+    return (
+        grid.join(F.broadcast(tot))
+        .join(
+            F.broadcast(ppm),
+            F.col("s_ppm") >= F.col("t") * 100000,
+            "left",
+        )
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum(F.col("pos") + F.col("neg")), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("pos_kept"),
+            F.expr(
+                "CAST(COALESCE(SUM(pos), 0) * 1000000"
+                " DIV NULLIF(CAST(SUM(pos + neg) AS BIGINT), 0) AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(COALESCE(SUM(pos), 0) * 1000000 DIV MAX(p) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .select(
+            (F.col("t") * 10).alias("threshold_pct"),
+            "n_kept",
+            "pos_kept",
+            "precision_ppm",
+            "recall_ppm",
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_neyman_alloc (round 8)
+# ---------------------------------------------------------------------------
+
+_NEY_N = 1000  # total audit-sample budget to allocate
+
+
+@query(
+    "q_e_neyman_alloc",
+    oracle=f"""
+    WITH mom AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+      FROM documents GROUP BY source
+    ),
+    sig AS (
+      SELECT source, n_docs,
+             round(sqrt(CAST(q * n_docs - s * s AS DOUBLE)
+                        / (CAST(n_docs AS DOUBLE) * n_docs)), 6) AS sigma6
+      FROM mom
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+             {dsum('n_docs * sigma6')} AS w,
+             {dsum('n_docs * sigma6 * sigma6', 12, 38)} AS w2
+      FROM sig
+    )
+    SELECT s.source, s.n_docs, s.sigma6,
+           CAST(floor({_NEY_N} * s.n_docs * s.sigma6 / t.w + 0.5)
+                AS BIGINT) AS neyman_n,
+           CAST(floor({_NEY_N}.0 * s.n_docs / t.n + 0.5) AS BIGINT)
+             AS prop_n,
+           round(t.w * t.w / (CAST(t.n AS DOUBLE) * t.w2), 6)
+             AS neyman_gain6
+    FROM sig s CROSS JOIN tot t
+    ORDER BY s.source
+    """,
+)
+def q_e_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sampling allocation per source (round
+    8): for a fixed human-audit budget of 1,000 docs, the
+    variance-minimizing stratum allocation n_h ∝ N_h·σ_h (Neyman
+    1934) against the naive proportional n_h ∝ N_h — the design table
+    behind every corpus eyeball-audit and labeling run: long-tailed
+    strata (high σ) earn MORE than their headcount share, templated
+    strata less. neyman_gain6 = V_prop/V_Neyman = (ΣN_hσ_h)²/(N·ΣN_hσ_h²)
+    ≤ 1 is repeated per row as the corpus constant that says how much
+    estimator variance the optimal design saves (1.0 ⇒ equal σ
+    everywhere, proportional is already optimal).
+
+    Exactness: per-stratum variance comes from EXACT integer moments
+    in cross-multiplied form (Q·N − S²)/N² — one IEEE division and
+    sqrt, 6-dp-rounded; everything downstream of sigma6 rides exact
+    DECIMAL sums over the |sources|-row frame, so the allocation is
+    bit-stable. Q·N stays in BIGINT to ~1e5-char docs at ~1e8 rows
+    per stratum; swap the moment columns to DECIMAL(38,0) beyond.
+    Scale: ONE combinable groupBy(source) moment pass; the allocation
+    math runs on |sources| rows behind a 1-row broadcast total."""
+    d = load_table(spark, sf_dir, "documents")
+    mom = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("q"),
+    )
+    sig = mom.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.sqrt(
+                (F.col("q") * F.col("n_docs") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / (F.col("n_docs").cast("double") * F.col("n_docs"))
+            ),
+            6,
+        ).alias("sigma6"),
+    )
+    tot = sig.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.expr(dsum("n_docs * sigma6")).alias("w"),
+        F.expr(dsum("n_docs * sigma6 * sigma6", 12, 38)).alias("w2"),
+    )
+    return (
+        sig.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "sigma6",
+            F.floor(
+                F.lit(_NEY_N) * F.col("n_docs") * F.col("sigma6") / F.col("w")
+                + 0.5
+            )
+            .cast("long")
+            .alias("neyman_n"),
+            F.floor(
+                F.lit(float(_NEY_N)) * F.col("n_docs") / F.col("n") + 0.5
+            )
+            .cast("long")
+            .alias("prop_n"),
+            F.round(
+                F.col("w") * F.col("w")
+                / (F.col("n").cast("double") * F.col("w2")),
+                6,
+            ).alias("neyman_gain6"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_poisson_boot (round 8)
+# ---------------------------------------------------------------------------
+
+_PB_B = 64  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds scaled to the md5-15-hex 2^60 hash
+# space: a 60-bit uniform u gets weight w = #{k : u >= T_k} — floor
+# values of cdf(k)·2^60 for k = 0..8 (P[w > 9] < 1e-7; the ladder
+# truncates there). Integer comparisons only: no float RNG anywhere.
+_PB_THRESHOLDS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+    1152920207336574720,
+)
+_PB_W_SQL = "(" + " + ".join(
+    f"CASE WHEN hv >= {t} THEN 1 ELSE 0 END" for t in _PB_THRESHOLDS
+) + ")"
+
+
+@query(
+    "q_e_poisson_boot",
+    oracle=f"""
+    WITH reps AS (
+      SELECT d.source, d.n_chars, g.b,
+             CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)
+                                             || ':' || CAST(g.b AS VARCHAR)),
+                                         1, 15)) AS BIGINT) AS hv
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PB_B - 1})) AS b) g
+    ),
+    partials AS (
+      SELECT source, b,
+             CAST(SUM({_PB_W_SQL}) AS BIGINT) AS sw,
+             CAST(SUM({_PB_W_SQL} * n_chars) AS BIGINT) AS swx
+      FROM reps GROUP BY source, b
+    ),
+    means AS (
+      SELECT source,
+             round(CAST(swx AS DOUBLE) / sw, 6) AS m6
+      FROM partials
+    ),
+    ranked AS (
+      SELECT source, m6,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY m6) AS rk
+      FROM means
+    ),
+    pt AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*), 6)
+               AS point_mean6
+      FROM documents GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.point_mean6,
+           round({dsum('m6')} / {_PB_B}, 6) AS boot_mean6,
+           MAX(CASE WHEN r.rk = 2 THEN r.m6 END) AS ci_lo6,
+           MAX(CASE WHEN r.rk = {_PB_B - 1} THEN r.m6 END) AS ci_hi6
+    FROM ranked r JOIN pt p ON p.source = r.source
+    GROUP BY p.source, p.n_docs, p.point_mean6
+    ORDER BY p.source
+    """,
+)
+def q_e_poisson_boot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for each source's mean
+    document length (round 8): THE distributed bootstrap (Chamandy et
+    al., Google 2012) — instead of materializing B resampled corpora,
+    every (doc, replicate) pair draws an independent Poisson(1) weight
+    and replicate b's mean is Σw·x / Σw, so all 64 resamples ride ONE
+    corpus pass with map-side combine into |sources|·64 partial sums.
+    The uncertainty layer under q_e_neyman_alloc's design table: the
+    allocator says where to spend samples, the bootstrap says how
+    wide the resulting estimate really is (the classic use: deciding
+    whether two sources' mean lengths differ beyond resampling noise).
+
+    Determinism: weights come from the content-stable md5(doc_id:b)
+    60-bit hash compared against PRECOMPUTED Poisson(1) inverse-CDF
+    integer thresholds (floor(cdf_k·2^60), k = 0..8) — pure BIGINT
+    comparisons, no float RNG, identical draws in both engines; Σw and
+    Σw·x are exact BIGINTs, each replicate mean is one IEEE division
+    rounded to 6 dp, and the CI is the 2nd/63rd order statistic of the
+    64-replicate panel (ranked per source by the rounded mean — ties
+    collapse to the same 6-dp value, so the tie-break is value-stable).
+    Scale: the 64× fan-out happens SCAN-SIDE and combines within each
+    task (shuffle = |sources|·64 rows of three longs); the 64-row
+    per-source panels rank via sort_array on a collected 64-element
+    list — corpus-size-independent. Σw·x stays in BIGINT to ~1e14
+    chars per (source, replicate); beyond that swap the partials to
+    DECIMAL(38,0)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = spark.range(_PB_B).select(F.col("id").cast("int").alias("b"))
+    reps = d.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_chars",
+        "b",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    partials = (
+        reps.select(
+            "source", "b", F.expr(_PB_W_SQL).alias("w"), "n_chars"
+        )
+        .groupBy("source", "b")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("swx"),
+        )
+    )
+    means = partials.select(
+        "source",
+        F.round(F.col("swx").cast("double") / F.col("sw"), 6).alias("m6"),
+    )
+    panel = means.groupBy("source").agg(
+        F.sort_array(F.collect_list("m6")).alias("ms")
+    )
+    pt = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("n_chars").cast("long") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("point_mean6"),
+    )
+    return (
+        panel.join(pt, "source")
+        .select(
+            "source",
+            "n_docs",
+            "point_mean6",
+            F.round(
+                F.expr(
+                    "aggregate(ms, CAST(0 AS BIGINT), (acc, x) -> acc"
+                    " + CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+                ).cast("double")
+                / F.lit(float(_PB_B) * 1000000.0),
+                6,
+            ).alias("boot_mean6"),
+            F.element_at("ms", 2).alias("ci_lo6"),
+            F.element_at("ms", _PB_B - 1).alias("ci_hi6"),
+        )
+        .orderBy("source")
+    )

@@ -1633,3 +1633,137 @@ def q_e_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_wasserstein (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_wasserstein",
+    oracle="""
+    WITH src AS (
+      SELECT source, n_chars AS x, COUNT(*) AS cs
+      FROM documents GROUP BY source, 2
+    ),
+    support AS (
+      SELECT x, SUM(cs) AS ct FROM src GROUP BY x
+    ),
+    corpus AS (
+      SELECT x,
+             SUM(ct) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_t,
+             COALESCE(LEAD(x) OVER (ORDER BY x), x) - x AS gap
+      FROM support
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(cs) AS BIGINT) AS n_s FROM src GROUP BY source
+    ),
+    grid AS (
+      SELECT t.source, t.n_s, c.x, c.cum_t, c.gap, COALESCE(s.cs, 0) AS cs
+      FROM totals t CROSS JOIN corpus c
+      LEFT JOIN src s ON s.source = t.source AND s.x = c.x
+    ),
+    cum AS (
+      SELECT source, n_s, cum_t, gap,
+             SUM(cs) OVER (PARTITION BY source ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_s
+      FROM grid
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_t FROM documents)
+    SELECT c.source, c.n_s AS n_docs,
+           floor(CAST(SUM(abs(c.cum_s * n.n_t - c.cum_t * c.n_s) * c.gap)
+                      AS BIGINT) * 1000000.0 / (c.n_s * n.n_t)) / 1000000.0
+             AS w1_6
+    FROM cum c CROSS JOIN n
+    GROUP BY c.source, c.n_s, n.n_t
+    ORDER BY c.source
+    """,
+)
+def q_e_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) drift of each source's length
+    distribution against the corpus (round 8): W1 = ∫|CDF_s − CDF_t|dx
+    over the observed support — the INTEGRAL companion to
+    q_e_length_ks's sup statistic. The two read together exactly like
+    mean vs max: KS flags the single worst CDF gap (sensitive to a
+    sharp local shift), W1 weighs every gap by how long it persists
+    along the length axis (a source whose docs are uniformly 50 chars
+    longer has a small KS but a large W1), and W1 is the number a
+    rebalancing plan can act on — it is measured in characters moved
+    per document.
+
+    Exactness: each support point contributes
+    |cum_s·N − cum_t·n_s|·(x_next − x), all BIGINT (order-insensitive
+    integer sum); ONE closing floor-quantized division per source
+    converts to characters. Scale: identical shape to q_e_length_ks —
+    the corpus collapses to its (source, length) counts first (rides
+    the shared _KS_SRC_CACHE persisted frame, so running both drift
+    audits costs ONE corpus scan), the un-partitioned support windows
+    run over the corpus-size-independent length support (the
+    bounded-domain exemption), and the grid is |sources|·|support|
+    rows behind a broadcast. The cum_s·N products stay in BIGINT to
+    ~3e9 docs; swap to DECIMAL(38,0) beyond that."""
+    d = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _KS_SRC_CACHE.get(key)
+    if src is None:
+        src = (
+            d.groupBy("source", F.col("n_chars").alias("x"))
+            .agg(F.count(F.lit(1)).alias("cs"))
+            .persist()
+        )
+        _KS_SRC_CACHE[key] = src
+    support = src.groupBy("x").agg(F.sum("cs").alias("ct"))
+    wt = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    corpus = support.select(
+        "x",
+        F.sum("ct").over(wt).alias("cum_t"),
+        (
+            F.coalesce(F.lead("x").over(Window.orderBy("x")), F.col("x"))
+            - F.col("x")
+        ).alias("gap"),
+    )
+    totals = src.groupBy("source").agg(F.sum("cs").cast("long").alias("n_s"))
+    grid = (
+        totals.join(F.broadcast(corpus))
+        .join(src, ["source", "x"], "left")
+        .select(
+            "source",
+            "n_s",
+            "x",
+            "cum_t",
+            "gap",
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+        )
+    )
+    ws = Window.partitionBy("source").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cum_s", F.sum("cs").over(ws))
+    nt = src.agg(F.sum("cs").cast("long").alias("n_t"))
+    return (
+        cum.join(F.broadcast(nt))
+        .groupBy("source", "n_s", "n_t")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_s") * F.col("n_t") - F.col("cum_t") * F.col("n_s")
+                )
+                * F.col("gap")
+            )
+            .cast("long")
+            .alias("moved")
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            (
+                F.floor(F.col("moved") * 1000000.0 / (F.col("n_s") * F.col("n_t")))
+                / 1000000.0
+            ).alias("w1_6"),
+        )
+        .orderBy("source")
+    )

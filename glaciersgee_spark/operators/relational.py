@@ -3044,3 +3044,111 @@ def q_b_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_assoc_rules (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_assoc_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    items AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM baskets GROUP BY event_type
+    ),
+    n AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM baskets
+    ),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           CAST(p.n_both * 1000000 // n.n_users AS BIGINT) AS support_ppm,
+           CAST(p.n_both * 1000000 // ia.c AS BIGINT) AS confidence_ppm,
+           CAST(p.n_both * n.n_users * 1000000 // (ia.c * ic.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN items ia ON ia.event_type = p.antecedent
+    JOIN items ic ON ic.event_type = p.consequent
+    CROSS JOIN n
+    ORDER BY p.antecedent, p.consequent
+    """,
+)
+def q_b_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support / confidence / lift) over per-user
+    event baskets (round 8): the classic market-basket co-occurrence
+    mining — for every directed event-type pair a→b, how often users
+    who did a also did b, and whether that beats chance (lift > 1e6
+    ppm ⇒ positively associated; < 1e6 ⇒ the pair REPELS — e.g. users
+    who hit errors don't purchase). The relational-core spelling of
+    Apriori's first level, and the behavioral complement to
+    q_b_funnel's ORDERED sequence: funnel asks "in this order", rules
+    ask "at all, together".
+
+    Exactness: all three metrics are exact BIGINT ppm (integer DIV;
+    denominators are item supports, structurally > 0 since every pair
+    member IS an item). Scale: the basket frame is one combinable
+    DISTINCT; the self-join key is user_id, so per-user fan-out is
+    bounded by the event-type VOCABULARY squared (|types|² pairs/user,
+    never O(events²)); item counts and the user total ride broadcast
+    joins onto the |types|²-row pair frame. At a skewed 100 TB the
+    distinct pass is the only shuffle that sees corpus-sized data, and
+    it combines map-side."""
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct()
+    items = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = baskets.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ia = items.select(
+        F.col("event_type").alias("antecedent"), F.col("c").alias("c_a")
+    )
+    ic = items.select(
+        F.col("event_type").alias("consequent"), F.col("c").alias("c_c")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .join(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.expr("CAST(n_both * 1000000 DIV n_users AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(n_both * 1000000 DIV c_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(n_both * n_users * 1000000 DIV (c_a * c_c) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -2278,3 +2278,93 @@ def q_e_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_good_turing (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_good_turing",
+    oracle="""
+    WITH tf AS (
+      SELECT source, tok, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    )
+    SELECT source,
+           COUNT(*) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) FILTER (WHERE c = 1) AS n1,
+           COUNT(*) FILTER (WHERE c = 2) AS n2,
+           COUNT(*) FILTER (WHERE c = 3) AS n3,
+           CAST((COUNT(*) FILTER (WHERE c = 1)) * 1000000
+                // CAST(SUM(c) AS BIGINT) AS BIGINT) AS p0_ppm,
+           CAST(2 * (COUNT(*) FILTER (WHERE c = 2)) * 1000000
+                // NULLIF(COUNT(*) FILTER (WHERE c = 1), 0) AS BIGINT)
+             AS r1_star_ppm,
+           CAST(COUNT(*)
+                + (COUNT(*) FILTER (WHERE c = 1))
+                  * ((COUNT(*) FILTER (WHERE c = 1)) - 1)
+                  // (2 * ((COUNT(*) FILTER (WHERE c = 2)) + 1))
+                AS BIGINT) AS chao1_types
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def q_e_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-mass and Chao1 vocabulary-richness estimates
+    per source (round 8): from the frequency-of-frequencies N_r of the
+    source's token counts, P0 = N1/N estimates the probability that
+    the NEXT token drawn is a type never seen before (Good 1953 — the
+    number that says how much of the source's vocabulary the crawl has
+    not reached yet), r*(1) = 2·N2/N1 is the Turing-discounted
+    effective count of a hapax (the LM-smoothing mass transfer), and
+    Chao1 = V + N1(N1−1)/(2(N2+1)) (bias-corrected, Chao 1984)
+    estimates the source's TRUE type count including the unseen tail.
+    Reads as the inferential layer over q_e_hapax_rate's descriptive
+    share: hapax_rate says what fraction of seen types are singletons,
+    Good–Turing says what that implies about the unseen ones — the
+    pair decides whether another crawl round of a source buys new
+    vocabulary or re-treads.
+
+    Exactness: every statistic is exact BIGINT combinatorics over the
+    N_r counts (ppm via integer DIV, NULLIF-guarded where N1 can be 0
+    in a fully-closed vocabulary; the +1 in Chao1's denominator is the
+    bias-corrected form AND the division guard). Scale: one
+    (source, token) TF aggregation — map-side combinable, the shuffle
+    any TF pass pays — then a |sources|-row COUNT-FILTER rollup;
+    nothing downstream of the TF frame scales with the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def nr(r: int) -> str:
+        return f"COUNT(CASE WHEN c = {r} THEN 1 END)"
+
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("c") == 1, 1)).alias("n1"),
+            F.count(F.when(F.col("c") == 2, 1)).alias("n2"),
+            F.count(F.when(F.col("c") == 3, 1)).alias("n3"),
+            F.expr(
+                f"CAST({nr(1)} * 1000000 DIV SUM(c) AS BIGINT)"
+            ).alias("p0_ppm"),
+            F.expr(
+                f"CAST(2 * {nr(2)} * 1000000 DIV NULLIF({nr(1)}, 0)"
+                " AS BIGINT)"
+            ).alias("r1_star_ppm"),
+            F.expr(
+                f"CAST(COUNT(*) + {nr(1)} * ({nr(1)} - 1)"
+                f" DIV (2 * ({nr(2)} + 1)) AS BIGINT)"
+            ).alias("chao1_types"),
+        )
+        .orderBy("source")
+    )

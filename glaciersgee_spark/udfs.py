@@ -756,3 +756,88 @@ def q_f_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ggee_sqludf_li WHERE l_orderkey % 500 = 0
         """
     )
+
+
+# ------------------------------------------- UDTF over TABLE(...) PARTITION BY
+
+
+@query(
+    "q_f_udtf_partition",
+    oracle="""
+    WITH w AS (
+      SELECT source, n_chars,
+             MAX(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prevmax
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE prevmax IS NULL OR n_chars > prevmax)
+             AS n_records,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def q_f_udtf_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE argument with PARTITION BY /
+    ORDER BY (round 8) — the Spark 4 table-argument contract that
+    turns a UDTF into a per-group STATEFUL FOLD: the engine
+    repartitions the input on the PARTITION BY key, sorts each
+    partition by the ORDER BY key, feeds every row of one partition
+    to one UDTF instance's eval() in order, and calls terminate()
+    exactly once per partition for the summary row. Completes the
+    UDTF family: q_f_udtf is the per-row LATERAL expansion,
+    q_f_udtf_analyze the polymorphic schema contract, and this one
+    the grouped-iteration contract (the API a sessionizer or
+    order-dependent auditor uses when applyInPandas' whole-group
+    materialization is unwanted — rows stream through eval one at a
+    time, state is O(1)).
+
+    Kernel: per-source RECORD COUNT — how many times the running
+    n_chars maximum is broken scanning docs in doc_id order (an
+    order statistic that genuinely needs the sorted stream: ~H(n)
+    expected breaks under exchangeability; a record count far above
+    that flags docs arriving in length-sorted batches). Oracle: the
+    windowed running-max spelling of the same scan.
+
+    Scale: one hash repartition on source + per-partition sort —
+    exactly what the equivalent window query pays; Python sees each
+    row once (Arrow-batched rows, O(1) state per partition), and the
+    output is |sources| rows. A skewed partition key concentrates one
+    group per task, same as any PARTITION BY window."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="source string, n_docs bigint, n_records bigint,"
+                     " max_chars bigint")
+    class RecordAudit:
+        def __init__(self) -> None:
+            self._source = None
+            self._n = 0
+            self._records = 0
+            self._mx = None
+
+        def eval(self, row) -> None:
+            self._source = row["source"]
+            self._n += 1
+            if self._mx is None or row["n_chars"] > self._mx:
+                self._records += 1
+                self._mx = row["n_chars"]
+
+        def terminate(self):
+            if self._n:
+                yield self._source, self._n, self._records, self._mx
+
+    spark.udtf.register("ggee_record_audit", RecordAudit)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    d.createOrReplaceTempView("ggee_udtf_part_in")
+    return spark.sql(
+        """
+        SELECT source, n_docs, n_records, max_chars
+        FROM ggee_record_audit(TABLE(ggee_udtf_part_in)
+                               PARTITION BY source ORDER BY doc_id)
+        ORDER BY source
+        """
+    )

@@ -2811,3 +2811,160 @@ def test_dp_quantile_release_is_near_true_median(spark):
 
     rank = bisect.bisect_right(lens, r.dp_median)
     assert abs(rank - len(lens) / 2) < len(lens) / 4 + 10
+
+
+# ----------------------------------------------------- round-8 third wave
+
+
+def test_wasserstein_matches_brute_force(spark):
+    """W1 per source cross-checked against a driver-side numpy
+    computation of mean |CDF_s - CDF_t| mass over the merged support
+    (the textbook spelling, independent of the cross-multiplied
+    integer form the op uses)."""
+    import numpy as np
+
+    from glaciersgee_spark.operators.drift import q_e_wasserstein
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.source: r for r in q_e_wasserstein(spark, SF_SMOKE).collect()}
+    pdf = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", "n_chars")
+        .toPandas()
+    )
+    xs = np.sort(pdf["n_chars"].unique())
+    all_v = np.sort(pdf["n_chars"].to_numpy())
+    for src, r in list(rows.items())[:5]:
+        sv = np.sort(pdf.loc[pdf["source"] == src, "n_chars"].to_numpy())
+        cdf_s = np.searchsorted(sv, xs, side="right") / len(sv)
+        cdf_t = np.searchsorted(all_v, xs, side="right") / len(all_v)
+        w1 = float(np.sum(np.abs(cdf_s - cdf_t)[:-1] * np.diff(xs)))
+        assert abs(r.w1_6 - w1) < 1e-5, (src, r.w1_6, w1)
+
+
+def test_good_turing_brute_force_one_source(spark):
+    from collections import Counter
+
+    from glaciersgee_spark.operators.text import q_e_good_turing
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.source: r for r in q_e_good_turing(spark, SF_SMOKE).collect()}
+    src = sorted(rows)[0]
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where(F.col("source") == src)
+        .select("text")
+        .collect()
+    )
+    c = Counter(t for r in docs for t in r.text.split(" "))
+    n = sum(c.values())
+    nr = Counter(c.values())
+    r = rows[src]
+    assert r.n_types == len(c) and r.n_tokens == n
+    assert r.n1 == nr[1] and r.n2 == nr[2] and r.n3 == nr[3]
+    assert r.p0_ppm == nr[1] * 1000000 // n
+    assert r.chao1_types == len(c) + nr[1] * (nr[1] - 1) // (2 * (nr[2] + 1))
+    assert r.chao1_types >= r.n_types
+
+
+def test_brier_decomposition_identity(spark):
+    """Murphy's identity BS = UNC + REL - RES holds exactly when
+    computed per distinct forecast value (up to the 6-dp rounding of
+    the four reported terms)."""
+    from glaciersgee_spark.operators.curation import q_e_brier_decomp
+
+    r = q_e_brier_decomp(spark, SF_SMOKE).collect()[0]
+    assert abs(r.brier6 - (r.unc6 + r.rel6 - r.res6)) <= 3e-6
+    assert 0.0 <= r.brier6 <= 1.0 and 0.0 <= r.unc6 <= 0.25
+    assert r.rel6 >= 0.0 and r.res6 >= 0.0
+
+
+def test_threshold_sweep_monotone(spark):
+    from glaciersgee_spark.operators.curation import q_e_threshold_sweep
+
+    rows = q_e_threshold_sweep(spark, SF_SMOKE).collect()
+    assert [r.threshold_pct for r in rows] == [10 * t for t in range(1, 10)]
+    kept = [r.n_kept for r in rows]
+    rec = [r.recall_ppm for r in rows]
+    assert all(a >= b for a, b in zip(kept, kept[1:]))
+    assert all(a >= b for a, b in zip(rec, rec[1:]))
+    assert all(r.pos_kept <= r.n_kept for r in rows)
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    from glaciersgee_spark.operators.curation import _NEY_N, q_e_neyman_alloc
+
+    rows = q_e_neyman_alloc(spark, SF_SMOKE).collect()
+    tot_ney = sum(r.neyman_n for r in rows)
+    tot_prop = sum(r.prop_n for r in rows)
+    # half-up rounding drifts at most 0.5 per stratum
+    assert abs(tot_ney - _NEY_N) <= len(rows)
+    assert abs(tot_prop - _NEY_N) <= len(rows)
+    gains = {r.neyman_gain6 for r in rows}
+    assert len(gains) == 1 and 0.0 < gains.pop() <= 1.000001
+
+
+def test_assoc_rules_symmetry_and_bounds(spark):
+    from glaciersgee_spark.operators.relational import q_b_assoc_rules
+
+    rows = q_b_assoc_rules(spark, SF_SMOKE).collect()
+    sup = {(r.antecedent, r.consequent): r.support_ppm for r in rows}
+    lift = {(r.antecedent, r.consequent): r.lift_ppm for r in rows}
+    for (a, b), s in sup.items():
+        assert sup[(b, a)] == s, "support must be direction-symmetric"
+        assert abs(lift[(b, a)] - lift[(a, b)]) <= 1, "lift symmetric (DIV)"
+    for r in rows:
+        assert 0 < r.support_ppm <= r.confidence_ppm <= 1000000
+
+
+def test_poisson_boot_panel_shape(spark):
+    from glaciersgee_spark.operators.curation import (
+        _PB_THRESHOLDS,
+        q_e_poisson_boot,
+    )
+
+    assert list(_PB_THRESHOLDS) == sorted(_PB_THRESHOLDS)
+    assert _PB_THRESHOLDS[-1] < 1 << 60
+    rows = q_e_poisson_boot(spark, SF_SMOKE).collect()
+    assert rows, "one row per source"
+    for r in rows:
+        assert r.ci_lo6 <= r.ci_hi6
+        # the interval brackets the resampling distribution's bulk, so
+        # the point estimate lands inside it at these panel sizes
+        assert r.ci_lo6 <= r.point_mean6 <= r.ci_hi6
+
+
+def test_udtf_partition_records_vs_window(spark):
+    """The UDTF's streamed running-max record count must equal the
+    window-function spelling computed engine-side."""
+    from pyspark.sql import Window
+
+    from glaciersgee_spark.tables import load_table
+    from glaciersgee_spark.udfs import q_f_udtf_partition
+
+    got = {r.source: r for r in q_f_udtf_partition(spark, SF_SMOKE).collect()}
+    d = load_table(spark, SF_SMOKE, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exp = (
+        d.withColumn("pm", F.max("n_chars").over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("pm").isNull() | (F.col("n_chars") > F.col("pm")), 1)
+            ).alias("n_records"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .collect()
+    )
+    for e in exp:
+        g = got[e.source]
+        assert (g.n_docs, g.n_records, g.max_chars) == (
+            e.n_docs,
+            e.n_records,
+            e.max_chars,
+        )
