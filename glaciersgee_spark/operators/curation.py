@@ -3600,3 +3600,145 @@ def q_e_poisson_boot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_filter_kappa (round 8)
+# ---------------------------------------------------------------------------
+
+# Shared with q_e_filter_agreement: the three cheap integer gate
+# families (length bounds / type-token ratio / repetition cap) in
+# identical text for both engines.
+_FK_GATES = """tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(MAX(c) AS BIGINT) AS mx,
+             COUNT(*) AS n_types
+      FROM tf GROUP BY doc_id
+    ),
+    gates AS (
+      SELECT n_tok BETWEEN 15 AND 80 AS g_len,
+             n_types * 10 > n_tok * 3 AS g_ttr,
+             mx * 100 <= n_tok * 15 AS g_rep
+      FROM per
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE g_len) AS BIGINT) AS c_len,
+             CAST(COUNT(*) FILTER (WHERE g_ttr) AS BIGINT) AS c_ttr,
+             CAST(COUNT(*) FILTER (WHERE g_rep) AS BIGINT) AS c_rep,
+             CAST(COUNT(*) FILTER (WHERE g_len = g_ttr) AS BIGINT) AS a_lt,
+             CAST(COUNT(*) FILTER (WHERE g_len = g_rep) AS BIGINT) AS a_lr,
+             CAST(COUNT(*) FILTER (WHERE g_ttr = g_rep) AS BIGINT) AS a_tr
+      FROM gates
+    )"""
+
+_FK_METRIC = """CAST(n_agree * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST((c_a * c_b + (n - c_a) * (n - c_b)) * 1000000 // (n * n)
+                AS BIGINT) AS pe_ppm,
+           CAST((n_agree * n - c_a * c_b - (n - c_a) * (n - c_b)) * 1000000
+                // NULLIF(n * n - c_a * c_b - (n - c_a) * (n - c_b), 0)
+                AS BIGINT) AS kappa_ppm"""
+
+
+@query(
+    "q_e_filter_kappa",
+    oracle=f"""
+    WITH {_FK_GATES},
+    pairs AS (
+      SELECT 'len~ttr' AS pair, a_lt AS n_agree, c_len AS c_a,
+             c_ttr AS c_b, n FROM agg
+      UNION ALL
+      SELECT 'len~rep', a_lr, c_len, c_rep, n FROM agg
+      UNION ALL
+      SELECT 'ttr~rep', a_tr, c_ttr, c_rep, n FROM agg
+    )
+    SELECT pair, n, n_agree,
+           {_FK_METRIC}
+    FROM pairs ORDER BY pair
+    """,
+)
+def q_e_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between each pair of curation gates (round 8):
+    q_e_filter_agreement's contingency table shows RAW agreement, but
+    two filters that each pass 95% of docs agree 90%+ by CHANCE alone
+    — kappa = (p_o − p_e)/(1 − p_e) subtracts that base rate, and is
+    the number that decides whether running both filters adds signal
+    (κ ≈ 1 ⇒ redundant, drop one; κ ≈ 0 ⇒ independent evidence,
+    ensemble them; κ < 0 ⇒ they systematically disagree — audit).
+    The inter-annotator-agreement statistic, applied filter-to-filter.
+
+    Exactness: pure BIGINT throughout — p_o, p_e, and kappa are
+    integer-ppm in cross-multiplied form (kappa's numerator
+    n_agree·n − c_a·c_b − (n−c_a)(n−c_b) over denominator
+    n² − same, NULLIF-guarded for the degenerate all-agree-by-chance
+    corpus). n² stays in BIGINT to ~3e9 docs; DECIMAL(38,0) beyond.
+    Scale: one (doc, token) TF pass + one per-doc rollup collapse the
+    corpus into a SINGLE 7-counter row; the 3 pair rows are a
+    constant-size unpivot of that row."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.max("c").cast("long").alias("mx"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    gates = per.select(
+        F.col("n_tok").between(15, 80).alias("g_len"),
+        (F.col("n_types") * 10 > F.col("n_tok") * 3).alias("g_ttr"),
+        (F.col("mx") * 100 <= F.col("n_tok") * 15).alias("g_rep"),
+    )
+
+    def cnt(cond: str) -> F.Column:
+        return F.expr(f"CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT)")
+
+    agg = gates.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt("g_len").alias("c_len"),
+        cnt("g_ttr").alias("c_ttr"),
+        cnt("g_rep").alias("c_rep"),
+        cnt("g_len = g_ttr").alias("a_lt"),
+        cnt("g_len = g_rep").alias("a_lr"),
+        cnt("g_ttr = g_rep").alias("a_tr"),
+    )
+    pairs = (
+        agg.select(
+            F.lit("len~ttr").alias("pair"),
+            F.col("a_lt").alias("n_agree"),
+            F.col("c_len").alias("c_a"),
+            F.col("c_ttr").alias("c_b"),
+            "n",
+        )
+        .unionAll(
+            agg.select(
+                F.lit("len~rep"),
+                F.col("a_lr"),
+                F.col("c_len"),
+                F.col("c_rep"),
+                "n",
+            )
+        )
+        .unionAll(
+            agg.select(
+                F.lit("ttr~rep"),
+                F.col("a_tr"),
+                F.col("c_ttr"),
+                F.col("c_rep"),
+                "n",
+            )
+        )
+    )
+    metric = _FK_METRIC.replace("//", "DIV")
+    return pairs.selectExpr("pair", "n", "n_agree", *metric.split(",\n")).orderBy(
+        "pair"
+    )

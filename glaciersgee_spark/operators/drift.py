@@ -1767,3 +1767,248 @@ def q_e_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_cusum_drift (round 8)
+# ---------------------------------------------------------------------------
+
+_CUSUM_K_PPM = 500_000  # reference drift k = 0.5 sigma, in ppm
+_CUSUM_H_PPM = 4_000_000  # alarm threshold h = 4 sigma, in ppm
+
+
+@query(
+    "q_e_cusum_drift",
+    oracle=f"""
+    WITH days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(n_events) AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS q
+      FROM days
+    ),
+    z AS (
+      SELECT day, n_events,
+             CAST(floor(CAST(n_events * m.d - m.s AS DOUBLE)
+                        / sqrt(CAST(m.q * m.d - m.s * m.s AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS z_ppm
+      FROM days CROSS JOIN mom m
+    ),
+    pre AS (
+      SELECT day, n_events, z_ppm,
+             SUM(z_ppm - {_CUSUM_K_PPM}) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM z
+    ),
+    run AS (
+      SELECT day, n_events, z_ppm, p,
+             LEAST(CAST(0 AS BIGINT), MIN(p) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS floor_p
+      FROM pre
+    )
+    SELECT day, n_events, z_ppm,
+           CAST(p - floor_p AS BIGINT) AS cusum_ppm,
+           p - floor_p > {_CUSUM_H_PPM} AS alarm
+    FROM run ORDER BY day
+    """,
+)
+def q_e_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM change-point detector over the daily
+    event volume (round 8): KS/PSI/W1 say WHETHER a distribution
+    shifted; CUSUM says WHEN the level shifted — the sequential
+    statistic S_d = max(0, S_{{d-1}} + z_d − k) that accumulates
+    standardized excursions above the k = 0.5σ allowance and alarms
+    at h = 4σ (the classic ARL-tuned SPC constants). The monitoring
+    op an ingest pipeline runs per day to catch a crawler source
+    silently doubling or dying mid-month.
+
+    The sequential max(0, ·) recurrence is NOT a prefix sum — but it
+    has the exact reflection identity S_d = P_d − min(0, min_{{j≤d}}
+    P_j) over the un-clamped prefix P, so it IS two window passes
+    (prefix sum + running min), no iteration, no UDF. Exactness:
+    z-scores come from exact integer moments in cross-multiplied form
+    (n_d·D − S)/√(QD − S²) — one IEEE division — then enter the
+    recurrence as round-half-up ppm BIGINTs, so the CUSUM path and
+    the alarm comparison are pure integers. Scale: one combinable
+    day rollup collapses the corpus; both windows run over the
+    bounded day DOMAIN (corpus-size-independent — the bounded-domain
+    exemption), and the moment total rides a 1-row broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    mom = days.agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("q"),
+    )
+    z = days.join(F.broadcast(mom)).select(
+        "day",
+        "n_events",
+        F.expr(
+            "CAST(floor(CAST(n_events * d - s AS DOUBLE)"
+            " / sqrt(CAST(q * d - s * s AS DOUBLE))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("z_ppm"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = z.withColumn(
+        "p", F.sum(F.col("z_ppm") - F.lit(_CUSUM_K_PPM)).over(w)
+    )
+    run = pre.withColumn(
+        "floor_p", F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    return run.select(
+        "day",
+        "n_events",
+        "z_ppm",
+        (F.col("p") - F.col("floor_p")).cast("long").alias("cusum_ppm"),
+        ((F.col("p") - F.col("floor_p")) > _CUSUM_H_PPM).alias("alarm"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q_e_burrows_delta (round 8)
+# ---------------------------------------------------------------------------
+
+_BD_K = 30  # most-frequent-token panel size (classic Delta uses 30-150)
+
+
+@query(
+    "q_e_burrows_delta",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, tok, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM tf GROUP BY source
+    ),
+    top AS (
+      SELECT tok FROM (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM tf GROUP BY tok
+      ) ORDER BY ct DESC, tok LIMIT {_BD_K}
+    ),
+    grid AS (
+      SELECT t.source, p.tok,
+             round(CAST(COALESCE(f.c, 0) AS DOUBLE) / t.n_s, 6) AS f6
+      FROM tot t CROSS JOIN top p
+      LEFT JOIN tf f ON f.source = t.source AND f.tok = p.tok
+    ),
+    stats AS (
+      SELECT tok,
+             {davg('f6')} AS mu,
+             {dsum('f6 * f6', 12, 38)} / COUNT(*) AS m2
+      FROM grid GROUP BY tok
+    ),
+    z AS (
+      SELECT g.source, g.tok,
+             round((g.f6 - s.mu)
+                   / NULLIF(round(sqrt(GREATEST(s.m2 - s.mu * s.mu, 0.0)), 6),
+                            0.0), 6) AS z6
+      FROM grid g JOIN stats s ON g.tok = s.tok
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(abs(a.z6 - b.z6)) AS BIGINT) AS n_terms,
+           round({davg('abs(a.z6 - b.z6)')}, 6) AS delta6
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source ORDER BY src_a, src_b
+    """,
+)
+def q_e_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair
+    (round 8): the standard authorship-attribution statistic
+    (Burrows 2002) — z-score each source's relative frequency of the
+    30 most-frequent corpus tokens across sources, Delta = mean |Δz|.
+    Function-word profiles survive topic shift, so Delta separates
+    STYLE (template/register/authorship) where q_e_jsd_matrix's
+    full-vocabulary divergence is dominated by topic — read together
+    they answer "same topics, different writer?" (Delta high, JSD
+    low) vs "same boilerplate, different topics" (the reverse). A
+    pretraining mixture uses Delta to spot one crawl masquerading as
+    two sources.
+
+    Exactness: relative frequencies are 6-dp-rounded IEEE divisions
+    of exact counts; per-token μ and the second moment ride exact
+    DECIMAL sums over the |sources|-row panel; σ's radicand is
+    GREATEST-floored at 0 (float dust) and NULLIF at 0 excludes
+    zero-variance tokens from every pair's mean IDENTICALLY in both
+    engines (COUNT of the null-propagating |Δz| is reported as
+    n_terms). Scale: one TF shuffle (the pass every text op pays),
+    a TakeOrderedAndProject top-30 (partial per-partition top-k,
+    never a global sort), then every frame is |sources|×30 behind
+    broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    top = (
+        tf.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), "tok")
+        .limit(_BD_K)
+        .select("tok")
+    )
+    grid = (
+        tot.join(F.broadcast(top))
+        .join(tf, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.coalesce("c", F.lit(0)).cast("double") / F.col("n_s"), 6
+            ).alias("f6"),
+        )
+    )
+    stats = grid.groupBy("tok").agg(
+        F.expr(davg("f6")).alias("mu"),
+        (F.expr(dsum("f6 * f6", 12, 38)) / F.count(F.lit(1))).alias("m2"),
+    )
+    z = grid.join(F.broadcast(stats), "tok").select(
+        "source",
+        "tok",
+        F.round(
+            (F.col("f6") - F.col("mu"))
+            / F.nullif(
+                F.round(
+                    F.sqrt(
+                        F.greatest(
+                            F.col("m2") - F.col("mu") * F.col("mu"),
+                            F.lit(0.0),
+                        )
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z6"),
+    )
+    a = z.alias("a")
+    b = z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count(F.abs(F.col("a.z6") - F.col("b.z6")))
+            .cast("long")
+            .alias("n_terms"),
+            F.round(F.expr(davg("abs(a.z6 - b.z6)")), 6).alias("delta6"),
+        )
+        .orderBy("src_a", "src_b")
+    )

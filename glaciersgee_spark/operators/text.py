@@ -2368,3 +2368,108 @@ def q_e_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_langid_f1 (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_langid_f1",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM documents
+    ),
+    pred AS (SELECT lang, {_lang_pred_sql()} AS pred_lang FROM scored),
+    bytrue AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (WHERE lang = pred_lang) AS BIGINT) AS tp
+      FROM pred GROUP BY lang
+    ),
+    bypred AS (
+      SELECT pred_lang AS lang,
+             CAST(COUNT(*) FILTER (WHERE lang <> pred_lang) AS BIGINT) AS fp
+      FROM pred GROUP BY pred_lang
+    ),
+    prf AS (
+      SELECT t.lang, t.n_docs, t.tp,
+             CAST(t.tp * 1000000
+                  // NULLIF(t.tp + COALESCE(p.fp, 0), 0) AS BIGINT)
+               AS precision_ppm,
+             CAST(t.tp * 1000000 // t.n_docs AS BIGINT) AS recall_ppm
+      FROM bytrue t LEFT JOIN bypred p ON p.lang = t.lang
+    )
+    SELECT lang, n_docs, tp, precision_ppm, recall_ppm,
+           CAST(2 * precision_ppm * recall_ppm
+                // NULLIF(precision_ppm + recall_ppm, 0) AS BIGINT) AS f1_ppm
+    FROM prf ORDER BY lang
+    """,
+)
+def q_e_langid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision / recall / F1 of the n-gram language-ID
+    heuristic against the labeled lang column (round 8): the metric
+    layer over q_e_lang_id's raw confusion matrix — the counts say
+    WHICH languages confuse, the F1 table says which predictions are
+    TRUSTABLE (the number a pipeline reads before routing docs to
+    per-language tokenizers on the heuristic's say-so; a language
+    with high recall but low precision absorbs its neighbors'
+    traffic, the classic en-absorbs-everything failure).
+
+    Exactness: the scorer and argmax are q_e_lang_id's exact codegen
+    expressions; precision/recall are integer-ppm with NULLIF guards
+    (a language never predicted has NULL precision, honest rather
+    than 0); F1 is the integer harmonic mean of the two ppm values.
+    Scale: one narrow scan stage (the trigram replace-count scorer),
+    then two |langs|-row rollups joined broadcast-small."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = sorted(LANG_TRIGRAMS)
+    scored = d.select(
+        "lang",
+        *[
+            F.expr(_lang_score("lower(text)", lang)).alias(f"s_{lang}")
+            for lang in langs
+        ],
+    )
+    pred = scored.select("lang", F.expr(_lang_pred_sql()).alias("pred_lang"))
+    bytrue = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("lang") == F.col("pred_lang"), 1))
+        .cast("long")
+        .alias("tp"),
+    )
+    bypred = (
+        pred.groupBy(F.col("pred_lang").alias("lang"))
+        .agg(
+            F.count(F.when(F.col("lang") != F.col("pred_lang"), 1))
+            .cast("long")
+            .alias("fp")
+        )
+    )
+    prf = (
+        bytrue.join(F.broadcast(bypred), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "tp",
+            F.expr(
+                "CAST(tp * 1000000 DIV NULLIF(tp + COALESCE(fp, 0), 0)"
+                " AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr("CAST(tp * 1000000 DIV n_docs AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+    return prf.select(
+        "lang",
+        "n_docs",
+        "tp",
+        "precision_ppm",
+        "recall_ppm",
+        F.expr(
+            "CAST(2 * precision_ppm * recall_ppm"
+            " DIV NULLIF(precision_ppm + recall_ppm, 0) AS BIGINT)"
+        ).alias("f1_ppm"),
+    ).orderBy("lang")

@@ -1719,3 +1719,74 @@ def q_d_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c60",
         "n_sub",
     ).orderBy("hour_start", "event_type")
+
+
+@query(
+    "q_d_stream_rate",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 999)) AS v)
+    SELECT CAST(v % 10 AS BIGINT) AS k,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS sum_value,
+           CAST(COUNT(DISTINCT v // 250) AS BIGINT) AS n_batches,
+           CAST(MIN(1700000000000 + (v // 250) * 60000) AS BIGINT)
+             AS min_ts_ms,
+           CAST(MAX(1700000000000 + (v // 250) * 60000) AS BIGINT)
+             AS max_ts_ms
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_d_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate-micro-batch synthetic source END TO END (round 8 — the
+    sixteenth true-stream surface and the first whose SOURCE is not a
+    staged file feed: Spark's deterministic load generator, the tool
+    every streaming pipeline is soak-tested with before real data is
+    wired in). The drain runs the unbounded source for ≥4 committed
+    micro-batches (250 rows/batch, event time advancing one minute
+    per batch from a fixed epoch — no wall clock anywhere), stops,
+    and the read-back keeps exactly the first 4 batches' values
+    (value < 1000), which is batching- and race-invariant because
+    parquet sink commits are per-batch atomic and values are a batch-
+    indexed sequence (drain docstring). sf_dir is deliberately unused
+    — the source GENERATES its data; the declared op proves the
+    generator's value/timestamp contract against pure arithmetic.
+
+    Read-back rolls up per value%10 key: row count, exact value sum,
+    distinct batch-timestamp count, and the min/max event time in
+    epoch ms — pinning both halves of the generator contract (the
+    value sequence AND the per-batch timestamp advance). Scale: the
+    generator emits rowsPerBatch rows per trigger regardless of
+    corpus size; state is zero (stateless append), so this surface
+    costs one micro-batch pipeline with no store at all."""
+    from pyspark.sql import types as T
+
+    from glaciersgee_spark.streaming.stream import (
+        RATE_BATCHES,
+        RATE_ROWS_PER_BATCH,
+        drain_rate_source,
+    )
+
+    sink = scratch_dir(prefix="ggee_rate_sink_")
+    ck = scratch_dir(prefix="ggee_rate_ck_")
+    drain_rate_source(spark, sink, ck)
+    rows = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("timestamp", T.TimestampType()),
+                T.StructField("value", T.LongType()),
+            ]
+        )
+    ).parquet(sink)
+    cutoff = RATE_BATCHES * RATE_ROWS_PER_BATCH
+    return (
+        rows.where(F.col("value") < cutoff)
+        .groupBy((F.col("value") % 10).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("long").alias("sum_value"),
+            F.countDistinct("timestamp").cast("long").alias("n_batches"),
+            F.min(F.unix_millis("timestamp")).cast("long").alias("min_ts_ms"),
+            F.max(F.unix_millis("timestamp")).cast("long").alias("max_ts_ms"),
+        )
+        .orderBy("k")
+    )

@@ -1237,3 +1237,61 @@ def drain_chained_windows(spark: SparkSession, sf_dir: str, sink: str, ck: str):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return q
+
+
+# --------------------------------------------------------------- rate source
+
+# rate-micro-batch contract: batch b delivers values
+# [b·rowsPerBatch, (b+1)·rowsPerBatch) with every row stamped
+# startTimestamp + b·advanceMillisPerBatch — fully deterministic, no
+# wall clock anywhere (probed on Spark 4.1 before this landed).
+RATE_ROWS_PER_BATCH = 250
+RATE_START_MS = 1_700_000_000_000
+RATE_ADVANCE_MS = 60_000
+RATE_BATCHES = 4  # deterministic prefix consumed by the declared op
+
+
+def drain_rate_source(spark: SparkSession, sink: str, ck: str):
+    """Run the rate-micro-batch synthetic source for at least
+    RATE_BATCHES committed micro-batches into a parquet sink and stop;
+    returns the stopped StreamingQuery.
+
+    rate-micro-batch is UNBOUNDED (no availableNow contract), so the
+    drain polls lastProgress and stops after batch RATE_BATCHES
+    commits. Stopping can race one extra in-flight batch into the
+    sink — parquet commits are per-batch atomic, so the sink then
+    holds SOME prefix of batches strictly longer than RATE_BATCHES;
+    the declared op filters to value < RATE_BATCHES·rowsPerBatch,
+    which is exactly the first RATE_BATCHES batches regardless of
+    where the stop landed. That filter is what makes the read-back
+    batching-invariant and the oracle exact."""
+    import time
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", RATE_ROWS_PER_BATCH)
+        .option("startTimestamp", RATE_START_MS)
+        .option("advanceMillisPerBatch", RATE_ADVANCE_MS)
+        .load()
+    )
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    done = False
+    while time.monotonic() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= RATE_BATCHES:
+            done = True
+            break
+        time.sleep(0.2)
+    q.stop()
+    if not done:
+        raise TimeoutError(
+            f"rate source did not commit {RATE_BATCHES} batches in 120 s"
+        )
+    return q

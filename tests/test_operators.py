@@ -2968,3 +2968,120 @@ def test_udtf_partition_records_vs_window(spark):
             e.n_records,
             e.max_chars,
         )
+
+
+def test_cusum_reflection_identity(spark):
+    """The two-window spelling must equal the literal sequential
+    recurrence S_d = max(0, S_{d-1} + z_d - k) replayed in Python."""
+    from glaciersgee_spark.operators.drift import (
+        _CUSUM_K_PPM,
+        q_e_cusum_drift,
+    )
+
+    rows = q_e_cusum_drift(spark, SF_SMOKE).collect()
+    s = 0
+    for r in sorted(rows, key=lambda r: r.day):
+        s = max(0, s + r.z_ppm - _CUSUM_K_PPM)
+        assert r.cusum_ppm == s, (r.day, r.cusum_ppm, s)
+
+
+def test_langid_f1_consistent_with_confusion(spark):
+    from glaciersgee_spark.operators.text import q_e_lang_id, q_e_langid_f1
+
+    conf = q_e_lang_id(spark, SF_SMOKE).collect()
+    f1 = {r.lang: r for r in q_e_langid_f1(spark, SF_SMOKE).collect()}
+    diag = {r.lang: r.n for r in conf if r.lang == r.pred_lang}
+    by_true = {}
+    for r in conf:
+        by_true[r.lang] = by_true.get(r.lang, 0) + r.n
+    for lang, r in f1.items():
+        assert r.tp == diag.get(lang, 0)
+        assert r.n_docs == by_true[lang]
+        if r.precision_ppm is not None:
+            assert 0 <= r.precision_ppm <= 1000000
+        assert 0 <= r.recall_ppm <= 1000000
+
+
+def test_filter_kappa_first_principles(spark):
+    """kappa recomputed in Python from the raw per-doc gate verdicts."""
+    from glaciersgee_spark.operators.curation import q_e_filter_kappa
+    from glaciersgee_spark.tables import load_table
+
+    got = {r.pair: r for r in q_e_filter_kappa(spark, SF_SMOKE).collect()}
+    d = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            F.size("w").alias("n_tok"),
+            F.size(F.array_distinct("w")).alias("n_types"),
+            F.expr(
+                "array_max(transform(array_distinct(w),"
+                " x -> size(filter(w, y -> y = x))))"
+            ).alias("mx"),
+        )
+        .collect()
+    )
+    gates = [
+        (15 <= r.n_tok <= 80, r.n_types * 10 > r.n_tok * 3,
+         r.mx * 100 <= r.n_tok * 15)
+        for r in d
+    ]
+    n = len(gates)
+    for pair, ia, ib in (("len~ttr", 0, 1), ("len~rep", 0, 2), ("ttr~rep", 1, 2)):
+        ca = sum(1 for g in gates if g[ia])
+        cb = sum(1 for g in gates if g[ib])
+        agree = sum(1 for g in gates if g[ia] == g[ib])
+        num = agree * n - ca * cb - (n - ca) * (n - cb)
+        den = n * n - ca * cb - (n - ca) * (n - cb)
+        r = got[pair]
+        assert (r.n, r.n_agree) == (n, agree)
+        if den:
+            # Python // floors toward -inf; Spark/DuckDB DIV truncate
+            # toward zero — match the engines' convention here.
+            want = abs(num * 1000000) // den * (1 if num >= 0 else -1)
+            assert r.kappa_ppm == want
+
+
+def test_burrows_delta_brute_force_one_pair(spark):
+    import numpy as np
+
+    from glaciersgee_spark.operators.drift import _BD_K, q_e_burrows_delta
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_burrows_delta(spark, SF_SMOKE).collect()
+    assert all(r.delta6 >= 0 for r in rows)
+    srcs = sorted({r.src_a for r in rows} | {r.src_b for r in rows})
+    pdf = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", "text")
+        .toPandas()
+    )
+    from collections import Counter
+
+    tf = {}
+    corpus = Counter()
+    for s in srcs:
+        c = Counter(
+            t
+            for txt in pdf.loc[pdf["source"] == s, "text"]
+            for t in txt.split(" ")
+        )
+        tf[s] = c
+        corpus.update(c)
+    top = [t for t, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:_BD_K]]
+    f = {
+        s: np.array(
+            [round(tf[s][t] / sum(tf[s].values()), 6) for t in top]
+        )
+        for s in srcs
+    }
+    mat = np.vstack([f[s] for s in srcs])
+    mu = mat.mean(axis=0)
+    sig = np.round(np.sqrt(np.maximum(((mat - mu) ** 2).mean(axis=0), 0)), 6)
+    a, b = rows[0].src_a, rows[0].src_b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        za = np.round((f[a] - mu) / sig, 6)
+        zb = np.round((f[b] - mu) / sig, 6)
+    ok = ~(np.isnan(za) | np.isnan(zb) | np.isinf(za) | np.isinf(zb))
+    want = round(float(np.abs(za[ok] - zb[ok]).mean()), 5)
+    assert abs(rows[0].delta6 - want) < 1e-4, (rows[0].delta6, want)

@@ -1102,3 +1102,20 @@ def test_chained_windows_tie_is_strict_and_runs_two_state_stores(spark):
     # 1 ms short of the tie: nothing may emit
     _, rows_short = run("2024-01-01 09:59:59.999", "t_chain_short")
     assert rows_short == [], rows_short
+
+
+def test_rate_source_prefix_is_race_invariant(spark):
+    """The drain may commit MORE than RATE_BATCHES batches (stop
+    races one in-flight batch); the declared op's value-prefix filter
+    must still yield exactly the first RATE_BATCHES batches."""
+    from glaciersgee_spark.streaming.batch_equiv import q_d_stream_rate
+    from glaciersgee_spark.streaming.stream import (
+        RATE_BATCHES,
+        RATE_ROWS_PER_BATCH,
+    )
+
+    rows = q_d_stream_rate(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_events for r in rows) == RATE_BATCHES * RATE_ROWS_PER_BATCH
+    total = RATE_BATCHES * RATE_ROWS_PER_BATCH
+    assert sum(r.sum_value for r in rows) == total * (total - 1) // 2
+    assert all(r.n_batches == RATE_BATCHES for r in rows)
