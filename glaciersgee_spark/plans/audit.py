@@ -131,6 +131,12 @@ HEADLINERS = [
     ("q_e_pr_auc", "shares the ROC op's per-score frame; descending prefix sums over the bounded 6-dp domain (r8)"),
     ("q_e_aes_sample", "keyed weighted sample: ORDER BY/LIMIT spells as TakeOrderedAndProject — per-partition top-k, k-row merge (r8)"),
     ("q_a_solar_time", "exact integer-second solar offsets in scan-side codegen; one combinable 24-bucket aggregate (r8)"),
+    ("q_e_wasserstein", "rides the persisted KS (source, length) base — one corpus scan for both drift audits; support windows over the bounded length domain (r8)"),
+    ("q_e_poisson_boot", "64x replicate fan-out partial-aggregates map-side; shuffle carries |sources|*64 partial rows; 64-row panels rank via sort_array (r8)"),
+    ("q_b_assoc_rules", "basket DISTINCT is the only corpus shuffle; item supports + user total broadcast onto the |types|^2 pair frame (r8)"),
+    ("q_e_cusum_drift", "combinable day rollup collapses the corpus; both CUSUM windows run over the bounded day domain; moments broadcast (r8)"),
+    ("q_e_burrows_delta", "top-30 vocab via TakeOrderedAndProject; every post-TF frame is |sources|x30 behind broadcasts (r8)"),
+    ("q_e_threshold_sweep", "9-row grid theta-join over the bounded per-score frame; positives total is a 1-row broadcast (r8)"),
 ]
 
 

@@ -1106,3 +1106,71 @@ def test_sql_udf_inlines_into_codegen(spark):
     # the function bodies are INLINED: the raw arithmetic appears in
     # the Project, no UDF invocation node survives
     assert "ggee_charged" not in plan
+
+
+def test_wasserstein_shares_ks_cache_and_broadcasts(spark):
+    """q_e_wasserstein must ride the SAME persisted (source, length)
+    frame as q_e_length_ks (one corpus scan for both drift audits) and
+    keep the support/totals joins broadcast."""
+    from glaciersgee_spark.operators import drift as D
+
+    D.q_e_length_ks(spark, SF_SMOKE).collect()
+    key = (spark.sparkContext.applicationId, SF_SMOKE)
+    assert key in D._KS_SRC_CACHE
+    df = D.q_e_wasserstein(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "InMemoryTableScan" in plan, "must reuse the persisted KS base"
+    assert "BroadcastExchange" in plan
+    assert not PI.has_python_boundary(plan)
+
+
+def test_poisson_boot_combines_map_side(spark):
+    """The 64x replicate fan-out must partial-aggregate BEFORE the
+    shuffle (HashAggregate below the exchange) — the whole point of
+    the Poisson bootstrap design — with no Python boundary."""
+    from glaciersgee_spark.operators.curation import q_e_poisson_boot
+
+    df = q_e_poisson_boot(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert not PI.has_python_boundary(plan)
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_assoc_rules_broadcasts_dims(spark):
+    """Item supports and the user total must ride broadcast joins onto
+    the |types|^2 pair frame — only the basket DISTINCT shuffles
+    corpus-sized data."""
+    from glaciersgee_spark.operators.relational import q_b_assoc_rules
+
+    df = q_b_assoc_rules(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert not PI.has_python_boundary(plan)
+
+
+def test_burrows_delta_topk_is_take_ordered(spark):
+    """The top-30 vocabulary cut must be TakeOrderedAndProject, never
+    a global sort of the (token, count) frame."""
+    from glaciersgee_spark.operators.drift import q_e_burrows_delta
+
+    df = q_e_burrows_delta(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert not PI.has_python_boundary(plan)
+
+
+def test_cusum_windows_run_over_day_domain(spark):
+    """Both CUSUM windows are un-partitioned by design — they must run
+    over the bounded per-day frame (after the combinable day rollup),
+    never over raw events; the moment total rides a broadcast."""
+    from glaciersgee_spark.operators.drift import q_e_cusum_drift
+
+    df = q_e_cusum_drift(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "BroadcastExchange" in plan
+    assert not PI.has_python_boundary(plan)
+    # the day rollup must partial-aggregate map-side before anything
+    # window-shaped sees the data (the windows then run over the
+    # bounded day frame, not raw events)
+    assert "partial_count" in plan
+    assert PI.count_shuffles(plan) <= 4
