@@ -212,7 +212,8 @@ _R8_NEW: tuple[str, ...] = (
     "q_e_brier_decomp", "q_e_threshold_sweep", "q_e_neyman_alloc",
     "q_b_assoc_rules", "q_e_poisson_boot", "q_f_udtf_partition",
     "q_d_stream_rate", "q_e_cusum_drift", "q_e_langid_f1",
-    "q_e_filter_kappa", "q_e_burrows_delta",
+    "q_e_filter_kappa", "q_e_burrows_delta", "q_e_mann_kendall",
+    "q_e_theil_sen", "q_e_autocorr", "q_e_seasonality", "q_b_benford",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

@@ -2012,3 +2012,459 @@ def q_e_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_mann_kendall (round 8)
+# ---------------------------------------------------------------------------
+
+_MK_Z95 = 1.959964  # two-sided 5% normal critical value, 6 dp
+
+
+@query(
+    "q_e_mann_kendall",
+    oracle=f"""
+    WITH days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM days a JOIN days b ON a.day < b.day
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days GROUP BY x)
+      WHERE t > 1
+    ),
+    v AS (
+      SELECT nn.n, s.s_stat,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                  AS BIGINT) AS var18
+      FROM nn CROSS JOIN s CROSS JOIN ties
+    )
+    SELECT n AS n_days, s_stat, var18,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                      WHEN s_stat < 0 THEN (s_stat + 1)
+                      ELSE 0 END
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) AS z6,
+           CASE WHEN s_stat > 0 AND (s_stat - 1)
+                     > {_MK_Z95} * sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  THEN 'increasing'
+                WHEN s_stat < 0 AND -(s_stat + 1)
+                     > {_MK_Z95} * sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM v
+    """,
+)
+def q_e_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall non-parametric trend test on the daily event
+    volume (round 8): S = Σ_{{i<j}} sign(x_j − x_i) with the
+    tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    / 18 and the continuity-corrected normal Z — the standard
+    is-the-series-MONOTONICALLY-drifting test (Mann 1945, Kendall's
+    τ numerator). Completes the volume-monitoring triad: q_e_cusum
+    finds a LEVEL SHIFT and when, Mann–Kendall certifies a monotone
+    TREND with a significance verdict, and both read off the same
+    daily rollup. No distributional assumption — exactly right for
+    bursty crawl volumes.
+
+    Exactness: S and the 18·Var numerator are pure BIGINT (sign
+    comparisons and tie-group combinatorics); the single
+    sqrt-and-divide producing Z is one IEEE expression, 6-dp-rounded,
+    and the 5%-level verdict compares in the same double domain in
+    both engines (the continuity-corrected numerator is an exact
+    integer, so the comparison has ~1e-10 slack against the 6-dp
+    critical constant — never a knife edge). Scale: the corpus
+    collapses via one combinable day rollup; the pair join, tie scan
+    and the closing fold all run over the bounded day DOMAIN
+    (≤ n_days² pairs, corpus-size-independent)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a = days.alias("a")
+    b = days.alias("b")
+    s = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    nn = days.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        days.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(F.broadcast(s))
+        .join(F.broadcast(ties))
+        .select(
+            "n",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / 18.0)
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var18",
+        F.round(
+            F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+            .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+            .otherwise(0)
+            / sd,
+            6,
+        ).alias("z6"),
+        F.when(
+            (F.col("s_stat") > 0)
+            & ((F.col("s_stat") - 1) > F.lit(_MK_Z95) * sd),
+            "increasing",
+        )
+        .when(
+            (F.col("s_stat") < 0)
+            & (-(F.col("s_stat") + 1) > F.lit(_MK_Z95) * sd),
+            "decreasing",
+        )
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_theil_sen (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_theil_sen",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, x,
+             CAST(datediff('day', MIN(day) OVER (), day) AS BIGINT) AS i
+      FROM days
+    ),
+    slopes AS (
+      SELECT round(CAST(b.x - a.x AS DOUBLE) / (b.i - a.i), 6) AS sl
+      FROM idx a JOIN idx b ON a.i < b.i
+    ),
+    ranked AS (
+      SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) AS rk,
+             COUNT(*) OVER () AS np
+      FROM slopes
+    )
+    SELECT CAST(MAX(np) AS BIGINT) AS n_pairs,
+           round((MAX(CASE WHEN rk = (np + 1) // 2 THEN sl END)
+                  + MAX(CASE WHEN rk = np // 2 + 1 THEN sl END)) / 2.0, 6)
+             AS sen_slope6,
+           round(MIN(sl), 6) AS min_slope6,
+           round(MAX(sl), 6) AS max_slope6
+    FROM ranked
+    """,
+)
+def q_e_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope of the daily event volume (round
+    8): the median of all pairwise slopes (x_j − x_i)/(j − i) — the
+    estimator with a 29.3% breakdown point that one crazy crawl day
+    cannot drag (unlike q_a_trend_slope's least-squares family).
+    Reads WITH q_e_mann_kendall: MK certifies a monotone trend
+    exists, Theil–Sen says how steep it is in events/day — the pair
+    is the standard robust trend report (both are Kendall-family
+    statistics over the same pair set).
+
+    Exactness: day gaps are exact integer datediffs, each slope is
+    ONE IEEE division rounded to 6 dp, and the median is the exact
+    lower/upper order-statistic average over the ranked slope panel
+    (both engines rank the same 6-dp values with the same rank
+    arithmetic — value ties collapse identically because the rank
+    picks VALUES, not row identities... the two central CASE rows
+    read the same sl either way). Scale: one combinable day rollup
+    collapses the corpus; the pair frame and its un-partitioned rank
+    window are bounded by the day DOMAIN (≤ n_days²/2 rows,
+    corpus-size-independent — the bounded-domain exemption)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idx = days.select(
+        "x",
+        F.datediff(
+            F.col("day"), F.min("day").over(Window.partitionBy())
+        )
+        .cast("long")
+        .alias("i"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    slopes = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.round(
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.i") - F.col("a.i")),
+            6,
+        ).alias("sl")
+    )
+    wr = Window.orderBy("sl")
+    ranked = slopes.select(
+        "sl",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    return ranked.agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.round(
+            (
+                F.max(
+                    F.when(
+                        F.col("rk") == F.expr("(np + 1) DIV 2"), F.col("sl")
+                    )
+                )
+                + F.max(
+                    F.when(F.col("rk") == F.expr("np DIV 2 + 1"), F.col("sl"))
+                )
+            )
+            / 2.0,
+            6,
+        ).alias("sen_slope6"),
+        F.round(F.min("sl"), 6).alias("min_slope6"),
+        F.round(F.max("sl"), 6).alias("max_slope6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_autocorr (round 8)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q_e_autocorr",
+    oracle=f"""
+    WITH days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(x) AS BIGINT) AS s
+      FROM days
+    ),
+    y AS (
+      SELECT CAST(datediff('day', (SELECT MIN(day) FROM days), day)
+                  AS BIGINT) AS i,
+             CAST(x * mom.d - mom.s AS BIGINT) AS y
+      FROM days CROSS JOIN mom
+    ),
+    c0 AS (SELECT CAST(SUM(y * y) AS BIGINT) AS den FROM y),
+    grid AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS k)
+    SELECT g.k,
+           CAST(COUNT(b.y) AS BIGINT) AS n_terms,
+           round(CAST(SUM(a.y * b.y) AS BIGINT)
+                 / CAST(c0.den AS DOUBLE), 6) AS acf6
+    FROM grid g
+    CROSS JOIN c0
+    JOIN y a ON TRUE
+    JOIN y b ON b.i = a.i + g.k
+    GROUP BY g.k, c0.den ORDER BY g.k
+    """,
+)
+def q_e_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event volume at lags 1–7
+    (round 8): ρ_k = Σ(x_t − μ)(x_{{t+k}} − μ) / Σ(x_t − μ)² — the
+    statistic that separates a weekly SEASONAL pattern (ρ₇ spikes)
+    from day-to-day persistence (ρ₁ high) from white noise (all ≈ 0).
+    Completes the volume-monitoring family: CUSUM = level shift,
+    Mann–Kendall/Theil–Sen = trend, ACF = periodic structure — the
+    four plots every capacity-planning dashboard opens with.
+
+    Exactness: centered values ride the cross-multiplied integer form
+    y_t = x_t·D − S (so every product and both sums are exact
+    BIGINTs, order-insensitive); each ρ_k is ONE IEEE division,
+    6-dp-rounded. Gapped calendars are handled honestly: terms pair
+    day i with calendar day i+k (missing days drop out; n_terms
+    reports the actual overlap). Scale: one combinable day rollup,
+    then the lag grid join and all sums run over the bounded day
+    DOMAIN; the 1-row moment and denominator frames ride broadcasts.
+    y products stay in BIGINT to ~3e9 events/day over ~3e3 days."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mom = days.agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    mind = days.agg(F.min("day").alias("d0"))
+    y = (
+        days.join(F.broadcast(mom))
+        .join(F.broadcast(mind))
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("i"),
+            (F.col("x") * F.col("d") - F.col("s")).cast("long").alias("y"),
+        )
+    )
+    c0 = y.agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("den"))
+    grid = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    a = y.alias("a")
+    b = y.alias("b")
+    return (
+        grid.join(F.broadcast(c0))
+        .join(F.broadcast(a))
+        .join(
+            F.broadcast(b),
+            F.col("b.i") == F.col("a.i") + F.col("k"),
+        )
+        .groupBy("k", "den")
+        .agg(
+            F.count(F.col("b.y")).cast("long").alias("n_terms"),
+            F.round(
+                F.sum(F.col("a.y") * F.col("b.y")).cast("long")
+                / F.col("den").cast("double"),
+                6,
+            ).alias("acf6"),
+        )
+        .select("k", "n_terms", "acf6")
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_seasonality (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_seasonality",
+    oracle=f"""
+    WITH days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    dow AS (
+      SELECT CAST(isodow(day) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS n_events
+      FROM days GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_days) AS BIGINT) AS d,
+             CAST(SUM(n_events) AS BIGINT) AS n
+      FROM dow
+    ),
+    terms AS (
+      SELECT dow.dow, dow.n_days, dow.n_events, tot.d, tot.n,
+             round(CAST((dow.n_events * tot.d - tot.n * dow.n_days)
+                        AS DOUBLE)
+                   * (dow.n_events * tot.d - tot.n * dow.n_days)
+                   / (CAST(tot.d AS DOUBLE) * tot.n * dow.n_days), 6)
+               AS term6
+      FROM dow CROSS JOIN tot
+    )
+    SELECT dow, n_days, n_events,
+           CAST(n_events * 1000000 // n AS BIGINT) AS share_ppm,
+           CAST(n_days * 1000000 // d AS BIGINT) AS exp_share_ppm,
+           (SELECT round({dsum('term6')}, 6) FROM terms) AS chi2_6
+    FROM terms ORDER BY dow
+    """,
+)
+def q_e_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile + χ² uniformity test of the
+    event volume (round 8): per ISO weekday, the observed share of
+    events against the expected share — where "expected" honestly
+    weights by how many MONDAYS (etc.) the observation window
+    actually contains, the correction naive dashboards skip and the
+    reason a 30-day window shows phantom weekday effects. χ² =
+    Σ (O_d − N·c_d/D)² / (N·c_d/D) in cross-multiplied form, the
+    scan-me-first number (≫ 14.07 = χ²₆ at 5% ⇒ real weekly cycle —
+    and then q_e_autocorr's ρ₇ should agree). The calendar companion
+    to the ACF's lag-7 spike.
+
+    Exactness: every count is BIGINT; each χ² term is one IEEE
+    expression over exact integers, 6-dp-rounded, and the 7-term
+    total rides the exact-decimal sum (repeated per row as the
+    corpus constant, the q_e_neyman_alloc convention). Scale: one
+    combinable day rollup → a 7-row frame; everything downstream is
+    constant-size."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    dow = days.groupBy(
+        (F.weekday(F.col("day")) + 1).cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("n_events"),
+    )
+    tot = dow.agg(
+        F.sum("n_days").cast("long").alias("d"),
+        F.sum("n_events").cast("long").alias("n"),
+    )
+    dev = (F.col("n_events") * F.col("d") - F.col("n") * F.col("n_days")).cast(
+        "double"
+    )
+    terms = dow.join(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "n_events",
+        "d",
+        "n",
+        F.round(
+            dev
+            * (F.col("n_events") * F.col("d") - F.col("n") * F.col("n_days"))
+            / (
+                F.col("d").cast("double")
+                * F.col("n")
+                * F.col("n_days")
+            ),
+            6,
+        ).alias("term6"),
+    )
+    chi2 = terms.agg(F.round(F.expr(dsum("term6")), 6).alias("chi2_6"))
+    return (
+        terms.join(F.broadcast(chi2))
+        .select(
+            "dow",
+            "n_days",
+            "n_events",
+            F.expr("CAST(n_events * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST(n_days * 1000000 DIV d AS BIGINT)").alias(
+                "exp_share_ppm"
+            ),
+            "chi2_6",
+        )
+        .orderBy("dow")
+    )

@@ -1817,3 +1817,100 @@ def q_b_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         err("est_b", "n_b_exact").alias("err_b"),
         err("est_inter", "n_inter_exact").alias("err_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_benford (round 8)
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected
+# first-digit mass, precomputed so neither engine evaluates log10 at
+# query time (library log10 is not guaranteed correctly rounded).
+_BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152,
+                45757)
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_PPM, start=1)
+) + " END"
+
+
+@query(
+    "q_b_benford",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value > 0
+    ),
+    digits AS (
+      SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM digits),
+    terms AS (
+      SELECT d.digit, d.n_obs, t.n,
+             CAST(d.n_obs * 1000000 // t.n AS BIGINT) AS obs_ppm,
+             CAST({_BENFORD_CASE.replace('digit', 'd.digit')} AS BIGINT)
+               AS exp_ppm
+      FROM digits d CROSS JOIN tot t
+    ),
+    chi AS (
+      SELECT round(SUM(CAST(round(CAST((obs_ppm - exp_ppm) AS DOUBLE)
+                                  * (obs_ppm - exp_ppm) / exp_ppm, 6)
+                            AS DECIMAL(30,6))) / 1000000.0, 6) AS chi2n_6
+      FROM terms
+    )
+    SELECT digit, n_obs, obs_ppm, exp_ppm,
+           (SELECT chi2n_6 FROM chi) AS chi2n_6
+    FROM terms ORDER BY digit
+    """,
+)
+def q_b_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the event value column
+    (round 8): organically-generated magnitudes follow
+    P(d) = log10(1 + 1/d); synthetic, capped, or fabricated values do
+    not — the classic forensic data-quality screen (Nigrini's fraud
+    test, here as the warehouse DQ member next to q_b_dq_checks'
+    structural rules: dq_checks validates FORM, Benford validates
+    PROVENANCE). chi2n_6 = Σ (obs − exp)²/exp over the ppm profile
+    (scaled to per-unit) is the one-number verdict repeated per row;
+    uniform synthetic values score orders of magnitude above organic
+    data — exactly what it should flag on this corpus.
+
+    Exactness: values enter as exact half-up CENTS (the 2-dp value
+    grid), the leading digit comes from the BIGINT's decimal string
+    (identical rendering in both engines — deliberately NOT
+    floor(v/10^floor(log10 v)), whose library log10 is not
+    correctly-rounded-guaranteed), expected masses are PRECOMPUTED
+    integer ppm constants, and the χ² fold is over the 9-row digit
+    frame. Scale: one combinable 9-group aggregate collapses the
+    corpus; everything downstream is constant-size."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.where(F.col("value") > 0).select(
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v")
+    )
+    digits = cents.groupBy(
+        F.substring(F.col("v").cast("string"), 1, 1).cast("long").alias("digit")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n"))
+    terms = digits.join(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.expr("CAST(n_obs * 1000000 DIV n AS BIGINT)").alias("obs_ppm"),
+        F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("exp_ppm"),
+    )
+    chi = terms.agg(
+        F.round(
+            F.expr(
+                "CAST(SUM(CAST(round(CAST((obs_ppm - exp_ppm) AS DOUBLE)"
+                " * (obs_ppm - exp_ppm) / exp_ppm, 6) AS DECIMAL(30,6)))"
+                " AS DOUBLE)"
+            )
+            / F.lit(1000000.0),
+            6,
+        ).alias("chi2n_6")
+    )
+    return (
+        terms.join(F.broadcast(chi))
+        .select("digit", "n_obs", "obs_ppm", "exp_ppm", "chi2n_6")
+        .orderBy("digit")
+    )

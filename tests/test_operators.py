@@ -3085,3 +3085,119 @@ def test_burrows_delta_brute_force_one_pair(spark):
     ok = ~(np.isnan(za) | np.isnan(zb) | np.isinf(za) | np.isinf(zb))
     want = round(float(np.abs(za[ok] - zb[ok]).mean()), 5)
     assert abs(rows[0].delta6 - want) < 1e-4, (rows[0].delta6, want)
+
+
+def _daily_counts(spark):
+    from glaciersgee_spark.tables import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    return sorted((r.day, r.x) for r in rows)
+
+
+def test_mann_kendall_first_principles(spark):
+    from glaciersgee_spark.operators.drift import q_e_mann_kendall
+
+    days = _daily_counts(spark)
+    xs = [x for _, x in days]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(xs).values() if t > 1
+    )
+    r = q_e_mann_kendall(spark, SF_SMOKE).collect()[0]
+    assert (r.n_days, r.s_stat) == (n, s)
+    assert r.var18 == n * (n - 1) * (2 * n + 5) - ties
+    assert r.trend in ("increasing", "decreasing", "none")
+
+
+def test_theil_sen_matches_numpy_median(spark):
+    from glaciersgee_spark.operators.drift import q_e_theil_sen
+
+    days = _daily_counts(spark)
+    d0 = days[0][0]
+    pts = [((d - d0).days, x) for d, x in days]
+    slopes = sorted(
+        round((x2 - x1) / (i2 - i1), 6)
+        for a, (i1, x1) in enumerate(pts)
+        for (i2, x2) in pts[a + 1 :]
+    )
+    np_ = len(slopes)
+    med = round((slopes[(np_ + 1) // 2 - 1] + slopes[np_ // 2]) / 2.0, 6)
+    r = q_e_theil_sen(spark, SF_SMOKE).collect()[0]
+    assert r.n_pairs == np_
+    assert abs(r.sen_slope6 - med) < 1e-9
+    assert r.min_slope6 <= r.sen_slope6 <= r.max_slope6
+
+
+def test_autocorr_matches_numpy(spark):
+    import numpy as np
+
+    from glaciersgee_spark.operators.drift import q_e_autocorr
+
+    days = _daily_counts(spark)
+    d0 = days[0][0]
+    idx = {(d - d0).days: x for d, x in days}
+    xs = np.array([x for _, x in days], dtype=np.int64)
+    mu = xs.mean()
+    den = float(((xs - mu) ** 2).sum())
+    got = {r.k: r for r in q_e_autocorr(spark, SF_SMOKE).collect()}
+    for k in range(1, 8):
+        pairs = [(i, i + k) for i in idx if i + k in idx]
+        num = sum((idx[i] - mu) * (idx[j] - mu) for i, j in pairs)
+        assert got[k].n_terms == len(pairs)
+        assert abs(got[k].acf6 - round(num / den, 6)) < 1e-5
+        assert -1.0 <= got[k].acf6 <= 1.0
+
+
+def test_seasonality_shares_and_chi2(spark):
+    from glaciersgee_spark.operators.drift import q_e_seasonality
+
+    rows = q_e_seasonality(spark, SF_SMOKE).collect()
+    assert {r.dow for r in rows} <= set(range(1, 8))
+    tot_share = sum(r.share_ppm for r in rows)
+    assert 1000000 - len(rows) <= tot_share <= 1000000
+    chi2s = {r.chi2_6 for r in rows}
+    assert len(chi2s) == 1 and chi2s.pop() >= 0.0
+    n = sum(r.n_events for r in rows)
+    d = sum(r.n_days for r in rows)
+    exp = sum(
+        (r.n_events - n * r.n_days / d) ** 2 / (n * r.n_days / d)
+        for r in rows
+    )
+    assert abs(rows[0].chi2_6 - exp) < 1e-3
+
+
+def test_benford_digits_first_principles(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_benford
+    from glaciersgee_spark.tables import load_table
+
+    vals = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(F.col("value") > 0)
+        .select("value")
+        .collect()
+    )
+    from collections import Counter
+
+    c = Counter(str(int(v.value * 100 + 0.5))[0] for v in vals)
+    got = {r.digit: r for r in q_b_benford(spark, SF_SMOKE).collect()}
+    for d, r in got.items():
+        assert r.n_obs == c[str(d)], (d, r.n_obs, c[str(d)])
+    assert sum(r.n_obs for r in got.values()) == len(vals)
+    assert got and rowsum_ppm_close(got)
+
+
+def rowsum_ppm_close(got):
+    tot = sum(r.obs_ppm for r in got.values())
+    return 1000000 - len(got) <= tot <= 1000000
