@@ -3742,3 +3742,180 @@ def q_e_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.selectExpr("pair", "n", "n_agree", *metric.split(",\n")).orderBy(
         "pair"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_feature_mi (round 8)
+# ---------------------------------------------------------------------------
+
+# One exact-integer MI term (n_xy/N)*ln(n_xy*N/(n_x*n_y)) in the 6-dp
+# ln convention, zero-cell-safe: identical text in both engines.
+def _mi_term(nxy: str, nx: str, ny: str) -> str:
+    return (
+        f"CASE WHEN {nxy} > 0 THEN (CAST({nxy} AS DOUBLE) / n)"
+        f" * round(ln(CAST({nxy} AS DOUBLE) * n"
+        f" / (CAST({nx} AS DOUBLE) * ({ny}))), 6) ELSE 0.0 END"
+    )
+
+
+_MI_SUM = " + ".join(
+    [
+        _mi_term("n11", "c_g", "c_gold"),
+        _mi_term("n10", "c_g", "n - c_gold"),
+        _mi_term("n01", "n - c_g", "c_gold"),
+        _mi_term("n00", "n - c_g", "n - c_gold"),
+    ]
+)
+
+
+@query(
+    "q_e_feature_mi",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(MAX(c) AS BIGINT) AS mx,
+             COUNT(*) AS n_types,
+             CAST(SUM(CASE WHEN tok IN ({_STOP_IN}) THEN c ELSE 0 END)
+                  AS BIGINT) AS n_stop
+      FROM tf GROUP BY doc_id
+    ),
+    per AS (
+      SELECT a.n_tok, a.mx, a.n_types,
+             CAST(d.n_chars - (a.n_tok - 1) AS DOUBLE) / a.n_tok
+               AS avg_token_len,
+             CAST(a.n_stop AS DOUBLE) / a.n_tok AS stop_ratio,
+             a.n_tok AS n_tokens
+      FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+    ),
+    verdicts AS (
+      SELECT n_tok BETWEEN 15 AND 80 AS g_len,
+             n_types * 10 > n_tok * 3 AS g_ttr,
+             mx * 100 <= n_tok * 15 AS g_rep,
+             {_CAL_GOLD_DUCK} AS gold
+      FROM per
+    ),
+    counts AS (
+      SELECT 'len' AS gate,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE g_len) AS BIGINT) AS c_g,
+             CAST(COUNT(*) FILTER (WHERE gold) AS BIGINT) AS c_gold,
+             CAST(COUNT(*) FILTER (WHERE g_len AND gold) AS BIGINT) AS n11,
+             CAST(COUNT(*) FILTER (WHERE g_len AND NOT gold) AS BIGINT)
+               AS n10,
+             CAST(COUNT(*) FILTER (WHERE NOT g_len AND gold) AS BIGINT)
+               AS n01,
+             CAST(COUNT(*) FILTER (WHERE NOT g_len AND NOT gold) AS BIGINT)
+               AS n00
+      FROM verdicts
+      UNION ALL
+      SELECT 'rep', COUNT(*), COUNT(*) FILTER (WHERE g_rep),
+             COUNT(*) FILTER (WHERE gold),
+             COUNT(*) FILTER (WHERE g_rep AND gold),
+             COUNT(*) FILTER (WHERE g_rep AND NOT gold),
+             COUNT(*) FILTER (WHERE NOT g_rep AND gold),
+             COUNT(*) FILTER (WHERE NOT g_rep AND NOT gold)
+      FROM verdicts
+      UNION ALL
+      SELECT 'ttr', COUNT(*), COUNT(*) FILTER (WHERE g_ttr),
+             COUNT(*) FILTER (WHERE gold),
+             COUNT(*) FILTER (WHERE g_ttr AND gold),
+             COUNT(*) FILTER (WHERE g_ttr AND NOT gold),
+             COUNT(*) FILTER (WHERE NOT g_ttr AND gold),
+             COUNT(*) FILTER (WHERE NOT g_ttr AND NOT gold)
+      FROM verdicts
+    )
+    SELECT gate, n, c_g, c_gold, n11,
+           round({_MI_SUM}, 6) AS mi_nats6
+    FROM counts ORDER BY gate
+    """,
+)
+def q_e_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of each curation gate with the gopher-lite
+    gold label (round 8): the feature-selection table for filter
+    design — I(gate; gold) in nats says how much a gate's verdict
+    actually KNOWS about document quality, on the same scale for all
+    gates regardless of pass rate (the property raw agreement and
+    even κ lack: a gate passing 99% of docs can still carry high MI
+    if its rejections are surgical). Reads with q_e_filter_kappa:
+    κ measures gate-vs-GATE redundancy, MI measures gate-vs-TRUTH
+    signal — together they pick the minimal filter ensemble.
+
+    Exactness: all eight contingency counts are one COUNT-FILTER
+    pass (exact BIGINT); each of the 4 MI terms is the house 6-dp-ln
+    convention over ratios of those integers (zero cells contribute
+    exactly 0 via the CASE guard, the 0·ln 0 limit), and the 4-term
+    sum is a fixed-shape expression — identical trees in both
+    engines. Scale: one (doc, token) TF pass (shared shape with the
+    gate family), a per-doc rollup, then THREE single-row aggregates
+    unioned — constant-size from there."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stop_set = ", ".join(f"'{s}'" for s in _CLS_STOPWORDS)
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.max("c").cast("long").alias("mx"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN tok IN ({stop_set}) THEN c ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    per = agg.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        "n_tok",
+        "mx",
+        "n_types",
+        (
+            (F.col("n_chars") - (F.col("n_tok") - 1)).cast("double")
+            / F.col("n_tok")
+        ).alias("avg_token_len"),
+        (F.col("n_stop").cast("double") / F.col("n_tok")).alias("stop_ratio"),
+        F.col("n_tok").alias("n_tokens"),
+    )
+    verdicts = per.select(
+        F.col("n_tok").between(15, 80).alias("g_len"),
+        (F.col("n_types") * 10 > F.col("n_tok") * 3).alias("g_ttr"),
+        (F.col("mx") * 100 <= F.col("n_tok") * 15).alias("g_rep"),
+        F.expr(_CAL_GOLD_DUCK).alias("gold"),
+    )
+
+    def row(gate: str, g: str) -> DataFrame:
+        def cnt(cond: str) -> F.Column:
+            return F.expr(
+                f"CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT)"
+            )
+
+        return verdicts.agg(
+            F.lit(gate).alias("gate"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            cnt(g).alias("c_g"),
+            cnt("gold").alias("c_gold"),
+            cnt(f"{g} AND gold").alias("n11"),
+            cnt(f"{g} AND NOT gold").alias("n10"),
+            cnt(f"NOT {g} AND gold").alias("n01"),
+            cnt(f"NOT {g} AND NOT gold").alias("n00"),
+        )
+
+    counts = (
+        row("len", "g_len").unionAll(row("rep", "g_rep")).unionAll(
+            row("ttr", "g_ttr")
+        )
+    )
+    return counts.select(
+        "gate",
+        "n",
+        "c_g",
+        "c_gold",
+        "n11",
+        F.round(F.expr(_MI_SUM), 6).alias("mi_nats6"),
+    ).orderBy("gate")

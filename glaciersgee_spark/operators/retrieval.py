@@ -547,3 +547,210 @@ def q_e_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rbo6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_linear_fusion (round 8)
+# ---------------------------------------------------------------------------
+
+LF_ALPHA_PPM = 500_000  # lexical weight alpha = 0.5 in ppm
+
+
+@query(
+    "q_e_linear_fusion",
+    oracle=f"""
+    WITH {BM25_CTES},
+    bm AS (SELECT doc_id, {dsum('c')} AS score
+           FROM contrib WHERE doc_id <> 0 GROUP BY doc_id),
+    v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    cs AS (SELECT v.vec_id AS doc_id,
+                  {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+           FROM v, q WHERE v.vec_id <> 0),
+    bmx AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM bm),
+    csx AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM cs),
+    bmn AS (SELECT doc_id,
+                   round((bm.score - bmx.lo) / NULLIF(bmx.hi - bmx.lo, 0.0),
+                         6) AS nb
+            FROM bm CROSS JOIN bmx),
+    csn AS (SELECT doc_id,
+                   round((cs.score - csx.lo) / NULLIF(csx.hi - csx.lo, 0.0),
+                         6) AS nc
+            FROM cs CROSS JOIN csx),
+    fused AS (
+      SELECT COALESCE(bmn.doc_id, csn.doc_id) AS doc_id,
+             round({LF_ALPHA_PPM} * 1e-6 * COALESCE(nb, 0.0)
+                   + (1000000 - {LF_ALPHA_PPM}) * 1e-6 * COALESCE(nc, 0.0),
+                   6) AS fused6,
+             nb AS bm25_norm6, nc AS cos_norm6
+      FROM bmn FULL OUTER JOIN csn ON bmn.doc_id = csn.doc_id
+    )
+    SELECT doc_id, fused6, bm25_norm6, cos_norm6 FROM fused
+    ORDER BY fused6 DESC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def q_e_linear_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max-normalized LINEAR score fusion of the BM25 and dense
+    cosine lists (round 8): fused = α·norm(bm25) + (1−α)·norm(cos),
+    α = 0.5 — the score-based hybrid-search combiner that reads
+    against q_e_rrf_fusion's rank-based one (the two standard
+    spellings; linear preserves score MAGNITUDE — a runaway best
+    match stays runaway — while RRF only preserves order, and
+    production rankers A/B exactly this pair before picking). Missing
+    list membership contributes 0 after normalization, the CC-style
+    convention.
+
+    Determinism: both input lists are already 6-dp-deterministic
+    (dsum'd BM25, rounded cosine); per-list min/max are exact folds;
+    each normalization is one IEEE division rounded to 6 dp
+    (NULLIF-guarded for a degenerate constant list) and the 2-term
+    blend re-rounds. Plan: min/max ride 1-row broadcasts onto the
+    scored lists (shared via _scored_lists' persisted cache — running
+    rrf + linear + rbo costs ONE scoring pass per list), the fuse is
+    a doc_id full-outer equi-join, top-25 is TakeOrderedAndProject.
+    No rank window at all — cheaper than RRF by construction."""
+    bm, cs = _scored_lists(spark, sf_dir)
+    bmx = bm.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    csx = cs.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    bmn = bm.join(F.broadcast(bmx)).select(
+        "doc_id",
+        F.round(
+            (F.col("score") - F.col("lo"))
+            / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)),
+            6,
+        ).alias("nb"),
+    )
+    csn = cs.join(F.broadcast(csx)).select(
+        "doc_id",
+        F.round(
+            (F.col("score") - F.col("lo"))
+            / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)),
+            6,
+        ).alias("nc"),
+    )
+    alpha = LF_ALPHA_PPM * 1e-6
+    fused = bmn.join(csn, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.lit(alpha) * F.coalesce("nb", F.lit(0.0))
+            + F.lit(1.0 - alpha) * F.coalesce("nc", F.lit(0.0)),
+            6,
+        ).alias("fused6"),
+        F.col("nb").alias("bm25_norm6"),
+        F.col("nc").alias("cos_norm6"),
+    )
+    return fused.orderBy(F.col("fused6").desc(), F.col("doc_id").asc()).limit(
+        25
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_exposure_share (round 8)
+# ---------------------------------------------------------------------------
+
+EXPO_DEPTH = 100  # audit the top-100 of the dense ranking
+
+
+@query(
+    "q_e_exposure_share",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm
+               FROM embeddings),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    cs AS (SELECT v.vec_id AS doc_id,
+                  {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score
+           FROM v, q WHERE v.vec_id <> 0),
+    top AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+      FROM cs QUALIFY r <= {EXPO_DEPTH}
+    ),
+    ex AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_in_topk,
+             CAST(SUM(1000000 // ({RRF_K} + t.r)) AS BIGINT) AS expo
+      FROM top t JOIN documents d ON d.doc_id = t.doc_id
+      GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(SUM(expo) AS BIGINT) AS te FROM ex),
+    corp AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT c.source,
+           c.n_docs,
+           COALESCE(e.n_in_topk, 0) AS n_in_topk,
+           CAST(COALESCE(e.expo, 0) * 1000000 // tot.te AS BIGINT)
+             AS exposure_ppm,
+           CAST(c.n_docs * 1000000 // nn.n AS BIGINT) AS corpus_ppm
+    FROM corp c
+    LEFT JOIN ex e ON e.source = c.source
+    CROSS JOIN tot CROSS JOIN nn
+    ORDER BY c.source
+    """,
+)
+def q_e_exposure_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level EXPOSURE share of the dense top-100 ranking vs
+    corpus share (round 8): retrieval-fairness auditing — position
+    r earns reciprocal exposure 1/(60+r) (the same RRF_K-damped
+    discount family the fusion ops use, chosen over 1/log2(1+r)
+    because it needs NO library log at query time), and a source
+    whose exposure_ppm far exceeds its corpus_ppm dominates what
+    users (or the RAG context window) actually SEE regardless of
+    per-query precision. The serving-side complement to the mixture
+    ops: q_e_mix_weights balances what models TRAIN on, this audits
+    what retrieval SURFACES.
+
+    Determinism: ranks come from the 6-dp cosine (score DESC, doc_id)
+    ordering; exposure weights are exact integer 1e6 DIV (60+r);
+    shares are integer-ppm. Plan: the top-100 cut compiles to
+    TakeOrderedAndProject over the scored list (shared _scored_lists
+    cache — per-partition heaps, never a corpus-wide rank window);
+    the row_number then runs over the bounded 100-row frame, the doc
+    join is broadcast, and the corpus share is one combinable
+    rollup. Sources absent from the top-k report honestly as 0."""
+    _, cs = _scored_lists(spark, sf_dir)
+    # top-100 cut FIRST via TakeOrderedAndProject (per-partition heaps,
+    # k-row merge), THEN the rank window over the bounded 100-row frame
+    # — never a row_number over the corpus-proportional scored list
+    # (the q_e_rrf_fusion round-6 lesson).
+    top100 = cs.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        EXPO_DEPTH
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    top = top100.withColumn("r", F.row_number().over(w)).select("doc_id", "r")
+    d = load_table(spark, sf_dir, "documents")
+    ex = (
+        d.join(F.broadcast(top), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_topk"),
+            F.sum(F.expr(f"1000000 DIV ({RRF_K} + r)"))
+            .cast("long")
+            .alias("expo"),
+        )
+    )
+    tot = ex.agg(F.sum("expo").cast("long").alias("te"))
+    corp = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        corp.join(F.broadcast(ex), "source", "left")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(nn))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_in_topk", F.lit(0)).cast("long").alias("n_in_topk"),
+            F.expr(
+                "CAST(COALESCE(expo, 0) * 1000000 DIV te AS BIGINT)"
+            ).alias("exposure_ppm"),
+            F.expr("CAST(n_docs * 1000000 DIV n AS BIGINT)").alias(
+                "corpus_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

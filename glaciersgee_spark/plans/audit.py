@@ -137,6 +137,9 @@ HEADLINERS = [
     ("q_e_cusum_drift", "combinable day rollup collapses the corpus; both CUSUM windows run over the bounded day domain; moments broadcast (r8)"),
     ("q_e_burrows_delta", "top-30 vocab via TakeOrderedAndProject; every post-TF frame is |sources|x30 behind broadcasts (r8)"),
     ("q_e_threshold_sweep", "9-row grid theta-join over the bounded per-score frame; positives total is a 1-row broadcast (r8)"),
+    ("q_e_linear_fusion", "score-based fusion with NO rank window: min/max ride 1-row broadcasts, top-25 is TakeOrderedAndProject (r8)"),
+    ("q_e_exposure_share", "top-100 cut is TakeOrderedAndProject FIRST; rank window runs over the bounded 100-row frame (r8)"),
+    ("q_e_mann_kendall", "combinable day rollup; sign-pair join and tie scan over the bounded day domain; 1-row broadcasts (r8)"),
 ]
 
 

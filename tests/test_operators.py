@@ -3201,3 +3201,45 @@ def test_benford_digits_first_principles(spark):
 def rowsum_ppm_close(got):
     tot = sum(r.obs_ppm for r in got.values())
     return 1000000 - len(got) <= tot <= 1000000
+
+
+def test_linear_fusion_bounds_and_alpha(spark):
+    from glaciersgee_spark.operators.retrieval import q_e_linear_fusion
+
+    rows = q_e_linear_fusion(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0.0 <= r.fused6 <= 1.000001
+        if r.bm25_norm6 is not None:
+            assert -1e-9 <= r.bm25_norm6 <= 1.000001
+    fs = [r.fused6 for r in rows]
+    assert fs == sorted(fs, reverse=True)
+
+
+def test_exposure_share_sums_to_unity(spark):
+    from glaciersgee_spark.operators.retrieval import (
+        EXPO_DEPTH,
+        q_e_exposure_share,
+    )
+
+    rows = q_e_exposure_share(spark, SF_SMOKE).collect()
+    assert sum(r.n_in_topk for r in rows) == EXPO_DEPTH
+    tot = sum(r.exposure_ppm for r in rows)
+    assert 1000000 - len(rows) <= tot <= 1000000
+    corp = sum(r.corpus_ppm for r in rows)
+    assert 1000000 - len(rows) <= corp <= 1000000
+
+
+def test_feature_mi_nonneg_and_bounded(spark):
+    """MI >= 0 up to the 6-dp ln rounding, and bounded by min(H(gate),
+    H(gold)) <= ln 2 for binary variables."""
+    import math
+
+    from glaciersgee_spark.operators.curation import q_e_feature_mi
+
+    rows = q_e_feature_mi(spark, SF_SMOKE).collect()
+    assert {r.gate for r in rows} == {"len", "rep", "ttr"}
+    for r in rows:
+        assert r.mi_nats6 >= -1e-5
+        assert r.mi_nats6 <= math.log(2) + 1e-6
+        assert 0 <= r.n11 <= min(r.c_g, r.c_gold)

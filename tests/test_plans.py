@@ -1174,3 +1174,24 @@ def test_cusum_windows_run_over_day_domain(spark):
     # bounded day frame, not raw events)
     assert "partial_count" in plan
     assert PI.count_shuffles(plan) <= 4
+
+
+def test_linear_fusion_has_no_rank_window(spark):
+    """Score-based fusion must not pay any rank window — min/max ride
+    1-row broadcasts and the top-25 is TakeOrderedAndProject."""
+    from glaciersgee_spark.operators.retrieval import q_e_linear_fusion
+
+    df = q_e_linear_fusion(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_exposure_share_cuts_before_ranking(spark):
+    """The top-100 cut must compile to TakeOrderedAndProject; the
+    row_number window then runs over the bounded 100-row frame only."""
+    from glaciersgee_spark.operators.retrieval import q_e_exposure_share
+
+    df = q_e_exposure_share(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "TakeOrderedAndProject" in plan
