@@ -760,3 +760,54 @@ def q_c_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(b).cast("long").alias("n_bytes"),
         F.length("p_name").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_c_printf (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c_printf",
+    oracle="""
+    SELECT doc_id,
+           printf('%s-%06d', upper(lang), doc_id) AS scene_id,
+           printf('%d scenes in %s (%s)', n_chars, source, lang)
+             AS summary,
+           printf('%x', doc_id * 255) AS hex_id,
+           printf('%5d|', n_chars) AS right_aligned,
+           printf('%-5d|', CAST(doc_id % 1000 AS BIGINT)) AS left_aligned,
+           printf('%s%%', CAST(doc_id % 100 AS VARCHAR)) AS pct_label
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q_c_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting family (round 8): the template surface
+    every export/manifest/report pipeline leans on — zero-padded
+    composite IDs, human-readable summaries, hex rendering, fixed
+    right/left field alignment, and literal-%% escaping. Spark's
+    `format_string` (java.util.Formatter) and DuckDB's `printf`
+    (fmtlib) agree on the INTEGER/STRING subset used here
+    (%s, %d, %06d, %5d, %-5d, %x, %%); float format specifiers are
+    deliberately excluded — the two runtimes' float rendering
+    differs and the engine's convention for numeric text is explicit
+    round()/CAST chains instead (§7.4). Scan-side codegen, zero
+    shuffles, no UDF."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.format_string("%s-%06d", F.upper("lang"), "doc_id").alias(
+            "scene_id"
+        ),
+        F.format_string(
+            "%d scenes in %s (%s)", "n_chars", "source", "lang"
+        ).alias("summary"),
+        F.format_string("%x", F.col("doc_id") * 255).alias("hex_id"),
+        F.format_string("%5d|", "n_chars").alias("right_aligned"),
+        F.format_string(
+            "%-5d|", (F.col("doc_id") % 1000).cast("long")
+        ).alias("left_aligned"),
+        F.format_string(
+            "%s%%", (F.col("doc_id") % 100).cast("long").cast("string")
+        ).alias("pct_label"),
+    )

@@ -719,3 +719,98 @@ def q_a_coverage_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_utm_zone (round 8)
+# ---------------------------------------------------------------------------
+
+# MGRS latitude band letters for -80..84 (C..X, skipping I and O).
+_UTM_BANDS = "CDEFGHJKLMNPQRSTUVWX"
+_UTM_BAND_CASE = "CASE " + " ".join(
+    f"WHEN band_i = {i} THEN '{ch}'" for i, ch in enumerate(_UTM_BANDS)
+) + " END"
+
+
+def _utm_zone_sql(div: str) -> str:
+    """Zone number with the two standard exceptions (Norway 31V→32V,
+    Svalbard X-band 32/34/36 folded into 31/33/35/37) — pure integer
+    CASE over degree coordinates, identical text in both engines."""
+    return f"""CASE
+      WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12 THEN 32
+      WHEN lat >= 72 AND lon >= 0 AND lon < 9 THEN 31
+      WHEN lat >= 72 AND lon >= 9 AND lon < 21 THEN 33
+      WHEN lat >= 72 AND lon >= 21 AND lon < 33 THEN 35
+      WHEN lat >= 72 AND lon >= 33 AND lon < 42 THEN 37
+      ELSE ((lon + 180) {div} 6) + 1 END"""
+
+
+@query(
+    "q_a_utm_zone",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey AS id,
+             CAST((o_orderkey * 7) % 360 - 180 AS BIGINT) AS lon,
+             CAST((o_orderkey * 23) % 160 - 80 AS BIGINT) AS lat
+      FROM orders
+    ),
+    zb AS (
+      SELECT id, lon, lat,
+             CAST({_utm_zone_sql('//')} AS BIGINT) AS zone,
+             CAST(LEAST((lat + 80) // 8, 19) AS BIGINT) AS band_i
+      FROM pts
+    )
+    SELECT zone, {_UTM_BAND_CASE} AS band,
+           COUNT(*) AS n_scenes,
+           CAST(MIN(lon) AS BIGINT) AS min_lon,
+           CAST(MAX(lat) AS BIGINT) AS max_lat
+    FROM zb GROUP BY zone, band_i ORDER BY zone, band
+    """,
+)
+def q_a_utm_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM zone + MGRS latitude-band assignment for every synthetic
+    scene center (round 8): the grid every Landsat/Sentinel product
+    ID embeds — zone = (lon+180)/6 + 1 WITH the two real-world
+    exceptions naive implementations miss (the widened 32V covering
+    Norway's southwest coast, and the Svalbard X-band folding where
+    zones 32/34/36 do not exist), then the C..X band letter ladder
+    skipping I and O. The per-(zone, band) scene census is the
+    tiling-scheme rollup an ingest planner uses to size per-grid-cell
+    work — the UTM sibling of q_a_geohash's base-32 and
+    q_a_quadkey_pyramid's Z-order layouts.
+
+    Exactness: coordinates derive from order keys by the spatial-
+    module convention (pure integer mod), zone/band are integer
+    div/CASE ladders, and the letter lookup is a 20-arm CASE — all
+    scan-side whole-stage codegen, no UDF, ONE combinable (zone,
+    band) rollup. Nothing here can diverge between engines: there is
+    no float anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") * 7) % 360 - 180).cast("long").alias("lon"),
+        ((F.col("o_orderkey") * 23) % 160 - 80).cast("long").alias("lat"),
+    )
+    zb = pts.select(
+        "id",
+        "lon",
+        "lat",
+        F.expr(f"CAST({_utm_zone_sql('DIV')} AS BIGINT)").alias("zone"),
+        F.expr("CAST(LEAST((lat + 80) DIV 8, 19) AS BIGINT)").alias("band_i"),
+    )
+    return (
+        zb.groupBy("zone", "band_i")
+        .agg(
+            F.count(F.lit(1)).alias("n_scenes"),
+            F.min("lon").cast("long").alias("min_lon"),
+            F.max("lat").cast("long").alias("max_lat"),
+        )
+        .select(
+            "zone",
+            F.expr(_UTM_BAND_CASE).alias("band"),
+            "n_scenes",
+            "min_lon",
+            "max_lat",
+        )
+        .orderBy("zone", "band")
+    )

