@@ -2024,3 +2024,166 @@ def q_b_dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m4n4") / (F.col("m2n2") * F.col("m2n2")) - 3.0, 6
         ).alias("exkurt6"),
     ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# q_b_survival_km (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_survival_km",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    mx AS (SELECT MAX(day) AS max_day FROM ev),
+    per_user AS (
+      SELECT user_id,
+             MIN(day) AS first_day,
+             MIN(CASE WHEN event_type = 'purchase' THEN day END) AS p_day
+      FROM ev GROUP BY user_id
+    ),
+    dur AS (
+      SELECT CAST(datediff('day', first_day,
+                           COALESCE(p_day, mx.max_day)) AS BIGINT) AS t,
+             (p_day IS NOT NULL) AS evt
+      FROM per_user CROSS JOIN mx
+    ),
+    steps AS (
+      SELECT t,
+             CAST(COUNT(*) FILTER (WHERE evt) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE NOT evt) AS BIGINT) AS n_censored
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_events, n_censored,
+             CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM dur)
+                  - COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM steps
+    ),
+    terms AS (
+      SELECT t, n_events, n_censored, n_at_risk,
+             CASE WHEN n_events < n_at_risk
+                  THEN round(ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk),
+                             6)
+                  ELSE 0.0 END AS lnterm6,
+             CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END AS hit_zero
+      FROM risk
+    ),
+    curve AS (
+      SELECT t, n_events, n_censored, n_at_risk,
+             SUM(lnterm6) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumln,
+             MAX(hit_zero) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+      FROM terms
+    )
+    SELECT t AS t_days, n_at_risk, n_events, n_censored,
+           CASE WHEN zeroed = 1 THEN 0.0
+                ELSE round(exp(round(cumln, 6)), 6) END AS surv6
+    FROM curve WHERE n_events > 0 ORDER BY t_days
+    """,
+)
+def q_b_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion curve with right censoring
+    (round 8): per user, days from first activity to first purchase
+    — users who never purchase are CENSORED at the corpus horizon
+    rather than dropped (the mistake naive funnel math makes: it
+    either discards non-converters, biasing conversion time DOWN, or
+    counts them as never-converting, biasing the rate DOWN;
+    Kaplan 1958 handles both). S(t) = Π_{u≤t} (1 − d_u/n_u) over the
+    event-time steps. Reads with q_b_funnel (which stages convert)
+    and q_b_growth_curve (how the base grows) as the third classic
+    behavioral chart: HOW LONG conversion takes.
+
+    Determinism: every count is an exact BIGINT (per-user rollup is
+    combinable MIN/conditional-MIN); each KM factor enters as the
+    house round(ln(·), 6) term, the cumulative sum runs over the
+    bounded duration DOMAIN, and the d = n absorbing state is handled
+    by an explicit running zero flag (never ln 0). Scale: one
+    combinable per-user rollup collapses the corpus; the step frame,
+    both prefix windows, and the final exp run over ≤ |day-domain|
+    rows; the corpus horizon rides a 1-row broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    )
+    mx = ev.agg(F.max("day").alias("max_day"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("p_day"),
+    )
+    dur = per_user.join(F.broadcast(mx)).select(
+        F.datediff(F.coalesce("p_day", "max_day"), F.col("first_day"))
+        .cast("long")
+        .alias("t"),
+        F.col("p_day").isNotNull().alias("evt"),
+    )
+    steps = dur.groupBy("t").agg(
+        F.count(F.when(F.col("evt"), 1)).cast("long").alias("n_events"),
+        F.count(F.when(~F.col("evt"), 1)).cast("long").alias("n_censored"),
+    )
+    nn = dur.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        steps.join(F.broadcast(nn))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+    )
+    terms = risk.select(
+        "t",
+        "n_events",
+        "n_censored",
+        "n_at_risk",
+        F.when(
+            F.col("n_events") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_events").cast("double") / F.col("n_at_risk")
+                ),
+                6,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("lnterm6"),
+        F.when(F.col("n_events") >= F.col("n_at_risk"), 1)
+        .otherwise(0)
+        .alias("hit_zero"),
+    )
+    curve = terms.select(
+        "t",
+        "n_events",
+        "n_censored",
+        "n_at_risk",
+        F.sum("lnterm6").over(w_cur).alias("cumln"),
+        F.max("hit_zero").over(w_cur).alias("zeroed"),
+    )
+    return (
+        curve.where(F.col("n_events") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            F.when(F.col("zeroed") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.round(F.col("cumln"), 6)), 6))
+            .alias("surv6"),
+        )
+        .orderBy("t_days")
+    )

@@ -3297,3 +3297,50 @@ def test_printf_alignment_and_hex(spark):
         assert r.hex_id == format(r.doc_id * 255, "x")
         assert r.right_aligned.endswith("|") and r.left_aligned.endswith("|")
         assert r.pct_label.endswith("%")
+
+
+def test_survival_km_first_principles(spark):
+    """KM curve replayed in Python from per-user first-activity /
+    first-purchase days."""
+    import math
+
+    from glaciersgee_spark.operators.warehouse import q_b_survival_km
+    from glaciersgee_spark.tables import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .collect()
+    )
+    first, purch, mx = {}, {}, max(r.day for r in ev)
+    for r in ev:
+        first[r.user_id] = min(first.get(r.user_id, r.day), r.day)
+        if r.event_type == "purchase":
+            purch[r.user_id] = min(purch.get(r.user_id, r.day), r.day)
+    durs = [
+        ((purch[u] - first[u]).days, True)
+        if u in purch
+        else ((mx - first[u]).days, False)
+        for u in first
+    ]
+    rows = q_b_survival_km(spark, SF_SMOKE).collect()
+    s = 1.0
+    at_risk = len(durs)
+    prev_t = -1
+    for r in rows:
+        # exits strictly before this step
+        gone = sum(1 for t, _ in durs if t < r.t_days)
+        assert r.n_at_risk == len(durs) - gone
+        d = sum(1 for t, e in durs if e and t == r.t_days)
+        c = sum(1 for t, e in durs if not e and t == r.t_days)
+        assert (r.n_events, r.n_censored) == (d, c)
+        assert r.t_days > prev_t
+        prev_t = r.t_days
+    # survival is monotone nonincreasing in [0, 1]
+    ss = [r.surv6 for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in ss)
+    assert all(a >= b - 1e-9 for a, b in zip(ss, ss[1:]))
