@@ -1203,3 +1203,86 @@ def q_a_solar_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("solar_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_band_math (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_a_band_math",
+    oracle=f"""
+    WITH scenes AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST((l_orderkey * 13) % 1001 AS BIGINT) AS red,
+             CAST((l_partkey * 29) % 1001 AS BIGINT) AS nir,
+             (CAST(l_suppkey AS BIGINT) % 16) // 8 % 2 = 1 AS cloudy
+      FROM lineitem
+    ),
+    clear AS (
+      SELECT month,
+             round(CAST(nir - red AS DOUBLE) / NULLIF(nir + red, 0), 6)
+               AS ndvi6
+      FROM scenes WHERE NOT cloudy
+    )
+    SELECT s.month,
+           COUNT(*) AS n_scenes,
+           COUNT(*) FILTER (WHERE NOT s.cloudy) AS n_clear,
+           (SELECT {davg('ndvi6')} FROM clear c WHERE c.month = s.month)
+             AS mean_ndvi,
+           (SELECT round(MIN(ndvi6), 6) FROM clear c WHERE c.month = s.month)
+             AS min_ndvi,
+           (SELECT round(MAX(ndvi6), 6) FROM clear c WHERE c.month = s.month)
+             AS max_ndvi
+    FROM scenes s GROUP BY s.month ORDER BY s.month
+    """,
+)
+def q_a_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band math — GEE's normalizedDifference / image expression, the
+    canonical per-pixel map operation (round 8): NDVI = (NIR − red)/
+    (NIR + red) over synthetic per-scene band reflectances (derived
+    from fact keys by the module convention), with QA-bit cloud
+    masking (bit 3 of the 4-bit QA word excludes the scene — the
+    q_a_qa_bitmask decode convention) and a monthly composite rollup
+    on top. Together with q_a_zonal_stats this closes the core GEE
+    loop the reference package serves: mask → band math → temporal
+    composite → zonal reduce.
+
+    Exactness: bands and QA bits are pure integer derivations; each
+    NDVI is ONE IEEE division over exact integers (NULLIF-guarded
+    for the nir = red = 0 corner), 6-dp-rounded; the monthly mean
+    rides the exact-decimal davg. Scale: everything up to the rollup
+    is scan-side whole-stage codegen — zero joins, zero UDFs, ONE
+    combinable month rollup (cloudy scenes are masked by a codegen
+    predicate, exactly how a 100 TB pixel pipeline wants it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scenes = li.select(
+        F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            "month"
+        ),
+        ((F.col("l_orderkey") * 13) % 1001).cast("long").alias("red"),
+        ((F.col("l_partkey") * 29) % 1001).cast("long").alias("nir"),
+        F.expr(
+            "(CAST(l_suppkey AS BIGINT) % 16) DIV 8 % 2 = 1"
+        ).alias("cloudy"),
+    )
+    ndvi = F.round(
+        (F.col("nir") - F.col("red")).cast("double")
+        / F.nullif((F.col("nir") + F.col("red")).cast("double"), F.lit(0.0)),
+        6,
+    )
+    scored = scenes.select(
+        "month", "cloudy", F.when(~F.col("cloudy"), ndvi).alias("ndvi6")
+    )
+    return (
+        scored.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_scenes"),
+            F.count(F.when(~F.col("cloudy"), 1)).alias("n_clear"),
+            F.expr(davg("ndvi6")).alias("mean_ndvi"),
+            F.round(F.min("ndvi6"), 6).alias("min_ndvi"),
+            F.round(F.max("ndvi6"), 6).alias("max_ndvi"),
+        )
+        .orderBy("month")
+    )

@@ -814,3 +814,111 @@ def q_a_utm_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone", "band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_zonal_stats (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_a_zonal_stats",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             event_id % 100 AS x, user_id % 100 AS y,
+             CAST((event_id * 31) % 2001 - 1000 AS BIGINT) AS v
+      FROM events
+    ),
+    aoi AS ({_AOI_SQL}),
+    hits AS (
+      SELECT a.aoi_id, a.aoi_name, p.v
+      FROM aoi a JOIN pts p
+        ON p.x BETWEEN a.xmin AND a.xmax
+       AND p.y BETWEEN a.ymin AND a.ymax
+    ),
+    mom AS (
+      SELECT aoi_id, aoi_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS q,
+             CAST(MIN(v) AS BIGINT) AS mn,
+             CAST(MAX(v) AS BIGINT) AS mx
+      FROM hits GROUP BY aoi_id, aoi_name
+    )
+    SELECT a.aoi_id, a.aoi_name,
+           COALESCE(m.n, 0) AS n_points,
+           round(CAST(m.s AS DOUBLE) / (1000.0 * m.n), 6) AS mean6,
+           round(sqrt(CAST(m.q * m.n - m.s * m.s AS DOUBLE))
+                 / (1000.0 * m.n), 6) AS stddev6,
+           round(CAST(m.mn AS DOUBLE) / 1000.0, 6) AS min6,
+           round(CAST(m.mx AS DOUBLE) / 1000.0, 6) AS max6
+    FROM aoi a LEFT JOIN mom m ON m.aoi_id = a.aoi_id
+    ORDER BY a.aoi_id
+    """,
+)
+def q_a_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — GEE's reduceRegions, the single most-used
+    Earth Engine analysis call (round 8): per AOI polygon, the
+    count / mean / stddev / min / max of a per-point measurement
+    (synthetic NDVI·1000 integers derived from event keys by the
+    spatial-module convention). q_a_bbox_contains proves the
+    containment JOIN; this is the REDUCER over it — the "mean NDVI
+    per glacier outline per month" query the reference package exists
+    to serve. Empty zones are kept with n = 0 and NULL statistics
+    (honest — a zero would claim a measurement).
+
+    Exactness: integer measurements, exact BIGINT moments, stddev in
+    the cross-multiplied form √(Q·n − S²)/(1000·n) — one IEEE
+    division per zone; Q·n stays in BIGINT to ~9e6 points per zone
+    at |v| ≤ 1000 per the documented headroom convention. Scale: the
+    Spark side rides the SAME grid-cell equi-join as
+    q_a_bbox_contains (points carry one cell key, AOIs explode to
+    ≤ 9 covered cells, broadcast; at a large AOI set Catalyst
+    switches to a hash shuffle on the cell key with no code change),
+    then ONE combinable per-zone moment rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 100).alias("x"),
+        (F.col("user_id") % 100).alias("y"),
+        ((F.col("event_id") * 31) % 2001 - 1000).cast("long").alias("v"),
+    )
+    pts = ev.withColumn("cx", F.expr(f"x div {CELL}")).withColumn(
+        "cy", F.expr(f"y div {CELL}")
+    )
+    aoi = _aoi(spark, sf_dir)
+    cells = _aoi_cells(aoi)
+    hits = pts.join(F.broadcast(cells), ["cx", "cy"]).where(
+        F.col("x").between(F.col("xmin"), F.col("xmax"))
+        & F.col("y").between(F.col("ymin"), F.col("ymax"))
+    )
+    mom = hits.groupBy("aoi_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+        F.min("v").cast("long").alias("mn"),
+        F.max("v").cast("long").alias("mx"),
+    )
+    return (
+        aoi.join(mom, "aoi_id", "left")
+        .select(
+            "aoi_id",
+            "aoi_name",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_points"),
+            F.round(
+                F.col("s").cast("double") / (F.lit(1000.0) * F.col("n")), 6
+            ).alias("mean6"),
+            F.round(
+                F.sqrt(
+                    (F.col("q") * F.col("n") - F.col("s") * F.col("s")).cast(
+                        "double"
+                    )
+                )
+                / (F.lit(1000.0) * F.col("n")),
+                6,
+            ).alias("stddev6"),
+            F.round(F.col("mn").cast("double") / 1000.0, 6).alias("min6"),
+            F.round(F.col("mx").cast("double") / 1000.0, 6).alias("max6"),
+        )
+        .orderBy("aoi_id")
+    )

@@ -3344,3 +3344,40 @@ def test_survival_km_first_principles(spark):
     ss = [r.surv6 for r in rows]
     assert all(0.0 <= x <= 1.0 for x in ss)
     assert all(a >= b - 1e-9 for a, b in zip(ss, ss[1:]))
+
+
+def test_zonal_stats_consistent_with_bbox_contains(spark):
+    """Zone point counts must agree with q_a_bbox_contains' census of
+    the same containment join (both derive events->points the same
+    way)."""
+    from glaciersgee_spark.operators.spatial import (
+        q_a_bbox_contains,
+        q_a_zonal_stats,
+    )
+
+    zs = {r.aoi_id: r for r in q_a_zonal_stats(spark, SF_SMOKE).collect()}
+    bc = {r.aoi_id: r for r in q_a_bbox_contains(spark, SF_SMOKE).collect()}
+    assert set(zs) == set(bc)
+    for k, r in zs.items():
+        assert r.n_points == bc[k].n_points
+        if r.n_points:
+            assert -1.0 <= r.min6 <= r.mean6 <= r.max6 <= 1.0
+            assert r.stddev6 >= 0.0
+        else:
+            assert r.mean6 is None and r.stddev6 is None
+
+
+def test_band_math_masks_and_bounds(spark):
+    from glaciersgee_spark.operators.etl import q_a_band_math
+
+    rows = q_a_band_math(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_clear <= r.n_scenes
+        if r.n_clear:
+            assert -1.0 <= r.min_ndvi <= r.mean_ndvi <= r.max_ndvi <= 1.0
+    # the cloud bit must mask SOMETHING and never everything (the
+    # suppkey%16 distribution is skewed at tiny SFs, so no tighter
+    # bound than structural)
+    tot, clear = sum(r.n_scenes for r in rows), sum(r.n_clear for r in rows)
+    assert 0 < clear < tot
