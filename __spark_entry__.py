@@ -216,7 +216,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_e_theil_sen", "q_e_autocorr", "q_e_seasonality", "q_b_benford",
     "q_e_linear_fusion", "q_e_exposure_share", "q_e_feature_mi",
     "q_a_utm_zone", "q_b_dist_moments", "q_c_printf", "q_b_survival_km",
-    "q_a_band_math", "q_a_zonal_stats",
+    "q_a_band_math", "q_a_zonal_stats", "q_f_udtf_arrow", "q_b_sql_params",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

@@ -3152,3 +3152,61 @@ def q_b_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_sql_params (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_sql_params",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND o_totalprice > 50000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_b_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized spark.sql() with NAMED ARGUMENTS (round 8): the
+    Spark 3.4+ injection-safe query API — `:year_start` placeholders
+    bound from a Python dict at sql() time, the surface every
+    metadata-driven pipeline template uses instead of f-string SQL
+    (the values arrive as typed literals, never spliced text, so a
+    crawler-supplied string cannot alter the query shape — and
+    Catalyst constant-folds them exactly like inline literals:
+    pushdown through the parameter is pinned in PLANS.md probes).
+    Completes the engine-control family: q_b_sql_variables is
+    session-state parameters (DECLARE/SET), this is per-call
+    parameters; q_b_sql_pipe covered syntax.
+
+    Exactness: price totals in exact integer cents (the snapshot_diff
+    convention). Scale: both parameterized predicates reach the scan
+    as pushed filters — parameterization costs nothing at plan
+    time."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ggee_sqlp_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM ggee_sqlp_orders
+        WHERE o_orderdate >= CAST(:date_lo AS TIMESTAMP_NTZ)
+          AND o_orderdate < CAST(:date_hi AS TIMESTAMP_NTZ)
+          AND o_totalprice > :min_price
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={
+            "date_lo": "1995-01-01",
+            "date_hi": "1996-01-01",
+            "min_price": 50000.0,
+        },
+    )

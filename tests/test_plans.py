@@ -1195,3 +1195,23 @@ def test_exposure_share_cuts_before_ranking(spark):
     df = q_e_exposure_share(spark, SF_SMOKE)
     plan = PI.formatted(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_udtf_arrow_boundary_engages(spark):
+    """useArrow=True must produce ArrowEvalPythonUDTF (Arrow record
+    batches), not the pickled BatchEvalPythonUDTF."""
+    from glaciersgee_spark.udfs import q_f_udtf_arrow
+
+    plan = PI.formatted(q_f_udtf_arrow(spark, SF_SMOKE))
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+
+
+def test_sql_params_push_to_scan(spark):
+    """Named sql() parameters must constant-fold: both parameterized
+    predicates reach the parquet scan as pushed filters."""
+    from glaciersgee_spark.operators.relational import q_b_sql_params
+
+    df = q_b_sql_params(spark, SF_SMOKE)
+    pushed = " ".join(PI.pushed_filters(df))
+    assert "o_orderdate" in pushed and "o_totalprice" in pushed
