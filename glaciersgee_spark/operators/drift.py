@@ -2468,3 +2468,67 @@ def q_e_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_ewma_chart (round 8)
+# ---------------------------------------------------------------------------
+
+# Identical SQL text for BOTH engines (the q_b_recursive_cte
+# convention — parity is definitional): an EWMA is a genuine
+# recurrence, and WITH RECURSIVE is its exact SQL spelling. Per-step
+# round(·, 6) pins the float path: every E_t is re-quantized before
+# feeding E_{t+1}, so both engines walk the identical 6-dp lattice.
+_EWMA_SQL = """
+    WITH RECURSIVE days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM days
+    ),
+    z AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day,
+             round(CAST(x * m.d - m.s AS DOUBLE)
+                   / sqrt(CAST(m.q * m.d - m.s * m.s AS DOUBLE)), 6) AS z6
+      FROM days CROSS JOIN mom m
+    ),
+    ew(i, day, z6, ewma6) AS (
+      SELECT i, day, z6, round(0.2 * z6, 6) FROM z WHERE i = 1
+      UNION ALL
+      SELECT z.i, z.day, z.z6, round(0.2 * z.z6 + 0.8 * ew.ewma6, 6)
+      FROM ew JOIN z ON z.i = ew.i + 1
+    )
+    SELECT day, z6, ewma6, abs(ewma6) > 1.0 AS alarm
+    FROM ew ORDER BY day
+"""
+
+
+@query("q_e_ewma_chart", oracle=_EWMA_SQL)
+def q_e_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event volume (round 8):
+    E_t = λ·z_t + (1−λ)·E_{t−1} with λ = 0.2 — the third classic SPC
+    chart completing the family: Shewhart-style z (single-day
+    spikes), CUSUM (accumulated small shifts, q_e_cusum_drift), EWMA
+    (exponentially-weighted drift — the one tuned for SLOW sustained
+    creep that CUSUM's allowance k eats and a spike test never sees).
+    Alarm at the asymptotic ±L·σ_EWMA limit: L = 3, σ_EWMA =
+    √(λ/(2−λ)) = 1/3, so the threshold is EXACTLY |E_t| > 1.0 —
+    chosen so the bound needs no pow() at query time.
+
+    The recurrence is spelled as WITH RECURSIVE — the IDENTICAL SQL
+    text runs on both engines (oracle == query, the q_b_recursive_cte
+    convention), and every step re-rounds to 6 dp so the float path
+    is a shared lattice walk, not accumulated ulps. Scale: the
+    corpus collapses to the bounded day domain FIRST (combinable
+    rollup); the recursion is one row per day — O(time range),
+    sequential by nature (that is what an EWMA is), and costs
+    |days| tiny steps over broadcast-small state."""
+    from glaciersgee_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EWMA_SQL)

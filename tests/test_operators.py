@@ -3381,3 +3381,15 @@ def test_band_math_masks_and_bounds(spark):
     # bound than structural)
     tot, clear = sum(r.n_scenes for r in rows), sum(r.n_clear for r in rows)
     assert 0 < clear < tot
+
+
+def test_ewma_recurrence_replay(spark):
+    from glaciersgee_spark.operators.drift import q_e_ewma_chart
+
+    rows = sorted(q_e_ewma_chart(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.day)
+    e = 0.0
+    for i, r in enumerate(rows):
+        e = round(0.2 * r.z6 + (0.8 * e if i else 0.0), 6)
+        assert abs(r.ewma6 - e) < 1e-9, (r.day, r.ewma6, e)
+        assert r.alarm == (abs(r.ewma6) > 1.0)
