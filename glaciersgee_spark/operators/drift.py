@@ -2511,24 +2511,69 @@ _EWMA_SQL = """
 @query("q_e_ewma_chart", oracle=_EWMA_SQL)
 def q_e_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart over the daily event volume (round 8):
-    E_t = λ·z_t + (1−λ)·E_{t−1} with λ = 0.2 — the third classic SPC
+    E_t = \u03bb\u00b7z_t + (1\u2212\u03bb)\u00b7E_{t\u22121} with \u03bb = 0.2 \u2014 the third classic SPC
     chart completing the family: Shewhart-style z (single-day
     spikes), CUSUM (accumulated small shifts, q_e_cusum_drift), EWMA
-    (exponentially-weighted drift — the one tuned for SLOW sustained
+    (exponentially-weighted drift \u2014 the one tuned for SLOW sustained
     creep that CUSUM's allowance k eats and a spike test never sees).
-    Alarm at the asymptotic ±L·σ_EWMA limit: L = 3, σ_EWMA =
-    √(λ/(2−λ)) = 1/3, so the threshold is EXACTLY |E_t| > 1.0 —
+    Alarm at the asymptotic \u00b1L\u00b7\u03c3_EWMA limit: L = 3, \u03c3_EWMA =
+    \u221a(\u03bb/(2\u2212\u03bb)) = 1/3, so the threshold is EXACTLY |E_t| > 1.0 \u2014
     chosen so the bound needs no pow() at query time.
 
-    The recurrence is spelled as WITH RECURSIVE — the IDENTICAL SQL
-    text runs on both engines (oracle == query, the q_b_recursive_cte
-    convention), and every step re-rounds to 6 dp so the float path
-    is a shared lattice walk, not accumulated ulps. Scale: the
-    corpus collapses to the bounded day domain FIRST (combinable
-    rollup); the recursion is one row per day — O(time range),
-    sequential by nature (that is what an EWMA is), and costs
-    |days| tiny steps over broadcast-small state."""
-    from glaciersgee_spark.tables import register_views
+    Execution split (the q_e_bt_strength precedent): the corpus
+    collapses engine-side to the bounded day-domain z panel
+    (combinable rollup + one IEEE division per day), and the
+    recurrence itself \u2014 inherently sequential, corpus-size-INDEPENDENT
+    (\u2264 |day domain| steps) \u2014 folds driver-side with per-step 6-dp
+    re-rounding. The WITH RECURSIVE spelling is kept as the ORACLE
+    (DuckDB runs the identical recurrence in ms); engine-side
+    recursion was measured and REJECTED: Spark 4.1's UnionLoop
+    re-plans a join per step \u2014 22 s for 30 steps at any SF, the
+    worst query in the battery for a 30-number fold. Determinism:
+    both sides quantize every E_t to the same 6-dp lattice, so the
+    driver fold and DuckDB's recursion walk identical values."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mom = days.agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    z = (
+        days.join(F.broadcast(mom))
+        .select(
+            "day",
+            F.round(
+                (F.col("x") * F.col("d") - F.col("s")).cast("double")
+                / F.sqrt(
+                    (F.col("q") * F.col("d") - F.col("s") * F.col("s")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("z6"),
+        )
+        .orderBy("day")
+    )
+    # bounded day-domain panel (\u2264 |distinct days| rows, corpus-size-
+    # independent) \u2014 the ONLY driver materialization, per the
+    # bounded-panel convention
+    panel = z.collect()
+    ew = 0.0
+    rows = []
+    for i, r in enumerate(panel):
+        ew = round(0.2 * r.z6 + (0.8 * ew if i else 0.0), 6)
+        rows.append((r.day, r.z6, ew, abs(ew) > 1.0))
+    import pyspark.sql.types as T
 
-    register_views(spark, sf_dir)
-    return spark.sql(_EWMA_SQL)
+    schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("z6", T.DoubleType()),
+            T.StructField("ewma6", T.DoubleType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("day")

@@ -140,6 +140,12 @@ HEADLINERS = [
     ("q_e_linear_fusion", "score-based fusion with NO rank window: min/max ride 1-row broadcasts, top-25 is TakeOrderedAndProject (r8)"),
     ("q_e_exposure_share", "top-100 cut is TakeOrderedAndProject FIRST; rank window runs over the bounded 100-row frame (r8)"),
     ("q_e_mann_kendall", "combinable day rollup; sign-pair join and tie scan over the bounded day domain; 1-row broadcasts (r8)"),
+    ("q_b_survival_km", "per-user rollup collapses the corpus; KM risk sets via prefix sums over the bounded duration domain (r8)"),
+    ("q_a_zonal_stats", "reduceRegions: grid-cell broadcast containment join + ONE combinable per-zone moment rollup (r8)"),
+    ("q_a_band_math", "NDVI + QA mask + monthly composite: pure scan-side codegen into one combinable rollup; zero joins (r8)"),
+    ("q_b_sql_params", "named sql() parameters constant-fold; both predicates reach the scan as pushed filters (r8)"),
+    ("q_f_udtf_arrow", "useArrow UDTF: ArrowEvalPythonUDTF boundary, scan-side filter below it (r8)"),
+    ("q_b_dist_moments", "four exact power sums in ONE combinable groupBy; five numbers per group cross the shuffle (r8)"),
 ]
 
 
