@@ -217,7 +217,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_e_linear_fusion", "q_e_exposure_share", "q_e_feature_mi",
     "q_a_utm_zone", "q_b_dist_moments", "q_c_printf", "q_b_survival_km",
     "q_a_band_math", "q_a_zonal_stats", "q_f_udtf_arrow", "q_b_sql_params",
-    "q_e_ewma_chart",
+    "q_e_ewma_chart", "q_c_uuid", "q_e_holt_trend",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

@@ -811,3 +811,60 @@ def q_c_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%s%%", (F.col("doc_id") % 100).cast("long").cast("string")
         ).alias("pct_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_c_uuid (round 8)
+# ---------------------------------------------------------------------------
+
+# Name-based UUID from the md5 digest (RFC 4122 version-3 layout):
+# 8-4-4-4-12 hex groups with the version nibble forced to '3' and the
+# variant nibble to '8' — identical string surgery in both engines.
+_UUID_EXPR = (
+    "concat(substring(h, 1, 8), '-', substring(h, 9, 4), '-', '3',"
+    " substring(h, 14, 3), '-', '8', substring(h, 18, 3), '-',"
+    " substring(h, 21, 12))"
+)
+
+
+@query(
+    "q_c_uuid",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(concat('ggee:doc:', CAST(doc_id AS VARCHAR))) AS h
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           {_UUID_EXPR} AS doc_uuid,
+           substring({_UUID_EXPR}, 15, 1) AS version_nibble,
+           length({_UUID_EXPR}) AS uuid_len
+    FROM h ORDER BY doc_id
+    """,
+)
+def q_c_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based UUID minting (round 8): RFC 4122
+    version-3 (md5-of-namespace:name) identifiers for every document
+    — the ID-assignment op a pipeline needs when downstream systems
+    demand UUIDs but reprocessing must mint the SAME id every run
+    (Spark's built-in uuid() is random per row per execution — a
+    determinism landmine this op exists to replace). The namespace
+    prefix makes ids collision-isolated across entity types.
+
+    Pure string surgery over the md5 hex digest (8-4-4-4-12 grouping
+    with version/variant nibbles forced), scan-side codegen in both
+    engines, zero shuffles; the version-nibble and length columns pin
+    the layout contract."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    h = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("ggee:doc:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    return h.select(
+        "doc_id",
+        F.expr(_UUID_EXPR).alias("doc_uuid"),
+        F.expr(f"substring({_UUID_EXPR}, 15, 1)").alias("version_nibble"),
+        F.expr(f"length({_UUID_EXPR})").cast("long").alias("uuid_len"),
+    ).orderBy("doc_id")

@@ -9,6 +9,8 @@ contributes relative to everything ingested before it).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -888,6 +890,19 @@ def q_e_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines where round(double, 6) tie-breaking is not (the bigram_lm
 # lesson); shared verbatim by the Spark query and the oracle.
 _ED_Q6 = "(CAST(floor(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)"
+
+
+def _py_q6(v: float) -> float:
+    """Driver-side mirror of _ED_Q6: 6-dp half-UP quantizer.
+
+    Python's round() is round-half-to-EVEN while DuckDB's round() is
+    half-away-from-zero — near-tie lattice points diverge between the
+    driver folds and their WITH RECURSIVE oracles. floor(x*1e6+0.5)
+    is round-half-toward-+inf in all three engines (Spark floor,
+    DuckDB floor, math.floor), so every recurrence op quantizes
+    through this instead (r8 parity fix for q_e_ewma_chart /
+    q_e_holt_trend)."""
+    return math.floor(v * 1000000.0 + 0.5) / 1000000.0
 _ED_DELTA = _ED_Q6.format(x="ma - mb")
 
 
@@ -2493,14 +2508,18 @@ _EWMA_SQL = """
     ),
     z AS (
       SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day,
-             round(CAST(x * m.d - m.s AS DOUBLE)
-                   / sqrt(CAST(m.q * m.d - m.s * m.s AS DOUBLE)), 6) AS z6
+             floor(CAST(x * m.d - m.s AS DOUBLE)
+                   / sqrt(CAST(m.q * m.d - m.s * m.s AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS z6
       FROM days CROSS JOIN mom m
     ),
     ew(i, day, z6, ewma6) AS (
-      SELECT i, day, z6, round(0.2 * z6, 6) FROM z WHERE i = 1
+      SELECT i, day, z6, floor(0.2 * z6 * 1000000.0 + 0.5) / 1000000.0
+      FROM z WHERE i = 1
       UNION ALL
-      SELECT z.i, z.day, z.z6, round(0.2 * z.z6 + 0.8 * ew.ewma6, 6)
+      SELECT z.i, z.day, z.z6,
+             floor((0.2 * z.z6 + 0.8 * ew.ewma6) * 1000000.0 + 0.5)
+             / 1000000.0
       FROM ew JOIN z ON z.i = ew.i + 1
     )
     SELECT day, z6, ewma6, abs(ewma6) > 1.0 AS alarm
@@ -2545,14 +2564,18 @@ def q_e_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.join(F.broadcast(mom))
         .select(
             "day",
-            F.round(
-                (F.col("x") * F.col("d") - F.col("s")).cast("double")
-                / F.sqrt(
-                    (F.col("q") * F.col("d") - F.col("s") * F.col("s")).cast(
-                        "double"
+            (
+                F.floor(
+                    (F.col("x") * F.col("d") - F.col("s")).cast("double")
+                    / F.sqrt(
+                        (
+                            F.col("q") * F.col("d") - F.col("s") * F.col("s")
+                        ).cast("double")
                     )
-                ),
-                6,
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
             ).alias("z6"),
         )
         .orderBy("day")
@@ -2564,7 +2587,7 @@ def q_e_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = 0.0
     rows = []
     for i, r in enumerate(panel):
-        ew = round(0.2 * r.z6 + (0.8 * ew if i else 0.0), 6)
+        ew = _py_q6(0.2 * r.z6 + (0.8 * ew if i else 0.0))
         rows.append((r.day, r.z6, ew, abs(ew) > 1.0))
     import pyspark.sql.types as T
 
@@ -2574,6 +2597,106 @@ def q_e_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("z6", T.DoubleType()),
             T.StructField("ewma6", T.DoubleType()),
             T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q_e_holt_trend (round 8)
+# ---------------------------------------------------------------------------
+
+# Holt's linear (double-exponential) smoothing, alpha=0.3 beta=0.1,
+# L_1 = x_1, T_1 = 0; the WITH RECURSIVE text is the DuckDB oracle
+# (the q_e_ewma_chart execution-split precedent — Spark's UnionLoop
+# costs ~0.7 s/iteration, so the bounded day panel folds driver-side).
+_HOLT_SQL = """
+    WITH RECURSIVE days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day, x FROM days
+    ),
+    h(i, day, x, lvl, trd, fcst) AS (
+      SELECT i, day, x, CAST(x AS DOUBLE), CAST(0 AS DOUBLE),
+             CAST(NULL AS DOUBLE)
+      FROM z WHERE i = 1
+      UNION ALL
+      SELECT z.i, z.day, z.x,
+             floor((0.3 * z.x + 0.7 * (h.lvl + h.trd)) * 1000000.0 + 0.5)
+             / 1000000.0,
+             floor((0.1 * (floor((0.3 * z.x + 0.7 * (h.lvl + h.trd))
+                                 * 1000000.0 + 0.5) / 1000000.0
+                           - h.lvl) + 0.9 * h.trd) * 1000000.0 + 0.5)
+             / 1000000.0,
+             floor((h.lvl + h.trd) * 1000000.0 + 0.5) / 1000000.0
+      FROM h JOIN z ON z.i = h.i + 1
+    )
+    SELECT day, x AS n_events, lvl AS level6, trd AS trend6,
+           fcst AS fcst6,
+           floor(abs(x - fcst) * 1000000.0 + 0.5) / 1000000.0 AS abs_err6
+    FROM h ORDER BY day
+"""
+
+
+@query("q_e_holt_trend", oracle=_HOLT_SQL)
+def q_e_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the daily
+    event volume (round 8): level + trend recurrences (α = 0.3,
+    β = 0.1) with the one-step-ahead forecast and its backtest error
+    per day — the FORECAST op that completes the volume-monitoring
+    suite: CUSUM/EWMA say the level moved, Mann–Kendall/Theil–Sen
+    certify and size the trend, Holt turns it into tomorrow's
+    capacity number (the last row's level + h·trend is the h-day-out
+    plan). A crawl scheduler reads abs_err6's tail to decide whether
+    the forecast is trustworthy before provisioning on it.
+
+    Execution split (q_e_ewma_chart precedent, A/B'd there): the
+    corpus collapses engine-side to the bounded day panel; the
+    inherently-sequential two-state recurrence folds driver-side
+    with per-step 6-dp re-rounding; the identical recurrence is the
+    DuckDB oracle as WITH RECURSIVE (ms there). Both engines walk
+    the same 6-dp lattice, so parity is exact including the NULL
+    first-day forecast."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .orderBy("day")
+    )
+    panel = days.collect()
+    rows = []
+    lvl, trd = None, None
+    for i, r in enumerate(panel):
+        if i == 0:
+            lvl, trd, fcst = float(r.x), 0.0, None
+        else:
+            fcst = _py_q6(lvl + trd)
+            new_lvl = _py_q6(0.3 * r.x + 0.7 * (lvl + trd))
+            trd = _py_q6(0.1 * (new_lvl - lvl) + 0.9 * trd)
+            lvl = new_lvl
+        rows.append(
+            (
+                r.day,
+                r.x,
+                lvl,
+                trd,
+                fcst,
+                _py_q6(abs(r.x - fcst)) if fcst is not None else None,
+            )
+        )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("level6", T.DoubleType()),
+            T.StructField("trend6", T.DoubleType()),
+            T.StructField("fcst6", T.DoubleType()),
+            T.StructField("abs_err6", T.DoubleType()),
         ]
     )
     return spark.createDataFrame(rows, schema).orderBy("day")

@@ -3384,12 +3384,55 @@ def test_band_math_masks_and_bounds(spark):
 
 
 def test_ewma_recurrence_replay(spark):
-    from glaciersgee_spark.operators.drift import q_e_ewma_chart
+    from glaciersgee_spark.operators.drift import _py_q6, q_e_ewma_chart
 
     rows = sorted(q_e_ewma_chart(spark, SF_SMOKE).collect(),
                   key=lambda r: r.day)
     e = 0.0
     for i, r in enumerate(rows):
-        e = round(0.2 * r.z6 + (0.8 * e if i else 0.0), 6)
+        e = _py_q6(0.2 * r.z6 + (0.8 * e if i else 0.0))
         assert abs(r.ewma6 - e) < 1e-9, (r.day, r.ewma6, e)
         assert r.alarm == (abs(r.ewma6) > 1.0)
+
+
+def test_holt_trend_recurrence_replay(spark):
+    from glaciersgee_spark.operators.drift import _py_q6, q_e_holt_trend
+
+    rows = sorted(q_e_holt_trend(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.day)
+    assert rows, "empty day panel"
+    # first day: level = x, trend = 0, no forecast yet
+    assert rows[0].level6 == float(rows[0].n_events)
+    assert rows[0].trend6 == 0.0
+    assert rows[0].fcst6 is None and rows[0].abs_err6 is None
+    lvl, trd = rows[0].level6, 0.0
+    for r in rows[1:]:
+        fcst = _py_q6(lvl + trd)
+        new_lvl = _py_q6(0.3 * r.n_events + 0.7 * (lvl + trd))
+        trd = _py_q6(0.1 * (new_lvl - lvl) + 0.9 * trd)
+        lvl = new_lvl
+        assert abs(r.level6 - lvl) < 1e-9, (r.day, r.level6, lvl)
+        assert abs(r.trend6 - trd) < 1e-9
+        assert abs(r.fcst6 - fcst) < 1e-9
+        assert abs(r.abs_err6 - _py_q6(abs(r.n_events - fcst))) < 1e-9
+
+
+def test_uuid_layout_and_determinism(spark):
+    import hashlib
+
+    from glaciersgee_spark.functions.scalar import q_c_uuid
+
+    rows = q_c_uuid(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows[:50]:
+        # 8-4-4-4-12 layout, version nibble 3, variant nibble 8
+        parts = r.doc_uuid.split("-")
+        assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
+        assert parts[2][0] == "3" and parts[3][0] == "8"
+        assert r.version_nibble == "3" and r.uuid_len == 36
+        # re-mint from the namespace:name digest — identical every run
+        h = hashlib.md5(f"ggee:doc:{r.doc_id}".encode()).hexdigest()
+        expect = (
+            f"{h[:8]}-{h[8:12]}-3{h[13:16]}-8{h[17:20]}-{h[20:32]}"
+        )
+        assert r.doc_uuid == expect, (r.doc_id, r.doc_uuid, expect)
