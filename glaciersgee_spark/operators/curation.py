@@ -3919,3 +3919,187 @@ def q_e_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n11",
         F.round(F.expr(_MI_SUM), 6).alias("mi_nats6"),
     ).orderBy("gate")
+
+
+# ---------------------------------------------------------------------------
+# q_e_domain_cap (round 8)
+# ---------------------------------------------------------------------------
+
+# RefinedWeb-style per-domain saturation cap: ~41 synthetic hosts per
+# source (arithmetic doc_id % 41 — deterministic in both engines; a
+# real crawl would parse the host from the URL, q_e_url_dedup's
+# canonical key), keep the top-5 docs per host by (n_chars, doc_id).
+_DCAP_N = 5
+
+
+@query(
+    "q_e_domain_cap",
+    oracle=f"""
+    WITH hosted AS (
+      SELECT doc_id, source, n_chars,
+             source || '-h' || CAST(doc_id % 41 AS VARCHAR) AS host
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, host, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM hosted
+    ),
+    perhost AS (
+      SELECT source, host,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (WHERE rn <= {_DCAP_N}) AS BIGINT) AS kept
+      FROM ranked GROUP BY source, host
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_domains,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) * 1000000 // SUM(n_docs) AS BIGINT)
+             AS retention_ppm,
+           CAST(MAX(n_docs) AS BIGINT) AS max_domain_docs,
+           CAST(COUNT(*) FILTER (WHERE n_docs > {_DCAP_N}) AS BIGINT)
+             AS capped_domains
+    FROM perhost GROUP BY source ORDER BY source
+    """,
+)
+def q_e_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain saturation cap (round 8): the RefinedWeb/C4 curation
+    rule that no single web domain may flood the corpus — rank each
+    host's documents by quality (n_chars proxy, doc_id tiebreak for a
+    total order) and keep at most 5, reporting the per-source ledger:
+    domain count, kept/total docs, retention ppm, the largest single
+    domain, and how many domains actually hit the cap. Without this
+    op a handful of template-heavy domains dominate training mixes no
+    matter how good the per-doc filters are — it is the between-doc
+    complement to the within-doc quality gates.
+
+    Scale shape: ONE shuffle on the host key; the rank window is
+    partitioned BY HOST so every partition is one domain's docs (the
+    whole point of the cap is that these are small — a pathological
+    mega-domain is exactly what the cap truncates, and AQE skew-split
+    handles its sort); integer-only ppm arithmetic (DIV), no floats
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    hosted = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(
+            F.col("source"), F.lit("-h"), (F.col("doc_id") % 41).cast("string")
+        ).alias("host"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("host").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+    )
+    ranked = hosted.select("source", "host", "n_chars", rn.alias("rn"))
+    perhost = ranked.groupBy("source", "host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("rn") <= _DCAP_N, 1)).cast("long").alias("kept"),
+    )
+    return (
+        perhost.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_domains"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.expr("CAST(SUM(kept) * 1000000 DIV SUM(n_docs) AS BIGINT)").alias(
+                "retention_ppm"
+            ),
+            F.max("n_docs").cast("long").alias("max_domain_docs"),
+            F.count(F.when(F.col("n_docs") > _DCAP_N, 1))
+            .cast("long")
+            .alias("capped_domains"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_blocklist_score (round 8)
+# ---------------------------------------------------------------------------
+
+# Tiny in-query blocklist over the synthetic vocabulary — stands in
+# for the word-list safety filters (LDNOOBW-style) every public
+# corpus pipeline runs; 'dup' is deliberately rare in the corpus so
+# the flag threshold separates real clusters from background noise.
+_BLOCKLIST = "('slow', 'small', 'big', 'dup')"
+_BL_THRESH_PPM = 120000  # flag a doc when >12% of tokens are listed
+
+
+@query(
+    "q_e_blocklist_score",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN {_BLOCKLIST})) AS BIGINT) AS hits
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT source, n_toks, hits,
+             CAST(hits * 1000000 // n_toks AS BIGINT) AS ratio_ppm
+      FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE ratio_ppm > {_BL_THRESH_PPM})
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(SUM(hits) * 1000000 // SUM(n_toks) AS BIGINT)
+             AS corpus_ratio_ppm,
+           CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+)
+def q_e_blocklist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-list safety scoring (round 8): the blocklist filter
+    (LDNOOBW-style) every public corpus pipeline runs before
+    training — per-token hit counting against a literal list (NOT
+    distinct-token intersection: a doc repeating one listed word 50
+    times must score 50), a per-doc ppm ratio, a >12% flag, and the
+    per-source rollup that tells a curator which ingest feeds carry
+    the problem. Complements the statistical gates (gopher-lite,
+    q_e_quality_classifier): those measure HOW text is written, this
+    measures WHAT it contains.
+
+    Scale shape: the hit count is a higher-order `filter` lambda on
+    the split array — scan-side, whole-stage codegen, zero Python,
+    zero explode (the token array never becomes rows); the only
+    shuffle is the final |sources|-row combinable rollup. Integer
+    DIV ppm arithmetic end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_toks"),
+        F.expr(
+            f"CAST(size(filter(split(text, ' '), t -> t IN {_BLOCKLIST}))"
+            " AS BIGINT)"
+        ).alias("hits"),
+    )
+    perdoc = scored.select(
+        "source",
+        "n_toks",
+        "hits",
+        F.expr("CAST(hits * 1000000 DIV n_toks AS BIGINT)").alias("ratio_ppm"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("ratio_ppm") > _BL_THRESH_PPM, 1))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.expr(
+                "CAST(SUM(hits) * 1000000 DIV SUM(n_toks) AS BIGINT)"
+            ).alias("corpus_ratio_ppm"),
+            F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
+        )
+        .orderBy("source")
+    )

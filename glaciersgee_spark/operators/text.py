@@ -2473,3 +2473,189 @@ def q_e_langid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV NULLIF(precision_ppm + recall_ppm, 0) AS BIGINT)"
         ).alias("f1_ppm"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q_e_perplexity (round 8)
+# ---------------------------------------------------------------------------
+
+# Held-out interpolated-bigram perplexity: train on EVEN doc_ids,
+# evaluate on ODD. The bigram term reuses q_e_bigram_lm's lambda
+# split; the unigram back-off is Laplace-smoothed over the TRAIN
+# vocabulary so every held-out position has positive mass (an OOV
+# cur token scores 0.3/(T+V) — no ln(0) anywhere).
+_PPL_SQL = f"""
+    WITH train_toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM train_toks GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM train_toks),
+    train_bg AS (
+      SELECT a.prev, a.cur, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS prev,
+               string_split(text, ' ')[
+                 generate_subscripts(string_split(text, ' '), 1) + 1
+               ] AS cur
+        FROM documents WHERE doc_id % 2 = 0
+      ) a WHERE a.cur IS NOT NULL GROUP BY a.prev, a.cur
+    ),
+    held_bg AS (
+      SELECT source, prev, cur, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT source,
+               unnest(string_split(text, ' ')) AS prev,
+               string_split(text, ' ')[
+                 generate_subscripts(string_split(text, ' '), 1) + 1
+               ] AS cur
+        FROM documents WHERE doc_id % 2 = 1
+      ) h WHERE h.cur IS NOT NULL GROUP BY source, prev, cur
+    ),
+    lp AS (
+      SELECT h.source, h.n,
+             CASE WHEN uc.c1 IS NULL THEN h.n ELSE 0 END AS oov_n,
+             round(ln(0.7 * (CAST(COALESCE(tb.c2, 0) AS DOUBLE)
+                             / COALESCE(up.c1, 1))
+                      + 0.3 * (CAST(COALESCE(uc.c1, 0) + 1 AS DOUBLE)
+                               / (tot.t + tot.v))), 6) AS lp6
+      FROM held_bg h
+      LEFT JOIN train_bg tb ON h.prev = tb.prev AND h.cur = tb.cur
+      LEFT JOIN uni up ON h.prev = up.tok
+      LEFT JOIN uni uc ON h.cur = uc.tok
+      CROSS JOIN tot
+    ),
+    held_docs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS held_docs
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY source
+    ),
+    rolled AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             CAST(SUM(oov_n) * 1000000 // SUM(n) AS BIGINT) AS oov_ppm,
+             -({dsum('CAST(n AS DOUBLE) * lp6')}) / SUM(n) AS xent
+      FROM lp GROUP BY source
+    )
+    SELECT r.source, d.held_docs, r.n_bigrams, r.oov_ppm,
+           r.xent AS xent_nats,
+           floor(exp(r.xent) * 1000000.0 + 0.5) / 1000000.0 AS ppl6
+    FROM rolled r JOIN held_docs d ON r.source = d.source
+    ORDER BY r.source
+"""
+
+
+@query("q_e_perplexity", oracle=_PPL_SQL)
+def q_e_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity per source (round 8): train the
+    interpolated bigram LM (0.7·bigram + 0.3·Laplace-unigram) on the
+    even-doc_id half of the corpus, score the odd half, report
+    cross-entropy (nats) and perplexity per source with the OOV rate
+    — the CCNet-style LM quality signal measured the honest way, on
+    text the model never saw. q_e_bigram_lm scores the corpus with
+    itself (a fluency prior); this op is the generalization check
+    that tells a curator whether a source is merely self-consistent
+    or actually predictable — template farms score near-1 ppl on
+    both, natural text separates.
+
+    Scale shape: both halves collapse immediately to combinable
+    (prev, cur) count frames (vocab²-bounded, corpus-size-
+    independent — the same shuffle any bigram LM pays); the held
+    frame joins the train frame CO-PARTITIONED on (prev, cur), the
+    vocab-bounded unigram table broadcasts ×2 (the q_e_bigram_lm
+    precedent), and the 1-row (T, V) total broadcasts. Per-pair-type
+    lns round 6 dp, the n·lp products are exact in double, and the
+    rollup runs through exact decimal; the final exp is quantized
+    through the shared half-up lattice."""
+    d = load_table(spark, sf_dir, "documents")
+    tr = d.where(F.col("doc_id") % 2 == 0)
+    he = d.where(F.col("doc_id") % 2 == 1)
+    train_toks = tr.select(F.explode(F.split("text", " ")).alias("tok"))
+    uni = train_toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    tot = train_toks.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.countDistinct("tok").cast("long").alias("v"),
+    )
+    _pairs = (
+        "explode(zip_with("
+        "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+        "(x, y) -> struct(x AS prev, y AS cur)))"
+    )
+    train_bg = (
+        tr.select(F.expr(_pairs).alias("s"))
+        .select("s.prev", "s.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    held_bg = (
+        he.select("source", F.expr(_pairs).alias("s"))
+        .select("source", "s.prev", "s.cur")
+        .groupBy("source", "prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    up = F.broadcast(uni.select(F.col("tok").alias("p_tok"),
+                                F.col("c1").alias("p_c1")))
+    uc = F.broadcast(uni.select(F.col("tok").alias("c_tok"),
+                                F.col("c1").alias("c_c1")))
+    lp = (
+        held_bg.join(train_bg, ["prev", "cur"], "left")
+        .join(up, F.col("prev") == F.col("p_tok"), "left")
+        .join(uc, F.col("cur") == F.col("c_tok"), "left")
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.when(F.col("c_c1").isNull(), F.col("n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("oov_n"),
+            F.round(
+                F.log(
+                    0.7
+                    * (
+                        F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+                        / F.coalesce(F.col("p_c1"), F.lit(1))
+                    )
+                    + 0.3
+                    * (
+                        (F.coalesce(F.col("c_c1"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("t") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("lp6"),
+        )
+    )
+    rolled = lp.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.expr("CAST(SUM(oov_n) * 1000000 DIV SUM(n) AS BIGINT)").alias(
+            "oov_ppm"
+        ),
+        (
+            -F.expr(dsum("CAST(n AS DOUBLE) * lp6")) / F.sum("n")
+        ).alias("xent_nats"),
+    )
+    held_docs = he.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("held_docs")
+    )
+    return (
+        rolled.join(F.broadcast(held_docs), "source")
+        .select(
+            "source",
+            "held_docs",
+            "n_bigrams",
+            "oov_ppm",
+            "xent_nats",
+            (F.floor(F.exp("xent_nats") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "ppl6"
+            ),
+        )
+        .orderBy("source")
+    )

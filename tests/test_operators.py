@@ -3436,3 +3436,78 @@ def test_uuid_layout_and_determinism(spark):
             f"{h[:8]}-{h[8:12]}-3{h[13:16]}-8{h[17:20]}-{h[20:32]}"
         )
         assert r.doc_uuid == expect, (r.doc_id, r.doc_uuid, expect)
+
+
+def test_blocklist_score_replay(spark):
+    from glaciersgee_spark.operators.curation import (
+        _BL_THRESH_PPM, q_e_blocklist_score)
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.source: r for r in q_e_blocklist_score(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    block = {"slow", "small", "big", "dup"}
+    agg = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        hits = sum(1 for t in toks if t in block)
+        a = agg.setdefault(d.source, [0, 0, 0, 0, 0])
+        a[0] += 1
+        ratio = hits * 1000000 // len(toks)
+        a[1] += ratio > _BL_THRESH_PPM
+        a[2] += hits
+        a[3] += len(toks)
+        a[4] = max(a[4], ratio)
+    assert set(rows) == set(agg)
+    for s, (n, fl, h, nt, mx) in agg.items():
+        r = rows[s]
+        assert (r.n_docs, r.n_flagged, r.total_hits) == (n, fl, h)
+        assert r.corpus_ratio_ppm == h * 1000000 // nt
+        assert r.max_ratio_ppm == mx
+
+
+def test_domain_cap_ledger(spark):
+    from glaciersgee_spark.operators.curation import q_e_domain_cap
+
+    rows = q_e_domain_cap(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # a host keeps at most 5 docs, so kept <= min(n_docs, 5*domains)
+        assert r.n_kept <= r.n_docs
+        assert r.n_kept <= 5 * r.n_domains
+        assert r.n_domains <= 41
+        assert r.retention_ppm == r.n_kept * 1000000 // r.n_docs
+        # capped domains exist iff some host exceeds the cap
+        assert (r.capped_domains > 0) == (r.max_domain_docs > 5) or (
+            r.max_domain_docs <= 5
+        )
+        if r.max_domain_docs > 5:
+            assert r.capped_domains >= 1 and r.n_kept < r.n_docs
+
+
+def test_perplexity_heldout_split(spark):
+    import math
+
+    from glaciersgee_spark.operators.text import q_e_perplexity
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_perplexity(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    held = {}
+    for d in docs:
+        if d.doc_id % 2 == 1:
+            held[d.source] = held.get(d.source, 0) + 1
+    for r in rows:
+        assert r.held_docs == held[r.source]
+        # interpolated probs are < 1, so xent > 0 and ppl = exp(xent)
+        assert r.xent_nats > 0.0
+        assert abs(
+            r.ppl6
+            - math.floor(math.exp(r.xent_nats) * 1000000.0 + 0.5) / 1000000.0
+        ) < 1e-12
+        # 31-token shared vocabulary: nothing is OOV at smoke SF
+        assert r.oov_ppm == 0
+        # held-out ppl can exceed |vocab| slightly (the model is worse
+        # than uniform on unseen text when train bigrams mislead), but
+        # stays within a small factor of it
+        assert 1.0 < r.ppl6 < 62.0
