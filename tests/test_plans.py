@@ -1215,3 +1215,39 @@ def test_sql_params_push_to_scan(spark):
     df = q_b_sql_params(spark, SF_SMOKE)
     pushed = " ".join(PI.pushed_filters(df))
     assert "o_orderdate" in pushed and "o_totalprice" in pushed
+
+
+def test_blocklist_score_no_explode_single_shuffle(spark):
+    """The hit count must stay a higher-order array lambda on the scan
+    — no Generate/explode node — and only the |sources|-row rollup may
+    shuffle."""
+    from glaciersgee_spark.operators.curation import q_e_blocklist_score
+
+    df = q_e_blocklist_score(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "Generate" not in plan
+    assert not PI.has_python_boundary(plan)
+    # rollup + final orderBy range exchange only
+    assert PI.count_shuffles(plan) <= 2
+
+
+def test_domain_cap_window_partitioned_by_host(spark):
+    """The saturation rank must be partitioned BY HOST (many small
+    per-domain partitions), never an un-partitioned global window."""
+    from glaciersgee_spark.operators.curation import q_e_domain_cap
+
+    plan = PI.formatted(q_e_domain_cap(spark, SF_SMOKE))
+    assert "row_number" in plan
+    # the window's partition spec carries the host key
+    assert "hashpartitioning(host" in plan
+    assert not PI.has_python_boundary(plan)
+
+
+def test_perplexity_broadcasts_vocab(spark):
+    """Unigram/total frames broadcast; the held⋈train pair-count join
+    is a co-partitioned hash join, and no Python crosses the plan."""
+    from glaciersgee_spark.operators.text import q_e_perplexity
+
+    plan = PI.formatted(q_e_perplexity(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert not PI.has_python_boundary(plan)
