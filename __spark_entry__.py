@@ -219,6 +219,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_a_band_math", "q_a_zonal_stats", "q_f_udtf_arrow", "q_b_sql_params",
     "q_e_ewma_chart", "q_c_uuid", "q_e_holt_trend",
     "q_e_perplexity", "q_e_domain_cap", "q_e_blocklist_score",
+    "q_e_pack_audit", "q_b_cache_table", "q_e_holt_winters",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

@@ -4103,3 +4103,149 @@ def q_e_blocklist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_pack_audit (round 8)
+# ---------------------------------------------------------------------------
+
+# Training context-window packing: each source's docs concatenate in
+# doc_id order into one token stream, chunked into fixed 64-token
+# windows (docs may straddle a boundary — that is how LM pretraining
+# packs sequences). 64 ≈ 2× the mean doc length here, so straddling
+# is common and the ledger is non-trivial at every SF.
+_PACK_B = 64
+_PACK_CHUNK = 500
+
+
+@query(
+    "q_e_pack_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    pre AS (
+      SELECT source, n_toks,
+             COALESCE(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM toks
+    ),
+    marked AS (
+      SELECT source, n_toks,
+             before // {_PACK_B} AS w_first,
+             (before + n_toks - 1) // {_PACK_B} AS w_last
+      FROM pre
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_toks) + {_PACK_B} - 1) // {_PACK_B} AS BIGINT)
+             AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE w_first <> w_last) AS BIGINT)
+             AS straddle_docs,
+           CAST(COUNT(*) FILTER (WHERE w_first <> w_last) * 1000000
+                // COUNT(*) AS BIGINT) AS straddle_ppm,
+           CAST(COUNT(*) FILTER (WHERE n_toks > {_PACK_B}) AS BIGINT)
+             AS oversize_docs,
+           CAST((SUM(n_toks)
+                 - ((SUM(n_toks) + {_PACK_B} - 1) // {_PACK_B} - 1)
+                   * {_PACK_B}) * 1000000 // {_PACK_B} AS BIGINT)
+             AS tail_fill_ppm,
+           CAST(COUNT(*) * 1000
+                // ((SUM(n_toks) + {_PACK_B} - 1) // {_PACK_B}) AS BIGINT)
+             AS docs_per_window_milli
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def q_e_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing AUDIT (round 8): concatenate
+    each source's documents in doc_id order and cut the stream into
+    fixed 64-token training windows — the packing step every LM
+    pretraining pipeline runs between curation and batching
+    (q_e_seq_pack ASSIGNS the per-doc pack ids; this op audits the
+    resulting packing geometry source-by-source). Reports
+    per source: window count, docs straddling a window boundary (the
+    attention-contamination surface cross-document masking has to
+    handle), oversize docs (span a full window on their own), tail
+    fill of the final partial window, and packing density. A data
+    engineer reads straddle_ppm to price document-boundary masking
+    and tail_fill_ppm to price per-source padding waste.
+
+    Scale shape: the per-source exclusive prefix sum is the TWO-PHASE
+    distributed spelling (the q_b_compaction_plan discipline — never
+    a single-partition window over a 5 TB source): per-chunk running
+    sums partitioned by (source, chunk) run fully parallel, the
+    global pass covers per-chunk TOTALS only (bounded rows), and the
+    offsets broadcast back. Window membership is then pure integer
+    arithmetic on the scan — no floats anywhere in the op."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_toks"),
+        F.expr(f"doc_id div {_PACK_CHUNK}").alias("chunk"),
+    )
+    w_in = (
+        Window.partitionBy("source", "chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = toks.withColumn(
+        "within_before", F.coalesce(F.sum("n_toks").over(w_in), F.lit(0))
+    )
+    totals = toks.groupBy("source", "chunk").agg(
+        F.sum("n_toks").alias("ctot")
+    )
+    w_c = (
+        Window.partitionBy("source")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("ctot").over(w_c), F.lit(0))
+    ).select("source", "chunk", "offset")
+    marked = (
+        within.join(F.broadcast(offsets), ["source", "chunk"])
+        .withColumn("before", F.col("offset") + F.col("within_before"))
+        .select(
+            "source",
+            "n_toks",
+            F.expr(f"before div {_PACK_B}").alias("w_first"),
+            F.expr(f"(before + n_toks - 1) div {_PACK_B}").alias("w_last"),
+        )
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.expr(
+                f"CAST((SUM(n_toks) + {_PACK_B} - 1) div {_PACK_B} AS BIGINT)"
+            ).alias("n_windows"),
+            F.count(F.when(F.col("w_first") != F.col("w_last"), 1))
+            .cast("long")
+            .alias("straddle_docs"),
+            F.expr(
+                "CAST(COUNT(IF(w_first != w_last, 1, NULL)) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("straddle_ppm"),
+            F.count(F.when(F.col("n_toks") > _PACK_B, 1))
+            .cast("long")
+            .alias("oversize_docs"),
+            F.expr(
+                f"CAST((SUM(n_toks)"
+                f" - ((SUM(n_toks) + {_PACK_B} - 1) div {_PACK_B} - 1)"
+                f" * {_PACK_B}) * 1000000 div {_PACK_B} AS BIGINT)"
+            ).alias("tail_fill_ppm"),
+            F.expr(
+                f"CAST(COUNT(*) * 1000"
+                f" div ((SUM(n_toks) + {_PACK_B} - 1) div {_PACK_B})"
+                " AS BIGINT)"
+            ).alias("docs_per_window_milli"),
+        )
+        .orderBy("source")
+    )

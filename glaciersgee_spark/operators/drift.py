@@ -2700,3 +2700,121 @@ def q_e_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q_e_holt_winters (round 8)
+# ---------------------------------------------------------------------------
+
+# Additive Holt–Winters, weekly season m=7, alpha=0.3 beta=0.1
+# gamma=0.2. Init on days 1–7 (L = their mean, T = 0, s_i = x_i − L);
+# the recurrence walks days 8+. The WITH RECURSIVE state row carries
+# the 7-slot seasonal queue (q1 = next slot to use) and rotates it
+# each step — the standard trick for lag-m references, which a
+# recursive CTE (previous row only) cannot otherwise reach.
+_HW_Q6 = "floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _hw_sql() -> str:
+    q6 = _HW_Q6.format
+    new_lvl = q6(x="0.3 * (z.x - h.q1) + 0.7 * (h.lvl + h.trd)")
+    return f"""
+    WITH RECURSIVE days AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day, x FROM days
+    ),
+    init AS (
+      SELECT {q6(x="SUM(CASE WHEN i <= 7 THEN CAST(x AS DOUBLE) END) / 7")}
+               AS l0
+      FROM z
+    ),
+    h(i, day, x, lvl, trd, s_used, fcst,
+      q1, q2, q3, q4, q5, q6, q7) AS (
+      SELECT 7, CAST(NULL AS DATE), CAST(NULL AS BIGINT),
+             init.l0, CAST(0 AS DOUBLE),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             {q6(x="s1.x - init.l0")}, {q6(x="s2.x - init.l0")},
+             {q6(x="s3.x - init.l0")}, {q6(x="s4.x - init.l0")},
+             {q6(x="s5.x - init.l0")}, {q6(x="s6.x - init.l0")},
+             {q6(x="s7.x - init.l0")}
+      FROM init
+      JOIN z s1 ON s1.i = 1 JOIN z s2 ON s2.i = 2 JOIN z s3 ON s3.i = 3
+      JOIN z s4 ON s4.i = 4 JOIN z s5 ON s5.i = 5 JOIN z s6 ON s6.i = 6
+      JOIN z s7 ON s7.i = 7
+      UNION ALL
+      SELECT z.i, z.day, z.x,
+             {new_lvl},
+             {q6(x=f"0.1 * (({new_lvl}) - h.lvl) + 0.9 * h.trd")},
+             h.q1,
+             {q6(x="h.lvl + h.trd + h.q1")},
+             h.q2, h.q3, h.q4, h.q5, h.q6, h.q7,
+             {q6(x=f"0.2 * (z.x - ({new_lvl})) + 0.8 * h.q1")}
+      FROM h JOIN z ON z.i = h.i + 1
+    )
+    SELECT day, x AS n_events, lvl AS level6, trd AS trend6,
+           s_used AS season6, fcst AS fcst6,
+           {q6(x="abs(x - fcst)")} AS abs_err6
+    FROM h WHERE i >= 8 ORDER BY day
+"""
+
+
+@query("q_e_holt_winters", oracle=_hw_sql())
+def q_e_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters forecast over the daily event volume
+    (round 8): level + trend + weekly seasonal recurrences (α = 0.3,
+    β = 0.1, γ = 0.2, m = 7) with the one-step-ahead forecast and
+    backtest error per day — the seasonal completion of the forecast
+    family: q_e_holt_trend projects the trend, this op also absorbs
+    the day-of-week cycle q_e_seasonality certifies, so the residual
+    tail of abs_err6 is what remains after level, drift, AND cycle
+    are modeled. Init: L = mean of the first season, T = 0,
+    sᵢ = xᵢ − L; days 8+ walk the recurrence.
+
+    Execution split (q_e_ewma_chart precedent): the corpus collapses
+    engine-side to the bounded day panel; the inherently-sequential
+    three-state recurrence folds driver-side on the shared 6-dp
+    half-up lattice (_py_q6). The DuckDB oracle is the identical
+    recurrence as WITH RECURSIVE whose state row carries the 7-slot
+    seasonal queue and rotates it each step — the lag-m access a
+    previous-row-only recursive CTE cannot express otherwise."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .orderBy("day")
+    )
+    panel = days.collect()
+    rows = []
+    if len(panel) >= 8:
+        lvl = _py_q6(sum(float(r.x) for r in panel[:7]) / 7.0)
+        trd = 0.0
+        queue = [_py_q6(float(r.x) - lvl) for r in panel[:7]]
+        for r in panel[7:]:
+            s_used = queue.pop(0)
+            fcst = _py_q6(lvl + trd + s_used)
+            new_lvl = _py_q6(0.3 * (r.x - s_used) + 0.7 * (lvl + trd))
+            trd = _py_q6(0.1 * (new_lvl - lvl) + 0.9 * trd)
+            queue.append(_py_q6(0.2 * (r.x - new_lvl) + 0.8 * s_used))
+            lvl = new_lvl
+            rows.append(
+                (r.day, r.x, lvl, trd, s_used, fcst,
+                 _py_q6(abs(r.x - fcst)))
+            )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("day", T.DateType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("level6", T.DoubleType()),
+            T.StructField("trend6", T.DoubleType()),
+            T.StructField("season6", T.DoubleType()),
+            T.StructField("fcst6", T.DoubleType()),
+            T.StructField("abs_err6", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("day")

@@ -2187,3 +2187,73 @@ def q_b_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_cache_table (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_cache_table",
+    oracle="""
+    WITH dim AS (
+      SELECT n.n_nationkey, n.n_name AS nation, r.r_name AS region
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT d.region, d.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS total_acctbal
+    FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
+    GROUP BY d.region, d.nation
+    ORDER BY d.region, d.nation
+    """,
+)
+def q_b_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached-relation serving (round 8): the dashboard pattern where
+    a hot dimension is pinned in memory once (`spark.catalog
+    .cacheTable` — Spark's columnar in-memory store, the OSS
+    analogue of a warehouse result/relation cache) and every
+    subsequent query scans the InMemoryRelation instead of re-reading
+    and re-joining parquet. The declared query is the second read:
+    customers per (region, nation) joined against the CACHED dim —
+    its plan scans the In-memory table, not the dim's parquet
+    (plan-pinned in tests). Results are identical to the uncached
+    spelling by construction; the oracle runs that spelling.
+
+    Scale: the cached side is the |nations|-row dim — exactly what
+    belongs in the memory tier — and stays broadcast-able from cache;
+    re-caching is guarded (uncache-if-cached first), so repeated
+    calls in one session serve from the same columnar copy instead
+    of stacking entries."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "n_nationkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    view = "ggee_dim_nation_region"
+    dim.createOrReplaceTempView(view)
+    if spark.catalog.isCached(view):
+        spark.catalog.uncacheTable(view)
+    spark.catalog.cacheTable(view)
+    spark.table(view).count()  # materialize the columnar cache eagerly
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(
+            spark.table(view), c["c_nationkey"] == F.col("n_nationkey")
+        )
+        .groupBy("region", "nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_acctbal"),
+        )
+        .orderBy("region", "nation")
+    )

@@ -3511,3 +3511,65 @@ def test_perplexity_heldout_split(spark):
         # than uniform on unseen text when train bigrams mislead), but
         # stays within a small factor of it
         assert 1.0 < r.ppl6 < 62.0
+
+
+def test_holt_winters_recurrence_replay(spark):
+    from glaciersgee_spark.operators.drift import _py_q6, q_e_holt_winters
+    from glaciersgee_spark.operators.etl import q_a_filter_date  # noqa: F401
+    from glaciersgee_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = sorted(q_e_holt_winters(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.day)
+    days = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .count()
+        .collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) == len(days) - 7
+    lvl = _py_q6(sum(float(d["count"]) for d in days[:7]) / 7.0)
+    trd = 0.0
+    queue = [_py_q6(float(d["count"]) - lvl) for d in days[:7]]
+    for r, d in zip(rows, days[7:]):
+        assert r.day == d.day and r.n_events == d["count"]
+        s_used = queue.pop(0)
+        fcst = _py_q6(lvl + trd + s_used)
+        new_lvl = _py_q6(0.3 * (d["count"] - s_used) + 0.7 * (lvl + trd))
+        trd = _py_q6(0.1 * (new_lvl - lvl) + 0.9 * trd)
+        queue.append(_py_q6(0.2 * (d["count"] - new_lvl) + 0.8 * s_used))
+        lvl = new_lvl
+        assert abs(r.level6 - lvl) < 1e-9 and abs(r.trend6 - trd) < 1e-9
+        assert abs(r.season6 - s_used) < 1e-9
+        assert abs(r.fcst6 - fcst) < 1e-9
+        assert abs(r.abs_err6 - _py_q6(abs(d["count"] - fcst))) < 1e-9
+
+
+def test_pack_audit_ledger_consistency(spark):
+    from glaciersgee_spark.operators.curation import _PACK_B, q_e_pack_audit
+
+    rows = q_e_pack_audit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_windows == (r.total_tokens + _PACK_B - 1) // _PACK_B
+        assert 0 <= r.straddle_docs <= r.n_docs
+        assert r.straddle_ppm == r.straddle_docs * 1000000 // r.n_docs
+        # mean doc ≈ 30 tokens vs B = 64: straddling must actually occur
+        assert r.straddle_docs > 0
+        assert 0 < r.tail_fill_ppm <= 1000000
+        assert r.docs_per_window_milli == r.n_docs * 1000 // r.n_windows
+
+
+def test_cache_table_serves_from_memory(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_cache_table
+    from glaciersgee_spark.plans import inspect as PI
+
+    df = q_b_cache_table(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert "InMemoryRelation" in plan
+    assert "Scan In-memory table" in plan
+    # repeated calls must not fail on an already-cached view
+    df2 = q_b_cache_table(spark, SF_SMOKE)
+    assert df2.count() == df.count()
