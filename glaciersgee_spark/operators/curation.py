@@ -4249,3 +4249,186 @@ def q_e_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_logreg_train (round 8)
+# ---------------------------------------------------------------------------
+
+# 3 rounds of full-batch gradient descent (lr = 1) on the quality-
+# classifier feature set vs the gopher-lite gold label, from w = 0.
+# Every engine-crossing scalar is pinned: per-row gradient terms and
+# 6-dp-rounded lns run through exact-decimal dsum, and each weight
+# update lands on the shared floor(x*1e6+0.5)/1e6 lattice — so the
+# Spark training loop and the unrolled-CTE oracle walk identical
+# weight vectors.
+_LR_ROUNDS = 3
+_LR_FEATS = ("bias", "distinct", "len100", "stop", "toklen10")
+_LR_XCOLS = ("x0", "x2", "x1", "x3", "x4")  # aligned with _LR_FEATS
+
+
+def _lr_sql() -> str:
+    def q6(x: str) -> str:
+        return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+    logit = "round(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4, 6)"
+    score = f"round(1.0 / (1.0 + exp(-{logit})), 6)"
+    parts = [
+        f"""feat AS (
+      SELECT 1.0 AS x0,
+             CAST(n_tokens AS DOUBLE) / 100.0 AS x1,
+             distinct_ratio AS x2, stop_ratio AS x3,
+             avg_token_len / 10.0 AS x4,
+             CASE WHEN {_CAL_GOLD_DUCK} THEN 1 ELSE 0 END AS y
+      FROM (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS distinct_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents
+      )
+    )""",
+        "w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,"
+        " 0.0 AS w3, 0.0 AS w4)",
+    ]
+    for k in range(1, _LR_ROUNDS + 1):
+        grads = ",\n             ".join(
+            f"{dsum(f'(s - y) * x{j}')} / COUNT(*) AS g{j}" for j in range(5)
+        )
+        parts.append(f"""r{k} AS (
+      SELECT {grads},
+             {dsum('-(y * round(ln(p), 6) + (1 - y) * round(ln(1.0 - p), 6))')}
+               / COUNT(*) AS ll
+      FROM (
+        SELECT y, x0, x1, x2, x3, x4,
+               {score} AS s,
+               greatest(0.000001, least({score}, 0.999999)) AS p
+        FROM feat CROSS JOIN w{k - 1}_ w
+      )
+    )""")
+        ws = ", ".join(
+            q6(f"w.w{j} - r.g{j}") + f" AS w{j}" for j in range(5)
+        )
+        parts.append(
+            f"w{k}_ AS (SELECT {ws} FROM w{k - 1}_ w CROSS JOIN r{k} r)"
+        )
+    emits = []
+    for k in range(1, _LR_ROUNDS + 1):
+        for name, xc in zip(_LR_FEATS, _LR_XCOLS):
+            j = int(xc[1])
+            emits.append(
+                f"SELECT {k} AS step, '{name}' AS feature,"
+                f" {q6(f'r{k}.g{j}')} AS grad6, w{k}_.w{j} AS weight6,"
+                f" {q6(f'r{k}.ll')} AS logloss6 FROM r{k}, w{k}_"
+            )
+    body = "\n      UNION ALL ".join(emits)
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM (\n      {body}\n    )"
+        + " ORDER BY step, feature"
+    )
+
+
+@query("q_e_logreg_train", oracle=_lr_sql())
+def q_e_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression TRAINING loop (round 8): 3 rounds of
+    full-batch gradient descent (lr = 1, w₀ = 0) fitting the
+    quality-classifier feature set (bias, tokens/100, distinct
+    ratio, stopword ratio, mean token length/10) against the
+    gopher-lite gold label — the op that turns q_e_quality_classifier's
+    FIXED literal weights into LEARNED ones, the distillation step
+    real pipelines run to replace a rule heuristic with a model. The
+    trace emits (step, feature, gradient, updated weight, starting
+    log-loss) — log-loss decreasing across steps is the training
+    curve.
+
+    Execution (the q_e_kmeans_train discipline): the feature frame
+    is computed once and persisted; each round is ONE combinable
+    aggregate over it (5 gradient sums + the log-loss sum, all
+    through exact-decimal dsum so any row order produces identical
+    bits); the driver holds only the 6-double gradient row per round
+    and re-emits literal weights — never corpus rows. The oracle
+    unrolls the identical 3 rounds as chained CTEs; every weight
+    update lands on the shared floor half-up lattice, so both
+    engines walk the same weight vectors exactly."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in _CLS_STOPWORDS])
+    base = d.select(
+        n_tok.alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.size(
+                F.filter(words, lambda x: F.array_contains(stop_arr, x))
+            ).cast("double")
+            / n_tok
+        ).alias("stop_ratio"),
+        ((F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+    )
+    gold = (
+        F.col("n_tokens").between(10, 5000)
+        & F.col("avg_token_len").between(2.5, 10.0)
+        & (F.col("stop_ratio") >= 0.02)
+    ).cast("int")
+    feat = base.select(
+        F.lit(1.0).alias("x0"),
+        (F.col("n_tokens").cast("double") / 100.0).alias("x1"),
+        F.col("distinct_ratio").alias("x2"),
+        F.col("stop_ratio").alias("x3"),
+        (F.col("avg_token_len") / 10.0).alias("x4"),
+        gold.alias("y"),
+    ).persist()
+
+    def _q6(v: float) -> float:
+        return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+
+    w = [0.0] * 5
+    out = []
+    for step in range(1, _LR_ROUNDS + 1):
+        logit = F.round(
+            sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(5)), 6
+        )
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        p = F.greatest(
+            F.lit(0.000001), F.least(score, F.lit(0.999999))
+        )
+        scored = feat.select(
+            "y", "x0", "x1", "x2", "x3", "x4",
+            score.alias("s"), p.alias("p"),
+        )
+        aggs = [
+            F.expr(f"{dsum(f'(s - y) * x{j}')} / COUNT(*)").alias(f"g{j}")
+            for j in range(5)
+        ]
+        ll_term = "-(y * round(ln(p), 6) + (1 - y) * round(ln(1.0 - p), 6))"
+        aggs.append(F.expr(f"{dsum(ll_term)} / COUNT(*)").alias("ll"))
+        r = scored.agg(*aggs).collect()[0]  # 1 row, 6 doubles — bounded
+        g = [r[f"g{j}"] for j in range(5)]
+        w = [_q6(w[j] - g[j]) for j in range(5)]
+        for name, xc in zip(_LR_FEATS, _LR_XCOLS):
+            j = int(xc[1])
+            out.append((step, name, _q6(g[j]), w[j], _q6(r["ll"])))
+    feat.unpersist()
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("step", T.IntegerType()),
+            T.StructField("feature", T.StringType()),
+            T.StructField("grad6", T.DoubleType()),
+            T.StructField("weight6", T.DoubleType()),
+            T.StructField("logloss6", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema).orderBy("step", "feature")

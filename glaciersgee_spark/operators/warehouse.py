@@ -2257,3 +2257,127 @@ def q_b_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_ab_test (round 8)
+# ---------------------------------------------------------------------------
+
+# Deterministic hash-split A/B readout: variant = user_id % 2 (the
+# stable-assignment property real experiment platforms get from
+# bucket hashing), metric = events.value, one test per event_type.
+# Welch's t from exact-decimal moments; SRM chi-square (df=1) from
+# exact integer counts — (n0-n1)^2/n, flagged at the 95% critical
+# value 3.841.
+
+
+@query(
+    "q_b_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant, value
+      FROM events
+    ),
+    arms AS (
+      SELECT event_type, variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS sq
+      FROM assigned GROUP BY event_type, variant
+    ),
+    wide AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.s / a.n AS m_a, b.s / b.n AS m_b,
+             (a.sq - a.s * a.s / a.n) / (a.n - 1) AS v_a,
+             (b.sq - b.s * b.s / b.n) / (b.n - 1) AS v_b
+      FROM arms a JOIN arms b
+        ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n_a, n_b,
+           round(m_a, 6) AS mean_a6, round(m_b, 6) AS mean_b6,
+           round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_welch6,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+             AS srm_chi2_6,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841
+             AS srm_flag
+    FROM wide ORDER BY event_type
+    """,
+)
+def q_b_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (round 8): deterministic hash-split
+    assignment (user_id % 2 — the stable-bucketing property real
+    experiment platforms derive from a salted hash), Welch's unequal-
+    variance t statistic on the value metric per event_type, and the
+    SAMPLE-RATIO-MISMATCH chi-square (df = 1) with the 95% flag — the
+    guardrail every experimentation system checks FIRST, because a
+    skewed split invalidates the t test no matter how significant it
+    looks. The two statistics together are the core of an experiment
+    dashboard row.
+
+    Exactness: both arms' moments are exact-decimal sums (dsum
+    pattern inline), so means/variances are identical bits in both
+    engines; the t and chi-square closing expressions are single
+    pinned double trees rounded 6 dp. Scale: ONE combinable
+    groupBy(event_type, variant) — partial aggregation map-side, 2×
+    |event_types| rows after the shuffle; the self-join runs on that
+    bounded frame. No windows, no UDFs."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "value",
+    )
+    arms = assigned.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    a = arms.where(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("sq").alias("sq_a"),
+    )
+    b = arms.where(F.col("variant") == 1).select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("sq").alias("sq_b"),
+    )
+    wide = a.join(b, F.col("event_type") == F.col("et_b")).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("s_a") / F.col("n_a")).alias("m_a"),
+        (F.col("s_b") / F.col("n_b")).alias("m_b"),
+        (
+            (F.col("sq_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+            / (F.col("n_a") - 1)
+        ).alias("v_a"),
+        (
+            (F.col("sq_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+            / (F.col("n_b") - 1)
+        ).alias("v_b"),
+    )
+    chi2 = (
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+        .cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return wide.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a6"),
+        F.round("m_b", 6).alias("mean_b6"),
+        F.round(
+            (F.col("m_b") - F.col("m_a"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            6,
+        ).alias("t_welch6"),
+        F.round(chi2, 6).alias("srm_chi2_6"),
+        (chi2 > 3.841).alias("srm_flag"),
+    ).orderBy("event_type")

@@ -3573,3 +3573,55 @@ def test_cache_table_serves_from_memory(spark):
     # repeated calls must not fail on an already-cached view
     df2 = q_b_cache_table(spark, SF_SMOKE)
     assert df2.count() == df.count()
+
+
+def test_logreg_train_trace(spark):
+    from glaciersgee_spark.operators.curation import (
+        _LR_FEATS, _LR_ROUNDS, q_e_logreg_train)
+
+    rows = q_e_logreg_train(spark, SF_SMOKE).collect()
+    assert len(rows) == _LR_ROUNDS * len(_LR_FEATS)
+    by_step = {}
+    for r in rows:
+        by_step.setdefault(r.step, {})[r.feature] = r
+    assert set(by_step) == set(range(1, _LR_ROUNDS + 1))
+    # log-loss is constant within a step and DECREASES across steps
+    # (it is the loss of the step's STARTING weights; GD with lr=1 on
+    # this well-conditioned 5-param problem descends monotonically)
+    lls = []
+    for s in sorted(by_step):
+        vals = {r.logloss6 for r in by_step[s].values()}
+        assert len(vals) == 1
+        lls.append(vals.pop())
+    assert lls[0] > lls[1] > lls[2]
+    # step 1 starts from w=0: score = 0.5 exactly, so the bias
+    # gradient is mean(0.5 - y) and weight = -q6(grad) after lr=1
+    b1 = by_step[1]["bias"]
+    assert -1.0 < b1.grad6 < 1.0
+    assert abs(b1.weight6 + b1.grad6) < 2e-6
+
+
+def test_ab_test_srm_and_welch(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_ab_test
+    from glaciersgee_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = q_b_ab_test(spark, SF_SMOKE).collect()
+    assert rows
+    counts = {
+        (r.event_type, r.variant): r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", (F.col("user_id") % 2).cast("int").alias("variant"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_a == counts[(r.event_type, 0)]
+        assert r.n_b == counts[(r.event_type, 1)]
+        chi2 = (r.n_a - r.n_b) ** 2 / (r.n_a + r.n_b)
+        assert abs(r.srm_chi2_6 - round(chi2, 6)) < 1e-6
+        assert r.srm_flag == (chi2 > 3.841)
+        # t statistic sign follows the mean difference
+        if r.mean_b6 != r.mean_a6:
+            assert (r.t_welch6 > 0) == (r.mean_b6 > r.mean_a6)
