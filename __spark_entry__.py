@@ -221,6 +221,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_e_perplexity", "q_e_domain_cap", "q_e_blocklist_score",
     "q_e_pack_audit", "q_b_cache_table", "q_e_holt_winters",
     "q_e_logreg_train", "q_b_ab_test",
+    "q_e_kn_bigram", "q_b_retention_cohort",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

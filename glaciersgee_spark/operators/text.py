@@ -2659,3 +2659,158 @@ def q_e_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_kn_bigram (round 8)
+# ---------------------------------------------------------------------------
+
+# Interpolated Kneser-Ney, absolute discount D = 0.75: the canonical
+# LM smoothing (Kneser & Ney 1995; Chen & Goodman 1998's benchmark
+# winner). P(w2|w1) = max(c12-D,0)/c1 + D*N1p(w1,.)/c1 * Pcont(w2),
+# Pcont(w2) = N1p(.,w2)/N1p(.,.) — the continuation probability that
+# ranks "Francisco" low despite high unigram count because it
+# follows only "San".
+_KN_D = "0.75"
+
+# (source, prev, cur) bigram counts feed five branches (types -> c1 /
+# cont / tot, plus the lp join); Catalyst has no cross-branch subtree
+# reuse, so the frame persists app-scoped (the _ST_CACHE convention,
+# released via clear_caches).
+_KN_BG_CACHE: dict[tuple[str, str], "DataFrame"] = register_cache({})
+
+
+@query(
+    "q_e_kn_bigram",
+    oracle=f"""
+    WITH bg AS (
+      SELECT source, prev, cur, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT source,
+               unnest(string_split(text, ' ')) AS prev,
+               string_split(text, ' ')[
+                 generate_subscripts(string_split(text, ' '), 1) + 1
+               ] AS cur
+        FROM documents
+      ) t WHERE cur IS NOT NULL GROUP BY source, prev, cur
+    ),
+    types AS (
+      SELECT prev, cur, CAST(SUM(n) AS BIGINT) AS c12
+      FROM bg GROUP BY prev, cur
+    ),
+    c1 AS (SELECT prev, CAST(SUM(c12) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS fanout
+           FROM types GROUP BY prev),
+    cont AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS fanin
+             FROM types GROUP BY cur),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM types),
+    lp AS (
+      SELECT bg.source, bg.n,
+             round(ln(greatest(CAST(t.c12 AS DOUBLE) - {_KN_D}, 0.0)
+                        / c1.c1
+                      + {_KN_D} * c1.fanout / c1.c1
+                        * (CAST(cont.fanin AS DOUBLE) / tot.n_types)), 6)
+               AS lp6
+      FROM bg
+      JOIN types t ON bg.prev = t.prev AND bg.cur = t.cur
+      JOIN c1 ON bg.prev = c1.prev
+      JOIN cont ON bg.cur = cont.cur
+      CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           -({dsum('CAST(n AS DOUBLE) * lp6')}) / SUM(n) AS xent_nats,
+           floor(exp(-({dsum('CAST(n AS DOUBLE) * lp6')}) / SUM(n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ppl6
+    FROM lp GROUP BY source ORDER BY source
+    """,
+)
+def q_e_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per source (round 8):
+    the canonical LM smoothing — absolute discount D = 0.75 with the
+    CONTINUATION-probability back-off (how many distinct contexts a
+    word follows, not how often it occurs) that interpolation
+    (q_e_bigram_lm) and Laplace back-off (q_e_perplexity) both lack;
+    Chen & Goodman 1998's benchmark winner, reported as per-source
+    cross-entropy and perplexity of the corpus under its own KN
+    model. Reads as the fluency-prior upgrade: a source whose KN ppl
+    diverges from its interpolated ppl is exactly one leaning on
+    high-frequency-but-context-bound tokens.
+
+    Scale shape: one combinable (source, prev, cur) count shuffle —
+    the same any bigram LM pays; every derived table (bigram types,
+    context counts+fanout, continuation fanin, the 1-row type total)
+    is vocab- or vocab²-bounded and corpus-size-independent; the
+    per-type ln rounds 6 dp, n·lp products are exact, and the rollup
+    runs through exact decimal with the closing exp on the shared
+    half-up lattice."""
+    d = load_table(spark, sf_dir, "documents")
+    _pairs = (
+        "explode(zip_with("
+        "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+        "(x, y) -> struct(x AS prev, y AS cur)))"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    bg = _KN_BG_CACHE.get(key)
+    if bg is None:
+        bg = (
+            d.select("source", F.expr(_pairs).alias("s"))
+            .select("source", "s.prev", "s.cur")
+            .groupBy("source", "prev", "cur")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .persist()
+        )
+        _KN_BG_CACHE[key] = bg
+    types = bg.groupBy("prev", "cur").agg(
+        F.sum("n").cast("long").alias("c12")
+    )
+    c1 = types.groupBy("prev").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("fanout"),
+    )
+    cont = types.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("long").alias("fanin")
+    )
+    tot = types.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    lp = (
+        bg.join(types, ["prev", "cur"])
+        .join(F.broadcast(c1), "prev")
+        .join(F.broadcast(cont.withColumnRenamed("cur", "cur_")),
+              F.col("cur") == F.col("cur_"))
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.round(
+                F.log(
+                    F.greatest(
+                        F.col("c12").cast("double") - 0.75, F.lit(0.0)
+                    )
+                    / F.col("c1")
+                    + F.lit(0.75)
+                    * F.col("fanout")
+                    / F.col("c1")
+                    * (F.col("fanin").cast("double") / F.col("n_types"))
+                ),
+                6,
+            ).alias("lp6"),
+        )
+    )
+    neg_xent = F.expr(dsum("CAST(n AS DOUBLE) * lp6"))
+    out = (
+        lp.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            (-neg_xent / F.sum("n")).alias("xent_nats"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "xent_nats",
+            (
+                F.floor(F.exp("xent_nats") * 1000000.0 + 0.5) / 1000000.0
+            ).alias("ppl6"),
+        )
+        .orderBy("source")
+    )
+    return out

@@ -2381,3 +2381,96 @@ def q_b_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("srm_chi2_6"),
         (chi2 > 3.841).alias("srm_flag"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q_b_retention_cohort (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_retention_cohort",
+    oracle="""
+    WITH acts AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    origin AS (SELECT MIN(day) AS d0 FROM acts),
+    firsts AS (
+      SELECT user_id,
+             CAST(date_diff('day', o.d0, MIN(a.day)) // 7 AS BIGINT)
+               AS cohort_wk
+      FROM acts a CROSS JOIN origin o GROUP BY user_id, o.d0
+    ),
+    weekly AS (
+      SELECT DISTINCT a.user_id,
+             CAST(date_diff('day', o.d0, a.day) // 7 AS BIGINT) AS wk
+      FROM acts a CROSS JOIN origin o
+    ),
+    sizes AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_wk
+    ),
+    cells AS (
+      SELECT f.cohort_wk, w.wk - f.cohort_wk AS offset_wk,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM weekly w JOIN firsts f ON w.user_id = f.user_id
+      GROUP BY f.cohort_wk, w.wk - f.cohort_wk
+    )
+    SELECT c.cohort_wk, c.offset_wk, c.n_active, s.cohort_size,
+           CAST(c.n_active * 1000000 // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM cells c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+    ORDER BY c.cohort_wk, c.offset_wk
+    """,
+)
+def q_b_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (round 8): users grouped by their
+    first-seen week, each cohort's share still active 0, 1, 2, …
+    weeks later — THE product-analytics table (offset 0 is 100% by
+    construction; the decay down each row is the retention curve,
+    comparing rows isolates product change from cohort mix). Joins
+    the behavioral family: q_b_growth_curve counts arrivals,
+    q_b_funnel orders in-session steps, q_b_survival_km times one
+    conversion, this op tracks RECURRING activity.
+
+    Scale shape: the raw log collapses immediately to distinct
+    (user, day) then (user, week) — combinable, the only corpus-
+    proportional shuffles, both on user_id so the firsts⋈weekly join
+    is co-partitioned; the week origin is a 1-row broadcast (no
+    driver scalar); the triangle itself is |weeks|² rows. Integer
+    ppm arithmetic; no windows, no floats."""
+    e = load_table(spark, sf_dir, "events")
+    acts = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    origin = acts.agg(F.min("day").alias("d0"))
+    with_o = acts.join(F.broadcast(origin))
+    weekly = with_o.select(
+        "user_id",
+        F.expr("CAST(datediff(day, d0) div 7 AS BIGINT)").alias("wk"),
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk")
+    )
+    sizes = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        weekly.join(firsts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "offset_wk",
+            "n_active",
+            "cohort_size",
+            F.expr(
+                "CAST(n_active * 1000000 div cohort_size AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+        .orderBy("cohort_wk", "offset_wk")
+    )

@@ -3625,3 +3625,82 @@ def test_ab_test_srm_and_welch(spark):
         # t statistic sign follows the mean difference
         if r.mean_b6 != r.mean_a6:
             assert (r.t_welch6 > 0) == (r.mean_b6 > r.mean_a6)
+
+
+def test_kn_bigram_scores(spark):
+    import math
+
+    from glaciersgee_spark.operators.text import q_e_kn_bigram
+
+    rows = q_e_kn_bigram(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.xent_nats > 0.0
+        assert abs(
+            r.ppl6
+            - math.floor(math.exp(r.xent_nats) * 1000000.0 + 0.5) / 1000000.0
+        ) < 1e-12
+        # a self-scored KN bigram model beats uniform over the 31-token
+        # vocabulary by a wide margin
+        assert 1.0 < r.ppl6 < 31.0
+        assert r.n_bigrams > 0
+
+
+def test_kn_prob_normalizes_per_context(spark):
+    """Interpolated KN is a proper distribution: summing P(w2|w1) over
+    the observed followers plus the unseen mass must stay <= 1 for
+    every context (the discount D frees exactly the continuation
+    mass)."""
+    import pyspark.sql.functions as F
+
+    from glaciersgee_spark.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pairs = d.select(
+        F.expr(
+            "explode(zip_with("
+            "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+            "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+            "(x, y) -> struct(x AS prev, y AS cur)))"
+        ).alias("s")
+    ).select("s.prev", "s.cur")
+    types = pairs.groupBy("prev", "cur").count()
+    rows = types.collect()
+    from collections import defaultdict
+
+    c1 = defaultdict(int)
+    fanout = defaultdict(int)
+    fanin = defaultdict(int)
+    for r in rows:
+        c1[r.prev] += r["count"]
+        fanout[r.prev] += 1
+        fanin[r.cur] += 1
+    n_types = len(rows)
+    by_prev = defaultdict(list)
+    for r in rows:
+        by_prev[r.prev].append(r)
+    for prev, rs in by_prev.items():
+        seen = sum(
+            max(r["count"] - 0.75, 0.0) / c1[prev]
+            + 0.75 * fanout[prev] / c1[prev] * (fanin[r.cur] / n_types)
+            for r in rs
+        )
+        assert seen <= 1.0 + 1e-9, (prev, seen)
+
+
+def test_retention_cohort_triangle(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_retention_cohort
+
+    rows = q_b_retention_cohort(spark, SF_SMOKE).collect()
+    assert rows
+    max_wk = max(r.cohort_wk + r.offset_wk for r in rows)
+    for r in rows:
+        assert r.offset_wk >= 0
+        assert 0 < r.n_active <= r.cohort_size
+        assert r.retention_ppm == r.n_active * 1000000 // r.cohort_size
+        # triangle shape: no cell can reach past the last observed week
+        assert r.cohort_wk + r.offset_wk <= max_wk
+    # offset 0 is 100% by construction (first week counts as active)
+    for r in rows:
+        if r.offset_wk == 0:
+            assert r.retention_ppm == 1000000
