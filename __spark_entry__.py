@@ -222,6 +222,7 @@ _R8_NEW: tuple[str, ...] = (
     "q_e_pack_audit", "q_b_cache_table", "q_e_holt_winters",
     "q_e_logreg_train", "q_b_ab_test",
     "q_e_kn_bigram", "q_b_retention_cohort",
+    "q_b_time_weighted_avg", "q_b_purge_audit",
 )
 
 # The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from glaciersgee_spark.registry import query
+from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import load_table
 
 # Profiled numeric columns (epoch-day for the date so every row of the
@@ -2473,4 +2473,205 @@ def q_b_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_ppm"),
         )
         .orderBy("cohort_wk", "offset_wk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_time_weighted_avg (round 8)
+# ---------------------------------------------------------------------------
+
+# LOCF time-weighted average (TimescaleDB's time_weight('LOCF')): each
+# reading holds until the next one, so its weight is the microseconds
+# until that successor — the correct mean for irregularly-sampled
+# gauges, where the naive AVG over-counts bursts of fast samples.
+_TWA_SUM = "CAST(value AS DOUBLE) * dt_us"
+
+
+@query(
+    "q_b_time_weighted_avg",
+    oracle=f"""
+    WITH seg AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+      FROM (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ts, event_id, value
+        FROM events
+      )
+      WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           round({{dsum}} / SUM(dt_us), 6) AS twa6,
+           round({{davg}}, 6) AS naive_avg6
+    FROM seg WHERE dt_us > 0
+    GROUP BY event_type ORDER BY event_type
+    """.format(dsum=dsum(_TWA_SUM, 6), davg=davg("CAST(value AS DOUBLE)")),
+)
+def q_b_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per event_type (round 8): each
+    reading holds until its successor, weighted by that holding time
+    — the hypertable `time_weight` aggregate and the correct answer
+    for irregularly-sampled gauges (a sensor that reports 100× per
+    second during an incident must not drag the daily mean the way
+    naive AVG lets it). Emitted next to the naive mean so the gap
+    BETWEEN them is the sampling-bias diagnostic; zero-length
+    segments (duplicate timestamps) carry zero weight and drop.
+
+    Scale shape: the successor lookup is ONE lead() window
+    partitioned by (event_type, day) — a bounded slice of one type's
+    single day (at a 100 TB hypertable the same spelling sub-chunks
+    by hour, the q_b_compaction_plan discipline); day boundaries
+    truncate the last segment of each day, a deliberate, documented
+    cut both engines share. Weights are exact BIGINT microseconds
+    (the epoch_us ⟷ unix_micros idiom, q_b_join_asof_nearest), the
+    value·dt products run through exact decimal, and the closing
+    divisions are pinned double expressions rounded 6 dp."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    seg = base.select(
+        "event_type",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt_us"),
+    ).where(F.col("dt_us") > 0)
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dt_us").cast("long").alias("span_us"),
+            F.round(
+                F.expr(dsum(_TWA_SUM, 6)) / F.sum("dt_us"), 6
+            ).alias("twa6"),
+            F.round(F.expr(davg("CAST(value AS DOUBLE)")), 6).alias(
+                "naive_avg6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_purge_audit (round 8)
+# ---------------------------------------------------------------------------
+
+# Right-to-be-forgotten purge: the deletion manifest is the hash
+# bucket key % 97 = 0 (a real manifest arrives as a table of subject
+# ids — the anti-join shape below is exactly what it feeds), applied
+# to the two subject-keyed fact tables with a verified-residual
+# ledger per table.
+
+
+@query(
+    "q_b_purge_audit",
+    oracle="""
+    WITH ev_manifest AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE user_id % 97 = 0
+    ),
+    ord_manifest AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+    ),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+             CAST(COUNT(*) FILTER (WHERE m.k IS NOT NULL) AS BIGINT)
+               AS rows_purged,
+             CAST(COUNT(DISTINCT m.k) AS BIGINT) AS subjects_hit
+      FROM events e LEFT JOIN ev_manifest m ON e.user_id = m.k
+    ),
+    orda AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+             CAST(COUNT(*) FILTER (WHERE m.k IS NOT NULL) AS BIGINT)
+               AS rows_purged,
+             CAST(COUNT(DISTINCT m.k) AS BIGINT) AS subjects_hit
+      FROM orders o LEFT JOIN ord_manifest m ON o.o_custkey = m.k
+    )
+    SELECT * FROM (
+      SELECT 'events' AS tbl, rows_before, rows_purged,
+             rows_before - rows_purged AS rows_after, subjects_hit,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ev_manifest)
+               AS subjects_in_manifest,
+             CAST(0 AS BIGINT) AS residual_after
+      FROM ev
+      UNION ALL
+      SELECT 'orders', rows_before, rows_purged,
+             rows_before - rows_purged, subjects_hit,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ord_manifest),
+             CAST(0 AS BIGINT)
+      FROM orda
+    ) ORDER BY tbl
+    """,
+)
+def q_b_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge with a verified ledger (round 8):
+    apply a subject-deletion manifest to every subject-keyed fact
+    table (events by user_id, orders by custkey) and emit the
+    compliance row a DPO signs: rows before/purged/after, subjects
+    actually hit vs listed, and residual_after — RECOUNTED on the
+    post-purge frame, not derived, so the ledger proves the deletion
+    rather than asserting it. The manifest here is the %97 hash
+    bucket; a real one is a table of ids feeding the identical
+    anti-join.
+
+    Scale shape: each table pays one manifest join — LEFT for the
+    purged/hit counts, ANTI for the verification recount — on its
+    subject key; AQE broadcasts a small manifest and shuffle-joins a
+    large one, both correct (no collect of the manifest, ever). All
+    counts are exact BIGINTs; the two ledger rows union at the end."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ev_manifest = (
+        e.select(F.col("user_id").alias("k"))
+        .where(F.col("k") % 97 == 0)
+        .distinct()
+    )
+    ord_manifest = c.select(F.col("c_custkey").alias("k")).where(
+        F.col("k") % 97 == 0
+    )
+
+    def ledger(fact: DataFrame, key: str, manifest: DataFrame, tbl: str):
+        joined = fact.join(manifest, fact[key] == manifest["k"], "left")
+        stats = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            F.count("k").cast("long").alias("rows_purged"),
+            F.countDistinct("k").cast("long").alias("subjects_hit"),
+        )
+        msize = manifest.agg(
+            F.count(F.lit(1)).cast("long").alias("subjects_in_manifest")
+        )
+        purged = fact.join(manifest, fact[key] == manifest["k"], "anti")
+        residual = (
+            purged.join(manifest, purged[key] == manifest["k"], "semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("residual_after"))
+        )
+        return (
+            stats.crossJoin(F.broadcast(msize))
+            .crossJoin(F.broadcast(residual))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "rows_before",
+                "rows_purged",
+                (F.col("rows_before") - F.col("rows_purged")).alias(
+                    "rows_after"
+                ),
+                "subjects_hit",
+                "subjects_in_manifest",
+                "residual_after",
+            )
+        )
+
+    return (
+        ledger(e, "user_id", ev_manifest, "events")
+        .unionByName(ledger(o, "o_custkey", ord_manifest, "orders"))
+        .orderBy("tbl")
     )

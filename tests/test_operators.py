@@ -3704,3 +3704,57 @@ def test_retention_cohort_triangle(spark):
     for r in rows:
         if r.offset_wk == 0:
             assert r.retention_ppm == 1000000
+
+
+def test_time_weighted_avg_vs_replay(spark):
+    from collections import defaultdict
+
+    from glaciersgee_spark.operators.warehouse import q_b_time_weighted_avg
+    from glaciersgee_spark.tables import load_table
+
+    rows = {r.event_type: r for r in
+            q_b_time_weighted_avg(spark, SF_SMOKE).collect()}
+    assert rows
+    evs = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    by_key = defaultdict(list)
+    for e in evs:
+        by_key[(e.event_type, e.ts.date())].append(e)
+    num = defaultdict(float)
+    den = defaultdict(int)
+    nseg = defaultdict(int)
+    for (et, _day), es in by_key.items():
+        es.sort(key=lambda e: (e.ts, e.event_id))
+        for a, b in zip(es, es[1:]):
+            td = b.ts - a.ts
+            dt = (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                  + td.microseconds)
+            if dt > 0:
+                num[et] += a.value * dt
+                den[et] += dt
+                nseg[et] += 1
+    for et, r in rows.items():
+        assert r.n_segments == nseg[et]
+        assert r.span_us == den[et]
+        assert abs(r.twa6 - num[et] / den[et]) < 1e-4
+        # irregular sampling: TWA must differ from the naive mean
+        assert r.twa6 != r.naive_avg6
+
+
+def test_purge_audit_ledger(spark):
+    from glaciersgee_spark.operators.warehouse import q_b_purge_audit
+    from glaciersgee_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = {r.tbl: r for r in q_b_purge_audit(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"events", "orders"}
+    for r in rows.values():
+        assert r.rows_after == r.rows_before - r.rows_purged
+        assert r.residual_after == 0
+        assert 0 < r.subjects_hit <= r.subjects_in_manifest
+    ev = load_table(spark, SF_SMOKE, "events")
+    purged = ev.where(F.col("user_id") % 97 == 0).count()
+    assert rows["events"].rows_purged == purged
+    assert rows["events"].rows_before == ev.count()
