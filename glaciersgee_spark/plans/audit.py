@@ -146,6 +146,17 @@ HEADLINERS = [
     ("q_b_sql_params", "named sql() parameters constant-fold; both predicates reach the scan as pushed filters (r8)"),
     ("q_f_udtf_arrow", "useArrow UDTF: ArrowEvalPythonUDTF boundary, scan-side filter below it (r8)"),
     ("q_b_dist_moments", "four exact power sums in ONE combinable groupBy; five numbers per group cross the shuffle (r8)"),
+    ("q_e_blocklist_score", "hit count is a higher-order array lambda on the scan — no Generate, no Python; one combinable rollup (r8)"),
+    ("q_e_domain_cap", "ONE host-key shuffle; rank window partitioned BY HOST so every partition is one domain's docs (r8)"),
+    ("q_e_perplexity", "held/train halves collapse to vocab^2 pair-count frames; co-partitioned pair join, unigram broadcast x2 (r8)"),
+    ("q_e_pack_audit", "per-source two-phase prefix sum: per-chunk windows parallel, global pass over chunk totals only (r8)"),
+    ("q_b_cache_table", "second read serves the dim from the columnar In-memory table, not parquet (r8)"),
+    ("q_e_logreg_train", "3 GD rounds = 3 combinable aggregates over the persisted feature frame; driver holds 6 doubles per round (r8)"),
+    ("q_b_ab_test", "one combinable groupBy(event_type, variant); Welch/SRM close on the bounded arm frame (r8)"),
+    ("q_e_kn_bigram", "one (source, prev, cur) count shuffle; five vocab-bounded derived tables, bigram frame persisted app-scoped (r8)"),
+    ("q_b_retention_cohort", "log collapses to distinct (user, week); firsts-weekly join co-partitioned on user_id; origin is a 1-row broadcast (r8)"),
+    ("q_b_time_weighted_avg", "one lead() window over bounded (type, day) slices; exact BIGINT microsecond weights (r8)"),
+    ("q_b_purge_audit", "left + anti + semi manifest joins; manifest never collected, AQE picks broadcast (r8)"),
 ]
 
 
