@@ -2203,7 +2203,7 @@ def q_b_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.region, d.nation,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
              AS total_acctbal
     FROM customer c JOIN dim d ON c.c_nationkey = d.n_nationkey
     GROUP BY d.region, d.nation
@@ -2238,9 +2238,12 @@ def q_b_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     view = "ggee_dim_nation_region"
+    # uncache BEFORE replacing the view: replacing first would orphan a
+    # previous sf tier's InMemoryRelation in the CacheManager (the
+    # entry is keyed by plan, not by name, so it would never be hit
+    # again yet never released)
+    spark.sql(f"UNCACHE TABLE IF EXISTS {view}")
     dim.createOrReplaceTempView(view)
-    if spark.catalog.isCached(view):
-        spark.catalog.uncacheTable(view)
     spark.catalog.cacheTable(view)
     spark.table(view).count()  # materialize the columnar cache eagerly
     c = load_table(spark, sf_dir, "customer")
@@ -2252,7 +2255,7 @@ def q_b_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_acctbal"),
         )
         .orderBy("region", "nation")
