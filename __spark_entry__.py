@@ -6,20 +6,18 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 
 Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
-the least driver-side evidence are rotated to the front. Round-8
-rotation (CORRECTNESS_r07: 50/50 green — the whole r7 front — so
-cumulative driver coverage is COMPLETE at 328/328 and freshness is now
-the metric, VERDICT r7 item 1): the front is (a) the 3 r1-r2 rechecks
-displaced by late round-7 additions (_R8_RECHECK), then (b) the entire
-48-op cohort whose latest green rows date to ROUND 1 (_R1_COHORT —
-relational.py's scan/join/agg core and etl.py's Group A core, the two
-most-edited files since) — 51 names, so the 50-row cap leaves exactly
-one (q_a_trend_slope, the tail entry) heading the round-9 queue.
-Round-8 additions (_R8_NEW) queue immediately behind the front; their
-first-time driver evidence lands in round 9, the same one-round lag
-every prior wave took (they are covered by local parity at both SFs
-this round). The r2-evidence cohort (31 remaining ops) follows them
-for round-9/10 refresh via the _STALE_R2 block. Local parity
+the least driver-side evidence are rotated to the front. Round-9
+rotation (CORRECTNESS_r08: 50/50 green — the whole r8 front, i.e. the
+3 rechecks + 47 of the 48-op r1-evidence cohort — exactly the front
+VERDICT r8 asked for): the front is (a) ``q_a_trend_slope``, the one
+r1-evidence straggler the 50-row cap left behind last round, then
+(b) the first 49 of the 73 round-8 additions (_R8_NEW) in their
+registry order — their first-time driver rows, landing on the
+documented one-round evidence lag. The remaining 24 _R8_NEW names and
+the 31 r2-evidence ops (_STALE_R2) queue immediately behind for the
+round-10 refresh (after which no op's latest evidence predates r3,
+VERDICT r8 item 1's completion bar). Round-9 additions (_R9_NEW)
+queue behind those with the same one-round lag. Local parity
 (tests/run_parity.py) covers the full inventory at sf0.01 AND sf0.1
 every round regardless of the driver cap (the registry itself is the
 count of record).
@@ -161,43 +159,17 @@ _DRIVER_VERIFIED |= {
     "q_e_sim_topk_lsh", "q_e_sim_topk_ivf",
 }
 
-# The 3 r1-r2 rechecks the round-7 rotation displaced (promised for
-# round 8 in the r7 rotation docstring) — dedup.py/similarity.py ops
-# whose green rows predate five rounds of edits to their files.
-_R8_RECHECK: tuple[str, ...] = (
-    "q_e_kmeans_iter", "q_e_semdedup", "q_e_dedup_exact",
-)
+# Went green in round 8 (CORRECTNESS_r08.json: 50/50 rows+schema+hash
+# all true — the whole r8 front: the 3 r1-r2 rechecks plus 47 of the
+# 48-op r1-evidence cohort). All 50 names were already in the r1-r4
+# fold above, so this re-fold is a freshness note, not a set change;
+# the one cohort member the cap excluded (q_a_trend_slope) heads the
+# round-9 front below.
 
-# Every op whose LATEST green driver row dates to ROUND 1
-# (CORRECTNESS_r01.json) — relational.py's scan/join/agg core first
-# (the most-edited file in the repo: +2,800 lines since r1), then
-# etl.py/spatial.py's Group A core. 48 ops; with the 3 rechecks above
-# the front is 51 names and the driver's 50-row cap leaves the tail
-# entry (q_a_trend_slope) heading the round-9 queue.
-_R1_COHORT: tuple[str, ...] = (
-    # relational.py (r1 evidence)
-    "q_b_scan_parquet", "q_b_scan_json", "q_b_scan_csv",
-    "q_b_sink_partitioned", "q_b_project", "q_b_filter_complex",
-    "q_b_join_inner", "q_b_join_left", "q_b_join_right", "q_b_join_full",
-    "q_b_join_semi", "q_b_join_anti", "q_b_join_broadcast",
-    "q_b_join_bucketed", "q_b_join_theta", "q_b_join_range",
-    "q_b_join_asof", "q_b_join_cross", "q_b_join_salted",
-    "q_b_agg_hash", "q_b_agg_distinct", "q_b_agg_salted",
-    "q_b_grouping_sets", "q_b_having", "q_b_sort", "q_b_limit_topk",
-    "q_b_topk_pergroup", "q_b_union", "q_b_intersect_except",
-    # etl.py / spatial.py (r1 evidence)
-    "q_a_filter_date", "q_a_filter_meta", "q_a_filter_bounds",
-    "q_a_sort_first", "q_a_best_per_group", "q_a_composite_agg",
-    "q_a_scene_count_hist", "q_a_props_extract", "q_a_join_aoi",
-    "q_a_distinct_scenes", "q_a_date_features", "q_a_gap_detect",
-    "q_a_export_manifest", "q_a_ingest_log", "q_a_qa_bitmask",
-    "q_a_rollup_multires", "q_a_revisit_stats", "q_a_scene_streak",
-    "q_a_trend_slope",
-)
-
-# New in round 8 — queued immediately behind the stale-evidence front
-# (the same one-round evidence lag every prior wave took); first-time
-# driver rows land in round 9.
+# New in round 8 — first-time driver rows land across rounds 9-10
+# (the same one-round evidence lag every prior wave took); covered by
+# local parity at both SFs since round 8 and re-verified by the r8
+# judge (73/73, VERDICT.md).
 _R8_NEW: tuple[str, ...] = (
     "q_d_stream_outer_join", "q_e_ivf_persist", "q_e_bpe_train",
     "q_b_scan_pysource_filters", "q_e_bpe_fertility", "q_b_sql_pipe",
@@ -225,8 +197,8 @@ _R8_NEW: tuple[str, ...] = (
     "q_b_time_weighted_avg", "q_b_purge_audit",
 )
 
-# The 31 remaining r2-evidence ops (34 minus the 3 in _R8_RECHECK) —
-# the round-9/10 refresh queue, oldest evidence after the r1 cohort.
+# The 31 remaining r2-evidence ops — the round-10 refresh queue,
+# oldest evidence after the _R8_NEW tail once round 9's rows land.
 _STALE_R2: tuple[str, ...] = (
     "q_b_agg_approx", "q_b_agg_collect", "q_e_ann_recall",
     "q_e_cluster_balance", "q_e_cross_dedup", "q_e_curation_funnel",
@@ -241,6 +213,21 @@ _STALE_R2: tuple[str, ...] = (
     "q_e_text_tokens",
 )
 
+# New in round 9 — appended as they land; queue behind the round-10
+# refresh with the standard one-round evidence lag.
+_R9_NEW: tuple[str, ...] = (
+    "q_e_ivfpq_persist",
+)
+
+# Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +
+# the first 49 _R8_NEW names — exactly the driver's 50-row cap.
+_R9_FRONT: tuple[str, ...] = ("q_a_trend_slope",) + _R8_NEW[:49]
+
+# Round-10 queue: the 24 remaining _R8_NEW + the 31 r2-evidence ops
+# (55 names — one disciplined rotation plus change clears them; after
+# that no op's latest evidence predates r3).
+_R10_QUEUE: tuple[str, ...] = _R8_NEW[49:] + _STALE_R2
+
 _V = TypeVar("_V")
 
 
@@ -249,9 +236,7 @@ def _rotated(d: dict[str, _V]) -> dict[str, _V]:
 
     front = {
         n: i
-        for i, n in enumerate(
-            _R8_RECHECK + _R1_COHORT + _R8_NEW + _STALE_R2
-        )
+        for i, n in enumerate(_R9_FRONT + _R10_QUEUE + _R9_NEW)
     }
 
     def prio(n: str) -> tuple[int, int]:

@@ -3639,12 +3639,21 @@ _FK_GATES = """tf AS (
       FROM gates
     )"""
 
-_FK_METRIC = """CAST(n_agree * 1000000 // n AS BIGINT) AS po_ppm,
-           CAST((c_a * c_b + (n - c_a) * (n - c_b)) * 1000000 // (n * n)
-                AS BIGINT) AS pe_ppm,
-           CAST((n_agree * n - c_a * c_b - (n - c_a) * (n - c_b)) * 1000000
-                // NULLIF(n * n - c_a * c_b - (n - c_a) * (n - c_b), 0)
-                AS BIGINT) AS kappa_ppm"""
+# The three kappa metrics as a LIST of per-column expressions with a
+# {div} placeholder (// for DuckDB, DIV for Spark) — the single source
+# both engines render from. Deliberately NOT one formatted SQL blob
+# split back apart (ADVICE r8: an inner ',\\n' from reformatting would
+# silently mis-split into invalid selectExpr fragments).
+_FK_METRICS: tuple[str, ...] = (
+    "CAST(n_agree * 1000000 {div} n AS BIGINT) AS po_ppm",
+    "CAST((c_a * c_b + (n - c_a) * (n - c_b)) * 1000000 {div} (n * n)"
+    " AS BIGINT) AS pe_ppm",
+    "CAST((n_agree * n - c_a * c_b - (n - c_a) * (n - c_b)) * 1000000"
+    " {div} NULLIF(n * n - c_a * c_b - (n - c_a) * (n - c_b), 0)"
+    " AS BIGINT) AS kappa_ppm",
+)
+
+_FK_METRIC = ",\n           ".join(m.format(div="//") for m in _FK_METRICS)
 
 
 @query(
@@ -3738,10 +3747,8 @@ def q_e_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    metric = _FK_METRIC.replace("//", "DIV")
-    return pairs.selectExpr("pair", "n", "n_agree", *metric.split(",\n")).orderBy(
-        "pair"
-    )
+    metrics = [m.format(div="DIV") for m in _FK_METRICS]
+    return pairs.selectExpr("pair", "n", "n_agree", *metrics).orderBy("pair")
 
 
 # ---------------------------------------------------------------------------

@@ -3075,7 +3075,8 @@ def q_b_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.antecedent, p.consequent, p.n_both,
            CAST(p.n_both * 1000000 // n.n_users AS BIGINT) AS support_ppm,
            CAST(p.n_both * 1000000 // ia.c AS BIGINT) AS confidence_ppm,
-           CAST(p.n_both * n.n_users * 1000000 // (ia.c * ic.c) AS BIGINT)
+           CAST(CAST(p.n_both AS HUGEINT) * n.n_users * 1000000
+                // (CAST(ia.c AS HUGEINT) * ic.c) AS BIGINT)
              AS lift_ppm
     FROM pairs p
     JOIN items ia ON ia.event_type = p.antecedent
@@ -3095,9 +3096,17 @@ def q_b_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_b_funnel's ORDERED sequence: funnel asks "in this order", rules
     ask "at all, together".
 
-    Exactness: all three metrics are exact BIGINT ppm (integer DIV;
-    denominators are item supports, structurally > 0 since every pair
-    member IS an item). Scale: the basket frame is one combinable
+    Exactness: all three metrics are exact integer ppm (truncating
+    integer division on positive operands; denominators are item
+    supports, structurally > 0 since every pair member IS an item).
+    The lift numerator n_both * n_users * 1e6 would overflow BIGINT
+    once ~3M+ users share a pair (n_both * n_users > ~9.2e12), so it
+    runs in 128-bit intermediates in BOTH engines: DECIMAL(38,0) DIV
+    on the Spark side, HUGEINT // on the DuckDB side — both are exact
+    truncating division (verified bit-identical on 9e24/63-scale
+    inputs; DuckDB's DECIMAL // is NOT usable here, it detours
+    through double). Headroom is now ~1e38: safe past any plausible
+    user count. Scale: the basket frame is one combinable
     DISTINCT; the self-join key is user_id, so per-user fan-out is
     bounded by the event-type VOCABULARY squared (|types|² pairs/user,
     never O(events²)); item counts and the user total ride broadcast
@@ -3147,7 +3156,8 @@ def q_b_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "confidence_ppm"
             ),
             F.expr(
-                "CAST(n_both * n_users * 1000000 DIV (c_a * c_c) AS BIGINT)"
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000"
+                " DIV (CAST(c_a AS DECIMAL(38,0)) * c_c) AS BIGINT)"
             ).alias("lift_ppm"),
         )
         .orderBy("antecedent", "consequent")

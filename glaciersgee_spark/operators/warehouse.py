@@ -1954,7 +1954,7 @@ def q_b_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT flag, CAST(n AS BIGINT) AS n_rows,
            round(s1 / n, 6) AS mean6,
            round(sqrt(m2n2) / n, 6) AS stddev6,
-           round(m3n3 / pow(m2n2, 1.5), 6) AS skew6,
+           round(m3n3 / (m2n2 * sqrt(m2n2)), 6) AS skew6,
            round(m4n4 / (m2n2 * m2n2) - 3.0, 6) AS exkurt6
     FROM c ORDER BY flag
     """,
@@ -1976,7 +1976,12 @@ def q_b_dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: S1..S4 are exact DECIMAL(38,0) integer sums
     (order-insensitive); each statistic is then ONE fixed-shape IEEE
     expression over their double casts, 6-dp-rounded — identical
-    trees in both engines. Headroom: S4 ≤ q⁴_max·rows keeps 38
+    trees in both engines. The m2^1.5 in the skewness denominator is
+    deliberately spelled m2n2 * sqrt(m2n2), NOT pow(m2n2, 1.5):
+    sqrt and multiply are correctly-rounded IEEE-754 ops bit-identical
+    across JVM and DuckDB libm, whereas pow is not correctly rounded
+    and a last-ulp divergence at a 6-dp rounding tie could break hash
+    parity (the repo-wide no-libm-pow/log-at-query-time convention). Headroom: S4 ≤ q⁴_max·rows keeps 38
     digits to ~1e31/q⁴_max rows; quantity ≤ 50 ⇒ ~1e24 rows. The
     double casts cost ~4 of 16 significant digits to cancellation at
     this scale — documented, and 6-dp outputs sit well inside what
@@ -2017,9 +2022,9 @@ def q_b_dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         F.round(F.col("s1") / F.col("n"), 6).alias("mean6"),
         F.round(F.sqrt(F.col("m2n2")) / F.col("n"), 6).alias("stddev6"),
-        F.round(F.col("m3n3") / F.pow(F.col("m2n2"), F.lit(1.5)), 6).alias(
-            "skew6"
-        ),
+        F.round(
+            F.col("m3n3") / (F.col("m2n2") * F.sqrt(F.col("m2n2"))), 6
+        ).alias("skew6"),
         F.round(
             F.col("m4n4") / (F.col("m2n2") * F.col("m2n2")) - 3.0, 6
         ).alias("exkurt6"),
