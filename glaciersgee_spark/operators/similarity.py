@@ -1017,6 +1017,32 @@ def _pq_lut6(q: str, c: str, s: int) -> str:
     )
 
 
+def _pq_lut6a(q: str, c: str, s: int, spark_dialect: bool = False) -> str:
+    """LUT entry for subspace s as an EXPLICIT left-associated 8-term
+    product sum, rendered for either dialect (1-based element access
+    in both: element_at in Spark, [] in DuckDB). Used by the
+    persisted-serve path, whose Spark side computes the LUT JVM-side
+    (no numpy) — an explicit identical expression tree in both engines
+    makes the sum bit-exact by construction, with no reliance on
+    list_sum/einsum fold orders agreeing at 6 dp."""
+    off = s * PQ_SUBDIM
+    if spark_dialect:
+        terms = [
+            f"CAST(element_at({q}, {off + j}) AS DOUBLE)"
+            f" * CAST(element_at({c}, {off + j}) AS DOUBLE)"
+            for j in range(1, PQ_SUBDIM + 1)
+        ]
+    else:
+        terms = [f"{q}[{off + j}] * {c}[{off + j}]" for j in range(1, PQ_SUBDIM + 1)]
+    return "round(" + " + ".join(terms) + ", 6)"
+
+
+# ADC close-out shared by both engines in the persisted-serve path:
+# left-associated sum of the 8 subspace LUT gathers, rounded 6 dp —
+# the same order the Arrow kernel accumulates in.
+_PQP_ADC = "round(" + " + ".join(f"l{s}" for s in range(PQ_M)) + ", 6)"
+
+
 def _pq_adc_kernel(e):
     """The ONE shared PQ/ADC Arrow kernel (q_e_sim_topk_pq and
     q_e_ivf_pq must stay bit-identical, so they call this instead of
@@ -3886,7 +3912,8 @@ def stage_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """BUILD phase of the persisted-IVF lifecycle: train (via the
     shared _kmt_train, so build/kmeans_train/ivf_trained can never
     desynchronize), then WRITE the index artifacts — the centroid
-    codebook and the cell-assignment posting lists — as parquet under
+    codebook, the cell-assignment posting lists, and (r9) the PQ
+    sub-codebook + per-vector 8-byte codes — as parquet under
     a corpus-fingerprinted path (the stage_event_chunks staging
     contract: mtime+size fingerprint, _READY marker, atomic rename, so
     a regenerated corpus rebuilds and concurrent sessions never see a
@@ -3901,10 +3928,13 @@ def stage_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     import uuid
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
+    # "i2" = artifact-set version (r9 added pq_codebook/pq_codes);
+    # bumping it makes pre-r9 staged dirs rebuild instead of serving
+    # a _READY dir that lacks the PQ artifacts.
     staged = os.path.join(
         tempfile.gettempdir(),
         "ggee_ivf_index",
-        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}_i2",
     )
     if os.path.exists(os.path.join(staged, "_READY")):
         return staged
@@ -3929,6 +3959,37 @@ def stage_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         .select("cid", "vec_id")
     )
     cell.write.mode("overwrite").parquet(f"{tmp}/postings")
+    # --- PQ artifacts (r9, VERDICT r8 item 2 — the FAISS IVFADC
+    # production shape): the 16-entry sub-codebook and the 8-byte
+    # code per vector, so a serving job can ADC-score candidates from
+    # codes alone (32× smaller than raw vectors) with zero training
+    # state. Codebook = the module's fixed PQ fixture (vec_id 1..16,
+    # the same rows every PQ op trains against); codes = argmin
+    # 6-dp sub-distance per subspace, first-min tie-break — the
+    # identical encode q_e_sim_topk_pq's kernel uses, so the
+    # persisted codes match the oracle's (d6, cid) rank derivation.
+    e.where(F.col("vec_id").between(1, PQ_K)).select(
+        F.col("vec_id").alias("pcid"), F.col("embedding").alias("cemb")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/pq_codebook")
+    crows = sorted(
+        e.where(F.col("vec_id").between(1, PQ_K))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    c_r = np.array([r.embedding for r in crows], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUBDIM
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _codes(emb: pd.Series) -> pd.Series:
+        v = _to_mat(emb).reshape(-1, PQ_M, PQ_SUBDIM)
+        d = np.round(((v[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6)
+        return pd.Series(list(d.argmin(axis=1) + 1))  # cid is 1-based
+
+    fan_out(e.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", _codes("embedding").alias("codes")
+    ).write.mode("overwrite").parquet(f"{tmp}/pq_codes")
     open(os.path.join(tmp, "_READY"), "w").close()
     try:
         os.rename(tmp, staged)
@@ -4033,6 +4094,185 @@ def q_e_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(rk))
         .where(F.col("rk") <= _RECALL_K)
         .select("qid", "rk", "vec_id", F.col("score").alias("score6"))
+        .orderBy("qid", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_ivfpq_persist (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    tc = f"c{KMT_ROUNDS + 1}"  # trained centroids, end of the shared chain
+    srange = f"(SELECT unnest(range(0, {PQ_M})) AS s) AS s"
+    dist_case = " ".join(
+        f"WHEN {s} THEN {_pq_dist6('v.ve', 'c.cv', s)}" for s in range(PQ_M)
+    )
+    lut_case = " ".join(
+        f"WHEN {s} THEN {_pq_lut6a('q.qvv', 'c.cv', s)}" for s in range(PQ_M)
+    )
+    parts_cols = ", ".join(
+        f"MAX(CASE WHEN k.s = {s} THEN l.l6 END) AS l{s}" for s in range(PQ_M)
+    )
+    return f"""
+    WITH {_kmt_chain()},
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT v.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} DESC,
+                                                  c.cid ASC) AS rk
+               FROM v, {tc} c) WHERE rk = 1),
+    qv AS (SELECT vec_id AS qid, ve AS qvv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    probe AS (SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY {_d_cos6('c.cve', 'q.qvv', 'c.cnrm', 'q.qn')} DESC,
+                                  c.cid ASC) AS rk
+                FROM {tc} c, qv q) WHERE rk <= {IVT_NPROBE}),
+    cand AS (SELECT p.qid, cell.vec_id
+             FROM cell JOIN probe p USING (cid)
+             WHERE cell.vec_id <> p.qid),
+    pqc AS (SELECT vec_id AS pcid, ve AS cv FROM v
+            WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    cvec AS (SELECT vec_id, ve FROM v
+             WHERE vec_id IN (SELECT DISTINCT vec_id FROM cand)),
+    dists AS (
+      SELECT v.vec_id, c.pcid, s.s,
+             CASE s.s {dist_case} END AS d6
+      FROM cvec v CROSS JOIN pqc c CROSS JOIN {srange}
+    ),
+    codes AS (SELECT vec_id, s, pcid FROM (
+                SELECT vec_id, s, pcid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d6 ASC, pcid ASC) AS rk
+                FROM dists) WHERE rk = 1),
+    lut AS (SELECT q.qid, c.pcid, s.s,
+                   CASE s.s {lut_case} END AS l6
+            FROM pqc c CROSS JOIN qv q CROSS JOIN {srange}),
+    parts AS (SELECT cd.qid, cd.vec_id, {parts_cols}
+              FROM cand cd
+              JOIN codes k ON k.vec_id = cd.vec_id
+              JOIN lut l ON l.qid = cd.qid AND l.pcid = k.pcid AND l.s = k.s
+              GROUP BY cd.qid, cd.vec_id)
+    SELECT qid, rk, vec_id, adc6 FROM (
+      SELECT qid, vec_id, {_PQP_ADC} AS adc6,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY {_PQP_ADC} DESC, vec_id ASC) AS rk
+      FROM parts
+    ) WHERE rk <= {_RECALL_K}
+    ORDER BY qid, rk
+    """
+
+
+@query("q_e_ivfpq_persist", oracle=_ivfpq_oracle())
+def q_e_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF+PQ serving — the FAISS IVFADC production shape
+    (round 9, VERDICT r8 item 2; Jégou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the build
+    job (stage_ivf_index) persists ALL FOUR index artifacts — coarse
+    centroids, cell postings, the PQ sub-codebook, and the 8-byte
+    code per vector — and THIS op is the serving job: it reads the
+    artifacts back with fresh parquet scans (no `_KMT_CACHE`, no
+    training lineage, pinned in tests/test_plans.py), probes the
+    top-2-of-8 cells per panel query against the read-back coarse
+    codebook, joins probed cells to the read-back postings for
+    candidates, and scores them by asymmetric-distance LUT gather
+    over the READ-BACK CODES — the raw vectors are never touched
+    after the probe stage. That is the full FAISS serving economics:
+    the query path reads 8 bytes per candidate instead of 256 (32×),
+    the 16×8-entry LUT is computed once per query from the persisted
+    sub-codebook, and a serving job needs zero training state.
+
+    Vs q_e_ivf_persist (which exact-re-ranks with full vectors), the
+    scored surface here is codes-only, so the result column is adc6 —
+    the approximation IS the product, exactly as deployed IVFADC
+    serves it. Determinism: LUT entries are explicit left-associated
+    8-term product sums rendered from ONE helper into both dialects
+    (_pq_lut6a — bit-exact by construction, no libm, no fold-order
+    reliance); the ADC close-out is the shared left-associated
+    _PQP_ADC; persisted codes come from the proven 6-dp argmin encode
+    (first-min tie ≡ the oracle's (d6, pcid) rank, the q_e_pq_recall
+    parity result). The oracle re-derives centroids via the unrolled
+    training chain and codes via the rank spelling, so parity proves
+    the whole artifact round-trip bit-lossless.
+
+    Scale: probe = |panel|×K broadcast rank; candidate fetch =
+    postings scan filtered to probed cells (partition pruning on a
+    cid-partitioned layout at 100 TB); ADC = codes scan joined to a
+    640-row broadcast LUT — pure JVM. The only Python boundary in the
+    serve plan is the probe's Arrow cosine over the K-row codebook
+    (bounded panel); the corpus-proportional scoring stage crosses no
+    Python at all."""
+    staged = stage_ivf_index(spark, sf_dir)
+    # ---- serve path: everything below reads ONLY the artifacts + tables
+    cdf = spark.read.parquet(f"{staged}/centroids")
+    postings = spark.read.parquet(f"{staged}/postings")
+    pqc = spark.read.parquet(f"{staged}/pq_codebook")
+    codes = spark.read.parquet(f"{staged}/pq_codes")
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("qscore").desc(), F.col("cid").asc()
+    )
+    probe = (
+        qv.join(F.broadcast(cdf))
+        .select("qid", "cid", _cos6("qemb", "cemb").alias("qscore"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= IVT_NPROBE)
+        .select("qid", "cid")
+    )
+    cand = (
+        postings.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    # 5 queries × 16 codebook rows × 8 subspaces = 640-row LUT, JVM-side
+    lut = (
+        qv.join(F.broadcast(pqc))
+        .select(
+            "qid",
+            "pcid",
+            *[
+                F.expr(_pq_lut6a("qemb", "cemb", s, spark_dialect=True)).alias(
+                    f"l{s}"
+                )
+                for s in range(PQ_M)
+            ],
+        )
+        .selectExpr(
+            "qid",
+            "pcid",
+            f"stack({PQ_M}, "
+            + ", ".join(f"{s}, l{s}" for s in range(PQ_M))
+            + ") AS (s, l6)",
+        )
+    )
+    ex = cand.join(codes, "vec_id").select(
+        "qid", "vec_id", F.posexplode("codes").alias("s", "pcid")
+    )
+    parts = (
+        ex.join(F.broadcast(lut), ["qid", "pcid", "s"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("l6"))).alias(f"l{s}")
+                for s in range(PQ_M)
+            ]
+        )
+    )
+    rkw = Window.partitionBy("qid").orderBy(
+        F.col("adc6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        parts.select("qid", "vec_id", F.expr(_PQP_ADC).alias("adc6"))
+        .withColumn("rk", F.row_number().over(rkw))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "rk", "vec_id", "adc6")
         .orderBy("qid", "rk")
     )
 

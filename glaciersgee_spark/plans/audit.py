@@ -157,6 +157,7 @@ HEADLINERS = [
     ("q_b_retention_cohort", "log collapses to distinct (user, week); firsts-weekly join co-partitioned on user_id; origin is a 1-row broadcast (r8)"),
     ("q_b_time_weighted_avg", "one lead() window over bounded (type, day) slices; exact BIGINT microsecond weights (r8)"),
     ("q_b_purge_audit", "left + anti + semi manifest joins; manifest never collected, AQE picks broadcast (r8)"),
+    ("q_e_ivfpq_persist", "FAISS IVFADC serve: 4 artifact scans, codes-only ADC scoring in pure JVM; only Python is the bounded probe panel (r9)"),
 ]
 
 

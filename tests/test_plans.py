@@ -951,6 +951,33 @@ def test_ivf_persist_serves_from_artifacts_not_training_lineage(spark):
     assert df.count() == 50
 
 
+def test_ivfpq_persist_serves_adc_from_artifacts_jvm_only(spark):
+    """q_e_ivfpq_persist's SERVE plan must read ALL FOUR persisted
+    index artifacts (coarse centroids, postings, PQ sub-codebook,
+    per-vector codes) and carry no training lineage — and, beyond the
+    ivf_persist contract, its corpus-proportional SCORING stage must
+    be pure JVM: the only Python boundary allowed is the probe's
+    bounded-panel Arrow cosine (queries × K centroids). The ADC gather
+    itself is a codes-scan ⋈ broadcast-LUT join — if a pandas UDF ever
+    crept into that stage, the 32× codes-only memory story would be
+    gone and this assertion should fail loudly."""
+    import glaciersgee_spark
+    from glaciersgee_spark.operators.similarity import q_e_ivfpq_persist
+
+    glaciersgee_spark.clear_caches()
+    spark.catalog.clearCache()
+    df = q_e_ivfpq_persist(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    assert plan.count("ggee_ivf_index") == 4
+    assert "LocalTableScan" not in plan
+    assert "InMemoryTableScan" not in plan
+    # exactly ONE Python boundary: the probe's Arrow cosine panel
+    # (formatted plans print each node twice: tree line + detail header)
+    assert plan.count("ArrowEvalPython") == 2
+    # 5 panel queries × top-10 by ADC
+    assert df.count() == 50
+
+
 def test_sql_pipe_is_pure_syntax_same_plan_as_standard_sql(spark):
     """q_b_sql_pipe's claim is that `|>` chains parse to the SAME
     logical plan as the standard spelling — so the shipdate predicate
