@@ -158,6 +158,7 @@ HEADLINERS = [
     ("q_b_time_weighted_avg", "one lead() window over bounded (type, day) slices; exact BIGINT microsecond weights (r8)"),
     ("q_b_purge_audit", "left + anti + semi manifest joins; manifest never collected, AQE picks broadcast (r8)"),
     ("q_e_ivfpq_persist", "FAISS IVFADC serve: 4 artifact scans, codes-only ADC scoring in pure JVM; only Python is the bounded probe panel (r9)"),
+    ("q_b_join_skew_aqe", "zero-rewrite skew handling: AQE flags + splits the 75%-hot partition at runtime (skew=true pinned on the executed plan) (r9)"),
 ]
 
 

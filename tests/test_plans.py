@@ -978,6 +978,43 @@ def test_ivfpq_persist_serves_adc_from_artifacts_jvm_only(spark):
     assert df.count() == 50
 
 
+def test_join_skew_aqe_splits_the_hot_partition(spark):
+    """q_b_join_skew_aqe's claim is that AQE alone — zero query
+    rewriting — handles the hot key the salted spelling handles by
+    hand: under the op's conf window the AQE-FINAL executed plan must
+    carry the skew split (`SortMergeJoin(skew=true)` + an
+    `AQEShuffleRead ... skewed` on the fact side). Pre-execution
+    plans still show the speculative SMJ, so this probes the executed
+    plan. Also asserts the conf window restored the session: the
+    advisory partition size must be back to its pre-test value."""
+    from glaciersgee_spark.operators.relational import (
+        _SKEW_AQE_CONFS,
+        _skew_aqe_frame,
+    )
+
+    adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before = spark.conf.get(adv_key, None)
+    old = {k: spark.conf.get(k, None) for k in _SKEW_AQE_CONFS}
+    for k, v in _SKEW_AQE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _skew_aqe_frame(spark, SF_SMOKE)
+        plan = PI.executed(df)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan
+    assert "skewed" in plan  # the AQEShuffleRead marker on the fact side
+    # the registered op (conf window + eager fold) leaves no conf behind
+    from glaciersgee_spark.operators.relational import q_b_join_skew_aqe
+
+    q_b_join_skew_aqe(spark, SF_SMOKE)
+    assert spark.conf.get(adv_key, None) == before
+
+
 def test_sql_pipe_is_pure_syntax_same_plan_as_standard_sql(spark):
     """q_b_sql_pipe's claim is that `|>` chains parse to the SAME
     logical plan as the standard spelling — so the shipdate predicate
