@@ -216,7 +216,7 @@ _STALE_R2: tuple[str, ...] = (
 # New in round 9 — appended as they land; queue behind the round-10
 # refresh with the standard one-round evidence lag.
 _R9_NEW: tuple[str, ...] = (
-    "q_e_ivfpq_persist", "q_b_join_skew_aqe",
+    "q_e_ivfpq_persist", "q_b_join_skew_aqe", "q_d_schema_evolve",
 )
 
 # Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +

@@ -1119,3 +1119,105 @@ def test_rate_source_prefix_is_race_invariant(spark):
     total = RATE_BATCHES * RATE_ROWS_PER_BATCH
     assert sum(r.sum_value for r in rows) == total * (total - 1) // 2
     assert all(r.n_batches == RATE_BATCHES for r in rows)
+
+
+def test_schema_evolve_upgrade_allowed_and_state_change_rejected(spark):
+    """The upgrade-day contract q_d_schema_evolve exercises, both
+    directions:
+
+    ALLOWED — resuming a v1 checkpoint under v2 (post-agg projection
+    added) must (a) produce v1-era rows with lane NULL and v2-era
+    rows with lane set, and (b) include at least one v2-emitted
+    window whose data arrived ENTIRELY under v1 — the open tail of
+    chunk-set A that crossed the restart inside the state store.
+
+    REJECTED — resuming the same checkpoint with a CHANGED AGGREGATE
+    LIST (count → count + sum) rewrites the state buffer schema, and
+    Spark's state-compatibility checker must refuse the restart."""
+    import os
+
+    import pyspark.sql.types as T
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from glaciersgee_spark.streaming.stream import (
+        _EVCH_SCHEMA,
+        drain_schema_evolve,
+        stage_event_chunks,
+    )
+
+    src = tempfile.mkdtemp(prefix="ggee_sev_t_src_")
+    sink = tempfile.mkdtemp(prefix="ggee_sev_t_sink_")
+    ck = tempfile.mkdtemp(prefix="ggee_sev_t_ck_")
+    drain_schema_evolve(spark, SF_SMOKE, sink, ck, src)
+
+    schema = T.StructType(
+        [
+            T.StructField("ws", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("lane", T.StringType()),
+        ]
+    )
+    rows = spark.read.schema(schema).parquet(sink).collect()
+    v1 = [r for r in rows if r.lane is None]
+    v2 = [r for r in rows if r.lane is not None]
+    assert v1 and v2, (len(v1), len(v2))
+    # state crossed the upgrade: some v2-emitted window predates the
+    # chunk-set-A watermark horizon minus nothing — i.e. its window
+    # start lies within chunk-set A's time range (all its data arrived
+    # in drain #1) yet it carries the v2 column.
+    staged = stage_event_chunks(spark, SF_SMOKE)
+    import pyspark.sql.functions as F2
+
+    a_max = (
+        spark.read.schema(_EVCH_SCHEMA)
+        .parquet(
+            os.path.join(staged, "events", "chunk_0.parquet"),
+            os.path.join(staged, "events", "chunk_1.parquet"),
+        )
+        .agg(F2.max(F2.col("ts").cast("timestamp")))
+        .first()[0]
+    )
+    crossed = [r for r in v2 if r.ws <= a_max]
+    assert crossed, "no window crossed the upgrade inside the state store"
+    # lane values are the v2 derivation, exactly
+    assert all(
+        r.lane
+        == ("conversion" if r.event_type in ("purchase", "signup") else "engagement")
+        for r in v2
+    )
+
+    # ---- REJECTED: changed aggregate list on the same checkpoint
+    bad = (
+        spark.readStream.schema(_EVCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "user_id", "event_type", F2.col("ts").cast("timestamp").alias("ts")
+        )
+        .withWatermark("ts", "1 hour")
+        .groupBy(F2.window("ts", "1 hour"), "event_type")
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("user_id").alias("s"))
+        .select(
+            F2.col("window.start").alias("ws"), "event_type", "n", "s"
+        )
+    )
+    # force a batch so the state checker actually runs: re-link chunk_3
+    # under a fresh name (this sink is test-scoped; double-counting is
+    # irrelevant because the query must die before committing)
+    os.link(
+        os.path.join(staged, "events", "chunk_3.parquet"),
+        os.path.join(src, "chunk_3b.parquet"),
+    )
+    q = (
+        bad.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q.awaitTermination(180)
+    msg = str(ei.value)
+    assert "chema" in msg or "STATE" in msg, msg[:500]
