@@ -4103,7 +4103,12 @@ def q_e_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_ctes() -> str:
+    """Shared WITH-body of the persisted-IVFADC oracles: the trained
+    coarse chain, cell assignment, panel probe, candidates, PQ codes
+    (rank spelling ≡ the argmin encode), per-query LUT, and the l0..l7
+    parts pivot. q_e_ivfpq_persist ranks the ADC sums from here;
+    q_e_ivfpq_recall compares them against exact cosine top-10."""
     tc = f"c{KMT_ROUNDS + 1}"  # trained centroids, end of the shared chain
     srange = f"(SELECT unnest(range(0, {PQ_M})) AS s) AS s"
     dist_case = " ".join(
@@ -4115,8 +4120,7 @@ def _ivfpq_oracle() -> str:
     parts_cols = ", ".join(
         f"MAX(CASE WHEN k.s = {s} THEN l.l6 END) AS l{s}" for s in range(PQ_M)
     )
-    return f"""
-    WITH {_kmt_chain()},
+    return f"""{_kmt_chain()},
     cell AS (SELECT vec_id, cid FROM (
                SELECT v.vec_id, c.cid,
                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -4156,7 +4160,12 @@ def _ivfpq_oracle() -> str:
               FROM cand cd
               JOIN codes k ON k.vec_id = cd.vec_id
               JOIN lut l ON l.qid = cd.qid AND l.pcid = k.pcid AND l.s = k.s
-              GROUP BY cd.qid, cd.vec_id)
+              GROUP BY cd.qid, cd.vec_id)"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+    WITH {_ivfpq_ctes()}
     SELECT qid, rk, vec_id, adc6 FROM (
       SELECT qid, vec_id, {_PQP_ADC} AS adc6,
              ROW_NUMBER() OVER (PARTITION BY qid
@@ -4274,6 +4283,84 @@ def q_e_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _RECALL_K)
         .select("qid", "rk", "vec_id", "adc6")
         .orderBy("qid", "rk")
+    )
+
+
+def _ivfpq_recall_oracle() -> str:
+    return f"""
+    WITH {_ivfpq_ctes()},
+    adc AS (SELECT qid, vec_id, {_PQP_ADC} AS adc6 FROM parts),
+    approx AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY adc6 DESC, vec_id ASC)
+                          AS rk
+                 FROM adc) WHERE rk <= {_RECALL_K}),
+    exact AS (SELECT qid, vec_id FROM (
+                SELECT q.qid, v.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY {_d_cos6('v.ve', 'q.qvv', 'v.nrm', 'q.qn')} DESC,
+                                  v.vec_id ASC) AS rk
+                FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+              ) WHERE rk <= {_RECALL_K}),
+    hits AS (SELECT a.qid, COUNT(*) AS n_hit
+             FROM approx a JOIN exact e ON a.qid = e.qid
+                                       AND a.vec_id = e.vec_id
+             GROUP BY a.qid)
+    SELECT q.qid, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / {float(_RECALL_K)}, 6) AS recall6
+    FROM (SELECT qid FROM qv) q LEFT JOIN hits h ON q.qid = h.qid
+    ORDER BY q.qid
+    """
+
+
+@query("q_e_ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def q_e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the PERSISTED IVFADC serve (round 9) — the
+    module convention that every approximate path ships its accuracy
+    audit, applied to q_e_ivfpq_persist: the top-10-by-ADC list served
+    purely from read-back artifacts, compared against brute-force
+    exact cosine over the full corpus on the shared 5-query panel.
+    This is the double-approximation number (coarse probe loses
+    cells, PQ loses precision) a deployment watches when tuning
+    nprobe/M — and distinct from q_e_pq_recall (PQ alone, no probe)
+    and q_e_ivf_recall (probe alone, exact scoring), completing the
+    2×2 of approximation sources.
+
+    Plan: the approx side IS the persisted serve (artifact scans +
+    JVM ADC); the exact side reuses the shared _panel_scores Arrow
+    pass. Both sides are deterministic rank spellings, so recall is
+    hash-exact, not a tolerance check."""
+    approx = q_e_ivfpq_persist(spark, sf_dir).select("qid", "vec_id")
+    rkw = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        _panel_scores(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(rkw))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        approx.join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid")
+    )
+    return (
+        panel.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / float(_RECALL_K), 6
+            ).alias("recall6"),
+        )
+        .orderBy("qid")
     )
 
 
