@@ -751,6 +751,70 @@ def q_d_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_d_state_inspect",
+    # State = the complement of the emission set: a (window, type)
+    # group is IN the store at drain end iff its window end is still
+    # beyond the final watermark (end <= wm emits AND evicts — the
+    # chained_agg tie convention — so the store holds strictly-open
+    # windows only).
+    oracle="""
+    WITH wm AS (SELECT date_trunc('milliseconds', MAX(ts))
+                        - INTERVAL 1 HOUR AS w FROM events),
+    agg AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+    SELECT CAST(ws AS TIMESTAMP) AS ws, event_type,
+           CAST(n AS BIGINT) AS n_open
+    FROM agg CROSS JOIN wm
+    WHERE ws + INTERVAL 1 HOUR > wm.w
+    ORDER BY ws, event_type
+    """,
+)
+def q_d_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE DATA SOURCE READER end to end (round 9) — Spark 4's
+    streaming-state observability surface (SPARK-45511,
+    `spark.read.format("statestore")`): after a real availableNow
+    drain of the hourly-count pipeline, the checkpoint's state store
+    is read back AS A BATCH TABLE — key struct (window, event_type),
+    value struct (the count buffer), partition_id — and the open
+    windows it holds are reconciled against the batch oracle. This is
+    the debugger every production stream eventually needs: "what is
+    my state store holding, and why is it that big?" answered with a
+    query instead of log spelunking.
+
+    The oracle is the EMISSION COMPLEMENT: a (window, type) group
+    sits in the store at drain end iff its window end is strictly
+    beyond the final watermark (end <= wm emitted AND evicted — the
+    probed tie convention), so the state contents equal the batch
+    aggregate restricted to open windows — the state store is proven
+    byte-consistent with event-time semantics, not just non-empty.
+    The companion metadata reader (format("state-metadata")) is
+    asserted in tests/test_streaming.py (operator name, store name,
+    batch id range).
+
+    Scale: the state source reads the SNAPSHOT files of the latest
+    committed batch, partition-parallel, without touching the running
+    query — the offline-inspection path that works against a live
+    100 TB stream's checkpoint in object storage."""
+    from pyspark.sql import types as T  # noqa: F401
+
+    from glaciersgee_spark.streaming.stream import drain_state_inspect
+
+    sink = scratch_dir(prefix="ggee_sti_sink_")
+    ck = scratch_dir(prefix="ggee_sti_ck_")
+    drain_state_inspect(spark, sf_dir, sink, ck)
+    st = spark.read.format("statestore").option("path", ck).load()
+    return (
+        st.select(
+            F.col("key.window.start").cast("timestamp_ntz").alias("ws"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_open"),
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+@query(
     "q_d_stream_union",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,

@@ -1347,6 +1347,42 @@ def drain_schema_evolve(
     return _run(True)  # v2 resumes the same checkpoint, + lane
 
 
+def drain_state_inspect(spark: SparkSession, sf_dir: str, sink: str, ck: str):
+    """One availableNow drain of the v1 hourly-count pipeline over the
+    full chunked feed (one file per micro-batch), leaving behind the
+    checkpoint q_d_state_inspect then reads back through the State
+    Data Source — the drain exists to produce a REAL state store, not
+    for its sink."""
+    staged = stage_event_chunks(spark, sf_dir)
+    ev = (
+        spark.readStream.schema(_EVCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staged}/events")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    out = evolve_counts(ev, False)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "state-inspect drain exceeded 180 s — refusing to read "
+                "a partially-committed state store"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q
+
+
 # --------------------------------------------------------------- rate source
 
 # rate-micro-batch contract: batch b delivers values

@@ -1221,3 +1221,57 @@ def test_schema_evolve_upgrade_allowed_and_state_change_rejected(spark):
         q.awaitTermination(180)
     msg = str(ei.value)
     assert "chema" in msg or "STATE" in msg, msg[:500]
+
+
+def test_state_inspect_reconciles_sink_plus_state_to_batch_total(spark):
+    """The state source's deepest guarantee, asserted end to end:
+    EMITTED (sink) + OPEN (state store) = the batch aggregate, with
+    zero overlap — every (window, type) group is in exactly one of
+    the two at drain end. Also pins the state-metadata reader: one
+    stateStoreSave operator, store 'default', a committed batch
+    range."""
+    import pyspark.sql.functions as F2
+
+    from glaciersgee_spark.streaming.stream import drain_state_inspect
+    from glaciersgee_spark.tables import load_table
+
+    sink = tempfile.mkdtemp(prefix="ggee_sti_t_sink_")
+    ck = tempfile.mkdtemp(prefix="ggee_sti_t_ck_")
+    drain_state_inspect(spark, SF_SMOKE, sink, ck)
+
+    emitted = spark.read.parquet(sink).select(
+        F2.col("ws").cast("timestamp").alias("ws"), "event_type", "n"
+    )
+    state = (
+        spark.read.format("statestore")
+        .option("path", ck)
+        .load()
+        .select(
+            F2.col("key.window.start").alias("ws"),
+            F2.col("key.event_type").alias("event_type"),
+            F2.col("value.count").alias("n"),
+        )
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F2.window(F2.col("ts").cast("timestamp"), "1 hour")["start"].alias("ws"),
+            "event_type",
+        )
+        .groupBy("ws", "event_type")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+    )
+    got = {(r.ws, r.event_type): r.n for r in emitted.collect()}
+    open_ = {(r.ws, r.event_type): r.n for r in state.collect()}
+    want = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    assert not (got.keys() & open_.keys())  # no group in both
+    merged = {**got, **open_}
+    assert merged == want
+    assert open_, "no open windows — the watermark horizon fixture broke"
+
+    md = spark.read.format("state-metadata").option("path", ck).load()
+    rows = md.collect()
+    assert len(rows) == 1
+    assert rows[0].operatorName == "stateStoreSave"
+    assert rows[0].stateStoreName == "default"
+    assert rows[0].maxBatchId >= rows[0].minBatchId >= 0
