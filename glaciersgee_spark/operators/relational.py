@@ -3332,3 +3332,112 @@ def q_b_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price": 50000.0,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_sql_script (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_sql_script",
+    # The oracle unrolls the SAME bisection as a recursive CTE — each
+    # step's branch re-evaluates the count at (lo+hi)/2, so the
+    # loop-carried state is identical; IEEE halving and the > compare
+    # are bit-exact in both engines, so after 12 iterations both land
+    # on the same bracket and the same final threshold/count.
+    oracle="""
+    WITH RECURSIVE tot AS (SELECT COUNT(*) AS n, COUNT(*) // 4 AS tgt
+                           FROM orders),
+    it AS (
+      SELECT 0 AS k, CAST(0.0 AS DOUBLE) AS lo, CAST(600000.0 AS DOUBLE) AS hi
+      UNION ALL
+      SELECT k + 1,
+             CASE WHEN (SELECT COUNT(*) FROM orders
+                        WHERE o_totalprice > (it.lo + it.hi) / 2)
+                       > (SELECT tgt FROM tot)
+                  THEN (it.lo + it.hi) / 2 ELSE it.lo END,
+             CASE WHEN (SELECT COUNT(*) FROM orders
+                        WHERE o_totalprice > (it.lo + it.hi) / 2)
+                       > (SELECT tgt FROM tot)
+                  THEN it.hi ELSE (it.lo + it.hi) / 2 END
+      FROM it WHERE k < 12
+    ),
+    fin AS (SELECT (lo + hi) / 2 AS mid FROM it WHERE k = 12)
+    SELECT round(fin.mid, 6) AS threshold6,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice > fin.mid) AS BIGINT) AS n_above,
+           CAST(tot.tgt AS BIGINT) AS target_n,
+           12 AS n_iter
+    FROM fin CROSS JOIN tot
+    """,
+)
+def q_b_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING end to end (round 9) — Spark 4.0's procedural
+    SQL surface (SPARK-48338, `BEGIN ... END` compound statements:
+    DECLARE'd variables, WHILE loops, IF/ELSE branching, SET from
+    scalar subqueries), exercised on a computation that is GENUINELY
+    procedural: 12 rounds of bisection for the price threshold whose
+    exceedance count hits the 25% target — each iteration's bracket
+    depends on a data-driven comparison from the previous one, the
+    loop-carried dependence that single-statement SQL cannot express
+    without recursion. This is the migration surface for warehouse
+    stored procedures (the ELT control flow T-SQL/PLSQL shops port to
+    Spark), completing the engine-control family: sql_variables is
+    session state, sql_params is per-call binding, sql_pipe is
+    syntax, THIS is control flow.
+
+    Exactness: the bracket update is IEEE halving + an exact integer
+    count compare — bit-identical per iteration in both engines, so
+    the oracle's recursive-CTE unrolling of the same 12 steps lands
+    on the same final threshold and count. Scale: each iteration is
+    one combinable COUNT with a pushed-down predicate over the scan —
+    the script is 13 cheap passes, not one expensive one; at 100 TB
+    you'd batch the counts per iteration exactly like this (bisection
+    needs the loop — quantile sketches answer a different question:
+    this finds the threshold for an EXACT count target).
+
+    The scripting conf gates PARSING only; it is set for the sql()
+    call and restored immediately (the conf-window hygiene
+    precedent)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ggee_script_orders")
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE total BIGINT DEFAULT 0;
+              DECLARE tgt BIGINT DEFAULT 0;
+              DECLARE lo DOUBLE DEFAULT 0.0;
+              DECLARE hi DOUBLE DEFAULT 600000.0;
+              DECLARE mid DOUBLE DEFAULT 0.0;
+              DECLARE cnt BIGINT DEFAULT 0;
+              DECLARE k INT DEFAULT 0;
+              SET total = (SELECT COUNT(*) FROM ggee_script_orders);
+              SET tgt = total DIV 4;
+              WHILE k < 12 DO
+                SET mid = (lo + hi) / 2;
+                SET cnt = (SELECT COUNT(*) FROM ggee_script_orders
+                           WHERE o_totalprice > mid);
+                IF cnt > tgt THEN
+                  SET lo = mid;
+                ELSE
+                  SET hi = mid;
+                END IF;
+                SET k = k + 1;
+              END WHILE;
+              SET mid = (lo + hi) / 2;
+              SET cnt = (SELECT COUNT(*) FROM ggee_script_orders
+                         WHERE o_totalprice > mid);
+              SELECT round(mid, 6) AS threshold6, cnt AS n_above,
+                     tgt AS target_n, k AS n_iter;
+            END
+            """
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
