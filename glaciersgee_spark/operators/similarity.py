@@ -1291,6 +1291,142 @@ def q_e_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_e_pq_residual (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _pqr_oracle() -> str:
+    srange = f"(SELECT unnest(range(0, {PQ_M})) AS s) AS s"
+    dist_case = " ".join(
+        f"WHEN {s} THEN {_pq_dist6('r.rv', 'cb.cv', s)}" for s in range(PQ_M)
+    )
+    lut_case = " ".join(
+        f"WHEN {s} THEN {_pq_lut6('q.qv', 'cb.cv', s)}" for s in range(PQ_M)
+    )
+    parts_cols = ", ".join(
+        f"MAX(CASE WHEN k.s = {s} THEN l.l6 END) AS l{s}" for s in range(PQ_M)
+    )
+    adc_sum = "qc6 + " + " + ".join(f"l{s}" for s in range(PQ_M))
+    return f"""
+    WITH v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm
+          FROM v WHERE vec_id BETWEEN 1 AND {IVF_NLIST}),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0),
+    cell AS (SELECT vec_id, cid FROM (
+               SELECT v.vec_id, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_d_cos6('v.ve', 'c.cv', 'v.nrm', 'c.cnrm')} DESC,
+                                                  c.cid ASC) AS rk
+               FROM v, c WHERE v.vec_id <> 0) WHERE rk = 1),
+    res AS (SELECT v.vec_id, cell.cid,
+                   list_transform(range(1, {DIM + 1}),
+                                  i -> v.ve[i] - c.cv[i]) AS rv
+            FROM v JOIN cell ON v.vec_id = cell.vec_id
+                   JOIN c ON cell.cid = c.cid),
+    qc AS (SELECT cell.vec_id,
+                  round(list_sum(list_transform(range(1, {DIM + 1}),
+                                 i -> q.qv[i] * c.cv[i])), 6) AS qc6
+           FROM cell JOIN c ON cell.cid = c.cid CROSS JOIN q),
+    dists AS (
+      SELECT r.vec_id, cb.cid AS pcid, s.s,
+             CASE s.s {dist_case} END AS d6
+      FROM res r CROSS JOIN c cb CROSS JOIN {srange}
+    ),
+    codes AS (SELECT vec_id, s, pcid FROM (
+                SELECT vec_id, s, pcid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d6 ASC, pcid ASC) AS rk
+                FROM dists) WHERE rk = 1),
+    lut AS (SELECT cb.cid AS pcid, s.s,
+                   CASE s.s {lut_case} END AS l6
+            FROM c cb CROSS JOIN q CROSS JOIN {srange}),
+    parts AS (SELECT k.vec_id, {parts_cols}
+              FROM codes k JOIN lut l ON l.pcid = k.pcid AND l.s = k.s
+              GROUP BY k.vec_id),
+    adc AS (SELECT p.vec_id, round({adc_sum}, 6) AS adc6
+            FROM parts p JOIN qc ON p.vec_id = qc.vec_id)
+    SELECT a.vec_id, v.label, a.adc6,
+           {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS cos6
+    FROM adc a JOIN v ON a.vec_id = v.vec_id CROSS JOIN q
+    ORDER BY a.adc6 DESC, a.vec_id ASC
+    LIMIT 20
+    """
+
+
+@query("q_e_pq_residual", oracle=_pqr_oracle())
+def q_e_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL product quantization — the encoding FAISS's IVFADC
+    actually deploys (round 9; Jégou et al., TPAMI 2011, §IV.B): each
+    vector is quantized as coarse centroid PLUS a PQ code of the
+    RESIDUAL x − c(x), and the query score decomposes as q·x ≈
+    q·c(x) + Σ_s q_s·cb[code_s]_s — one exact coarse dot plus the LUT
+    gather. Residual magnitudes are far smaller than raw vectors, so
+    the same 16-entry codebook quantizes them with less distortion —
+    THE reason production IVFADC encodes residuals, made measurable
+    here by the exact cos6 riding alongside (compare against
+    q_e_sim_topk_pq's raw-vector ADC on the same corpus). Completes
+    the PQ family: raw-ADC (sim_topk_pq), recall audits, persisted
+    serve, and now the residual form.
+
+    Kernel determinism: coarse assignment is the 6-dp argmax-cosine
+    with cid tie-break (the module's proven cell spelling); residual
+    sub-distances and LUT entries round to 6 dp; the ADC sum
+    accumulates qc6 first then the 8 LUT terms in subspace order —
+    matching the oracle's left-associated `qc6 + l0 + ... + l7`.
+
+    Scale: codes are 8 bytes + a cid per vector (the storage story is
+    unchanged); the kernel is one Arrow pass over the corpus with the
+    16-row codebook and the query as literals; scoring reads codes
+    only in a deployment — here the encode+score fuse into one pass
+    because the corpus fits a single scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    crows = sorted(
+        e.where(F.col("vec_id").between(1, IVF_NLIST))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    c_mat = np.array([r.embedding for r in crows], dtype=np.float64)
+    c_nrm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+    c_r = c_mat.reshape(IVF_NLIST, PQ_M, PQ_SUBDIM)
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q_v = np.array(qrow.embedding, dtype=np.float64)
+    q_r = q_v.reshape(PQ_M, PQ_SUBDIM)
+    lut = np.round(np.einsum("sj,csj->cs", q_r, c_r), 6)
+    qc_all = np.round(c_mat @ q_v, 6)  # q·c per coarse centroid
+
+    @F.pandas_udf(DoubleType())
+    def _radc6(emb: pd.Series) -> pd.Series:
+        v = _to_mat(emb)
+        nv = np.sqrt(np.einsum("ij,ij->i", v, v))
+        cs = np.round((v @ c_mat.T) / (nv[:, None] * c_nrm[None, :]), 6)
+        # argmax with cid-asc tie-break == first maximum
+        cell = cs.argmax(axis=1)
+        r = (v - c_mat[cell]).reshape(-1, PQ_M, PQ_SUBDIM)
+        d = np.round(((r[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6)
+        codes = d.argmin(axis=1)
+        acc = qc_all[cell].copy()
+        for s in range(PQ_M):  # fixed order == oracle left-assoc
+            acc = acc + lut[codes[:, s], s]
+        return pd.Series(np.round(acc, 6))
+
+    ef = fan_out(e.where(F.col("vec_id") != 0), "vec_id")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    return (
+        ef.select(
+            "vec_id", "label", "embedding", _radc6("embedding").alias("adc6")
+        )
+        .orderBy(F.col("adc6").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id", "label", "adc6", _cos6("embedding", "qemb").alias("cos6")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_e_kmeans_iter — one Lloyd's iteration (the IVF-training update step)
 # ---------------------------------------------------------------------------
 

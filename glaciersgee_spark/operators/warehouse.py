@@ -2683,3 +2683,140 @@ def q_b_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ledger(o, "o_custkey", ord_manifest, "orders"))
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_attribution (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_attribution",
+    oracle=f"""
+    WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_id AS t_id, ts AS t_ts,
+                 event_type AS touch_type
+          FROM events WHERE event_type IN ('click', 'view')),
+    j AS (SELECT p.p_id, t.touch_type, t.t_ts, t.t_id
+          FROM p JOIN t ON p.user_id = t.user_id
+           AND t.t_ts < p.p_ts
+           AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+    ranked AS (SELECT p_id, touch_type,
+                      ROW_NUMBER() OVER (PARTITION BY p_id
+                                         ORDER BY t_ts DESC, t_id DESC)
+                        AS rk_last,
+                      ROW_NUMBER() OVER (PARTITION BY p_id
+                                         ORDER BY t_ts ASC, t_id ASC)
+                        AS rk_first
+               FROM j),
+    last_t AS (SELECT touch_type, COUNT(*) AS n_last
+               FROM ranked WHERE rk_last = 1 GROUP BY touch_type),
+    first_t AS (SELECT touch_type, COUNT(*) AS n_first
+                FROM ranked WHERE rk_first = 1 GROUP BY touch_type),
+    per AS (SELECT p_id, touch_type, COUNT(*) AS n_t
+            FROM j GROUP BY p_id, touch_type),
+    tot AS (SELECT p_id, COUNT(*) AS n_tot FROM j GROUP BY p_id),
+    lin AS (SELECT per.touch_type,
+                   {dsum("round(per.n_t / tot.n_tot, 6)")} AS linear6
+            FROM per JOIN tot ON per.p_id = tot.p_id
+            GROUP BY per.touch_type)
+    SELECT l.touch_type,
+           CAST(COALESCE(la.n_last, 0) AS BIGINT) AS n_last,
+           CAST(COALESCE(fi.n_first, 0) AS BIGINT) AS n_first,
+           l.linear6
+    FROM lin l
+    LEFT JOIN last_t la ON l.touch_type = la.touch_type
+    LEFT JOIN first_t fi ON l.touch_type = fi.touch_type
+    ORDER BY l.touch_type
+    """,
+)
+def q_b_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing ATTRIBUTION (round 9) — the warehouse
+    workload every growth team runs and no prior op covered: each
+    purchase is attributed to the click/view touches in its trailing
+    7-day window under the three standard credit models at once —
+    LAST-touch (the channel that closed), FIRST-touch (the channel
+    that opened), and LINEAR (each of the n touches gets 1/n credit).
+    The three disagree exactly when the funnel is multi-channel, and
+    the gap between them IS the report's value.
+
+    Exactness: last/first are deterministic window ranks with
+    (ts, event_id) tie-breaks; linear credit is round(n_t/n_tot, 6)
+    per (purchase, channel) summed through the exact-decimal dsum
+    pattern — order-insensitive identical bits in both engines.
+    Conversions with zero prior touches drop out of every model
+    (no credit to assign); a channel missing from a model's top rank
+    COALESCEs to 0.
+
+    Scale: the touch join is co-partitioned on user_id with a 7-day
+    interval predicate — per-user fan-out only, never a cross join;
+    both window ranks and both rollups ride the SAME (p_id) frame,
+    bounded by touches-per-conversion; channel tables are ≤|types|
+    rows and broadcast through the closing left joins."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (t["t_ts"] < p["p_ts"])
+        & (t["t_ts"] >= p["p_ts"] - F.expr("INTERVAL 7 DAY")),
+    ).select("p_id", "touch_type", "t_ts", "t_id")
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    w_first = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").asc(), F.col("t_id").asc()
+    )
+    ranked = j.select(
+        "p_id",
+        "touch_type",
+        F.row_number().over(w_last).alias("rk_last"),
+        F.row_number().over(w_first).alias("rk_first"),
+    )
+    last_t = (
+        ranked.where(F.col("rk_last") == 1)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_last"))
+    )
+    first_t = (
+        ranked.where(F.col("rk_first") == 1)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+    )
+    per = j.groupBy("p_id", "touch_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    tot = j.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_tot"))
+    lin = (
+        per.join(tot, "p_id")
+        .select(
+            "touch_type",
+            F.round(F.col("n_t") / F.col("n_tot"), 6).alias("credit6"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.sum(F.col("credit6").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("linear6")
+        )
+    )
+    return (
+        lin.join(F.broadcast(last_t), "touch_type", "left")
+        .join(F.broadcast(first_t), "touch_type", "left")
+        .select(
+            "touch_type",
+            F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last"),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            "linear6",
+        )
+        .orderBy("touch_type")
+    )
