@@ -4995,3 +4995,111 @@ def q_e_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_div_frontier (round 9)
+# ---------------------------------------------------------------------------
+
+_DF_LAMS = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+
+# One KL term in the 6-dp ln convention (the q_e_feature_mi precedent):
+# identical text in both dialects; zero-mass cells contribute 0 and the
+# mixture r is structurally > 0 wherever p or q is.
+def _df_term(p: str, r: str) -> str:
+    return (
+        f"CASE WHEN {p} > 0 THEN {p} * round(ln({p} / ({r})), 6)"
+        f" ELSE 0.0 END"
+    )
+
+
+@query(
+    "q_e_div_frontier",
+    oracle=f"""
+    WITH {_KM_CTES},
+    h AS (SELECT asg.cid,
+                 CASE WHEN asg.vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_p
+          FROM asg),
+    cnt AS (SELECT cid, CAST(SUM(is_p) AS BIGINT) AS n_p,
+                   CAST(SUM(1 - is_p) AS BIGINT) AS n_q
+            FROM h GROUP BY cid),
+    tot AS (SELECT SUM(n_p) AS tp, SUM(n_q) AS tq FROM cnt),
+    lam AS (SELECT CAST(unnest([{', '.join(str(x) for x in _DF_LAMS)}])
+                        AS DOUBLE) AS lam),
+    pt AS (SELECT l.lam,
+                  CAST(c.n_p AS DOUBLE) / t.tp AS p,
+                  CAST(c.n_q AS DOUBLE) / t.tq AS q
+           FROM cnt c CROSS JOIN tot t CROSS JOIN lam l),
+    terms AS (SELECT lam, p, q, lam * p + (1 - lam) * q AS r FROM pt)
+    SELECT round(lam, 6) AS lam6,
+           {dsum(_df_term('p', 'r'))} AS kl_p6,
+           {dsum(_df_term('q', 'r'))} AS kl_q6
+    FROM terms GROUP BY lam ORDER BY lam6
+    """,
+)
+def q_e_div_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERGENCE FRONTIER between two corpus halves over embedding-
+    cluster histograms (round 9) — the quantized-distribution
+    comparison underlying MAUVE (Pillutla et al., NeurIPS 2021;
+    Djolonga et al. 2020): quantize both samples with the SHARED
+    k-means cell assignment, form the cluster histograms P and Q, and
+    trace the frontier point (KL(P‖R_λ), KL(Q‖R_λ)) against the
+    mixture R_λ = λP + (1−λ)Q across a 7-point λ grid. Mixtures are
+    what make this work where plain KL fails: a cell present in one
+    sample only gives infinite KL(P‖Q) but a FINITE frontier (r > 0
+    wherever p or q is) — the exact property that lets MAUVE compare
+    model text to human text with disjoint support. The two "samples"
+    here are the vec_id parity halves; the emitted frontier is the
+    raw divergence pairs (the exp(−c·KL) scaling and AUC that
+    summarize them into one scalar are monotone cosmetics — the
+    frontier IS the information, and stays libm-exp-free).
+
+    Distinct from q_e_jsd_matrix (token distributions, fixed 1/2-1/2
+    mixture): this is the embedding-space form with the λ-swept
+    mixture — the generative-model-evaluation shape.
+
+    Exactness: cluster counts are exact; p, q, r are single IEEE
+    divisions/mults identical in both engines; each KL term uses the
+    6-dp ln convention (feature_mi precedent) and the 8-cell sums run
+    through the exact-decimal dsum pattern. Scale: ONE corpus pass
+    (the shared broadcast-panel assignment) collapses everything into
+    an 8×2 count table; the frontier is constant-size arithmetic."""
+    asg, _cent = _km_assign(spark, sf_dir)
+    cnt = (
+        asg.select(
+            "cid",
+            F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0).alias("is_p"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.sum("is_p").cast("long").alias("n_p"),
+            F.sum(F.lit(1) - F.col("is_p")).cast("long").alias("n_q"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_p").alias("tp"), F.sum("n_q").alias("tq")
+    )
+    lam = spark.sql(
+        "SELECT explode(array("
+        + ", ".join(f"CAST({x} AS DOUBLE)" for x in _DF_LAMS)
+        + ")) AS lam"
+    )
+    terms = (
+        cnt.join(F.broadcast(tot))
+        .join(F.broadcast(lam))
+        .selectExpr(
+            "lam",
+            "CAST(n_p AS DOUBLE) / tp AS p",
+            "CAST(n_q AS DOUBLE) / tq AS q",
+        )
+        .selectExpr("lam", "p", "q", "lam * p + (1 - lam) * q AS r")
+    )
+    return (
+        terms.groupBy("lam")
+        .agg(
+            F.expr(f"{dsum(_df_term('p', 'r'))}").alias("kl_p6"),
+            F.expr(f"{dsum(_df_term('q', 'r'))}").alias("kl_q6"),
+        )
+        .select(F.round("lam", 6).alias("lam6"), "kl_p6", "kl_q6")
+        .orderBy("lam6")
+    )
