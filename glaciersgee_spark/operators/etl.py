@@ -1286,3 +1286,119 @@ def q_a_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_glacier_trend (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_a_glacier_trend",
+    oracle="""
+    WITH scenes AS (
+      SELECT CAST(l_suppkey % 5 AS BIGINT) AS region_id,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             (l_orderkey * 17) % 1001 AS green,
+             (l_partkey * 23) % 1001 AS swir
+      FROM lineitem
+    ),
+    px AS (
+      SELECT region_id, yr,
+             CASE WHEN green + swir > 0
+                  AND (green - swir) * 10 > (green + swir) * 4
+                  THEN 1 ELSE 0 END AS snow
+      FROM scenes
+    ),
+    annual AS (
+      SELECT region_id, yr,
+             CAST(SUM(snow) AS BIGINT) AS area,
+             CAST(COUNT(*) AS BIGINT) AS n_px
+      FROM px GROUP BY region_id, yr
+    )
+    SELECT region_id,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           CAST(SUM(area) AS BIGINT) AS total_area,
+           round(CAST(COUNT(*) * SUM(yr * area) - SUM(yr) * SUM(area)
+                      AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(yr * yr) - SUM(yr) * SUM(yr)
+                        AS DOUBLE),
+                 6) AS slope6,
+           round(CAST(SUM(area) AS DOUBLE) / SUM(n_px), 6) AS mean_frac6
+    FROM annual
+    GROUP BY region_id
+    ORDER BY region_id
+    """,
+)
+def q_a_glacier_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLACIER AREA-CHANGE TREND (round 9) — the workflow the
+    reference's own name describes, composed end to end from the
+    Group A primitives: per-scene NDSI snow/ice classification
+    (Normalized Difference Snow Index = (green − swir)/(green +
+    swir), the standard GEE snow mapping index; threshold 0.4, the
+    Hall/Riggs convention), annual snow-pixel area per region, and a
+    per-region least-squares trend of area over years — the retreat
+    (or growth) rate a glacier-monitoring pipeline publishes. Bands
+    derive from fact keys (the q_a_band_math module convention);
+    region is the synthetic 5-region AOI partition.
+
+    Exactness: the NDSI threshold is spelled as the cross-multiplied
+    INTEGER inequality (green − swir)·10 > (green + swir)·4 — no
+    division, no float compare, so classification is exact at any
+    scale; annual areas are exact BIGINT sums; the OLS slope is the
+    exact-integer-moments form (the q_a_trend_slope convention) with
+    ONE final IEEE division, 6-dp-rounded; mean snow fraction rides a
+    single exact-ratio division.
+
+    Scale: classification is scan-side whole-stage codegen (zero
+    joins, zero UDFs); the per-(region, year) rollup is map-side
+    combinable; the trend runs over the |regions|×|years| frame —
+    bounded by the calendar, not the corpus. This is exactly how a
+    100 TB scene archive computes decadal change: two combinable
+    aggregations and arithmetic on a panel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scenes = li.select(
+        (F.col("l_suppkey") % 5).cast("long").alias("region_id"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+        ((F.col("l_orderkey") * 17) % 1001).alias("green"),
+        ((F.col("l_partkey") * 23) % 1001).alias("swir"),
+    )
+    px = scenes.select(
+        "region_id",
+        "yr",
+        F.when(
+            (F.col("green") + F.col("swir") > 0)
+            & (
+                (F.col("green") - F.col("swir")) * 10
+                > (F.col("green") + F.col("swir")) * 4
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("snow"),
+    )
+    annual = px.groupBy("region_id", "yr").agg(
+        F.sum("snow").cast("long").alias("area"),
+        F.count(F.lit(1)).cast("long").alias("n_px"),
+    )
+    n = F.count(F.lit(1))
+    sxy = F.sum(F.col("yr") * F.col("area"))
+    sx = F.sum("yr")
+    sy = F.sum("area")
+    sxx = F.sum(F.col("yr") * F.col("yr"))
+    return (
+        annual.groupBy("region_id")
+        .agg(
+            n.cast("long").alias("n_years"),
+            F.sum("area").cast("long").alias("total_area"),
+            F.round(
+                (n * sxy - sx * sy).cast("double")
+                / (n * sxx - sx * sx).cast("double"),
+                6,
+            ).alias("slope6"),
+            F.round(
+                F.sum("area").cast("double") / F.sum("n_px"), 6
+            ).alias("mean_frac6"),
+        )
+        .orderBy("region_id")
+    )
