@@ -3441,3 +3441,84 @@ def q_b_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+# ---------------------------------------------------------------------------
+# q_b_sink_pywriter (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_sink_pywriter",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           4 AS n_shards
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_b_sink_pywriter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source BATCH WRITER end to end (round 9) — the
+    write half of Spark 4's Python DataSource API, completing the
+    family (batch read: q_b_scan_pysource; pushdown read:
+    q_b_scan_pysource_filters; streaming read: q_d_stream_pysource;
+    streaming write: q_d_stream_pysink): the events projection is
+    written through a registered custom sink whose executors stage
+    one JSONL shard per partition and return picklable commit
+    messages, and whose driver-side commit() publishes atomically —
+    rename every staged shard, then write the _MANIFEST with shard
+    and row totals — only after every task succeeded; abort()
+    discards staged shards, so a failed job leaves NOTHING visible
+    (underscore-prefixed staging files are invisible to readers by
+    Spark's own convention). The read-back aggregate hash-matching
+    the batch oracle proves the full round trip: schema → shards →
+    commit → manifest → scan.
+
+    Exactness: cents are exact integer half-up cents at WRITE time,
+    so the JSON round-trip carries integers only (no float text
+    parsing in the loop). The 4-way repartition hashes event_type —
+    deterministic shard membership (an empty shard still stages,
+    commits, and counts: 4 commit messages regardless of hash
+    spread), and the manifest's n_shards rides the result as the
+    commit-protocol witness.
+
+    Scale: the same two-phase contract coordinates object-store
+    multipart uploads at 100 TB — executors upload parts, the driver
+    completes or aborts them; the local rename is the test-scale
+    stand-in (documented in sources/sinks.py)."""
+    import json
+    import os
+
+    from glaciersgee_spark.sources.sinks import JsonlSinkDataSource
+    from glaciersgee_spark.tmpdirs import scratch_dir
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass  # already registered on this session
+    out = scratch_dir(prefix="ggee_pyw_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    ev.repartition(4, F.col("event_type")).write.format(
+        "ggee_jsonl_sink"
+    ).mode("append").option("path", out).save()
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    back = spark.read.schema("cents long, event_type string").json(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "cents",
+            F.lit(int(man["n_shards"])).cast("int").alias("n_shards"),
+        )
+        .orderBy("event_type")
+    )
