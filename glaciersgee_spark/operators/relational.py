@@ -3522,3 +3522,54 @@ def q_b_sink_pywriter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_sql_identifier (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_sql_identifier",
+    oracle=f"""
+    SELECT n_regionkey AS region_key,
+           COUNT(*) AS n_nations,
+           {dsum('LENGTH(n_name)', scale=0)} AS name_chars
+    FROM nation GROUP BY n_regionkey ORDER BY region_key
+    """,
+)
+def q_b_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (round 9) — Spark 3.4+'s injection-safe
+    IDENTIFIER binding: table and column names arrive as PARAMETERS
+    (`FROM IDENTIFIER(:tbl)`, `GROUP BY IDENTIFIER(:col)`) and are
+    resolved as identifiers, never spliced as text — the last leg of
+    the metadata-driven-SQL family (sql_params binds VALUES, this
+    binds NAMES; together they make a templated pipeline fully
+    injection-safe: a crawler-supplied string can neither alter the
+    query shape nor escape into a different table). Identifier
+    resolution happens at analysis time, so the resolved plan is
+    byte-identical to the hardcoded spelling — pushdown, pruning, and
+    the aggregate shape are unchanged.
+
+    Exactness: name lengths sum through the exact-decimal pattern
+    at scale 0 (pure integers). Scale: one combinable groupBy over
+    the 25-row dim — the surface is the point, the plan is the
+    trivial one."""
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("ggee_ident_nation")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:key_col) AS region_key,
+               COUNT(*) AS n_nations,
+               CAST(SUM(CAST((LENGTH(IDENTIFIER(:len_col))) AS DECIMAL(30,0)))
+                 AS DOUBLE) AS name_chars
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:key_col)
+        ORDER BY region_key
+        """,
+        args={
+            "key_col": "n_regionkey",
+            "len_col": "n_name",
+            "tbl": "ggee_ident_nation",
+        },
+    )
