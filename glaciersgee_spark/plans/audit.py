@@ -159,6 +159,12 @@ HEADLINERS = [
     ("q_b_purge_audit", "left + anti + semi manifest joins; manifest never collected, AQE picks broadcast (r8)"),
     ("q_e_ivfpq_persist", "FAISS IVFADC serve: 4 artifact scans, codes-only ADC scoring in pure JVM; only Python is the bounded probe panel (r9)"),
     ("q_b_join_skew_aqe", "zero-rewrite skew handling: AQE flags + splits the 75%-hot partition at runtime (skew=true pinned on the executed plan) (r9)"),
+    ("q_b_attribution", "touch join co-partitioned on user_id with a 7-day interval predicate — per-user fan-out only; both ranks + both rollups ride one (p_id) frame (r9)"),
+    ("q_e_pq_residual", "residual-PQ encode: one Arrow pass with the 16-row codebook as literals; ADC scoring reads 8-byte codes only (r9)"),
+    ("q_e_div_frontier", "ONE shared broadcast-panel assignment collapses both halves into an 8x2 count table; the frontier is constant-size arithmetic (r9)"),
+    ("q_a_glacier_trend", "NDSI classify in scan-side codegen (zero joins/UDFs); combinable (region, year) rollup; OLS over the bounded frame (r9)"),
+    ("q_b_sink_pywriter", "Python DataSource writer: executors stage shards, driver commit() publishes atomically; read-back aggregate is one combinable rollup (r9)"),
+    ("q_e_ivfpq_recall", "approx list served from the 4 read-back artifacts; exact list is the brute-force panel kernel; overlap joins two 10-row frames (r9)"),
 ]
 
 
