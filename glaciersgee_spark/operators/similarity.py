@@ -3325,7 +3325,47 @@ def q_e_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # App-scoped (assignment, cell-mean) cache — see the in-op comment.
+# Shared by q_e_davies_bouldin and q_e_silhouette: both consume the
+# identical (asg, mean) pair, so the k-means scoring and the cell-mean
+# pass run once per app regardless of which op fires first.
 _DB_CACHE: dict = register_cache({})
+
+
+def _db_asg_mean(spark: SparkSession, sf_dir: str):
+    """(assignment, per-dim cell means), persisted app-scoped.
+
+    asg feeds the mean pass AND every member-distance probe; mean
+    feeds the probes and the separation legs — persist both (the
+    app-scoped convention) or the k-means assignment scoring replays
+    once per consumer."""
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DB_CACHE.get(key)
+    if cached is None:
+        asg, _cent = _km_assign(spark, sf_dir)
+        asg = asg.persist()
+        dims0 = (
+            asg.join(e.select("vec_id", "embedding"), "vec_id")
+            .select(
+                "cid",
+                "vec_id",
+                F.posexplode(F.col("embedding").cast("array<double>")),
+            )
+            .select(
+                "cid",
+                "vec_id",
+                (F.col("pos") + 1).alias("d"),
+                F.col("col").alias("val"),
+            )
+        )
+        mean = (
+            dims0.groupBy("cid", "d")
+            .agg(F.expr(davg("val", scale=9)).alias("nv"))
+            .persist()
+        )
+        cached = (asg, mean)
+        _DB_CACHE[key] = cached
+    return cached
 
 
 @query(
@@ -3392,37 +3432,7 @@ def q_e_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-centroid pairs NULLIF to NULL (dropped by the DESC
     ordering), ties to the smaller neighbor id."""
     e = load_table(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _DB_CACHE.get(key)
-    if cached is None:
-        # asg feeds the mean pass AND the member-distance probe; mean
-        # feeds the probe and both separation legs — persist both (the
-        # app-scoped convention) or the k-means assignment scoring
-        # replays once per consumer
-        asg, _cent = _km_assign(spark, sf_dir)
-        asg = asg.persist()
-        dims0 = (
-            asg.join(e.select("vec_id", "embedding"), "vec_id")
-            .select(
-                "cid",
-                "vec_id",
-                F.posexplode(F.col("embedding").cast("array<double>")),
-            )
-            .select(
-                "cid",
-                "vec_id",
-                (F.col("pos") + 1).alias("d"),
-                F.col("col").alias("val"),
-            )
-        )
-        mean = (
-            dims0.groupBy("cid", "d")
-            .agg(F.expr(davg("val", scale=9)).alias("nv"))
-            .persist()
-        )
-        cached = (asg, mean)
-        _DB_CACHE[key] = cached
-    asg, mean = cached
+    asg, mean = _db_asg_mean(spark, sf_dir)
     dims = (
         asg.join(e.select("vec_id", "embedding"), "vec_id")
         .select(
@@ -5103,3 +5113,137 @@ def q_e_div_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.round("lam", 6).alias("lam6"), "kl_p6", "kl_q6")
         .orderBy("lam6")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_silhouette (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_silhouette",
+    oracle=f"""
+    WITH {_KM_CTES},
+    dims AS (SELECT a.cid, a.vec_id,
+                    CAST(generate_subscripts(v.ve, 1) AS INT) AS d,
+                    unnest(v.ve) AS val
+             FROM asg a JOIN v USING (vec_id)),
+    mean AS (SELECT cid AS mcid, d, {davg('val', scale=9)} AS nv
+             FROM dims GROUP BY cid, d),
+    dist AS (SELECT m.vec_id, m.cid, c.mcid,
+                    round(sqrt({dsum('(m.val - c.nv) * (m.val - c.nv)',
+                                     scale=12)}), 6) AS dist6
+             FROM dims m JOIN mean c ON m.d = c.d
+             GROUP BY m.vec_id, m.cid, c.mcid),
+    per AS (SELECT vec_id, cid,
+                   MIN(CASE WHEN mcid = cid THEN dist6 END) AS a6,
+                   MIN(CASE WHEN mcid <> cid THEN dist6 END) AS b6
+            FROM dist GROUP BY vec_id, cid),
+    sil AS (SELECT vec_id, cid, a6, b6,
+                   floor((b6 - a6) / NULLIF(GREATEST(a6, b6), 0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS s6
+            FROM per),
+    cell AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+                    floor({davg('a6')} * 1000000.0 + 0.5) / 1000000.0
+                      AS cohesion6,
+                    floor({davg('b6')} * 1000000.0 + 0.5) / 1000000.0
+                      AS separation6,
+                    floor({davg('s6')} * 1000000.0 + 0.5) / 1000000.0
+                      AS sil6
+             FROM sil GROUP BY cid),
+    tot AS (SELECT floor({davg('s6')} * 1000000.0 + 0.5) / 1000000.0
+                     AS sil_all6
+            FROM sil)
+    SELECT cid, n_members, cohesion6, separation6, sil6, tot.sil_all6
+    FROM cell CROSS JOIN tot ORDER BY cid
+    """,
+)
+def q_e_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE over the k-means cells (round 9) — the
+    per-point cluster-quality companion to q_e_davies_bouldin
+    (Hruschka et al.'s centroid variant of Rousseeuw 1987): a(x) =
+    ‖x − μ_own‖, b(x) = min over OTHER cells of ‖x − μ_c‖, s(x) =
+    (b − a)/max(a, b); per cell the member count, mean cohesion a,
+    mean separation b, and mean silhouette, plus the corpus-wide
+    mean repeated per row (the q_e_seasonality corpus-constant
+    convention). The full silhouette is O(Σ|cell|²) pair distances —
+    the reason DB shipped first; the simplified form is O(n·K) and
+    IS the variant a 100 TB curation loop can actually afford per
+    ingest round, while ranking cells nearly identically.
+
+    Scale: ONE shared k-means assignment + cell-mean pass (the
+    app-scoped _DB_CACHE, shared with q_e_davies_bouldin — whichever
+    fires first pays it); the distance probe joins the n·64 dim frame
+    to the broadcast 512-row mean table (K-fan-out on bounded K, the
+    q_e_knn_classify shape); everything after the per-point fold is
+    K-row arithmetic. Exactness: exact-decimal means at scale 9,
+    per-distance 6-dp sqrt folds of exact-decimal sums, floor
+    quantizer on every closing mean/division of the 6-dp grid (the
+    q_e_l_diversity half-up lattice rule); a6 = b6 = 0 NULLIFs (the
+    degenerate duplicate-centroid corner) identically in both
+    engines and falls out of the NULL-skipping means."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, mean = _db_asg_mean(spark, sf_dir)
+    dims = (
+        asg.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "cid",
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")),
+        )
+        .select(
+            "cid",
+            "vec_id",
+            (F.col("pos") + 1).alias("d"),
+            F.col("col").alias("val"),
+        )
+    )
+    allm = mean.select(
+        F.col("cid").alias("mcid"), "d", "nv"
+    )
+    dist = (
+        dims.join(F.broadcast(allm), "d")
+        .groupBy("vec_id", "cid", "mcid")
+        .agg(
+            F.round(
+                F.sqrt(F.expr(dsum("(val - nv) * (val - nv)", scale=12))), 6
+            ).alias("dist6")
+        )
+    )
+    per = dist.groupBy("vec_id", "cid").agg(
+        F.min(F.when(F.col("mcid") == F.col("cid"), F.col("dist6"))).alias("a6"),
+        F.min(F.when(F.col("mcid") != F.col("cid"), F.col("dist6"))).alias("b6"),
+    )
+    sil = per.select(
+        "vec_id",
+        "cid",
+        "a6",
+        "b6",
+        (
+            F.floor(
+                (F.col("b6") - F.col("a6"))
+                / F.expr("nullif(greatest(a6, b6), 0.0)")
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("s6"),
+    ).persist()
+    cell = sil.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (F.floor(F.expr(davg("a6")) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "cohesion6"
+        ),
+        (F.floor(F.expr(davg("b6")) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "separation6"
+        ),
+        (F.floor(F.expr(davg("s6")) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "sil6"
+        ),
+    )
+    tot = sil.agg(
+        (F.floor(F.expr(davg("s6")) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "sil_all6"
+        )
+    )
+    return cell.join(F.broadcast(tot)).orderBy("cid")
