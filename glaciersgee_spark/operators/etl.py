@@ -1402,3 +1402,167 @@ def q_a_glacier_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_harmonic_fit (round 9)
+# ---------------------------------------------------------------------------
+
+# First-harmonic basis on the 24-hour cycle, micro-units: s = round(
+# sin(2*pi*h/24) * 1e6), c = round(cos * 1e6), computed ONCE offline
+# (driver-side math.sin is the single source of truth; both engines
+# consume the SAME integer literals, so no libm call happens at query
+# time — the q_e_retrieval_ndcg nano-unit convention, SURVEY.md §7.4).
+_HF_BASIS: tuple[tuple[int, int, int], ...] = (
+    (0, 0, 1000000),
+    (1, 258819, 965926),
+    (2, 500000, 866025),
+    (3, 707107, 707107),
+    (4, 866025, 500000),
+    (5, 965926, 258819),
+    (6, 1000000, 0),
+    (7, 965926, -258819),
+    (8, 866025, -500000),
+    (9, 707107, -707107),
+    (10, 500000, -866025),
+    (11, 258819, -965926),
+    (12, 0, -1000000),
+    (13, -258819, -965926),
+    (14, -500000, -866025),
+    (15, -707107, -707107),
+    (16, -866025, -500000),
+    (17, -965926, -258819),
+    (18, -1000000, 0),
+    (19, -965926, 258819),
+    (20, -866025, 500000),
+    (21, -707107, 707107),
+    (22, -500000, 866025),
+    (23, -258819, 965926),
+)
+
+# Cramer's rule over the 3x3 normal equations, shared verbatim by both
+# engines (the _FK_METRICS single-source convention): every name below
+# is an EXACT 128-bit integer (Spark DECIMAL(38,0) / DuckDB HUGEINT),
+# so each determinant is exact integer arithmetic — the only doubles
+# are the final micro-unit quotients.
+_HF_D = "(n*(ss*cc - sc*sc) - s1*(s1*cc - sc*c1) + c1*(s1*sc - ss*c1))"
+_HF_D0 = "(sy*(ss*cc - sc*sc) - s1*(sys*cc - sc*syc) + c1*(sys*sc - ss*syc))"
+_HF_D1 = "(n*(sys*cc - sc*syc) - sy*(s1*cc - sc*c1) + c1*(s1*syc - sys*c1))"
+_HF_D2 = "(n*(ss*syc - sys*sc) - s1*(s1*syc - sys*c1) + sy*(s1*sc - ss*c1))"
+# beta_micro = (1e6 * Di) DIV D — integer division truncates toward
+# zero IDENTICALLY in Spark's DECIMAL DIV and DuckDB's HUGEINT //
+# (verified on negative operands); the quotient magnitude is ~1e10,
+# exactly representable as a double.
+_HF_BETAS = tuple(
+    f"CAST((1000000 * {d}) {{div}} {_HF_D} AS DOUBLE) / 1e6 AS {b}"
+    for d, b in ((_HF_D0, "b0"), (_HF_D1, "b1"), (_HF_D2, "b2"))
+)
+
+
+def _hf_values_sql() -> str:
+    return ", ".join(f"({h}, {s}, {c})" for h, s, c in _HF_BASIS)
+
+
+@query(
+    "q_a_harmonic_fit",
+    oracle=f"""
+    WITH basis(h, s, c) AS (VALUES {_hf_values_sql()}),
+    hr AS (SELECT CAST(hour(ts) AS INT) AS h,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+    j AS (SELECT hr.h, hr.y, CAST(b.s AS BIGINT) AS s,
+                 CAST(b.c AS BIGINT) AS c
+          FROM hr JOIN basis b USING (h)),
+    sums AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                    CAST(SUM(s) AS HUGEINT) AS s1,
+                    CAST(SUM(c) AS HUGEINT) AS c1,
+                    CAST(SUM(s * s) AS HUGEINT) AS ss,
+                    CAST(SUM(s * c) AS HUGEINT) AS sc,
+                    CAST(SUM(c * c) AS HUGEINT) AS cc,
+                    CAST(SUM(y) AS HUGEINT) AS sy,
+                    CAST(SUM(y * s) AS HUGEINT) AS sys,
+                    CAST(SUM(y * c) AS HUGEINT) AS syc
+             FROM j),
+    beta AS (SELECT {", ".join(b.format(div="//") for b in _HF_BETAS)}
+             FROM sums),
+    fit AS (SELECT j.h, j.y,
+                   round(b.b0 + b.b1 * (j.s / 1e6) + b.b2 * (j.c / 1e6), 6)
+                     AS fit6
+            FROM j CROSS JOIN beta b)
+    SELECT f.h AS hour, f.y AS n_events, f.fit6,
+           round(f.y - f.fit6, 6) AS resid6,
+           round(b.b0, 6) AS b0_6, round(b.b1, 6) AS b1_6,
+           round(b.b2, 6) AS b2_6,
+           round(sqrt(b.b1 * b.b1 + b.b2 * b.b2), 6) AS amp6
+    FROM fit f CROSS JOIN beta b ORDER BY hour
+    """,
+)
+def q_a_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC REGRESSION (round 9) — GEE's harmonic-model workflow
+    (ee.Image constant/sin/cos bands + linearRegression reducer, the
+    standard phenology/seasonality recipe), reconstructed on the
+    catalog's diurnal cycle: hourly acquisition volume y_h fit as
+    y = b0 + b1*sin(2*pi*h/24) + b2*cos(2*pi*h/24) via the normal
+    equations, plus per-hour fitted values, residuals, and the cycle
+    amplitude sqrt(b1^2 + b2^2) — the same three-coefficient fit GEE
+    users run per pixel over NDVI time series; here it runs once over
+    the catalog, and at 100 TB it runs per tile by adding the tile
+    key to the rollup.
+
+    Exactness: the sin/cos basis is 24 micro-unit INTEGER literals
+    computed offline (no libm at query time — the retrieval_ndcg
+    convention); all nine normal-equation sums and all four Cramer
+    determinants are exact 128-bit integer arithmetic (DECIMAL(38,0)
+    vs HUGEINT, the assoc_rules precedent; magnitudes peak ~1e28,
+    headroom to 1e38); the betas are single exact integer divisions
+    (truncation toward zero matches engine-to-engine, verified on
+    negatives) whose ~1e10 micro-quotients are exactly double-
+    representable. Scale: ONE combinable 24-bucket rollup collapses
+    the corpus; the basis join, the 1-row normal-equation fold, and
+    Cramer are constant-size; the fit broadcast back onto 24 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    basis = spark.createDataFrame(
+        list(_HF_BASIS), "h INT, s BIGINT, c BIGINT"
+    )
+    hr = ev.groupBy(F.hour("ts").cast("int").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    j = hr.join(F.broadcast(basis), "h").persist()
+    d38 = "DECIMAL(38,0)"
+    sums = j.agg(
+        F.expr(f"CAST(COUNT(*) AS {d38})").alias("n"),
+        F.expr(f"CAST(SUM(s) AS {d38})").alias("s1"),
+        F.expr(f"CAST(SUM(c) AS {d38})").alias("c1"),
+        F.expr(f"CAST(SUM(s * s) AS {d38})").alias("ss"),
+        F.expr(f"CAST(SUM(s * c) AS {d38})").alias("sc"),
+        F.expr(f"CAST(SUM(c * c) AS {d38})").alias("cc"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(y * s) AS {d38})").alias("sys"),
+        F.expr(f"CAST(SUM(y * c) AS {d38})").alias("syc"),
+    )
+    beta = sums.selectExpr(*[b.format(div="DIV") for b in _HF_BETAS])
+    fit = j.join(F.broadcast(beta)).select(
+        "h",
+        "y",
+        F.round(
+            F.col("b0")
+            + F.col("b1") * (F.col("s") / F.lit(1e6))
+            + F.col("b2") * (F.col("c") / F.lit(1e6)),
+            6,
+        ).alias("fit6"),
+        "b0",
+        "b1",
+        "b2",
+    )
+    return fit.select(
+        F.col("h").alias("hour"),
+        F.col("y").alias("n_events"),
+        "fit6",
+        F.round(F.col("y") - F.col("fit6"), 6).alias("resid6"),
+        F.round("b0", 6).alias("b0_6"),
+        F.round("b1", 6).alias("b1_6"),
+        F.round("b2", 6).alias("b2_6"),
+        F.round(
+            F.sqrt(F.col("b1") * F.col("b1") + F.col("b2") * F.col("b2")), 6
+        ).alias("amp6"),
+    ).orderBy("hour")

@@ -304,3 +304,168 @@ def q_e_spectral_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("top_share6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_mmd_poly (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _partial_gram_halves(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(vec_id, embedding) Arrow batch → per-half upper-triangle int64
+    partial second-moment rows (h, i, j, s), h = vec_id % 2.
+
+    Same overflow budget as _partial_gram (each half is a subset), one
+    extra matmul per batch — still 2·2,080 numbers out per batch."""
+    iu, ju = np.triu_indices(DIM)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        q = np.floor(m * _SCALE + 0.5).astype(np.int64)
+        h = (pdf["vec_id"].to_numpy() % 2).astype(np.int64)
+        for hv in (0, 1):
+            qh = q[h == hv]
+            if not len(qh):
+                continue
+            g = qh.T @ qh
+            yield pd.DataFrame(
+                {
+                    "h": np.full(len(iu), hv, dtype=np.int64),
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "s": g[iu, ju],
+                }
+            )
+
+
+@query(
+    "q_e_mmd_poly",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, vec_id % 2 AS h,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_SCALE:.1f} + 0.5)
+                         AS BIGINT))) AS q,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings),
+    pairs AS (
+      SELECT a.h, a.i AS i, b.i AS j,
+             CAST(SUM(a.q * b.q) AS HUGEINT) AS s
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.h, a.i, b.i),
+    n AS (SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS HUGEINT) AS nx,
+                 CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS HUGEINT) AS ny
+          FROM embeddings),
+    d AS (SELECT px.i, px.j,
+                 CAST(px.s AS HUGEINT) * n.ny
+                   - CAST(py.s AS HUGEINT) * n.nx AS dv,
+                 CASE WHEN px.i = px.j THEN 1 ELSE 2 END AS w,
+                 n.nx, n.ny
+          FROM (SELECT * FROM pairs WHERE h = 0) px
+          JOIN (SELECT * FROM pairs WHERE h = 1) py
+            ON px.i = py.i AND px.j = py.j
+          CROSS JOIN n),
+    tot AS (SELECT CAST(SUM(w * dv * dv) AS HUGEINT) AS sq,
+                   MAX(nx) AS nx, MAX(ny) AS ny
+            FROM d)
+    SELECT dg.i AS dim,
+           round(CAST(dg.sx AS DOUBLE) / CAST(t.nx AS DOUBLE)
+                 / {_SCALE2}.0, 6) AS mx6,
+           round(CAST(dg.sy AS DOUBLE) / CAST(t.ny AS DOUBLE)
+                 / {_SCALE2}.0, 6) AS my6,
+           round(CAST(t.sq AS DOUBLE)
+                 / (CAST(t.nx AS DOUBLE) * CAST(t.ny AS DOUBLE))
+                 / (CAST(t.nx AS DOUBLE) * CAST(t.ny AS DOUBLE))
+                 / {_SCALE2}.0 / {_SCALE2}.0, 12) AS mmd2_12
+    FROM (SELECT px.i, px.s AS sx, py.s AS sy
+          FROM (SELECT * FROM pairs WHERE h = 0 AND i = j) px
+          JOIN (SELECT * FROM pairs WHERE h = 1 AND i = j) py
+            ON px.i = py.i) dg
+    CROSS JOIN tot t
+    ORDER BY dim
+    """,
+)
+def q_e_mmd_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KERNEL TWO-SAMPLE TEST between corpus halves (round 9) — MMD²
+    with the degree-2 homogeneous polynomial kernel k(x,y) = (x·y)²
+    (Gretton et al., JMLR 2012): algebraically ‖M_X − M_Y‖²_F over
+    the 64×64 second-moment matrices M = E[xxᵀ], i.e. the COVARIANCE-
+    level drift the centroid monitor (q_e_embed_drift — linear-kernel
+    MMD) is blind to: two ingest slices can share identical means and
+    still differ in spread/orientation (an encoder temperature change,
+    a collapsed mode). Reports the per-dimension diagonal moments of
+    both halves plus the corpus-constant MMD², so the scan-me number
+    and its which-dimension breakdown arrive together.
+
+    Exactness: the q_e_embed_gram integer pipeline — per-batch numpy
+    matmul on half-split rows quantized floor(x·1e6 + 0.5), exact
+    int64 partials, DECIMAL(38,0)/HUGEINT merge; the cross-half
+    difference runs on the common denominator (Sx·ny − Sy·nx — no
+    division until the end), squares and the weighted Frobenius fold
+    stay 128-bit exact (|d| ≤ 8·10¹⁷, d² ≤ 6.4·10³⁵ < 10³⁸), and the
+    closing divisions are one IEEE chain over identical integers.
+    Scale: the treeAggregate shape — each executor reduces its Arrow
+    batches to TWO 64×64 partials locally; only 4,160 numbers per
+    batch cross the shuffle; everything downstream is 2,080-row
+    arithmetic. No pair expansion, no driver collect."""
+    e = load_table(spark, sf_dir, "embeddings")
+    partials = fan_out(e.select("vec_id", "embedding")).mapInPandas(
+        _partial_gram_halves, "h long, i int, j int, s long"
+    )
+    pairs = (
+        partials.groupBy("h", "i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .persist()
+    )
+    n = e.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("nx"),
+        F.expr(
+            "CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0))"
+        ).alias("ny"),
+    )
+    px = pairs.where(F.col("h") == 0).select("i", "j", F.col("s").alias("sx"))
+    py = pairs.where(F.col("h") == 1).select("i", "j", F.col("s").alias("sy"))
+    d = (
+        px.join(py, ["i", "j"])
+        .join(F.broadcast(n))
+        .selectExpr(
+            "i",
+            "j",
+            "sx * ny - sy * nx AS dv",
+            "CASE WHEN i = j THEN 1 ELSE 2 END AS w",
+            "nx",
+            "ny",
+        )
+    )
+    tot = d.agg(
+        F.expr("CAST(SUM(w * dv * dv) AS DECIMAL(38,0))").alias("sq"),
+        F.max("nx").alias("nx"),
+        F.max("ny").alias("ny"),
+    )
+    dg = (
+        px.where(F.col("i") == F.col("j"))
+        .join(py.where(F.col("i") == F.col("j")), ["i", "j"])
+        .select("i", "sx", "sy")
+    )
+    return (
+        dg.join(F.broadcast(tot))
+        .selectExpr(
+            "i AS dim",
+            f"round(CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)"
+            f" / {_SCALE2}.0, 6) AS mx6",
+            f"round(CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE)"
+            f" / {_SCALE2}.0, 6) AS my6",
+            f"round(CAST(sq AS DOUBLE)"
+            f" / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))"
+            f" / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))"
+            f" / {_SCALE2}.0 / {_SCALE2}.0, 12) AS mmd2_12",
+        )
+        .orderBy("dim")
+    )

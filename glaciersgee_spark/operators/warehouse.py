@@ -2820,3 +2820,75 @@ def q_b_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_checksum_table (round 9)
+# ---------------------------------------------------------------------------
+
+# Canonical row rendering shared by both engines: integer keys render
+# identically, dates render ISO ('yyyy-MM-dd' in Spark CAST-to-string ==
+# DuckDB CAST-to-VARCHAR), '|' separates. Doubles are deliberately
+# EXCLUDED from the fingerprint: cross-engine float-to-string rendering
+# is not contractual (1.0 vs 1, exponent forms) — a real migration
+# checksums the bits of a canonical decimal quantization instead.
+_CK_ROW = (
+    "concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+    " l_returnflag, CAST(CAST(l_shipdate AS DATE) AS {str_t}))"
+)
+
+
+@query(
+    "q_b_checksum_table",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST('0x' || substr(md5({_CK_ROW.format(str_t='VARCHAR')}),
+                                 1, 15) AS BIGINT) AS hv
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(hv) AS xor60,
+           CAST(CAST(SUM(CAST(hv AS HUGEINT)) AS HUGEINT)
+                % 2305843009213693951 AS BIGINT) AS sum_mod
+    FROM h GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_b_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE CHECKSUM (round 9) — the order-independent content
+    fingerprint a migration/replication pipeline runs on both sides
+    of a copy (the CHECKSUM TABLE / Iceberg-snapshot-validation
+    shape): each row renders canonically, md5's first 60 bits become
+    a BIGINT, and per partition-group the engine reports COUNT,
+    BIT_XOR, and an exact SUM mod 2^61−1. XOR alone is blind to
+    even-multiplicity duplicate rows (x⊕x = 0 — a double-applied
+    CDC batch passes!); the additive sum catches exactly that class,
+    so the pair detects any single-row corruption and any
+    duplication the row count doesn't already expose. Doubles stay
+    OUT of the fingerprint by design (cross-engine float rendering
+    is not contractual); a real migration quantizes them first.
+
+    Exactness: md5 over identical canonical strings, hex-prefix
+    parsing to the same 60-bit integer (CONV base-16 vs '0x' CAST),
+    XOR exact, SUM in 128-bit then one exact mod. Scale: this is the
+    op whose WHOLE POINT is the combiner — count, xor, and sum are
+    all map-side partial-aggregatable, so a 100 TB table checksums
+    in one scan with only |groups| rows crossing the shuffle; no
+    sort, no collect, embarrassingly parallel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("ggee_ck_lineitem")
+    return spark.sql(
+        f"""
+        WITH h AS (
+          SELECT l_returnflag,
+                 CAST(CONV(substr(md5({_CK_ROW.format(str_t='STRING')}),
+                                  1, 15), 16, 10) AS BIGINT) AS hv
+          FROM ggee_ck_lineitem)
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               bit_xor(hv) AS xor60,
+               CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+                    % 2305843009213693951 AS BIGINT) AS sum_mod
+        FROM h GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
