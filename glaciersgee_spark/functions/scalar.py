@@ -868,3 +868,72 @@ def q_c_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"substring({_UUID_EXPR}, 15, 1)").alias("version_nibble"),
         F.expr(f"length({_UUID_EXPR})").cast("long").alias("uuid_len"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_c_reduce (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c_reduce",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id % 25 = 0)
+    SELECT vec_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                       (acc, x) -> acc + x) AS qsum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, 1 + len(qv)),
+                                        i -> qv[i] * qv[len(qv) + 1 - i])),
+                       (acc, x) -> acc + x) AS rev_dot,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(qv, x -> GREATEST(x, 0))),
+                       (acc, x) -> acc + x) AS relu_sum,
+           list_reduce(qv, (acc, x) -> GREATEST(acc, x)) AS qmax
+    FROM q ORDER BY vec_id
+    """,
+)
+def q_c_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER-ORDER FOLD family (round 9) — aggregate()/reduce and
+    zip_with, the two array HOFs q_c_array left out: a sequential
+    fold with an initial accumulator (Spark `aggregate`, DuckDB
+    `list_reduce` seeded via list_prepend — semantically aligned by
+    construction), an element-wise binary combine (Spark `zip_with`
+    against the reversed array; DuckDB spells it as an indexed
+    transform — zip_with has no direct DuckDB twin, which is itself
+    the documentation point), a map-then-fold chain, and a no-seed
+    running max. All on the micro-quantized integer lattice
+    (floor(x·1e6 + 0.5)) so every fold step is exact int64 — fold
+    ORDER is engine-defined only up to float non-associativity,
+    which integers make moot.
+
+    Scale: pure scan-side codegen per row, zero shuffles; the HOF
+    interpreter overhead note in similarity.py's header is exactly
+    why the HOT-path kernels are Arrow UDFs and THIS op is the
+    declared surface exhibit on a pruned panel."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 25 == 0)
+    qv = (
+        "transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    return e.select(
+        "vec_id",
+        F.expr(f"aggregate({qv}, 0L, (acc, x) -> acc + x)").alias("qsum"),
+        F.expr(
+            f"aggregate(zip_with({qv}, reverse({qv}), (a, b) -> a * b),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("rev_dot"),
+        F.expr(
+            f"aggregate(transform({qv}, x -> GREATEST(x, 0L)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("relu_sum"),
+        F.expr(
+            f"aggregate({qv}, -9223372036854775808L,"
+            " (acc, x) -> GREATEST(acc, x))"
+        ).alias("qmax"),
+    ).orderBy("vec_id")

@@ -1566,3 +1566,112 @@ def q_a_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("b1") * F.col("b1") + F.col("b2") * F.col("b2")), 6
         ).alias("amp6"),
     ).orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# q_a_medoid_composite (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_a_medoid_composite",
+    oracle="""
+    WITH scenes AS (
+      SELECT CAST(user_id % 25 AS BIGINT) AS tile,
+             CAST(date_trunc('month', ts) AS DATE) AS month,
+             event_id,
+             CAST((event_id * 13) % 1001 AS BIGINT) AS b1,
+             CAST((event_id * 29) % 1001 AS BIGINT) AS b2,
+             CAST((event_id * 7) % 1001 AS BIGINT) AS b3
+      FROM events),
+    med AS (
+      SELECT tile, month,
+             quantile_cont(CAST(b1 AS DOUBLE), 0.5) AS m1,
+             quantile_cont(CAST(b2 AS DOUBLE), 0.5) AS m2,
+             quantile_cont(CAST(b3 AS DOUBLE), 0.5) AS m3,
+             CAST(COUNT(*) AS BIGINT) AS n_scenes
+      FROM scenes GROUP BY tile, month),
+    scored AS (
+      SELECT s.tile, s.month, s.event_id, m.n_scenes,
+             s.b1, s.b2, s.b3,
+             CAST(4.0 * ((s.b1 - m.m1) * (s.b1 - m.m1)
+                       + (s.b2 - m.m2) * (s.b2 - m.m2)
+                       + (s.b3 - m.m3) * (s.b3 - m.m3)) AS BIGINT) AS d4
+      FROM scenes s JOIN med m ON s.tile = m.tile AND s.month = m.month)
+    SELECT tile, month, event_id AS medoid_scene, n_scenes,
+           b1, b2, b3,
+           round(d4 / 4.0, 6) AS dist2_6
+    FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY tile, month
+                                    ORDER BY d4 ASC, event_id ASC) AS rk
+          FROM scored)
+    WHERE rk = 1
+    ORDER BY tile, month
+    """,
+)
+def q_a_medoid_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDOID COMPOSITE (round 9) — GEE's medoid compositing recipe
+    (the standard cloud-robust alternative to median compositing,
+    e.g. the ee medoid pattern used by LandTrendr preprocessing): per
+    (tile, month), pick the ACTUAL scene minimizing the sum of squared
+    distances to the per-band median — unlike a per-band median
+    composite, the winner is a real observation with physically
+    consistent bands. Bands derive from fact keys by the Group A
+    convention (q_a_band_math); ties break to the smaller scene id.
+
+    Exactness: medians are the exact interpolated percentile (Spark
+    percentile ≡ DuckDB quantile_cont, the q_b_quantiles
+    equivalence); band−median deltas live on the half-integer
+    lattice, so 4·dist² is an EXACT BIGINT (max 4·3·1000² ≈ 1.2e7) —
+    the argmin compares integers, never float ties; the reported
+    distance is one exact division. Scale: one scan → one combinable
+    (tile, month) median pass + one co-partitioned rejoin; the argmin
+    window partitions by (tile, month) — thousands of independent
+    slices at 100 TB, no global window; a per-pixel deployment keys
+    the same plan by pixel block."""
+    ev = load_table(spark, sf_dir, "events")
+    scenes = ev.select(
+        (F.col("user_id") % 25).cast("long").alias("tile"),
+        F.to_date(F.date_trunc("month", F.col("ts"))).alias("month"),
+        "event_id",
+        ((F.col("event_id") * 13) % 1001).cast("long").alias("b1"),
+        ((F.col("event_id") * 29) % 1001).cast("long").alias("b2"),
+        ((F.col("event_id") * 7) % 1001).cast("long").alias("b3"),
+    )
+    med = scenes.groupBy("tile", "month").agg(
+        F.expr("percentile(CAST(b1 AS DOUBLE), 0.5)").alias("m1"),
+        F.expr("percentile(CAST(b2 AS DOUBLE), 0.5)").alias("m2"),
+        F.expr("percentile(CAST(b3 AS DOUBLE), 0.5)").alias("m3"),
+        F.count(F.lit(1)).cast("long").alias("n_scenes"),
+    )
+    scored = scenes.join(med, ["tile", "month"]).select(
+        "tile",
+        "month",
+        "event_id",
+        "n_scenes",
+        "b1",
+        "b2",
+        "b3",
+        F.expr(
+            "CAST(4.0 * ((b1 - m1) * (b1 - m1) + (b2 - m2) * (b2 - m2)"
+            " + (b3 - m3) * (b3 - m3)) AS BIGINT)"
+        ).alias("d4"),
+    )
+    w = Window.partitionBy("tile", "month").orderBy(
+        F.col("d4").asc(), F.col("event_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "tile",
+            "month",
+            F.col("event_id").alias("medoid_scene"),
+            "n_scenes",
+            "b1",
+            "b2",
+            "b3",
+            F.round(F.col("d4") / 4.0, 6).alias("dist2_6"),
+        )
+        .orderBy("tile", "month")
+    )

@@ -3573,3 +3573,124 @@ def q_b_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tbl": "ggee_ident_nation",
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_groupby_all (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_groupby_all",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY ALL ORDER BY ALL
+    """,
+)
+def q_b_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (round 9) — the analysis-time
+    sugar both modern engines converged on (Spark 3.4 / DuckDB):
+    every non-aggregate select item becomes a grouping key, every
+    output column an order key. The point for a templated warehouse
+    layer: adding a dimension to the SELECT list is ONE edit, not
+    three — and because resolution happens at analysis time the plan
+    is byte-identical to the explicit spelling (same combinable
+    partial aggregate, same shuffle keys), so the sugar costs
+    nothing at 100 TB. Cross-engine date formatting stays exact:
+    the month key is string-built from date_format/strftime with an
+    explicit pattern, never locale-dependent rendering.
+
+    Scale: one pushed-down date filter + one combinable two-key
+    rollup; ORDER BY ALL sorts the |status|×|months| result frame."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ggee_gba_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               date_format(o_orderdate, 'yyyy-MM') AS ym,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {dsum('o_totalprice')} AS sum_price
+        FROM ggee_gba_orders
+        WHERE o_orderdate >= DATE '1997-01-01'
+        GROUP BY ALL ORDER BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_transpose (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_transpose",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows,
+             {dsum('l_quantity')} AS sum_qty,
+             CAST(MAX(l_linenumber) AS DOUBLE) AS max_line
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT 'n_rows' AS key,
+           MAX(CASE WHEN l_returnflag = 'A' THEN n_rows END) AS flag_a,
+           MAX(CASE WHEN l_returnflag = 'N' THEN n_rows END) AS flag_n,
+           MAX(CASE WHEN l_returnflag = 'R' THEN n_rows END) AS flag_r
+    FROM agg
+    UNION ALL
+    SELECT 'sum_qty',
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_qty END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_qty END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_qty END)
+    FROM agg
+    UNION ALL
+    SELECT 'max_line',
+           MAX(CASE WHEN l_returnflag = 'A' THEN max_line END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN max_line END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN max_line END)
+    FROM agg
+    ORDER BY key
+    """,
+)
+def q_b_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame TRANSPOSE (round 9) — Spark 4.0's df.transpose()
+    (SPARK-49032): rows become columns with the first column's
+    values as the new header — the metrics-report pivot every BI
+    export wants (metrics as rows, segments as columns) without
+    hand-writing the conditional-aggregate matrix the oracle spells.
+    The contract worth pinning: transpose EXECUTES the child (the
+    header needs the key values) and least-common-types the value
+    columns — so this op feeds it an already-aggregated K-row frame
+    with uniform DOUBLE metrics, never a corpus-sized one; at 100 TB
+    the transpose input must always be the small side of a rollup,
+    and that contract is the docstring's warning label.
+
+    Exactness: the metric matrix is exact (counts, dsum, max) before
+    the transpose touches it; the header values are the three fixed
+    returnflags. Scale: one combinable rollup to 3 rows, then a
+    constant-size transpose (its internal collect is the 3-row
+    header, bounded by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+            F.expr(dsum("l_quantity")).alias("sum_qty"),
+            F.max("l_linenumber").cast("double").alias("max_line"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return (
+        agg.transpose()
+        .select(
+            "key",
+            F.col("A").alias("flag_a"),
+            F.col("N").alias("flag_n"),
+            F.col("R").alias("flag_r"),
+        )
+        .orderBy("key")
+    )

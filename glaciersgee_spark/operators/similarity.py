@@ -5247,3 +5247,134 @@ def q_e_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cell.join(F.broadcast(tot)).orderBy("cid")
+
+
+# ---------------------------------------------------------------------------
+# q_e_calinski (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_calinski",
+    oracle=f"""
+    WITH {_KM_CTES},
+    dims AS (SELECT a.cid, a.vec_id,
+                    CAST(generate_subscripts(v.ve, 1) AS INT) AS d,
+                    unnest(v.ve) AS val
+             FROM asg a JOIN v USING (vec_id)),
+    mean AS (SELECT cid, d, {davg('val', scale=9)} AS nv
+             FROM dims GROUP BY cid, d),
+    gmean AS (SELECT d, {davg('val', scale=9)} AS gv
+              FROM dims GROUP BY d),
+    cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM asg GROUP BY cid),
+    wc AS (SELECT m.cid,
+                  {dsum('(m.val - c.nv) * (m.val - c.nv)', scale=12)} AS w
+           FROM dims m JOIN mean c ON m.cid = c.cid AND m.d = c.d
+           GROUP BY m.cid),
+    bc AS (SELECT m.cid,
+                  {dsum('(m.nv - g.gv) * (m.nv - g.gv)', scale=12)} AS bunit
+           FROM mean m JOIN gmean g ON m.d = g.d
+           GROUP BY m.cid),
+    per AS (SELECT c.cid, c.n_members,
+                   round(w.w, 6) AS within6,
+                   round(c.n_members * b.bunit, 6) AS between6
+            FROM cnt c JOIN wc w ON c.cid = w.cid
+                       JOIN bc b ON c.cid = b.cid),
+    tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CAST(between6 AS DECIMAL(30,6))) AS DOUBLE)
+                     AS btot,
+                   CAST(SUM(CAST(within6 AS DECIMAL(30,6))) AS DOUBLE)
+                     AS wtot
+            FROM per)
+    SELECT p.cid, p.n_members, p.within6, p.between6,
+           floor((t.btot / (t.k - 1)) / NULLIF(t.wtot / (t.n - t.k), 0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ch6
+    FROM per p CROSS JOIN tot t ORDER BY p.cid
+    """,
+)
+def q_e_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALINSKI–HARABASZ INDEX over the k-means cells (round 9) — the
+    variance-ratio criterion (Calinski & Harabasz 1974), completing
+    the internal-validity panel next to q_e_davies_bouldin and
+    q_e_silhouette: CH = (B/(K−1)) / (W/(n−K)) with B = Σ_c n_c·
+    ‖μ_c − μ‖² and W = Σ_x ‖x − μ_own‖² — the metric that rises as
+    cells tighten AND separate, and the usual pick-K criterion a
+    curation loop sweeps before committing an IVF/SemDeDup rebuild.
+    Per cell the member count, within-scatter, and weighted between-
+    scatter ship alongside the corpus-constant index.
+
+    Scale: the SAME app-scoped (assignment, cell-mean) cache as DB/
+    silhouette (whichever fires first pays the scoring); the within
+    pass is the dims⋈broadcast-mean fold (n·64 rows, combinable);
+    everything else is K- or 64-row arithmetic. Exactness: exact-
+    decimal means at scale 9, scale-12 exact-decimal scatter sums
+    (no per-point sqrt at all — CH is a pure variance ratio),
+    6-dp-rounded per-cell legs, exact-decimal totals over the 6-dp
+    legs, one closing IEEE ratio behind the half-up floor quantizer
+    with the degenerate W = 0 corner NULLIF'd identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, mean = _db_asg_mean(spark, sf_dir)
+    dims = (
+        asg.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "cid",
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")),
+        )
+        .select(
+            "cid",
+            "vec_id",
+            (F.col("pos") + 1).alias("d"),
+            F.col("col").alias("val"),
+        )
+    )
+    gmean = dims.groupBy("d").agg(F.expr(davg("val", scale=9)).alias("gv"))
+    cnt = asg.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    wc = (
+        dims.join(F.broadcast(mean), ["cid", "d"])
+        .groupBy("cid")
+        .agg(F.expr(dsum("(val - nv) * (val - nv)", scale=12)).alias("w"))
+    )
+    bc = (
+        mean.join(F.broadcast(gmean), "d")
+        .groupBy("cid")
+        .agg(F.expr(dsum("(nv - gv) * (nv - gv)", scale=12)).alias("bunit"))
+    )
+    per = (
+        cnt.join(wc, "cid")
+        .join(bc, "cid")
+        .select(
+            "cid",
+            "n_members",
+            F.round(F.col("w"), 6).alias("within6"),
+            F.round(F.col("n_members") * F.col("bunit"), 6).alias("between6"),
+        )
+        .persist()
+    )
+    tot = per.agg(
+        F.sum("n_members").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(dsum("between6")).alias("btot"),
+        F.expr(dsum("within6")).alias("wtot"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_members",
+            "within6",
+            "between6",
+            (
+                F.floor(
+                    (F.col("btot") / (F.col("k") - 1))
+                    / F.expr("nullif(wtot / (n - k), 0.0)")
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("ch6"),
+        )
+        .orderBy("cid")
+    )
