@@ -3694,3 +3694,228 @@ def q_b_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_listagg (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_listagg",
+    oracle="""
+    SELECT p_brand,
+           string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg (round 9) — SQL:2016's ordered string
+    aggregation, shipped in Spark 4.0 as `listagg(expr, delim) WITHIN
+    GROUP (ORDER BY ...)` (SPARK-42746) and in DuckDB as
+    `string_agg(expr, delim ORDER BY ...)`: the report-column every
+    BI export and audit log wants ("which distinct types does this
+    brand carry, as one cell"). DISTINCT + an explicit ORDER BY make
+    the cell deterministic regardless of row order — an UNORDERED
+    listagg is a flaky-diff generator and this op deliberately never
+    spells it.
+
+    Scale contract (the docstring warning label, like q_b_transpose):
+    listagg buffers the group's values, so the aggregated string must
+    be bounded by a small DISTINCT DOMAIN (p_type: tens of values),
+    never by group row count — at 100 TB a listagg over raw fact rows
+    is an OOM, a listagg over a bounded domain is a constant. The op
+    therefore dedups (brand, type) FIRST — a combinable distinct that
+    shrinks the fact before any string is built — and feeds listagg
+    the already-small domain. (Also load-bearing: Spark 4.1's
+    `listagg(DISTINCT x) WITHIN GROUP (ORDER BY x)` path throws a
+    ClassCastException in ListAgg.withNewChildrenInternal — probed
+    here 2026-08-16 — so the pre-distinct spelling is both the scale
+    answer and the working one.) n_parts rides a separate combinable
+    count joined back on the 25-row brand dimension."""
+    p = load_table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        WITH d AS (SELECT DISTINCT p_brand, p_type FROM part),
+        c AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+              FROM part GROUP BY p_brand)
+        SELECT d.p_brand,
+               listagg(d.p_type, '|')
+                 WITHIN GROUP (ORDER BY d.p_type) AS types,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               MAX(c.n_parts) AS n_parts
+        FROM d JOIN c ON d.p_brand = c.p_brand
+        GROUP BY d.p_brand
+        ORDER BY d.p_brand
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_mode_agg (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_mode_agg",
+    oracle="""
+    WITH pr AS (
+      SELECT o_orderstatus, o_orderpriority,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    top_pr AS (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority
+      FROM (SELECT *, row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+            FROM pr) WHERE rn = 1
+    ),
+    dw AS (
+      SELECT o_orderstatus, CAST(isodow(o_orderdate) AS INT) AS dow,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, dow
+    ),
+    top_dw AS (
+      SELECT o_orderstatus, dow AS mode_dow
+      FROM (SELECT *, row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY cnt DESC, dow ASC) AS rn
+            FROM dw) WHERE rn = 1
+    )
+    SELECT s.o_orderstatus, s.n_orders, p.mode_priority, d.mode_dow
+    FROM (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_orderstatus) s
+    JOIN top_pr p USING (o_orderstatus)
+    JOIN top_dw d USING (o_orderstatus)
+    ORDER BY s.o_orderstatus
+    """,
+)
+def q_b_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE aggregate (round 9) — Spark 3.4's
+    `mode(col, deterministic => true)`, which breaks frequency ties
+    by returning the SMALLEST value (probed: mode((2,2,1,1), true) =
+    1, mode(('b','b','a','a'), true) = 'a'); without the flag the
+    result is partition-order-dependent, i.e. a nondeterminism bug
+    waiting for a retry to surface it. DuckDB's mode() documents no
+    tie order, so the oracle spells the portable equivalent — count
+    per (group, value), row_number ORDER BY cnt DESC, value ASC —
+    which is also the spelling a pre-3.4 Spark user needs; this op
+    pins that the builtin and the portable spelling agree.
+
+    Two modes per status group (most-common priority, most-common
+    ISO day-of-week) plus the group size. Scale: mode's state is one
+    counter per distinct value — bounded-domain columns only (same
+    warning label as listagg); the underlying count rollups are
+    map-side combinable and the final pick is per-group constant
+    work. dayofweek alignment: Spark's dayofweek() is 1=Sunday, so
+    the op uses the ISO spelling (weekday(date)+1 ⟷ isodow) to keep
+    both engines on 1=Monday."""
+    o = load_table(spark, sf_dir, "orders")
+    iso_dow = (F.weekday(F.col("o_orderdate")) + F.lit(1)).cast("int")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            iso_dow.alias("dow"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("mode(o_orderpriority, true)").alias("mode_priority"),
+            F.expr("mode(dow, true)").alias("mode_dow"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_cdc_apply (round 9)
+# ---------------------------------------------------------------------------
+
+# Deterministic changelog derived from orders: each order row is one
+# CDC record for key o_custkey, sequenced by (o_orderdate, o_orderkey);
+# the status maps to the op code (O→INSERT/UPSERT, P→UPSERT, F→DELETE).
+_CDC_OP = """
+CASE o_orderstatus WHEN 'F' THEN 'D' WHEN 'P' THEN 'U' ELSE 'I' END
+"""
+
+
+@query(
+    "q_b_cdc_apply",
+    oracle=f"""
+    WITH log AS (
+      SELECT o_custkey AS key,
+             {_CDC_OP.strip()} AS op,
+             o_orderdate AS seq_ts, o_orderkey AS seq_id,
+             o_totalprice AS payload
+      FROM orders
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY key ORDER BY seq_ts DESC, seq_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_versions
+      FROM log
+    )
+    SELECT key, op AS last_op, seq_id AS last_seq_id,
+           payload AS current_payload, n_versions
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    ORDER BY key
+    """,
+)
+def q_b_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (round 9) — the Debezium/Delta CDF
+    apply step: a keyed change log (INSERT/UPSERT/DELETE records,
+    totally ordered per key by a sequence) collapses to the current
+    snapshot — last writer wins, a trailing DELETE erases the key.
+    Completes the mutation family: q_b_upsert_merge applies ONE batch
+    of changes to a base table, q_b_scd2 keeps EVERY version with
+    validity ranges, this op replays an arbitrarily long log into
+    the latest state — the shape a streaming CDC sink compacts on
+    every checkpoint.
+
+    The changelog is derived deterministically from orders (key =
+    o_custkey, seq = (o_orderdate, o_orderkey), op from the status
+    code) so both engines replay the identical log. Scale: ONE
+    shuffle on key, then a per-key sorted pass (row_number + count
+    share the single window partitioning); no self-join against the
+    log, no driver state — at 100 TB this is the same plan with more
+    partitions. The rn=1 filter is the anti-join-free spelling of
+    "latest version"; keys whose last record is a DELETE drop out in
+    the same pass."""
+    o = load_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.expr(_CDC_OP.strip()).alias("op"),
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+        F.col("o_totalprice").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("seq_ts").desc(), F.col("seq_id").desc()
+    )
+    latest = log.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("key"))
+        .cast("long")
+        .alias("n_versions"),
+    )
+    return (
+        latest.where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("op").alias("last_op"),
+            F.col("seq_id").alias("last_seq_id"),
+            F.col("payload").alias("current_payload"),
+            "n_versions",
+        )
+        .orderBy("key")
+    )

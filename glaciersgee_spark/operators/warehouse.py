@@ -2892,3 +2892,91 @@ def q_b_checksum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM h GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_sessionize (round 9)
+# ---------------------------------------------------------------------------
+
+# 30-minute inactivity gap — the standard web-analytics session cut.
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q_b_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR t_us - prev_us > {_SESS_GAP_US}
+                     THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sessioned AS (
+      SELECT *, CAST(SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(t_us) AS BIGINT) AS start_us,
+           CAST(MAX(t_us) - MIN(t_us) AS BIGINT) AS duration_us,
+           {{dsum}} AS sum_value
+    FROM sessioned
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """.replace("{dsum}", dsum("value")),
+)
+def q_b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (round 9) — gaps-and-islands: a new
+    session starts wherever a user's inactivity gap exceeds 30
+    minutes; the session id is the running count of starts. This is
+    the BATCH twin of q_d_stream_session (session_window over a
+    stream): same cut semantics, replayable over the full history —
+    the backfill path every analytics stack needs next to its live
+    one. Emits per-session rows (events, start, duration, exact
+    value sum), the grain funnel/retention tables join against.
+
+    Scale: both windows and the final rollup share ONE partitioning
+    (user_id) — a single shuffle, then per-user sorted passes; no
+    global window, no driver state. Ties on ts are broken by
+    event_id so the lag/cumsum pair is deterministic under any
+    partitioning. Gap math on integer epoch microseconds (exact ⟷
+    DuckDB epoch_us); the value sum rides the exact-decimal dsum."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = e.select(
+        "user_id", "ts", "event_id", "value", t_us.alias("t_us")
+    ).withColumn(
+        "is_start",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > _SESS_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessioned = marked.withColumn(
+        "session_idx",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("t_us").cast("long").alias("start_us"),
+            (F.max("t_us") - F.min("t_us")).cast("long").alias("duration_us"),
+            F.expr(dsum("value")).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
