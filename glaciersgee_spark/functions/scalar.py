@@ -937,3 +937,78 @@ def q_c_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> GREATEST(acc, x))"
         ).alias("qmax"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q_c_levenshtein (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c_levenshtein",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.n_name AS name_a, b.n_name AS name_b
+      FROM nation a JOIN nation b ON a.n_name < b.n_name
+    ),
+    d AS (
+      SELECT name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS INT) AS dist,
+             CAST(GREATEST(length(name_a), length(name_b)) AS INT)
+               AS max_len
+      FROM pairs
+    )
+    SELECT name_a, name_b, dist,
+           CASE WHEN dist > 8 THEN -1 ELSE dist END AS dist_thresh8,
+           CAST((max_len - dist) * 1000000 // max_len AS BIGINT)
+             AS sim_ppm
+    FROM d
+    WHERE dist <= 12
+    ORDER BY dist, name_a, name_b
+    """,
+)
+def q_c_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE function family (round 9) — `levenshtein`, the
+    one string-distance primitive both engines ship with identical
+    Wagner-Fischer semantics (probed: ('kitten','sitting')=3,
+    ('ab','')=2, ('','')=0 — insert/delete/substitute all cost 1, no
+    transposition). Three spellings over the bounded nation-name pair
+    grid (25×24/2 pairs — a function exhibit, not a dedup engine):
+    the raw distance; Spark 3.5's THRESHOLD form `levenshtein(a,b,k)`
+    which early-exits the DP and returns −1 past k (the oracle spells
+    the portable `CASE WHEN dist > k THEN -1` — this op pins that the
+    two agree); and the normalized similarity (max_len − dist)/max_len
+    as exact integer ppm, the ratio fuzzy matchers actually threshold
+    on. Scale warning label: levenshtein is O(|a|·|b|) PER PAIR with
+    no pushdown — at corpus scale it belongs strictly AFTER blocking
+    (q_e_dedup_edit is that composition; this exhibit is the kernel
+    contract it relies on)."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    pairs = a.join(b, F.col("name_a") < F.col("name_b"))
+    d = pairs.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        # Spark threshold form: -1 beyond k (pinned against the CASE
+        # spelling in tests; the returned column uses the builtin).
+        F.levenshtein(F.col("name_a"), F.col("name_b"), 8)
+        .cast("int")
+        .alias("dist_thresh8"),
+        F.greatest(F.length("name_a"), F.length("name_b"))
+        .cast("int")
+        .alias("max_len"),
+    )
+    return (
+        d.where(F.col("dist") <= 12)
+        .selectExpr(
+            "name_a",
+            "name_b",
+            "dist",
+            "dist_thresh8",
+            "CAST((max_len - dist) * 1000000 DIV max_len AS BIGINT)"
+            " AS sim_ppm",
+        )
+        .orderBy("dist", "name_a", "name_b")
+    )

@@ -3054,3 +3054,119 @@ def q_e_dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_dedup_edit (round 9)
+# ---------------------------------------------------------------------------
+
+# Blocked edit-distance near-dup: canonicalize → block on (lang, first
+# 8 canonical chars) → pair each doc with its next _EDIT_W successors
+# inside the block → Levenshtein on the 48-char canonical prefix.
+_EDIT_CANON_SPARK = (
+    "substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 48)"
+)
+_EDIT_CANON_DUCK = (
+    "substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 48)"
+)
+_EDIT_W = 3  # successors paired per doc inside its block
+_EDIT_TAU = 10  # near-dup verdict: prefix edit distance ≤ τ
+
+
+@query(
+    "q_e_dedup_edit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_EDIT_CANON_DUCK} AS pfx,
+             substring({_EDIT_CANON_DUCK}, 1, 8) AS bkey
+      FROM documents
+      WHERE length({_EDIT_CANON_DUCK}) >= 16
+    ),
+    r AS (
+      SELECT doc_id, lang, pfx, bkey,
+             row_number() OVER (
+               PARTITION BY lang, bkey ORDER BY doc_id) AS rk
+      FROM d
+    ),
+    cand AS (
+      SELECT a.lang,
+             CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+      FROM (SELECT unnest(range(1, {_EDIT_W} + 1)) AS o) o
+      JOIN r a ON TRUE
+      JOIN r b ON b.lang = a.lang AND b.bkey = a.bkey
+              AND b.rk = a.rk + o.o
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN dist <= {_EDIT_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dups,
+           CAST(MIN(dist) AS INT) AS min_dist,
+           round(CAST(SUM(CAST(dist AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(dist), 6) AS mean_dist6
+    FROM cand GROUP BY lang ORDER BY lang
+    """,
+)
+def q_e_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked EDIT-DISTANCE near-dup detection (round 9) — the
+    missing rung between q_e_dedup_exact (byte-identical) and the
+    token-set family (shingle Jaccard, MinHash, SimHash): Levenshtein
+    catches single-character edits, OCR noise, and typo-level
+    mutations that leave the token multiset nearly unchanged (so
+    Jaccard scores them high) but matter for template detection.
+    The kernel contract (costs, threshold form, cross-engine
+    agreement) is pinned by q_c_levenshtein; THIS op is the
+    composition that makes it usable at scale.
+
+    Scale discipline — the O(|a|·|b|)-per-pair DP never sees an
+    unblocked pair: docs canonicalize (lower, strip non-alnum, first
+    48 chars), block on (lang, first 8 canonical chars), and each doc
+    pairs only with its next {_EDIT_W} successors in doc_id order
+    INSIDE the block (the sorted-neighborhood cap, same as
+    q_e_dedup_blocking) — pair count ≤ {_EDIT_W}·n regardless of
+    block size, the window partitioning IS the block key, one
+    shuffle end to end. The 48-char prefix bounds the DP at 48², and
+    the τ={_EDIT_TAU} verdict is the near-dup gate. Exactness:
+    integer distances, exact-decimal mean; engines agree on the DP
+    per the q_c_levenshtein probes."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(_EDIT_CANON_SPARK).alias("pfx"),
+        )
+        .where(F.length("pfx") >= 16)
+        .withColumn("bkey", F.substring("pfx", 1, 8))
+    )
+    w = Window.partitionBy("lang", "bkey").orderBy("doc_id")
+    # ONE window pass emits all _EDIT_W successors as an array, then
+    # explode+filter — not _EDIT_W unioned branches (each a separate
+    # shuffle + scan; measured 30 s cold vs ~2 s for this shape).
+    cand = (
+        d.select(
+            "lang",
+            F.col("pfx").alias("pfx_a"),
+            F.array(
+                *[F.lead("pfx", o).over(w) for o in range(1, _EDIT_W + 1)]
+            ).alias("succ"),
+        )
+        .select("lang", "pfx_a", F.explode("succ").alias("pfx_b"))
+        .where(F.col("pfx_b").isNotNull())
+    )
+    dist = cand.select(
+        "lang", F.levenshtein("pfx_a", "pfx_b").cast("int").alias("dist")
+    )
+    return (
+        dist.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("dist") <= _EDIT_TAU, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_near_dups"),
+            F.min("dist").cast("int").alias("min_dist"),
+            F.round(F.expr(davg("dist")), 6).alias("mean_dist6"),
+        )
+        .orderBy("lang")
+    )

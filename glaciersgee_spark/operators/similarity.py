@@ -5378,3 +5378,170 @@ def q_e_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_retrieval_err (round 9)
+# ---------------------------------------------------------------------------
+
+# ERR@10 (Chapelle et al., CIKM 2009 "Expected Reciprocal Rank for
+# Graded Relevance"): ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i), the cascade
+# model — a user scans down, stops at rank r with probability R_r.
+# Satisfaction R uses the same true-rank grades as q_e_retrieval_ndcg
+# (g = 11 − exact rank for the true top-10, else 0) mapped linearly to
+# R = g/16, so every factor is the exact rational (16−g)/16 and the
+# whole sum runs in scaled BIGINT arithmetic: with the common
+# denominator D = 2520·16^10 (2520 = lcm(1..10)), term_r·D =
+# (2520/r)·16^(10−r)·g_r·Π_{i<r}(16−g_i) — max ~1.7e15, sum < 2^53,
+# so even the final double division is exact-input deterministic.
+_ERR_K = 10
+_ERR_DEN = 2520 * 16**_ERR_K
+
+
+def _err_scaled_expr(p: str = "") -> str:
+    """Σ_r (2520/r)·16^(K−r)·g_r·Π_{i<r}(16−g_i), over pivoted g1..gK —
+    identical fragment spliced into BOTH dialects (no libm anywhere).
+    `p` is the column-reference prefix (e.g. "p.") — a parameter, not
+    post-hoc string replacement (q_e_filter_kappa ADVICE convention)."""
+    terms = []
+    for r in range(1, _ERR_K + 1):
+        prod = " * ".join(f"(16 - {p}g{i})" for i in range(1, r)) or "1"
+        coef = (2520 // r) * 16 ** (_ERR_K - r)
+        terms.append(f"CAST({coef} AS BIGINT) * {p}g{r} * {prod}")
+    return " + ".join(terms)
+
+
+def _err_g_cols() -> str:
+    return ",\n             ".join(
+        f"coalesce(MAX(CASE WHEN rka = {i} THEN g END), 0) AS g{i}"
+        for i in range(1, _ERR_K + 1)
+    )
+
+
+_ERR6 = (
+    f"CAST(floor(CAST(err_scaled AS DOUBLE) / {float(_ERR_DEN)!r}"
+    " * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+)
+
+
+@query(
+    "q_e_retrieval_err",
+    oracle=f"""
+    WITH p AS (SELECT {_PF_DUCK} AS pf),
+    v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v, p),
+    bk AS (SELECT vec_id, {_DUCK_BUCKETS} AS buckets FROM d),
+    bands AS (SELECT vec_id,
+                     CAST(generate_subscripts(buckets, 1) - 1 AS BIGINT) AS band,
+                     CAST(unnest(buckets) AS BIGINT) AS bucket
+              FROM bk),
+    qb AS (SELECT vec_id AS qid, band, bucket FROM bands
+           WHERE vec_id IN {_RECALL_QIDS}),
+    cand AS (SELECT DISTINCT qb.qid, b.vec_id
+             FROM qb JOIN bands b ON qb.band = b.band AND qb.bucket = b.bucket
+             WHERE b.vec_id <> qb.qid),
+    qv AS (SELECT vec_id AS qid, ve AS qv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    ranked_a AS (
+      SELECT c.qid, c.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.qid
+               ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                        c.vec_id ASC) AS rka
+      FROM cand c JOIN v ON c.vec_id = v.vec_id JOIN qv q ON c.qid = q.qid
+    ),
+    ranked_e AS (
+      SELECT q.qid, v.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} DESC,
+                        v.vec_id ASC) AS rke
+      FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+    ),
+    j AS (SELECT a.qid, a.rka,
+                 CASE WHEN a.rka <= {_ERR_K} AND e.rke <= {_ERR_K}
+                      THEN 11 - e.rke ELSE 0 END AS g
+          FROM ranked_a a JOIN ranked_e e
+            ON a.qid = e.qid AND a.vec_id = e.vec_id),
+    piv AS (
+      SELECT qid, {_err_g_cols()}
+      FROM j GROUP BY qid),
+    errs AS (
+      SELECT b.qid,
+             coalesce({_err_scaled_expr('p.')}, 0)
+               AS err_scaled
+      FROM (SELECT DISTINCT qid FROM ranked_e) b
+      LEFT JOIN piv p ON b.qid = p.qid)
+    SELECT qid, CAST(err_scaled AS BIGINT) AS err_scaled,
+           {_ERR6} AS err6
+    FROM errs ORDER BY qid
+    """,
+)
+def q_e_retrieval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERR@10 of the SRP-LSH index (round 9) — the cascade-model
+    companion to q_e_retrieval_ndcg: nDCG assumes the user inspects
+    every position with a fixed discount; ERR models a user who STOPS
+    once satisfied, so a single highly-relevant hit at rank 1
+    saturates the metric and redundant relevance below it is worth
+    almost nothing. Retrieval owners read the pair together —
+    nDCG for ranking quality, ERR for first-answer quality (the RAG
+    regime, where the generator mostly consumes the top hit).
+
+    Same graded-by-true-rank relevance and the SAME shared skeleton
+    (one banding pass, one candidate DISTINCT, one Arrow panel-score
+    kernel, (qid)-partitioned rank windows) — the only new work is a
+    10-column pivot per panel query and one integer cascade
+    polynomial: R = g/16 keeps every stop-probability factor an exact
+    rational, the common-denominator trick (D = 2520·16^10) keeps the
+    whole Σ(1/r)·R_r·Π(1−R_i) in BIGINT (< 2^53, so the final double
+    err6 is bit-deterministic in both engines; docstring math above).
+    At 100 TB the panel is a sample and every stage stays cell-scoped,
+    exactly like the recall/ndcg audits."""
+    bands = _banded(spark, sf_dir)
+    qids = list(_RECALL_QIDS)
+    qb = (
+        bands.where(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qid"), "band", "bucket")
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    scores = _panel_scores(spark, sf_dir)
+    rk = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ranked_a = (
+        scores.join(cand, ["qid", "vec_id"])
+        .withColumn("rka", F.row_number().over(rk))
+        .select("qid", "vec_id", "rka")
+    )
+    ranked_e = scores.withColumn("rke", F.row_number().over(rk)).select(
+        "qid", "vec_id", "rke"
+    )
+    g = F.when(
+        (F.col("rka") <= _ERR_K) & (F.col("rke") <= _ERR_K),
+        F.lit(11) - F.col("rke"),
+    ).otherwise(F.lit(0))
+    j = (
+        ranked_a.join(ranked_e, ["qid", "vec_id"])
+        .select("qid", "rka", g.alias("g"))
+    )
+    piv = j.groupBy("qid").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rka") == i, F.col("g"))), F.lit(0)
+            ).alias(f"g{i}")
+            for i in range(1, _ERR_K + 1)
+        ]
+    )
+    base = ranked_e.select("qid").distinct()
+    errs = base.join(piv, "qid", "left").selectExpr(
+        "qid",
+        f"CAST(coalesce({_err_scaled_expr()}, 0) AS BIGINT) AS err_scaled",
+    )
+    return errs.selectExpr("qid", "err_scaled", f"{_ERR6} AS err6").orderBy(
+        "qid"
+    )
