@@ -1941,3 +1941,80 @@ def q_d_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "q_d_multi_watermark",
+    oracle="""
+    WITH legs AS (
+      SELECT MAX(ts) FILTER (user_id % 2 = 0) - INTERVAL 30 MINUTE
+               AS wm_fast,
+             MAX(ts) FILTER (user_id % 2 = 1) - INTERVAL 6 HOUR
+               AS wm_slow
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+             CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+               AS we,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws, we, n, value_cents
+    FROM agg CROSS JOIN legs
+    WHERE we <= LEAST(wm_fast, wm_slow)
+    ORDER BY ws
+    """,
+)
+def q_d_multi_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE WATERMARKS under the `min` policy, END TO END
+    (round 9) — the upgrade-day reality q_d_stream_union skips: its
+    two legs share one watermark, but real multi-DC ingest has one
+    feed that commits in minutes and one that lags hours, each
+    declaring its own `withWatermark`. Spark resolves them via
+    spark.sql.streaming.multipleWatermarkPolicy: `min` (default) —
+    the GLOBAL watermark trails the SLOWEST leg, so the fast leg's
+    windows wait for the laggard and nothing is dropped; `max` —
+    the stream advances with the fastest leg and sheds the slow
+    leg's late rows. This op drains the real union (fast leg: even
+    users, 30-min delay; slow leg: odd users, 6-h delay; 4
+    day-aligned chunk files per leg, 1 per trigger) under `min` into
+    an append-mode hourly aggregate.
+
+    Emission contract in the oracle: a window emits iff its END ≤
+    the FINAL GLOBAL watermark = least(max(fast ts) − 30 min,
+    max(slow ts) − 6 h) — the per-leg maxima stand in for each leg's
+    final per-source watermark, the LEAST is the min policy, and the
+    ≤ tie convention is the probed one (q_d_stream_session). Day-
+    aligned lockstep arrival means no row is ever behind the min-
+    policy global watermark on arrival, so the aggregate covers ALL
+    events — under the `max` policy that stops being true, and the
+    A/B in tests/test_streaming.py asserts the max-policy drain
+    (a) advances its final watermark past min's and (b) emits the
+    windows min still holds open.
+
+    Scale: two file sources scan in parallel; union is zero-shuffle;
+    the one shuffle is the windowed groupBy whose state is bounded
+    by the watermark horizon — with `min` policy that horizon is the
+    SLOW leg's delay, which is precisely the state-size cost of not
+    dropping the laggard's data (the trade the policy knob prices)."""
+    from pyspark.sql import types as T
+
+    from glaciersgee_spark.streaming.stream import drain_multi_watermark
+
+    sink = scratch_dir(prefix="ggee_mwm_sink_")
+    ck = scratch_dir(prefix="ggee_mwm_ck_")
+    drain_multi_watermark(spark, sf_dir, sink, ck, policy="min")
+    out = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("ws", T.TimestampNTZType()),
+                T.StructField("we", T.TimestampNTZType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("value_cents", T.LongType()),
+            ]
+        )
+    ).parquet(sink)
+    return out.select("ws", "we", "n", "value_cents").orderBy("ws")

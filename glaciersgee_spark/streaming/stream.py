@@ -1439,3 +1439,148 @@ def drain_rate_source(spark: SparkSession, sink: str, ck: str):
             f"rate source did not commit {RATE_BATCHES} batches in 120 s"
         )
     return q
+
+
+# ---------------------------------------------------------------------------
+# Multi-watermark union (q_d_multi_watermark, round 9)
+# ---------------------------------------------------------------------------
+
+_MWM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+_MWM_POLICY_CONF = "spark.sql.streaming.multipleWatermarkPolicy"
+# Per-leg lateness bounds: the fast DC commits within 30 min, the slow
+# one within 6 h — the asymmetric-ingest reality multi-watermark policy
+# exists for.
+_MWM_DELAY_FAST = "30 minutes"
+_MWM_DELAY_SLOW = "6 hours"
+
+
+def stage_parity_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events feed as TWO legs (user parity — the
+    two-datacenter split of q_d_stream_union) × 4 day-aligned,
+    mtime-ordered chunk files each, so a union stream over both legs
+    advances through event time in lockstep, one day-quarter per
+    micro-batch per leg. Same fingerprint + atomic-rename publish as
+    stage_event_chunks."""
+    import os
+    import shutil
+    import uuid
+
+    from glaciersgee_spark.tables import load_table
+
+    ensure_confs(spark)
+    st = os.stat(f"{sf_dir}/events.parquet")
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ggee_mwmch",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    marker = os.path.join(staged, "_READY")
+    if os.path.exists(marker):
+        return staged
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    base = load_table(spark, sf_dir, "events")
+    ev = base.select(
+        "user_id", "ts", "value", _day_chunk(base).alias("chk")
+    )
+    for leg, pred in (("fast", 0), ("slow", 1)):
+        legdir = os.path.join(tmp, leg)
+        os.makedirs(legdir)
+        for i in range(4):
+            part = os.path.join(tmp, f"_w_{leg}_{i}")
+            (
+                ev.where(
+                    (F.col("chk") == i) & (F.col("user_id") % 2 == pred)
+                )
+                .drop("chk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part)
+            )
+            pf = next(
+                f for f in os.listdir(part) if f.endswith(".parquet")
+            )
+            dst = os.path.join(legdir, f"chunk_{i}.parquet")
+            os.rename(os.path.join(part, pf), dst)
+            shutil.rmtree(part, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    open(os.path.join(tmp, "_READY"), "w").close()
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return staged
+
+
+def drain_multi_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    sink: str,
+    ck: str,
+    policy: str = "min",
+):
+    """Union two legs carrying DIFFERENT watermark delays (fast DC:
+    30 min; slow DC: 6 h) into one tumbling hourly aggregate, drained
+    as a real multi-batch availableNow stream (1 file per leg per
+    trigger → 4 data batches), under the given
+    spark.sql.streaming.multipleWatermarkPolicy ('min' is Spark's
+    default and the SAFE one: the global watermark trails the
+    slowest leg, so nothing is dropped while the slow DC catches up;
+    'max' advances with the fastest leg and sheds the laggard's
+    late rows — the A/B tests assert exactly that divergence).
+    Returns the terminated StreamingQuery."""
+    staged = stage_parity_chunks(spark, sf_dir)
+
+    def leg(name: str, delay: str) -> DataFrame:
+        return (
+            spark.readStream.schema(_MWM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staged}/{name}")
+            # watermarks require TIMESTAMP (session-UTC, so the naive
+            # values are preserved — the drain_stream_dedup idiom)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", delay)
+        )
+
+    u = leg("fast", _MWM_DELAY_FAST).unionByName(
+        leg("slow", _MWM_DELAY_SLOW)
+    )
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    agg = u.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("value_cents"),
+    )
+    out = agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("ws"),
+        F.col("w.end").cast("timestamp_ntz").alias("we"),
+        "n",
+        "value_cents",
+    )
+    old_policy = spark.conf.get(_MWM_POLICY_CONF, "min")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(_MWM_POLICY_CONF, policy)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "multi-watermark drain exceeded 180 s — refusing to "
+                "read a partially-written sink"
+            )
+    finally:
+        spark.conf.set(_MWM_POLICY_CONF, old_policy)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return q

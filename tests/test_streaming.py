@@ -1275,3 +1275,66 @@ def test_state_inspect_reconciles_sink_plus_state_to_batch_total(spark):
     assert rows[0].operatorName == "stateStoreSave"
     assert rows[0].stateStoreName == "default"
     assert rows[0].maxBatchId >= rows[0].minBatchId >= 0
+
+
+def test_multi_watermark_policy_min_vs_max(spark):
+    """The q_d_multi_watermark A/B: under the default `min` policy the
+    global watermark trails the slow leg (6-h delay), so windows past
+    the fast leg's horizon stay OPEN; under `max` it rides the fast
+    leg (30-min delay), emitting strictly more windows — and the
+    min-policy emission equals the declared oracle cutoff
+    least(wm_fast, wm_slow)."""
+    import duckdb
+
+    got = {}
+    for policy in ("min", "max"):
+        sink = tempfile.mkdtemp(prefix=f"ggee_mwm_{policy}_sink_")
+        ck = tempfile.mkdtemp(prefix=f"ggee_mwm_{policy}_ck_")
+        S.drain_multi_watermark(spark, SF_SMOKE, sink, ck, policy=policy)
+        rows = (
+            spark.read.schema("ws timestamp_ntz, we timestamp_ntz, "
+                              "n long, value_cents long")
+            .parquet(sink)
+            .collect()
+        )
+        got[policy] = {(r.ws, r.n, r.value_cents) for r in rows}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_SMOKE}/events.parquet'"
+    )
+    cutoffs = con.sql(
+        """
+        SELECT MAX(ts) FILTER (user_id % 2 = 0) - INTERVAL 30 MINUTE,
+               MAX(ts) FILTER (user_id % 2 = 1) - INTERVAL 6 HOUR
+        FROM events
+        """
+    ).fetchone()
+    wm_fast, wm_slow = cutoffs
+
+    def batch_emitted(cutoff):
+        return {
+            (r[0], r[1], r[2])
+            for r in con.sql(
+                f"""
+                SELECT date_trunc('hour', ts) AS ws,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(floor(value * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM events
+                GROUP BY 1
+                HAVING ws + INTERVAL 1 HOUR <= TIMESTAMP '{cutoff}'
+                """
+            ).fetchall()
+        }
+
+    # min policy: emission cutoff is the SLOWER (lesser) watermark,
+    # and nothing is dropped — counts equal the full batch aggregate.
+    assert got["min"] == batch_emitted(min(wm_fast, wm_slow))
+    # max policy advances with the fast leg: strictly more window
+    # STARTS emit (the slow leg's held-back windows now close) —
+    # counts may differ where slow-leg rows were shed as late.
+    min_ws = {ws for ws, _, _ in got["min"]}
+    max_ws = {ws for ws, _, _ in got["max"]}
+    assert min_ws < max_ws, (len(min_ws), len(max_ws))
