@@ -222,7 +222,7 @@ _R9_NEW: tuple[str, ...] = (
     "q_e_silhouette", "q_a_harmonic_fit", "q_e_readability", "q_b_checksum_table", "q_e_mmd_poly", "q_a_medoid_composite", "q_e_calinski", "q_b_groupby_all", "q_c_reduce", "q_b_transpose",
     "q_b_listagg", "q_b_mode_agg", "q_b_sessionize", "q_b_cdc_apply",
     "q_e_retrieval_err", "q_c_levenshtein", "q_e_dedup_edit",
-    "q_d_multi_watermark",
+    "q_d_multi_watermark", "q_e_coreset", "q_b_incr_view",
 )
 
 # Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +

@@ -5545,3 +5545,123 @@ def q_e_retrieval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     return errs.selectExpr("qid", "err_scaled", f"{_ERR6} AS err6").orderBy(
         "qid"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_coreset (round 9)
+# ---------------------------------------------------------------------------
+
+# K-center greedy (Gonzalez 1985; Sener & Savarese, ICLR 2018 "Active
+# Learning for CNNs: A Core-Set Approach"): start from the smallest
+# vec_id, then K_PICKS times pick the point FARTHEST from the selected
+# set (max over points of min over centers), ties to the smaller
+# vec_id. The radius at each pick is the coverage radius of the
+# selection so far — the curve a data-selection owner reads to choose
+# the coreset size. All distances are squared-L2 on the µ-quantized
+# integer lattice (x → round(x·1e6)), so argmax/argmin are exact
+# integer comparisons in both engines.
+_CS_PICKS = 7  # picks after the seed → 8 selected total
+_CS_QV_DUCK = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+)
+_CS_QV_SPARK = (
+    "transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+)
+_CS_DIST_DUCK = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))"
+)
+
+
+def _coreset_oracle() -> str:
+    ctes = [
+        f"q AS (SELECT vec_id, {_CS_QV_DUCK} AS qv FROM embeddings)",
+        "sel0 AS (SELECT MIN(vec_id) AS vec_id FROM q)",
+    ]
+    finals = [
+        "SELECT 0 AS step, vec_id, CAST(NULL AS BIGINT) AS radius_q"
+        " FROM sel0"
+    ]
+    for s in range(1, _CS_PICKS + 1):
+        ctes.append(
+            f"""m{s} AS (
+      SELECT a.vec_id, MIN({_CS_DIST_DUCK}) AS mind
+      FROM q a JOIN sel{s - 1} s ON TRUE JOIN q b ON b.vec_id = s.vec_id
+      GROUP BY a.vec_id)"""
+        )
+        ctes.append(
+            f"p{s} AS (SELECT vec_id, mind FROM m{s}"
+            " ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{s} AS (SELECT vec_id FROM sel{s - 1}"
+            f" UNION ALL SELECT vec_id FROM p{s})"
+        )
+        finals.append(
+            f"SELECT {s} AS step, vec_id, CAST(mind AS BIGINT)"
+            f" AS radius_q FROM p{s}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    " + "\n    UNION ALL ".join(finals)
+        + "\n    ORDER BY step"
+    )
+
+
+@query("q_e_coreset", oracle=_coreset_oracle())
+def q_e_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER GREEDY CORESET selection (round 9) — the geometric
+    dual of q_e_diversity_sample's MMR re-ranking and the seed recipe
+    kmeans++-style trainers start from: 8 points chosen so the
+    corpus-to-selection coverage radius shrinks greedily, with the
+    radius CURVE emitted per pick (the number that says "4 centers
+    already cover within r; 8 buys only this much more" — how a
+    data-efficient-training owner sizes a coreset before committing
+    GPU budget, Sener & Savarese 2018).
+
+    The 2-approximation loop is inherently sequential (each pick
+    conditions on all previous), so the DRIVER holds the selection —
+    K×64 integers, bounded by construction — while every distance
+    scan stays distributed: per step one JVM-codegen pass computes
+    min-dist to the selected set via zip_with/aggregate over literal
+    center arrays (no Python boundary, no shuffle), and
+    orderBy().limit(1) is a TakeOrderedAndProject (per-partition
+    top-1 + driver merge of 32 rows), never a global sort. Work is
+    O(K²·n) at K=8; the 100 TB incrementalization — persist a
+    running min-dist column, update against only the newest center —
+    is documented here as the scale path (same answers, O(K·n)).
+    Exactness: µ-quantized integer lattice end to end; ties to the
+    smaller vec_id; the oracle unrolls the identical K steps as
+    chained CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.selectExpr("vec_id", f"{_CS_QV_SPARK} AS qv")
+    seed = q.agg(F.min("vec_id").alias("vec_id")).first().vec_id
+    sel_rows = q.where(F.col("vec_id") == seed).collect()
+    centers = [(0, int(seed), None)]
+    sel_vecs = [list(sel_rows[0].qv)]
+
+    def dist_to(center: list[int]) -> str:
+        arr = "array(" + ",".join(f"{v}L" for v in center) + ")"
+        return (
+            f"aggregate(zip_with(qv, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, d) -> acc + d)"
+        )
+
+    for s in range(1, _CS_PICKS + 1):
+        mind = " , ".join(dist_to(c) for c in sel_vecs)
+        mind_expr = f"least({mind})" if len(sel_vecs) > 1 else mind
+        top = (
+            q.selectExpr("vec_id", "qv", f"{mind_expr} AS mind")
+            .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((s, int(top.vec_id), int(top.mind)))
+        sel_vecs.append(list(top.qv))
+
+    out = spark.createDataFrame(
+        centers, schema="step int, vec_id long, radius_q long"
+    )
+    return out.orderBy("step")

@@ -2980,3 +2980,133 @@ def q_b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_incr_view (round 9)
+# ---------------------------------------------------------------------------
+
+# Incremental materialized-view maintenance: the base snapshot holds
+# orders before the refresh cut, the delta batch holds the rest; the
+# refreshed view is the MERGE of partials, never a rescan of base.
+_IVW_CUT = "1997-01-01"
+_IVW_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_b_incr_view",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS pri,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({_IVW_CENTS}) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_IVW_CUT}'
+      GROUP BY pri, yr),
+    delta AS (
+      SELECT o_orderpriority AS pri,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({_IVW_CENTS}) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_IVW_CUT}'
+      GROUP BY pri, yr),
+    merged AS (
+      SELECT coalesce(b.pri, d.pri) AS pri,
+             coalesce(b.yr, d.yr) AS yr,
+             coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+             coalesce(b.cents, 0) + coalesce(d.cents, 0) AS cents,
+             CAST(b.pri IS NOT NULL AS BOOLEAN) AS in_base,
+             CAST(d.pri IS NOT NULL AS BOOLEAN) AS in_delta
+      FROM base b FULL OUTER JOIN delta d
+        ON b.pri = d.pri AND b.yr = d.yr),
+    full_rec AS (
+      SELECT o_orderpriority AS pri,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({_IVW_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY pri, yr)
+    SELECT m.pri, m.yr, m.n, m.cents, m.in_base, m.in_delta,
+           CAST(m.n = f.n AND m.cents = f.cents AS BOOLEAN)
+             AS consistent
+    FROM merged m JOIN full_rec f ON m.pri = f.pri AND m.yr = f.yr
+    ORDER BY m.pri, m.yr
+    """,
+)
+def q_b_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE (round 9) — the refresh step of a
+    materialized aggregate: a base snapshot (orders before the cut)
+    and a delta batch (orders since) each reduce to PARTIAL
+    aggregates, and the refreshed view is their abelian merge —
+    coalesce(base,0) + coalesce(delta,0) over a FULL OUTER join on
+    the view key, handling all three cases (key only in base, only
+    in delta, in both) without rescanning base. The op then audits
+    the merge against a full recompute and emits per-row
+    `consistent` — the invariant (count/sum form a commutative
+    monoid, so partials merge associatively) that makes incremental
+    refresh CORRECT, stated as data. This is also precisely why
+    Spark's map-side partial aggregation works, and what
+    q_d_foreachbatch_sink's MERGE exploits per micro-batch; AVG-like
+    views must store (sum, count) partials, never the quotient —
+    the classic IVM trap, kept out of the view schema here.
+
+    Scale: at 100 TB the base partials are a stored table the
+    refresh never rescans — cost ∝ |delta| + |view|, the whole point
+    of IVM; the view key keeps both partial aggs combinable, the
+    merge join is view-sized (|pri|×|yr| rows), broadcast-able. The
+    audit's full recompute is this op's PROOF harness, not part of
+    the production refresh."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(_IVW_CENTS)
+    yr = F.year("o_orderdate").cast("int")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.col("o_orderpriority").alias("pri"), yr.alias("yr")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(cents).cast("long").alias("cents"),
+            )
+        )
+
+    cut = F.lit(_IVW_CUT).cast("timestamp_ntz")
+    base = partial(o.where(F.col("o_orderdate") < cut))
+    delta = partial(o.where(F.col("o_orderdate") >= cut))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d,
+        (F.col("b.pri") == F.col("d.pri")) & (F.col("b.yr") == F.col("d.yr")),
+        "full_outer",
+    ).select(
+        F.coalesce("b.pri", "d.pri").alias("pri"),
+        F.coalesce("b.yr", "d.yr").alias("yr"),
+        (
+            F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce("b.cents", F.lit(0))
+            + F.coalesce("d.cents", F.lit(0))
+        ).alias("cents"),
+        F.col("b.pri").isNotNull().alias("in_base"),
+        F.col("d.pri").isNotNull().alias("in_delta"),
+    )
+    full_rec = partial(o).withColumnsRenamed(
+        {"n": "f_n", "cents": "f_cents"}
+    )
+    return (
+        merged.join(F.broadcast(full_rec), ["pri", "yr"])
+        .select(
+            "pri",
+            "yr",
+            "n",
+            "cents",
+            "in_base",
+            "in_delta",
+            (
+                (F.col("n") == F.col("f_n"))
+                & (F.col("cents") == F.col("f_cents"))
+            ).alias("consistent"),
+        )
+        .orderBy("pri", "yr")
+    )
