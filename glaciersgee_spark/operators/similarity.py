@@ -5575,6 +5575,26 @@ _CS_DIST_DUCK = (
 )
 
 
+def _coreset_step_frame(q: DataFrame, sel_vecs: list[list[int]]) -> DataFrame:
+    """(vec_id, qv, mind): min squared-L2 lattice distance from every
+    vector to the selected centers — the per-step distributed scan of
+    the greedy loop, with each center a LITERAL array so the whole
+    distance stays inside JVM codegen (zip_with + aggregate; zero
+    Python, zero shuffle). Split out so tests/test_plans.py can pin
+    that plan shape directly."""
+
+    def dist_to(center: list[int]) -> str:
+        arr = "array(" + ",".join(f"{v}L" for v in center) + ")"
+        return (
+            f"aggregate(zip_with(qv, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, d) -> acc + d)"
+        )
+
+    dists = " , ".join(dist_to(c) for c in sel_vecs)
+    mind_expr = f"least({dists})" if len(sel_vecs) > 1 else dists
+    return q.selectExpr("vec_id", "qv", f"{mind_expr} AS mind")
+
+
 def _coreset_oracle() -> str:
     ctes = [
         f"q AS (SELECT vec_id, {_CS_QV_DUCK} AS qv FROM embeddings)",
@@ -5642,18 +5662,9 @@ def q_e_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = [(0, int(seed), None)]
     sel_vecs = [list(sel_rows[0].qv)]
 
-    def dist_to(center: list[int]) -> str:
-        arr = "array(" + ",".join(f"{v}L" for v in center) + ")"
-        return (
-            f"aggregate(zip_with(qv, {arr}, (x, y) -> (x - y) * (x - y)),"
-            " 0L, (acc, d) -> acc + d)"
-        )
-
     for s in range(1, _CS_PICKS + 1):
-        mind = " , ".join(dist_to(c) for c in sel_vecs)
-        mind_expr = f"least({mind})" if len(sel_vecs) > 1 else mind
         top = (
-            q.selectExpr("vec_id", "qv", f"{mind_expr} AS mind")
+            _coreset_step_frame(q, sel_vecs)
             .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
             .limit(1)
             .collect()[0]

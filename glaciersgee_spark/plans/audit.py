@@ -165,6 +165,11 @@ HEADLINERS = [
     ("q_a_glacier_trend", "NDSI classify in scan-side codegen (zero joins/UDFs); combinable (region, year) rollup; OLS over the bounded frame (r9)"),
     ("q_b_sink_pywriter", "Python DataSource writer: executors stage shards, driver commit() publishes atomically; read-back aggregate is one combinable rollup (r9)"),
     ("q_e_ivfpq_recall", "approx list served from the 4 read-back artifacts; exact list is the brute-force panel kernel; overlap joins two 10-row frames (r9)"),
+    ("q_b_sessionize", "gaps-and-islands: lag + running-start-count + session rollup all ride ONE user_id shuffle (r9)"),
+    ("q_b_cdc_apply", "changelog replay: one key shuffle, row_number + per-key count share the single window sort, no self-join (r9)"),
+    ("q_e_dedup_edit", "blocked Levenshtein: ONE (lang,bkey) window pass emits all W successors as an array — no per-offset union branches (r9)"),
+    ("q_b_incr_view", "base/delta partials merge on the view key; full-recompute audit joins broadcast; fact scanned once per partial (r9)"),
+    ("q_b_listagg", "pre-distincted (brand,type) domain feeds listagg; counts ride a separate combinable rollup (r9)"),
 ]
 
 

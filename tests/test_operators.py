@@ -3758,3 +3758,136 @@ def test_purge_audit_ledger(spark):
     purged = ev.where(F.col("user_id") % 97 == 0).count()
     assert rows["events"].rows_purged == purged
     assert rows["events"].rows_before == ev.count()
+
+
+def test_mode_deterministic_ties_to_smallest(spark):
+    """q_b_mode_agg's contract: mode(col, deterministic=true) breaks
+    frequency ties by the SMALLEST value — pinned here so a Spark
+    upgrade changing the tie order fails loudly (the oracle's
+    row_number spelling encodes the same direction)."""
+    r = spark.sql(
+        "SELECT mode(v, true) AS m FROM VALUES (2),(2),(1),(1) AS t(v)"
+    ).first()
+    assert r.m == 1
+    r = spark.sql(
+        "SELECT mode(v, true) AS m"
+        " FROM VALUES ('b'),('b'),('a'),('a') AS t(v)"
+    ).first()
+    assert r.m == "a"
+
+
+def test_levenshtein_threshold_agrees_with_case_spelling(spark):
+    """q_c_levenshtein's pin: Spark's early-exit threshold form equals
+    the portable CASE WHEN dist > k THEN -1 spelling on every pair."""
+    from glaciersgee_spark.functions.scalar import q_c_levenshtein
+    from tests.conftest import SF_SMOKE
+
+    rows = q_c_levenshtein(spark, SF_SMOKE).collect()
+    assert rows, "nation-pair grid must be non-empty"
+    for r in rows:
+        expected = -1 if r.dist > 8 else r.dist
+        assert r.dist_thresh8 == expected, (r.name_a, r.name_b)
+
+
+def test_cdc_apply_delete_erases_and_latest_wins(spark):
+    """Replay a hand-built changelog: trailing DELETE removes the key,
+    non-trailing DELETE is overridden by a later upsert, and the
+    surviving payload is the LAST writer's."""
+    import pyspark.sql.functions as F
+
+    log = spark.createDataFrame(
+        [
+            # key 1: I then U — survives with the U payload
+            (1, "I", "2024-01-01", 10, 100.0),
+            (1, "U", "2024-01-02", 11, 111.0),
+            # key 2: I then D — erased
+            (2, "I", "2024-01-01", 20, 200.0),
+            (2, "D", "2024-01-03", 21, 0.0),
+            # key 3: D mid-log, then I — resurrected, survives
+            (3, "D", "2024-01-01", 30, 0.0),
+            (3, "I", "2024-01-02", 31, 303.0),
+            # key 4: same-day ops — seq_id breaks the tie, D last
+            (4, "I", "2024-01-01", 40, 400.0),
+            (4, "D", "2024-01-01", 41, 0.0),
+        ],
+        "key long, op string, seq_ts string, seq_id long, payload double",
+    ).withColumn("seq_ts", F.col("seq_ts").cast("timestamp_ntz"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(
+        F.col("seq_ts").desc(), F.col("seq_id").desc()
+    )
+    latest = log.select(
+        "*", F.row_number().over(w).alias("rn")
+    ).where((F.col("rn") == 1) & (F.col("op") != "D"))
+    got = {r.key: (r.op, r.payload) for r in latest.collect()}
+    assert got == {1: ("U", 111.0), 3: ("I", 303.0)}
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of EXACTLY 30 minutes does NOT start a new session (the
+    cut is strictly-greater); 30 min + 1 µs does."""
+    import pyspark.sql.functions as F
+
+    from glaciersgee_spark.operators.warehouse import _SESS_GAP_US
+
+    assert _SESS_GAP_US == 30 * 60 * 1_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, 1.0),
+            (1, "2024-01-01 00:30:00", 2, 1.0),  # exactly 30 min: same
+            (1, "2024-01-01 01:00:00.000001", 3, 1.0),  # +1 µs: new
+        ],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    ev.createOrReplaceTempView("_sess_probe")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = ev.select("user_id", "ts", "event_id", t_us.alias("t_us")).withColumn(
+        "is_start",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > _SESS_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    starts = [r.is_start for r in marked.orderBy("event_id").collect()]
+    assert starts == [1, 0, 1]
+
+
+def test_coreset_radius_monotone_and_farthest_first(spark):
+    """The k-center radius curve is non-increasing, every pick is
+    distinct, and pick 1 is the true farthest point from the seed."""
+    import pyspark.sql.functions as F
+
+    from glaciersgee_spark.operators.similarity import (
+        _CS_QV_SPARK,
+        q_e_coreset,
+    )
+    from glaciersgee_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = q_e_coreset(spark, SF_SMOKE).collect()
+    assert [r.step for r in rows] == list(range(8))
+    radii = [r.radius_q for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert len({r.vec_id for r in rows}) == len(rows)
+
+    q = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id", f"{_CS_QV_SPARK} AS qv"
+    )
+    seed_id = rows[0].vec_id
+    seed = q.where(F.col("vec_id") == seed_id).first().qv
+    arr = "array(" + ",".join(f"{v}L" for v in seed) + ")"
+    far = (
+        q.selectExpr(
+            "vec_id",
+            f"aggregate(zip_with(qv, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, d) -> acc + d) AS d2",
+        )
+        .orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+        .first()
+    )
+    assert rows[1].vec_id == far.vec_id and rows[1].radius_q == far.d2

@@ -1315,3 +1315,80 @@ def test_perplexity_broadcasts_vocab(spark):
     plan = PI.formatted(q_e_perplexity(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert not PI.has_python_boundary(plan)
+
+
+def test_sessionize_rides_one_user_shuffle(spark):
+    """lag, running start-count, and the session rollup all share the
+    user_id partitioning — ONE corpus shuffle end to end (the final
+    orderBy adds its presentation range exchange)."""
+    from glaciersgee_spark.operators.warehouse import q_b_sessionize
+
+    plan = PI.formatted(q_b_sessionize(spark, SF_SMOKE))
+    assert "hashpartitioning(user_id" in plan
+    assert PI.count_shuffles(plan) <= 2
+    assert not PI.has_python_boundary(plan)
+
+
+def test_cdc_apply_single_key_shuffle_no_self_join(spark):
+    """row_number and the per-key version count share one window sort
+    over one key shuffle; 'latest version' is NOT spelled as a
+    self-join against the log."""
+    from glaciersgee_spark.operators.relational import q_b_cdc_apply
+
+    plan = PI.formatted(q_b_cdc_apply(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert PI.count_shuffles(plan) <= 2  # key shuffle + final orderBy
+    assert "row_number" in plan
+
+
+def test_dedup_edit_one_window_pass(spark):
+    """All W successor pairs come from ONE (lang, bkey) window pass
+    (array-of-leads + explode) — not W unioned branches, each a
+    separate scan + shuffle (the 30 s-cold vs 2 s A/B, BASELINE.md)."""
+    from glaciersgee_spark.operators.dedup import q_e_dedup_edit
+
+    import re
+
+    plan = PI.formatted(q_e_dedup_edit(spark, SF_SMOKE))
+    assert "Union" not in plan
+    # one scan NODE (formatted mode lists each node twice: tree + detail)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "hashpartitioning(lang" in plan
+    assert not PI.has_python_boundary(plan)
+
+
+def test_incr_view_audit_join_broadcasts(spark):
+    """The full-recompute audit joins the view-sized merge via
+    broadcast; no corpus-sized shuffle beyond the three partial
+    aggregations."""
+    from glaciersgee_spark.operators.warehouse import q_b_incr_view
+
+    plan = PI.formatted(q_b_incr_view(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_coreset_step_is_jvm_take_ordered(spark):
+    """Each greedy step is a pure-JVM codegen scan (literal-array
+    zip_with/aggregate distances) closed by TakeOrderedAndProject —
+    per-partition top-1 + driver merge, never a global sort."""
+    import pyspark.sql.functions as F2
+
+    from glaciersgee_spark.operators.similarity import (
+        _CS_QV_SPARK,
+        _coreset_step_frame,
+    )
+
+    q = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .selectExpr("vec_id", f"{_CS_QV_SPARK} AS qv")
+    )
+    seed = [1000000] * 64
+    step = (
+        _coreset_step_frame(q, [seed, [0] * 64])
+        .orderBy(F2.col("mind").desc(), F2.col("vec_id").asc())
+        .limit(1)
+    )
+    plan = PI.executed(step)
+    assert "TakeOrderedAndProject" in plan
+    assert not PI.has_python_boundary(plan)
+    assert PI.count_shuffles(PI.formatted(step)) == 0
