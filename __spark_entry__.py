@@ -223,6 +223,7 @@ _R9_NEW: tuple[str, ...] = (
     "q_b_listagg", "q_b_mode_agg", "q_b_sessionize", "q_b_cdc_apply",
     "q_e_retrieval_err", "q_c_levenshtein", "q_e_dedup_edit",
     "q_d_multi_watermark", "q_e_coreset", "q_b_incr_view",
+    "q_d_stream_observe", "q_e_curriculum", "q_b_join_cbo",
 )
 
 # Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +

@@ -4439,3 +4439,90 @@ def q_e_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema).orderBy("step", "feature")
+
+
+# ---------------------------------------------------------------------------
+# q_e_curriculum (round 9)
+# ---------------------------------------------------------------------------
+
+# Integer difficulty grade: doc length plus a mean-word-length kicker
+# (longer words ≈ denser text), both exact integer arithmetic.
+_CUR_SCORE = (
+    "CAST(n_chars + 8 * (n_chars DIV size(split(text, ' '))) AS BIGINT)"
+)
+_CUR_SCORE_DUCK = (
+    "CAST(n_chars + 8 * (n_chars // len(string_split(text, ' ')))"
+    " AS BIGINT)"
+)
+# Fixed, data-independent strata thresholds (chars-scale).
+_CUR_BUCKET = (
+    "CASE WHEN {s} < 320 THEN 0 WHEN {s} < 640 THEN 1"
+    " WHEN {s} < 1280 THEN 2 ELSE 3 END"
+)
+_CUR_TAKE = 48
+
+
+@query(
+    "q_e_curriculum",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_CUR_SCORE_DUCK} AS score,
+             {_CUR_BUCKET.format(s=_CUR_SCORE_DUCK)} AS bucket
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, score, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY score, doc_id) AS rn
+      FROM scored),
+    head AS (
+      SELECT * FROM ranked ORDER BY rn, bucket, doc_id
+      LIMIT {_CUR_TAKE})
+    SELECT CAST(row_number() OVER (ORDER BY rn, bucket, doc_id)
+                AS BIGINT) AS curriculum_pos,
+           doc_id, CAST(bucket AS INT) AS bucket, score
+    FROM head ORDER BY curriculum_pos
+    """,
+)
+def q_e_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ORDERING (round 9) — Bengio et al. 2009's
+    easy-first training schedule, in the stratified-interleave form
+    a data loader actually consumes: grade every doc with an integer
+    difficulty score (length + mean-word-length kicker), cut FIXED
+    difficulty strata (data-independent thresholds, so the bucket of
+    a doc never changes when the corpus grows — the property that
+    lets a curriculum be recomputed incrementally), rank within each
+    stratum by (score, doc_id), and emit the head of the interleaved
+    order (rank-1 of every stratum easy→hard, then rank-2, …) — each
+    training step sees a difficulty MIX that still paces gently
+    upward, instead of the hard cliff a pure sort produces.
+
+    Scale: scoring is scan-side codegen; the only corpus shuffle is
+    the PER-STRATUM rank window (4 bounded partitions of the key
+    space, each internally parallel — never an unpartitioned global
+    window); the interleaved head is orderBy().limit() =
+    TakeOrderedAndProject, and the final curriculum_pos window runs
+    on the bounded {_CUR_TAKE}-row panel only. At 100 TB the full
+    curriculum is written as (rn, bucket) SORT KEYS — this op's head
+    is the audit sample a curriculum owner eyeballs."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.selectExpr(
+        "doc_id",
+        f"{_CUR_SCORE} AS score",
+        f"{_CUR_BUCKET.format(s=_CUR_SCORE)} AS bucket",
+    )
+    rn_w = Window.partitionBy("bucket").orderBy("score", "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(rn_w))
+    head = ranked.orderBy("rn", "bucket", "doc_id").limit(_CUR_TAKE)
+    pos_w = Window.orderBy("rn", "bucket", "doc_id")  # 48-row panel
+    return (
+        head.withColumn(
+            "curriculum_pos", F.row_number().over(pos_w).cast("long")
+        )
+        .select(
+            "curriculum_pos",
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            "score",
+        )
+        .orderBy("curriculum_pos")
+    )

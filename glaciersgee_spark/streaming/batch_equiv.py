@@ -2018,3 +2018,147 @@ def q_d_multi_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).parquet(sink)
     return out.select("ws", "we", "n", "value_cents").orderBy("ws")
+
+
+@query(
+    "q_d_stream_observe",
+    # Data batches are the non-empty chunk pairs {0,1}, {2,3} (the
+    # q_d_stream_listener derivation); each emits ONE observed-metrics
+    # row — exact count + exact integer user_id sum of that batch
+    # (the staged chunks carry (user_id, event_type, ts), so the
+    # checksum metric rides user_id).
+    oracle="""
+    WITH sp AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+                       date_diff('day', MIN(CAST(ts AS DATE)),
+                                 MAX(CAST(ts AS DATE))) + 1 AS span
+                FROM events),
+    ch AS (SELECT least(3, (date_diff('day', sp.lo, CAST(e.ts AS DATE)) * 4)
+                           // sp.span) // 2 AS pair,
+                  e.user_id
+           FROM events e CROSS JOIN sp),
+    per AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_uid
+            FROM ch GROUP BY pair)
+    SELECT CAST(row_number() OVER (ORDER BY pair) - 1 AS BIGINT)
+             AS data_batch,
+           n_rows, sum_uid
+    FROM per ORDER BY data_batch
+    """,
+)
+def q_d_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming `.observe()` END TO END (round 9) — the DATA-level
+    per-batch metrics surface next to q_d_stream_listener's
+    control-level one: the listener op counts batches and input rows
+    from query progress; THIS op attaches named aggregate metrics
+    (exact row count + exact integer cents) to the streaming plan
+    itself via Dataset.observe, and reads them back from each
+    progress event's observedMetrics — the per-batch data-quality
+    hook (row counts, null rates, checksum drift) a production
+    pipeline alerts on WITHOUT a second aggregation pass over the
+    sink: the metrics ride the same executor pass that computes the
+    batch.
+
+    Determinism: day-chunked staging + maxFilesPerTrigger=2 admits
+    the fixed chunk pairs {0,1}, {2,3} in mtime order, so batch
+    boundaries — and therefore each batch's observed count/checksum —
+    are exact corpus facts the oracle re-derives from the chunk
+    function (empty availableNow bookkeeping batches observe n=0 and
+    are excluded, mirroring the oracle's non-empty pairs). The
+    listener is removed in a finally block.
+
+    Scale: observed metrics are combinable aggregates folded into
+    the existing batch pass (no extra shuffle, no extra scan);
+    delivery is one driver event per micro-batch — O(batches)."""
+    import json
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from glaciersgee_spark.streaming.stream import stage_event_chunks
+
+    cond = threading.Condition()
+    captured: list[tuple[int, int, int]] = []  # (batchId, n, sum_uid)
+    terminated: set[str] = set()
+
+    class _Obs(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = json.loads(event.progress.json)
+            m = p.get("observedMetrics", {}).get("audit")
+            if m is not None:
+                with cond:
+                    captured.append(
+                        (
+                            int(p["batchId"]),
+                            int(m["n_rows"]),
+                            int(m["sum_uid"]),
+                        )
+                    )
+                    cond.notify_all()
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            with cond:
+                terminated.add(str(event.id))
+                cond.notify_all()
+
+    staged = stage_event_chunks(spark, sf_dir)
+    listener = _Obs()
+    spark.streams.addListener(listener)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        from pyspark.sql import types as T
+
+        sch = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("ts", T.TimestampNTZType()),
+            ]
+        )
+        src = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{staged}/events")
+            .observe(
+                "audit",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("user_id").alias("sum_uid"),
+            )
+        )
+        counts = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        q = (
+            counts.writeStream.format("noop")
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", scratch_dir(prefix="ggee_obs_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        qid = str(q.id)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("observe drain exceeded 180 s")
+        with cond:
+            if not cond.wait_for(lambda: qid in terminated, timeout=60):
+                raise TimeoutError(
+                    "observe termination event not delivered"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.streams.removeListener(listener)
+    rows = sorted((b, n, c) for b, n, c in captured if n > 0)
+    data = [
+        (i, n, c) for i, (_b, n, c) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "data_batch long, n_rows long, sum_uid long"
+    ).orderBy("data_batch")

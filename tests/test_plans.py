@@ -1392,3 +1392,51 @@ def test_coreset_step_is_jvm_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert not PI.has_python_boundary(plan)
     assert PI.count_shuffles(PI.formatted(step)) == 0
+
+
+def test_cbo_reorders_selective_join_first(spark):
+    """q_b_join_cbo's exhibit: with column stats + joinReorder, the
+    optimized plan joins the selective part(p_size=1) dim BEFORE
+    orders even though the query spells orders first; with reorder
+    off, query order is kept. Asserted on the optimized logical plan
+    (join order is decided there, pre-AQE)."""
+    from glaciersgee_spark.operators.relational import (
+        _CBO_CONFS,
+        _cbo_tables,
+    )
+
+    t_li, t_o, t_p = _cbo_tables(spark, SF_SMOKE)
+    sql = f"""
+        SELECT COUNT(*) AS n
+        FROM {t_li} l
+        JOIN {t_o} o ON l.l_orderkey = o.o_orderkey
+        JOIN {t_p} p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size = 1
+    """
+    old = {k: spark.conf.get(k, None) for k in _CBO_CONFS}
+    try:
+        for k, v in _CBO_CONFS.items():
+            spark.conf.set(k, v)
+        plan_on = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        plan_off = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    def join_depth(plan: str, table: str) -> int:
+        """Line index of the table's relation — deeper (larger) means
+        joined earlier in the bottom-up tree."""
+        for i, line in enumerate(plan.splitlines()):
+            if f".{table}[" in line:
+                return i
+        raise AssertionError(f"{table} not in plan:\n{plan}")
+
+    # reorder ON: part sits in the INNER (deeper-left) join with
+    # lineitem, orders joins last → part's relation line precedes
+    # orders'. OFF: orders joins first.
+    assert join_depth(plan_on, t_p) < join_depth(plan_on, t_o)
+    assert join_depth(plan_off, t_o) < join_depth(plan_off, t_p)
