@@ -224,6 +224,7 @@ _R9_NEW: tuple[str, ...] = (
     "q_e_retrieval_err", "q_c_levenshtein", "q_e_dedup_edit",
     "q_d_multi_watermark", "q_e_coreset", "q_b_incr_view",
     "q_d_stream_observe", "q_e_curriculum", "q_b_join_cbo",
+    "q_a_otsu_threshold", "q_a_morph_open", "q_e_mcnemar",
 )
 
 # Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +

@@ -4526,3 +4526,107 @@ def q_e_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curriculum_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_mcnemar (round 9)
+# ---------------------------------------------------------------------------
+
+# Two independent keep/drop filters over the same docs: A = length
+# gate; B = mean-word-length gate (3 ≤ chars/word ≤ 8, spelled as two
+# exact integer cross-multiplications).
+_MCN_A = "CAST(n_chars BETWEEN 200 AND 8000 AS INT)"
+_MCN_B_SPARK = (
+    "CAST(n_chars >= 3 * size(split(text, ' '))"
+    " AND n_chars <= 8 * size(split(text, ' ')) AS INT)"
+)
+_MCN_B_DUCK = (
+    "CAST(n_chars >= 3 * len(string_split(text, ' '))"
+    " AND n_chars <= 8 * len(string_split(text, ' ')) AS INT)"
+)
+
+
+@query(
+    "q_e_mcnemar",
+    oracle=f"""
+    WITH flags AS (
+      SELECT lang, {_MCN_A} AS a, {_MCN_B_DUCK} AS b
+      FROM documents),
+    cts AS (
+      SELECT lang,
+             CAST(SUM(a * b) AS BIGINT) AS both_keep,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS only_a,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS only_b,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS both_drop
+      FROM flags GROUP BY lang)
+    SELECT lang, both_keep, only_a, only_b, both_drop,
+           CASE WHEN only_a + only_b = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((only_a - only_b) * (only_a - only_b)
+                          * 1000000 // (only_a + only_b) AS BIGINT)
+           END AS chi2_ppm,
+           CASE WHEN only_a + only_b = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(GREATEST(ABS(only_a - only_b) - 1, 0)
+                          * GREATEST(ABS(only_a - only_b) - 1, 0)
+                          * 1000000 // (only_a + only_b) AS BIGINT)
+           END AS chi2_cc_ppm
+    FROM cts ORDER BY lang
+    """,
+)
+def q_e_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST between two curation filters (round 9) — the
+    PAIRED comparison q_e_filter_agreement's raw overlap and
+    q_e_filter_kappa's chance-corrected agreement both stop short
+    of: when filters A and B disagree, is the disagreement
+    SYSTEMATIC (one filter is strictly more permissive) or symmetric
+    noise? McNemar looks only at the discordant cells — χ² =
+    (b−c)²/(b+c) over only-A-keeps vs only-B-keeps — because the
+    concordant diagonal carries no information about the DIFFERENCE
+    between paired classifiers (Dietterich 1998's recommendation for
+    exactly this setting). Emits the full 2×2 per lang, the χ²
+    statistic, and Edwards' continuity-corrected variant
+    ((|b−c|−1)²/(b+c)), both as exact integer ppm (χ² > 3.84 ⇔
+    chi2_ppm > 3 840 000 rejects symmetric disagreement at 5%).
+
+    Scale: both filter flags are scan-side integer codegen; the 2×2
+    is ONE combinable rollup per lang; the statistics close on the
+    bounded lang frame. Zero-discordance languages emit 0 (the
+    undefined-χ² guard, spelled identically in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = d.selectExpr(
+        "lang", f"{_MCN_A} AS a", f"{_MCN_B_SPARK} AS b"
+    )
+    cts = flags.groupBy("lang").agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("both_keep"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("only_a"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("only_b"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("long")
+        .alias("both_drop"),
+    )
+    disc = F.col("only_a") + F.col("only_b")
+    diff = F.col("only_a") - F.col("only_b")
+    cc = F.greatest(F.abs(diff) - 1, F.lit(0))
+    return cts.select(
+        "lang",
+        "both_keep",
+        "only_a",
+        "only_b",
+        "both_drop",
+        F.when(disc == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((only_a - only_b) * (only_a - only_b)"
+                " * 1000000 DIV (only_a + only_b) AS BIGINT)"
+            )
+        )
+        .alias("chi2_ppm"),
+        F.when(disc == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(GREATEST(ABS(only_a - only_b) - 1, 0)"
+                " * GREATEST(ABS(only_a - only_b) - 1, 0)"
+                " * 1000000 DIV (only_a + only_b) AS BIGINT)"
+            )
+        )
+        .alias("chi2_cc_ppm"),
+    ).orderBy("lang")

@@ -1675,3 +1675,123 @@ def q_a_medoid_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile", "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_otsu_threshold (round 9)
+# ---------------------------------------------------------------------------
+
+# 8-bit binning of the sensor reading (value ∈ (0, ~500] → 0..255):
+# value*0.5 and floor are IEEE-deterministic per row in both engines.
+_OTSU_BIN = "least(255, CAST(floor(value * 0.5) AS INT))"
+
+
+@query(
+    "q_a_otsu_threshold",
+    oracle=f"""
+    WITH hist AS (
+      SELECT {_OTSU_BIN} AS b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY b),
+    tot AS (SELECT SUM(n) AS nn, SUM(b * n) AS ss FROM hist),
+    cum AS (
+      SELECT b, n,
+             SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS w0,
+             SUM(b * n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS s0
+      FROM hist),
+    scored AS (
+      SELECT c.b AS t, c.w0, t2.nn - c.w0 AS w1,
+             CAST(c.s0 AS DOUBLE) * CAST(t2.nn AS DOUBLE)
+               - CAST(t2.ss AS DOUBLE) * CAST(c.w0 AS DOUBLE) AS numd,
+             CAST(c.w0 AS DOUBLE) * CAST(t2.nn - c.w0 AS DOUBLE) AS dend
+      FROM cum c CROSS JOIN tot t2
+      WHERE c.w0 > 0 AND c.w0 < t2.nn),
+    ranked AS (
+      SELECT t, w0, w1,
+             numd * numd / dend AS sigma_b,
+             row_number() OVER (
+               ORDER BY numd * numd / dend DESC, t ASC) AS rk
+      FROM scored)
+    SELECT CAST(r.t AS INT) AS threshold,
+           CAST(r.w0 AS BIGINT) AS n_below,
+           CAST(r.w1 AS BIGINT) AS n_above,
+           CAST(floor(r.sigma_b
+                      / (CAST(t2.nn AS DOUBLE) * CAST(t2.nn AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS sigma_b6
+    FROM ranked r CROSS JOIN tot t2 WHERE r.rk = 1
+    """,
+)
+def q_a_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTSU AUTO-THRESHOLD (round 9) — the classic histogram
+    bisection (Otsu 1979) every water/snow/cloud masking recipe
+    reaches for when a fixed NDWI/NDSI cut is wrong for the scene:
+    bin the reading into 256 levels, pick the threshold maximizing
+    between-class variance σ_B²(t) = (s0·N − S·w0)² / (w0·(N−w0))
+    over the cumulative histogram. GEE exposes exactly this shape as
+    a reducer-over-histogram; here the histogram is one combinable
+    256-bin rollup and EVERYTHING after runs on the bounded 256-row
+    panel (cumulative window over 255 rows, argmax via row_number on
+    the same frame — never a corpus window).
+
+    Exactness: histogram counts and the cumulative sums are exact
+    BIGINTs; the variance numerator (≤ 255·N² ≈ 5.7e15 at sf0.1)
+    exceeds no 2^53, so its DOUBLE image is EXACT, and both engines
+    square/divide the identical doubles with identical IEEE results —
+    the one place the repo's no-libm rule admits raw double math,
+    because the inputs are integer-exact and the ops are
+    correctly-rounded primitives (the q_b_dist_moments sqrt
+    precedent). Ties (equal σ_B²) break to the smaller threshold."""
+    e = load_table(spark, sf_dir, "events")
+    hist = (
+        e.selectExpr(f"{_OTSU_BIN} AS b")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = hist.agg(
+        F.sum("n").alias("nn"), F.sum(F.col("b") * F.col("n")).alias("ss")
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # 256-row panel
+    cum = hist.select(
+        "b",
+        F.sum("n").over(w).alias("w0"),
+        F.sum(F.col("b") * F.col("n")).over(w).alias("s0"),
+    )
+    scored = (
+        cum.join(F.broadcast(tot))
+        .where((F.col("w0") > 0) & (F.col("w0") < F.col("nn")))
+        .selectExpr(
+            "b AS t",
+            "w0",
+            "nn - w0 AS w1",
+            # factors cast to DOUBLE BEFORE multiplying: the BIGINT
+            # products (s0·N ~ 255·N²) would overflow ANSI arithmetic
+            # at ~1e9 rows; each factor stays < 2^53 far past 100 TB,
+            # and identical IEEE multiplies keep both engines
+            # bit-aligned (value exact while products < 2^53)
+            "CAST(s0 AS DOUBLE) * CAST(nn AS DOUBLE)"
+            " - CAST(ss AS DOUBLE) * CAST(w0 AS DOUBLE) AS numd",
+            "CAST(w0 AS DOUBLE) * CAST(nn - w0 AS DOUBLE) AS dend",
+        )
+    )
+    rk_w = Window.orderBy(
+        (F.col("numd") * F.col("numd") / F.col("dend")).desc(),
+        F.col("t").asc(),
+    )  # 255-row panel
+    return (
+        scored.withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(tot.select("nn")))
+        .selectExpr(
+            "CAST(t AS INT) AS threshold",
+            "CAST(w0 AS BIGINT) AS n_below",
+            "CAST(w1 AS BIGINT) AS n_above",
+            # normalized to probability weights (σ_B²/N² ≤ 255²) so
+            # the 6-dp integer image can never overflow BIGINT at any N
+            "CAST(floor(numd * numd / dend"
+            " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))"
+            " * 1000000.0 + 0.5) AS BIGINT) AS sigma_b6",
+        )
+    )

@@ -922,3 +922,120 @@ def q_a_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aoi_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_morph_open (round 9)
+# ---------------------------------------------------------------------------
+
+# 32×32 tile grid over the fact keys; a cell is "cloudy" iff its mean
+# quantity ≥ 25 — spelled as the exact integer inequality sum ≥ 25·n.
+_MORPH_N = 32
+
+
+@query(
+    "q_a_morph_open",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(l_partkey % {_MORPH_N} AS INT) AS x,
+             CAST(l_suppkey % {_MORPH_N} AS INT) AS y,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) >= 25 * COUNT(*)
+                  AS INT) AS m
+      FROM lineitem GROUP BY x, y),
+    offs AS (SELECT dx.o AS dx, dy.o AS dy
+             FROM (SELECT unnest([-1, 0, 1]) AS o) dx,
+                  (SELECT unnest([-1, 0, 1]) AS o) dy),
+    eroded AS (
+      SELECT c.x, c.y,
+             CAST(SUM(n.m) = 9 AS INT) AS m
+      FROM cells c JOIN offs o ON TRUE
+      LEFT JOIN cells n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+      GROUP BY c.x, c.y),
+    opened AS (
+      SELECT c.x, c.y,
+             CAST(MAX(coalesce(e.m, 0)) = 1 AS INT) AS m
+      FROM cells c JOIN offs o ON TRUE
+      LEFT JOIN eroded e ON e.x = c.x + o.dx AND e.y = c.y + o.dy
+      GROUP BY c.x, c.y)
+    SELECT c.x,
+           CAST(SUM(c.m) AS BIGINT) AS n_raw,
+           CAST(SUM(e.m) AS BIGINT) AS n_eroded,
+           CAST(SUM(op.m) AS BIGINT) AS n_opened
+    FROM cells c
+    JOIN eroded e ON e.x = c.x AND e.y = c.y
+    JOIN opened op ON op.x = c.x AND op.y = c.y
+    GROUP BY c.x ORDER BY c.x
+    """,
+)
+def q_a_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORPHOLOGICAL OPENING of a cloud mask (round 9) — the
+    despeckle step every GEE cloud/water mask runs before area
+    statistics (ee.Image.focalMin().focalMax()): EROSION (a cell
+    survives iff its full 3×3 neighborhood is masked — zero-padded
+    borders erode away) followed by DILATION (a cell lights iff any
+    eroded neighbor is lit) removes isolated false-positive specks
+    while restoring the interior of real cloud bodies. Mask: 32×32
+    grid over the fact keys, cloudy ⇔ mean quantity ≥ 25 spelled as
+    the exact integer cross-multiplication sum ≥ 25·n.
+
+    Scale shape: ONE corpus-proportional rollup builds the grid;
+    both morphology passes are joins ON THE GRID (≤1024 rows × 9
+    offsets — broadcast-able at any corpus size, because a raster's
+    cell count is a property of the GRID, not the data volume); the
+    result is the per-column mask-area triple (raw/eroded/opened),
+    the speck-removal audit a masking pipeline reviews before
+    trusting area trends. Everything integer, both engines
+    identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            (F.col("l_partkey") % _MORPH_N).cast("int").alias("x"),
+            (F.col("l_suppkey") % _MORPH_N).cast("int").alias("y"),
+        )
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("long"))
+                >= 25 * F.count(F.lit(1))
+            )
+            .cast("int")
+            .alias("m")
+        )
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx int, dy int",
+    )
+
+    def neighborhood(src: DataFrame, agg_col, out: str) -> DataFrame:
+        c = cells.select("x", "y").alias("c")
+        n = src.alias("n")
+        return (
+            c.join(F.broadcast(offs))
+            .join(
+                n,
+                (F.col("n.x") == F.col("c.x") + F.col("dx"))
+                & (F.col("n.y") == F.col("c.y") + F.col("dy")),
+                "left",
+            )
+            .groupBy(F.col("c.x").alias("x"), F.col("c.y").alias("y"))
+            .agg(agg_col.alias(out))
+        )
+
+    eroded = neighborhood(
+        cells, (F.sum("n.m") == 9).cast("int"), "m"
+    )
+    opened = neighborhood(
+        eroded, (F.max(F.coalesce("n.m", F.lit(0))) == 1).cast("int"), "m"
+    )
+    c, e, op = cells.alias("cc"), eroded.alias("ee"), opened.alias("oo")
+    return (
+        c.join(e, ["x", "y"])
+        .join(op, ["x", "y"])
+        .groupBy("x")
+        .agg(
+            F.sum("cc.m").cast("long").alias("n_raw"),
+            F.sum("ee.m").cast("long").alias("n_eroded"),
+            F.sum("oo.m").cast("long").alias("n_opened"),
+        )
+        .orderBy("x")
+    )

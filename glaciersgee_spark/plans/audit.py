@@ -170,6 +170,7 @@ HEADLINERS = [
     ("q_e_dedup_edit", "blocked Levenshtein: ONE (lang,bkey) window pass emits all W successors as an array — no per-offset union branches (r9)"),
     ("q_b_incr_view", "base/delta partials merge on the view key; full-recompute audit joins broadcast; fact scanned once per partial (r9)"),
     ("q_b_listagg", "pre-distincted (brand,type) domain feeds listagg; counts ride a separate combinable rollup (r9)"),
+    ("q_e_curriculum", "scan-side integer grading; per-stratum rank windows (4 bounded partitions); interleaved head via TakeOrderedAndProject; pos window on the 48-row panel only (r9)"),
 ]
 
 
