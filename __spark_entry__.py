@@ -225,6 +225,7 @@ _R9_NEW: tuple[str, ...] = (
     "q_d_multi_watermark", "q_e_coreset", "q_b_incr_view",
     "q_d_stream_observe", "q_e_curriculum", "q_b_join_cbo",
     "q_a_otsu_threshold", "q_a_morph_open", "q_e_mcnemar",
+    "q_b_money_alloc", "q_b_vacuum_plan",
 )
 
 # Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +

@@ -4027,3 +4027,154 @@ def q_b_join_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# q_b_money_alloc (round 9)
+# ---------------------------------------------------------------------------
+
+# Exact-cents allocation: order_cents split across its line items
+# proportional to extended price, largest-remainder method so the
+# per-order allocated sum equals the order total TO THE CENT.
+_MA_ORDER_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+_MA_ITEM_CENTS = "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_b_money_alloc",
+    oracle=f"""
+    WITH items AS (
+      SELECT l.l_orderkey AS k, l.l_linenumber AS ln,
+             {_MA_ITEM_CENTS} AS w, {_MA_ORDER_CENTS} AS oc
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    tot AS (
+      SELECT *, SUM(w) OVER (PARTITION BY k) AS ww,
+             CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_items
+      FROM items),
+    based AS (
+      SELECT *, oc * w // ww AS base, oc * w % ww AS rem
+      FROM tot),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY rem DESC, ln ASC) AS rk,
+             oc - SUM(base) OVER (PARTITION BY k) AS leftover
+      FROM based),
+    alloc AS (
+      SELECT k, n_items, oc, leftover,
+             base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS cents
+      FROM ranked)
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents_allocated,
+           CAST(SUM(CASE WHEN cents > 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_zero_lines,
+           CAST(SUM(leftover) // n_items AS BIGINT) AS bump_cents_sum,
+           CAST(MIN(oc_ok) AS BOOLEAN) AS all_exact
+    FROM (SELECT k, n_items, cents, leftover,
+                 SUM(cents) OVER (PARTITION BY k) = MAX(oc) OVER
+                   (PARTITION BY k) AS oc_ok,
+                 oc
+          FROM alloc)
+    GROUP BY n_items ORDER BY n_items
+    """,
+)
+def q_b_money_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER MONEY ALLOCATION (round 9) — the finance
+    kernel every billing/revenue-recognition pipeline hides: split an
+    order's total cents across its line items proportional to price
+    so that (a) every item gets floor-or-floor+1 of its exact share
+    and (b) the per-order sum equals the order total TO THE CENT —
+    pro-rata with naive rounding leaks pennies (Σ round(x_i) ≠
+    round(Σ x_i)), which at 100 TB of orders is real money and a
+    failed audit. Method: base_i = ⌊C·w_i/W⌋, then the C − Σ base
+    leftover cents go to the largest remainders C·w_i mod W (ties to
+    the lower line number) — Hamilton's apportionment, exact in
+    BIGINT throughout (C·w ≈ 1e14 ≪ 2^63).
+
+    The emitted table is the per-order-size audit: for each order
+    line-count, how many orders, total cents allocated, and the
+    all_exact flag proving Σ alloc = order cents for EVERY order —
+    the invariant the method exists to guarantee (asserted TRUE in
+    tests over the whole corpus).
+
+    Scale: items join, both windows (order totals, remainder rank),
+    and the per-order audit all ride ONE l_orderkey partitioning —
+    the join is fact⋈fact co-partitioned, the windows are per-order
+    frames bounded by order size (≤7 in TPC-H, never corpus-wide),
+    and the final rollup groups by the bounded n_items domain."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.expr(_MA_ITEM_CENTS).alias("w"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(_MA_ORDER_CENTS).alias("oc"),
+    )
+    items = li.join(o, "k")
+    pk = Window.partitionBy("k")
+    tot = items.select(
+        "*",
+        F.sum("w").over(pk).alias("ww"),
+        F.count(F.lit(1)).over(pk).cast("long").alias("n_items"),
+    )
+    based = tot.selectExpr(
+        "*", "oc * w DIV ww AS base", "oc * w % ww AS rem"
+    )
+    rk_w = Window.partitionBy("k").orderBy(
+        F.col("rem").desc(), F.col("ln").asc()
+    )
+    ranked = based.select(
+        "*",
+        F.row_number().over(rk_w).alias("rk"),
+        (F.col("oc") - F.sum("base").over(pk)).alias("leftover"),
+    )
+    alloc = ranked.select(
+        "k",
+        "n_items",
+        "oc",
+        "leftover",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("cents"),
+    )
+    audited = alloc.select(
+        "k",
+        "n_items",
+        "cents",
+        "leftover",
+        "oc",
+        (
+            F.sum("cents").over(pk) == F.max("oc").over(pk)
+        ).alias("oc_ok"),
+    )
+    return (
+        audited.groupBy("n_items")
+        .agg(
+            F.countDistinct("k").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_allocated"),
+            F.sum(F.when(F.col("cents") > 0, 0).otherwise(1))
+            .cast("long")
+            .alias("n_zero_lines"),
+            # Σ_orders(leftover): each order repeats its leftover on
+            # all n_items rows, so the exact per-group total is
+            # SUM(leftover) DIV n_items — integer-exact by construction
+            # (never the double '/' whose →BIGINT cast rounds
+            # differently across engines).
+            F.expr(
+                "CAST(SUM(leftover) DIV n_items AS BIGINT)"
+            ).alias("bump_cents_sum"),
+            F.min("oc_ok").alias("all_exact"),
+        )
+        .select(
+            F.col("n_items").cast("long").alias("n_items"),
+            "n_orders",
+            "cents_allocated",
+            "n_zero_lines",
+            "bump_cents_sum",
+            "all_exact",
+        )
+        .orderBy("n_items")
+    )

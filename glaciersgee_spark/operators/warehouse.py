@@ -3110,3 +3110,101 @@ def q_b_incr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri", "yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_vacuum_plan (round 9)
+# ---------------------------------------------------------------------------
+
+# Synthetic snapshot log derived from orders: version = months since
+# epoch of the order month; "file" = o_custkey (a data file is
+# referenced by every version whose snapshot contains its rows).
+_VAC_VERSION = (
+    "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)"
+)
+_VAC_KEEP_LAST = 3  # retention: the newest 3 versions stay queryable
+
+
+@query(
+    "q_b_vacuum_plan",
+    oracle=f"""
+    WITH refs AS (
+      SELECT o_custkey AS file_id,
+             {_VAC_VERSION} AS version,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    cur AS (SELECT MAX(version) AS vmax FROM refs),
+    files AS (
+      SELECT file_id,
+             MAX(version) AS last_ref,
+             CAST(COUNT(*) AS BIGINT) AS n_refs,
+             CAST(SUM(cents) AS BIGINT) AS size_proxy
+      FROM refs GROUP BY file_id)
+    SELECT CAST(f.last_ref >= c.vmax - {_VAC_KEEP_LAST - 1} AS BOOLEAN)
+             AS live,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(f.n_refs) AS BIGINT) AS n_refs,
+           CAST(SUM(f.size_proxy) AS BIGINT) AS bytes_proxy,
+           CAST(MIN(f.last_ref) AS BIGINT) AS oldest_last_ref,
+           CAST(MAX(f.last_ref) AS BIGINT) AS newest_last_ref
+    FROM files f CROSS JOIN cur c
+    GROUP BY live ORDER BY live
+    """,
+)
+def q_b_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / RETENTION-GC PLANNING (round 9) — the housekeeping
+    pass behind Delta's VACUUM and Iceberg's expire_snapshots,
+    completing the table-maintenance family (q_b_time_travel reads
+    old versions, q_b_snapshot_diff compares them, q_b_compaction_plan
+    bins small files, THIS op decides what disk to reclaim): a file
+    is LIVE iff some RETAINED snapshot (the newest {_VAC_KEEP_LAST}
+    versions) still references it; everything whose last reference
+    fell off the retention window is safely deletable, and the op
+    emits the reclaim bill — file count, reference count, byte proxy
+    — per liveness class, the exact report a storage owner signs off
+    before the irreversible delete.
+
+    The snapshot log is derived deterministically from orders
+    (version = order month, file = custkey) so both engines replay
+    identical history. Scale: one combinable per-file rollup (MAX
+    last-ref + counts — no per-version join, no window), a 1-row
+    current-version broadcast, and a 2-row liveness rollup; at 100 TB
+    the same plan reads the manifest table instead, which is
+    versions×files — always orders of magnitude smaller than the
+    data it indexes. The retention cutoff is vmax − {_VAC_KEEP_LAST - 1}
+    (inclusive), matching the keep-last-N convention exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    refs = o.select(
+        F.col("o_custkey").alias("file_id"),
+        F.expr(_VAC_VERSION).alias("version"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cur = refs.agg(F.max("version").alias("vmax"))
+    files = refs.groupBy("file_id").agg(
+        F.max("version").alias("last_ref"),
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.sum("cents").cast("long").alias("size_proxy"),
+    )
+    return (
+        files.join(F.broadcast(cur))
+        .select(
+            (
+                F.col("last_ref")
+                >= F.col("vmax") - F.lit(_VAC_KEEP_LAST - 1)
+            ).alias("live"),
+            "n_refs",
+            "size_proxy",
+            "last_ref",
+        )
+        .groupBy("live")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_refs").cast("long").alias("n_refs"),
+            F.sum("size_proxy").cast("long").alias("bytes_proxy"),
+            F.min("last_ref").cast("long").alias("oldest_last_ref"),
+            F.max("last_ref").cast("long").alias("newest_last_ref"),
+        )
+        .orderBy("live")
+    )

@@ -3891,3 +3891,18 @@ def test_coreset_radius_monotone_and_farthest_first(spark):
         .first()
     )
     assert rows[1].vec_id == far.vec_id and rows[1].radius_q == far.d2
+
+
+def test_money_alloc_is_exact_for_every_order(spark):
+    """The largest-remainder invariant: every order's allocated cents
+    sum to its total exactly (all_exact TRUE in every size class),
+    and no line receives a negative allocation."""
+    from glaciersgee_spark.operators.relational import q_b_money_alloc
+    from tests.conftest import SF_SMOKE
+
+    rows = q_b_money_alloc(spark, SF_SMOKE).collect()
+    assert rows, "audit table must be non-empty"
+    assert all(r.all_exact for r in rows), [
+        (r.n_items, r.all_exact) for r in rows
+    ]
+    assert all(r.bump_cents_sum >= 0 for r in rows)

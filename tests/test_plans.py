@@ -1440,3 +1440,14 @@ def test_cbo_reorders_selective_join_first(spark):
     # orders'. OFF: orders joins first.
     assert join_depth(plan_on, t_p) < join_depth(plan_on, t_o)
     assert join_depth(plan_off, t_o) < join_depth(plan_off, t_p)
+
+
+def test_money_alloc_single_key_partitioning(spark):
+    """Join, per-order windows, and audit all ride the l_orderkey
+    partitioning — the fact⋈fact join is co-partitioned and no
+    corpus-wide window appears."""
+    from glaciersgee_spark.operators.relational import q_b_money_alloc
+
+    plan = PI.formatted(q_b_money_alloc(spark, SF_SMOKE))
+    assert "hashpartitioning(k" in plan
+    assert not PI.has_python_boundary(plan)
