@@ -306,3 +306,101 @@ def q_e_mm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_mm_audio_chunks (round 9)
+# ---------------------------------------------------------------------------
+
+# Deterministic audio metadata synthesized per doc: sample rate from
+# the id parity (16 kHz mono speech vs 44.1 kHz music), PCM16 samples
+# proportional to the payload size.
+_AUD_RATE = "CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END"
+_AUD_SAMPLES = "CAST(n_chars AS BIGINT) * 256"
+_AUD_WINDOW_S = 10  # fixed-duration transcription windows
+
+
+@query(
+    "q_e_mm_audio_chunks",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST({_AUD_RATE} AS BIGINT) AS rate,
+             {_AUD_SAMPLES} AS n_samples
+      FROM documents WHERE doc_id % 7 = 0),
+    sized AS (
+      SELECT *, rate * {_AUD_WINDOW_S} AS win,
+             CAST(ceil(CAST(n_samples AS DOUBLE)
+                       / (rate * {_AUD_WINDOW_S})) AS BIGINT) AS n_chunks
+      FROM meta),
+    chunks AS (
+      SELECT doc_id, rate, n_samples, n_chunks,
+             CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx,
+             win
+      FROM sized)
+    SELECT doc_id, CAST(rate AS INT) AS rate, chunk_idx,
+           chunk_idx * win AS start_sample,
+           LEAST((chunk_idx + 1) * win, n_samples) AS end_sample,
+           chunk_idx * win * 2 AS start_byte,
+           CAST(chunk_idx = n_chunks - 1 AS BOOLEAN) AS is_tail,
+           CASE WHEN chunk_idx = n_chunks - 1
+                THEN (chunk_idx + 1) * win - n_samples
+                ELSE CAST(0 AS BIGINT) END AS pad_samples
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_e_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO WINDOWING PLAN (round 9) — the shard-prep step of a
+    Whisper-style transcription pipeline: each opaque PCM16 payload is
+    cut into fixed {_AUD_WINDOW_S}-second windows (sample-exact
+    boundaries, byte offsets for ranged object-store reads, tail
+    padding for the final partial window) BEFORE any decoder runs —
+    the planning pass is pure metadata arithmetic, so it belongs in
+    the engine, not the GPU worker. Completes the multimodal family:
+    q_e_mm_framesample samples video frames, q_e_mm_shard_manifest
+    packs shards, THIS op windows audio; the decode itself stays
+    behind the module's documented stub boundary.
+
+    Determinism: rate and sample count are synthesized from doc
+    metadata identically in both engines; chunk fan-out is
+    sequence()+explode ⟷ range()+unnest, every boundary an exact
+    BIGINT (the one ceil() runs on a ≤2^53-exact double ratio,
+    identically rounded in both engines). Scale: one scan-side
+    projection, one JVM explode whose fan-out is duration-bounded
+    per object (n_chunks = ⌈samples/window⌉), zero Python, zero
+    shuffle until a downstream join — at 100 TB this plan emits the
+    byte-range work-list the GPU fleet consumes."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .selectExpr(
+            "doc_id",
+            f"CAST({_AUD_RATE} AS BIGINT) AS rate",
+            f"{_AUD_SAMPLES} AS n_samples",
+        )
+    )
+    sized = d.selectExpr(
+        "*",
+        f"rate * {_AUD_WINDOW_S} AS win",
+        f"CAST(ceil(CAST(n_samples AS DOUBLE)"
+        f" / (rate * {_AUD_WINDOW_S})) AS BIGINT) AS n_chunks",
+    )
+    chunks = sized.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+    )
+    return chunks.selectExpr(
+        "doc_id",
+        "CAST(rate AS INT) AS rate",
+        "chunk_idx",
+        "chunk_idx * win AS start_sample",
+        "LEAST((chunk_idx + 1) * win, n_samples) AS end_sample",
+        "chunk_idx * win * 2 AS start_byte",
+        "CAST(chunk_idx = n_chunks - 1 AS BOOLEAN) AS is_tail",
+        "CASE WHEN chunk_idx = n_chunks - 1"
+        " THEN (chunk_idx + 1) * win - n_samples"
+        " ELSE CAST(0 AS BIGINT) END AS pad_samples",
+    ).orderBy("doc_id", "chunk_idx")

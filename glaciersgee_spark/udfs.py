@@ -894,3 +894,93 @@ def q_f_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL ggee_price_cents(v.o_orderkey, v.o_totalprice) f
         """
     )
+
+
+# ------------------------------------------------ Arrow cogrouped map
+
+
+def _order_ship_arrow(left, right):
+    """Whole-key Arrow kernel: one order (left) against its line items
+    (right) — items count, items shipped >30 days after order, and the
+    max ship lag in whole days. Epoch-µs int64 views, pure integer
+    arithmetic (no pandas, no float)."""
+    import pyarrow as pa
+
+    if left.num_rows == 0 or right.num_rows == 0:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+                "n_late": pa.array([], pa.int64()),
+                "max_lag_days": pa.array([], pa.int64()),
+            }
+        )
+    okey = left.column("o_orderkey")[0].as_py()
+    odate = left.column("o_orderdate").cast(pa.int64())[0].as_py()
+    ships = right.column("l_shipdate").cast(pa.int64()).to_pylist()
+    lags = [(s - odate) // 86_400_000_000 for s in ships]
+    return pa.table(
+        {
+            "o_orderkey": [okey],
+            "n_items": [len(lags)],
+            "n_late": [sum(1 for d in lags if d > 30)],
+            "max_lag_days": [max(lags)],
+        }
+    )
+
+
+@query(
+    "q_f_cogroup_arrow",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                        l.l_shipdate) > 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS max_lag_days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 40 = 0
+    GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+)
+def q_f_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native COGROUPED map (`cogroup().applyInArrow`, round 9)
+    — closes the last cell of the Group F API matrix: map
+    (pandas_iter/maparrow), grouped map (pandas_group_map/
+    group_arrow), and now cogrouped map (cogroup_map/THIS) each exist
+    in both pandas and Arrow forms. Two keyed relations arrive as two
+    Arrow Tables per key with zero pandas conversion — the boundary
+    for per-key merge kernels that already speak Arrow (feature
+    stores, C-extension matchers). Kernel: order header vs its line
+    items — item count, >30-day-lag shipments, max lag — all integer
+    arithmetic on epoch-µs views, so the relational oracle matches
+    exactly.
+
+    Scale: ONE co-partitioned shuffle lands both sides of a key in
+    the same call; cost is one Python roundtrip PER KEY (the
+    cogroup_map lesson), so the op samples o_orderkey % 40 — key
+    cardinality, not row count, is what the boundary prices. When
+    the per-key logic IS relational (as this audit kernel is), the
+    oracle's aggregate+join spelling is the 100 TB preference; the
+    op declares the API surface for when it isn't."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 40 == 0)
+        .select("l_orderkey", "l_shipdate")
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInArrow(
+            _order_ship_arrow,
+            "o_orderkey long, n_items long, n_late long,"
+            " max_lag_days long",
+        )
+        .orderBy("o_orderkey")
+    )
