@@ -226,7 +226,7 @@ _R9_NEW: tuple[str, ...] = (
     "q_d_stream_observe", "q_e_curriculum", "q_b_join_cbo",
     "q_a_otsu_threshold", "q_a_morph_open", "q_e_mcnemar",
     "q_b_money_alloc", "q_b_vacuum_plan",
-    "q_f_cogroup_arrow", "q_e_mm_audio_chunks",
+    "q_f_cogroup_arrow", "q_e_mm_audio_chunks", "q_e_cartography",
 )
 
 # Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +

@@ -4274,21 +4274,28 @@ _LR_FEATS = ("bias", "distinct", "len100", "stop", "toklen10")
 _LR_XCOLS = ("x0", "x2", "x1", "x3", "x4")  # aligned with _LR_FEATS
 
 
-def _lr_sql() -> str:
-    def q6(x: str) -> str:
-        return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+def _lr_q6(x: str) -> str:
+    return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
 
-    logit = "round(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4, 6)"
-    score = f"round(1.0 / (1.0 + exp(-{logit})), 6)"
+
+_LR_LOGIT = "round(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4, 6)"
+_LR_SCORE = f"round(1.0 / (1.0 + exp(-{_LR_LOGIT})), 6)"
+
+
+def _lr_weight_parts(with_doc_id: bool = False) -> list[str]:
+    """The shared unrolled-GD CTE chain (feat, w0_, r1..rK, w1_..wK_),
+    reused verbatim by the q_e_logreg_train and q_e_cartography
+    oracles so both walk the identical weight trajectory."""
+    did = "doc_id, " if with_doc_id else ""
     parts = [
         f"""feat AS (
-      SELECT 1.0 AS x0,
+      SELECT {did}1.0 AS x0,
              CAST(n_tokens AS DOUBLE) / 100.0 AS x1,
              distinct_ratio AS x2, stop_ratio AS x3,
              avg_token_len / 10.0 AS x4,
              CASE WHEN {_CAL_GOLD_DUCK} THEN 1 ELSE 0 END AS y
       FROM (
-        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        SELECT {did}CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                  / len(string_split(text, ' ')) AS distinct_ratio,
                CAST(len(list_filter(string_split(text, ' '),
@@ -4302,6 +4309,7 @@ def _lr_sql() -> str:
         "w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,"
         " 0.0 AS w3, 0.0 AS w4)",
     ]
+    q6, score = _lr_q6, _LR_SCORE
     for k in range(1, _LR_ROUNDS + 1):
         grads = ",\n             ".join(
             f"{dsum(f'(s - y) * x{j}')} / COUNT(*) AS g{j}" for j in range(5)
@@ -4323,6 +4331,12 @@ def _lr_sql() -> str:
         parts.append(
             f"w{k}_ AS (SELECT {ws} FROM w{k - 1}_ w CROSS JOIN r{k} r)"
         )
+    return parts
+
+
+def _lr_sql() -> str:
+    q6 = _lr_q6
+    parts = _lr_weight_parts()
     emits = []
     for k in range(1, _LR_ROUNDS + 1):
         for name, xc in zip(_LR_FEATS, _LR_XCOLS):
@@ -4630,3 +4644,182 @@ def q_e_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("chi2_cc_ppm"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q_e_cartography (round 9)
+# ---------------------------------------------------------------------------
+
+# Region thresholds on the 3-round confidence trace (µ-unit lattice):
+# ambiguous if the integer variability score 3·Σc² − (Σc)² crosses
+# (std ≥ 0.05 ⇔ vscore ≥ 9·0.0025·1e12), else easy/hard by mean conf.
+_CART_VTH = 22_500_000_000
+_CART_EASY = 2_100_000  # Σc6 ≥ 0.7·3e6
+_CART_HARD = 900_000  # Σc6 ≤ 0.3·3e6
+_CART_REGION = f"""
+CASE WHEN vscore >= {_CART_VTH} THEN 'ambiguous'
+     WHEN csum >= {_CART_EASY} THEN 'easy'
+     WHEN csum <= {_CART_HARD} THEN 'hard'
+     ELSE 'middle' END
+"""
+
+
+def _carto_sql() -> str:
+    parts = _lr_weight_parts(with_doc_id=True)
+    rounds = []
+    for k in range(1, _LR_ROUNDS + 1):
+        rounds.append(
+            f"""s{k} AS (
+      SELECT doc_id, y,
+             CAST(floor((CASE WHEN y = 1 THEN {_LR_SCORE}
+                              ELSE 1.0 - {_LR_SCORE} END)
+                        * 1000000.0 + 0.5) AS BIGINT) AS c
+      FROM feat CROSS JOIN w{k}_ w
+    )"""
+        )
+    parts.extend(rounds)
+    parts.append(
+        """carto AS (
+      SELECT s1.doc_id, s1.y,
+             s1.c + s2.c + s3.c AS csum,
+             3 * (s1.c * s1.c + s2.c * s2.c + s3.c * s3.c)
+               - (s1.c + s2.c + s3.c) * (s1.c + s2.c + s3.c) AS vscore
+      FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+      JOIN s3 ON s1.doc_id = s3.doc_id
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT {_CART_REGION.strip()} AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_gold_keep,
+           {davg('csum')} AS mean_csum,
+           {davg('vscore', scale=0, precision=38)} AS mean_vscore,
+           CAST(MIN(csum) AS BIGINT) AS min_csum,
+           CAST(MAX(vscore) AS BIGINT) AS max_vscore
+    FROM carto GROUP BY region ORDER BY region"""
+    )
+
+
+@query("q_e_cartography", oracle=_carto_sql())
+def q_e_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARTOGRAPHY (round 9) — Swayamdipta et al. 2020's
+    training-dynamics map, on q_e_logreg_train's exact trajectory:
+    re-walk the same 3-round GD (shared CTE chain `_lr_weight_parts`,
+    byte-identical weights), then score every doc at each epoch's
+    weights and chart it by CONFIDENCE (mean true-class probability
+    across epochs) and VARIABILITY (dispersion across epochs).
+    easy-to-learn (high conf, low var) is safe bulk data;
+    ambiguous (high var) is where the model is still changing its
+    mind — the region Swayamdipta showed carries the most training
+    signal; hard (low conf, low var) concentrates label noise —
+    the TRIAGE a curation owner runs before spending annotation or
+    compute. Emits the per-region census (count, gold share, conf /
+    variability moments).
+
+    Exactness: per-epoch confidences land on the 6-dp lattice as
+    INTEGERS (c6), so Σc and the variability score 3·Σc² − (Σc)²
+    are exact BIGINT arithmetic — region assignment is an integer
+    comparison, immune to float drift; the same trick as the ERR
+    cascade. Scale (the kmeans/logreg discipline): the feature frame
+    persists once; each training round is one combinable aggregate;
+    the cartography pass is ONE scan with three literal weight
+    vectors (no joins — the oracle's s1⋈s2⋈s3 collapses to one
+    projection in Spark) and a 4-row region rollup."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in _CLS_STOPWORDS])
+    base = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.size(
+                F.filter(words, lambda x: F.array_contains(stop_arr, x))
+            ).cast("double")
+            / n_tok
+        ).alias("stop_ratio"),
+        ((F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+    )
+    gold = (
+        F.col("n_tokens").between(10, 5000)
+        & F.col("avg_token_len").between(2.5, 10.0)
+        & (F.col("stop_ratio") >= 0.02)
+    ).cast("int")
+    feat = base.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_tokens").cast("double") / 100.0).alias("x1"),
+        F.col("distinct_ratio").alias("x2"),
+        F.col("stop_ratio").alias("x3"),
+        (F.col("avg_token_len") / 10.0).alias("x4"),
+        gold.alias("y"),
+    ).persist()
+
+    def _q6(v: float) -> float:
+        return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+
+    # identical GD walk to q_e_logreg_train (lr=1, w0=0, 3 rounds)
+    w = [0.0] * 5
+    trajectory = []
+    for _step in range(1, _LR_ROUNDS + 1):
+        logit = F.round(
+            sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(5)), 6
+        )
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        g = feat.select(
+            score.alias("s"), "y", "x0", "x1", "x2", "x3", "x4"
+        ).agg(
+            *[
+                F.expr(f"{dsum(f'(s - y) * x{j}')} / COUNT(*)").alias(
+                    f"g{j}"
+                )
+                for j in range(5)
+            ]
+        ).first()
+        w = [_q6(w[j] - g[f"g{j}"]) for j in range(5)]
+        trajectory.append(list(w))
+
+    def conf6(wk: list[float]):
+        logit = F.round(
+            sum(F.lit(wk[j]) * F.col(f"x{j}") for j in range(5)), 6
+        )
+        s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        c = F.when(F.col("y") == 1, s).otherwise(F.lit(1.0) - s)
+        return F.floor(c * 1000000.0 + F.lit(0.5)).cast("long")
+
+    traced = feat.select(
+        "doc_id",
+        "y",
+        *[conf6(trajectory[k]).alias(f"c{k + 1}") for k in range(3)],
+    ).selectExpr(
+        "doc_id",
+        "y",
+        "c1 + c2 + c3 AS csum",
+        "3 * (c1*c1 + c2*c2 + c3*c3)"
+        " - (c1 + c2 + c3) * (c1 + c2 + c3) AS vscore",
+    )
+    return (
+        traced.selectExpr(f"{_CART_REGION.strip()} AS region", "y",
+                          "csum", "vscore")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_gold_keep"),
+            F.expr(davg("csum")).alias("mean_csum"),
+            F.expr(davg("vscore", scale=0, precision=38)).alias(
+                "mean_vscore"
+            ),
+            F.min("csum").cast("long").alias("min_csum"),
+            F.max("vscore").cast("long").alias("max_vscore"),
+        )
+        .orderBy("region")
+    )
