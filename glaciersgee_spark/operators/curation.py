@@ -4823,3 +4823,164 @@ def q_e_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_weak_label (round 9)
+# ---------------------------------------------------------------------------
+
+# Three labeling functions with ABSTENTION (+1 keep / −1 drop / 0):
+# all-integer spellings shared by both engines (n_tok via split-size).
+_WL_NTOK_S = "size(split(text, ' '))"
+_WL_NTOK_D = "len(string_split(text, ' '))"
+_WL_NSTOP_S = (
+    "size(filter(split(text, ' '),"
+    " x -> x IN ('the','and','of','to','a','in','is','it')))"
+)
+_WL_NSTOP_D = (
+    "len(list_filter(string_split(text, ' '),"
+    " x -> x IN ('the','and','of','to','a','in','is','it')))"
+)
+
+
+def _wl_votes(ntok: str, nstop: str) -> tuple[str, str, str]:
+    v1 = (
+        "CASE WHEN n_chars BETWEEN 200 AND 8000 THEN 1"
+        " WHEN n_chars < 50 OR n_chars > 20000 THEN -1 ELSE 0 END"
+    )
+    v2 = (
+        f"CASE WHEN 25 * ({nstop}) >= ({ntok}) THEN 1"
+        f" WHEN ({nstop}) = 0 THEN -1 ELSE 0 END"
+    )
+    v3 = (
+        f"CASE WHEN n_chars BETWEEN 3 * ({ntok}) AND 8 * ({ntok}) THEN 1"
+        f" WHEN n_chars > 12 * ({ntok}) OR n_chars < 2 * ({ntok})"
+        " THEN -1 ELSE 0 END"
+    )
+    return v1, v2, v3
+
+
+_WL_MAJ = "CASE WHEN v1+v2+v3 > 0 THEN 1 WHEN v1+v2+v3 < 0 THEN -1 ELSE 0 END"
+_WL_W = (
+    "CAST(SUM(CASE WHEN v{j} <> 0 AND maj <> 0 AND v{j} = maj"
+    " THEN 1 ELSE 0 END) * 1000000"
+    " // GREATEST(SUM(CASE WHEN v{j} <> 0 AND maj <> 0"
+    " THEN 1 ELSE 0 END), 1) AS BIGINT) AS w{j}"
+)
+
+
+def _weak_label_oracle() -> str:
+    v1, v2, v3 = _wl_votes(_WL_NTOK_D, _WL_NSTOP_D)
+    ws = ",\n             ".join(
+        _WL_W.replace("{j}", str(j)) for j in (1, 2, 3)
+    )
+    return f"""
+    WITH votes AS (
+      SELECT lang, {v1} AS v1, {v2} AS v2, {v3} AS v3
+      FROM documents),
+    m AS (SELECT *, {_WL_MAJ} AS maj FROM votes),
+    w AS (SELECT {ws} FROM m),
+    scored AS (
+      SELECT m.lang, m.v1, m.v2, m.v3, m.maj,
+             m.v1 * w.w1 + m.v2 * w.w2 + m.v3 * w.w3 AS score
+      FROM m CROSS JOIN w)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN v1 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cov_lf1,
+           CAST(SUM(CASE WHEN v2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cov_lf2,
+           CAST(SUM(CASE WHEN v3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cov_lf3,
+           CAST(SUM(CASE WHEN GREATEST(v1, v2, v3) = 1
+                          AND LEAST(v1, v2, v3) = -1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+           CAST(SUM(CASE WHEN maj = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS maj_keep,
+           CAST(SUM(CASE WHEN maj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS maj_abstain,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS weighted_keep,
+           CAST(SUM(CASE WHEN maj <> 0 AND score <> 0
+                          AND SIGN(score) <> maj
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped
+    FROM scored GROUP BY lang ORDER BY lang
+    """
+
+
+@query("q_e_weak_label", oracle=_weak_label_oracle())
+def q_e_weak_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEAK-SUPERVISION LABEL MODEL (round 9) — the Snorkel recipe
+    (Ratner et al., VLDB 2018) in its deterministic one-pass form:
+    three labeling functions vote keep/drop/ABSTAIN (abstention is
+    what separates an LF from a filter — q_e_filter_kappa's gates
+    must always answer; an LF can say "not my case"); the label
+    model weights each LF by its empirical precision proxy
+    (agreement with the majority where both commit) and relabels by
+    the weighted vote. Emits per lang the LF health panel every
+    weak-supervision owner reads: coverage per LF, conflict rate,
+    majority vs weighted keeps, and how many labels the weighting
+    FLIPPED — the signal that the LFs are not interchangeable and a
+    learned label model is worth its complexity.
+
+    Exactness: votes, majority, ppm weights (integer // with a
+    GREATEST(·,1) zero-vote guard), and the weighted score are all
+    BIGINT arithmetic — SIGN() comparisons only, no floats anywhere.
+    Scale: one scan computes all three votes (scan-side codegen),
+    the weight row is ONE combinable global aggregate broadcast back
+    (Snorkel's generative model reduces to exactly this precision
+    estimate under its independence assumption), and the census is
+    one rollup per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    v1, v2, v3 = _wl_votes(_WL_NTOK_S, _WL_NSTOP_S)
+    m = d.selectExpr(
+        "lang", f"{v1} AS v1", f"{v2} AS v2", f"{v3} AS v3"
+    ).selectExpr("*", f"{_WL_MAJ} AS maj")
+    w = m.selectExpr(
+        *[
+            _WL_W.replace("{j}", str(j)).replace("//", "DIV")
+            for j in (1, 2, 3)
+        ]
+    )
+    scored = m.join(F.broadcast(w)).selectExpr(
+        "lang",
+        "v1",
+        "v2",
+        "v3",
+        "maj",
+        "v1 * w1 + v2 * w2 + v3 * w3 AS score",
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("v1") != 0).cast("int")).cast("long").alias("cov_lf1"),
+            F.sum((F.col("v2") != 0).cast("int")).cast("long").alias("cov_lf2"),
+            F.sum((F.col("v3") != 0).cast("int")).cast("long").alias("cov_lf3"),
+            F.sum(
+                (
+                    (F.greatest("v1", "v2", "v3") == 1)
+                    & (F.least("v1", "v2", "v3") == -1)
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_conflict"),
+            F.sum((F.col("maj") == 1).cast("int")).cast("long").alias("maj_keep"),
+            F.sum((F.col("maj") == 0).cast("int"))
+            .cast("long")
+            .alias("maj_abstain"),
+            F.sum((F.col("score") > 0).cast("int"))
+            .cast("long")
+            .alias("weighted_keep"),
+            F.sum(
+                (
+                    (F.col("maj") != 0)
+                    & (F.col("score") != 0)
+                    & (F.signum("score") != F.col("maj"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_flipped"),
+        )
+        .orderBy("lang")
+    )
