@@ -1980,7 +1980,7 @@ def q_d_multi_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream advances with the fastest leg and sheds the slow
     leg's late rows. This op drains the real union (fast leg: even
     users, 30-min delay; slow leg: odd users, 6-h delay; 4
-    day-aligned chunk files per leg, 1 per trigger) under `min` into
+    day-aligned chunk files per leg, 2 per trigger) under `min` into
     an append-mode hourly aggregate.
 
     Emission contract in the oracle: a window emits iff its END ≤

@@ -1526,8 +1526,8 @@ def drain_multi_watermark(
 ):
     """Union two legs carrying DIFFERENT watermark delays (fast DC:
     30 min; slow DC: 6 h) into one tumbling hourly aggregate, drained
-    as a real multi-batch availableNow stream (1 file per leg per
-    trigger → 4 data batches), under the given
+    as a real multi-batch availableNow stream (2 files per leg per
+    trigger → 2 data batches), under the given
     spark.sql.streaming.multipleWatermarkPolicy ('min' is Spark's
     default and the SAFE one: the global watermark trails the
     slowest leg, so nothing is dropped while the slow DC catches up;
@@ -1539,7 +1539,13 @@ def drain_multi_watermark(
     def leg(name: str, delay: str) -> DataFrame:
         return (
             spark.readStream.schema(_MWM_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
+            # 2 of the 4 day chunks per trigger → 2 data batches per
+            # leg: still a true multi-batch watermark advancement, and
+            # the final-watermark emission set (what the oracle and
+            # the min/max A/B pin) is batch-count-invariant — halving
+            # the batch count halves the recurring drain cost
+            # (solo 7.5 s → ~4 s at sf0.1).
+            .option("maxFilesPerTrigger", 2)
             .parquet(f"{staged}/{name}")
             # watermarks require TIMESTAMP (session-UTC, so the naive
             # values are preserved — the drain_stream_dedup idiom)
