@@ -3170,3 +3170,144 @@ def q_e_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_dedup_blockhash (round 9)
+# ---------------------------------------------------------------------------
+
+# 64-bit block-fingerprint signature: payload split into 64 equal
+# blocks, one md5-parity bit per block (60 blocks: bit 63 would overflow
+# signed BIGINT) — two payloads differing in a
+# few blocks differ in a few BITS, so Hamming distance counts changed
+# blocks (the storage-dedup / pHash shape, on the module's ASCII
+# payload stand-in where text substring ≡ byte slice).
+_BH_BITS = 60  # 2^63 would overflow signed BIGINT; 60 bits = 4×15 bands
+_BH_BANDS = 4  # 4 × 15-bit LSH bands for the candidate join
+_BH_TAU = 8  # near-dup verdict: ≤ τ changed blocks
+_BH_MIN_CHARS = 2 * _BH_BITS  # every block ≥ 2 bytes
+
+
+def _bh_sig(md5int_tpl: str) -> str:
+    """Σ_j parity(md5(block_j))·2^j — md5int_tpl formats the dialect's
+    hex→BIGINT spelling around a block slice `substring(payload,
+    {j}*q + 1, q)` (q = n_chars // 60, a column)."""
+    terms = [
+        f"({md5int_tpl.format(j=j)} % 2) * CAST({1 << j} AS BIGINT)"
+        for j in range(_BH_BITS)
+    ]
+    return " + ".join(terms)
+
+
+_BH_MD5_SPARK = (
+    "CAST(conv(substring(md5(substring(CAST(text AS BINARY),"
+    " {j} * q + 1, q)), 1, 15), 16, 10) AS BIGINT)"
+)
+_BH_MD5_DUCK = (
+    "CAST(concat('0x', substring(md5(substring(text,"
+    " {j} * q + 1, q)), 1, 15)) AS BIGINT)"
+)
+
+
+@query(
+    "q_e_dedup_blockhash",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text, n_chars // {_BH_BITS} AS q
+      FROM documents WHERE n_chars >= {_BH_MIN_CHARS}),
+    sigs AS (
+      SELECT doc_id, {_bh_sig(_BH_MD5_DUCK)} AS sig FROM sized),
+    bands AS (
+      SELECT doc_id, sig,
+             CAST(unnest(range(0, {_BH_BANDS})) AS BIGINT) AS band
+      FROM sigs),
+    keyed AS (
+      SELECT doc_id, sig, band,
+             (sig >> CAST(band * 15 AS INT)) & 32767 AS bval
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sa, b.sig AS sb
+      FROM keyed a JOIN keyed b
+        ON a.band = b.band AND a.bval = b.bval
+       AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT CAST(bit_count(xor(sa, sb)) AS INT) AS ham FROM cand)
+    SELECT ham,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ham <= {_BH_TAU} AS BOOLEAN) AS is_near_dup
+    FROM scored WHERE ham <= 16
+    GROUP BY ham ORDER BY ham
+    """,
+)
+def q_e_dedup_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK-FINGERPRINT near-dup (round 9) — the storage-layer dedup
+    shape (and the block-mean pHash shape for images): each payload
+    compresses to a 60-BIT SIGNATURE, one md5-parity bit per
+    equal-size block, so Hamming distance = number of CHANGED BLOCKS
+    — an image re-encoded with a corner watermark, or a file with one
+    edited region, lands within a few bits of its original while
+    token-level methods (shingle Jaccard) must re-tokenize the whole
+    payload. Completes the dedup ladder's binary rung: exact md5 →
+    THIS (block-level) → edit-distance → shingle/MinHash/SimHash.
+
+    Scale discipline: signatures are 8 BYTES regardless of payload
+    size (the corpus never pairs raw payloads); candidates come from
+    {_BH_BANDS}×15-bit LSH bands (two sigs collide iff some band is
+    IDENTICAL — guaranteed for Hamming ≤ {_BH_BANDS - 1} by
+    pigeonhole, probabilistic above), so the join is a banded
+    equi-join, never O(n²); verification is one xor+bit_count per
+    candidate. The 64 block-md5s are scan-side JVM codegen (probed:
+    conv/md5/bit_count/xor/shift agree bit-for-bit across engines).
+    Emits the Hamming histogram (≤16) with the τ={_BH_TAU} verdict
+    column — the curve a dedup owner reads to place the threshold."""
+    sized = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= _BH_MIN_CHARS)
+        .selectExpr("doc_id", "text", f"n_chars DIV {_BH_BITS} AS q")
+    )
+    sigs = sized.selectExpr(
+        "doc_id", f"{_bh_sig(_BH_MD5_SPARK)} AS sig"
+    )
+    keyed = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[F.lit(b).cast("long") for b in range(_BH_BANDS)])
+        ).alias("band"),
+    ).selectExpr(
+        "doc_id",
+        "sig",
+        "band",
+        "shiftright(sig, CAST(band * 15 AS INT)) & 32767 AS bval",
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    scored = cand.selectExpr(
+        "CAST(bit_count(sa ^ sb) AS INT) AS ham"
+    )
+    return (
+        scored.where(F.col("ham") <= 16)
+        .groupBy("ham")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .selectExpr(
+            "ham",
+            "n_pairs",
+            f"CAST(ham <= {_BH_TAU} AS BOOLEAN) AS is_near_dup",
+        )
+        .orderBy("ham")
+    )
