@@ -227,7 +227,8 @@ _R9_NEW: tuple[str, ...] = (
     "q_a_otsu_threshold", "q_a_morph_open", "q_e_mcnemar",
     "q_b_money_alloc", "q_b_vacuum_plan",
     "q_f_cogroup_arrow", "q_e_mm_audio_chunks", "q_e_cartography",
-    "q_e_weak_label", "q_e_dedup_blockhash",
+    "q_e_weak_label", "q_e_dedup_blockhash", "q_e_graph_hits",
+    "q_b_ohlc_bars",
 )
 
 # Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +

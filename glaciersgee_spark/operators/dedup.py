@@ -3311,3 +3311,125 @@ def q_e_dedup_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ham")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_graph_hits (round 9)
+# ---------------------------------------------------------------------------
+
+# Bipartite HITS (Kleinberg 1999) on the user→event_type interaction
+# graph: hubs are users, authorities are event types; two mutual-
+# reinforcement rounds in exact integer µ-units, each round
+# max-normalized with integer // so both engines walk identical
+# scores.
+_HITS_ROUNDS = 2
+
+
+def _duck_hits_ctes() -> str:
+    parts = [
+        """ew AS (SELECT user_id AS u, event_type AS t,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM events GROUP BY u, t)""",
+        "h0 AS (SELECT u, CAST(1000000 AS BIGINT) AS h"
+        " FROM (SELECT DISTINCT u FROM ew))",
+    ]
+    for i in range(1, _HITS_ROUNDS + 1):
+        parts.append(
+            f"""ar{i} AS (
+      SELECT ew.t, SUM(h{i - 1}.h * ew.w) AS a_raw
+      FROM ew JOIN h{i - 1} ON ew.u = h{i - 1}.u GROUP BY ew.t)"""
+        )
+        parts.append(
+            f"a{i} AS (SELECT t, a_raw * 1000000"
+            f" // (SELECT MAX(a_raw) FROM ar{i}) AS a FROM ar{i})"
+        )
+        parts.append(
+            f"""hr{i} AS (
+      SELECT ew.u, SUM(a{i}.a * ew.w) AS h_raw
+      FROM ew JOIN a{i} ON ew.t = a{i}.t GROUP BY ew.u)"""
+        )
+        parts.append(
+            f"h{i} AS (SELECT u, h_raw * 1000000"
+            f" // (SELECT MAX(h_raw) FROM hr{i}) AS h FROM hr{i})"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_e_graph_hits",
+    oracle=f"""
+    WITH {_duck_hits_ctes()}
+    SELECT a{_HITS_ROUNDS}.t AS event_type,
+           CAST(a{_HITS_ROUNDS}.a AS BIGINT) AS authority_micro,
+           CAST(d.n_users AS BIGINT) AS n_users,
+           CAST(d.w_total AS BIGINT) AS w_total
+    FROM a{_HITS_ROUNDS}
+    JOIN (SELECT t, COUNT(*) AS n_users, SUM(w) AS w_total
+          FROM ew GROUP BY t) d ON a{_HITS_ROUNDS}.t = d.t
+    ORDER BY event_type
+    """,
+)
+def q_e_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (round 9, Kleinberg 1999) — the
+    DIRECTED-graph companion to q_e_graph_pagerank's centrality on
+    the undirected dup graph: on the bipartite user→event-type
+    interaction graph, an event type is AUTHORITATIVE when engaged
+    users touch it, and a user is a good HUB when they touch
+    authoritative types — two mutually-reinforcing fixpoints that a
+    single degree count can't see (a type touched by a few heavy,
+    well-rounded users outranks one touched by many drive-by users
+    of equal total weight). This bipartite form is the original
+    HITS application shape (queries⇄documents, users⇄items).
+
+    Exactness: weights are interaction counts; each half-round is
+    one weighted sum in BIGINT µ-units followed by integer
+    max-normalization (·1e6 // max) — both engines walk identical
+    score vectors, no floats, no convergence tolerance (fixed
+    {_HITS_ROUNDS} rounds, unrolled in the oracle). Scale: the edge
+    list collapses to distinct (user, type) with a count — ONE
+    corpus shuffle; every round is two edge-sized joins against
+    frames bounded by |users| and |types|; the max is a 1-row
+    broadcast, never a driver collect. Output is the bounded
+    authority table; hub scores live in the same CTE chain."""
+    ev = load_table(spark, sf_dir, "events")
+    ew = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    ew = ew.localCheckpoint()
+    h = ew.select("u").distinct().select(
+        "u", F.lit(1_000_000).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        ar = (
+            ew.join(h, "u")
+            .groupBy("t")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("a_raw"))
+        )
+        amax = ar.agg(F.max("a_raw").alias("mx"))
+        a = ar.join(F.broadcast(amax)).selectExpr(
+            "t", "a_raw * 1000000 DIV mx AS a"
+        )
+        hr = (
+            ew.join(a, "t")
+            .groupBy("u")
+            .agg(F.sum(F.col("a") * F.col("w")).alias("h_raw"))
+        )
+        hmax = hr.agg(F.max("h_raw").alias("mx"))
+        h = hr.join(F.broadcast(hmax)).selectExpr(
+            "u", "h_raw * 1000000 DIV mx AS h"
+        )
+    d = ew.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("w").cast("long").alias("w_total"),
+    )
+    return (
+        a.join(d, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("a").cast("long").alias("authority_micro"),
+            "n_users",
+            "w_total",
+        )
+        .orderBy("event_type")
+    )

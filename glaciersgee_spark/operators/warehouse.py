@@ -3208,3 +3208,97 @@ def q_b_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("live")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_ohlc_bars (round 9)
+# ---------------------------------------------------------------------------
+
+# Integer cents keep open/high/low/close exact; (ts, event_id) breaks
+# simultaneous-tick ties deterministically in both engines.
+_OHLC_CENTS = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_b_ohlc_bars",
+    oracle=f"""
+    WITH ticks AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+               AS bar_ts,
+             ts, event_id, {_OHLC_CENTS} AS cents
+      FROM events),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bar_ts
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, bar_ts
+                                ORDER BY ts DESC, event_id DESC)
+               AS rn_close
+      FROM ticks)
+    SELECT event_type, bar_ts,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT)
+             AS open_c,
+           CAST(MAX(cents) AS BIGINT) AS high_c,
+           CAST(MIN(cents) AS BIGINT) AS low_c,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+             AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(cents) AS BIGINT) AS volume_c
+    FROM ranked GROUP BY event_type, bar_ts
+    ORDER BY event_type, bar_ts
+    """,
+)
+def q_b_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC DOWNSAMPLING (round 9) — the candlestick-bar rollup every
+    time-series store ships as a first-class verb (TimescaleDB
+    candlestick_agg, kdb xbar): per (series, hour) the OPEN (first
+    tick), HIGH, LOW, CLOSE (last tick), tick count and volume — the
+    lossy-but-sufficient representation charting and downstream
+    analytics read instead of raw ticks. First/last are the
+    order-dependent half: spelled as rank-1 rows under the explicit
+    (ts, event_id) total order — never `first()`/`any_value()`,
+    whose arrival-order nondeterminism is exactly the flaky-bar bug
+    this op exists to pin (SURVEY §7.4's first() trap, stated as a
+    passing query).
+
+    Scale: both row_number windows and the bar rollup share ONE
+    (event_type, bar_ts) partitioning — a single corpus shuffle; at
+    100 TB the same plan downsamples per day per symbol with
+    thousands of parallel bars in flight. Integer cents end to end;
+    high/low/volume are plainly combinable, open/close ride the
+    shared window sort."""
+    e = load_table(spark, sf_dir, "events")
+    ticks = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bar_ts"),
+        "ts",
+        "event_id",
+        F.expr(_OHLC_CENTS).alias("cents"),
+    )
+    w_open = Window.partitionBy("event_type", "bar_ts").orderBy(
+        "ts", "event_id"
+    )
+    w_close = Window.partitionBy("event_type", "bar_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ticks.select(
+        "*",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return (
+        ranked.groupBy("event_type", "bar_ts")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("cents")))
+            .cast("long")
+            .alias("open_c"),
+            F.max("cents").cast("long").alias("high_c"),
+            F.min("cents").cast("long").alias("low_c"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("cents")))
+            .cast("long")
+            .alias("close_c"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.sum("cents").cast("long").alias("volume_c"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
