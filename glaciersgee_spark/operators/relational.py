@@ -4178,3 +4178,73 @@ def q_b_money_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_items")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_data_mask (round 9)
+# ---------------------------------------------------------------------------
+
+# Masking policy: names masked char-class-wise (Spark's mask()
+# defaults: upper→X, lower→x, digit→n, other kept), keys pseudonymized
+# with salted SHA-256 (stable joins without identity), balances
+# generalized to $100 buckets, dates to month.
+_MASK_SALT = "ggee-mask-v1:"
+
+
+@query(
+    "q_b_data_mask",
+    oracle=f"""
+    SELECT c_custkey,
+           substring(sha256('{_MASK_SALT}' || CAST(c_custkey AS VARCHAR)),
+                     1, 16) AS pseud_key,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS name_masked,
+           CAST(floor(c_acctbal / 100.0) AS BIGINT) * 100
+             AS acctbal_bucket,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 5 = 0
+    ORDER BY c_custkey
+    """,
+)
+def q_b_data_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA MASKING / PSEUDONYMIZATION (round 9) — the governance
+    projection between q_e_pii_scrub's regex redaction and
+    q_b_purge_audit's deletion: a masked VIEW for analysts who may
+    see SHAPE but not VALUES. Three standard techniques in one
+    policy: (1) char-class masking via Spark 3.4's mask() builtin
+    (upper→X, lower→x, digit→n — length and punctuation survive, so
+    format bugs stay debuggable; the oracle pins the builtin against
+    the portable 3×regexp_replace spelling, so a DuckDB consumer of
+    the masked export sees identical bytes); (2) SALTED-SHA-256
+    pseudonymization of the key — deterministic, so masked tables
+    still JOIN on pseud_key, but unlinkable to the raw key without
+    the salt (the salt is a deploy-time secret; the literal here is
+    the test fixture); (3) K-ANONYMIZING GENERALIZATION of the
+    balance to $100 buckets (floor, negative-safe) and of nothing
+    else — q_e_k_anonymity measures what this projection guarantees.
+
+    Scale: pure scan-side codegen projection — masking at 100 TB is
+    exactly as parallel as the scan; no shuffle, no UDF, no state.
+    The %5 sample bounds the declared exhibit."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    )
+    return c.select(
+        "c_custkey",
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(_MASK_SALT), F.col("c_custkey").cast("string")
+                ),
+                256,
+            ),
+            1,
+            16,
+        ).alias("pseud_key"),
+        F.expr("mask(c_name)").alias("name_masked"),
+        (
+            F.floor(F.col("c_acctbal") / 100.0).cast("long") * 100
+        ).alias("acctbal_bucket"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")
