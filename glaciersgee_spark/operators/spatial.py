@@ -1039,3 +1039,136 @@ def q_a_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_terrain_slope (round 9)
+# ---------------------------------------------------------------------------
+
+# Integer "elevation" raster on the 32×32 tile grid: per-cell exact
+# quantity sum (the same grid family as q_a_morph_open, different
+# band). Central-difference gradients stay integer at 2× scale.
+_TS_N = 32
+
+
+@query(
+    "q_a_terrain_slope",
+    oracle=f"""
+    WITH z AS (
+      SELECT CAST(l_partkey % {_TS_N} AS INT) AS x,
+             CAST(l_suppkey % {_TS_N} AS INT) AS y,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS elev
+      FROM lineitem GROUP BY x, y),
+    g AS (
+      SELECT c.x, c.y, c.elev,
+             COALESCE(xe.elev, c.elev) - COALESCE(xw.elev, c.elev)
+               AS dzx2,
+             COALESCE(yn.elev, c.elev) - COALESCE(ys.elev, c.elev)
+               AS dzy2
+      FROM z c
+      LEFT JOIN z xe ON xe.x = c.x + 1 AND xe.y = c.y
+      LEFT JOIN z xw ON xw.x = c.x - 1 AND xw.y = c.y
+      LEFT JOIN z yn ON yn.x = c.x AND yn.y = c.y + 1
+      LEFT JOIN z ys ON ys.x = c.x AND ys.y = c.y - 1),
+    cls AS (
+      SELECT x, y,
+             dzx2 * dzx2 + dzy2 * dzy2 AS slope_sq4,
+             CASE
+               WHEN dzx2 = 0 AND dzy2 = 0 THEN 'flat'
+               WHEN ABS(dzx2) >= 2 * ABS(dzy2)
+                 THEN CASE WHEN dzx2 > 0 THEN 'W' ELSE 'E' END
+               WHEN ABS(dzy2) >= 2 * ABS(dzx2)
+                 THEN CASE WHEN dzy2 > 0 THEN 'S' ELSE 'N' END
+               WHEN dzx2 > 0 AND dzy2 > 0 THEN 'SW'
+               WHEN dzx2 > 0 THEN 'NW'
+               WHEN dzy2 > 0 THEN 'SE'
+               ELSE 'NE' END AS aspect
+      FROM g)
+    SELECT aspect,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(slope_sq4) AS BIGINT) AS slope_sq4_sum,
+           CAST(MAX(slope_sq4) AS BIGINT) AS max_slope_sq4
+    FROM cls GROUP BY aspect ORDER BY aspect
+    """,
+)
+def q_a_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERRAIN SLOPE + ASPECT (round 9) — ee.Terrain.slope/aspect, the
+    focal-gradient verb q_a_morph_open's morphology left uncovered:
+    central differences ∂z/∂x, ∂z/∂y over the integer elevation
+    raster (clamped replicate-edge boundary — the standard raster
+    convention, spelled COALESCE(neighbor, center)), squared slope
+    magnitude, and the 8-way compass ASPECT — classified entirely by
+    SIGN AND RATIO COMPARISONS (cardinal iff one |gradient|
+    dominates 2:1, else diagonal by sign pair), so the op needs no
+    atan2: the repo-wide no-libm rule satisfied by construction, not
+    by quantization. Downstream is the aspect census every
+    glacier-energy-balance study starts from (north faces hold snow;
+    aspect × retreat-rate is the q_a_glacier_trend join).
+
+    Scale: one corpus-proportional rollup builds the raster; the
+    4-neighbor gradient joins are GRID-sized (≤1024 rows,
+    broadcast-able at any corpus volume — the morph_open property);
+    the census is an 9-row rollup. Integer end to end (gradients at
+    2× scale to avoid halving)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = (
+        li.groupBy(
+            (F.col("l_partkey") % _TS_N).cast("int").alias("x"),
+            (F.col("l_suppkey") % _TS_N).cast("int").alias("y"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("elev"))
+    )
+    c = z.alias("c")
+
+    def nb(alias: str, dx: int, dy: int):
+        n = z.alias(alias)
+        return (
+            n,
+            (F.col(f"{alias}.x") == F.col("c.x") + dx)
+            & (F.col(f"{alias}.y") == F.col("c.y") + dy),
+        )
+
+    xe, xe_on = nb("xe", 1, 0)
+    xw, xw_on = nb("xw", -1, 0)
+    yn, yn_on = nb("yn", 0, 1)
+    ys, ys_on = nb("ys", 0, -1)
+    g = (
+        c.join(xe, xe_on, "left")
+        .join(xw, xw_on, "left")
+        .join(yn, yn_on, "left")
+        .join(ys, ys_on, "left")
+        .select(
+            F.col("c.x").alias("x"),
+            F.col("c.y").alias("y"),
+            (
+                F.coalesce("xe.elev", "c.elev")
+                - F.coalesce("xw.elev", "c.elev")
+            ).alias("dzx2"),
+            (
+                F.coalesce("yn.elev", "c.elev")
+                - F.coalesce("ys.elev", "c.elev")
+            ).alias("dzy2"),
+        )
+    )
+    cls = g.selectExpr(
+        "dzx2 * dzx2 + dzy2 * dzy2 AS slope_sq4",
+        """CASE
+             WHEN dzx2 = 0 AND dzy2 = 0 THEN 'flat'
+             WHEN ABS(dzx2) >= 2 * ABS(dzy2)
+               THEN CASE WHEN dzx2 > 0 THEN 'W' ELSE 'E' END
+             WHEN ABS(dzy2) >= 2 * ABS(dzx2)
+               THEN CASE WHEN dzy2 > 0 THEN 'S' ELSE 'N' END
+             WHEN dzx2 > 0 AND dzy2 > 0 THEN 'SW'
+             WHEN dzx2 > 0 THEN 'NW'
+             WHEN dzy2 > 0 THEN 'SE'
+             ELSE 'NE' END AS aspect""",
+    )
+    return (
+        cls.groupBy("aspect")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("slope_sq4").cast("long").alias("slope_sq4_sum"),
+            F.max("slope_sq4").cast("long").alias("max_slope_sq4"),
+        )
+        .orderBy("aspect")
+    )
