@@ -563,3 +563,80 @@ def test_wilson_interval_brackets_rate_for_arbitrary_counts(k, extra):
     lo = (p + zz / 2 - half) / (1 + zz)
     hi = (p + zz / 2 + half) / (1 + zz)
     assert 0.0 <= lo <= p <= hi <= 1.0
+
+
+@st.composite
+def _alloc_case(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    weights = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=10_000_000),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    total = draw(st.integers(min_value=0, max_value=10_000_000))
+    return weights, total
+
+
+@given(case=_alloc_case())
+@_SET
+def test_largest_remainder_allocation_properties(case):
+    """The q_b_money_alloc kernel (pure arithmetic — no Spark needed):
+    for ANY positive weights and any non-negative total, Hamilton
+    allocation (a) sums exactly to the total, (b) gives every item
+    either floor or floor+1 of its exact share, (c) is monotone in
+    the remainder rank (bumps go to the largest remainders)."""
+    weights, total = case
+    ww = sum(weights)
+    base = [total * w // ww for w in weights]
+    rem = [total * w % ww for w in weights]
+    leftover = total - sum(base)
+    assert 0 <= leftover < len(weights)
+    order = sorted(range(len(weights)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:leftover]:
+        alloc[i] += 1
+    assert sum(alloc) == total
+    for i, a in enumerate(alloc):
+        assert a in (base[i], base[i] + 1)
+    # every bumped item's remainder >= every unbumped item's remainder
+    if 0 < leftover < len(weights):
+        bumped = {i for i in order[:leftover]}
+        min_bumped = min(rem[i] for i in bumped)
+        max_unbumped = max(rem[i] for i in order[leftover:])
+        assert min_bumped >= max_unbumped
+
+
+@given(
+    gs=st.lists(
+        st.integers(min_value=0, max_value=10), min_size=10, max_size=10
+    )
+)
+@_SET
+def test_err_cascade_polynomial_matches_float_reference(gs):
+    """The q_e_retrieval_err integer cascade: for ANY grade vector
+    g1..g10 ∈ [0,10], the scaled-BIGINT polynomial divided by D equals
+    the float ERR = Σ (1/r)·(g_r/16)·Π_{i<r}(1−g_i/16) to within one
+    ulp-scale tolerance, and never exceeds 1."""
+    from glaciersgee_spark.operators.similarity import (
+        _ERR_DEN,
+        _ERR_K,
+    )
+
+    scaled = 0
+    for r in range(1, _ERR_K + 1):
+        coef = (2520 // r) * 16 ** (_ERR_K - r)
+        prod = 1
+        for i in range(1, r):
+            prod *= 16 - gs[i - 1]
+        scaled += coef * gs[r - 1] * prod
+    assert 0 <= scaled < 2**53
+    got = scaled / _ERR_DEN
+    ref, stop = 0.0, 1.0
+    for r in range(1, _ERR_K + 1):
+        R = gs[r - 1] / 16.0
+        ref += stop * R / r
+        stop *= 1.0 - R
+    assert abs(got - ref) < 1e-12
+    assert got <= 1.0
