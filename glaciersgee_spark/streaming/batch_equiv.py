@@ -2050,7 +2050,8 @@ def q_d_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch metrics surface next to q_d_stream_listener's
     control-level one: the listener op counts batches and input rows
     from query progress; THIS op attaches named aggregate metrics
-    (exact row count + exact integer cents) to the streaming plan
+    (exact row count + an exact integer user_id checksum) to the
+    streaming plan
     itself via Dataset.observe, and reads them back from each
     progress event's observedMetrics — the per-batch data-quality
     hook (row counts, null rates, checksum drift) a production
