@@ -1000,6 +1000,10 @@ def q_a_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("m")
         )
+        # the mask grid is referenced by both morphology passes and
+        # the final audit (6 plan references) — one corpus rollup,
+        # checkpointed (the raster-op convention, see terrain_slope)
+        .localCheckpoint()
     )
     offs = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
@@ -1117,6 +1121,10 @@ def q_a_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") % _TS_N).cast("int").alias("y"),
         )
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("elev"))
+        # the raster is referenced 5× (center + 4 neighbors) — cut the
+        # plan here so the corpus rollup runs ONCE, not per reference
+        # (the q_e_graph_pagerank localCheckpoint convention)
+        .localCheckpoint()
     )
     c = z.alias("c")
 
