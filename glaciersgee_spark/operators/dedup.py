@@ -3266,9 +3266,11 @@ def q_e_dedup_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_chars") >= _BH_MIN_CHARS)
         .selectExpr("doc_id", "text", f"n_chars DIV {_BH_BITS} AS q")
     )
+    # 60 md5s per row is the expensive half — checkpoint the 8-byte
+    # signatures so the banded SELF-join doesn't compute them twice
     sigs = sized.selectExpr(
         "doc_id", f"{_bh_sig(_BH_MD5_SPARK)} AS sig"
-    )
+    ).localCheckpoint()
     keyed = sigs.select(
         "doc_id",
         "sig",

@@ -5656,7 +5656,9 @@ def q_e_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller vec_id; the oracle unrolls the identical K steps as
     chained CTEs."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.selectExpr("vec_id", f"{_CS_QV_SPARK} AS qv")
+    # each of the K steps re-references the quantized corpus — cut the
+    # plan once so the scan+quantize runs once, not once per step
+    q = e.selectExpr("vec_id", f"{_CS_QV_SPARK} AS qv").localCheckpoint()
     seed = q.agg(F.min("vec_id").alias("vec_id")).first().vec_id
     sel_rows = q.where(F.col("vec_id") == seed).collect()
     centers = [(0, int(seed), None)]
