@@ -640,3 +640,63 @@ def test_err_cascade_polynomial_matches_float_reference(gs):
         stop *= 1.0 - R
     assert abs(got - ref) < 1e-12
     assert got <= 1.0
+
+
+@given(
+    bits=st.lists(st.integers(min_value=0, max_value=59), max_size=3),
+    base=st.integers(min_value=0, max_value=2**60 - 1),
+)
+@_SET
+def test_blockhash_banding_pigeonhole(bits, base):
+    """q_e_dedup_blockhash's candidate guarantee: flipping ≤ 3 of the
+    60 signature bits always leaves at least one of the four 15-bit
+    bands IDENTICAL (pigeonhole) — so every pair within Hamming ≤ 3
+    is guaranteed to co-bucket in some band."""
+    other = base
+    for b in set(bits):
+        other ^= 1 << b
+    bands_equal = any(
+        (base >> (15 * k)) & 0x7FFF == (other >> (15 * k)) & 0x7FFF
+        for k in range(4)
+    )
+    assert bands_equal
+
+
+@given(
+    hist=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=4, max_size=24
+    ).filter(lambda h: sum(1 for x in h if x > 0) >= 2)
+)
+@_SET
+def test_otsu_integer_argmax_matches_float_reference(hist):
+    """q_a_otsu_threshold's kernel: the double-factor between-class
+    variance argmax (ties → smaller t) equals a brute-force float
+    Otsu over ANY histogram."""
+    n = sum(hist)
+    s_tot = sum(b * c for b, c in enumerate(hist))
+    best_t, best_v = None, -1.0
+    w0 = s0 = 0
+    for t, c in enumerate(hist[:-1]):
+        w0 += c
+        s0 += t * c
+        if w0 == 0 or w0 == n:
+            continue
+        num = float(s0) * float(n) - float(s_tot) * float(w0)
+        den = float(w0) * float(n - w0)
+        v = num * num / den
+        if v > best_v:
+            best_v, best_t = v, t
+    # reference: classic float Otsu with the same tie rule
+    ref_t, ref_v = None, -1.0
+    w0 = s0 = 0
+    for t, c in enumerate(hist[:-1]):
+        w0 += c
+        s0 += t * c
+        w1 = n - w0
+        if w0 == 0 or w1 == 0:
+            continue
+        mu0, mu1 = s0 / w0, (s_tot - s0) / w1
+        v = (w0 / n) * (w1 / n) * (mu0 - mu1) ** 2
+        if v > ref_v + 1e-9:
+            ref_v, ref_t = v, t
+    assert best_t == ref_t
