@@ -1795,3 +1795,101 @@ def q_a_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0 + 0.5) AS BIGINT) AS sigma_b6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_despike_median3 (round 9)
+# ---------------------------------------------------------------------------
+
+# Median-of-3 without sorting: a+b+c − max − min — exact integer
+# arithmetic, identical in both engines.
+_DSP_CENTS = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_a_despike_median3",
+    oracle=f"""
+    WITH series AS (
+      SELECT event_type AS band, user_id AS tile, ts, event_id,
+             {_DSP_CENTS} AS v
+      FROM events),
+    ctx AS (
+      SELECT band, tile, ts, event_id, v,
+             lag(v) OVER w AS vp, lead(v) OVER w AS vn
+      FROM series
+      WINDOW w AS (PARTITION BY band, tile ORDER BY ts, event_id)),
+    sm AS (
+      SELECT band, tile, v,
+             CASE WHEN vp IS NULL OR vn IS NULL THEN v
+                  ELSE vp + v + vn - GREATEST(vp, v, vn)
+                       - LEAST(vp, v, vn) END AS v_smooth
+      FROM ctx)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(CASE WHEN v_smooth <> v THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_despiked,
+           CAST(SUM(ABS(v - v_smooth)) AS BIGINT) AS spike_mass_c,
+           CAST(MAX(ABS(v - v_smooth)) AS BIGINT) AS max_spike_c
+    FROM sm GROUP BY band ORDER BY band
+    """,
+)
+def q_a_despike_median3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL DESPIKING (round 9) — the rolling median-of-3 every
+    optical time-series pipeline runs before trend fitting (GEE's
+    ee.ImageCollection median-composite smoothing, MODIS despiking):
+    an undetected cloud or sensor glitch shows as a one-sample spike,
+    and replacing each interior sample with median(prev, cur, next)
+    removes it while leaving genuine level shifts (two+ consecutive
+    samples) untouched — exactly the robustness mean-smoothing lacks.
+    The median needs no sort: a+b+c − max − min, exact integer cents.
+    Series endpoints pass through unsmoothed (no neighbor — the
+    standard boundary convention, spelled identically in both
+    engines). Emits the per-band despike audit (how many samples
+    moved, total and max spike mass) — the magnitude report that
+    decides whether a sensor needs quarantining, feeding the
+    q_a_anomaly_days / q_e_ewma_chart monitors.
+
+    Scale: ONE (band, tile) partitioning carries the lag/lead window
+    and feeds the band rollup — a single corpus shuffle; per-series
+    frames are bounded by series length, never corpus-wide."""
+    e = load_table(spark, sf_dir, "events")
+    series = e.select(
+        F.col("event_type").alias("band"),
+        F.col("user_id").alias("tile"),
+        "ts",
+        "event_id",
+        F.expr(_DSP_CENTS).alias("v"),
+    )
+    w = Window.partitionBy("band", "tile").orderBy("ts", "event_id")
+    ctx = series.select(
+        "band",
+        "tile",
+        "v",
+        F.lag("v").over(w).alias("vp"),
+        F.lead("v").over(w).alias("vn"),
+    )
+    sm = ctx.selectExpr(
+        "band",
+        "v",
+        "CASE WHEN vp IS NULL OR vn IS NULL THEN v"
+        " ELSE vp + v + vn - GREATEST(vp, v, vn)"
+        " - LEAST(vp, v, vn) END AS v_smooth",
+    )
+    return (
+        sm.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(
+                F.when(F.col("v_smooth") != F.col("v"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_despiked"),
+            F.sum(F.abs(F.col("v") - F.col("v_smooth")))
+            .cast("long")
+            .alias("spike_mass_c"),
+            F.max(F.abs(F.col("v") - F.col("v_smooth")))
+            .cast("long")
+            .alias("max_spike_c"),
+        )
+        .orderBy("band")
+    )
