@@ -4547,16 +4547,19 @@ def q_e_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Two independent keep/drop filters over the same docs: A = length
-# gate; B = mean-word-length gate (3 ≤ chars/word ≤ 8, spelled as two
+# gate; B = mean-word-length gate (3 ≤ chars/word ≤ 5, spelled as two
 # exact integer cross-multiplications).
 _MCN_A = "CAST(n_chars BETWEEN 200 AND 8000 AS INT)"
+# B's upper bound is 5 (not 8): at [3,8] filter B accepted every
+# doc A accepted, so only_a was constant zero (round-9 audit); [3,5]
+# yields discordance in BOTH directions on the corpus.
 _MCN_B_SPARK = (
     "CAST(n_chars >= 3 * size(split(text, ' '))"
-    " AND n_chars <= 8 * size(split(text, ' ')) AS INT)"
+    " AND n_chars <= 5 * size(split(text, ' ')) AS INT)"
 )
 _MCN_B_DUCK = (
     "CAST(n_chars >= 3 * len(string_split(text, ' '))"
-    " AND n_chars <= 8 * len(string_split(text, ' ')) AS INT)"
+    " AND n_chars <= 5 * len(string_split(text, ' ')) AS INT)"
 )
 
 

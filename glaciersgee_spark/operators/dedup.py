@@ -3236,7 +3236,7 @@ _BH_MD5_DUCK = (
     SELECT ham,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(ham <= {_BH_TAU} AS BOOLEAN) AS is_near_dup
-    FROM scored WHERE ham <= 16
+    FROM scored
     GROUP BY ham ORDER BY ham
     """,
 )
@@ -3259,7 +3259,7 @@ def q_e_dedup_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, never O(n²); verification is one xor+bit_count per
     candidate. The 64 block-md5s are scan-side JVM codegen (probed:
     conv/md5/bit_count/xor/shift agree bit-for-bit across engines).
-    Emits the Hamming histogram (≤16) with the τ={_BH_TAU} verdict
+    Emits the full Hamming histogram with the τ={_BH_TAU} verdict
     column — the curve a dedup owner reads to place the threshold."""
     sized = (
         load_table(spark, sf_dir, "documents")
@@ -3302,9 +3302,12 @@ def q_e_dedup_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.selectExpr(
         "CAST(bit_count(sa ^ sb) AS INT) AS ham"
     )
+    # the FULL histogram (≤ 61 rows by construction): random band
+    # collisions of unrelated docs land around ham≈30, so the tail is
+    # a falsifiable distribution, not just the ham=0 exact-dup row
+    # (which was this op's only output at sf0.01 — round-9 audit)
     return (
-        scored.where(F.col("ham") <= 16)
-        .groupBy("ham")
+        scored.groupBy("ham")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .selectExpr(
             "ham",

@@ -316,7 +316,11 @@ def q_e_mm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the id parity (16 kHz mono speech vs 44.1 kHz music), PCM16 samples
 # proportional to the payload size.
 _AUD_RATE = "CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END"
-_AUD_SAMPLES = "CAST(n_chars AS BIGINT) * 256"
+# ×4096 (not ×256): at sf0.01 most sampled docs are < 625 chars, and
+# 256 samples/char left EVERY doc inside one 16 kHz window — the
+# round-9 constant-column audit flagged chunk_idx/is_tail as
+# unfalsifiable; 4096/char puts typical docs at 2-20 windows.
+_AUD_SAMPLES = "CAST(n_chars AS BIGINT) * 4096"
 _AUD_WINDOW_S = 10  # fixed-duration transcription windows
 
 

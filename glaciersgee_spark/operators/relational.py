@@ -3705,8 +3705,10 @@ def q_b_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_b_listagg",
     oracle="""
     SELECT p_brand,
-           string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types,
-           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+           string_agg(DISTINCT lpad(CAST(p_size AS VARCHAR), 2, '0'),
+                      '|' ORDER BY lpad(CAST(p_size AS VARCHAR), 2, '0'))
+             AS sizes,
+           CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes,
            CAST(COUNT(*) AS BIGINT) AS n_parts
     FROM part
     GROUP BY p_brand
@@ -3726,10 +3728,14 @@ def q_b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale contract (the docstring warning label, like q_b_transpose):
     listagg buffers the group's values, so the aggregated string must
-    be bounded by a small DISTINCT DOMAIN (p_type: tens of values),
+    be bounded by a small DISTINCT DOMAIN (p_size: 50 values, zero-padded
+    so lexicographic ORDER BY is numeric order — and the per-brand
+    size SETS genuinely differ, so the cell is a falsifiable probe,
+    not a constant; the round-9 constant-column audit caught the
+    p_type spelling emitting one identical string for all 25 brands),
     never by group row count — at 100 TB a listagg over raw fact rows
     is an OOM, a listagg over a bounded domain is a constant. The op
-    therefore dedups (brand, type) FIRST — a combinable distinct that
+    therefore dedups (brand, size) FIRST — a combinable distinct that
     shrinks the fact before any string is built — and feeds listagg
     the already-small domain. (Also load-bearing: Spark 4.1's
     `listagg(DISTINCT x) WITHIN GROUP (ORDER BY x)` path throws a
@@ -3741,13 +3747,15 @@ def q_b_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.createOrReplaceTempView("part")
     return spark.sql(
         """
-        WITH d AS (SELECT DISTINCT p_brand, p_type FROM part),
+        WITH d AS (SELECT DISTINCT p_brand,
+                       lpad(CAST(p_size AS STRING), 2, '0') AS psz
+                   FROM part),
         c AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
               FROM part GROUP BY p_brand)
         SELECT d.p_brand,
-               listagg(d.p_type, '|')
-                 WITHIN GROUP (ORDER BY d.p_type) AS types,
-               CAST(COUNT(*) AS BIGINT) AS n_types,
+               listagg(d.psz, '|')
+                 WITHIN GROUP (ORDER BY d.psz) AS sizes,
+               CAST(COUNT(*) AS BIGINT) AS n_sizes,
                MAX(c.n_parts) AS n_parts
         FROM d JOIN c ON d.p_brand = c.p_brand
         GROUP BY d.p_brand
@@ -4197,7 +4205,8 @@ _MASK_SALT = "ggee-mask-v1:"
     SELECT c_custkey,
            substring(sha256('{_MASK_SALT}' || CAST(c_custkey AS VARCHAR)),
                      1, 16) AS pseud_key,
-           regexp_replace(regexp_replace(regexp_replace(c_name,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name || '/' || CAST(c_custkey AS VARCHAR),
              '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
              AS name_masked,
            CAST(floor(c_acctbal / 100.0) AS BIGINT) * 100
@@ -4242,7 +4251,11 @@ def q_b_data_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             16,
         ).alias("pseud_key"),
-        F.expr("mask(c_name)").alias("name_masked"),
+        # name||key: the TPC-H name is one fixed pattern, so masking
+        # it alone is a constant (round-9 audit); the appended key
+        # varies the digit-run length row-to-row
+        F.expr("mask(concat(c_name, '/', CAST(c_custkey AS STRING)))")
+        .alias("name_masked"),
         (
             F.floor(F.col("c_acctbal") / 100.0).cast("long") * 100
         ).alias("acctbal_bucket"),
