@@ -1180,3 +1180,121 @@ def q_a_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aspect")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_area_weighted (round 9)
+# ---------------------------------------------------------------------------
+
+# Per-10°-latitude-band pixel-area weights ∝ cos(band center), minted
+# ONCE here in Python as integer µ-unit literals and spliced into BOTH
+# dialects — the q_e_retrieval_ndcg log-discount convention: neither
+# engine ever calls libm at query time.
+import math as _math  # noqa: E402
+
+_AW_BAND_W = {
+    b: round(_math.cos(_math.radians(-75 + 10 * b)) * 1_000_000)
+    for b in range(16)  # lat ∈ [-80, 80) → bands of 10°
+}
+
+
+def _aw_weight_case(lat: str, div: str = "DIV") -> str:
+    # `div` is the dialect's integer-division token — a parameter,
+    # not post-hoc string replacement (the q_e_filter_kappa ADVICE
+    # convention)
+    whens = " ".join(
+        f"WHEN {b} THEN {w}" for b, w in _AW_BAND_W.items()
+    )
+    return f"CAST(CASE ({lat} + 80) {div} 10 {whens} END AS BIGINT)"
+
+
+_AW_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "q_a_area_weighted",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST((o_orderkey * 7) % 360 - 180 AS BIGINT) AS lon,
+             CAST((o_orderkey * 23) % 160 - 80 AS BIGINT) AS lat,
+             {_AW_CENTS} AS cents
+      FROM orders
+    ),
+    w AS (
+      SELECT (lon + 180) // 60 AS sector,
+             {_aw_weight_case('lat', '//')} AS wt,
+             cents
+      FROM pts
+    ),
+    agg AS (
+      SELECT sector,
+             CAST(COUNT(*) AS BIGINT) AS n_pixels,
+             CAST(SUM(CAST(wt AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS num,
+             CAST(SUM(CAST(wt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS den,
+             CAST(SUM(cents) AS BIGINT) AS raw_sum
+      FROM w GROUP BY sector
+    )
+    SELECT CAST(sector AS BIGINT) AS sector, n_pixels,
+           CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS aw_mean_c6,
+           CAST(floor(CAST(raw_sum AS DOUBLE) / n_pixels
+                      * 1000000.0 + 0.5) AS BIGINT) AS naive_mean_c6
+    FROM agg ORDER BY sector
+    """,
+)
+def q_a_area_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA-WEIGHTED ZONAL MEAN (round 9) — ee.Image.pixelArea()'s
+    correction, the one q_a_zonal_stats deliberately skips: on a
+    geographic grid a "pixel" near the pole covers far less ground
+    than one at the equator (area ∝ cos latitude), so an unweighted
+    zonal mean over-counts high latitudes — the classic bias in any
+    global mean computed from equal-angle rasters. Weights are
+    per-10°-band cos values minted ONCE in Python as integer µ-unit
+    LITERALS and spliced into both dialects (the retrieval_ndcg
+    log-discount convention — no libm at query time); the weighted
+    and naive means are emitted side by side per 60° longitude
+    sector, so the bias itself is visible data.
+
+    Exactness: weight×cents products ride DECIMAL(38,0) sums (BIGINT
+    would saturate near 2^63 at ~1e9 rows); the closing divisions
+    cast the exact decimal images to double — identical inputs,
+    identical IEEE ops, identical bits. Scale: scan-side weight CASE,
+    ONE combinable rollup to 6 sectors."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.selectExpr(
+        "CAST((o_orderkey * 7) % 360 - 180 AS BIGINT) AS lon",
+        "CAST((o_orderkey * 23) % 160 - 80 AS BIGINT) AS lat",
+        f"{_AW_CENTS} AS cents",
+    )
+    w = pts.selectExpr(
+        "(lon + 180) DIV 60 AS sector",
+        f"{_aw_weight_case('lat')} AS wt",
+        "cents",
+    )
+    return (
+        w.groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pixels"),
+            F.sum(
+                F.col("wt").cast("decimal(38,0)")
+                * F.col("cents").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("num"),
+            F.sum(F.col("wt").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("den"),
+            F.sum("cents").cast("long").alias("raw_sum"),
+        )
+        .selectExpr(
+            "CAST(sector AS BIGINT) AS sector",
+            "n_pixels",
+            "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+            " * 1000000.0 + 0.5) AS BIGINT) AS aw_mean_c6",
+            "CAST(floor(CAST(raw_sum AS DOUBLE) / n_pixels"
+            " * 1000000.0 + 0.5) AS BIGINT) AS naive_mean_c6",
+        )
+        .orderBy("sector")
+    )
