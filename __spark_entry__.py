@@ -229,7 +229,7 @@ _R9_NEW: tuple[str, ...] = (
     "q_f_cogroup_arrow", "q_e_mm_audio_chunks", "q_e_cartography",
     "q_e_weak_label", "q_e_dedup_blockhash", "q_e_graph_hits",
     "q_b_ohlc_bars", "q_b_data_mask", "q_a_terrain_slope",
-    "q_a_despike_median3", "q_a_area_weighted",
+    "q_a_despike_median3", "q_a_area_weighted", "q_a_cloud_markov",
 )
 
 # Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +

@@ -1893,3 +1893,110 @@ def q_a_despike_median3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_a_cloud_markov (round 9)
+# ---------------------------------------------------------------------------
+
+# Scene stream per tile: cloudy iff quantity > 25; transitions counted
+# between consecutive scenes of the SAME tile in acquisition order.
+_CMK_TILE = "CAST(l_partkey % 32 AS INT)"
+_CMK_CLOUDY = "CAST(l_quantity > 25 AS INT)"
+
+
+@query(
+    "q_a_cloud_markov",
+    oracle=f"""
+    WITH scenes AS (
+      SELECT {_CMK_TILE} AS tile, {_CMK_TILE} % 4 AS region,
+             {_CMK_CLOUDY} AS c,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem),
+    seq AS (
+      SELECT region, c,
+             lag(c) OVER (PARTITION BY tile
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               AS pc
+      FROM scenes),
+    t AS (SELECT region, pc, c FROM seq WHERE pc IS NOT NULL)
+    SELECT CAST(region AS INT) AS region,
+           CAST(SUM(CASE WHEN pc = 0 AND c = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n00,
+           CAST(SUM(CASE WHEN pc = 0 AND c = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n01,
+           CAST(SUM(CASE WHEN pc = 1 AND c = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n10,
+           CAST(SUM(CASE WHEN pc = 1 AND c = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n11,
+           CAST(SUM(CASE WHEN pc = 1 AND c = 1 THEN 1 ELSE 0 END)
+                * 1000000
+                // GREATEST(SUM(CASE WHEN pc = 1 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS cloud_persist_ppm,
+           CAST(SUM(CASE WHEN pc = 0 AND c = 0 THEN 1 ELSE 0 END)
+                * 1000000
+                // GREATEST(SUM(CASE WHEN pc = 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS clear_persist_ppm
+    FROM t GROUP BY region ORDER BY region
+    """,
+)
+def q_a_cloud_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOUD-PERSISTENCE MARKOV CHAIN (round 9) — the first-order
+    transition model behind every acquisition planner: is cloud cover
+    at a site INDEPENDENT between revisits (plan by climatology) or
+    PERSISTENT (a cloudy pass predicts the next one — burst-schedule
+    around weather systems)? Per tile, consecutive scenes in
+    acquisition order yield the 2×2 transition counts; per region the
+    op emits the matrix plus P(cloudy→cloudy) and P(clear→clear) as
+    exact integer ppm — persistence ≫ marginal cloud rate is the
+    signature of synoptic weather, and the number q_a_cloud_window's
+    streak lengths summarize only indirectly. Zero-denominator guard
+    (a region whose scenes never start cloudy) spelled identically in
+    both engines.
+
+    Scale: ONE (tile) partitioning carries the lag window, then one
+    combinable region rollup — the q_a_scene_streak shape with a
+    transition matrix instead of run lengths; deterministic
+    acquisition order via the (shipdate, orderkey, linenumber) total
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scenes = li.selectExpr(
+        f"{_CMK_TILE} AS tile",
+        f"{_CMK_TILE} % 4 AS region",
+        f"{_CMK_CLOUDY} AS c",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("tile").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    t = (
+        scenes.withColumn("pc", F.lag("c").over(w))
+        .where(F.col("pc").isNotNull())
+        .select("region", "pc", "c")
+    )
+    n = lambda p, cc: F.sum(  # noqa: E731 — local 2×2 cell counter
+        F.when((F.col("pc") == p) & (F.col("c") == cc), 1).otherwise(0)
+    ).cast("long")
+    return (
+        t.groupBy("region")
+        .agg(
+            n(0, 0).alias("n00"),
+            n(0, 1).alias("n01"),
+            n(1, 0).alias("n10"),
+            n(1, 1).alias("n11"),
+        )
+        .selectExpr(
+            "CAST(region AS INT) AS region",
+            "n00",
+            "n01",
+            "n10",
+            "n11",
+            "CAST(n11 * 1000000 DIV GREATEST(n10 + n11, 1) AS BIGINT)"
+            " AS cloud_persist_ppm",
+            "CAST(n00 * 1000000 DIV GREATEST(n00 + n01, 1) AS BIGINT)"
+            " AS clear_persist_ppm",
+        )
+        .orderBy("region")
+    )
