@@ -3906,3 +3906,107 @@ def test_money_alloc_is_exact_for_every_order(spark):
         (r.n_items, r.all_exact) for r in rows
     ]
     assert all(r.bump_cents_sum >= 0 for r in rows)
+
+
+def test_ohlc_first_last_under_explicit_order(spark):
+    """q_b_ohlc_bars' determinism pin: open/close follow the
+    (ts, event_id) total order even when ticks share a timestamp."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ticks = spark.createDataFrame(
+        [
+            ("s", "2024-01-01 10:00:00", 2, 300.0),
+            ("s", "2024-01-01 10:00:00", 1, 100.0),  # same ts: id wins
+            ("s", "2024-01-01 10:59:59", 9, 200.0),
+            ("s", "2024-01-01 10:30:00", 5, 900.0),
+        ],
+        "event_type string, ts string, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    t = ticks.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_ts"),
+        "ts",
+        "event_id",
+        cents.alias("cents"),
+    )
+    wo = Window.partitionBy("event_type", "bar_ts").orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", "bar_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = (
+        t.select(
+            "*",
+            F.row_number().over(wo).alias("ro"),
+            F.row_number().over(wc).alias("rc"),
+        )
+        .groupBy("event_type", "bar_ts")
+        .agg(
+            F.max(F.when(F.col("ro") == 1, F.col("cents"))).alias("o"),
+            F.max(F.when(F.col("rc") == 1, F.col("cents"))).alias("c"),
+            F.max("cents").alias("h"),
+            F.min("cents").alias("l"),
+        )
+        .first()
+    )
+    assert (r.o, r.c, r.h, r.l) == (10000, 20000, 90000, 10000)
+
+
+def test_terrain_aspect_classification_cases(spark):
+    """q_a_terrain_slope's atan2-free aspect: cardinal iff one
+    |gradient| dominates 2:1, diagonals by sign pair, flat at zero."""
+    cases = spark.createDataFrame(
+        [
+            (0, 0, "flat"),
+            (10, 0, "W"),  # downhill toward -x (gradient positive → west-facing)
+            (-10, 0, "E"),
+            (0, 10, "S"),
+            (0, -10, "N"),
+            (10, 9, "SW"),
+            (10, -9, "NW"),
+            (-10, 9, "SE"),
+            (-10, -9, "NE"),
+            (10, 5, "W"),  # 2:1 dominance → cardinal
+            (5, 10, "S"),
+        ],
+        "dzx2 long, dzy2 long, want string",
+    )
+    got = cases.selectExpr(
+        "want",
+        """CASE
+             WHEN dzx2 = 0 AND dzy2 = 0 THEN 'flat'
+             WHEN ABS(dzx2) >= 2 * ABS(dzy2)
+               THEN CASE WHEN dzx2 > 0 THEN 'W' ELSE 'E' END
+             WHEN ABS(dzy2) >= 2 * ABS(dzx2)
+               THEN CASE WHEN dzy2 > 0 THEN 'S' ELSE 'N' END
+             WHEN dzx2 > 0 AND dzy2 > 0 THEN 'SW'
+             WHEN dzx2 > 0 THEN 'NW'
+             WHEN dzy2 > 0 THEN 'SE'
+             ELSE 'NE' END AS got""",
+    ).collect()
+    for r in got:
+        assert r.got == r.want, (r.want, r.got)
+
+
+def test_vacuum_retention_boundary(spark):
+    """q_b_vacuum_plan's cutoff is inclusive keep-last-3: a file whose
+    last reference is exactly vmax−2 is LIVE; vmax−3 is deletable."""
+    import pyspark.sql.functions as F
+
+    refs = spark.createDataFrame(
+        [(1, 100), (2, 98), (3, 97), (4, 96)],
+        "file_id long, version long",
+    )
+    cur = refs.agg(F.max("version").alias("vmax"))
+    files = refs.groupBy("file_id").agg(F.max("version").alias("last_ref"))
+    out = {
+        r.file_id: r.live
+        for r in files.join(F.broadcast(cur))
+        .select(
+            "file_id",
+            (F.col("last_ref") >= F.col("vmax") - F.lit(2)).alias("live"),
+        )
+        .collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: False}
