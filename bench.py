@@ -27,6 +27,17 @@ Execution is measured with the noop sink so the number is engine time
 (scan→compute→sink), not driver-side row serialization. Scale factor
 comes from $SPARK_GRAFT_SF_DIR (default sf0.1); parallelism from
 $SPARK_GRAFT_CPUS via the session factory.
+
+Host calibration (round 10 — VERDICT r9 item 3, mechanical
+normalization): immediately before the battery, the calibration trio
+(q_b_mad: JVM shuffle+window; q_f_pandas_window: Arrow boundary;
+q_e_winnow: Python-kernel heavy) runs under the same min-of-3
+protocol and its three readings are stamped INTO both summary lines
+as "calibration", alongside "host_index" — the mean of the three
+ratios vs the recorded 2026-08-15 basis {q_b_mad: 1.94,
+q_f_pandas_window: 0.93, q_e_winnow: 1.31} (BASELINE.md calibration-
+trio series). Round-over-round comparisons divide the battery total
+by host_index instead of a hand-argued narrative.
 """
 
 from __future__ import annotations
@@ -59,6 +70,26 @@ def main() -> None:
     qs["q_e_sim_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
+    # Host-calibration trio: same min-of-3 protocol, run FIRST so the
+    # readings describe the host that produced the battery that
+    # follows. Basis values: BASELINE.md calibration-trio series,
+    # 2026-08-15 column.
+    basis = {"q_b_mad": 1.94, "q_f_pandas_window": 0.93, "q_e_winnow": 1.31}
+    calibration: dict[str, float] = {}
+    for name in basis:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        timed = []
+        for _ in range(N_TIMED):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timed.append(time.monotonic() - t0)
+            spark.catalog.clearCache()
+        calibration[name] = round(min(timed), 3)
+    host_index = round(
+        sum(calibration[n] / basis[n] for n in basis) / len(basis), 3
+    )
+
     per: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in sorted(qs):
@@ -86,6 +117,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(per),
+        "calibration": calibration,
+        "host_index": host_index,
     }
     print(json.dumps(summary), flush=True)
     for name in sorted(per):

@@ -65,3 +65,35 @@ def clear_caches() -> dict[str, int]:
         entries += len(d)
         d.clear()
     return {"entries": entries, "frames": frames}
+
+
+# The round-10 persist-hygiene route (VERDICT r9 advisory 2): query
+# functions that persist a frame consumed by MULTIPLE branches of ONE
+# returned plan (Catalyst has no cross-branch subtree reuse) must NOT
+# call .persist() bare — a long-lived session would stack a fresh
+# never-released copy per call. They route through scoped_persist,
+# which keys one copy per (applicationId, sf_dir, tag) in a registered
+# dict, re-persists after an external spark.catalog.clearCache() (the
+# bench honesty protocol drops storage without telling the dict), and
+# is released wholesale by clear_caches(). tests/test_contract_lint.py
+# enforces the route mechanically.
+_SCOPED: dict[tuple[str, str, str], DataFrame] = register_cache({})
+
+
+def scoped_persist(df: DataFrame, spark, sf_dir: str, tag: str) -> DataFrame:
+    """One persisted copy of df per (app, sf_dir, tag), registry-owned.
+
+    Behaviorally identical to a per-call .persist() for the first call
+    and after every clearCache (the storageLevel probe re-persists a
+    dropped frame), but repeated calls reuse ONE frame and
+    clear_caches() releases it — the register_cache contract.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    cached = _SCOPED.get(key)
+    if cached is None:
+        cached = df
+        _SCOPED[key] = cached
+    if not cached.storageLevel.useMemory and not cached.storageLevel.useDisk:
+        cached = cached.persist()
+        _SCOPED[key] = cached
+    return cached

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, LongType
 
-from glaciersgee_spark.caches import register_cache
+from glaciersgee_spark.caches import register_cache, scoped_persist
 from glaciersgee_spark.operators.lsh import cobucket_pairs, posting_copairs
 from glaciersgee_spark.registry import davg, query
 from glaciersgee_spark.tables import fan_out, load_table
@@ -3025,9 +3025,9 @@ def q_e_dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sh",
             (F.col("off") + F.col("wr")).cast("long").alias("rk"),
         )
-        # two consumers (a-side and b-side of the neighborhood join)
-        .persist()
     )
+    # two consumers (a-side and b-side of the neighborhood join)
+    r = scoped_persist(r, spark, sf_dir, "dedup_blocking_ranks")
     a = r.select(
         F.col("sh").alias("sh_a"),
         F.explode(F.expr(f"sequence(1, {_SNM_W})")).alias("d"),
@@ -3180,8 +3180,11 @@ def q_e_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocks, one md5-parity bit per block (60 blocks: bit 63 would overflow
 # signed BIGINT) — two payloads differing in a
 # few blocks differ in a few BITS, so Hamming distance counts changed
-# blocks (the storage-dedup / pHash shape, on the module's ASCII
-# payload stand-in where text substring ≡ byte slice).
+# blocks (the storage-dedup / pHash shape). Blocks are CHARACTER
+# slices on BOTH sides (Spark substring(text,...) ⟷ DuckDB
+# substring(text,...), md5 then hashing the slice's UTF-8 bytes in
+# both engines) so block boundaries stay aligned on multi-byte UTF-8
+# payloads too — q itself is a character count (n_chars DIV 60).
 _BH_BITS = 60  # 2^63 would overflow signed BIGINT; 60 bits = 4×15 bands
 _BH_BANDS = 4  # 4 × 15-bit LSH bands for the candidate join
 _BH_TAU = 8  # near-dup verdict: ≤ τ changed blocks
@@ -3200,7 +3203,7 @@ def _bh_sig(md5int_tpl: str) -> str:
 
 
 _BH_MD5_SPARK = (
-    "CAST(conv(substring(md5(substring(CAST(text AS BINARY),"
+    "CAST(conv(substring(md5(substring(text,"
     " {j} * q + 1, q)), 1, 15), 16, 10) AS BIGINT)"
 )
 _BH_MD5_DUCK = (

@@ -25,7 +25,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from glaciersgee_spark.caches import register_cache
+from glaciersgee_spark.caches import register_cache, scoped_persist
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -418,8 +418,8 @@ def q_e_mmd_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         partials.groupBy("h", "i", "j")
         .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
-        .persist()
     )
+    pairs = scoped_persist(pairs, spark, sf_dir, "mmd_pairs")
     n = e.agg(
         F.expr(
             "CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)"

@@ -390,7 +390,10 @@ def q_e_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(ceil(CAST(n_samples AS DOUBLE)"
         f" / (rate * {_AUD_WINDOW_S})) AS BIGINT) AS n_chunks",
     )
-    chunks = sized.select(
+    # Guard the fan-out: an empty payload (n_chunks = 0) must emit zero
+    # rows, but sequence(0, -1) yields a DESCENDING [0, -1] — matching
+    # the oracle's empty range(0, 0) requires dropping the row first.
+    chunks = sized.where(F.col("n_chunks") > 0).select(
         "*",
         F.explode(
             F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from glaciersgee_spark.caches import register_cache
+from glaciersgee_spark.caches import register_cache, scoped_persist
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -472,14 +472,19 @@ def q_e_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("pkey"),
-    ).persist()  # eval and training branches both read this subtree
+    )
+    # eval and training branches both read this subtree
+    post = scoped_persist(post, spark, sf_dir, "decontaminate_post")
     ev = post.where(F.col("source") == "src0").select(
         F.col("doc_id").alias("ev_doc"), "pkey"
     )
     tr = post.where(F.col("source") != "src0").select(
         F.col("doc_id").alias("tr_doc"), "pkey"
     )
-    joined = tr.join(F.broadcast(ev), "pkey").persist()
+    joined = scoped_persist(
+        tr.join(F.broadcast(ev), "pkey"), spark, sf_dir,
+        "decontaminate_joined",
+    )
     shared = joined.groupBy("tr_doc").agg(
         F.countDistinct("pkey").alias("n_shared_shingles"),
         F.countDistinct("ev_doc").alias("n_eval_docs"),
@@ -2256,9 +2261,10 @@ def q_e_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from glaciersgee_spark.operators.dedup import _SPARK_SHINGLES
 
-    x = d.select(
-        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("g")
-    ).persist()
+    x = scoped_persist(
+        d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("g")),
+        spark, sf_dir, "self_bleu_shingles",
+    )
     df = x.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     return (
         x.join(df, "g")

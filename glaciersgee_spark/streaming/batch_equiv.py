@@ -2089,12 +2089,17 @@ def q_d_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = json.loads(event.progress.json)
             m = p.get("observedMetrics", {}).get("audit")
             if m is not None:
+                # An empty bookkeeping batch observes sum('user_id') as
+                # NULL — coalesce to 0 so the n>0 filter downstream is
+                # the exclusion, not a TypeError swallowed by the
+                # listener thread.
+                sum_uid = int(m["sum_uid"]) if m["sum_uid"] is not None else 0
                 with cond:
                     captured.append(
                         (
                             int(p["batchId"]),
                             int(m["n_rows"]),
-                            int(m["sum_uid"]),
+                            sum_uid,
                         )
                     )
                     cond.notify_all()

@@ -918,7 +918,12 @@ def _order_ship_arrow(left, right):
     okey = left.column("o_orderkey")[0].as_py()
     odate = left.column("o_orderdate").cast(pa.int64())[0].as_py()
     ships = right.column("l_shipdate").cast(pa.int64()).to_pylist()
-    lags = [(s - odate) // 86_400_000_000 for s in ships]
+    # date_diff('day', ...) counts calendar-day BOUNDARY crossings, so
+    # floor each side to its epoch-day number BEFORE differencing —
+    # floor((s-o)/day) would only coincide on midnight-aligned, non-
+    # negative lags (the oracle-parity trap ADVICE r9 flagged).
+    oday = odate // 86_400_000_000
+    lags = [s // 86_400_000_000 - oday for s in ships]
     return pa.table(
         {
             "o_orderkey": [okey],

@@ -61,3 +61,60 @@ def test_no_hugeint_or_decimal_oracle_columns():
         f"oracle columns the driver canonicalizes as float64: {bad} — "
         f"wrap the final SUM in CAST(... AS BIGINT)"
     )
+
+
+def test_persist_sites_are_registry_routed():
+    """Lint 3 (round 10, VERDICT r9 advisory 2): every .persist() in the
+    package must be OWNED by the cache registry — a bare per-call
+    persist inside a query function stacks a fresh never-released copy
+    per call in a long-lived session (the anti-pattern the round-4
+    shingle-base fix and caches.register_cache exist for).
+
+    Mechanical rule, AST-checked per enclosing function: a function
+    that calls .persist() must ALSO either (a) store into a registered
+    ``*_CACHE[...]`` dict (the app-scoped helper convention), (b) call
+    .unpersist() itself (the bounded-loop convention, e.g. the k-means
+    trainer's per-round drop), or (c) BE caches.scoped_persist. Query
+    functions route multi-branch frames through
+    caches.scoped_persist(df, spark, sf_dir, tag) instead.
+    """
+    import ast
+    import pathlib
+
+    import glaciersgee_spark
+
+    pkg = pathlib.Path(glaciersgee_spark.__file__).parent
+    bad: list[str] = []
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            src_calls = {
+                n.func.attr
+                for n in ast.walk(node)
+                if isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+            }
+            if "persist" not in src_calls:
+                continue
+            if node.name == "scoped_persist" and py.name == "caches.py":
+                continue
+            if "unpersist" in src_calls:
+                continue
+            stores_cache = any(
+                isinstance(n, ast.Assign)
+                and any(
+                    isinstance(t, ast.Subscript)
+                    and isinstance(t.value, ast.Name)
+                    and t.value.id.endswith("_CACHE")
+                    for t in n.targets
+                )
+                for n in ast.walk(node)
+            )
+            if not stores_cache:
+                bad.append(f"{py.relative_to(pkg)}:{node.lineno} {node.name}")
+    assert not bad, (
+        "bare per-call .persist() outside the cache registry — route "
+        f"through caches.scoped_persist or a *_CACHE dict: {bad}"
+    )
