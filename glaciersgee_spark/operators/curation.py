@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from glaciersgee_spark.caches import scoped_persist
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -4409,7 +4410,8 @@ def q_e_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stop_ratio").alias("x3"),
         (F.col("avg_token_len") / 10.0).alias("x4"),
         gold.alias("y"),
-    ).persist()
+    )
+    feat = scoped_persist(feat, spark, sf_dir, "logreg_feat")
 
     def _q6(v: float) -> float:
         return math.floor(v * 1000000.0 + 0.5) / 1000000.0
@@ -4578,11 +4580,13 @@ _MCN_B_DUCK = (
       FROM flags GROUP BY lang)
     SELECT lang, both_keep, only_a, only_b, both_drop,
            CASE WHEN only_a + only_b = 0 THEN CAST(0 AS BIGINT)
-                ELSE CAST((only_a - only_b) * (only_a - only_b)
+                ELSE CAST(CAST(only_a - only_b AS HUGEINT)
+                          * (only_a - only_b)
                           * 1000000 // (only_a + only_b) AS BIGINT)
            END AS chi2_ppm,
            CASE WHEN only_a + only_b = 0 THEN CAST(0 AS BIGINT)
-                ELSE CAST(GREATEST(ABS(only_a - only_b) - 1, 0)
+                ELSE CAST(CAST(GREATEST(ABS(only_a - only_b) - 1, 0)
+                               AS HUGEINT)
                           * GREATEST(ABS(only_a - only_b) - 1, 0)
                           * 1000000 // (only_a + only_b) AS BIGINT)
            END AS chi2_cc_ppm
@@ -4629,10 +4633,16 @@ def q_e_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only_a",
         "only_b",
         "both_drop",
+        # 128-bit intermediates on the squared discordance (the
+        # q_b_assoc_rules lift convention): BIGINT would wrap silently
+        # in Spark (non-ANSI) once |only_a−only_b| > ~3.03e6 rows while
+        # DuckDB raises — DECIMAL(38,0) DIV ⟷ HUGEINT // keeps both
+        # engines exact to ~1e38-scale corpora.
         F.when(disc == 0, F.lit(0).cast("long"))
         .otherwise(
             F.expr(
-                "CAST((only_a - only_b) * (only_a - only_b)"
+                "CAST(CAST(only_a - only_b AS DECIMAL(38,0))"
+                " * (only_a - only_b)"
                 " * 1000000 DIV (only_a + only_b) AS BIGINT)"
             )
         )
@@ -4640,7 +4650,8 @@ def q_e_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(disc == 0, F.lit(0).cast("long"))
         .otherwise(
             F.expr(
-                "CAST(GREATEST(ABS(only_a - only_b) - 1, 0)"
+                "CAST(CAST(GREATEST(ABS(only_a - only_b) - 1, 0)"
+                " AS DECIMAL(38,0))"
                 " * GREATEST(ABS(only_a - only_b) - 1, 0)"
                 " * 1000000 DIV (only_a + only_b) AS BIGINT)"
             )
@@ -4765,7 +4776,8 @@ def q_e_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stop_ratio").alias("x3"),
         (F.col("avg_token_len") / 10.0).alias("x4"),
         gold.alias("y"),
-    ).persist()
+    )
+    feat = scoped_persist(feat, spark, sf_dir, "cartography_feat")
 
     def _q6(v: float) -> float:
         return math.floor(v * 1000000.0 + 0.5) / 1000000.0
@@ -4984,6 +4996,144 @@ def q_e_weak_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_flipped"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_score_knee (round 10) — kneedle elbow on the retention curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_e_score_knee",
+    oracle="""
+    WITH per AS (
+      SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(n_chars) AS BIGINT) AS m
+      FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+      SELECT lang, n_chars,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_chars DESC)
+               AS cum_cnt,
+             SUM(m) OVER (PARTITION BY lang ORDER BY n_chars DESC)
+               AS cum_mass
+      FROM per
+    ),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(m) AS BIGINT) AS total
+            FROM per GROUP BY lang),
+    gaps AS (
+      SELECT c.lang, c.n_chars, c.cum_cnt, t.n, t.total,
+             CAST(c.cum_mass AS HUGEINT) * t.n
+               - CAST(c.cum_cnt AS HUGEINT) * t.total AS gap_num
+      FROM cum c JOIN tot t ON c.lang = t.lang
+    )
+    SELECT lang, n AS n_docs, total AS total_chars,
+           CAST(n_chars AS BIGINT) AS knee_score,
+           CAST(cum_cnt AS BIGINT) AS knee_rank,
+           CAST(gap_num * 1000000
+                // (CAST(total AS HUGEINT) * n) AS BIGINT) AS gap_ppm
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY gap_num DESC,
+                                            n_chars DESC) AS rk
+      FROM gaps
+    ) WHERE rk = 1
+    ORDER BY lang
+    """,
+)
+def q_e_score_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNEE-POINT detection on the score-retention curve (round 10;
+    Satopää et al. 2011, "Finding a 'Kneedle' in a Haystack") — the
+    principled way to PLACE the cutoff q_e_threshold_sweep only
+    tabulates and q_e_length_gate assumes: sort docs by score
+    (n_chars plays the quality score), trace the Lorenz-style curve
+    (fraction of docs kept → fraction of mass kept), and take the
+    point of maximum vertical distance to the (0,0)→(1,1) chord —
+    the diminishing-returns elbow where each further doc admitted
+    adds less mass than average. Emits, per lang: the knee's score
+    threshold, its rank (docs kept), and the chord gap in exact ppm.
+
+    Exactness: the curve is evaluated at distinct-score boundaries on
+    an integer (count, mass) frame; the chord gap cross-multiplies to
+    the integer gap_num = cum_mass·n − cum_cnt·total in 128-bit
+    (DECIMAL(38,0) ⟷ HUGEINT), so the argmax and the ppm are exact —
+    ties break to the larger score (earlier knee). Scale: the
+    per-(lang, score) rollup is combinable; cumulative sums run as
+    the two-phase chunked prefix sum (chunks = score DIV 256, the
+    conformal-gate discipline) so no window rides a corpus-sized
+    unchunked frame; the argmax window rides the distinct-score
+    frame, bounded by the score domain, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("n_chars").cast("long").alias("m"),
+    ).withColumn("chk", F.expr("n_chars DIV 256"))
+    w_in = (
+        Window.partitionBy("lang", "chk")
+        .orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per.select(
+        "lang",
+        "n_chars",
+        "chk",
+        F.sum("c").over(w_in).alias("wc"),
+        F.sum("m").over(w_in).alias("wm"),
+    )
+    totals = per.groupBy("lang", "chk").agg(
+        F.sum("c").alias("ctot"), F.sum("m").alias("mtot")
+    )
+    w_c = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("chk").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "lang",
+        "chk",
+        F.coalesce(F.sum("ctot").over(w_c), F.lit(0)).alias("coff"),
+        F.coalesce(F.sum("mtot").over(w_c), F.lit(0)).alias("moff"),
+    )
+    cum = within.join(offsets, ["lang", "chk"]).select(
+        "lang",
+        "n_chars",
+        (F.col("coff") + F.col("wc")).cast("long").alias("cum_cnt"),
+        (F.col("moff") + F.col("wm")).cast("long").alias("cum_mass"),
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("total"),
+    )
+    d38 = "DECIMAL(38,0)"
+    gaps = cum.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "n_chars",
+        "cum_cnt",
+        "n",
+        "total",
+        F.expr(
+            f"CAST(cum_mass AS {d38}) * n"
+            f" - CAST(cum_cnt AS {d38}) * total"
+        ).alias("gap_num"),
+    )
+    wk = Window.partitionBy("lang").orderBy(
+        F.col("gap_num").desc(), F.col("n_chars").desc()
+    )
+    return (
+        gaps.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == 1)
+        .selectExpr(
+            "lang",
+            "n AS n_docs",
+            "total AS total_chars",
+            "CAST(n_chars AS BIGINT) AS knee_score",
+            "cum_cnt AS knee_rank",
+            f"CAST(gap_num * 1000000"
+            f" DIV (CAST(total AS {d38}) * n) AS BIGINT) AS gap_ppm",
         )
         .orderBy("lang")
     )

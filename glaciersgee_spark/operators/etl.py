@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from glaciersgee_spark.caches import scoped_persist
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import load_table
 
@@ -1527,7 +1528,9 @@ def q_a_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hr = ev.groupBy(F.hour("ts").cast("int").alias("h")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
     )
-    j = hr.join(F.broadcast(basis), "h").persist()
+    j = scoped_persist(
+        hr.join(F.broadcast(basis), "h"), spark, sf_dir, "harmonic_j"
+    )
     d38 = "DECIMAL(38,0)"
     sums = j.agg(
         F.expr(f"CAST(COUNT(*) AS {d38})").alias("n"),
@@ -1999,4 +2002,297 @@ def q_a_cloud_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS clear_persist_ppm",
         )
         .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_a_harmonize_ols (round 10) — cross-sensor band harmonization
+# ---------------------------------------------------------------------------
+
+# Same-day per-(tile, band) means of the two instrument kinds: 'view'
+# plays the reference sensor (Landsat 8 in the public harmonization),
+# 'click' the legacy one (Landsat 7); band = event_id % 3 plays the
+# spectral band id. Means are exact-decimal (davg) rounded to 6 dp,
+# then re-quantized to micro-unit BIGINTs so every regression moment
+# is exact integer arithmetic.
+_HZ_DAY = """
+    SELECT user_id AS tile,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_id % 3 AS band,
+           event_type AS kind,
+           CAST(floor(round({mean6}, 6) * 1000000.0 + 0.5) AS BIGINT) AS q
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@query(
+    "q_a_harmonize_ols",
+    oracle=f"""
+    WITH daily AS ({_HZ_DAY.format(mean6=davg('value'))}),
+    paired AS (
+      SELECT a.band, a.q AS x, b.q AS y
+      FROM daily a JOIN daily b
+        ON a.tile = b.tile AND a.day = b.day AND a.band = b.band
+      WHERE a.kind = 'click' AND b.kind = 'view'
+    ),
+    mom AS (
+      SELECT band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM paired GROUP BY band
+    ),
+    fit AS (
+      SELECT band, n,
+             round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                   6) AS slope6
+      FROM mom
+    ),
+    fit2 AS (
+      SELECT f.band, f.n, f.slope6,
+             round((CAST(m.sy AS DOUBLE) - f.slope6 * CAST(m.sx AS DOUBLE))
+                   / (m.n * 1000000.0), 6) AS intercept6
+      FROM fit f JOIN mom m ON f.band = m.band
+    ),
+    resid AS (
+      SELECT p.band,
+             round(p.y / 1000000.0
+                   - (f.slope6 * (p.x / 1000000.0) + f.intercept6),
+                   6) AS r6
+      FROM paired p JOIN fit2 f ON p.band = f.band
+    )
+    SELECT f.band, f.n AS n_pairs, f.slope6, f.intercept6,
+           round(sqrt({dsum('r6 * r6', scale=12)} / f.n), 6) AS rmse6,
+           round(MAX(abs(r6)), 6) AS max_abs_resid6
+    FROM resid r JOIN fit2 f ON r.band = f.band
+    GROUP BY f.band, f.n, f.slope6, f.intercept6
+    ORDER BY f.band
+    """,
+)
+def q_a_harmonize_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SENSOR BAND HARMONIZATION (round 10, VERDICT r9 item 5)
+    — the public Landsat-7↔8 harmonization shape (Roy et al. 2016,
+    "Characterization of Landsat-7 to Landsat-8 reflective wavelength
+    and normalized difference vegetation index continuity", RSE): OLS
+    per spectral band over COINCIDENT same-day acquisitions of the
+    two instruments on the same tile, emitting the per-band
+    slope/intercept a downstream compositor applies to legacy scenes
+    plus the residual scale (rmse, max |resid|) that bounds the
+    harmonization error. Input pairing is q_a_stereo_pairs' same-day
+    co-partitioned (tile, day) machinery, collapsed to per-kind daily
+    band means first so each coincident pair contributes once.
+
+    Exactness: daily means are exact-decimal averages rounded to
+    6 dp, re-quantized to micro-unit BIGINTs; all five regression
+    moments run in 128-bit integers (DECIMAL(38,0) ⟷ HUGEINT, the
+    assoc_rules convention); slope/intercept close with single
+    correctly-rounded double divisions off the SHARED rounded values,
+    and residuals are 6-dp-rounded before the dsum fold — identical
+    bits in both engines at every step. Scale: one combinable
+    (tile, day, band, kind) rollup collapses the corpus; the pair
+    join is co-partitioned on (tile, day, band) with day-bounded
+    fan-out; moments are one combinable rollup to |bands| rows; the
+    residual pass re-joins the slim fit frame via broadcast. No
+    window rides a corpus-sized frame; no driver collect."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy(
+            F.col("user_id").alias("tile"),
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            (F.col("event_id") % 3).alias("band"),
+            F.col("event_type").alias("kind"),
+        )
+        .agg(
+            F.expr(
+                f"CAST(floor(round({davg('value')}, 6) * 1000000.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("q")
+        )
+    )
+    a = daily.where(F.col("kind") == "click").select(
+        "tile", "day", "band", F.col("q").alias("x")
+    )
+    b = daily.where(F.col("kind") == "view").select(
+        "tile", "day", "band", F.col("q").alias("y")
+    )
+    paired = a.join(b, ["tile", "day", "band"]).select("band", "x", "y")
+    d38 = "DECIMAL(38,0)"
+    mom = paired.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * y) AS {d38})").alias("sxy"),
+    )
+    fit = mom.select(
+        "band",
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            f"round(CAST(n * sxy - CAST(sx AS {d38}) * sy AS DOUBLE)"
+            f" / CAST(n * sxx - CAST(sx AS {d38}) * sx AS DOUBLE), 6)"
+        ).alias("slope6"),
+    ).selectExpr(
+        "band",
+        "n",
+        "slope6",
+        "round((CAST(sy AS DOUBLE) - slope6 * CAST(sx AS DOUBLE))"
+        " / (n * 1000000.0), 6) AS intercept6",
+    )
+    resid = paired.join(F.broadcast(fit), "band").select(
+        "band",
+        F.round(
+            F.col("y") / 1000000.0
+            - (
+                F.col("slope6") * (F.col("x") / 1000000.0)
+                + F.col("intercept6")
+            ),
+            6,
+        ).alias("r6"),
+    )
+    return (
+        resid.join(F.broadcast(fit), "band")
+        .groupBy("band", "n", "slope6", "intercept6")
+        .agg(
+            F.expr(
+                f"round(sqrt({dsum('r6 * r6', scale=12)} / n), 6)"
+            ).alias("rmse6"),
+            F.round(F.max(F.abs(F.col("r6"))), 6).alias("max_abs_resid6"),
+        )
+        .select(
+            "band",
+            F.col("n").alias("n_pairs"),
+            "slope6",
+            "intercept6",
+            "rmse6",
+            "max_abs_resid6",
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_a_climatology_zscore (round 10) — climatology anomaly screening
+# ---------------------------------------------------------------------------
+
+# Per-hour-of-day climatology moments in exact micro-unit integers;
+# std via the pinned _WH_SD shape (greatest() absorbs the ~1-ulp
+# negative a constant bin's s²/n rounding can produce under sqrt).
+_CZ_Q = "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+_CZ_SD = (
+    "sqrt(greatest((CAST(t AS DOUBLE) - CAST(s AS DOUBLE)"
+    " * CAST(s AS DOUBLE) / n) / n, 0.0))"
+)
+
+
+@query(
+    "q_a_climatology_zscore",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(extract(hour FROM ts) AS INT) AS hr,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {_CZ_Q} AS q
+      FROM events
+    ),
+    last_day AS (SELECT MAX(day) AS d0 FROM obs),
+    clim AS (
+      SELECT hr, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS t
+      FROM obs CROSS JOIN last_day WHERE day < d0 GROUP BY hr
+    ),
+    scored AS (
+      SELECT o.hr,
+             (o.q - CAST(c.s AS DOUBLE) / c.n) / {_CZ_SD} AS z
+      FROM obs o CROSS JOIN last_day JOIN clim c ON o.hr = c.hr
+      WHERE o.day = d0
+    )
+    SELECT c.hr AS hour,
+           c.n AS n_train,
+           round(CAST(c.s AS DOUBLE) / c.n / 1000000.0, 6) AS clim_mean6,
+           round({_CZ_SD} / 1000000.0, 6) AS clim_std6,
+           CAST((SELECT COUNT(*) FROM scored sc WHERE sc.hr = c.hr)
+                AS BIGINT) AS n_target,
+           CAST((SELECT COUNT(*) FROM scored sc
+                 WHERE sc.hr = c.hr AND abs(sc.z) > 2.0) AS BIGINT)
+             AS n_anomalous,
+           round(COALESCE((SELECT MAX(abs(sc.z)) FROM scored sc
+                           WHERE sc.hr = c.hr), 0.0), 6) AS max_abs_z6
+    FROM clim c ORDER BY hour
+    """,
+)
+def q_a_climatology_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIMATOLOGY ANOMALY screening (round 10) — the standard remote-
+    sensing change-detection baseline (z-score against a per-bin
+    climatology, the GEE `ee.ImageCollection` anomaly recipe): build
+    the hour-of-day climatology (mean/std of CLOUD_COVER per hour bin)
+    from every day EXCEPT the most recent, then score the most recent
+    day's scenes against it and flag |z| > 2 — "is today's acquisition
+    pattern abnormal for this time of day?" q_a_anomaly_days z-scores
+    a tile against its own history; THIS op z-scores the present
+    against a seasonal/diurnal normal, the climatology shape.
+
+    Exactness: values quantize to micro-unit BIGINTs; climatology
+    moments are exact integer sums (Σq BIGINT, Σq² in 128-bit); mean,
+    std (the pinned _WH_SD expression), and every z close as
+    identical correctly-rounded double chains in both engines.
+    Scale: ONE combinable 24-bin rollup builds the climatology (the
+    train/target split is a scan-side predicate off a broadcast
+    1-row max); the scoring pass joins the 24-row climatology via
+    broadcast — no window, no corpus-sized shuffle; at 100 TB the
+    day predicate prunes date partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.hour("ts").cast("int").alias("hr"),
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        F.expr(_CZ_Q).alias("q"),
+    )
+    last_day = obs.agg(F.max("day").alias("d0"))
+    d38 = "DECIMAL(38,0)"
+    clim = (
+        obs.join(F.broadcast(last_day))
+        .where(F.col("day") < F.col("d0"))
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").cast("long").alias("s"),
+            F.expr(f"CAST(SUM(CAST(q AS {d38}) * q) AS {d38})").alias("t"),
+        )
+    )
+    scored = (
+        obs.join(F.broadcast(last_day))
+        .where(F.col("day") == F.col("d0"))
+        .join(F.broadcast(clim), "hr")
+        .selectExpr(
+            "hr",
+            f"(q - CAST(s AS DOUBLE) / n) / {_CZ_SD} AS z",
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_target"),
+            F.sum(F.when(F.abs(F.col("z")) > 2.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalous"),
+            F.max(F.abs(F.col("z"))).alias("mz"),
+        )
+    )
+    return (
+        clim.join(F.broadcast(scored), "hr", "left")
+        .selectExpr(
+            "hr AS hour",
+            "n AS n_train",
+            "round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS clim_mean6",
+            f"round({_CZ_SD} / 1000000.0, 6) AS clim_std6",
+            "CAST(COALESCE(n_target, 0) AS BIGINT) AS n_target",
+            "CAST(COALESCE(n_anomalous, 0) AS BIGINT) AS n_anomalous",
+            "round(COALESCE(mz, 0.0), 6) AS max_abs_z6",
+        )
+        .orderBy("hour")
     )

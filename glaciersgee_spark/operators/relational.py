@@ -4261,3 +4261,174 @@ def q_b_data_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acctbal_bucket"),
         "c_mktsegment",
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q_b_match_recognize (round 10) — sequence-pattern detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_match_recognize",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, date_trunc('millisecond', ts) AS mts
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(mts) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id,
+                  MIN(CASE WHEN e.event_type = 'click'
+                           THEN e.mts END) AS t_click,
+                  MIN(CASE WHEN e.event_type = 'error'
+                           THEN e.mts END) AS t_err1
+           FROM ev e JOIN v ON e.user_id = v.user_id
+           WHERE e.mts > v.t_view
+             AND e.event_type IN ('click', 'error')
+           GROUP BY e.user_id),
+    c AS (SELECT user_id, t_click, t_err1 FROM s2
+          WHERE t_click IS NOT NULL
+            AND (t_err1 IS NULL OR t_click < t_err1)),
+    s3 AS (SELECT e.user_id,
+                  MIN(CASE WHEN e.event_type = 'purchase'
+                           THEN e.mts END) AS t_buy,
+                  MIN(CASE WHEN e.event_type = 'error'
+                           THEN e.mts END) AS t_err2
+           FROM ev e JOIN c ON e.user_id = c.user_id
+           WHERE e.mts > c.t_click
+             AND e.event_type IN ('purchase', 'error')
+           GROUP BY e.user_id),
+    p AS (SELECT user_id FROM s3
+          WHERE t_buy IS NOT NULL
+            AND (t_err2 IS NULL OR t_buy < t_err2)),
+    flags AS (
+      SELECT v.user_id,
+             s2.user_id IS NOT NULL
+               AND s2.t_click IS NOT NULL AS clicked,
+             c.user_id IS NOT NULL AS clicked_clean,
+             p.user_id IS NOT NULL AS matched
+      FROM v LEFT JOIN s2 ON v.user_id = s2.user_id
+             LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id)
+    SELECT user_id % 8 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(SUM(CAST(clicked AS INT)) AS BIGINT) AS n_clicked,
+           CAST(SUM(CAST(clicked AND NOT clicked_clean AS INT)) AS BIGINT)
+             AS n_error_blocked_click,
+           CAST(SUM(CAST(matched AS INT)) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(matched AS INT)) * 1000000
+                // COUNT(*) AS BIGINT) AS match_ppm
+    FROM flags GROUP BY user_id % 8 ORDER BY cohort
+    """,
+)
+def q_b_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PATTERN detection — the SQL:2016 MATCH_RECOGNIZE /
+    Flink CEP shape (PATTERN (VIEW NOT_ERROR* CLICK NOT_ERROR*
+    PURCHASE) per user), which q_b_funnel's plain ordered funnel
+    stops short of: the funnel only asks "did B follow A"; pattern
+    matching adds the EXCLUSION term — the match dies if an 'error'
+    event intervenes between stages. Spark has no MATCH_RECOGNIZE
+    operator, so the pattern compiles to the funnel's staged
+    machinery with one twist: each stage aggregates the candidate
+    event AND the first excluder in ONE pass (two conditional mins),
+    and the stage survives only if candidate < excluder — first-match
+    semantics exactly (min click after view is THE earliest possible
+    match; if even it is behind an error, no later click can matter
+    for SKIP-TO-FIRST semantics... earlier errors block all).
+
+    Timestamps compare at millisecond grain in BOTH engines (§7.4).
+    Scale: three map-side-combinable conditional-min aggregates, all
+    keyed on user_id — the same single shuffle key pipelined through
+    co-partitioned joins, never a window or regex over the event
+    history; the cohort rollup is combinable. At 100 TB this is the
+    CEP-on-a-lakehouse pattern: no state machine, just staged mins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("millisecond", F.col("ts")).alias("mts"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("mts").alias("t_view"))
+    )
+    s2 = (
+        ev.where(F.col("event_type").isin("click", "error"))
+        .join(v, "user_id")
+        .where(F.col("mts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("mts"))
+            ).alias("t_click"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("mts"))
+            ).alias("t_err1"),
+        )
+    )
+    c = s2.where(
+        F.col("t_click").isNotNull()
+        & (F.col("t_err1").isNull() | (F.col("t_click") < F.col("t_err1")))
+    ).select("user_id", "t_click")
+    s3 = (
+        ev.where(F.col("event_type").isin("purchase", "error"))
+        .join(c, "user_id")
+        .where(F.col("mts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("mts"))
+            ).alias("t_buy"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("mts"))
+            ).alias("t_err2"),
+        )
+    )
+    p = s3.where(
+        F.col("t_buy").isNotNull()
+        & (F.col("t_err2").isNull() | (F.col("t_buy") < F.col("t_err2")))
+    ).select("user_id", F.lit(True).alias("matched"))
+    flags = (
+        v.join(
+            s2.select(
+                "user_id",
+                F.col("t_click").isNotNull().alias("clicked"),
+            ),
+            "user_id",
+            "left",
+        )
+        .join(
+            c.select("user_id", F.lit(True).alias("clicked_clean")),
+            "user_id",
+            "left",
+        )
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("clicked", F.lit(False)).alias("clicked"),
+            F.coalesce("clicked_clean", F.lit(False)).alias("clicked_clean"),
+            F.coalesce("matched", F.lit(False)).alias("matched"),
+        )
+    )
+    return (
+        flags.groupBy((F.col("user_id") % 8).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_viewers"),
+            F.sum(F.col("clicked").cast("int")).cast("long").alias("n_clicked"),
+            F.sum(
+                (F.col("clicked") & ~F.col("clicked_clean")).cast("int")
+            )
+            .cast("long")
+            .alias("n_error_blocked_click"),
+            F.sum(F.col("matched").cast("int")).cast("long").alias("n_matched"),
+        )
+        .selectExpr(
+            "cohort",
+            "n_viewers",
+            "n_clicked",
+            "n_error_blocked_click",
+            "n_matched",
+            "CAST(n_matched * 1000000 DIV n_viewers AS BIGINT) AS match_ppm",
+        )
+        .orderBy("cohort")
+    )

@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-from glaciersgee_spark.caches import register_cache
+from glaciersgee_spark.caches import register_cache, scoped_persist
 from glaciersgee_spark.operators.lsh import cobucket_pairs
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
@@ -634,9 +634,11 @@ def q_e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
         .distinct()
-        .persist()
     )
-    scores = _panel_scores(spark, sf_dir).persist()
+    cand = scoped_persist(cand, spark, sf_dir, "ann_recall_cand")
+    scores = scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
     rk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     approx = (
         scores.join(cand, ["qid", "vec_id"])
@@ -860,8 +862,8 @@ def q_e_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") == 1)
         .select("vec_id", "cid")
-        .persist()
     )
+    cell = scoped_persist(cell, spark, sf_dir, "ivf_recall_cell")
     qids = list(_RECALL_QIDS)
     qv = e.where(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
@@ -878,9 +880,11 @@ def q_e_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.join(F.broadcast(probe), "cid")
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
-        .persist()
     )
-    scores = _panel_scores(spark, sf_dir).persist()
+    cand = scoped_persist(cand, spark, sf_dir, "ivf_recall_cand")
+    scores = scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
     rk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     approx = (
         scores.join(cand, ["qid", "vec_id"])
@@ -1542,47 +1546,52 @@ def q_e_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMT_ROUNDS = 3
 
 
-def _kmt_rounds() -> list:
+def _kmt_rounds(pfx: str = "") -> list:
     """Unrolled 3-round Lloyd's as a dependent CTE chain: each round is
     the q_e_kmeans_iter spelling (cosine argmax assignment, per-dim
     exact-decimal means) re-seeded from the previous round's means —
     the round count is a fixed literal, so the loop unrolls with no
-    recursion (the q_e_mmr_diversify oracle discipline)."""
+    recursion (the q_e_mmr_diversify oracle discipline). ``pfx``
+    prefixes every CTE name AND the training population (``{pfx}v``,
+    ``{pfx}seed``) so two independently-trained chains — e.g. the
+    round-10 base-slice index next to the full-corpus rebuild — can
+    coexist in one WITH body."""
     rounds = []
-    prev = "seed"
+    prev = f"{pfx}seed"
+    vn = f"{pfx}v"
     for r in range(1, KMT_ROUNDS + 1):
-        rounds.append(f"""sc{r} AS (SELECT v.vec_id, c.cid,
+        rounds.append(f"""{pfx}sc{r} AS (SELECT v.vec_id, c.cid,
                   {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} AS cs
-           FROM v, {prev} c),
-    asg{r} AS (SELECT vec_id, cid FROM (
+           FROM {vn} AS v, {prev} c),
+    {pfx}asg{r} AS (SELECT vec_id, cid FROM (
               SELECT vec_id, cid,
                      ROW_NUMBER() OVER (PARTITION BY vec_id
                                         ORDER BY cs DESC, cid ASC) AS rk
-              FROM sc{r}) WHERE rk = 1),
-    sz{r} AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned
-              FROM asg{r} GROUP BY cid),
-    dm{r} AS (SELECT a.cid,
+              FROM {pfx}sc{r}) WHERE rk = 1),
+    {pfx}sz{r} AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned
+              FROM {pfx}asg{r} GROUP BY cid),
+    {pfx}dm{r} AS (SELECT a.cid,
                      CAST(generate_subscripts(v.ve, 1) AS INT) AS d,
                      unnest(v.ve) AS val
-              FROM asg{r} a JOIN v USING (vec_id)),
-    nl{r} AS (SELECT cid, d, {davg('val', scale=9)} AS nv
-              FROM dm{r} GROUP BY cid, d),
-    ol{r} AS (SELECT cid, CAST(generate_subscripts(cve, 1) AS INT) AS d,
+              FROM {pfx}asg{r} a JOIN {vn} AS v USING (vec_id)),
+    {pfx}nl{r} AS (SELECT cid, d, {davg('val', scale=9)} AS nv
+              FROM {pfx}dm{r} GROUP BY cid, d),
+    {pfx}ol{r} AS (SELECT cid, CAST(generate_subscripts(cve, 1) AS INT) AS d,
                      unnest(cve) AS ov
               FROM {prev}),
-    st{r} AS (SELECT CAST({r} AS BIGINT) AS rnd, n.cid, s.n_assigned,
+    {pfx}st{r} AS (SELECT CAST({r} AS BIGINT) AS rnd, n.cid, s.n_assigned,
                      round(sqrt({dsum('(n.nv - o.ov) * (n.nv - o.ov)',
                                       scale=12)}), 6) AS shift6,
                      round({dsum('n.nv', scale=9)}, 6) AS centroid_csum
-              FROM nl{r} n JOIN ol{r} o USING (cid, d)
-                   JOIN sz{r} s ON n.cid = s.cid
+              FROM {pfx}nl{r} n JOIN {pfx}ol{r} o USING (cid, d)
+                   JOIN {pfx}sz{r} s ON n.cid = s.cid
               GROUP BY n.cid, s.n_assigned),
-    c{r + 1} AS (SELECT cid, cve,
+    {pfx}c{r + 1} AS (SELECT cid, cve,
                         sqrt(list_sum(list_transform(cve, x -> x * x)))
                           AS cnrm
                  FROM (SELECT cid, list(nv ORDER BY d) AS cve
-                       FROM nl{r} GROUP BY cid))""")
-        prev = f"c{r + 1}"
+                       FROM {pfx}nl{r} GROUP BY cid))""")
+        prev = f"{pfx}c{r + 1}"
     return rounds
 
 
@@ -1595,6 +1604,28 @@ def _kmt_chain() -> str:
     return f"""v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
     seed AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
              FROM v WHERE vec_id BETWEEN 1 AND {KM_K}),
+    {','.join(rounds)}"""
+
+
+# Round-10 append lifecycle: the BASE slice is the corpus as it stood
+# when the old index generation was built; the DELTA (vec_id % 5 = 3,
+# ~20%) arrives later and is ingested by frozen-codebook encode.
+_APPEND_DELTA = "vec_id % 5 = 3"  # DuckDB spelling; Spark uses == 3
+_APPEND_BASE = "vec_id % 5 <> 3"
+
+
+def _kmt_chain_b() -> str:
+    """Base-slice training chain (prefix ``b``), ending at
+    bc{KMT_ROUNDS+1} — the coarse centroids the OLD index generation
+    trained before the delta slice existed. Seeds are the surviving
+    members of the standard seed range (vec_id 1..{KM_K} minus the
+    delta ids), so the old generation has fewer cells — exactly how a
+    stale index differs from a rebuild. Requires ``v`` (the full
+    population) to be defined earlier in the WITH body."""
+    rounds = _kmt_rounds(pfx="b")
+    return f"""bv AS (SELECT vec_id, ve, nrm FROM v WHERE {_APPEND_BASE}),
+    bseed AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
+              FROM bv WHERE vec_id BETWEEN 1 AND {KM_K}),
     {','.join(rounds)}"""
 
 
@@ -1612,15 +1643,21 @@ def _kmt_oracle() -> str:
 # App-scoped training cache: (stats_rows, trained centroids) — shared
 # by q_e_kmeans_train (stats) and q_e_ivf_trained (centroids) so the
 # 3-round loop runs once per (app, sf).
-_KMT_CACHE: dict[tuple[str, str], tuple[list, list]] = register_cache({})
+_KMT_CACHE: dict[tuple[str, str, str], tuple[list, list]] = register_cache({})
 
 
-def _kmt_train(spark: SparkSession, sf_dir: str):
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _kmt_train(spark: SparkSession, sf_dir: str, where: str | None = None):
+    """3-round Lloyd's over the embeddings table (optionally filtered
+    to a population slice, e.g. the round-10 append lifecycle's base
+    slice); returns (stats_rows, trained centroids), app-cached per
+    (app, sf, slice)."""
+    key = (spark.sparkContext.applicationId, sf_dir, where or "")
     cached = _KMT_CACHE.get(key)
     if cached is not None:
         return cached
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if where is not None:
+        e = e.where(F.expr(where))
     seeds = sorted(
         e.where(F.col("vec_id").between(1, KM_K)).collect(),
         key=lambda r: r.vec_id,
@@ -2912,7 +2949,10 @@ def q_e_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "prank")
     )
     scores = _panel_scores(spark, sf_dir)
-    scored = cand.join(scores, ["qid", "vec_id"]).persist()
+    scored = scoped_persist(
+        cand.join(scores, ["qid", "vec_id"]), spark, sf_dir,
+        "ivf_probe_scored",
+    )
     grid = qv.select(
         "qid",
         F.explode(F.array(*[F.lit(p) for p in _PROBE_GRID])).alias("p"),
@@ -3894,12 +3934,14 @@ def q_e_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.join(F.broadcast(probe), "cid")
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
-        .persist()
     )
+    cand = scoped_persist(cand, spark, sf_dir, "ivf_trained_cand")
     # scores feeds BOTH the candidate re-rank and the exact ground
     # truth — persisted like q_e_ann_recall's copy (cell above has ONE
     # consumer, cand, and is deliberately NOT persisted)
-    scores = _panel_scores(spark, sf_dir).persist()
+    scores = scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -4089,22 +4131,7 @@ def stage_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     cdf = spark.createDataFrame(cent, "cid long, cemb array<double>")
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
     e = load_table(spark, sf_dir, "embeddings")
-    cell = (
-        fan_out(e.select("vec_id", "embedding"), "vec_id")
-        .join(F.broadcast(cdf))
-        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cscore"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("cscore").desc(), F.col("cid").asc()
-                )
-            ),
-        )
-        .where(F.col("rk") == 1)
-        .select("cid", "vec_id")
-    )
-    cell.write.mode("overwrite").parquet(f"{tmp}/postings")
+    _coarse_assign(e, cdf).write.mode("overwrite").parquet(f"{tmp}/postings")
     # --- PQ artifacts (r9, VERDICT r8 item 2 — the FAISS IVFADC
     # production shape): the 16-entry sub-codebook and the 8-byte
     # code per vector, so a serving job can ADC-score candidates from
@@ -4126,6 +4153,42 @@ def stage_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     c_r = np.array([r.embedding for r in crows], dtype=np.float64).reshape(
         PQ_K, PQ_M, PQ_SUBDIM
     )
+    _pq_encode(e, c_r).write.mode("overwrite").parquet(f"{tmp}/pq_codes")
+    open(os.path.join(tmp, "_READY"), "w").close()
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return staged
+
+
+def _coarse_assign(e: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(cid, vec_id): cosine-argmax cell of each vector against the
+    (broadcast) coarse codebook — the ONE encode spelling shared by the
+    full build, the base build, and the round-10 delta ingest, so the
+    three can never desynchronize."""
+    return (
+        fan_out(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(cdf))
+        .select("vec_id", "cid", _cos6("embedding", "cemb").alias("cscore"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cscore").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("cid", "vec_id")
+    )
+
+
+def _pq_encode(e: DataFrame, c_r) -> DataFrame:
+    """(vec_id, codes): the proven 6-dp argmin PQ encode (first-min
+    tie ≡ the oracle's (d6, pcid) rank) against the (PQ_K, PQ_M,
+    PQ_SUBDIM)-shaped sub-codebook array — shared by the full build,
+    the base build, and the delta ingest."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _codes(emb: pd.Series) -> pd.Series:
@@ -4133,15 +4196,9 @@ def stage_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         d = np.round(((v[:, None, :, :] - c_r[None, :, :, :]) ** 2).sum(-1), 6)
         return pd.Series(list(d.argmin(axis=1) + 1))  # cid is 1-based
 
-    fan_out(e.select("vec_id", "embedding"), "vec_id").select(
+    return fan_out(e.select("vec_id", "embedding"), "vec_id").select(
         "vec_id", _codes("embedding").alias("codes")
-    ).write.mode("overwrite").parquet(f"{tmp}/pq_codes")
-    open(os.path.join(tmp, "_READY"), "w").close()
-    try:
-        os.rename(tmp, staged)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return staged
+    )
 
 
 def _ivp_oracle() -> str:
@@ -4249,13 +4306,15 @@ def q_e_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_ctes() -> str:
-    """Shared WITH-body of the persisted-IVFADC oracles: the trained
-    coarse chain, cell assignment, panel probe, candidates, PQ codes
-    (rank spelling ≡ the argmin encode), per-query LUT, and the l0..l7
-    parts pivot. q_e_ivfpq_persist ranks the ADC sums from here;
-    q_e_ivfpq_recall compares them against exact cosine top-10."""
-    tc = f"c{KMT_ROUNDS + 1}"  # trained centroids, end of the shared chain
+def _ivfpq_body(pfx: str = "", tc: str | None = None) -> str:
+    """cell→parts CTEs of a persisted-IVFADC serve: cell assignment of
+    the FULL corpus against the coarse table ``tc``, panel probe,
+    candidates, PQ codes (rank spelling ≡ the argmin encode), per-query
+    LUT, and the l0..l7 parts pivot. ``pfx`` prefixes every CTE name so
+    two index generations (round-10 drift audit: base-trained append vs
+    full rebuild) can coexist in one WITH body; requires ``v`` (and the
+    chain ending at ``tc``) defined earlier."""
+    tc = tc or f"c{KMT_ROUNDS + 1}"  # trained centroids, chain end
     srange = f"(SELECT unnest(range(0, {PQ_M})) AS s) AS s"
     dist_case = " ".join(
         f"WHEN {s} THEN {_pq_dist6('v.ve', 'c.cv', s)}" for s in range(PQ_M)
@@ -4266,47 +4325,56 @@ def _ivfpq_ctes() -> str:
     parts_cols = ", ".join(
         f"MAX(CASE WHEN k.s = {s} THEN l.l6 END) AS l{s}" for s in range(PQ_M)
     )
-    return f"""{_kmt_chain()},
-    cell AS (SELECT vec_id, cid FROM (
+    return f"""{pfx}cell AS (SELECT vec_id, cid FROM (
                SELECT v.vec_id, c.cid,
                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                          ORDER BY {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} DESC,
                                                   c.cid ASC) AS rk
                FROM v, {tc} c) WHERE rk = 1),
-    qv AS (SELECT vec_id AS qid, ve AS qvv, nrm AS qn FROM v
+    {pfx}qv AS (SELECT vec_id AS qid, ve AS qvv, nrm AS qn FROM v
            WHERE vec_id IN {_RECALL_QIDS}),
-    probe AS (SELECT qid, cid FROM (
+    {pfx}probe AS (SELECT qid, cid FROM (
                 SELECT q.qid, c.cid,
                        ROW_NUMBER() OVER (
                          PARTITION BY q.qid
                          ORDER BY {_d_cos6('c.cve', 'q.qvv', 'c.cnrm', 'q.qn')} DESC,
                                   c.cid ASC) AS rk
-                FROM {tc} c, qv q) WHERE rk <= {IVT_NPROBE}),
-    cand AS (SELECT p.qid, cell.vec_id
-             FROM cell JOIN probe p USING (cid)
-             WHERE cell.vec_id <> p.qid),
-    pqc AS (SELECT vec_id AS pcid, ve AS cv FROM v
+                FROM {tc} c, {pfx}qv q) WHERE rk <= {IVT_NPROBE}),
+    {pfx}cand AS (SELECT p.qid, {pfx}cell.vec_id
+             FROM {pfx}cell JOIN {pfx}probe p USING (cid)
+             WHERE {pfx}cell.vec_id <> p.qid),
+    {pfx}pqc AS (SELECT vec_id AS pcid, ve AS cv FROM v
             WHERE vec_id BETWEEN 1 AND {PQ_K}),
-    cvec AS (SELECT vec_id, ve FROM v
-             WHERE vec_id IN (SELECT DISTINCT vec_id FROM cand)),
-    dists AS (
+    {pfx}cvec AS (SELECT vec_id, ve FROM v
+             WHERE vec_id IN (SELECT DISTINCT vec_id FROM {pfx}cand)),
+    {pfx}dists AS (
       SELECT v.vec_id, c.pcid, s.s,
              CASE s.s {dist_case} END AS d6
-      FROM cvec v CROSS JOIN pqc c CROSS JOIN {srange}
+      FROM {pfx}cvec v CROSS JOIN {pfx}pqc c CROSS JOIN {srange}
     ),
-    codes AS (SELECT vec_id, s, pcid FROM (
+    {pfx}codes AS (SELECT vec_id, s, pcid FROM (
                 SELECT vec_id, s, pcid,
                        ROW_NUMBER() OVER (PARTITION BY vec_id, s
                                           ORDER BY d6 ASC, pcid ASC) AS rk
-                FROM dists) WHERE rk = 1),
-    lut AS (SELECT q.qid, c.pcid, s.s,
+                FROM {pfx}dists) WHERE rk = 1),
+    {pfx}lut AS (SELECT q.qid, c.pcid, s.s,
                    CASE s.s {lut_case} END AS l6
-            FROM pqc c CROSS JOIN qv q CROSS JOIN {srange}),
-    parts AS (SELECT cd.qid, cd.vec_id, {parts_cols}
-              FROM cand cd
-              JOIN codes k ON k.vec_id = cd.vec_id
-              JOIN lut l ON l.qid = cd.qid AND l.pcid = k.pcid AND l.s = k.s
+            FROM {pfx}pqc c CROSS JOIN {pfx}qv q CROSS JOIN {srange}),
+    {pfx}parts AS (SELECT cd.qid, cd.vec_id, {parts_cols}
+              FROM {pfx}cand cd
+              JOIN {pfx}codes k ON k.vec_id = cd.vec_id
+              JOIN {pfx}lut l ON l.qid = cd.qid AND l.pcid = k.pcid
+                             AND l.s = k.s
               GROUP BY cd.qid, cd.vec_id)"""
+
+
+def _ivfpq_ctes() -> str:
+    """Shared WITH-body of the persisted-IVFADC oracles: the trained
+    coarse chain + the serve body (cell/probe/cand/codes/lut/parts).
+    q_e_ivfpq_persist ranks the ADC sums from here; q_e_ivfpq_recall
+    compares them against exact cosine top-10."""
+    return f"""{_kmt_chain()},
+    {_ivfpq_body()}"""
 
 
 def _ivfpq_oracle() -> str:
@@ -4362,7 +4430,15 @@ def q_e_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded panel); the corpus-proportional scoring stage crosses no
     Python at all."""
     staged = stage_ivf_index(spark, sf_dir)
-    # ---- serve path: everything below reads ONLY the artifacts + tables
+    return _ivfpq_serve(spark, sf_dir, staged)
+
+
+def _ivfpq_serve(spark: SparkSession, sf_dir: str, staged: str) -> DataFrame:
+    """The IVFADC serving plan over ONE artifact directory — reads
+    ONLY the four persisted artifacts plus the embeddings table for
+    query vectors; shared by q_e_ivfpq_persist (the fresh rebuild) and
+    q_e_ivfpq_append (the round-10 merged generation) so the two serve
+    paths differ ONLY in which artifacts they scan."""
     cdf = spark.read.parquet(f"{staged}/centroids")
     postings = spark.read.parquet(f"{staged}/postings")
     pqc = spark.read.parquet(f"{staged}/pq_codebook")
@@ -4505,6 +4581,287 @@ def q_e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce(F.col("n_hit"), F.lit(0)) / float(_RECALL_K), 6
             ).alias("recall6"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_ivfpq_append / q_e_ivfpq_drift (round 10) — incremental index ingest
+# ---------------------------------------------------------------------------
+
+
+def stage_ivf_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD phase of the OLD index generation (round 10, VERDICT r9
+    item 2's prerequisite): the corpus as it stood before the delta
+    slice (vec_id % 5 = 3) arrived. Coarse centroids are trained on
+    the BASE slice only (so the generation has fewer cells — the seed
+    range loses its delta members), postings/codes cover base vectors
+    only; the PQ sub-codebook is the shared fixture (PQ codebooks are
+    routinely reused across index generations — OPQ/PQ retraining is
+    rare; only the coarse quantizer goes stale). Same staging
+    contract as stage_ivf_index: corpus-fingerprinted path, _READY
+    marker, atomic rename."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ggee_ivf_index",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}_b1",
+    )
+    if os.path.exists(os.path.join(staged, "_READY")):
+        return staged
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    _stats, cent = _kmt_train(spark, sf_dir, where=_APPEND_BASE)
+    cdf = spark.createDataFrame(cent, "cid long, cemb array<double>")
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.expr(_APPEND_BASE))
+    _coarse_assign(base, cdf).write.mode("overwrite").parquet(
+        f"{tmp}/postings"
+    )
+    e.where(F.col("vec_id").between(1, PQ_K)).select(
+        F.col("vec_id").alias("pcid"), F.col("embedding").alias("cemb")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/pq_codebook")
+    crows = sorted(
+        e.where(F.col("vec_id").between(1, PQ_K))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    c_r = np.array([r.embedding for r in crows], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUBDIM
+    )
+    _pq_encode(base, c_r).write.mode("overwrite").parquet(f"{tmp}/pq_codes")
+    open(os.path.join(tmp, "_READY"), "w").close()
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return staged
+
+
+def stage_ivfpq_append(spark: SparkSession, sf_dir: str) -> str:
+    """DELTA-INGEST phase (round 10, VERDICT r9 item 2): append the
+    delta slice to the base generation by encoding it against the
+    FROZEN artifacts — the read-back coarse centroids (assignment) and
+    the read-back PQ sub-codebook (8-byte codes) — with ZERO training:
+    no `_kmt_train`, no `_KMT_CACHE`, no Lloyd's round anywhere in
+    this path (pinned in tests/test_plans.py). The merged generation
+    (copied centroids/codebook + unioned postings/codes) publishes
+    atomically under its own fingerprinted path, so serving jobs
+    switch from base to merged the instant _READY lands and never see
+    a half-written union — the daily-ingest production loop of a
+    corpus-scale ANN index.
+
+    Scale: the delta pass touches ONLY delta vectors (one broadcast-
+    codebook assignment scan + one Arrow encode scan over ~20% of the
+    corpus); base postings/codes are copied THROUGH parquet scans
+    (never recomputed, never collected) — at 100 TB the union is two
+    appends of slim (cid, vec_id) / (vec_id, codes) tables."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ggee_ivf_index",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}_m1",
+    )
+    if os.path.exists(os.path.join(staged, "_READY")):
+        return staged
+    base_dir = stage_ivf_base_index(spark, sf_dir)
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    # ---- everything below reads ONLY the base artifacts + the table
+    cdf = spark.read.parquet(f"{base_dir}/centroids")
+    pqc = spark.read.parquet(f"{base_dir}/pq_codebook")
+    e = load_table(spark, sf_dir, "embeddings")
+    delta = e.where(F.expr(_APPEND_DELTA))
+    # frozen-coarse assignment of the delta slice, unioned with the
+    # base postings read straight back from parquet
+    spark.read.parquet(f"{base_dir}/postings").unionByName(
+        _coarse_assign(delta, cdf)
+    ).write.mode("overwrite").parquet(f"{tmp}/postings")
+    # frozen-PQ encode: the 16-row sub-codebook is read back from the
+    # artifact (bounded collect of an artifact scan, not a fixture
+    # re-derivation — the append job owns no training state at all)
+    crows = sorted(
+        pqc.select("pcid", "cemb").collect(), key=lambda r: r.pcid
+    )
+    c_r = np.array([r.cemb for r in crows], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUBDIM
+    )
+    spark.read.parquet(f"{base_dir}/pq_codes").unionByName(
+        _pq_encode(delta, c_r)
+    ).write.mode("overwrite").parquet(f"{tmp}/pq_codes")
+    # codebooks carry over unchanged into the merged generation
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
+    pqc.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/pq_codebook")
+    open(os.path.join(tmp, "_READY"), "w").close()
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return staged
+
+
+def _ivfpq_append_oracle() -> str:
+    tb = f"bc{KMT_ROUNDS + 1}"  # base-trained centroids, chain end
+    return f"""
+    WITH {_kmt_chain()},
+    {_kmt_chain_b()},
+    {_ivfpq_body(pfx='b', tc=tb)}
+    SELECT qid, rk, vec_id, adc6 FROM (
+      SELECT qid, vec_id, {_PQP_ADC} AS adc6,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY {_PQP_ADC} DESC, vec_id ASC) AS rk
+      FROM bparts
+    ) WHERE rk <= {_RECALL_K}
+    ORDER BY qid, rk
+    """
+
+
+@query("q_e_ivfpq_append", oracle=_ivfpq_append_oracle())
+def q_e_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index ingest, served (round 10, VERDICT r9
+    item 2): the base generation was built when only 80% of the corpus
+    existed (stage_ivf_base_index — coarse centroids trained WITHOUT
+    the delta slice); the delta slice is appended by FROZEN-codebook
+    encode (stage_ivfpq_append — no retrain, artifacts-only inputs,
+    atomic merged publish), and THIS op serves ADC top-10 from the
+    merged artifacts with the exact serve plan q_e_ivfpq_persist uses
+    (shared _ivfpq_serve — only the artifact directory differs).
+
+    This is the op a daily-growing corpus actually runs: retraining
+    the coarse quantizer per ingest is unaffordable, so production
+    appends against frozen codebooks and retrains on a slow cadence
+    (the FAISS `add` vs `train` split). The oracle re-derives the
+    base-slice training chain (bc{KMT_ROUNDS + 1}) and assigns the
+    FULL corpus against it — exactly what base∪delta postings equal,
+    BECAUSE the encode spelling is shared and the artifact round-trip
+    is bit-lossless (the q_e_ivf_persist parity result). Recall cost
+    of serving stale centroids is quantified by q_e_ivfpq_drift.
+
+    Scale: identical to q_e_ivfpq_persist's serve — probe, pruned
+    postings fetch, 640-row broadcast-LUT ADC over 8-byte codes."""
+    staged = stage_ivfpq_append(spark, sf_dir)
+    return _ivfpq_serve(spark, sf_dir, staged)
+
+
+def _ivfpq_drift_oracle() -> str:
+    tb = f"bc{KMT_ROUNDS + 1}"
+    return f"""
+    WITH {_kmt_chain()},
+    {_kmt_chain_b()},
+    {_ivfpq_body()},
+    {_ivfpq_body(pfx='b', tc=tb)},
+    rapprox AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY {_PQP_ADC} DESC,
+                                                     vec_id ASC) AS rk
+                  FROM parts) WHERE rk <= {_RECALL_K}),
+    bapprox AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY {_PQP_ADC} DESC,
+                                                     vec_id ASC) AS rk
+                  FROM bparts) WHERE rk <= {_RECALL_K}),
+    exact AS (SELECT qid, vec_id FROM (
+                SELECT q.qid, v.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY {_d_cos6('v.ve', 'q.qvv', 'v.nrm', 'q.qn')} DESC,
+                                  v.vec_id ASC) AS rk
+                FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+              ) WHERE rk <= {_RECALL_K}),
+    rh AS (SELECT a.qid, COUNT(*) AS n FROM rapprox a
+           JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+           GROUP BY a.qid),
+    bh AS (SELECT a.qid, COUNT(*) AS n FROM bapprox a
+           JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+           GROUP BY a.qid)
+    SELECT q.qid,
+           CAST(COALESCE(bh.n, 0) AS BIGINT) AS n_hit_append,
+           round(COALESCE(bh.n, 0) / {float(_RECALL_K)}, 6)
+             AS recall_append6,
+           CAST(COALESCE(rh.n, 0) AS BIGINT) AS n_hit_rebuild,
+           round(COALESCE(rh.n, 0) / {float(_RECALL_K)}, 6)
+             AS recall_rebuild6,
+           round(round(COALESCE(rh.n, 0) / {float(_RECALL_K)}, 6)
+                 - round(COALESCE(bh.n, 0) / {float(_RECALL_K)}, 6), 6)
+             AS drift6
+    FROM (SELECT qid FROM qv) q
+    LEFT JOIN rh ON q.qid = rh.qid
+    LEFT JOIN bh ON q.qid = bh.qid
+    ORDER BY q.qid
+    """
+
+
+@query("q_e_ivfpq_drift", oracle=_ivfpq_drift_oracle())
+def q_e_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-drift audit of the APPENDED index vs a FRESH REBUILD
+    (round 10, the closing leg of VERDICT r9 item 2): per panel query,
+    recall@{_RECALL_K} of (a) the merged append-path generation
+    (frozen base-trained coarse centroids serving 100% of the corpus)
+    and (b) the full rebuild (centroids retrained on everything),
+    both against brute-force exact cosine — and their difference,
+    drift6. This is THE number an index owner watches to schedule
+    retrains: when drift crosses budget, the slow-cadence rebuild
+    fires and the generations swap.
+
+    Plan: both approx sides are the persisted serves (artifact scans
+    + JVM ADC — q_e_ivfpq_append and q_e_ivfpq_persist respectively);
+    the exact side reuses the shared _panel_scores Arrow pass. All
+    three are deterministic rank spellings, so the drift is
+    hash-exact, not a tolerance check."""
+    appended = q_e_ivfpq_append(spark, sf_dir).select("qid", "vec_id")
+    rebuilt = q_e_ivfpq_persist(spark, sf_dir).select("qid", "vec_id")
+    rkw = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        _panel_scores(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(rkw))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    bh = (
+        appended.join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    rh = (
+        rebuilt.join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid")
+    )
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    nr = F.coalesce(F.col("nr"), F.lit(0))
+    return (
+        panel.join(bh, "qid", "left")
+        .join(rh, "qid", "left")
+        .select(
+            "qid",
+            nb.cast("long").alias("n_hit_append"),
+            F.round(nb / float(_RECALL_K), 6).alias("recall_append6"),
+            nr.cast("long").alias("n_hit_rebuild"),
+            F.round(nr / float(_RECALL_K), 6).alias("recall_rebuild6"),
+            F.round(
+                F.round(nr / float(_RECALL_K), 6)
+                - F.round(nb / float(_RECALL_K), 6),
+                6,
+            ).alias("drift6"),
         )
         .orderBy("qid")
     )
@@ -4796,8 +5153,8 @@ def q_e_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = (
         e.where(F.col("vec_id") < _JL_PANEL)
         .select("vec_id", F.posexplode(F.expr(_WH_QV_SPARK)).alias("i", "q"))
-        .persist()
     )
+    panel = scoped_persist(panel, spark, sf_dir, "jl_panel")
     proj = (
         spark.range(64)
         .select(F.col("id").cast("int").alias("i"))
@@ -4985,8 +5342,8 @@ def q_e_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("r", F.row_number().over(rk))
         .where(F.col("r") <= _RECALL_K)
         .select("qid", "vec_id", "d")
-        .persist()
     )
+    top = scoped_persist(top, spark, sf_dir, "matryoshka_top")
     ref = top.where(F.col("d") == 64).select(
         F.col("qid").alias("rqid"), F.col("vec_id").alias("rv")
     )
@@ -5228,7 +5585,8 @@ def q_e_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000.0
         ).alias("s6"),
-    ).persist()
+    )
+    sil = scoped_persist(sil, spark, sf_dir, "silhouette_sil")
     cell = sil.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         (F.floor(F.expr(davg("a6")) * 1000000.0 + 0.5) / 1000000.0).alias(
@@ -5351,8 +5709,8 @@ def q_e_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w"), 6).alias("within6"),
             F.round(F.col("n_members") * F.col("bunit"), 6).alias("between6"),
         )
-        .persist()
     )
+    per = scoped_persist(per, spark, sf_dir, "calinski_per")
     tot = per.agg(
         F.sum("n_members").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -5678,3 +6036,148 @@ def q_e_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers, schema="step int, vec_id long, radius_q long"
     )
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# q_e_graph_beam_search (round 10) — graph-ANN greedy beam search
+# ---------------------------------------------------------------------------
+
+_BEAM_DEG = 4  # out-degree of the in-cell kNN graph
+_BEAM_W = 10  # beam width (= the emitted top-k)
+_BEAM_HOPS = 3  # fixed hop budget, unrolled in both engines
+_BEAM_ENTRY = 1  # fixed global entry node (the HNSW entry-point role)
+
+
+def _beam_oracle() -> str:
+    edge_cos = _d_cos6("a.ve", "b.ve", "a.nrm", "b.nrm")
+    hops = []
+    prev = "b0"
+    for h in range(1, _BEAM_HOPS + 1):
+        hops.append(f"""cand{h} AS (
+      SELECT DISTINCT qid, vec_id FROM (
+        SELECT qid, vec_id FROM {prev}
+        UNION ALL
+        SELECT p.qid, e.nbr AS vec_id
+        FROM {prev} p JOIN edges e ON p.vec_id = e.vec_id)
+      WHERE vec_id NOT IN {_RECALL_QIDS} OR vec_id <> qid),
+    b{h} AS (SELECT qid, vec_id, s FROM (
+        SELECT c.qid, c.vec_id, qs.s,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                                  ORDER BY qs.s DESC, c.vec_id ASC) AS rk
+        FROM cand{h} c JOIN qs ON qs.qid = c.qid
+                              AND qs.vec_id = c.vec_id
+        WHERE c.vec_id <> c.qid) WHERE rk <= {_BEAM_W})""")
+        prev = f"b{h}"
+    return f"""
+    WITH {_KM_CTES},
+    nodes AS (SELECT a.vec_id, a.cid, v.ve, v.nrm
+              FROM asg a JOIN v USING (vec_id)),
+    edges AS (SELECT vec_id, nbr FROM (
+        SELECT a.vec_id, b.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {edge_cos} DESC,
+                                           b.vec_id ASC) AS rk
+        FROM nodes a JOIN nodes b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+      WHERE rk <= {_BEAM_DEG}),
+    qv AS (SELECT vec_id AS qid, ve AS qvv, nrm AS qn FROM v
+           WHERE vec_id IN {_RECALL_QIDS}),
+    qs AS (SELECT q.qid, v.vec_id,
+                  {_d_cos6('v.ve', 'q.qvv', 'v.nrm', 'q.qn')} AS s
+           FROM v CROSS JOIN qv q),
+    b0 AS (SELECT q.qid, CAST({_BEAM_ENTRY} AS BIGINT) AS vec_id,
+                  qs.s
+           FROM qv q JOIN qs ON qs.qid = q.qid
+                            AND qs.vec_id = {_BEAM_ENTRY}),
+    {','.join(hops)}
+    SELECT qid, rk, vec_id, s AS score6 FROM (
+      SELECT qid, vec_id, s,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY s DESC, vec_id ASC) AS rk
+      FROM b{_BEAM_HOPS})
+    ORDER BY qid, rk
+    """
+
+
+@query("q_e_graph_beam_search", oracle=_beam_oracle())
+def q_e_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-ANN greedy beam search (round 10) — the HNSW/NSW layer-0
+    SERVING shape (Malkov & Yashunin, TPAMI 2018), the graph-based
+    alternative to the module's IVF family: from a fixed entry node,
+    repeatedly expand the current beam's out-edges in a degree-bounded
+    kNN graph, score candidates against the query, and keep the best
+    {_BEAM_W} — a fixed {_BEAM_HOPS}-hop budget unrolled as
+    {_BEAM_HOPS} co-partitioned join+rank stages (the q_e_cc_stars /
+    q_e_kmeans_train bounded-round discipline; no driver loop over
+    data, no recursion). The graph is the in-cell {_BEAM_DEG}-NN edge
+    set (q_e_knn_graph's O(Σ|cell|²)-never-O(n²) construction, kept
+    as edges instead of a ledger) — built once per query panel and
+    reused by all {_BEAM_HOPS} hops via the scoped-persist registry.
+
+    Determinism: edge ranks and beam ranks are 6-dp cosine with
+    vec_id tie-breaks; the hop count and entry are literals, so both
+    engines walk the identical frontier sequence. Scale: per hop the
+    frontier is |panel|×{_BEAM_W}×({_BEAM_DEG}+1) rows — corpus-size-
+    INDEPENDENT — joined against the slim (qid, vec_id, score) panel
+    scores; the only corpus-proportional passes are the one-time edge
+    build and the shared _panel_scores Arrow pass. At 100 TB the edge
+    set is a persisted artifact (the stage_ivf_index economics) and a
+    serve touches O(beam·degree·hops) vectors per query — the whole
+    point of graph ANN."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+    x = members.select("vec_id", "cid", F.col("embedding").alias("xe"))
+    y = members.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("cid").alias("ycid"),
+        F.col("embedding").alias("ye"),
+    )
+    ew = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("nbr").asc()
+    )
+    edges = (
+        x.join(
+            y,
+            (F.col("cid") == F.col("ycid"))
+            & (F.col("vec_id") != F.col("nbr")),
+        )
+        .select("vec_id", "nbr", _cos6("xe", "ye").alias("cs"))
+        .withColumn("rk", F.row_number().over(ew))
+        .where(F.col("rk") <= _BEAM_DEG)
+        .select("vec_id", "nbr")
+    )
+    # three hops re-join the same edge set — one persisted copy
+    edges = scoped_persist(edges, spark, sf_dir, "beam_edges")
+    qs = scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
+    beam = (
+        qs.where(F.col("vec_id") == _BEAM_ENTRY)
+        .select("qid", "vec_id", F.col("score").alias("s"))
+    )
+    bw = Window.partitionBy("qid").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    for _hop in range(_BEAM_HOPS):
+        neigh = beam.join(edges, "vec_id").select(
+            "qid", F.col("nbr").alias("vec_id")
+        )
+        cand = (
+            beam.select("qid", "vec_id")
+            .unionByName(neigh)
+            .where(F.col("vec_id") != F.col("qid"))
+            .distinct()
+        )
+        beam = (
+            cand.join(qs, ["qid", "vec_id"])
+            .select("qid", "vec_id", F.col("score").alias("s"))
+            .withColumn("rk", F.row_number().over(bw))
+            .where(F.col("rk") <= _BEAM_W)
+            .select("qid", "vec_id", "s")
+        )
+    return (
+        beam.withColumn("rk", F.row_number().over(bw))
+        .select("qid", "rk", "vec_id", F.col("s").alias("score6"))
+        .orderBy("qid", "rk")
+    )

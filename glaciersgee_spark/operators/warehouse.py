@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from glaciersgee_spark.caches import scoped_persist
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import load_table
 
@@ -1719,8 +1720,8 @@ def q_b_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").alias("yr"), F.col("o_custkey").alias("ck"))
         .distinct()
         .withColumn("hv", F.expr(_KMV_H_SPARK))
-        .persist()
     )
+    d = scoped_persist(d, spark, sf_dir, "kmv_distinct")
 
     def sketch(yr: int, tag: str):
         s = d.where(F.col("yr") == yr)
@@ -3301,4 +3302,189 @@ def q_b_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("volume_c"),
         )
         .orderBy("event_type", "bar_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_bitemporal_asof (round 10) — two-axis temporal query + restatement
+# ---------------------------------------------------------------------------
+
+# Transaction time is synthesized as a deterministic recording lag on
+# top of the valid (business) time: tx = o_orderdate + (o_orderkey %
+# 30) days — late-arriving facts, the reason bitemporal modeling
+# exists. Both cutoffs are literals a reporting job would pin.
+_BT_VALID = "DATE '1996-12-31'"
+_BT_TX = "DATE '1997-01-15'"
+_BT_LAG_SPARK = "date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 30 AS INT))"
+_BT_LAG_DUCK = "CAST(o_orderdate AS DATE) + INTERVAL (o_orderkey % 30) DAY"
+
+
+@query(
+    "q_b_bitemporal_asof",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) <= {_BT_VALID} AS in_valid,
+             ({_BT_LAG_DUCK}) <= {_BT_TX} AS known_by_tx
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN in_valid AND known_by_tx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+           CAST(SUM(CASE WHEN in_valid AND known_by_tx
+                         THEN cents ELSE 0 END) AS BIGINT)
+             AS known_cents,
+           CAST(SUM(CASE WHEN in_valid AND NOT known_by_tx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN in_valid THEN cents ELSE 0 END) AS BIGINT)
+             AS corrected_cents,
+           CAST((CAST(SUM(CASE WHEN in_valid THEN cents ELSE 0 END)
+                      AS HUGEINT)
+                 - SUM(CASE WHEN in_valid AND known_by_tx
+                            THEN cents ELSE 0 END)) * 1000000
+                // GREATEST(SUM(CASE WHEN in_valid THEN cents
+                                     ELSE 0 END), 1) AS BIGINT)
+             AS restatement_ppm
+    FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_b_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of query + restatement audit (round 10) — the
+    two-axis temporal shape (Snodgrass's valid time × transaction
+    time; SQL:2011 application-time + system-time periods) that
+    q_b_pit_join (one axis: system time of a dimension) and
+    q_b_time_travel (snapshot versions) each cover half of: "what did
+    the 1996 book SAY when we closed it on {_BT_TX.split("'")[1]},
+    and what does it say NOW that late-recorded facts have arrived?"
+    Emits, per order priority: the as-of count/total (valid ≤ cutoff
+    AND recorded by the close), the late-arriving count (valid in
+    period but recorded after close), the corrected total, and the
+    restatement in exact ppm — the restatement ledger a finance
+    close actually publishes.
+
+    Exactness: money in integer cents; the restatement numerator
+    rides 128-bit (DECIMAL(38,0) ⟷ HUGEINT, the assoc_rules
+    convention) against a GREATEST(…,1)-guarded denominator. Scale:
+    every flag is scan-side date codegen (both cutoffs prune at the
+    parquet scan on a date-partitioned layout), and the whole op is
+    ONE combinable rollup — no join, no window, no second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.selectExpr(
+        "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        f"CAST(o_orderdate AS DATE) <= {_BT_VALID} AS in_valid",
+        f"({_BT_LAG_SPARK}) <= {_BT_TX} AS known_by_tx",
+    )
+    d38 = "DECIMAL(38,0)"
+    return (
+        f.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("in_valid") & F.col("known_by_tx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_known"),
+            F.sum(
+                F.when(F.col("in_valid") & F.col("known_by_tx"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("known_cents"),
+            F.sum(
+                F.when(F.col("in_valid") & ~F.col("known_by_tx"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_late"),
+            F.sum(F.when(F.col("in_valid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("corrected_cents"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n_known",
+            "known_cents",
+            "n_late",
+            "corrected_cents",
+            f"CAST((CAST(corrected_cents AS {d38}) - known_cents) * 1000000"
+            " DIV GREATEST(corrected_cents, 1) AS BIGINT)"
+            " AS restatement_ppm",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_b_semi_additive (round 10) — last-value-per-period balance rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_semi_additive",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS acct,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS mth,
+             CAST(o_orderdate AS DATE) AS d, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 5 = 0
+    ),
+    eom AS (
+      SELECT acct, mth, cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY acct, mth
+                                     ORDER BY d DESC,
+                                              o_orderkey DESC) AS rk
+        FROM f) WHERE rk = 1
+    )
+    SELECT CAST(f.mth AS TIMESTAMP) AS mth,
+           CAST(COUNT(DISTINCT f.acct) AS BIGINT) AS n_accounts,
+           CAST(SUM(f.cents) AS BIGINT) AS naive_sum_cents,
+           CAST((SELECT SUM(e.cents) FROM eom e
+                 WHERE e.mth = f.mth) AS BIGINT) AS eom_balance_cents
+    FROM f GROUP BY f.mth ORDER BY mth
+    """,
+)
+def q_b_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-ADDITIVE MEASURE rollup (round 10) — the balance/inventory
+    aggregation rule every warehouse kimball-model carries: a balance
+    is additive ACROSS accounts but NOT across time, so a monthly
+    report must take each account's LAST observation in the period
+    and only then sum across accounts. Emitted side by side with the
+    naive all-rows SUM — the number a mis-modeled measure silently
+    produces — so the gap is the visible bug exhibit (the
+    q_b_time_weighted_avg naive-vs-correct convention applied to the
+    period axis).
+
+    Spelling: last-per-(account, period) under the (valid date,
+    orderkey) total order — ROW_NUMBER over a key-bounded window in
+    both engines (§7.4 first()-trap discipline: never first() on an
+    unordered frame); money in exact integer cents. Scale: the window
+    rides (acct, month) partitions — bounded by an account's orders
+    in one month, never corpus-wide; both rollups are combinable;
+    the two aggregates share one scan via the flag projection."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 5 == 0)
+    f = o.select(
+        F.col("o_custkey").alias("acct"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("timestamp_ntz")
+        .alias("mth"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("acct", "mth").orderBy(
+        F.col("d").desc(), F.col("o_orderkey").desc()
+    )
+    eom = (
+        f.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("mth")
+        .agg(F.sum("cents").cast("long").alias("eom_balance_cents"))
+    )
+    naive = f.groupBy("mth").agg(
+        F.countDistinct("acct").cast("long").alias("n_accounts"),
+        F.sum("cents").cast("long").alias("naive_sum_cents"),
+    )
+    return (
+        naive.join(eom, "mth")
+        .select("mth", "n_accounts", "naive_sum_cents", "eom_balance_cents")
+        .orderBy("mth")
     )

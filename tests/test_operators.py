@@ -4010,3 +4010,148 @@ def test_vacuum_retention_boundary(spark):
         .collect()
     }
     assert out == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_match_recognize_error_exclusion_blocks_the_pattern(spark):
+    """Round-10 q_b_match_recognize semantics on a constructed
+    sequence: user 1 matches (view→click→purchase, clean); user 2's
+    click comes AFTER an error → blocked at stage 2; user 3 clicks
+    clean but an error lands between click and purchase → blocked at
+    stage 3. The funnel (no exclusion) would count users 2 and 3 as
+    conversions — the difference IS the op."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+    from glaciersgee_spark.operators.relational import q_b_match_recognize
+    from glaciersgee_spark.tables import load_table
+
+    rows = []
+    seq = {
+        1: ["view", "click", "purchase"],
+        2: ["view", "error", "click", "purchase"],
+        3: ["view", "click", "error", "purchase"],
+    }
+    eid = 0
+    for uid, types in seq.items():
+        for i, t in enumerate(types):
+            rows.append((eid, f"2024-01-01 00:0{i}:00", uid, t, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    import glaciersgee_spark.tables as T
+
+    real = T.load_table
+    try:
+        T.load_table = lambda s, d, n: df if n == "events" else real(s, d, n)
+        import glaciersgee_spark.operators.relational as R
+
+        realr = R.load_table
+        R.load_table = T.load_table
+        try:
+            out = {
+                r.cohort: r
+                for r in q_b_match_recognize(spark, SF_SMOKE).collect()
+            }
+        finally:
+            R.load_table = realr
+    finally:
+        T.load_table = real
+    assert out[1].n_matched == 1  # user 1
+    assert out[2].n_matched == 0 and out[2].n_error_blocked_click == 1
+    assert out[3].n_matched == 0 and out[3].n_error_blocked_click == 0
+
+
+def test_score_knee_on_a_constructed_lorenz_curve(spark):
+    """A corpus of one 1000-char doc and nine 10-char docs has its
+    maximum chord gap right after the big doc: cum_mass·n − cum_cnt·
+    total = 1000·10 − 1·1090 = 8910 at rank 1, vs 910·10 − k·1090
+    declining after — the knee must sit at score 1000, rank 1."""
+    import pyspark.sql.functions as F
+
+    import glaciersgee_spark.operators.curation as C
+    from tests.conftest import SF_SMOKE
+    from glaciersgee_spark.operators.curation import q_e_score_knee
+
+    rows = [(0, "en", "src0", 1000, "x")] + [
+        (i, "en", "src0", 10, "x") for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long,"
+        " text string"
+    )
+    real = C.load_table
+    try:
+        C.load_table = lambda s, d, n: df if n == "documents" else real(s, d, n)
+        out = q_e_score_knee(spark, SF_SMOKE).collect()
+    finally:
+        C.load_table = real
+    assert len(out) == 1
+    r = out[0]
+    assert r.knee_score == 1000 and r.knee_rank == 1
+    assert r.n_docs == 10 and r.total_chars == 1090
+    # gap_ppm = 8910 * 1e6 // (1090 * 10)
+    assert r.gap_ppm == 8910 * 1000000 // (1090 * 10)
+
+
+def test_semi_additive_takes_last_not_sum(spark):
+    """One account with two in-month orders: the naive sum adds both,
+    the semi-additive balance keeps only the later (by date, then
+    orderkey)."""
+    import glaciersgee_spark.operators.warehouse as W
+    from tests.conftest import SF_SMOKE
+    from glaciersgee_spark.operators.warehouse import q_b_semi_additive
+
+    rows = [
+        (1, 5, "1995-01-03", 10.00, "P1"),
+        (2, 5, "1995-01-20", 25.00, "P1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate string,"
+        " o_totalprice double, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(o_orderdate AS DATE) AS o_orderdate",
+        "o_totalprice", "o_orderpriority",
+    )
+    real = W.load_table
+    try:
+        W.load_table = lambda s, d, n: df if n == "orders" else real(s, d, n)
+        out = q_b_semi_additive(spark, SF_SMOKE).collect()
+    finally:
+        W.load_table = real
+    assert len(out) == 1
+    assert out[0].naive_sum_cents == 3500
+    assert out[0].eom_balance_cents == 2500
+
+
+def test_beam_search_stays_inside_graph_reachability(spark):
+    """The beam after H hops can only contain the entry node or nodes
+    reachable from it within H hops of the edge set — re-derive the
+    reachable set by expanding edges H times and assert containment
+    (a regression guard on the frontier construction)."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+    from glaciersgee_spark.operators.similarity import (
+        _BEAM_ENTRY,
+        _BEAM_HOPS,
+        q_e_graph_beam_search,
+        scoped_persist,  # noqa: F401 — module import side effects
+    )
+    from glaciersgee_spark.caches import _SCOPED
+
+    out = q_e_graph_beam_search(spark, SF_SMOKE)
+    got = {(r.qid, r.vec_id) for r in out.collect()}
+    key = next(k for k in _SCOPED if k[2] == "beam_edges")
+    edges = {
+        (r.vec_id, r.nbr) for r in _SCOPED[key].collect()
+    }
+    reach = {_BEAM_ENTRY}
+    for _ in range(_BEAM_HOPS):
+        reach |= {b for (a, b) in edges if a in reach}
+    for qid, vid in got:
+        assert vid in reach, (qid, vid)
