@@ -5137,3 +5137,317 @@ def q_e_score_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_group_kfold (round 10) — leakage-safe grouped cross-validation folds
+# ---------------------------------------------------------------------------
+
+_GKF_K = 5  # folds
+
+
+@query(
+    "q_e_group_kfold",
+    oracle=f"""
+    WITH g AS (
+      SELECT source,
+             CAST(concat('0x', substring(md5(source), 1, 15))
+                  AS BIGINT) % {_GKF_K} AS fold
+      FROM documents GROUP BY source
+    ),
+    asg AS (
+      SELECT d.doc_id, d.lang, d.n_chars, g.fold
+      FROM documents d JOIN g ON d.source = g.source
+    ),
+    per AS (
+      SELECT fold,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM asg GROUP BY fold
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS m FROM per)
+    SELECT p.fold, p.n_docs, p.n_langs, p.n_chars,
+           CAST(p.n_docs * {_GKF_K} * 1000000 // t.n AS BIGINT)
+             AS size_vs_even_ppm,
+           CAST(p.n_chars * {_GKF_K} * 1000000 // t.m AS BIGINT)
+             AS mass_vs_even_ppm
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.fold
+    """,
+)
+def q_e_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED k-fold assignment + balance audit (round 10) — the
+    cross-validation split rule scikit-learn calls GroupKFold, applied
+    the way an eval-contamination-aware curation pipeline must: all
+    docs sharing a SOURCE land in the same fold (near-dups cluster by
+    source — q_e_split_leakage measures exactly the leakage that
+    random row-level folds create), the fold is a pure hash of the
+    group key (stateless, reproducible, no shuffle of a fold table),
+    and the audit reports each fold's size/mass against the even
+    1/k share in exact ppm — the imbalance a group split trades for
+    leakage-freedom (folds can only be as balanced as the group-size
+    distribution allows).
+
+    Determinism: fold = md5(source) mod k through the module's
+    engine-portable 60-bit md5 spelling (conv ⟷ hex-prefix, the
+    q_e_fingerprint convention; engine-native hash() functions differ
+    between Spark and DuckDB and are never used for assignment), so
+    both engines produce the identical fold map.
+    Scale: the group→fold map is one combinable DISTINCT over group
+    keys joined back via broadcast (group cardinality ≪ corpus); the
+    audit is one combinable rollup to k rows."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.expr(
+            "CAST(conv(substring(md5(source), 1, 15), 16, 10)"
+            f" AS BIGINT) % {_GKF_K}"
+        ).alias("fold")
+    )
+    asg = d.join(F.broadcast(g), "source").select(
+        "doc_id", "lang", "n_chars", "fold"
+    )
+    per = asg.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("m"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .selectExpr(
+            "fold",
+            "n_docs",
+            "n_langs",
+            "n_chars",
+            f"CAST(n_docs * {_GKF_K} * 1000000 DIV n AS BIGINT)"
+            " AS size_vs_even_ppm",
+            f"CAST(n_chars * {_GKF_K} * 1000000 DIV m AS BIGINT)"
+            " AS mass_vs_even_ppm",
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_quota_spill (round 10) — mixture quota filling with spillover
+# ---------------------------------------------------------------------------
+
+# Budget: 60% of the corpus, split evenly across sources by the
+# largest-remainder rule; shortfall from under-capacity sources spills
+# proportionally into the remaining capacity of the others.
+_QS_BUDGET_PCT = 60
+
+
+@query(
+    "q_e_quota_spill",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_avail
+      FROM documents WHERE n_chars >= 1000 GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_avail) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_avail) * {_QS_BUDGET_PCT} // 100 AS BIGINT)
+                     AS budget
+            FROM avail),
+    tgt AS (
+      SELECT a.source, a.n_avail, t.budget, t.k,
+             CAST(t.budget // t.k
+                  + CASE WHEN ROW_NUMBER() OVER (ORDER BY a.source)
+                              <= t.budget % t.k
+                         THEN 1 ELSE 0 END AS BIGINT) AS target
+      FROM avail a CROSS JOIN tot t
+    ),
+    r1 AS (
+      SELECT source, n_avail, target,
+             LEAST(target, n_avail) AS take1,
+             GREATEST(target - n_avail, 0) AS short,
+             GREATEST(n_avail - target, 0) AS cap_left
+      FROM tgt
+    ),
+    pool AS (SELECT CAST(SUM(short) AS BIGINT) AS s,
+                    CAST(SUM(cap_left) AS BIGINT) AS rc FROM r1)
+    SELECT r.source, r.n_avail, r.target, r.take1,
+           CAST(LEAST(CASE WHEN p.rc = 0 THEN 0
+                           ELSE CAST(p.s AS HUGEINT) * r.cap_left // p.rc
+                      END, r.cap_left) AS BIGINT) AS spill_extra,
+           CAST(r.take1 + LEAST(CASE WHEN p.rc = 0 THEN 0
+                                     ELSE CAST(p.s AS HUGEINT)
+                                          * r.cap_left // p.rc
+                                END, r.cap_left) AS BIGINT) AS final_take,
+           CAST((r.take1 + LEAST(CASE WHEN p.rc = 0 THEN 0
+                                      ELSE CAST(p.s AS HUGEINT)
+                                           * r.cap_left // p.rc
+                                 END, r.cap_left)) * 1000000
+                // r.target AS BIGINT) AS fill_vs_target_ppm
+    FROM r1 r CROSS JOIN pool p
+    ORDER BY r.source
+    """,
+)
+def q_e_quota_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE-QUOTA FILLING with proportional spillover (round 10) —
+    the sampling-plan step between q_e_mix_weights (what mixture do I
+    want) and q_e_shard_assign (write it out): each source gets an
+    even largest-remainder share of the {_QS_BUDGET_PCT}% token
+    budget, but a source can't supply more than it HAS after the
+    quality gate — so under-capacity sources create a shortfall that
+    spills proportionally into the remaining capacity of the others
+    (one spill round, floor division; the ≤k-doc residual is the
+    documented cost of exactness — a second round would chase it).
+    This is the quota arithmetic every fixed-budget pretraining mix
+    actually runs when a domain runs dry.
+
+    Exactness: every quantity is an integer; the spill product rides
+    128-bit (DECIMAL(38,0) ⟷ HUGEINT); the largest-remainder rank is
+    the deterministic source order. Scale: ONE combinable rollup per
+    source collapses the corpus; everything downstream closes on the
+    k-row source frame (k-row window, broadcast pools)."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.where(F.col("n_chars") >= 1000).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_avail")
+    )
+    tot = avail.agg(
+        F.sum("n_avail").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            f"CAST(SUM(n_avail) * {_QS_BUDGET_PCT} DIV 100 AS BIGINT)"
+        ).alias("budget"),
+    )
+    wsrc = Window.orderBy("source")
+    tgt = (
+        avail.join(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(wsrc))
+        .selectExpr(
+            "source",
+            "n_avail",
+            "CAST(budget DIV k + CASE WHEN rn <= budget % k"
+            " THEN 1 ELSE 0 END AS BIGINT) AS target",
+        )
+    )
+    r1 = tgt.selectExpr(
+        "source",
+        "n_avail",
+        "target",
+        "LEAST(target, n_avail) AS take1",
+        "GREATEST(target - n_avail, 0) AS short",
+        "GREATEST(n_avail - target, 0) AS cap_left",
+    )
+    pool = r1.agg(
+        F.sum("short").cast("long").alias("s"),
+        F.sum("cap_left").cast("long").alias("rc"),
+    )
+    d38 = "DECIMAL(38,0)"
+    extra = (
+        f"LEAST(CASE WHEN rc = 0 THEN 0"
+        f" ELSE CAST(CAST(s AS {d38}) * cap_left DIV rc AS BIGINT)"
+        f" END, cap_left)"
+    )
+    return (
+        r1.join(F.broadcast(pool))
+        .selectExpr(
+            "source",
+            "n_avail",
+            "target",
+            "take1",
+            f"CAST({extra} AS BIGINT) AS spill_extra",
+            f"CAST(take1 + {extra} AS BIGINT) AS final_take",
+            f"CAST((take1 + {extra}) * 1000000 DIV target AS BIGINT)"
+            " AS fill_vs_target_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_e_filter_cascade (round 10) — cascade-gate cost/recall economics
+# ---------------------------------------------------------------------------
+
+# Stage 1: the cheap length gate (bytes already in metadata — O(1)).
+# Stage 2: the "expensive" content gate (tokenizes the text — O(len)):
+# mean word length in [3,5] AND ≥ 60% distinct tokens, exact integer
+# cross-multiplications only.
+_FC_S1 = "CAST(n_chars BETWEEN 200 AND 8000 AS INT)"
+_FC_S2_SPARK = (
+    "CAST(n_chars >= 3 * size(split(text, ' '))"
+    " AND n_chars <= 5 * size(split(text, ' '))"
+    " AND 10 * size(array_distinct(split(text, ' ')))"
+    " >= 6 * size(split(text, ' ')) AS INT)"
+)
+_FC_S2_DUCK = (
+    "CAST(n_chars >= 3 * len(string_split(text, ' '))"
+    " AND n_chars <= 5 * len(string_split(text, ' '))"
+    " AND 10 * len(list_distinct(string_split(text, ' ')))"
+    " >= 6 * len(string_split(text, ' ')) AS INT)"
+)
+
+
+@query(
+    "q_e_filter_cascade",
+    oracle=f"""
+    WITH flags AS (
+      SELECT lang, {_FC_S1} AS s1, {_FC_S2_DUCK} AS s2
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s1) AS BIGINT) AS n_s1_pass,
+           CAST(SUM(s1 * s2) AS BIGINT) AS kept_cascade,
+           CAST(SUM(s2) AS BIGINT) AS kept_full,
+           CAST(SUM(s1 * s2) * 1000000
+                // GREATEST(SUM(s2), 1) AS BIGINT) AS recall_ppm,
+           CAST((COUNT(*) - SUM(s1)) * 1000000
+                // COUNT(*) AS BIGINT) AS cost_saved_ppm
+    FROM flags GROUP BY lang ORDER BY lang
+    """,
+)
+def q_e_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-CASCADE economics (round 10) — the staged-gate pattern
+    every large curation pipeline runs (cheap metadata gate first,
+    expensive content model only on its survivors; the
+    Viola-Jones/candidate-generation shape applied to data cleaning):
+    per lang, how many expensive stage-2 evaluations the cascade
+    SKIPS (cost_saved_ppm — stage 2 never sees stage-1 rejects) and
+    how many stage-2-keepable docs the cheap gate throws away first
+    (recall_ppm vs running stage 2 on everything). The pair is the
+    operating point a pipeline owner tunes: q_e_mcnemar tests whether
+    two gates DISAGREE; THIS op prices chaining them.
+
+    Exactness: both gates are exact integer predicates (length
+    bounds; mean-word-length and distinct-ratio as integer
+    cross-multiplications); ratios are integer ppm with guarded
+    denominators. Scale: both flags are scan-side codegen over ONE
+    pass (the cascade's cost asymmetry is real at 100 TB — stage 2
+    tokenizes, stage 1 reads a metadata column) and the audit is one
+    combinable rollup; zero joins, zero windows."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = d.selectExpr(
+        "lang", f"{_FC_S1} AS s1", f"{_FC_S2_SPARK} AS s2"
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("s1").cast("long").alias("n_s1_pass"),
+            F.sum(F.col("s1") * F.col("s2")).cast("long").alias(
+                "kept_cascade"
+            ),
+            F.sum("s2").cast("long").alias("kept_full"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_s1_pass",
+            "kept_cascade",
+            "kept_full",
+            "CAST(kept_cascade * 1000000 DIV GREATEST(kept_full, 1)"
+            " AS BIGINT) AS recall_ppm",
+            "CAST((n_docs - n_s1_pass) * 1000000 DIV n_docs AS BIGINT)"
+            " AS cost_saved_ppm",
+        )
+        .orderBy("lang")
+    )

@@ -3488,3 +3488,80 @@ def q_b_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("mth", "n_accounts", "naive_sum_cents", "eom_balance_cents")
         .orderBy("mth")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_pop_calendar (round 10) — period-over-period with calendar alignment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_pop_calendar",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE extract(day FROM ts) % 3 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.n,
+           lag(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day)
+             AS prev_row_n,
+           p.n AS prev_day_n,
+           CAST((d.n - p.n) * 1000000 // p.n AS BIGINT) AS dod_ppm,
+           lag(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day)
+             IS NOT DISTINCT FROM p.n AS aligned
+    FROM daily d
+    LEFT JOIN daily p ON p.event_type = d.event_type
+                     AND p.day = d.day - INTERVAL 1 DAY
+    ORDER BY d.event_type, d.day
+    """,
+)
+def q_b_pop_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD with CALENDAR alignment (round 10) — the
+    day-over-day delta every ops dashboard computes, stated as the
+    naive-vs-correct exhibit (the q_b_semi_additive convention): on a
+    series WITH calendar gaps (here day-of-month % 3 = 0 days are
+    missing), `lag()` silently compares against the previous PRESENT
+    row — across a gap that's the wrong denominator — while the
+    correct spelling joins on `day − 1` so the delta is NULL when
+    yesterday doesn't exist. Emits both numbers plus the `aligned`
+    flag (null-safe equality), so the rows where the naive dashboard
+    lies are directly SELECTable.
+
+    Exactness: deltas are integer ppm against the calendar-aligned
+    denominator (NULL on gaps in both engines). Scale: the daily
+    rollup is combinable; the self-join and the lag window both ride
+    the (event_type) key over the DAY-grain frame — bounded by the
+    calendar, not the corpus; at 100 TB the raw scan is the only
+    corpus-sized pass and it prunes date partitions."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.expr("extract(day FROM ts) % 3 <> 0")
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = daily.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("n").alias("prev_day_n"),
+    )
+    return (
+        daily.withColumn("prev_row_n", F.lag("n").over(w))
+        .join(p, ["event_type", "day"], "left")
+        .selectExpr(
+            "event_type",
+            "day",
+            "n",
+            "prev_row_n",
+            "prev_day_n",
+            "CAST((n - prev_day_n) * 1000000 DIV prev_day_n AS BIGINT)"
+            " AS dod_ppm",
+            "prev_row_n <=> prev_day_n AS aligned",
+        )
+        .orderBy("event_type", "day")
+    )

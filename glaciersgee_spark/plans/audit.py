@@ -171,6 +171,16 @@ HEADLINERS = [
     ("q_b_incr_view", "base/delta partials merge on the view key; full-recompute audit joins broadcast; fact scanned once per partial (r9)"),
     ("q_b_listagg", "pre-distincted (brand,type) domain feeds listagg; counts ride a separate combinable rollup (r9)"),
     ("q_e_curriculum", "scan-side integer grading; per-stratum rank windows (4 bounded partitions); interleaved head via TakeOrderedAndProject; pos window on the 48-row panel only (r9)"),
+    ("q_e_ivfpq_append", "merged-generation serve: four artifact scans only (no training lineage); ADC stage pure JVM, one Arrow boundary (the probe panel) (r10)"),
+    ("q_e_ivfpq_drift", "both approx sides are persisted serves; exact side the shared panel Arrow pass; hit joins on (qid, vec_id) (r10)"),
+    ("q_a_harmonize_ols", "daily-mean rollup combinable; (tile,day,band) co-partitioned pair join; fit broadcasts back; zero windows (r10)"),
+    ("q_e_graph_beam_search", "one-time in-cell edge build + scoped persist; 3 hop stages over corpus-size-independent frontiers (r10)"),
+    ("q_b_match_recognize", "CEP pattern as window-free staged conditional mins, single user_id shuffle key (r10)"),
+    ("q_e_score_knee", "chunked prefix sums per (lang, score DIV 256); argmax window on the distinct-score domain (r10)"),
+    ("q_b_bitemporal_asof", "both time axes scan-side date codegen; ONE combinable rollup, no join, no window (r10)"),
+    ("q_b_pop_calendar", "day-grain frame only: lag window and day-1 self-join both ride the calendar, not the corpus (r10)"),
+    ("q_e_quota_spill", "one combinable per-source rollup; k-row window + broadcast pools close the plan (r10)"),
+    ("q_e_filter_cascade", "both gates scan-side codegen in ONE pass; single combinable rollup (r10)"),
 ]
 
 

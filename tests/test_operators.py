@@ -4155,3 +4155,80 @@ def test_beam_search_stays_inside_graph_reachability(spark):
         reach |= {b for (a, b) in edges if a in reach}
     for qid, vid in got:
         assert vid in reach, (qid, vid)
+
+
+def test_quota_spill_conservation_and_caps(spark):
+    """q_e_quota_spill invariants on the real corpus: no source ever
+    takes more than it has or more than target+spill capacity allows;
+    the total final take never exceeds the budget and undershoots it
+    by at most k docs per spill round (the documented floor-division
+    residual)."""
+    from tests.conftest import SF_SMOKE
+    from glaciersgee_spark.operators.curation import q_e_quota_spill
+
+    rows = q_e_quota_spill(spark, SF_SMOKE).collect()
+    k = len(rows)
+    total_target = sum(r.target for r in rows)
+    total_final = sum(r.final_take for r in rows)
+    for r in rows:
+        assert r.final_take <= r.n_avail
+        assert r.take1 == min(r.target, r.n_avail)
+        assert r.spill_extra >= 0
+    assert total_final <= total_target
+    # the spill round recovers everything it can: undershoot is
+    # bounded by k floor residuals OR by genuine capacity exhaustion
+    cap = sum(r.n_avail for r in rows)
+    assert total_final >= min(total_target, cap) - k
+
+
+def test_group_kfold_is_leakage_free_by_construction(spark):
+    """Every source appears in exactly ONE fold (the grouped-split
+    contract), and fold sizes sum to the corpus."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+    from glaciersgee_spark.operators.curation import q_e_group_kfold
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_group_kfold(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    n = d.count()
+    assert sum(r.n_docs for r in rows) == n
+    # leakage check straight from the definition: one fold per source
+    per_src = (
+        d.selectExpr(
+            "source",
+            "CAST(conv(substring(md5(source), 1, 15), 16, 10) AS BIGINT)"
+            " % 5 AS fold",
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(F.max("nf").alias("mx"))
+        .first()
+    )
+    assert per_src.mx == 1
+
+
+def test_pop_calendar_misaligns_exactly_on_gap_rows(spark):
+    """The aligned flag is False precisely where the previous calendar
+    day is missing but an earlier row exists — re-derived from the
+    day set itself."""
+    from tests.conftest import SF_SMOKE
+    from glaciersgee_spark.operators.warehouse import q_b_pop_calendar
+
+    rows = q_b_pop_calendar(spark, SF_SMOKE).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    import datetime
+
+    one = datetime.timedelta(days=1)
+    for tp, rs in by_type.items():
+        days = {r.day for r in rs}
+        for i, r in enumerate(rs):
+            has_prev_day = (r.day - one) in days
+            has_prev_row = i > 0
+            expect_aligned = (not has_prev_row and not has_prev_day) or (
+                has_prev_day and has_prev_row
+            )
+            assert (r.aligned is True) == expect_aligned, (tp, r.day)
