@@ -248,7 +248,7 @@ _R10_NEW: tuple[str, ...] = (
     "q_b_match_recognize", "q_e_graph_beam_search", "q_e_score_knee",
     "q_b_bitemporal_asof", "q_b_semi_additive", "q_a_climatology_zscore",
     "q_e_group_kfold", "q_b_pop_calendar", "q_e_quota_spill",
-    "q_e_filter_cascade",
+    "q_e_filter_cascade", "q_e_beam_persist", "q_e_beam_recall",
 )
 
 _R11_QUEUE: tuple[str, ...] = _STALE_R2[26:] + _R9_NEW + _R10_NEW

@@ -181,6 +181,8 @@ HEADLINERS = [
     ("q_b_pop_calendar", "day-grain frame only: lag window and day-1 self-join both ride the calendar, not the corpus (r10)"),
     ("q_e_quota_spill", "one combinable per-source rollup; k-row window + broadcast pools close the plan (r10)"),
     ("q_e_filter_cascade", "both gates scan-side codegen in ONE pass; single combinable rollup (r10)"),
+    ("q_e_beam_persist", "serve reads only the persisted edge artifact + panel scores; no pair-expansion lineage (r10)"),
+    ("q_e_beam_recall", "approx side IS the persisted beam serve; exact side the shared panel pass (r10)"),
 ]
 
 

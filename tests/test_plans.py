@@ -1544,3 +1544,31 @@ def test_match_recognize_is_window_free_staged_aggregation(spark):
     plan = PI.formatted(q_b_match_recognize(spark, SF_SMOKE))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_beam_persist_serves_from_edge_artifact_only(spark):
+    """q_e_beam_persist's serve plan must read the persisted edge
+    artifact (the `_g1` staging dir) and carry NO pair-expansion or
+    assignment lineage — the O(Σ|cell|²) construction belongs to the
+    build job. One Arrow boundary (the shared panel scores)."""
+    import glaciersgee_spark
+    from glaciersgee_spark.operators.similarity import (
+        q_e_beam_persist,
+        stage_beam_graph,
+    )
+
+    stage_beam_graph(spark, SF_SMOKE)
+    glaciersgee_spark.clear_caches()
+    spark.catalog.clearCache()
+    df = q_e_beam_persist(spark, SF_SMOKE)
+    plan = PI.formatted(df)
+    # every hop re-scans the same artifact: ≥1 _g1 scan, no raw pair join
+    assert "_g1" in plan
+    assert "LocalTableScan" not in plan
+    # no pair-expansion lineage: the build-side join alias never
+    # appears in the serve plan (the in-cell kNN join is build-only)
+    assert "ycid" not in plan
+    # the only Python subtree is the shared panel-score pass (it
+    # appears once per hop reference; no other pandas UDF exists)
+    assert "_cos_panel" in plan or "ArrowEvalPython" in plan
+    assert df.count() == 50
