@@ -87,12 +87,30 @@ def scoped_persist(df: DataFrame, spark, sf_dir: str, tag: str) -> DataFrame:
     and after every clearCache (the storageLevel probe re-persists a
     dropped frame), but repeated calls reuse ONE frame and
     clear_caches() releases it — the register_cache contract.
+
+    CONTRACT: one plan per tag. Every call site sharing a tag must pass
+    the same logical frame — after the first call for a key, the df
+    argument is intentionally ignored and the cached frame served
+    (that IS the dedup the cache exists for). A call site that reused
+    a tag for a different plan would silently get the wrong frame, so
+    the cheap guard below (round-11, ADVICE r10) compares the new df's
+    schema against the cached frame's and raises on mismatch: schema
+    equality won't catch every divergent plan, but it catches the
+    realistic tag-collision accident at zero JVM round-trips beyond
+    the schema fetch the DataFrame already holds.
     """
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     cached = _SCOPED.get(key)
     if cached is None:
         cached = df
         _SCOPED[key] = cached
+    elif cached is not df and cached.schema != df.schema:
+        raise ValueError(
+            f"scoped_persist tag {tag!r} is already bound to a frame with "
+            f"schema {cached.schema.simpleString()}; refusing to serve it "
+            f"for a plan with schema {df.schema.simpleString()} — one plan "
+            "per (app, sf_dir, tag)."
+        )
     if not cached.storageLevel.useMemory and not cached.storageLevel.useDisk:
         cached = cached.persist()
         _SCOPED[key] = cached
