@@ -251,7 +251,9 @@ _R10_NEW: tuple[str, ...] = (
 )
 
 # New in round 11 — queue behind _R10_NEW with the standard lag.
-_R11_NEW: tuple[str, ...] = ()
+_R11_NEW: tuple[str, ...] = (
+    "q_e_beam_append", "q_e_beam_drift",
+)
 
 # Round-11 front (VERDICT r10 item 1, verbatim): the last 5 _STALE_R2
 # + the first 45 _R9_NEW — exactly the driver's 50-row cap. The

@@ -1460,16 +1460,7 @@ def _km_assign(spark: SparkSession, sf_dir: str):
     cent = e.where(F.col("vec_id").between(1, KM_K)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )
-    scored = e.join(F.broadcast(cent)).select(
-        "vec_id", "cid", _cos6("embedding", "cemb").alias("cs")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
-    asg = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cid")
-    )
-    return asg, cent
+    return _cell_assign(e.select("vec_id", "embedding"), cent), cent
 
 
 
@@ -6039,7 +6030,9 @@ def q_e_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_e_graph_beam_search (round 10) — graph-ANN greedy beam search
+# Graph-ANN family (rounds 10-11): greedy beam search over an in-cell
+# kNN graph, its persisted build/serve split, and the incremental
+# edge-append lifecycle.
 # ---------------------------------------------------------------------------
 
 _BEAM_DEG = 4  # out-degree of the in-cell kNN graph
@@ -6047,86 +6040,101 @@ _BEAM_W = 10  # beam width (= the emitted top-k)
 _BEAM_HOPS = 3  # fixed hop budget, unrolled in both engines
 _BEAM_ENTRY = 1  # fixed global entry node (the HNSW entry-point role)
 
+# Cell seeds of the FULL-corpus graph (the q_e_knn_graph convention:
+# seed vectors 1..KM_K) and of the BASE generation (round 11: the
+# corpus before the delta slice arrived loses the delta-member seeds
+# — the graph twin of _kmt_chain_b's stale coarse quantizer).
+_BEAM_SEEDS_FULL = f"vec_id BETWEEN 1 AND {KM_K}"
+_BEAM_SEEDS_BASE = f"vec_id BETWEEN 1 AND {KM_K} AND {_APPEND_BASE}"
 
-def _beam_oracle() -> str:
-    edge_cos = _d_cos6("a.ve", "b.ve", "a.nrm", "b.nrm")
-    hops = []
-    prev = "b0"
-    for h in range(1, _BEAM_HOPS + 1):
-        hops.append(f"""cand{h} AS (
-      SELECT DISTINCT qid, vec_id FROM (
-        SELECT qid, vec_id FROM {prev}
-        UNION ALL
-        SELECT p.qid, e.nbr AS vec_id
-        FROM {prev} p JOIN edges e ON p.vec_id = e.vec_id)
-      WHERE vec_id NOT IN {_RECALL_QIDS} OR vec_id <> qid),
-    b{h} AS (SELECT qid, vec_id, s FROM (
-        SELECT c.qid, c.vec_id, qs.s,
-               ROW_NUMBER() OVER (PARTITION BY c.qid
-                                  ORDER BY qs.s DESC, c.vec_id ASC) AS rk
-        FROM cand{h} c JOIN qs ON qs.qid = c.qid
-                              AND qs.vec_id = c.vec_id
-        WHERE c.vec_id <> c.qid) WHERE rk <= {_BEAM_W})""")
-        prev = f"b{h}"
-    return f"""
-    WITH {_KM_CTES},
-    nodes AS (SELECT a.vec_id, a.cid, v.ve, v.nrm
-              FROM asg a JOIN v USING (vec_id)),
-    edges AS (SELECT vec_id, nbr FROM (
-        SELECT a.vec_id, b.vec_id AS nbr,
-               ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {edge_cos} DESC,
-                                           b.vec_id ASC) AS rk
-        FROM nodes a JOIN nodes b
-          ON a.cid = b.cid AND a.vec_id <> b.vec_id)
-      WHERE rk <= {_BEAM_DEG}),
+# Shared oracle prelude: the doubled corpus view, the query panel, and
+# the panel score matrix every beam chain walks.
+_BEAM_PRELUDE = f"""v AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
     qv AS (SELECT vec_id AS qid, ve AS qvv, nrm AS qn FROM v
            WHERE vec_id IN {_RECALL_QIDS}),
     qs AS (SELECT q.qid, v.vec_id,
                   {_d_cos6('v.ve', 'q.qvv', 'v.nrm', 'q.qn')} AS s
-           FROM v CROSS JOIN qv q),
-    b0 AS (SELECT q.qid, CAST({_BEAM_ENTRY} AS BIGINT) AS vec_id,
+           FROM v CROSS JOIN qv q)"""
+
+
+def _beam_body(pfx: str = "", seed_where: str = _BEAM_SEEDS_FULL) -> str:
+    """The beam chain as a WITH-body fragment: seed cells → nearest-
+    seed assignment → in-cell {_BEAM_DEG}-NN edges → {_BEAM_HOPS}
+    unrolled hop CTEs ending at ``{pfx}b{_BEAM_HOPS}``. ``pfx``
+    prefixes every CTE so two graphs — e.g. the round-11 append
+    generation next to the full rebuild — coexist in one WITH body
+    (the _kmt_rounds convention). Requires _BEAM_PRELUDE earlier in
+    the WITH body."""
+    edge_cos = _d_cos6("a.ve", "b.ve", "a.nrm", "b.nrm")
+    hops = []
+    prev = f"{pfx}b0"
+    for h in range(1, _BEAM_HOPS + 1):
+        hops.append(f"""{pfx}cand{h} AS (
+      SELECT DISTINCT qid, vec_id FROM (
+        SELECT qid, vec_id FROM {prev}
+        UNION ALL
+        SELECT p.qid, e.nbr AS vec_id
+        FROM {prev} p JOIN {pfx}edges e ON p.vec_id = e.vec_id)
+      WHERE vec_id <> qid),
+    {pfx}b{h} AS (SELECT qid, vec_id, s FROM (
+        SELECT c.qid, c.vec_id, qs.s,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                                  ORDER BY qs.s DESC, c.vec_id ASC) AS rk
+        FROM {pfx}cand{h} c JOIN qs ON qs.qid = c.qid
+                              AND qs.vec_id = c.vec_id) WHERE rk <= {_BEAM_W})""")
+        prev = f"{pfx}b{h}"
+    return f"""{pfx}c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
+            FROM v WHERE {seed_where}),
+    {pfx}sc AS (SELECT v.vec_id, c.cid,
+                  {_d_cos6('v.ve', 'c.cve', 'v.nrm', 'c.cnrm')} AS cs
+           FROM v, {pfx}c AS c),
+    {pfx}asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, cid ASC) AS rk
+              FROM {pfx}sc) WHERE rk = 1),
+    {pfx}nodes AS (SELECT a.vec_id, a.cid, v.ve, v.nrm
+              FROM {pfx}asg a JOIN v USING (vec_id)),
+    {pfx}edges AS (SELECT vec_id, nbr FROM (
+        SELECT a.vec_id, b.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {edge_cos} DESC,
+                                           b.vec_id ASC) AS rk
+        FROM {pfx}nodes a JOIN {pfx}nodes b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+      WHERE rk <= {_BEAM_DEG}),
+    {pfx}b0 AS (SELECT q.qid, CAST({_BEAM_ENTRY} AS BIGINT) AS vec_id,
                   qs.s
            FROM qv q JOIN qs ON qs.qid = q.qid
                             AND qs.vec_id = {_BEAM_ENTRY}),
-    {','.join(hops)}
-    SELECT qid, rk, vec_id, s AS score6 FROM (
+    {','.join(hops)}"""
+
+
+def _beam_select(pfx: str = "") -> str:
+    return f"""SELECT qid, rk, vec_id, s AS score6 FROM (
       SELECT qid, vec_id, s,
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY s DESC, vec_id ASC) AS rk
-      FROM b{_BEAM_HOPS})
-    ORDER BY qid, rk
+      FROM {pfx}b{_BEAM_HOPS})
+    ORDER BY qid, rk"""
+
+
+def _beam_oracle(pfx: str = "", seed_where: str = _BEAM_SEEDS_FULL) -> str:
+    return f"""
+    WITH {_BEAM_PRELUDE},
+    {_beam_body(pfx, seed_where)}
+    {_beam_select(pfx)}
     """
 
 
-@query("q_e_graph_beam_search", oracle=_beam_oracle())
-def q_e_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GRAPH-ANN greedy beam search (round 10) — the HNSW/NSW layer-0
-    SERVING shape (Malkov & Yashunin, TPAMI 2018), the graph-based
-    alternative to the module's IVF family: from a fixed entry node,
-    repeatedly expand the current beam's out-edges in a degree-bounded
-    kNN graph, score candidates against the query, and keep the best
-    {_BEAM_W} — a fixed {_BEAM_HOPS}-hop budget unrolled as
-    {_BEAM_HOPS} co-partitioned join+rank stages (the q_e_cc_stars /
-    q_e_kmeans_train bounded-round discipline; no driver loop over
-    data, no recursion). The graph is the in-cell {_BEAM_DEG}-NN edge
-    set (q_e_knn_graph's O(Σ|cell|²)-never-O(n²) construction, kept
-    as edges instead of a ledger) — built once per query panel and
-    reused by all {_BEAM_HOPS} hops via the scoped-persist registry.
-
-    Determinism: edge ranks and beam ranks are 6-dp cosine with
-    vec_id tie-breaks; the hop count and entry are literals, so both
-    engines walk the identical frontier sequence. Scale: per hop the
-    frontier is |panel|×{_BEAM_W}×({_BEAM_DEG}+1) rows — corpus-size-
-    INDEPENDENT — joined against the slim (qid, vec_id, score) panel
-    scores; the only corpus-proportional passes are the one-time edge
-    build and the shared _panel_scores Arrow pass. At 100 TB the edge
-    set is a persisted artifact (the stage_ivf_index economics) and a
-    serve touches O(beam·degree·hops) vectors per query — the whole
-    point of graph ANN."""
-    e = load_table(spark, sf_dir, "embeddings")
-    asg, _cent = _km_assign(spark, sf_dir)
-    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+def _beam_edges(members: DataFrame) -> DataFrame:
+    """In-cell {_BEAM_DEG}-NN edge set from a (vec_id, cid, embedding)
+    membership frame — ONE spelling shared by the in-process search,
+    the staged build, and the append's affected-cell re-rank, so the
+    build and serve graphs cannot desynchronize (ADVICE r10: the IVF
+    family's _coarse_assign/_pq_encode factoring, applied here).
+    O(Σ|cell|²) pair scoring, never O(n²): the self-join is keyed on
+    cid, so each cell's pairs shuffle and rank independently."""
     x = members.select("vec_id", "cid", F.col("embedding").alias("xe"))
     y = members.select(
         F.col("vec_id").alias("nbr"),
@@ -6136,88 +6144,7 @@ def q_e_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = Window.partitionBy("vec_id").orderBy(
         F.col("cs").desc(), F.col("nbr").asc()
     )
-    edges = (
-        x.join(
-            y,
-            (F.col("cid") == F.col("ycid"))
-            & (F.col("vec_id") != F.col("nbr")),
-        )
-        .select("vec_id", "nbr", _cos6("xe", "ye").alias("cs"))
-        .withColumn("rk", F.row_number().over(ew))
-        .where(F.col("rk") <= _BEAM_DEG)
-        .select("vec_id", "nbr")
-    )
-    # three hops re-join the same edge set — one persisted copy
-    edges = scoped_persist(edges, spark, sf_dir, "beam_edges")
-    qs = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
-    beam = (
-        qs.where(F.col("vec_id") == _BEAM_ENTRY)
-        .select("qid", "vec_id", F.col("score").alias("s"))
-    )
-    bw = Window.partitionBy("qid").orderBy(
-        F.col("s").desc(), F.col("vec_id").asc()
-    )
-    for _hop in range(_BEAM_HOPS):
-        neigh = beam.join(edges, "vec_id").select(
-            "qid", F.col("nbr").alias("vec_id")
-        )
-        cand = (
-            beam.select("qid", "vec_id")
-            .unionByName(neigh)
-            .where(F.col("vec_id") != F.col("qid"))
-            .distinct()
-        )
-        beam = (
-            cand.join(qs, ["qid", "vec_id"])
-            .select("qid", "vec_id", F.col("score").alias("s"))
-            .withColumn("rk", F.row_number().over(bw))
-            .where(F.col("rk") <= _BEAM_W)
-            .select("qid", "vec_id", "s")
-        )
     return (
-        beam.withColumn("rk", F.row_number().over(bw))
-        .select("qid", "rk", "vec_id", F.col("s").alias("score6"))
-        .orderBy("qid", "rk")
-    )
-
-
-def stage_beam_graph(spark: SparkSession, sf_dir: str) -> str:
-    """BUILD phase of the graph-ANN lifecycle (round 10): persist the
-    in-cell {_BEAM_DEG}-NN edge set as a parquet artifact under the
-    corpus-fingerprinted staging contract (stage_ivf_index's
-    convention: mtime+size fingerprint, _READY marker, atomic rename).
-    The O(Σ|cell|²) pair scoring runs ONCE per corpus; every serve
-    call reads the slim (vec_id, nbr) edge table back from disk — the
-    HNSW build/serve split, same economics as the IVF artifacts."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        "ggee_ivf_index",
-        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}_g1",
-    )
-    if os.path.exists(os.path.join(staged, "_READY")):
-        return staged
-    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    e = load_table(spark, sf_dir, "embeddings")
-    asg, _cent = _km_assign(spark, sf_dir)
-    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
-    x = members.select("vec_id", "cid", F.col("embedding").alias("xe"))
-    y = members.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("cid").alias("ycid"),
-        F.col("embedding").alias("ye"),
-    )
-    ew = Window.partitionBy("vec_id").orderBy(
-        F.col("cs").desc(), F.col("nbr").asc()
-    )
-    (
         x.join(
             y,
             (F.col("cid") == F.col("ycid"))
@@ -6227,33 +6154,18 @@ def stage_beam_graph(spark: SparkSession, sf_dir: str) -> str:
         .withColumn("rk", F.row_number().over(ew))
         .where(F.col("rk") <= _BEAM_DEG)
         .select("vec_id", "nbr")
-    ).write.mode("overwrite").parquet(f"{tmp}/edges")
-    open(os.path.join(tmp, "_READY"), "w").close()
-    try:
-        os.rename(tmp, staged)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return staged
+    )
 
 
-@query("q_e_beam_persist", oracle=_beam_oracle())
-def q_e_beam_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-ANN SERVE from the persisted edge artifact (round 10) —
-    the production form of q_e_graph_beam_search, completing the
-    build/serve split for the graph family the way q_e_ivf_persist
-    did for IVF: stage_beam_graph pays the O(Σ|cell|²) edge
-    construction once per corpus, and THIS op's plan reads ONLY the
-    read-back (vec_id, nbr) parquet scan plus the shared panel
-    scores — no assignment, no pair expansion, no training lineage
-    (pinned in tests/test_plans.py). Same oracle as the in-process
-    spelling: parity proves the artifact round-trip changes nothing.
-
-    Scale: the serve touches O(beam·degree·hops) edge rows per query
-    via three co-partitioned join+rank stages over corpus-size-
-    independent frontiers — the entire point of graph ANN at 100 TB;
-    the edge scan prunes to the frontier's vec_ids."""
-    staged = stage_beam_graph(spark, sf_dir)
-    edges = spark.read.parquet(f"{staged}/edges")
+def _beam_serve(
+    spark: SparkSession, sf_dir: str, edges: DataFrame
+) -> DataFrame:
+    """The {_BEAM_HOPS}-hop greedy beam walk over a given edge set —
+    ONE spelling shared by every graph-ANN serve (in-process, staged,
+    appended; ADVICE r10). Per hop the frontier is
+    |panel|×{_BEAM_W}×({_BEAM_DEG}+1) rows — corpus-size-INDEPENDENT
+    — joined against the slim shared panel-score frame; no driver
+    loop over data, no recursion (the bounded-round discipline)."""
     qs = scoped_persist(
         _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
     )
@@ -6287,10 +6199,380 @@ def q_e_beam_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_path(sf_dir: str, suffix: str) -> str:
+    """Corpus-fingerprinted staging directory (the stage_ivf_index
+    contract: embeddings mtime+size in the path, so a corpus change
+    invalidates every generation mechanically)."""
+    import os
+    import tempfile
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    return os.path.join(
+        tempfile.gettempdir(),
+        "ggee_ivf_index",
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}"
+        f"_{st.st_size}_{suffix}",
+    )
+
+
+def _stage_publish(tmp: str, staged: str) -> None:
+    """Atomic artifact publish: _READY marker inside tmp, then one
+    rename — readers either see the complete generation or none."""
+    import os
+    import shutil
+
+    open(os.path.join(tmp, "_READY"), "w").close()
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+
+def _cell_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-seed cell assignment (6-dp cosine argmax, ties to the
+    smaller cid) of (vec_id, embedding) rows against an explicit
+    (cid, cemb) centroid frame — the _km_assign spelling with the
+    centroids injectable, so the append path can assign against
+    READ-BACK frozen centroids instead of re-deriving them."""
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "cid", _cos6("embedding", "cemb").alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+@query("q_e_graph_beam_search", oracle=_beam_oracle())
+def q_e_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-ANN greedy beam search (round 10) — the HNSW/NSW layer-0
+    SERVING shape (Malkov & Yashunin, TPAMI 2018), the graph-based
+    alternative to the module's IVF family: from a fixed entry node,
+    repeatedly expand the current beam's out-edges in a degree-bounded
+    kNN graph, score candidates against the query, and keep the best
+    {_BEAM_W} — a fixed {_BEAM_HOPS}-hop budget unrolled as
+    {_BEAM_HOPS} co-partitioned join+rank stages (the q_e_cc_stars /
+    q_e_kmeans_train bounded-round discipline; no driver loop over
+    data, no recursion). The graph is the in-cell {_BEAM_DEG}-NN edge
+    set (q_e_knn_graph's O(Σ|cell|²)-never-O(n²) construction, kept
+    as edges instead of a ledger) — built once per query panel and
+    reused by all {_BEAM_HOPS} hops via the scoped-persist registry.
+
+    Determinism: edge ranks and beam ranks are 6-dp cosine with
+    vec_id tie-breaks; the hop count and entry are literals, so both
+    engines walk the identical frontier sequence. Scale: per hop the
+    frontier is |panel|×{_BEAM_W}×({_BEAM_DEG}+1) rows — corpus-size-
+    INDEPENDENT — joined against the slim (qid, vec_id, score) panel
+    scores; the only corpus-proportional passes are the one-time edge
+    build and the shared _panel_scores Arrow pass. At 100 TB the edge
+    set is a persisted artifact (the stage_ivf_index economics) and a
+    serve touches O(beam·degree·hops) vectors per query — the whole
+    point of graph ANN."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+    # three hops re-join the same edge set — one persisted copy
+    edges = scoped_persist(
+        _beam_edges(members), spark, sf_dir, "beam_edges"
+    )
+    return _beam_serve(spark, sf_dir, edges)
+
+
+def stage_beam_graph(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD phase of the graph-ANN lifecycle (round 10): persist the
+    in-cell {_BEAM_DEG}-NN edge set as a parquet artifact under the
+    corpus-fingerprinted staging contract (stage_ivf_index's
+    convention: mtime+size fingerprint, _READY marker, atomic rename).
+    The O(Σ|cell|²) pair scoring runs ONCE per corpus; every serve
+    call reads the slim (vec_id, nbr) edge table back from disk — the
+    HNSW build/serve split, same economics as the IVF artifacts."""
+    import os
+    import uuid
+
+    staged = _stage_path(sf_dir, "g1")
+    if os.path.exists(os.path.join(staged, "_READY")):
+        return staged
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+    _beam_edges(members).write.mode("overwrite").parquet(f"{tmp}/edges")
+    _stage_publish(tmp, staged)
+    return staged
+
+
+@query("q_e_beam_persist", oracle=_beam_oracle())
+def q_e_beam_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN SERVE from the persisted edge artifact (round 10) —
+    the production form of q_e_graph_beam_search, completing the
+    build/serve split for the graph family the way q_e_ivf_persist
+    did for IVF: stage_beam_graph pays the O(Σ|cell|²) edge
+    construction once per corpus, and THIS op's plan reads ONLY the
+    read-back (vec_id, nbr) parquet scan plus the shared panel
+    scores — no assignment, no pair expansion, no training lineage
+    (pinned in tests/test_plans.py). Same oracle as the in-process
+    spelling: parity proves the artifact round-trip changes nothing.
+
+    Scale: the serve touches O(beam·degree·hops) edge rows per query
+    via three co-partitioned join+rank stages over corpus-size-
+    independent frontiers — the entire point of graph ANN at 100 TB;
+    the edge scan prunes to the frontier's vec_ids."""
+    staged = stage_beam_graph(spark, sf_dir)
+    edges = spark.read.parquet(f"{staged}/edges")
+    return _beam_serve(spark, sf_dir, edges)
+
+
+def stage_beam_base_graph(spark: SparkSession, sf_dir: str) -> str:
+    """BUILD phase of the OLD graph generation (round 11, VERDICT r10
+    item 2's prerequisite): the corpus as it stood before the delta
+    slice ({_APPEND_DELTA}) arrived. Cell seeds are the surviving
+    members of the standard seed range (so the old generation has
+    fewer cells — the graph twin of stage_ivf_base_index's stale
+    coarse quantizer), membership covers base vectors only, and the
+    in-cell {_BEAM_DEG}-NN edge set is computed over that base
+    membership. The artifact carries centroids + postings + edges so
+    the append job can run from READ-BACK state alone."""
+    import os
+    import uuid
+
+    staged = _stage_path(sf_dir, "gb1")
+    if os.path.exists(os.path.join(staged, "_READY")):
+        return staged
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.expr(_APPEND_BASE))
+    cent = base.where(F.col("vec_id").between(1, KM_K)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
+    asg = _cell_assign(base.select("vec_id", "embedding"), cent)
+    asg.write.mode("overwrite").parquet(f"{tmp}/postings")
+    members = (
+        spark.read.parquet(f"{tmp}/postings")
+        .join(e, "vec_id")
+        .select("vec_id", "cid", "embedding")
+    )
+    _beam_edges(members).write.mode("overwrite").parquet(f"{tmp}/edges")
+    _stage_publish(tmp, staged)
+    return staged
+
+
+def stage_beam_append(spark: SparkSession, sf_dir: str) -> str:
+    """DELTA-INGEST phase of the graph family (round 11, VERDICT r10
+    item 2): connect the delta slice into the FROZEN persisted edge
+    set — the q_e_ivfpq_append lifecycle symmetry. Everything reads
+    from the base generation's artifacts (no seed re-derivation, no
+    assignment of base vectors, no pair scoring outside affected
+    cells — pinned in tests/test_plans.py):
+
+    1. Delta vectors are coarse-assigned against the READ-BACK frozen
+       centroids (_cell_assign — the exact build spelling).
+    2. Cells receiving ≥1 delta vector ("affected") get their in-cell
+       {_BEAM_DEG}-NN edge lists re-ranked over the UNIONED
+       membership — this inserts the delta vectors' forward edges AND
+       repairs base vectors' reverse edges to the degree bound in one
+       pass, exactly the HNSW insert's neighbour-list update.
+    3. Untouched cells' edge lists are copied THROUGH parquet scans
+       (never recomputed); the merged generation (centroids carried
+       over + unioned postings + kept∪re-ranked edges) publishes
+       atomically under its own fingerprinted path.
+
+    Because in-cell {_BEAM_DEG}-NN is exact within a cell, the
+    affected-cell re-rank makes the merged edge set IDENTICAL to a
+    full rebuild under the frozen cells — the only staleness is the
+    cell geometry itself (missing delta-era seeds), which
+    q_e_beam_drift prices against the fresh rebuild.
+
+    Scale: the delta pass touches delta vectors (one broadcast-
+    centroid assignment scan) plus the members of affected cells
+    (Σ|affected cell|² pair scoring); at a daily-ingest ratio the
+    affected set is a small fraction of cells and the kept-edge copy
+    is a slim (vec_id, nbr) scan — no corpus-wide recompute."""
+    import os
+    import uuid
+
+    staged = _stage_path(sf_dir, "gm1")
+    if os.path.exists(os.path.join(staged, "_READY")):
+        return staged
+    base_dir = stage_beam_base_graph(spark, sf_dir)
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    # ---- everything below reads ONLY the base artifacts + the table
+    cdf = spark.read.parquet(f"{base_dir}/centroids")
+    bpost = spark.read.parquet(f"{base_dir}/postings")
+    bedges = spark.read.parquet(f"{base_dir}/edges")
+    e = load_table(spark, sf_dir, "embeddings")
+    delta = e.where(F.expr(_APPEND_DELTA)).select("vec_id", "embedding")
+    # frozen-centroid assignment of the delta slice → merged postings
+    dasg = _cell_assign(delta, cdf)
+    merged_post = bpost.unionByName(dasg)
+    merged_post.write.mode("overwrite").parquet(f"{tmp}/postings")
+    merged_post = spark.read.parquet(f"{tmp}/postings")
+    affected = dasg.select("cid").distinct()
+    # affected cells: re-rank in-cell edges over the unioned
+    # membership (delta forward edges + base reverse-edge repair)
+    aff_members = (
+        merged_post.join(F.broadcast(affected), "cid")
+        .join(e, "vec_id")
+        .select("vec_id", "cid", "embedding")
+    )
+    new_edges = _beam_edges(aff_members)
+    # untouched cells: copy the frozen edge lists straight through
+    kept = (
+        bedges.join(bpost, "vec_id")
+        .join(F.broadcast(affected), "cid", "left_anti")
+        .select("vec_id", "nbr")
+    )
+    kept.unionByName(new_edges).write.mode("overwrite").parquet(
+        f"{tmp}/edges"
+    )
+    # centroids carry over unchanged into the merged generation
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
+    _stage_publish(tmp, staged)
+    return staged
+
+
+@query(
+    "q_e_beam_append",
+    oracle=_beam_oracle(pfx="m", seed_where=_BEAM_SEEDS_BASE),
+)
+def q_e_beam_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph-ANN ingest, served (round 11, VERDICT r10
+    item 2): the base edge set was built when only the base slice
+    existed (stage_beam_base_graph — fewer cells, base-only members);
+    the delta slice is connected by frozen-centroid assignment plus
+    affected-cell re-rank (stage_beam_append — artifacts-only inputs,
+    reverse-edge repair, atomic merged publish), and THIS op serves
+    the {_BEAM_HOPS}-hop beam from the merged edges with the exact
+    serve plan q_e_beam_persist uses (shared _beam_serve — only the
+    artifact directory differs).
+
+    The oracle re-derives the base-seed cell geometry and builds the
+    in-cell graph over the FULL corpus — exactly what kept∪re-ranked
+    edges equal, BECAUSE in-cell kNN is exact within a cell and the
+    affected-cell re-rank repairs every neighbour list the delta
+    touches (the docstring argument in stage_beam_append). Recall
+    cost of serving the stale cell geometry is quantified by
+    q_e_beam_drift — the q_e_ivfpq_append/q_e_ivfpq_drift symmetry.
+
+    Scale: identical to q_e_beam_persist's serve — corpus-size-
+    independent frontiers against the pruned merged edge scan."""
+    staged = stage_beam_append(spark, sf_dir)
+    edges = spark.read.parquet(f"{staged}/edges")
+    return _beam_serve(spark, sf_dir, edges)
+
+
+def _beam_drift_oracle() -> str:
+    return f"""
+    WITH {_BEAM_PRELUDE},
+    {_beam_body()},
+    {_beam_body(pfx='m', seed_where=_BEAM_SEEDS_BASE)},
+    rapprox AS (SELECT qid, vec_id FROM b{_BEAM_HOPS}),
+    bapprox AS (SELECT qid, vec_id FROM mb{_BEAM_HOPS}),
+    exact AS (SELECT qid, vec_id FROM (
+                SELECT q.qid, v.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY {_d_cos6('v.ve', 'q.qvv', 'v.nrm', 'q.qn')} DESC,
+                                  v.vec_id ASC) AS rk
+                FROM v CROSS JOIN qv q WHERE v.vec_id <> q.qid
+              ) WHERE rk <= {_RECALL_K}),
+    rh AS (SELECT a.qid, COUNT(*) AS n FROM rapprox a
+           JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+           GROUP BY a.qid),
+    bh AS (SELECT a.qid, COUNT(*) AS n FROM bapprox a
+           JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+           GROUP BY a.qid)
+    SELECT q.qid,
+           CAST(COALESCE(bh.n, 0) AS BIGINT) AS n_hit_append,
+           round(COALESCE(bh.n, 0) / {float(_RECALL_K)}, 6)
+             AS recall_append6,
+           CAST(COALESCE(rh.n, 0) AS BIGINT) AS n_hit_rebuild,
+           round(COALESCE(rh.n, 0) / {float(_RECALL_K)}, 6)
+             AS recall_rebuild6,
+           round(round(COALESCE(rh.n, 0) / {float(_RECALL_K)}, 6)
+                 - round(COALESCE(bh.n, 0) / {float(_RECALL_K)}, 6), 6)
+             AS drift6
+    FROM (SELECT qid FROM qv) q
+    LEFT JOIN rh ON q.qid = rh.qid
+    LEFT JOIN bh ON q.qid = bh.qid
+    ORDER BY q.qid
+    """
+
+
+@query("q_e_beam_drift", oracle=_beam_drift_oracle())
+def q_e_beam_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-drift audit of the APPENDED graph vs a FRESH REBUILD
+    (round 11, the closing leg of VERDICT r10 item 2): per panel
+    query, recall@{_RECALL_K} of (a) the merged append-path
+    generation (frozen base-era cell geometry serving 100% of the
+    corpus) and (b) the full rebuild (cells re-seeded on everything),
+    both against brute-force exact cosine — and their difference,
+    drift6. With q_e_ivfpq_drift this completes the lifecycle audit
+    pair: both ANN families now price their append-vs-rebuild gap,
+    and q_e_retrain_policy turns the two prices into the retrain
+    decision.
+
+    Plan: both approx sides are the persisted serves (artifact edge
+    scans + the shared hop loop); the exact side reuses the shared
+    _panel_scores Arrow pass. All three are deterministic rank
+    spellings, so the drift is hash-exact, not a tolerance check."""
+    appended = q_e_beam_append(spark, sf_dir).select("qid", "vec_id")
+    rebuilt = q_e_beam_persist(spark, sf_dir).select("qid", "vec_id")
+    rkw = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scoped_persist(
+            _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+        )
+        .withColumn("rk", F.row_number().over(rkw))
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    bh = (
+        appended.join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    rh = (
+        rebuilt.join(exact, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("qid")
+    )
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    nr = F.coalesce(F.col("nr"), F.lit(0))
+    return (
+        panel.join(bh, "qid", "left")
+        .join(rh, "qid", "left")
+        .select(
+            "qid",
+            nb.cast("long").alias("n_hit_append"),
+            F.round(nb / float(_RECALL_K), 6).alias("recall_append6"),
+            nr.cast("long").alias("n_hit_rebuild"),
+            F.round(nr / float(_RECALL_K), 6).alias("recall_rebuild6"),
+            F.round(
+                F.round(nr / float(_RECALL_K), 6)
+                - F.round(nb / float(_RECALL_K), 6),
+                6,
+            ).alias("drift6"),
+        )
+        .orderBy("qid")
+    )
+
+
 def _beam_recall_oracle() -> str:
     # reuse the full beam chain, then compare against exact top-10
-    beam_with = _beam_oracle().split("SELECT qid, rk, vec_id")[0].strip()
-    return f"""{beam_with},
+    return f"""
+    WITH {_BEAM_PRELUDE},
+    {_beam_body()},
     approx AS (SELECT qid, vec_id FROM b{_BEAM_HOPS}),
     exact AS (SELECT qid, vec_id FROM (
                 SELECT q.qid, v.vec_id,

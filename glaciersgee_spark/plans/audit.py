@@ -183,6 +183,8 @@ HEADLINERS = [
     ("q_e_filter_cascade", "both gates scan-side codegen in ONE pass; single combinable rollup (r10)"),
     ("q_e_beam_persist", "serve reads only the persisted edge artifact + panel scores; no pair-expansion lineage (r10)"),
     ("q_e_beam_recall", "approx side IS the persisted beam serve; exact side the shared panel pass (r10)"),
+    ("q_e_beam_append", "merged-generation serve: edge scans point at _gm1 only; frozen-cell ingest pairs score only affected cells (r11)"),
+    ("q_e_beam_drift", "both approx sides are persisted beam serves; exact side the shared panel pass; hit joins on (qid, vec_id) (r11)"),
 ]
 
 
