@@ -252,7 +252,7 @@ _R10_NEW: tuple[str, ...] = (
 
 # New in round 11 — queue behind _R10_NEW with the standard lag.
 _R11_NEW: tuple[str, ...] = (
-    "q_e_beam_append", "q_e_beam_drift",
+    "q_e_beam_append", "q_e_beam_drift", "q_e_retrain_policy",
 )
 
 # Round-11 front (VERDICT r10 item 1, verbatim): the last 5 _STALE_R2

@@ -6636,3 +6636,160 @@ def q_e_beam_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_retrain_policy (round 11) — the rebuild-when decision exhibit
+# ---------------------------------------------------------------------------
+
+_RETRAIN_DRIFT_BUDGET = 0.05  # mean recall-loss points tolerated
+_RETRAIN_SHARE_CAP = 0.15  # frozen-codebook delta share tolerated
+
+
+def _retrain_policy_oracle() -> str:
+    # Each drift audit embeds as a self-contained subquery (its own
+    # nested WITH scope), so the two chains' CTE names cannot collide.
+    return f"""
+    WITH idrift AS ({_ivfpq_drift_oracle()}),
+    bdrift AS ({_beam_drift_oracle()}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(CASE WHEN {_APPEND_DELTA} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_delta
+          FROM embeddings),
+    v2 AS (SELECT vec_id, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    bc2 AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm
+            FROM v2 WHERE {_BEAM_SEEDS_BASE}),
+    masg2 AS (SELECT vec_id, cid FROM (
+               SELECT v2.vec_id, bc2.cid,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY v2.vec_id
+                        ORDER BY {_d_cos6('v2.ve', 'bc2.cve',
+                                          'v2.nrm', 'bc2.cnrm')} DESC,
+                                 bc2.cid ASC) AS rk
+               FROM v2, bc2) WHERE rk = 1),
+    touch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_aff FROM masg2
+              WHERE cid IN (SELECT DISTINCT cid FROM masg2
+                            WHERE {_APPEND_DELTA})),
+    stats AS (
+      SELECT 'beam' AS family,
+             round({davg('drift6', scale=6)}, 6) AS mean_drift6,
+             round(MAX(drift6), 6) AS max_drift6
+      FROM bdrift
+      UNION ALL
+      SELECT 'ivfpq',
+             round({davg('drift6', scale=6)}, 6),
+             round(MAX(drift6), 6)
+      FROM idrift)
+    SELECT s.family, s.mean_drift6, s.max_drift6,
+           round(CAST(n.n_delta AS DOUBLE) / n.n_all, 6) AS delta_frac6,
+           CASE s.family WHEN 'ivfpq'
+                THEN round(CAST(n.n_delta AS DOUBLE) / n.n_all, 6)
+                ELSE round(CAST(t.n_aff AS DOUBLE) / n.n_all, 6)
+           END AS touch_frac6,
+           CAST(s.mean_drift6 > {_RETRAIN_DRIFT_BUDGET} AS BOOLEAN)
+             AS drift_breach,
+           CAST(round(CAST(n.n_delta AS DOUBLE) / n.n_all, 6)
+                > {_RETRAIN_SHARE_CAP} AS BOOLEAN) AS share_breach,
+           CAST(s.mean_drift6 > {_RETRAIN_DRIFT_BUDGET}
+                OR round(CAST(n.n_delta AS DOUBLE) / n.n_all, 6)
+                   > {_RETRAIN_SHARE_CAP} AS BOOLEAN) AS rebuild_now
+    FROM stats s, n, touch t
+    ORDER BY s.family
+    """
+
+
+@query("q_e_retrain_policy", oracle=_retrain_policy_oracle())
+def q_e_retrain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrain-cadence decision exhibit (round 11, VERDICT r10 item 5
+    — closes the ANN lifecycle loop): for EACH index family (IVF+PQ
+    coarse quantizer, navigable graph) combine its append-vs-rebuild
+    recall drift (q_e_ivfpq_drift / q_e_beam_drift) with the ingest's
+    cost share into the production rebuild-when rule:
+
+        rebuild_now ⇔ mean drift > {_RETRAIN_DRIFT_BUDGET} recall
+        points  OR  the frozen-codebook delta share exceeds
+        {_RETRAIN_SHARE_CAP} of the corpus.
+
+    Emitted per family: panel-mean and max drift (exact-decimal mean
+    — the audit numbers an owner trends), delta_frac (delta rows /
+    corpus), touch_frac (what the append actually re-scores: delta
+    rows for IVF+PQ's frozen-codebook encode; affected-cell members
+    for the graph's reverse-edge repair — the append/rebuild cost
+    ratio), and the two breach flags with their disjunction. This is
+    THE k-row frame a nightly index-maintenance job materializes to
+    decide whether the slow-cadence rebuild fires and the
+    generations swap (the FAISS train-vs-add economics).
+
+    Plan: both drift inputs are the persisted serves (artifact scans
+    + shared panel pass); the counts are one combinable aggregate
+    over embeddings plus one read of the merged postings artifact —
+    k rows total, no new heavy machinery (the verdict's ask)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_row = (
+        e.agg(
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.sum(
+                F.when(F.expr(_APPEND_DELTA), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_delta"),
+        )
+    )
+    # affected-cell membership from the MERGED postings artifact (the
+    # append job's own output — no re-assignment here)
+    merged = stage_beam_append(spark, sf_dir)
+    post = spark.read.parquet(f"{merged}/postings")
+    aff = post.where(F.expr(_APPEND_DELTA)).select("cid").distinct()
+    touch = post.join(F.broadcast(aff), "cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_aff")
+    )
+    stats = (
+        q_e_beam_drift(spark, sf_dir)
+        .agg(
+            F.round(F.expr(davg("drift6", scale=6)), 6).alias("mean_drift6"),
+            F.round(F.max("drift6"), 6).alias("max_drift6"),
+        )
+        .select(F.lit("beam").alias("family"), "mean_drift6", "max_drift6")
+        .unionByName(
+            q_e_ivfpq_drift(spark, sf_dir)
+            .agg(
+                F.round(F.expr(davg("drift6", scale=6)), 6).alias(
+                    "mean_drift6"
+                ),
+                F.round(F.max("drift6"), 6).alias("max_drift6"),
+            )
+            .select(
+                F.lit("ivfpq").alias("family"), "mean_drift6", "max_drift6"
+            )
+        )
+    )
+    delta_frac = F.round(
+        F.col("n_delta").cast("double") / F.col("n_all"), 6
+    )
+    aff_frac = F.round(F.col("n_aff").cast("double") / F.col("n_all"), 6)
+    return (
+        stats.join(F.broadcast(n_row))
+        .join(F.broadcast(touch))
+        .select(
+            "family",
+            "mean_drift6",
+            "max_drift6",
+            delta_frac.alias("delta_frac6"),
+            F.when(F.col("family") == "ivfpq", delta_frac)
+            .otherwise(aff_frac)
+            .alias("touch_frac6"),
+            (F.col("mean_drift6") > _RETRAIN_DRIFT_BUDGET)
+            .cast("boolean")
+            .alias("drift_breach"),
+            (delta_frac > _RETRAIN_SHARE_CAP)
+            .cast("boolean")
+            .alias("share_breach"),
+            (
+                (F.col("mean_drift6") > _RETRAIN_DRIFT_BUDGET)
+                | (delta_frac > _RETRAIN_SHARE_CAP)
+            )
+            .cast("boolean")
+            .alias("rebuild_now"),
+        )
+        .orderBy("family")
+    )

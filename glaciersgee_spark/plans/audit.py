@@ -185,6 +185,7 @@ HEADLINERS = [
     ("q_e_beam_recall", "approx side IS the persisted beam serve; exact side the shared panel pass (r10)"),
     ("q_e_beam_append", "merged-generation serve: edge scans point at _gm1 only; frozen-cell ingest pairs score only affected cells (r11)"),
     ("q_e_beam_drift", "both approx sides are persisted beam serves; exact side the shared panel pass; hit joins on (qid, vec_id) (r11)"),
+    ("q_e_retrain_policy", "k-row decision frame: drift audits + one combinable count + merged-postings artifact read; broadcast-joined closers (r11)"),
 ]
 
 

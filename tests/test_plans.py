@@ -1649,3 +1649,28 @@ def test_beam_drift_quantifies_append_vs_rebuild(spark):
         assert 0.0 <= r.recall_append6 <= 1.0
         assert 0.0 <= r.recall_rebuild6 <= 1.0
         assert abs(r.drift6 - round(r.recall_rebuild6 - r.recall_append6, 6)) < 1e-9
+
+
+def test_retrain_policy_decision_frame(spark):
+    """q_e_retrain_policy (round 11): one row per ANN family with the
+    rebuild-when disjunction — pins: exactly the two families, flags
+    consistent with their own inputs, and the delta share equal to
+    the corpus's actual delta fraction."""
+    from glaciersgee_spark.operators.similarity import (
+        _RETRAIN_DRIFT_BUDGET,
+        _RETRAIN_SHARE_CAP,
+        q_e_retrain_policy,
+    )
+
+    rows = {r.family: r for r in q_e_retrain_policy(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == ["beam", "ivfpq"]
+    for r in rows.values():
+        assert r.drift_breach == (r.mean_drift6 > _RETRAIN_DRIFT_BUDGET)
+        assert r.share_breach == (r.delta_frac6 > _RETRAIN_SHARE_CAP)
+        assert r.rebuild_now == (r.drift_breach or r.share_breach)
+        assert 0.0 < r.delta_frac6 < 1.0
+        assert r.touch_frac6 >= r.delta_frac6 - 1e-9 or r.family == "ivfpq"
+    # the ivfpq append touches exactly the delta slice; the graph
+    # repair touches every member of a delta-receiving cell
+    assert rows["ivfpq"].touch_frac6 == rows["ivfpq"].delta_frac6
+    assert rows["beam"].touch_frac6 >= rows["beam"].delta_frac6
