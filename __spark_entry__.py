@@ -253,6 +253,8 @@ _R10_NEW: tuple[str, ...] = (
 # New in round 11 — queue behind _R10_NEW with the standard lag.
 _R11_NEW: tuple[str, ...] = (
     "q_e_beam_append", "q_e_beam_drift", "q_e_retrain_policy",
+    "q_e_dbscan_core", "q_e_label_prop", "q_a_hypsometry",
+    "q_b_interval_sweep", "q_e_sampling_temperature", "q_e_dawid_skene",
 )
 
 # Round-11 front (VERDICT r10 item 1, verbatim): the last 5 _STALE_R2

@@ -5451,3 +5451,137 @@ def q_e_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_dawid_skene (round 11) — confusion-matrix label aggregation
+# ---------------------------------------------------------------------------
+
+# Three always-committing binary annotators (keep=1/drop=0). Unlike
+# q_e_weak_label's abstaining LFs with ONE precision weight each,
+# Dawid-Skene models each annotator by a CLASS-CONDITIONAL confusion
+# matrix (sensitivity and specificity separately) — the reason DS
+# beats weighted majority when an annotator is biased toward one
+# answer rather than uniformly noisy.
+_DS_A1 = "CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END"
+
+
+def _ds_votes(ntok: str, nstop: str) -> tuple[str, str, str]:
+    a2 = f"CASE WHEN 25 * ({nstop}) >= ({ntok}) THEN 1 ELSE 0 END"
+    a3 = (
+        f"CASE WHEN n_chars BETWEEN 3 * ({ntok}) AND 9 * ({ntok})"
+        " THEN 1 ELSE 0 END"
+    )
+    return _DS_A1, a2, a3
+
+
+_DS_MAJ = "CASE WHEN v1 + v2 + v3 >= 2 THEN 1 ELSE 0 END"
+
+# One-row global stats: class prior and per-annotator confusion
+# counts vs the majority init (Laplace +1/+2 smoothing keeps every
+# rate strictly inside (0,1), so the log-odds below never diverge).
+_DS_STATS = (
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(maj) AS BIGINT) AS n1, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN v{j} = 1 AND maj = 1 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c11_{j}, "
+        f"CAST(SUM(CASE WHEN v{j} = 0 AND maj = 0 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c00_{j}"
+        for j in (1, 2, 3)
+    )
+)
+
+
+def _ds_score() -> str:
+    """Posterior log-odds of keep=1 for a vote pattern, given the
+    smoothed prior and confusion rates — one expression string shared
+    verbatim by both engines. EACH log-odds term is quantized to the
+    6-dp grid BEFORE the sum (the _d_cos6 discipline): summing raw
+    ln terms lets sub-ulp libm differences accumulate across four
+    terms and flip the final 6-dp round (observed at sf0.01);
+    per-term rounding pins the sum to exact grid values.
+
+    Literal discipline: every numeric literal is e-notation (1e0),
+    which parses as DOUBLE in BOTH engines — a bare `1.0` is
+    DECIMAL(2,1) to Spark and DOUBLE to DuckDB, and BIGINT + DECIMAL
+    promotes the whole chain to scale-collapsed decimal division
+    (observed: 0.053251 vs 0.053250773…, a 4e-6 score shift)."""
+    prior = "round(ln((n1 + 1e0) / (n - n1 + 1e0)), 6)"
+    terms = []
+    for j in (1, 2, 3):
+        sens = f"((c11_{j} + 1e0) / (n1 + 2e0))"
+        spec = f"((c00_{j} + 1e0) / (n - n1 + 2e0))"
+        terms.append(
+            f"round(CASE WHEN v{j} = 1 THEN ln({sens} / (1e0 - {spec}))"
+            f" ELSE ln((1e0 - {sens}) / {spec}) END, 6)"
+        )
+    return " + ".join([prior, *terms])
+
+
+def _dawid_skene_oracle() -> str:
+    a1, a2, a3 = _ds_votes(_WL_NTOK_D, _WL_NSTOP_D)
+    return f"""
+    WITH votes AS (SELECT {a1} AS v1, {a2} AS v2, {a3} AS v3
+                   FROM documents),
+    m AS (SELECT v1, v2, v3, {_DS_MAJ} AS maj FROM votes),
+    stats AS (SELECT {_DS_STATS} FROM m),
+    pat AS (SELECT v1, v2, v3, maj AS mv_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM m GROUP BY v1, v2, v3, maj)
+    SELECT p.v1, p.v2, p.v3, p.n_docs, p.mv_label,
+           round({_ds_score()}, 6) AS ds_score6,
+           CAST(round({_ds_score()}, 6) > 0 AS BOOLEAN) AS ds_label
+    FROM pat p, stats
+    ORDER BY p.v1, p.v2, p.v3
+    """
+
+
+@query("q_e_dawid_skene", oracle=_dawid_skene_oracle())
+def q_e_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAWID-SKENE annotator aggregation, one EM round (Dawid &
+    Skene, JRSS-C 1979 — the crowd-labeling standard): initialize
+    true labels by majority vote, estimate each annotator's
+    CLASS-CONDITIONAL confusion matrix (sensitivity AND specificity,
+    Laplace-smoothed) against that init, then re-decide every vote
+    pattern by the posterior log-odds — emitted as the full DECISION
+    TABLE: per observed (v1,v2,v3) pattern, the document count, the
+    majority label, the DS posterior score, and the DS label. The
+    rows where ds_label ≠ mv_label are the patterns where modeling
+    bias separately from noise CHANGES the answer — the entire value
+    proposition of DS over q_e_weak_label's single-weight vote (a
+    biased annotator's "1" and "0" carry different evidence; one
+    precision weight cannot express that).
+
+    Exactness: votes and confusion counts are pure BIGINT scan-side
+    codegen; the posterior is k ln/division terms evaluated on the
+    ONE broadcast stats row, rounded at 6 dp (the module's ln
+    discipline — no float aggregation anywhere). Scale: one corpus
+    scan computes all three votes + majority; stats is one
+    combinable global aggregate; the decision table is an ≤8-row
+    rollup cross-joined with the stats row."""
+    d = load_table(spark, sf_dir, "documents")
+    a1, a2, a3 = _ds_votes(_WL_NTOK_S, _WL_NSTOP_S)
+    m = d.selectExpr(
+        f"{a1} AS v1", f"{a2} AS v2", f"{a3} AS v3"
+    ).selectExpr("*", f"{_DS_MAJ} AS maj")
+    m = scoped_persist(m, spark, sf_dir, "ds_votes")
+    stats = m.selectExpr(*_DS_STATS.split(", "))
+    pat = (
+        m.groupBy("v1", "v2", "v3", F.col("maj").alias("mv_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    score = _ds_score()
+    return (
+        pat.join(F.broadcast(stats))
+        .selectExpr(
+            "v1",
+            "v2",
+            "v3",
+            "n_docs",
+            "mv_label",
+            f"round({score}, 6) AS ds_score6",
+            f"CAST(round({score}, 6) > 0 AS BOOLEAN) AS ds_label",
+        )
+        .orderBy("v1", "v2", "v3")
+    )

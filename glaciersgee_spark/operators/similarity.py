@@ -6793,3 +6793,212 @@ def q_e_retrain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_dbscan_core / q_e_label_prop (round 11) — density roles and
+# one-round label propagation over the cell-bounded neighbor structure
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS = 0.20  # cosine similarity threshold (6-dp compare)
+_DBSCAN_MINPTS = 5  # neighbors (excl. self) required for a core point
+
+
+def _dbscan_oracle() -> str:
+    pair_cos = _d_cos6("a.ve", "b.ve", "a.nrm", "b.nrm")
+    return f"""
+    WITH {_KM_CTES},
+    m AS (SELECT a.vec_id, a.cid, v.ve, v.nrm
+          FROM asg a JOIN v USING (vec_id)),
+    nbr AS (SELECT a.vec_id, b.vec_id AS nbr
+            FROM m a JOIN m b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            WHERE {pair_cos} >= {_DBSCAN_EPS}),
+    cnt AS (SELECT m.vec_id, m.cid,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_nbr
+            FROM m LEFT JOIN (SELECT vec_id, COUNT(*) AS n
+                              FROM nbr GROUP BY vec_id) c
+              ON m.vec_id = c.vec_id),
+    core AS (SELECT vec_id FROM cnt WHERE n_nbr >= {_DBSCAN_MINPTS}),
+    bord AS (SELECT DISTINCT n.vec_id FROM nbr n
+             JOIN core k ON n.nbr = k.vec_id
+             WHERE n.vec_id NOT IN (SELECT vec_id FROM core))
+    SELECT c.vec_id, c.cid, c.n_nbr,
+           CASE WHEN c.n_nbr >= {_DBSCAN_MINPTS} THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM cnt c LEFT JOIN bord b ON c.vec_id = b.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@query("q_e_dbscan_core", oracle=_dbscan_oracle())
+def q_e_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density roles (Ester et al., KDD 1996) over the
+    embedding corpus, cell-bounded (round 11): a vector is CORE if it
+    has ≥ {_DBSCAN_MINPTS} in-cell neighbors at cosine ≥
+    {_DBSCAN_EPS}, BORDER if it is not core but ε-reaches one, NOISE
+    otherwise — the density triage a curation pipeline runs before
+    density-aware sampling (core = redundant mass a sampler can
+    thin; noise = the long tail an outlier audit inspects; the
+    q_e_embed_outliers / q_e_diversity_sample neighbors in one
+    labeled frame).
+
+    The ε-neighborhood is evaluated INSIDE the seed-cell partition
+    (the q_e_knn_graph / q_e_dbscan convention everywhere in this
+    module): Σ|cell|² pair scoring, never O(n²) — the standard
+    grid/partition pruning every spatial DBSCAN uses, here with the
+    cell radius chosen by the shared coarse quantizer. Cross-cell
+    neighbors are deliberately out of scope and documented (they
+    only DEMOTE roles near cell boundaries; the roles are
+    per-partition-exact, the 100 TB contract).
+
+    Exactness: 6-dp cosine compares, integer counts, role by CASE —
+    hash-exact. Scale: the pair join is keyed on cid (one shuffle),
+    the count one combinable rollup, the border check a semi-join of
+    the slim neighbor frame against the core set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    m = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+    x = m.select("vec_id", "cid", F.col("embedding").alias("xe"))
+    y = m.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("cid").alias("ycid"),
+        F.col("embedding").alias("ye"),
+    )
+    nbr = (
+        x.join(
+            y,
+            (F.col("cid") == F.col("ycid"))
+            & (F.col("vec_id") != F.col("nbr")),
+        )
+        .where(_cos6("xe", "ye") >= _DBSCAN_EPS)
+        .select("vec_id", "nbr")
+    )
+    nbr = scoped_persist(nbr, spark, sf_dir, "dbscan_nbr")
+    cnt = m.select("vec_id", "cid").join(
+        nbr.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n")),
+        "vec_id",
+        "left",
+    ).select(
+        "vec_id",
+        "cid",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_nbr"),
+    )
+    core = cnt.where(F.col("n_nbr") >= _DBSCAN_MINPTS).select("vec_id")
+    bord = (
+        nbr.join(core.withColumnRenamed("vec_id", "nbr"), "nbr")
+        .select("vec_id")
+        .join(core, "vec_id", "left_anti")
+        .distinct()
+        .withColumn("is_border", F.lit(True))
+    )
+    return (
+        cnt.join(bord, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            "n_nbr",
+            F.when(F.col("n_nbr") >= _DBSCAN_MINPTS, F.lit("core"))
+            .when(F.col("is_border"), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _label_prop_oracle() -> str:
+    edge_cos = _d_cos6("a.ve", "b.ve", "a.nrm", "b.nrm")
+    return f"""
+    WITH {_KM_CTES},
+    m AS (SELECT a.vec_id, a.cid, v.ve, v.nrm
+          FROM asg a JOIN v USING (vec_id)),
+    edges AS (SELECT vec_id, nbr FROM (
+        SELECT a.vec_id, b.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {edge_cos} DESC,
+                                           b.vec_id ASC) AS rk
+        FROM m a JOIN m b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+      WHERE rk <= {_BEAM_DEG}),
+    lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+            FROM embeddings),
+    votes AS (SELECT e.vec_id, l.label AS nlabel, COUNT(*) AS n
+              FROM edges e JOIN lbl l ON e.nbr = l.vec_id
+              GROUP BY e.vec_id, l.label),
+    winner AS (SELECT vec_id, nlabel FROM (
+                 SELECT vec_id, nlabel,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY n DESC,
+                                                    nlabel ASC) AS rk
+                 FROM votes) WHERE rk = 1)
+    SELECT l.label AS old_label,
+           COALESCE(w.nlabel, l.label) AS new_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM lbl l LEFT JOIN winner w ON l.vec_id = w.vec_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@query("q_e_label_prop", oracle=_label_prop_oracle())
+def q_e_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of LABEL PROPAGATION (Zhu & Ghahramani, CMU 2002 —
+    the graph-SSL baseline) over the shared in-cell {_BEAM_DEG}-NN
+    graph (round 11): each vector adopts the MODE of its out-
+    neighbors' labels (ties to the smaller label id; isolated
+    vectors keep their own), and the op emits the old→new TRANSITION
+    MATRIX — the frame an annotation owner reads to see which
+    classes bleed into which under the embedding geometry (diagonal
+    mass = geometric label consistency, the same signal
+    q_e_knn_classify scores as accuracy but resolved per class
+    pair).
+
+    Reuses the exact _beam_edges spelling for the graph (6-dp
+    cosine, vec_id tie-break, degree {_BEAM_DEG}) so the SSL walk
+    and the ANN serve read the SAME structure — one graph, many
+    consumers (the artifact economics of stage_beam_graph apply
+    verbatim at scale). One propagation round is the deterministic
+    exhibit; the fixed-point loop is this op inside the
+    q_e_kmeans_train bounded-round discipline.
+
+    Exactness: integer vote counts, ROW_NUMBER tie-breaks, BIGINT
+    census — hash-exact. Scale: edge build Σ|cell|² once (scoped-
+    persist/artifact), votes one (vec,label) rollup, census one
+    k²-row rollup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cent = _km_assign(spark, sf_dir)
+    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+    edges = scoped_persist(
+        _beam_edges(members), spark, sf_dir, "beam_edges"
+    )
+    lbl = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    votes = (
+        edges.join(
+            lbl.select(
+                F.col("vec_id").alias("nbr"), F.col("label").alias("nlabel")
+            ),
+            "nbr",
+        )
+        .groupBy("vec_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("n").desc(), F.col("nlabel").asc()
+    )
+    winner = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "nlabel")
+    )
+    return (
+        lbl.join(winner, "vec_id", "left")
+        .select(
+            F.col("label").alias("old_label"),
+            F.coalesce(F.col("nlabel"), F.col("label")).alias("new_label"),
+        )
+        .groupBy("old_label", "new_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("old_label", "new_label")
+    )

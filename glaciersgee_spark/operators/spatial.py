@@ -34,7 +34,7 @@ DuckDB executes happily at test scale.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import load_table
@@ -1297,4 +1297,124 @@ def q_a_area_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0 + 0.5) AS BIGINT) AS naive_mean_c6",
         )
         .orderBy("sector")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_a_hypsometry (round 11) — elevation-band distribution + AAR
+# ---------------------------------------------------------------------------
+
+_HYPSO_ELA = 4200  # equilibrium-line altitude (m) for the AAR cut
+
+
+@query(
+    "q_a_hypsometry",
+    oracle=f"""
+    WITH pts AS (SELECT user_id % 10 AS glacier_id,
+                        3000 + (event_id * 17) % 2500 AS elev
+                 FROM events),
+    bands AS (SELECT glacier_id, (elev // 100) * 100 AS band,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN elev >= {_HYPSO_ELA}
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_acc
+              FROM pts GROUP BY 1, 2),
+    cum AS (SELECT glacier_id, band, n, n_acc,
+                   SUM(n) OVER (PARTITION BY glacier_id
+                                ORDER BY band ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum_n,
+                   SUM(n) OVER (PARTITION BY glacier_id) AS tot,
+                   SUM(n_acc) OVER (PARTITION BY glacier_id) AS tot_acc,
+                   MIN(band) OVER (PARTITION BY glacier_id) AS zmin,
+                   MAX(band) OVER (PARTITION BY glacier_id) AS zmax
+            FROM bands)
+    SELECT glacier_id,
+           CAST(tot AS BIGINT) AS n_points,
+           CAST(zmin AS BIGINT) AS zmin_band,
+           CAST(zmax AS BIGINT) AS zmax_band,
+           CAST(MIN(CASE WHEN cum_n * 2 >= tot THEN band END)
+                AS BIGINT) AS z_median_band,
+           round(CAST(MAX(tot_acc) AS DOUBLE) / MAX(tot), 6) AS aar6
+    FROM cum
+    GROUP BY glacier_id, tot, zmin, zmax
+    ORDER BY glacier_id
+    """,
+)
+def q_a_hypsometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLACIER HYPSOMETRY + AAR (round 11) — the reference package's
+    home discipline: per glacier outline, the elevation-band (100 m)
+    area distribution collapsed to the hypsometric summary every
+    mass-balance study tabulates (Cogley et al., IACS glossary 2011):
+    point count, lowest/highest band, the HYPSOMETRIC MEDIAN band
+    (first band where cumulative area reaches half — the median of
+    the hypsometric curve), and the ACCUMULATION-AREA RATIO at a
+    fixed ELA of {_HYPSO_ELA} m (area share at/above the equilibrium
+    line — THE first-order glacier-health index; AAR time series are
+    how GEE-based glacier monitoring detects retreat). Elevations
+    are the module's deterministic key-derived integers (the
+    synthetic tables carry no DEM, q_a_terrain_slope's convention).
+
+    Plan shape: one combinable (glacier, band) rollup carrying BOTH
+    the area and the above-ELA counts (the AAR cut is scan-side
+    codegen, not a second pass), then per-glacier windows over ≤25
+    BAND rows — the window partition is the band domain, never the
+    corpus — and a k-row close. At 100 TB: the rollup is the only
+    corpus pass; everything after runs on |glaciers|×|bands| rows.
+    Exactness: integer bands/counts, one IEEE division per glacier
+    at the 6-dp close."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("glacier_id"),
+        (F.lit(3000) + (F.col("event_id") * 17) % 2500).alias("elev"),
+    )
+    bands = (
+        ev.groupBy(
+            "glacier_id",
+            (F.floor(F.col("elev") / 100) * 100).alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("elev") >= _HYPSO_ELA, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_acc"),
+        )
+    )
+    g = Window.partitionBy("glacier_id")
+    cumw = g.orderBy(F.col("band").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bands.select(
+        "glacier_id",
+        "band",
+        "n",
+        "n_acc",
+        F.sum("n").over(cumw).alias("cum_n"),
+        F.sum("n").over(g).alias("tot"),
+        F.sum("n_acc").over(g).alias("tot_acc"),
+        F.min("band").over(g).alias("zmin"),
+        F.max("band").over(g).alias("zmax"),
+    )
+    return (
+        cum.groupBy("glacier_id", "tot", "zmin", "zmax")
+        .agg(
+            F.min(
+                F.when(F.col("cum_n") * 2 >= F.col("tot"), F.col("band"))
+            )
+            .cast("long")
+            .alias("z_median_band"),
+            F.round(
+                F.max("tot_acc").cast("double") / F.max("tot"), 6
+            ).alias("aar6"),
+        )
+        .select(
+            "glacier_id",
+            F.col("tot").cast("long").alias("n_points"),
+            F.col("zmin").cast("long").alias("zmin_band"),
+            F.col("zmax").cast("long").alias("zmax_band"),
+            "z_median_band",
+            "aar6",
+        )
+        .orderBy("glacier_id")
     )

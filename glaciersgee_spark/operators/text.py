@@ -2930,3 +2930,102 @@ def q_e_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_sampling_temperature (round 11) — temperature-scaled mixture
+# ---------------------------------------------------------------------------
+
+# 6-dp integer quantizer of tokens^tau = exp(tau·ln tokens): the
+# powered masses become exact BIGINTs BEFORE the normalizing sum, so
+# the only cross-engine float surface is the scalar exp/ln pair (the
+# module's established ln discipline), never a float SUM order.
+def _st_qpow(tau: str) -> str:
+    return (
+        f"CAST(floor(exp({tau} * ln(CAST(tokens AS DOUBLE)))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+@query(
+    "q_e_sampling_temperature",
+    oracle=f"""
+    WITH tok AS (SELECT source,
+                        CAST(SUM(n_chars) // 4 AS BIGINT) AS tokens
+                 FROM documents GROUP BY source),
+    p AS (SELECT source, tokens,
+                 {_st_qpow('0.3')} AS q3,
+                 {_st_qpow('0.7')} AS q7
+          FROM tok),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t_all,
+                   CAST(SUM(q3) AS BIGINT) AS t3,
+                   CAST(SUM(q7) AS BIGINT) AS t7
+            FROM p)
+    SELECT p.source, p.tokens,
+           round(CAST(p.tokens AS DOUBLE) / t.t_all, 6) AS p_raw6,
+           round(CAST(p.q3 AS DOUBLE) / t.t3, 6) AS p_tau3_6,
+           round(CAST(p.q7 AS DOUBLE) / t.t7, 6) AS p_tau7_6,
+           round((CAST(t.t_all AS DOUBLE) / 2) * p.q7
+                 / (CAST(t.t7 AS DOUBLE) * p.tokens), 6) AS epochs_tau7_6
+    FROM p, tot t
+    ORDER BY p.source
+    """,
+)
+def q_e_sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED MIXTURE WEIGHTS (round 11) — the
+    multilingual/multi-source sampling-temperature recipe (exponential
+    smoothing p_s ∝ m_s^τ; mBERT's τ=0.7, XLM-R §3.1): per source,
+    the raw token share, the τ=0.3 and τ=0.7 smoothed sampling
+    probabilities, and the EFFECTIVE EPOCH COUNT each source sustains
+    at a half-corpus training budget under τ=0.7 — the frame that
+    shows WHY temperature matters: low-resource sources are
+    up-sampled into multi-epoch repetition (their epochs > 1, the
+    memorization-risk number q_e_dup_inflation prices) while head
+    sources dilute. Sits between q_e_mix_weights (fixed target mix)
+    and q_e_quota_spill (hard quotas) as the smooth-interpolation
+    member of the mixture family.
+
+    Exactness: tokens are exact BIGINTs; each powered mass exp(τ·ln m)
+    is quantized to a 6-dp BIGINT BEFORE the normalizing sums, so
+    sums are exact integer folds (no float accumulation order) and
+    each output is one IEEE division rounded at 6 dp. Scale: one
+    combinable per-source rollup, one k-row global row broadcast
+    back — the corpus is scanned once for n_chars only."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.expr("CAST(SUM(n_chars) DIV 4 AS BIGINT)").alias("tokens")
+    )
+    p = tok.select(
+        "source",
+        "tokens",
+        F.expr(_st_qpow("0.3")).alias("q3"),
+        F.expr(_st_qpow("0.7")).alias("q7"),
+    )
+    tot = p.agg(
+        F.sum("tokens").cast("long").alias("t_all"),
+        F.sum("q3").cast("long").alias("t3"),
+        F.sum("q7").cast("long").alias("t7"),
+    )
+    return (
+        p.join(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("tokens").cast("double") / F.col("t_all"), 6).alias(
+                "p_raw6"
+            ),
+            F.round(F.col("q3").cast("double") / F.col("t3"), 6).alias(
+                "p_tau3_6"
+            ),
+            F.round(F.col("q7").cast("double") / F.col("t7"), 6).alias(
+                "p_tau7_6"
+            ),
+            F.round(
+                (F.col("t_all").cast("double") / 2)
+                * F.col("q7")
+                / (F.col("t7").cast("double") * F.col("tokens")),
+                6,
+            ).alias("epochs_tau7_6"),
+        )
+        .orderBy("source")
+    )

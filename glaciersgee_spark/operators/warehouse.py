@@ -3565,3 +3565,108 @@ def q_b_pop_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_interval_sweep (round 11) — sweep-line max concurrency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_interval_sweep",
+    oracle="""
+    WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                       MIN(ts) AS tmin, MAX(ts) AS tmax
+                FROM events GROUP BY 1, 2),
+    b AS (SELECT d, ts, SUM(s) AS starts, SUM(e) AS ends
+          FROM (SELECT d, tmin AS ts, 1 AS s, 0 AS e FROM iv
+                UNION ALL
+                SELECT d, tmax AS ts, 0 AS s, 1 AS e FROM iv)
+          GROUP BY d, ts),
+    c AS (SELECT d, ts,
+                 SUM(starts) OVER (PARTITION BY d ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING)
+                 - (SUM(ends) OVER (PARTITION BY d ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) - ends)
+                   AS conc
+          FROM b),
+    mx AS (SELECT d, MAX(conc) AS m FROM c GROUP BY d),
+    n AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_intervals
+          FROM iv GROUP BY d)
+    SELECT c.d AS day, n.n_intervals,
+           CAST(mx.m AS BIGINT) AS max_concurrent,
+           MIN(c.ts) AS peak_ts
+    FROM c JOIN mx ON c.d = mx.d AND c.conc = mx.m
+    JOIN n ON n.d = c.d
+    GROUP BY c.d, n.n_intervals, mx.m
+    ORDER BY day
+    """,
+)
+def q_b_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SWEEP-LINE MAX CONCURRENCY (round 11) — the classic interval
+    warehouse question ("peak simultaneous sessions per day") by the
+    textbook +1/−1 boundary sweep, windowed PER DAY: each user's
+    daily activity span [first event, last event] contributes a start
+    and an end boundary; boundaries aggregate to one row per distinct
+    instant; running starts-inclusive minus ends-exclusive is the
+    concurrency AT each instant (an interval ending exactly when
+    another starts still overlaps it — the inclusive-touch
+    convention); the day's answer is the max and the FIRST instant
+    achieving it. Complements q_b_sessionize (which builds intervals)
+    and q_b_join_interval (which joins them) with the aggregate the
+    capacity planner actually reads.
+
+    Scale shape: the corpus pass is ONE combinable (user, day)
+    min/max rollup; the sweep then runs over ≤ 2·|users| boundary
+    rows per day — the window partition is the DAY, so days sweep in
+    parallel and no global ordering exists anywhere (the
+    q_b_pop_calendar calendar-grain discipline). Peak selection is a
+    self-equi-join on (day, max) — no second window. Exactness:
+    BIGINT counters, timestamp min — hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.min("ts").alias("tmin"), F.max("ts").alias("tmax"))
+    )
+    iv = scoped_persist(iv, spark, sf_dir, "interval_sweep_iv")
+    starts = iv.select(
+        "d", F.col("tmin").alias("ts"), F.lit(1).alias("s"), F.lit(0).alias("e")
+    )
+    ends = iv.select(
+        "d", F.col("tmax").alias("ts"), F.lit(0).alias("s"), F.lit(1).alias("e")
+    )
+    b = (
+        starts.unionByName(ends)
+        .groupBy("d", "ts")
+        .agg(F.sum("s").alias("starts"), F.sum("e").alias("ends"))
+    )
+    cumw = Window.partitionBy("d").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.select(
+        "d",
+        "ts",
+        (
+            F.sum("starts").over(cumw)
+            - (F.sum("ends").over(cumw) - F.col("ends"))
+        ).alias("conc"),
+    )
+    c = scoped_persist(c, spark, sf_dir, "interval_sweep_conc")
+    mx = c.groupBy("d").agg(F.max("conc").alias("m"))
+    n = iv.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    return (
+        c.join(mx, "d")
+        .where(F.col("conc") == F.col("m"))
+        .join(n, "d")
+        .groupBy(F.col("d").alias("day"), "n_intervals", "m")
+        .agg(F.min("ts").alias("peak_ts"))
+        .select(
+            "day",
+            "n_intervals",
+            F.col("m").cast("long").alias("max_concurrent"),
+            "peak_ts",
+        )
+        .orderBy("day")
+    )

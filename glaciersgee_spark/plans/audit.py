@@ -186,6 +186,12 @@ HEADLINERS = [
     ("q_e_beam_append", "merged-generation serve: edge scans point at _gm1 only; frozen-cell ingest pairs score only affected cells (r11)"),
     ("q_e_beam_drift", "both approx sides are persisted beam serves; exact side the shared panel pass; hit joins on (qid, vec_id) (r11)"),
     ("q_e_retrain_policy", "k-row decision frame: drift audits + one combinable count + merged-postings artifact read; broadcast-joined closers (r11)"),
+    ("q_e_dbscan_core", "cid-keyed pair join (never O(n²)); one count rollup; border via slim semi-join against the core set (r11)"),
+    ("q_e_label_prop", "shared in-cell kNN edges (scoped persist); one (vec,label) vote rollup; k²-row transition census (r11)"),
+    ("q_a_hypsometry", "one combinable (glacier,band) rollup carrying area+AAR counts; windows over the band domain only (r11)"),
+    ("q_b_interval_sweep", "one (user,day) min/max rollup; day-partitioned sweep over boundary rows; peak via self-equi-join, no second window (r11)"),
+    ("q_e_sampling_temperature", "per-source rollup; powered masses 6-dp BIGINT before exact normalizing sums; one broadcast totals row (r11)"),
+    ("q_e_dawid_skene", "one scan for votes+majority; one combinable confusion rollup broadcast to the ≤8-row decision table (r11)"),
 ]
 
 

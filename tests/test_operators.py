@@ -4232,3 +4232,128 @@ def test_pop_calendar_misaligns_exactly_on_gap_rows(spark):
                 has_prev_day and has_prev_row
             )
             assert (r.aligned is True) == expect_aligned, (tp, r.day)
+
+
+def test_dbscan_roles_are_consistent_with_neighbor_counts(spark):
+    """Round-11 density triage: core ⇔ n_nbr ≥ minPts; border points
+    have ≥1 neighbor (they ε-reach a core); every vector appears
+    exactly once; roles partition the corpus."""
+    from glaciersgee_spark.operators.similarity import (
+        _DBSCAN_MINPTS,
+        q_e_dbscan_core,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_dbscan_core(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n
+    roles = {"core": 0, "border": 0, "noise": 0}
+    for r in rows:
+        roles[r.role] += 1
+        assert (r.role == "core") == (r.n_nbr >= _DBSCAN_MINPTS)
+        if r.role == "border":
+            assert 1 <= r.n_nbr < _DBSCAN_MINPTS
+    # the chosen (eps, minPts) must yield a non-degenerate triage
+    assert roles["core"] > 0 and roles["noise"] > 0
+
+
+def test_label_prop_census_covers_corpus_and_respects_degree(spark):
+    """The transition matrix sums to the corpus; propagated labels
+    come from the label alphabet; isolated vectors keep their own
+    label (old == new contributions exist on the diagonal)."""
+    from glaciersgee_spark.operators.similarity import q_e_label_prop
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_label_prop(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    labels = {r.label for r in e.select("label").distinct().collect()}
+    assert sum(r.n_vecs for r in rows) == n
+    for r in rows:
+        assert r.old_label in labels and r.new_label in labels
+    assert any(r.old_label == r.new_label for r in rows)
+
+
+def test_hypsometry_summary_is_internally_consistent(spark):
+    """Per glacier: bands bracket the median band, AAR in [0,1], and
+    n_points sums to the corpus row count."""
+    from glaciersgee_spark.operators.spatial import q_a_hypsometry
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_a_hypsometry(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_points for r in rows) == n
+    for r in rows:
+        assert r.zmin_band <= r.z_median_band <= r.zmax_band
+        assert 0.0 <= r.aar6 <= 1.0
+        # synthetic elevations span [3000, 5500)
+        assert 3000 <= r.zmin_band and r.zmax_band <= 5400
+
+
+def test_interval_sweep_peak_is_reproducible_per_day(spark):
+    """Brute-force check on one day: the sweep's max equals the max
+    over instants of intervals covering that instant (inclusive
+    ends), and peak_ts achieves it."""
+    from glaciersgee_spark.operators.warehouse import q_b_interval_sweep
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_b_interval_sweep(spark, SF_SMOKE).collect()
+    assert rows, "no days"
+    day = rows[0]
+    iv = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("user_id", "CAST(ts AS DATE) AS d", "ts")
+        .where(F.col("d") == day.day)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("a"), F.max("ts").alias("b"))
+        .collect()
+    )
+    assert day.n_intervals == len(iv)
+
+    def conc(t):
+        return sum(1 for r in iv if r.a <= t <= r.b)
+
+    instants = sorted({r.a for r in iv} | {r.b for r in iv})
+    mx = max(conc(t) for t in instants)
+    assert day.max_concurrent == mx
+    assert conc(day.peak_ts) == mx
+    assert all(conc(t) < mx for t in instants if t < day.peak_ts)
+
+
+def test_sampling_temperature_flattens_toward_uniform(spark):
+    """τ < 1 compresses the mixture: every p column sums to 1, and the
+    max/min probability ratio strictly shrinks as τ drops 1 → 0.7 →
+    0.3 (the whole point of temperature sampling)."""
+    from glaciersgee_spark.operators.text import q_e_sampling_temperature
+
+    rows = q_e_sampling_temperature(spark, SF_SMOKE).collect()
+    for col in ("p_raw6", "p_tau3_6", "p_tau7_6"):
+        assert abs(sum(getattr(r, col) for r in rows) - 1.0) < 1e-3
+
+    def spread(col):
+        vals = [getattr(r, col) for r in rows]
+        return max(vals) / min(vals)
+
+    assert spread("p_tau3_6") < spread("p_tau7_6") < spread("p_raw6")
+    # up-sampled tail sources repeat; the head dilutes below 1 epoch
+    tail = min(rows, key=lambda r: r.tokens)
+    head = max(rows, key=lambda r: r.tokens)
+    assert tail.epochs_tau7_6 > head.epochs_tau7_6
+
+
+def test_dawid_skene_decision_table_is_coherent(spark):
+    """Patterns partition the corpus; mv_label is the pattern's own
+    majority; the DS label agrees with the sign of the DS score; and
+    unanimous patterns keep their unanimous answer (smoothed
+    confusion can't overturn 3-0 votes here)."""
+    from glaciersgee_spark.operators.curation import q_e_dawid_skene
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_dawid_skene(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert r.mv_label == (1 if r.v1 + r.v2 + r.v3 >= 2 else 0)
+        assert r.ds_label == (r.ds_score6 > 0)
+        if r.v1 == r.v2 == r.v3:
+            assert r.ds_label == (r.v1 == 1)
