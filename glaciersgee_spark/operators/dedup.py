@@ -3441,3 +3441,109 @@ def q_e_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_dedup_ordering (round 11) — cascade-order economics for dedup
+# ---------------------------------------------------------------------------
+
+# Stage keys: the cheap EXACT signature (md5 of the raw text — the
+# q_e_dedup_exact spelling) and a more expensive NEAR proxy (md5 of
+# the 20-token prefix — prefix-window duplicates survive small tail
+# edits, the q_e_window_dedup family's cheapest member).
+_DO_EK_S = "md5(text)"
+_DO_EK_D = "md5(text)"
+_DO_NK_S = "md5(concat_ws(' ', slice(split(text, ' '), 1, 20)))"
+_DO_NK_D = "md5(array_to_string(string_split(text, ' ')[1:20], ' '))"
+
+
+def _dedup_ordering_oracle() -> str:
+    return f"""
+    WITH k AS (SELECT doc_id, {_DO_EK_D} AS ek, {_DO_NK_D} AS nk
+               FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM k),
+    e1 AS (SELECT MIN(doc_id) AS doc_id, ek FROM k GROUP BY ek),
+    ef_s2 AS (SELECT e1.doc_id, k.nk FROM e1 JOIN k USING (doc_id)),
+    ef AS (SELECT CAST(COUNT(*) AS BIGINT) AS s2_in,
+                  CAST(COUNT(*) - COUNT(DISTINCT nk) AS BIGINT)
+                    AS s2_removed
+           FROM ef_s2),
+    n1 AS (SELECT MIN(doc_id) AS doc_id, nk FROM k GROUP BY nk),
+    nf_s2 AS (SELECT n1.doc_id, k.ek FROM n1 JOIN k USING (doc_id)),
+    nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS s2_in,
+                  CAST(COUNT(*) - COUNT(DISTINCT ek) AS BIGINT)
+                    AS s2_removed
+           FROM nf_s2)
+    SELECT 'exact_first' AS ordering,
+           n.n_docs - ef.s2_in AS stage1_removed,
+           ef.s2_in AS stage2_input, ef.s2_removed AS stage2_removed,
+           ef.s2_in - ef.s2_removed AS survivors
+    FROM n, ef
+    UNION ALL
+    SELECT 'near_first',
+           n.n_docs - nf.s2_in, nf.s2_in, nf.s2_removed,
+           nf.s2_in - nf.s2_removed
+    FROM n, nf
+    ORDER BY ordering
+    """
+
+
+@query("q_e_dedup_ordering", oracle=_dedup_ordering_oracle())
+def q_e_dedup_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-CASCADE ORDERING economics (round 11) — the pipeline
+    design question every corpus curator answers once and re-answers
+    at every scale change: run the CHEAP exact pass before or after
+    the EXPENSIVE near pass? Both orders are executed end-to-end
+    (min-doc_id survivor per key, the module's canonical convention)
+    and the op emits, per ordering, each stage's removals, the
+    second stage's INPUT SIZE — the number that is the expensive
+    stage's bill — and the final survivor count. The exhibit's
+    punchline at any real corpus: exact-first shrinks the near
+    stage's workload by the exact-dup mass at near-zero cost, while
+    near-first pays the shingle/banding machinery on rows exact
+    would have deleted for free (the q_e_filter_cascade economics,
+    applied to the dedup family; q_e_curation_funnel shows ONE
+    order's funnel — this prices BOTH).
+
+    Scale shape: one scan computes both signatures; each ordering is
+    two hash aggregates on slim (doc_id, key) frames; the outputs
+    are two one-row aggregates cross-joined with the corpus count —
+    no windows, no joins wider than the survivor sets."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.selectExpr("doc_id", f"{_DO_EK_S} AS ek", f"{_DO_NK_S} AS nk")
+    k = scoped_persist(k, spark, sf_dir, "dedup_ordering_keys")
+    n = k.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    def stage2(first_key: str, second_key: str) -> DataFrame:
+        s1 = k.groupBy(first_key).agg(F.min("doc_id").alias("doc_id"))
+        s2 = s1.select("doc_id").join(k, "doc_id").select(second_key)
+        return s2.agg(
+            F.count(F.lit(1)).cast("long").alias("s2_in"),
+            (F.count(F.lit(1)) - F.countDistinct(second_key))
+            .cast("long")
+            .alias("s2_removed"),
+        )
+
+    ef = stage2("ek", "nk")
+    nf = stage2("nk", "ek")
+    row_e = (
+        n.join(F.broadcast(ef))
+        .select(
+            F.lit("exact_first").alias("ordering"),
+            (F.col("n_docs") - F.col("s2_in")).alias("stage1_removed"),
+            F.col("s2_in").alias("stage2_input"),
+            F.col("s2_removed").alias("stage2_removed"),
+            (F.col("s2_in") - F.col("s2_removed")).alias("survivors"),
+        )
+    )
+    row_n = (
+        n.join(F.broadcast(nf))
+        .select(
+            F.lit("near_first").alias("ordering"),
+            (F.col("n_docs") - F.col("s2_in")).alias("stage1_removed"),
+            F.col("s2_in").alias("stage2_input"),
+            F.col("s2_removed").alias("stage2_removed"),
+            (F.col("s2_in") - F.col("s2_removed")).alias("survivors"),
+        )
+    )
+    return row_e.unionByName(row_n).orderBy("ordering")

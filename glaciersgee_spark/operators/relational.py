@@ -4432,3 +4432,60 @@ def q_b_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_b_star_join (round 11) — two-broadcast-dim star rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b_star_join",
+    oracle=f"""
+    SELECT p.p_brand, s.s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum('l.l_quantity')} AS sum_qty,
+           {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 10 AND s.s_nationkey < 10
+    GROUP BY p.p_brand, s.s_nationkey
+    ORDER BY p.p_brand, s.s_nationkey
+    """,
+)
+def q_b_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-SCHEMA rollup (round 11) — the canonical warehouse shape
+    (Kimball star: one fact, several selective dims) that every
+    BI-on-Spark deployment runs hourly: lineitem fact joined to TWO
+    filtered dimensions at once, measures rolled up by attributes
+    drawn from BOTH dims. Complements q_b_join_broadcast (one dim,
+    join mechanics) and q_b_join_dpp (partition pruning through one
+    dim) with the multi-dim composition where the plan shape is the
+    whole game: BOTH dims must broadcast (p_size/s_nationkey filters
+    make them tiny), so the fact is scanned ONCE and never shuffled
+    before the aggregate — two back-to-back BroadcastHashJoins inside
+    one whole-stage-codegen span, then the only exchange is the
+    partial→final rollup on the (brand, nation) grouping key. At
+    100 TB that plan is the difference between two fact shuffles
+    (ruinous) and none; Catalyst picks it from the size stats alone,
+    and AQE re-plans if a dim filter stops being selective.
+
+    Measures ride the exact-decimal pattern (pricing_summary's
+    convention), so the hash is stable under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 10)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr(dsum("l_quantity")).alias("sum_qty"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("p_brand", "s_nationkey")
+    )

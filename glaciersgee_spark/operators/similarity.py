@@ -7002,3 +7002,106 @@ def q_e_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
         .orderBy("old_label", "new_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_lsh_multiprobe (round 11) — 1-bit-flip multi-probe LSH
+# ---------------------------------------------------------------------------
+
+_MP_FLIPS = [2**k for k in range(PLANES_PER_BAND)]
+
+
+@query(
+    "q_e_lsh_multiprobe",
+    oracle=f"""
+    WITH p AS (SELECT {_PF_DUCK} AS pf),
+    v AS (SELECT vec_id, label, {_D_VEC} AS ve, {_D_NRM} AS nrm FROM embeddings),
+    d AS (SELECT vec_id, ve, nrm, {_DUCK_DOTS} AS dots FROM v, p),
+    bk AS (SELECT vec_id, {_DUCK_BUCKETS} AS buckets FROM d),
+    bands AS (SELECT vec_id,
+                     CAST(generate_subscripts(buckets, 1) - 1 AS BIGINT) AS band,
+                     CAST(unnest(buckets) AS BIGINT) AS bucket
+              FROM bk),
+    qb AS (SELECT band, bucket FROM bands WHERE vec_id = 0),
+    probes AS (SELECT band, bucket FROM qb
+               UNION
+               SELECT qb.band, xor(qb.bucket, CAST(f.p AS BIGINT))
+               FROM qb, (SELECT unnest({_MP_FLIPS}) AS p) f),
+    cand AS (SELECT DISTINCT b.vec_id
+             FROM probes JOIN bands b ON probes.band = b.band
+                                     AND probes.bucket = b.bucket
+             WHERE b.vec_id <> 0),
+    single AS (SELECT DISTINCT b.vec_id
+               FROM qb JOIN bands b ON qb.band = b.band
+                                   AND qb.bucket = b.bucket
+               WHERE b.vec_id <> 0),
+    q AS (SELECT ve AS qv, nrm AS qn FROM v WHERE vec_id = 0)
+    SELECT v.vec_id, v.label,
+           {_d_cos6('v.ve', 'q.qv', 'v.nrm', 'q.qn')} AS score,
+           CAST(s.vec_id IS NULL AS BOOLEAN) AS via_flip
+    FROM cand c JOIN v ON c.vec_id = v.vec_id
+    LEFT JOIN single s ON c.vec_id = s.vec_id, q
+    ORDER BY score DESC, v.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_e_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH top-k (Lv et al., VLDB 2007) — the recall
+    lever that does NOT cost another index copy (round 11): besides
+    the query's own SRP bucket per band, probe every bucket at
+    Hamming distance 1 (flip each of the {PLANES_PER_BAND} sign
+    bits), because a near neighbor that lands one sign away is the
+    COMMON failure mode of q_e_sim_topk_lsh's single probe. The
+    top-20 re-rank is exact cosine over the widened candidate set,
+    and each hit carries via_flip — True when ONLY a flipped probe
+    found it, the inline exhibit of what multi-probe bought (the
+    tuning trade q_e_ann_cost / q_e_ann_recall price for the single-
+    probe path).
+
+    Scale: candidates grow by ≤ the flipped buckets' occupancy
+    (≈ ({PLANES_PER_BAND}+1)× single-probe fan-out, still ≪ corpus);
+    probes are {N_BANDS}×({PLANES_PER_BAND}+1) broadcast rows joined
+    against the SAME bucket-partitioned bands index, so the 100 TB
+    layout is unchanged — multi-probe is purely more index lookups,
+    the entire point of the technique."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bands = _banded(spark, sf_dir)
+    qb = bands.where(F.col("vec_id") == 0).select("band", "bucket")
+    flips = F.explode(
+        F.array(*[F.lit(p) for p in _MP_FLIPS])
+    ).alias("p")
+    probes = (
+        qb.unionByName(
+            qb.select("band", "bucket", flips).select(
+                "band",
+                F.expr("bucket ^ p").cast("long").alias("bucket"),
+            )
+        )
+        .distinct()
+    )
+    nz = bands.where(F.col("vec_id") != 0)
+    cand = (
+        nz.join(F.broadcast(probes), ["band", "bucket"])
+        .select("vec_id")
+        .distinct()
+    )
+    single = (
+        nz.join(F.broadcast(qb), ["band", "bucket"])
+        .select("vec_id")
+        .distinct()
+        .withColumn("hit1", F.lit(True))
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    return (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(q))
+        .join(F.broadcast(single), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            _cos6("embedding", "qemb").alias("score"),
+            F.col("hit1").isNull().cast("boolean").alias("via_flip"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )

@@ -36,6 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from glaciersgee_spark.caches import scoped_persist
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import load_table
 
@@ -1415,6 +1416,127 @@ def q_a_hypsometry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("zmax").cast("long").alias("zmax_band"),
             "z_median_band",
             "aar6",
+        )
+        .orderBy("glacier_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_a_snowline_interp (round 11) — interpolated transient-snowline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_a_snowline_interp",
+    oracle="""
+    WITH pts AS (SELECT user_id % 10 AS glacier_id,
+                        3000 + (event_id * 17) % 2500 AS elev,
+                        CASE WHEN 3000 + (event_id * 17) % 2500
+                                  + (event_id * 13) % 600 >= 4400
+                             THEN 1 ELSE 0 END AS snow
+                 FROM events),
+    bands AS (SELECT glacier_id, (elev // 100) * 100 AS band,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(snow) AS BIGINT) AS n_snow
+              FROM pts GROUP BY 1, 2),
+    f AS (SELECT glacier_id, band, n, n_snow,
+                 CAST(n_snow AS DOUBLE) / n AS frac,
+                 LAG(CAST(n_snow AS DOUBLE) / n)
+                   OVER (PARTITION BY glacier_id ORDER BY band) AS pfrac
+          FROM bands),
+    x AS (SELECT glacier_id, band, frac, pfrac FROM f
+          WHERE frac >= 0.5e0 AND (pfrac IS NULL OR pfrac < 0.5e0)),
+    first_x AS (SELECT glacier_id, MIN(band) AS cross_band FROM x
+                GROUP BY glacier_id)
+    SELECT b.glacier_id, CAST(COUNT(*) AS BIGINT) AS n_bands,
+           MAX(fx.cross_band) AS cross_band,
+           round(MAX(CASE WHEN x.pfrac IS NULL THEN CAST(x.band AS DOUBLE) + 50
+                          ELSE x.band - 50 + (0.5e0 - x.pfrac) * 100
+                               / (x.frac - x.pfrac) END), 6) AS snowline6
+    FROM bands b
+    LEFT JOIN first_x fx ON b.glacier_id = fx.glacier_id
+    LEFT JOIN x ON x.glacier_id = fx.glacier_id
+                AND x.band = fx.cross_band
+    GROUP BY b.glacier_id
+    ORDER BY b.glacier_id
+    """,
+)
+def q_a_snowline_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSIENT-SNOWLINE ELEVATION, linearly interpolated
+    (round 11) — the other first-order glacier-health index next to
+    q_a_hypsometry's AAR (the snowline at the end of the ablation
+    season ≈ the ELA; GEE snow-mapping pipelines derive it from
+    band thresholds exactly like this): per glacier, the per-100 m
+    band SNOW FRACTION (a deterministic key-derived indicator with
+    ±600 m noise around a 4400 m transition, so bands straddle the
+    line), the FIRST ascending band where the fraction crosses 0.5,
+    and the snowline as the linear interpolation between that band's
+    center and its predecessor's (a glacier already snow-covered at
+    its lowest band reports that band's center; one with no crossing
+    reports NULL — honest, not a sentinel).
+
+    Plan shape: the q_a_hypsometry discipline verbatim — one
+    combinable (glacier, band) rollup carrying both counts, a LAG
+    over the ≤25-band domain, a k-row crossing select and close; the
+    corpus is scanned once. Exactness: integer counts, one IEEE
+    division per band, interpolation on 6-dp-rounded doubles with
+    e-notation literals (the cross-dialect DOUBLE discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("glacier_id"),
+        (F.lit(3000) + (F.col("event_id") * 17) % 2500).alias("elev"),
+        F.when(
+            F.lit(3000)
+            + (F.col("event_id") * 17) % 2500
+            + (F.col("event_id") * 13) % 600
+            >= 4400,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("snow"),
+    )
+    bands = ev.groupBy(
+        "glacier_id", (F.floor(F.col("elev") / 100) * 100).alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("snow").cast("long").alias("n_snow"),
+    )
+    bands = scoped_persist(bands, spark, sf_dir, "snowline_bands")
+    w = Window.partitionBy("glacier_id").orderBy("band")
+    f = bands.select(
+        "glacier_id",
+        "band",
+        (F.col("n_snow").cast("double") / F.col("n")).alias("frac"),
+    ).withColumn("pfrac", F.lag("frac").over(w))
+    x = f.where(
+        (F.col("frac") >= 0.5) & (F.col("pfrac").isNull() | (F.col("pfrac") < 0.5))
+    )
+    first_x = x.groupBy("glacier_id").agg(F.min("band").alias("cross_band"))
+    xj = x.select(
+        F.col("glacier_id").alias("xg"),
+        F.col("band").alias("xband"),
+        "frac",
+        "pfrac",
+    )
+    snow_expr = F.when(
+        F.col("pfrac").isNull(), F.col("xband").cast("double") + 50
+    ).otherwise(
+        F.col("xband")
+        - 50
+        + (F.lit(0.5) - F.col("pfrac")) * 100 / (F.col("frac") - F.col("pfrac"))
+    )
+    return (
+        bands.join(F.broadcast(first_x), "glacier_id", "left")
+        .join(
+            F.broadcast(xj),
+            (F.col("glacier_id") == F.col("xg"))
+            & (F.col("xband") == F.col("cross_band")),
+            "left",
+        )
+        .groupBy("glacier_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bands"),
+            F.max("cross_band").alias("cross_band"),
+            F.round(F.max(snow_expr), 6).alias("snowline6"),
         )
         .orderBy("glacier_id")
     )

