@@ -256,7 +256,7 @@ _R11_NEW: tuple[str, ...] = (
     "q_e_dbscan_core", "q_e_label_prop", "q_a_hypsometry",
     "q_b_interval_sweep", "q_e_sampling_temperature", "q_e_dawid_skene",
     "q_b_star_join", "q_a_snowline_interp", "q_e_dedup_ordering",
-    "q_e_lsh_multiprobe",
+    "q_e_lsh_multiprobe", "q_e_bloom_fpp", "q_e_mattr",
 )
 
 # Round-11 front (VERDICT r10 item 1, verbatim): the last 5 _STALE_R2

@@ -3547,3 +3547,124 @@ def q_e_dedup_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row_e.unionByName(row_n).orderBy("ordering")
+
+
+# ---------------------------------------------------------------------------
+# q_e_bloom_fpp (round 11) — Bloom-filter sizing audit: planned vs measured
+# ---------------------------------------------------------------------------
+
+_BF_M = 2048  # filter bits (deliberately tight so the FPP is visible)
+_BF_K = 3  # hash functions
+
+_BF_POS_S = (
+    "CAST(conv(substring(md5(concat(ek, '#', CAST(i AS STRING))), 1, 15),"
+    f" 16, 10) AS BIGINT) % {_BF_M}"
+)
+_BF_POS_D = (
+    "CAST(concat('0x', substring(md5(concat(ek, '#', CAST(i AS VARCHAR))),"
+    f" 1, 15)) AS BIGINT) % {_BF_M}"
+)
+
+
+def _bloom_fpp_oracle() -> str:
+    return f"""
+    WITH keys AS (SELECT DISTINCT md5(text) AS ek, doc_id % 5 = 0 AS held
+                  FROM (SELECT text, MIN(doc_id) AS doc_id
+                        FROM documents GROUP BY text)),
+    ins AS (SELECT ek FROM keys WHERE NOT held),
+    ho AS (SELECT ek FROM keys WHERE held),
+    ipos AS (SELECT DISTINCT {_BF_POS_D} AS pos
+             FROM ins, (SELECT unnest([0, 1, 2]) AS i)),
+    hpos AS (SELECT ek, i, {_BF_POS_D} AS pos
+             FROM ho, (SELECT unnest([0, 1, 2]) AS i)),
+    hits AS (SELECT h.ek, CAST(COUNT(*) AS BIGINT) AS n_hit
+             FROM hpos h JOIN ipos p ON h.pos = p.pos
+             GROUP BY h.ek),
+    agg AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ins) AS n_ins,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM ho) AS n_held,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM ipos) AS bits_set,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+                    WHERE n_hit = {_BF_K}) AS n_fp)
+    SELECT n_ins, n_held, CAST({_BF_M} AS BIGINT) AS m,
+           CAST({_BF_K} AS BIGINT) AS k, bits_set,
+           round(CAST(bits_set AS DOUBLE) / {_BF_M}, 6) AS fill6,
+           round((CAST(bits_set AS DOUBLE) / {_BF_M})
+                 * (CAST(bits_set AS DOUBLE) / {_BF_M})
+                 * (CAST(bits_set AS DOUBLE) / {_BF_M}), 6)
+             AS planned_fpp6,
+           n_fp,
+           round(CAST(n_fp AS DOUBLE) / n_held, 6) AS measured_fpp6
+    FROM agg
+    """
+
+
+@query("q_e_bloom_fpp", oracle=_bloom_fpp_oracle())
+def q_e_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER SIZING AUDIT (round 11) — planned vs MEASURED
+    false-positive probability, the number q_e_bloom_dedup's design
+    rests on (Bloom, CACM 1970; FPP ≈ fill^k): insert the distinct
+    exact signatures of 80% of the corpus into an m={_BF_M}, k={_BF_K}
+    filter simulated EXACTLY (each key's k positions are md5-derived
+    integers; the filter is the distinct-position set), then probe the
+    HELD-OUT 20% (keys provably absent — exact duplicates of inserted
+    texts are excluded first, so every full-hit is a genuine false
+    positive). Emitted: occupancy, the plan-formula FPP from the
+    ACTUAL fill (fill·fill·fill — no pow, exact double products), and
+    the measured FP rate. m is deliberately tight so the rate is
+    visible at small SF — and the same m at 10× corpus saturates the
+    filter, which is exactly the sizing lesson the audit exists to
+    teach (plan m from n, re-plan on corpus growth).
+
+    Scale shape: positions are a k-row explode of the slim key frame;
+    the filter is ONE distinct over ≤ m integers; the probe is an
+    equi-join of held-out positions against it, counted per key —
+    no pairwise anything, the 100 TB contract."""
+    d = load_table(spark, sf_dir, "documents")
+    keys = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select(
+            F.md5("text").alias("ek"),
+            (F.col("doc_id") % 5 == 0).alias("held"),
+        )
+        .distinct()
+    )
+    keys = scoped_persist(keys, spark, sf_dir, "bloom_fpp_keys")
+    iexp = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+    ins = keys.where(~F.col("held")).select("ek")
+    ho = keys.where(F.col("held")).select("ek")
+    ipos = (
+        ins.select("ek", iexp)
+        .selectExpr(f"{_BF_POS_S} AS pos")
+        .distinct()
+    )
+    ipos = scoped_persist(ipos, spark, sf_dir, "bloom_fpp_bits")
+    hpos = ho.select("ek", iexp).selectExpr("ek", "i", f"{_BF_POS_S} AS pos")
+    hits = (
+        hpos.join(ipos, "pos")
+        .groupBy("ek")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_fp = hits.where(F.col("n_hit") == _BF_K).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    agg = (
+        ins.agg(F.count(F.lit(1)).cast("long").alias("n_ins"))
+        .join(ho.agg(F.count(F.lit(1)).cast("long").alias("n_held")))
+        .join(ipos.agg(F.count(F.lit(1)).cast("long").alias("bits_set")))
+        .join(n_fp)
+    )
+    fill = F.col("bits_set").cast("double") / _BF_M
+    return agg.select(
+        "n_ins",
+        "n_held",
+        F.lit(_BF_M).cast("long").alias("m"),
+        F.lit(_BF_K).cast("long").alias("k"),
+        "bits_set",
+        F.round(fill, 6).alias("fill6"),
+        F.round(fill * fill * fill, 6).alias("planned_fpp6"),
+        "n_fp",
+        F.round(F.col("n_fp").cast("double") / F.col("n_held"), 6).alias(
+            "measured_fpp6"
+        ),
+    )

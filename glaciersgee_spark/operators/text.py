@@ -3029,3 +3029,149 @@ def q_e_sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_e_mattr (round 11) — moving-average type-token ratio
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25  # window width in tokens
+
+
+def _mattr_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, lang,
+                         CAST(generate_subscripts(string_split(text, ' '), 1)
+                              AS BIGINT) AS pos,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    prevs AS (SELECT doc_id, lang, pos, tok,
+                     LAG(pos) OVER (PARTITION BY doc_id, tok
+                                    ORDER BY pos) AS prev
+              FROM toks),
+    lens AS (SELECT doc_id, CAST(MAX(pos) AS BIGINT) AS n FROM toks
+             GROUP BY doc_id),
+    starts AS (SELECT doc_id, pos AS i FROM toks
+               JOIN lens USING (doc_id)
+               WHERE pos <= n - {_MATTR_W} + 1),
+    wins AS (SELECT s.doc_id, s.i,
+                    CAST(SUM(CASE WHEN p.prev IS NULL OR p.prev < s.i
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+             FROM starts s JOIN prevs p
+               ON p.doc_id = s.doc_id
+              AND p.pos BETWEEN s.i AND s.i + {_MATTR_W} - 1
+             GROUP BY s.doc_id, s.i),
+    per_doc AS (SELECT w.doc_id,
+                       round(CAST(SUM(w.d) AS DOUBLE)
+                             / ({_MATTR_W} * COUNT(*)), 6) AS mattr6
+                FROM wins w GROUP BY w.doc_id),
+    short_doc AS (SELECT t.doc_id,
+                         round(CAST(COUNT(DISTINCT t.tok) AS DOUBLE)
+                               / MAX(l.n), 6) AS ttr6
+                  FROM toks t JOIN lens l USING (doc_id)
+                  WHERE l.n < {_MATTR_W}
+                  GROUP BY t.doc_id),
+    meta AS (SELECT DISTINCT doc_id, lang FROM toks)
+    SELECT m.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(p.mattr6) AS BIGINT) AS n_windowed,
+           round({davg('p.mattr6', scale=6)}, 6) AS mattr6,
+           round({davg('s.ttr6', scale=6)}, 6) AS ttr_short6
+    FROM meta m
+    LEFT JOIN per_doc p ON m.doc_id = p.doc_id
+    LEFT JOIN short_doc s ON m.doc_id = s.doc_id
+    GROUP BY m.lang
+    ORDER BY m.lang
+    """
+
+
+@query("q_e_mattr", oracle=_mattr_oracle())
+def q_e_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING-AVERAGE TYPE-TOKEN RATIO (Covington & McFall, JQL 2010
+    — the length-invariant lexical-diversity standard; plain TTR
+    falls with document length, which is why it can't rank docs of
+    different sizes): per document, the mean over ALL {_MATTR_W}-token
+    sliding windows of (distinct tokens in window)/{_MATTR_W};
+    documents shorter than one window report classic TTR separately
+    (never silently mixed — the two columns answer different
+    questions). Aggregated per lang with exact-decimal means — the
+    diversity panel a curation pipeline reads next to q_e_hapax_rate
+    and q_e_tok_entropy, and the one that survives length-skewed
+    sources.
+
+    The window-distinct count avoids count-distinct-over-window
+    (unsupported and quadratic anyway) via the PREV-OCCURRENCE trick:
+    token position p is the window's first occurrence of its type iff
+    its previous same-type position precedes the window start, so
+    distinct-in-window = Σ [prev < i] — a LAG over (doc, tok) then
+    ONE range join of positions to window starts, O(n·W) work per doc
+    bounded by the document's own length (never cross-doc). Scale:
+    everything is keyed by doc_id — windows of one doc never shuffle
+    against another's; the lang close is a k-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select(
+        "doc_id", "lang", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )
+    toks = scoped_persist(toks, spark, sf_dir, "mattr_toks")
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    prevs = toks.select(
+        "doc_id", "pos", "tok", F.lag("pos").over(w).alias("prev")
+    )
+    lens = toks.groupBy("doc_id").agg(F.max("pos").cast("long").alias("n"))
+    starts = (
+        toks.join(lens, "doc_id")
+        .where(F.col("pos") <= F.col("n") - _MATTR_W + 1)
+        .select("doc_id", F.col("pos").alias("i"))
+    )
+    wins = (
+        starts.join(
+            prevs.select(
+                "doc_id", F.col("pos").alias("p"), F.col("prev")
+            ),
+            "doc_id",
+        )
+        .where(F.col("p").between(F.col("i"), F.col("i") + _MATTR_W - 1))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("prev") < F.col("i")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    per_doc = wins.groupBy("doc_id").agg(
+        F.round(
+            F.sum("d").cast("double") / (_MATTR_W * F.count(F.lit(1))), 6
+        ).alias("mattr6")
+    )
+    short_doc = (
+        toks.join(lens, "doc_id")
+        .where(F.col("n") < _MATTR_W)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.countDistinct("tok").cast("double") / F.max("n"), 6
+            ).alias("ttr6")
+        )
+    )
+    meta = toks.select("doc_id", "lang").distinct()
+    return (
+        meta.join(per_doc, "doc_id", "left")
+        .join(short_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("mattr6").cast("long").alias("n_windowed"),
+            F.round(F.expr(davg("mattr6", scale=6)), 6).alias("mattr6"),
+            F.round(F.expr(davg("ttr6", scale=6)), 6).alias("ttr_short6"),
+        )
+        .orderBy("lang")
+    )

@@ -4424,3 +4424,37 @@ def test_multiprobe_candidates_superset_single_probe(spark):
     for r in mp:
         if r.via_flip:
             assert r.vec_id not in sp_ids
+
+
+def test_bloom_fpp_audit_is_exact_and_visible(spark):
+    """The simulated filter's occupancy and FP counts reconcile:
+    bits_set ≤ min(m, k·n_ins), planned FPP = fill³ at 6 dp, and the
+    measured rate is n_fp/n_held; the tight m makes FPs observable."""
+    from glaciersgee_spark.operators.dedup import _BF_K, _BF_M, q_e_bloom_fpp
+
+    r = q_e_bloom_fpp(spark, SF_SMOKE).collect()[0]
+    assert r.m == _BF_M and r.k == _BF_K
+    assert 0 < r.bits_set <= min(_BF_M, _BF_K * r.n_ins)
+    fill = r.bits_set / _BF_M
+    assert abs(r.planned_fpp6 - round(fill**3, 6)) < 2e-6
+    assert r.measured_fpp6 == round(r.n_fp / r.n_held, 6)
+    assert 0 <= r.n_fp <= r.n_held
+
+
+def test_mattr_is_length_invariant_relative_to_ttr(spark):
+    """Aggregates cover every lang; MATTR values live in (0, 1]; doc
+    counts reconcile (windowed + short ≥ n_docs accounted per lang
+    via the two honest columns)."""
+    from glaciersgee_spark.operators.text import q_e_mattr
+    from glaciersgee_spark.tables import load_table
+
+    rows = q_e_mattr(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r.n_windowed <= r.n_docs
+        if r.mattr6 is not None:
+            assert 0.0 < r.mattr6 <= 1.0
+        if r.ttr_short6 is not None:
+            assert 0.0 < r.ttr_short6 <= 1.0
+        assert (r.n_windowed > 0) == (r.mattr6 is not None)
