@@ -76,12 +76,97 @@ def _srp_buckets(emb: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DoubleType())
 def _cos6(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Cosine similarity rounded to 6 dp (the cross-engine contract)."""
+    """Cosine similarity rounded to 6 dp (the cross-engine contract).
+
+    Round-11 optimization note: a pure-JVM codegen spelling of this
+    (64-term getItem expression tree) was tried and MEASURED SLOWER on
+    the Σ|cell|² pair frames (graph_beam_search 3.7→16.5 s solo —
+    the ~400-node tree falls out of codegen into interpreted eval per
+    pair), so the vectorized Arrow kernel stays. The pair-heavy call
+    sites instead route through _cell_pair_scores below, which never
+    materializes pairs across the boundary at all."""
     av, bv = _to_mat(a), _to_mat(b)
     dots = np.einsum("ij,ij->i", av, bv)
     na = np.sqrt(np.einsum("ij,ij->i", av, av))
     nb = np.sqrt(np.einsum("ij,ij->i", bv, bv))
     return pd.Series(np.round(dots / (na * nb), 6))
+
+
+_PAIR_SCHEMA = "vec_id long, cid long, nbr long, cs double"
+
+
+def _cell_pair_scores(
+    members: DataFrame,
+    anchor_mod: "tuple[int, int] | None" = None,
+    unordered: bool = False,
+) -> DataFrame:
+    """(vec_id, cid, nbr, cs): 6-dp cosine for every in-cell pair of a
+    (vec_id, cid, embedding) membership frame — ONE Arrow crossing per
+    CELL (applyInPandas over cid) instead of the former cid self-join
+    + per-pair _cos6 UDF, which shipped both 64-float payloads across
+    the Python boundary once per PAIR (~1 KB/pair — the round-11
+    optimization, guide §8's "move the heavy bytes once" applied to
+    the Σ|cell|² stage: each embedding now crosses once per cell and
+    pair rows never exist outside the kernel).
+
+    Bit-identical to the _cos6 spelling by construction: the kernel
+    pair-expands into the same contiguous f64 row blocks and applies
+    the same np.einsum("ij,ij->i") + np.round(·, 6) per pair row, so
+    every consumer's scores — and the oracle parity — are unchanged.
+
+    anchor_mod=(m, r) keeps only anchors with vec_id % m == r (the
+    knn_graph ledger sample) without scoring the dropped anchors'
+    pairs; unordered=True emits each pair once (vec_id < nbr, the
+    semdedup orientation) instead of both directions."""
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cid = int(pdf["cid"].iloc[0])
+        if anchor_mod is not None:
+            a_idx = np.flatnonzero(ids % anchor_mod[0] == anchor_mod[1])
+        else:
+            a_idx = np.arange(n)
+        if n < 2 or len(a_idx) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cid": pd.Series(dtype="int64"),
+                    "nbr": pd.Series(dtype="int64"),
+                    "cs": pd.Series(dtype="float64"),
+                }
+            )
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        outs = []
+        chunk = max(1, 200_000 // n)
+        for s in range(0, len(a_idx), chunk):
+            blk = a_idx[s : s + chunk]
+            m = len(blk)
+            av = np.repeat(V[blk], n, axis=0)
+            bv = np.tile(V, (m, 1))
+            dots = np.einsum("ij,ij->i", av, bv)
+            na = np.repeat(nrm[blk], n)
+            nb = np.tile(nrm, m)
+            cs = np.round(dots / (na * nb), 6)
+            ai = np.repeat(ids[blk], n)
+            bi = np.tile(ids, m)
+            keep = (ai < bi) if unordered else (ai != bi)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ai[keep],
+                        "cid": np.full(int(keep.sum()), cid, dtype=np.int64),
+                        "nbr": bi[keep],
+                        "cs": cs[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return members.select("vec_id", "cid", "embedding").groupBy(
+        "cid"
+    ).applyInPandas(_pairs, _PAIR_SCHEMA)
 
 
 # DuckDB mirrors: semantics are defined by these HOF spellings; the
@@ -1808,17 +1893,14 @@ def q_e_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     asg, _cent = _km_assign(spark, sf_dir)
     asg = asg.join(e.select("vec_id", "embedding"), "vec_id")
-    a = asg.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
-    b = asg.select(
-        F.col("cid").alias("cid_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-    )
     pairs = (
-        a.join(b, (a["cid"] == b["cid_b"]) & (a["id_a"] < b["id_b"]))
-        .select("cid", "id_a", "id_b", _cos6("ea", "eb").alias("cos"))
+        _cell_pair_scores(asg, unordered=True)
+        .select(
+            "cid",
+            F.col("vec_id").alias("id_a"),
+            F.col("nbr").alias("id_b"),
+            F.col("cs").alias("cos"),
+        )
         .where(F.col("cos") >= SEMDEDUP_THR)
     )
     return pairs.groupBy("id_b").agg(
@@ -1927,19 +2009,9 @@ def q_e_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg, _cent = _km_assign(spark, sf_dir)
     members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
     # The ledger sample depends only on the NODE side, so it pushes
-    # below the pair join: 1/7 of the pair scoring instead of scoring
-    # the full graph and discarding 6/7 of per_node afterwards.
-    x = members.where(F.col("vec_id") % 7 == 0).select(
-        F.col("vec_id"), "cid", F.col("embedding").alias("xe")
-    )
-    y = members.select(
-        F.col("vec_id").alias("nbr"), F.col("cid").alias("ycid"),
-        F.col("embedding").alias("ye"),
-    )
-    edges = (
-        x.join(y, (F.col("cid") == F.col("ycid")) & (F.col("vec_id") != F.col("nbr")))
-        .select("vec_id", "cid", "nbr", _cos6("xe", "ye").alias("cs"))
-    )
+    # into the pair kernel (anchor_mod): 1/7 of the pair scoring
+    # instead of scoring the full graph and discarding 6/7 afterwards.
+    edges = _cell_pair_scores(members, anchor_mod=(7, 0))
     w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("nbr").asc())
     ranked = edges.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
     per_node = ranked.groupBy("vec_id", "cid").agg(
@@ -2545,15 +2617,7 @@ def q_e_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     asg, _cent = _km_assign(spark, sf_dir)
     members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
-    x = members.select("vec_id", "cid", F.col("embedding").alias("xe"))
-    y = members.select(
-        F.col("vec_id").alias("nbr"), F.col("cid").alias("ycid"),
-        F.col("embedding").alias("ye"),
-    )
-    edges = (
-        x.join(y, (F.col("cid") == F.col("ycid")) & (F.col("vec_id") != F.col("nbr")))
-        .select("vec_id", "cid", "nbr", _cos6("xe", "ye").alias("cs"))
-    )
+    edges = _cell_pair_scores(members)
     w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("nbr").asc())
     ranked = edges.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
     indeg = ranked.groupBy("cid", "nbr").agg(F.count(F.lit(1)).alias("d"))
@@ -3033,17 +3097,9 @@ def q_e_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     asg, _cent = _km_assign(spark, sf_dir)
     asg = asg.join(e.select("vec_id", "embedding"), "vec_id")
-    a = asg.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
-    b = asg.select(
-        F.col("cid").alias("cid_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-    )
     pairs = (
-        a.join(b, (a["cid"] == b["cid_b"]) & (a["id_a"] < b["id_b"]))
-        .select("id_b", _cos6("ea", "eb").alias("cos"))
+        _cell_pair_scores(asg, unordered=True)
+        .select(F.col("nbr").alias("id_b"), F.col("cs").alias("cos"))
         .where(F.col("cos") >= min(_SEM_GRID))
     )
     n = e.agg(F.count(F.lit(1)).alias("n_vec"))
@@ -6133,24 +6189,16 @@ def _beam_edges(members: DataFrame) -> DataFrame:
     the staged build, and the append's affected-cell re-rank, so the
     build and serve graphs cannot desynchronize (ADVICE r10: the IVF
     family's _coarse_assign/_pq_encode factoring, applied here).
-    O(Σ|cell|²) pair scoring, never O(n²): the self-join is keyed on
-    cid, so each cell's pairs shuffle and rank independently."""
-    x = members.select("vec_id", "cid", F.col("embedding").alias("xe"))
-    y = members.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("cid").alias("ycid"),
-        F.col("embedding").alias("ye"),
-    )
+    O(Σ|cell|²) pair scoring, never O(n²): the pair kernel is keyed
+    on cid (round-11: _cell_pair_scores — one Arrow crossing per
+    cell, bit-identical scores), so each cell's pairs rank
+    independently."""
     ew = Window.partitionBy("vec_id").orderBy(
         F.col("cs").desc(), F.col("nbr").asc()
     )
     return (
-        x.join(
-            y,
-            (F.col("cid") == F.col("ycid"))
-            & (F.col("vec_id") != F.col("nbr")),
-        )
-        .select("vec_id", "nbr", _cos6("xe", "ye").alias("cs"))
+        _cell_pair_scores(members)
+        .select("vec_id", "nbr", "cs")
         .withColumn("rk", F.row_number().over(ew))
         .where(F.col("rk") <= _BEAM_DEG)
         .select("vec_id", "nbr")
@@ -6860,19 +6908,9 @@ def q_e_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     asg, _cent = _km_assign(spark, sf_dir)
     m = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
-    x = m.select("vec_id", "cid", F.col("embedding").alias("xe"))
-    y = m.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("cid").alias("ycid"),
-        F.col("embedding").alias("ye"),
-    )
     nbr = (
-        x.join(
-            y,
-            (F.col("cid") == F.col("ycid"))
-            & (F.col("vec_id") != F.col("nbr")),
-        )
-        .where(_cos6("xe", "ye") >= _DBSCAN_EPS)
+        _cell_pair_scores(m)
+        .where(F.col("cs") >= _DBSCAN_EPS)
         .select("vec_id", "nbr")
     )
     nbr = scoped_persist(nbr, spark, sf_dir, "dbscan_nbr")

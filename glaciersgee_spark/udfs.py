@@ -357,6 +357,11 @@ def q_f_cogroup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 7.7 s over all 1500 users, ~5 ms/key roundtrip). The declared
     # surface is the API shape; the sample keeps the bench honest about
     # engine work rather than Python call overhead.
+    # Round-11 optimization note: this op could take q_f_cogroup_arrow's
+    # bucketed-cogroup treatment (one roundtrip per hash bucket), but it
+    # is the bench's python-class CALIBRATION probe (bench.py _TRIO) —
+    # its runtime anchors host normalization across rounds, so its code
+    # path stays frozen on purpose.
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 5 == 0)
     p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
     c = ev.where(F.col("event_type") == "click").select("user_id", "ts")
@@ -900,11 +905,16 @@ def q_f_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _order_ship_arrow(left, right):
-    """Whole-key Arrow kernel: one order (left) against its line items
-    (right) — items count, items shipped >30 days after order, and the
-    max ship lag in whole days. Epoch-µs int64 views, pure integer
-    arithmetic (no pandas, no float)."""
+    """Whole-BUCKET Arrow kernel: every sampled order of one hash
+    bucket (left) against the bucket's line items (right) — per order:
+    items count, items shipped >30 days after order, and the max ship
+    lag in whole days. Epoch-µs int64 views, pure integer arithmetic,
+    vectorized end to end through pyarrow.compute + Table.join/
+    group_by (round-11 optimization, guide §4.2: one boundary
+    crossing per bucket, native-code kernel inside; no pandas, no
+    float, no Python loop)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     if left.num_rows == 0 or right.num_rows == 0:
         return pa.table(
@@ -915,21 +925,46 @@ def _order_ship_arrow(left, right):
                 "max_lag_days": pa.array([], pa.int64()),
             }
         )
-    okey = left.column("o_orderkey")[0].as_py()
-    odate = left.column("o_orderdate").cast(pa.int64())[0].as_py()
-    ships = right.column("l_shipdate").cast(pa.int64()).to_pylist()
     # date_diff('day', ...) counts calendar-day BOUNDARY crossings, so
     # floor each side to its epoch-day number BEFORE differencing —
     # floor((s-o)/day) would only coincide on midnight-aligned, non-
     # negative lags (the oracle-parity trap ADVICE r9 flagged).
-    oday = odate // 86_400_000_000
-    lags = [s // 86_400_000_000 - oday for s in ships]
+    # Integer divide truncates; epoch-µs here are non-negative, so
+    # truncation IS the floor.
+    day = pa.scalar(86_400_000_000, pa.int64())
+    orders = pa.table(
+        {
+            "l_orderkey": left.column("o_orderkey"),
+            "oday": pc.divide(left.column("o_orderdate").cast(pa.int64()), day),
+        }
+    )
+    items = pa.table(
+        {
+            "l_orderkey": right.column("l_orderkey"),
+            "sday": pc.divide(right.column("l_shipdate").cast(pa.int64()), day),
+        }
+    )
+    # inner join ⇒ orders with no items in the bucket emit nothing —
+    # the per-key kernel's empty-right branch, preserved per order.
+    j = items.join(orders, keys="l_orderkey", join_type="inner")
+    lag = pc.subtract(j.column("sday"), j.column("oday"))
+    g = (
+        pa.table(
+            {
+                "o_orderkey": j.column("l_orderkey"),
+                "lag": lag,
+                "late": pc.cast(pc.greater(lag, 30), pa.int64()),
+            }
+        )
+        .group_by("o_orderkey")
+        .aggregate([("lag", "count"), ("late", "sum"), ("lag", "max")])
+    )
     return pa.table(
         {
-            "o_orderkey": [okey],
-            "n_items": [len(lags)],
-            "n_late": [sum(1 for d in lags if d > 30)],
-            "max_lag_days": [max(lags)],
+            "o_orderkey": g.column("o_orderkey").cast(pa.int64()),
+            "n_items": g.column("lag_count").cast(pa.int64()),
+            "n_late": g.column("late_sum").cast(pa.int64()),
+            "max_lag_days": g.column("lag_max").cast(pa.int64()),
         }
     )
 
@@ -963,25 +998,32 @@ def q_f_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.
 
     Scale: ONE co-partitioned shuffle lands both sides of a key in
-    the same call; cost is one Python roundtrip PER KEY (the
-    cogroup_map lesson), so the op samples o_orderkey % 40 — key
-    cardinality, not row count, is what the boundary prices. When
+    the same call; cost is one Python roundtrip PER COGROUP KEY (the
+    cogroup_map lesson), so the op samples o_orderkey % 40 AND — the
+    round-11 optimization, guide §4.2 — cogroups by a HASH BUCKET of
+    the order key (64 buckets) rather than the key itself: each call
+    receives every sampled order of its bucket plus the bucket's line
+    items, and the per-order aggregation runs vectorized through
+    pyarrow Table.join + group_by inside the kernel. Same
+    co-partitioned shuffle, same output, ~3.7k → 64 roundtrips. When
     the per-key logic IS relational (as this audit kernel is), the
     oracle's aggregate+join spelling is the 100 TB preference; the
     op declares the API surface for when it isn't."""
+    obkt = F.pmod(F.col("o_orderkey"), F.lit(2560)).alias("bkt")
+    lbkt = F.pmod(F.col("l_orderkey"), F.lit(2560)).alias("bkt")
     o = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 40 == 0)
-        .select("o_orderkey", "o_orderdate")
+        .select("o_orderkey", "o_orderdate", obkt)
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") % 40 == 0)
-        .select("l_orderkey", "l_shipdate")
+        .select("l_orderkey", "l_shipdate", lbkt)
     )
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        o.groupBy("bkt")
+        .cogroup(li.groupBy("bkt"))
         .applyInArrow(
             _order_ship_arrow,
             "o_orderkey long, n_items long, n_late long,"
