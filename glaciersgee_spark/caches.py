@@ -77,6 +77,23 @@ def clear_caches() -> dict[str, int]:
 # bench honesty protocol drops storage without telling the dict), and
 # is released wholesale by clear_caches(). tests/test_contract_lint.py
 # enforces the route mechanically.
+def repersist(df: DataFrame) -> DataFrame:
+    """Restore a registry-served frame's persist after an external
+    ``spark.catalog.clearCache()`` dropped its storage (round 11).
+
+    scoped_persist always had this probe; the older per-module cache
+    dicts did not — they kept serving the SAME DataFrame object whose
+    storage level had been silently reset, so under the bench honesty
+    protocol (clearCache between timed runs) every multi-branch
+    consumer recomputed the shared subtree once PER PLAN BRANCH
+    instead of once per run. ``persist()`` on an unpersisted frame
+    re-registers it with the CacheManager; on a still-persisted frame
+    the probe is a no-op."""
+    if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
+        df.persist()
+    return df
+
+
 _SCOPED: dict[tuple[str, str, str], DataFrame] = register_cache({})
 
 

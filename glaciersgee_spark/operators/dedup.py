@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, LongType
 
-from glaciersgee_spark.caches import register_cache, scoped_persist
+from glaciersgee_spark.caches import register_cache, repersist, scoped_persist
 from glaciersgee_spark.operators.lsh import cobucket_pairs, posting_copairs
 from glaciersgee_spark.registry import davg, query
 from glaciersgee_spark.tables import fan_out, load_table
@@ -257,7 +257,7 @@ def _shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         cached = _with_shingles(spark, sf_dir).persist()
         _SHINGLE_BASE_CACHE[key] = cached
-    return cached
+    return repersist(cached)
 
 
 def _md5_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +267,7 @@ def _md5_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = _with_shingles(spark, sf_dir)
         cached = sh.select("doc_id", F.expr(_SPARK_SHHASH).alias("hh")).persist()
         _MD5_BASE_CACHE[key] = cached
-    return cached
+    return repersist(cached)
 
 
 def _banded(base, band_size: int, n_minhash: int, perms) -> DataFrame:
@@ -318,7 +318,7 @@ def _md5_pairs(
     )
     cached = _MD5_PAIRS_CACHE.get(key)
     if cached is not None:
-        return cached
+        return repersist(cached)
     base = _md5_base(spark, sf_dir)
     banded = _banded(base, band_size, n_minhash, perms)
     cand = cobucket_pairs(banded, ["band", "bkey"], ["doc_id"]).select(

@@ -25,7 +25,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from glaciersgee_spark.caches import register_cache, scoped_persist
+from glaciersgee_spark.caches import register_cache, repersist, scoped_persist
 from glaciersgee_spark.registry import query
 from glaciersgee_spark.tables import fan_out, load_table
 
@@ -200,7 +200,7 @@ def _gram_int_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         cached = _gram_int(spark, sf_dir).persist()
         _GRAM_CACHE[key] = cached
-    return cached
+    return repersist(cached)
 
 
 @query(

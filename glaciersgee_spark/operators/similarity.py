@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-from glaciersgee_spark.caches import register_cache, scoped_persist
+from glaciersgee_spark.caches import register_cache, repersist, scoped_persist
 from glaciersgee_spark.operators.lsh import cobucket_pairs
 from glaciersgee_spark.registry import davg, dsum, query
 from glaciersgee_spark.tables import fan_out, load_table
@@ -247,7 +247,7 @@ def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.posexplode("buckets").alias("band", "bucket")
         ).persist()
         _BANDED_CACHE[key] = cached
-    return cached
+    return repersist(cached)
 
 
 @query(

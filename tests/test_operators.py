@@ -2446,6 +2446,29 @@ def test_clear_caches_releases_every_registered_frame(spark):
     assert after == before and len(after) > 0
 
 
+def test_cache_served_frames_repersist_after_clearcache(spark):
+    """A registry-served frame must come back PERSISTED after an
+    external spark.catalog.clearCache() (round 11): the bench honesty
+    protocol clears storage between timed runs without touching the
+    cache dicts, and before the repersist probe every multi-branch
+    consumer silently recomputed the shared subtree once per plan
+    branch. Mirrors the scoped_persist storageLevel probe."""
+    from glaciersgee_spark import clear_caches
+    from glaciersgee_spark.operators.linalg import _gram_int_cached
+    from glaciersgee_spark.operators.similarity import _banded
+
+    clear_caches()
+    for fetch in (lambda: _gram_int_cached(spark, SF_SMOKE),
+                  lambda: _banded(spark, SF_SMOKE)):
+        df = fetch()
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+        spark.catalog.clearCache()
+        assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+        again = fetch()  # the dict-served frame, re-persisted by the probe
+        assert again.storageLevel.useMemory or again.storageLevel.useDisk
+    clear_caches()
+
+
 def test_bpe_fertility_applies_cached_merges(spark):
     """q_e_bpe_fertility must share q_e_bpe_train's cached merge trace
     (train once per app/sf — the _KMT_CACHE discipline) and its
@@ -4458,3 +4481,93 @@ def test_mattr_is_length_invariant_relative_to_ttr(spark):
         if r.ttr_short6 is not None:
             assert 0.0 < r.ttr_short6 <= 1.0
         assert (r.n_windowed > 0) == (r.mattr6 is not None)
+
+
+def test_cell_pair_scores_matches_join_plus_cos6(spark):
+    """The round-11 per-cell pair kernel must be bit-identical to the
+    cid self-join + per-pair _cos6 spelling it replaced — same pairs,
+    same 6-dp scores — including the anchor_mod push-down and the
+    unordered (vec_id < nbr) orientation."""
+    import pyspark.sql.functions as FF
+
+    from glaciersgee_spark.operators.similarity import (
+        _cell_pair_scores,
+        _cos6,
+        _km_assign,
+    )
+    from glaciersgee_spark.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    asg, _cent = _km_assign(spark, SF_SMOKE)
+    members = asg.join(e, "vec_id").select("vec_id", "cid", "embedding")
+    x = members.select("vec_id", "cid", FF.col("embedding").alias("xe"))
+    y = members.select(
+        FF.col("vec_id").alias("nbr"),
+        FF.col("cid").alias("ycid"),
+        FF.col("embedding").alias("ye"),
+    )
+    want = (
+        x.join(
+            y,
+            (FF.col("cid") == FF.col("ycid"))
+            & (FF.col("vec_id") != FF.col("nbr")),
+        )
+        .select("vec_id", "cid", "nbr", _cos6("xe", "ye").alias("cs"))
+    )
+    got = _cell_pair_scores(members)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    got_a = _cell_pair_scores(members, anchor_mod=(7, 0))
+    want_a = want.where(FF.col("vec_id") % 7 == 0)
+    assert got_a.exceptAll(want_a).count() == 0
+    assert want_a.exceptAll(got_a).count() == 0
+
+    got_u = _cell_pair_scores(members, unordered=True)
+    want_u = want.where(FF.col("vec_id") < FF.col("nbr"))
+    assert got_u.exceptAll(want_u).count() == 0
+    assert want_u.exceptAll(got_u).count() == 0
+
+
+def test_order_ship_arrow_bucket_kernel_edges():
+    """The bucketed cogroup kernel preserves the per-key semantics:
+    an order with no line items in the bucket emits nothing (inner
+    join), items aggregate per order, and day lags floor each side to
+    its epoch day BEFORE differencing."""
+    import pyarrow as pa
+
+    from glaciersgee_spark.udfs import _order_ship_arrow
+
+    us = 86_400_000_000
+    left = pa.table(
+        {
+            "o_orderkey": pa.array([40, 80], pa.int64()),
+            "o_orderdate": pa.array([10 * us, 20 * us]).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    right = pa.table(
+        {
+            "l_orderkey": pa.array([40, 40, 40], pa.int64()),
+            # lags: 5, 31 (>30 ⇒ late), and a sub-day 0.9-day offset
+            # that floors to lag 0 (boundary-crossing rule)
+            "l_shipdate": pa.array(
+                [15 * us, 41 * us, 10 * us + 9 * us // 10]
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    out = _order_ship_arrow(left, right).sort_by("o_orderkey").to_pydict()
+    # order 80 has no items ⇒ absent; order 40: 3 items, 1 late, max 31
+    assert out["o_orderkey"] == [40]
+    assert out["n_items"] == [3]
+    assert out["n_late"] == [1]
+    assert out["max_lag_days"] == [31]
+    # empty side ⇒ typed empty table
+    empty = _order_ship_arrow(left.slice(0, 0), right)
+    assert empty.num_rows == 0 and empty.column_names == [
+        "o_orderkey",
+        "n_items",
+        "n_late",
+        "max_lag_days",
+    ]
