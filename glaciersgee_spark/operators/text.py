@@ -3122,19 +3122,32 @@ def q_e_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos", "tok", F.lag("pos").over(w).alias("prev")
     )
     lens = toks.groupBy("doc_id").agg(F.max("pos").cast("long").alias("n"))
-    starts = (
-        toks.join(lens, "doc_id")
-        .where(F.col("pos") <= F.col("n") - _MATTR_W + 1)
-        .select("doc_id", F.col("pos").alias("i"))
-    )
+    # Window membership by EXPLODING each position's window-id band
+    # (round 11, guide §2.3/§3.5): position p belongs to windows
+    # i ∈ [max(1, p−W+1), min(p, n−W+1)] — for n ≥ W that band is
+    # never empty (lo ≤ hi: p ≤ n and n ≥ W give both clamps), so the
+    # sequence() is always ascending and the generated (doc, i, p)
+    # set is EXACTLY the old starts⋈positions band filter's. The old
+    # spelling equi-joined positions×starts per doc and then filtered
+    # to the band — an O(n²)-per-doc intermediate for O(n·W) kept
+    # rows; this generates the O(n·W) rows directly (pinned
+    # bit-identical by tests/test_operators.py::
+    # test_mattr_window_explode_matches_band_join).
     wins = (
-        starts.join(
-            prevs.select(
-                "doc_id", F.col("pos").alias("p"), F.col("prev")
-            ),
+        prevs.join(F.broadcast(lens), "doc_id")
+        .where(F.col("n") >= _MATTR_W)
+        .select(
             "doc_id",
+            "prev",
+            F.explode(
+                F.sequence(
+                    F.greatest(
+                        F.lit(1).cast("long"), F.col("pos") - _MATTR_W + 1
+                    ),
+                    F.least(F.col("pos"), F.col("n") - _MATTR_W + 1),
+                )
+            ).alias("i"),
         )
-        .where(F.col("p").between(F.col("i"), F.col("i") + _MATTR_W - 1))
         .groupBy("doc_id", "i")
         .agg(
             F.sum(

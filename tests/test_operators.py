@@ -4483,6 +4483,62 @@ def test_mattr_is_length_invariant_relative_to_ttr(spark):
         assert (r.n_windowed > 0) == (r.mattr6 is not None)
 
 
+def test_mattr_window_explode_matches_band_join(spark):
+    """The round-11 window-id explode in q_e_mattr must generate the
+    EXACT (doc_id, i, d) set the old starts⋈positions band-filter
+    join produced — including the n == W single-window edge and
+    positions at both document ends."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window as W
+
+    from glaciersgee_spark.operators.text import _MATTR_W
+    from glaciersgee_spark.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = d.select(
+        "doc_id",
+        FF.posexplode(FF.split(FF.col("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (FF.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    w = W.partitionBy("doc_id", "tok").orderBy("pos")
+    prevs = toks.select(
+        "doc_id", "pos", "tok", FF.lag("pos").over(w).alias("prev")
+    )
+    lens = toks.groupBy("doc_id").agg(FF.max("pos").cast("long").alias("n"))
+    first_in_win = FF.sum(
+        FF.when(
+            FF.col("prev").isNull() | (FF.col("prev") < FF.col("i")), FF.lit(1)
+        ).otherwise(FF.lit(0))
+    ).cast("long")
+    old = (
+        toks.join(lens, "doc_id")
+        .where(FF.col("pos") <= FF.col("n") - _MATTR_W + 1)
+        .select("doc_id", FF.col("pos").alias("i"))
+        .join(prevs.select("doc_id", FF.col("pos").alias("p"), "prev"), "doc_id")
+        .where(FF.col("p").between(FF.col("i"), FF.col("i") + _MATTR_W - 1))
+        .groupBy("doc_id", "i")
+        .agg(first_in_win.alias("d"))
+    )
+    new = (
+        prevs.join(FF.broadcast(lens), "doc_id")
+        .where(FF.col("n") >= _MATTR_W)
+        .select(
+            "doc_id",
+            "prev",
+            FF.explode(
+                FF.sequence(
+                    FF.greatest(FF.lit(1).cast("long"), FF.col("pos") - _MATTR_W + 1),
+                    FF.least(FF.col("pos"), FF.col("n") - _MATTR_W + 1),
+                )
+            ).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(first_in_win.alias("d"))
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
+
+
 def test_cell_pair_scores_matches_join_plus_cos6(spark):
     """The round-11 per-cell pair kernel must be bit-identical to the
     cid self-join + per-pair _cos6 spelling it replaced — same pairs,
