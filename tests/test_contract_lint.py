@@ -98,7 +98,11 @@ def test_persist_sites_are_registry_routed():
             }
             if "persist" not in src_calls:
                 continue
-            if node.name == "scoped_persist" and py.name == "caches.py":
+            # caches.py's own helpers: scoped_persist registers what it
+            # persists; repersist (round 11) re-persists a frame the
+            # registry ALREADY owns after an external clearCache
+            # dropped its storage — both are the registry, not a leak.
+            if node.name in ("scoped_persist", "repersist") and py.name == "caches.py":
                 continue
             if "unpersist" in src_calls:
                 continue
