@@ -4486,33 +4486,90 @@ def _ivfpq_serve(spark: SparkSession, sf_dir: str, staged: str) -> DataFrame:
     query vectors; shared by q_e_ivfpq_persist (the fresh rebuild) and
     q_e_ivfpq_append (the round-10 merged generation) so the two serve
     paths differ ONLY in which artifacts they scan."""
-    cdf = spark.read.parquet(f"{staged}/centroids")
-    postings = spark.read.parquet(f"{staged}/postings")
-    pqc = spark.read.parquet(f"{staged}/pq_codebook")
-    codes = spark.read.parquet(f"{staged}/pq_codes")
+    return _ivfpq_serve_frames(
+        spark,
+        sf_dir,
+        cdf=spark.read.parquet(f"{staged}/centroids"),
+        postings=spark.read.parquet(f"{staged}/postings"),
+        pqc=spark.read.parquet(f"{staged}/pq_codebook"),
+        codes=spark.read.parquet(f"{staged}/pq_codes"),
+    )
+
+
+def _ivfpq_serve_fused(
+    spark: SparkSession, sf_dir: str, staged_by_gen: "dict[str, str]"
+) -> DataFrame:
+    """Fused multi-generation IVFADC serve (round 11, guide §2.4):
+    every artifact scan is the gen-tagged union of the generations'
+    artifacts and ONE serving pipeline (the exact _ivfpq_serve_frames
+    spelling with ``gen`` added to every key) ranks all generations —
+    each (gen, qid) group scores and ranks exactly as its solo serve
+    would, so per-generation results are bit-identical while the
+    drift audit pays one probe/candidate/ADC pipeline instead of one
+    per generation."""
+
+    def tagged(sub: str) -> DataFrame:
+        parts = [
+            spark.read.parquet(f"{staged}/{sub}").select(
+                F.lit(gen).alias("gen"), "*"
+            )
+            for gen, staged in staged_by_gen.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return _ivfpq_serve_frames(
+        spark,
+        sf_dir,
+        cdf=tagged("centroids"),
+        postings=tagged("postings"),
+        pqc=tagged("pq_codebook"),
+        codes=tagged("pq_codes"),
+        gen_keyed=True,
+    )
+
+
+def _ivfpq_serve_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    cdf: DataFrame,
+    postings: DataFrame,
+    pqc: DataFrame,
+    codes: DataFrame,
+    gen_keyed: bool = False,
+) -> DataFrame:
+    """The ONE IVFADC serving spelling over explicit artifact frames.
+    With ``gen_keyed`` every window/join/group key gains the ``gen``
+    tag the frames carry (fused multi-generation audit); without it
+    the plan is byte-identical to the historical single-generation
+    serve."""
+    gcols = ["gen"] if gen_keyed else []
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
     )
-    wq = Window.partitionBy("qid").orderBy(
+    wq = Window.partitionBy(*gcols, "qid").orderBy(
         F.col("qscore").desc(), F.col("cid").asc()
     )
     probe = (
         qv.join(F.broadcast(cdf))
-        .select("qid", "cid", _cos6("qemb", "cemb").alias("qscore"))
+        .select(*gcols, "qid", "cid", _cos6("qemb", "cemb").alias("qscore"))
         .withColumn("rk", F.row_number().over(wq))
         .where(F.col("rk") <= IVT_NPROBE)
-        .select("qid", "cid")
+        .select(*gcols, "qid", "cid")
     )
     cand = (
-        postings.join(F.broadcast(probe), "cid")
+        postings.join(F.broadcast(probe), gcols + ["cid"])
         .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
+        .select(*gcols, "qid", "vec_id")
     )
     # 5 queries × 16 codebook rows × 8 subspaces = 640-row LUT, JVM-side
     lut = (
         qv.join(F.broadcast(pqc))
         .select(
+            *gcols,
             "qid",
             "pcid",
             *[
@@ -4523,6 +4580,7 @@ def _ivfpq_serve(spark: SparkSession, sf_dir: str, staged: str) -> DataFrame:
             ],
         )
         .selectExpr(
+            *gcols,
             "qid",
             "pcid",
             f"stack({PQ_M}, "
@@ -4530,12 +4588,12 @@ def _ivfpq_serve(spark: SparkSession, sf_dir: str, staged: str) -> DataFrame:
             + ") AS (s, l6)",
         )
     )
-    ex = cand.join(codes, "vec_id").select(
-        "qid", "vec_id", F.posexplode("codes").alias("s", "pcid")
+    ex = cand.join(codes, gcols + ["vec_id"]).select(
+        *gcols, "qid", "vec_id", F.posexplode("codes").alias("s", "pcid")
     )
     parts = (
-        ex.join(F.broadcast(lut), ["qid", "pcid", "s"])
-        .groupBy("qid", "vec_id")
+        ex.join(F.broadcast(lut), gcols + ["qid", "pcid", "s"])
+        .groupBy(*gcols, "qid", "vec_id")
         .agg(
             *[
                 F.max(F.when(F.col("s") == s, F.col("l6"))).alias(f"l{s}")
@@ -4543,15 +4601,15 @@ def _ivfpq_serve(spark: SparkSession, sf_dir: str, staged: str) -> DataFrame:
             ]
         )
     )
-    rkw = Window.partitionBy("qid").orderBy(
+    rkw = Window.partitionBy(*gcols, "qid").orderBy(
         F.col("adc6").desc(), F.col("vec_id").asc()
     )
     return (
-        parts.select("qid", "vec_id", F.expr(_PQP_ADC).alias("adc6"))
+        parts.select(*gcols, "qid", "vec_id", F.expr(_PQP_ADC).alias("adc6"))
         .withColumn("rk", F.row_number().over(rkw))
         .where(F.col("rk") <= _RECALL_K)
-        .select("qid", "rk", "vec_id", "adc6")
-        .orderBy("qid", "rk")
+        .select(*gcols, "qid", "rk", "vec_id", "adc6")
+        .orderBy(*gcols, "qid", "rk")
     )
 
 
@@ -4867,9 +4925,23 @@ def q_e_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     + JVM ADC — q_e_ivfpq_append and q_e_ivfpq_persist respectively);
     the exact side reuses the shared _panel_scores Arrow pass. All
     three are deterministic rank spellings, so the drift is
-    hash-exact, not a tolerance check."""
-    appended = q_e_ivfpq_append(spark, sf_dir).select("qid", "vec_id")
-    rebuilt = q_e_ivfpq_persist(spark, sf_dir).select("qid", "vec_id")
+    hash-exact, not a tolerance check.
+
+    Round-11 optimization (guide §2.4): the two serves run as ONE
+    fused _ivfpq_serve_frames pipeline over the gen-tagged union of
+    the two generations' artifacts — each (gen, qid) group scores and
+    ranks exactly as its solo serve would (pinned by tests/
+    test_operators.py::test_ivfpq_drift_fused_serve_matches_solo and
+    by oracle parity), while the audit pays one probe/candidate/ADC
+    pipeline and one exact-side window instead of two of each."""
+    fused = _ivfpq_serve_fused(
+        spark,
+        sf_dir,
+        {
+            "append": stage_ivfpq_append(spark, sf_dir),
+            "rebuild": stage_ivf_index(spark, sf_dir),
+        },
+    ).select("gen", "qid", "vec_id")
     rkw = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -4879,15 +4951,17 @@ def q_e_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _RECALL_K)
         .select("qid", "vec_id")
     )
-    bh = (
-        appended.join(exact, ["qid", "vec_id"])
+    hits = (
+        fused.join(exact, ["qid", "vec_id"])
         .groupBy("qid")
-        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
-    )
-    rh = (
-        rebuilt.join(exact, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+        .agg(
+            F.sum(F.when(F.col("gen") == "append", 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+            F.sum(F.when(F.col("gen") == "rebuild", 1).otherwise(0))
+            .cast("long")
+            .alias("nr"),
+        )
     )
     e = load_table(spark, sf_dir, "embeddings")
     panel = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
@@ -4896,8 +4970,7 @@ def q_e_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.coalesce(F.col("nb"), F.lit(0))
     nr = F.coalesce(F.col("nr"), F.lit(0))
     return (
-        panel.join(bh, "qid", "left")
-        .join(rh, "qid", "left")
+        panel.join(hits, "qid", "left")
         .select(
             "qid",
             nb.cast("long").alias("n_hit_append"),
@@ -6206,44 +6279,64 @@ def _beam_edges(members: DataFrame) -> DataFrame:
 
 
 def _beam_serve(
-    spark: SparkSession, sf_dir: str, edges: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    gens: "list[str] | None" = None,
 ) -> DataFrame:
     """The {_BEAM_HOPS}-hop greedy beam walk over a given edge set —
     ONE spelling shared by every graph-ANN serve (in-process, staged,
     appended; ADVICE r10). Per hop the frontier is
     |panel|×{_BEAM_W}×({_BEAM_DEG}+1) rows — corpus-size-INDEPENDENT
     — joined against the slim shared panel-score frame; no driver
-    loop over data, no recursion (the bounded-round discipline)."""
+    loop over data, no recursion (the bounded-round discipline).
+
+    Fused multi-generation mode (round 11, guide §2.4 "share one
+    exchange"): when ``gens`` is given, ``edges`` carries a ``gen``
+    tag column and the SAME hop loop walks every generation at once —
+    all keys gain ``gen``, so each (gen, qid) group ranks exactly as
+    its solo serve would (bit-identical per generation) while the
+    audit pays ONE set of hop stages instead of one per generation.
+    With ``gens=None`` the plan is byte-identical to the historical
+    single-generation serve."""
+    gcols = ["gen"] if gens else []
     qs = scoped_persist(
         _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
     )
     beam = qs.where(F.col("vec_id") == _BEAM_ENTRY).select(
         "qid", "vec_id", F.col("score").alias("s")
     )
-    bw = Window.partitionBy("qid").orderBy(
+    if gens:
+        beam = beam.select(
+            F.explode(F.array(*[F.lit(g) for g in gens])).alias("gen"),
+            "qid",
+            "vec_id",
+            "s",
+        )
+    bw = Window.partitionBy(*gcols, "qid").orderBy(
         F.col("s").desc(), F.col("vec_id").asc()
     )
     for _hop in range(_BEAM_HOPS):
-        neigh = beam.join(edges, "vec_id").select(
-            "qid", F.col("nbr").alias("vec_id")
+        neigh = beam.join(edges, gcols + ["vec_id"]).select(
+            *gcols, "qid", F.col("nbr").alias("vec_id")
         )
         cand = (
-            beam.select("qid", "vec_id")
+            beam.select(*gcols, "qid", "vec_id")
             .unionByName(neigh)
             .where(F.col("vec_id") != F.col("qid"))
             .distinct()
         )
         beam = (
             cand.join(qs, ["qid", "vec_id"])
-            .select("qid", "vec_id", F.col("score").alias("s"))
+            .select(*gcols, "qid", "vec_id", F.col("score").alias("s"))
             .withColumn("rk", F.row_number().over(bw))
             .where(F.col("rk") <= _BEAM_W)
-            .select("qid", "vec_id", "s")
+            .select(*gcols, "qid", "vec_id", "s")
         )
     return (
         beam.withColumn("rk", F.row_number().over(bw))
-        .select("qid", "rk", "vec_id", F.col("s").alias("score6"))
-        .orderBy("qid", "rk")
+        .select(*gcols, "qid", "rk", "vec_id", F.col("s").alias("score6"))
+        .orderBy(*gcols, "qid", "rk")
     )
 
 
@@ -6567,9 +6660,29 @@ def q_e_beam_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: both approx sides are the persisted serves (artifact edge
     scans + the shared hop loop); the exact side reuses the shared
     _panel_scores Arrow pass. All three are deterministic rank
-    spellings, so the drift is hash-exact, not a tolerance check."""
-    appended = q_e_beam_append(spark, sf_dir).select("qid", "vec_id")
-    rebuilt = q_e_beam_persist(spark, sf_dir).select("qid", "vec_id")
+    spellings, so the drift is hash-exact, not a tolerance check.
+
+    Round-11 optimization (guide §2.4): the two serves run as ONE
+    fused _beam_serve walk over the gen-tagged union of the two edge
+    artifacts — each (gen, qid) group ranks exactly as its solo serve
+    would, so per-generation results are bit-identical (pinned by
+    tests/test_operators.py::test_beam_drift_fused_serve_matches_solo
+    and by oracle parity), while the audit pays one hop pipeline and
+    one exact-side window instead of two of each."""
+    sa = stage_beam_append(spark, sf_dir)
+    sg = stage_beam_graph(spark, sf_dir)
+    edges = (
+        spark.read.parquet(f"{sa}/edges")
+        .select(F.lit("append").alias("gen"), "vec_id", "nbr")
+        .unionByName(
+            spark.read.parquet(f"{sg}/edges").select(
+                F.lit("rebuild").alias("gen"), "vec_id", "nbr"
+            )
+        )
+    )
+    fused = _beam_serve(
+        spark, sf_dir, edges, gens=["append", "rebuild"]
+    ).select("gen", "qid", "vec_id")
     rkw = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -6581,15 +6694,17 @@ def q_e_beam_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _RECALL_K)
         .select("qid", "vec_id")
     )
-    bh = (
-        appended.join(exact, ["qid", "vec_id"])
+    hits = (
+        fused.join(exact, ["qid", "vec_id"])
         .groupBy("qid")
-        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
-    )
-    rh = (
-        rebuilt.join(exact, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).cast("long").alias("nr"))
+        .agg(
+            F.sum(F.when(F.col("gen") == "append", 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+            F.sum(F.when(F.col("gen") == "rebuild", 1).otherwise(0))
+            .cast("long")
+            .alias("nr"),
+        )
     )
     e = load_table(spark, sf_dir, "embeddings")
     panel = e.where(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
@@ -6598,8 +6713,7 @@ def q_e_beam_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.coalesce(F.col("nb"), F.lit(0))
     nr = F.coalesce(F.col("nr"), F.lit(0))
     return (
-        panel.join(bh, "qid", "left")
-        .join(rh, "qid", "left")
+        panel.join(hits, "qid", "left")
         .select(
             "qid",
             nb.cast("long").alias("n_hit_append"),

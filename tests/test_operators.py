@@ -4627,3 +4627,61 @@ def test_order_ship_arrow_bucket_kernel_edges():
         "n_late",
         "max_lag_days",
     ]
+
+
+def test_beam_drift_fused_serve_matches_solo(spark):
+    """Round-11 fusion pin: the gen-keyed fused _beam_serve walk that
+    q_e_beam_drift rides must reproduce, per generation, EXACTLY the
+    rows of the solo serves it replaced (exceptAll empty both ways) —
+    the guide-§2.4 shared-pipeline rewrite may change stage count,
+    never a row."""
+    from glaciersgee_spark.operators.similarity import (
+        _beam_serve,
+        stage_beam_append,
+        stage_beam_graph,
+    )
+
+    sa = stage_beam_append(spark, SF_SMOKE)
+    sg = stage_beam_graph(spark, SF_SMOKE)
+    edges = (
+        spark.read.parquet(f"{sa}/edges")
+        .select(F.lit("append").alias("gen"), "vec_id", "nbr")
+        .unionByName(
+            spark.read.parquet(f"{sg}/edges").select(
+                F.lit("rebuild").alias("gen"), "vec_id", "nbr"
+            )
+        )
+    )
+    fused = _beam_serve(
+        spark, SF_SMOKE, edges, gens=["append", "rebuild"]
+    )
+    for gen, staged in (("append", sa), ("rebuild", sg)):
+        solo = _beam_serve(
+            spark, SF_SMOKE, spark.read.parquet(f"{staged}/edges")
+        )
+        part = fused.where(F.col("gen") == gen).drop("gen")
+        assert part.exceptAll(solo).count() == 0
+        assert solo.exceptAll(part).count() == 0
+
+
+def test_ivfpq_drift_fused_serve_matches_solo(spark):
+    """Round-11 fusion pin (IVFADC twin of the beam pin): the fused
+    _ivfpq_serve_fused pipeline must reproduce, per generation,
+    EXACTLY the rows of the solo _ivfpq_serve calls it replaced."""
+    from glaciersgee_spark.operators.similarity import (
+        _ivfpq_serve,
+        _ivfpq_serve_fused,
+        stage_ivf_index,
+        stage_ivfpq_append,
+    )
+
+    by_gen = {
+        "append": stage_ivfpq_append(spark, SF_SMOKE),
+        "rebuild": stage_ivf_index(spark, SF_SMOKE),
+    }
+    fused = _ivfpq_serve_fused(spark, SF_SMOKE, by_gen)
+    for gen, staged in by_gen.items():
+        solo = _ivfpq_serve(spark, SF_SMOKE, staged)
+        part = fused.where(F.col("gen") == gen).drop("gen")
+        assert part.exceptAll(solo).count() == 0
+        assert solo.exceptAll(part).count() == 0
