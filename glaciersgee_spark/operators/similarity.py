@@ -6317,13 +6317,31 @@ def _beam_serve(
         F.col("s").desc(), F.col("vec_id").asc()
     )
     for _hop in range(_BEAM_HOPS):
-        neigh = beam.join(edges, gcols + ["vec_id"]).select(
-            *gcols, "qid", F.col("nbr").alias("vec_id")
-        )
+        # One reference to `beam` per hop (round 11): the historical
+        # spelling unioned beam with beam.join(edges), referencing the
+        # frontier TWICE — and the post-exchange tail of the frontier
+        # subtree (final window sort + rank filter) re-executed per
+        # union branch, compounding 2× per hop. A LEFT join + explode
+        # of [self, nbr] yields the identical candidate set (the left
+        # join keeps edge-less frontier rows; explode duplicates are
+        # removed by the same distinct) with the frontier executed
+        # once: serve solo 2.07 → 1.43 s, interleaved min-of-3,
+        # exceptAll-identical in both single- and fused-gen modes.
+        # NOT broadcast-hinted on purpose (same A/B session): hinting
+        # F.broadcast(beam) converts the edge join SMJ→BHJ but
+        # measured SLOWER (2.05 → 2.27 s) — each hop's broadcast is a
+        # sequential driver materialization of a window-derived
+        # frontier, costlier than the small edge-side exchange.
         cand = (
-            beam.select(*gcols, "qid", "vec_id")
-            .unionByName(neigh)
-            .where(F.col("vec_id") != F.col("qid"))
+            beam.join(edges, gcols + ["vec_id"], "left")
+            .select(
+                *gcols,
+                "qid",
+                F.explode(F.array("vec_id", "nbr")).alias("vec_id"),
+            )
+            .where(
+                F.col("vec_id").isNotNull() & (F.col("vec_id") != F.col("qid"))
+            )
             .distinct()
         )
         beam = (
