@@ -824,7 +824,14 @@ def q_e_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    scores = _panel_scores(spark, sf_dir)
+    # Both rank branches (candidate re-rank + exact side) consume the
+    # panel scores, and the candidate join broadcasts `cand`, so the
+    # two consumers share NO exchange — unpersisted, the panel Arrow
+    # pass (and its 5-row collect job) executed twice per run. Same
+    # scoped tag every other dual consumer uses (round 11).
+    scores = scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -2839,7 +2846,14 @@ def q_e_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    scores = _panel_scores(spark, sf_dir)
+    # Both rank branches (candidate re-rank + exact side) consume the
+    # panel scores, and the candidate join broadcasts `cand`, so the
+    # two consumers share NO exchange — unpersisted, the panel Arrow
+    # pass (and its 5-row collect job) executed twice per run. Same
+    # scoped tag every other dual consumer uses (round 11).
+    scores = scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -3003,7 +3017,13 @@ def q_e_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", "prank")
     )
-    scores = _panel_scores(spark, sf_dir)
+    # The exact side (below) ranks the same panel scores the probe
+    # candidates join against; unpersisted, the panel Arrow pass ran
+    # twice per run (the branches share no exchange). Same scoped tag
+    # every other dual consumer uses (round 11).
+    scores = scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
     scored = scoped_persist(
         cand.join(scores, ["qid", "vec_id"]), spark, sf_dir,
         "ivf_probe_scored",
@@ -5987,7 +6007,14 @@ def q_e_retrieval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    scores = _panel_scores(spark, sf_dir)
+    # Both rank branches (candidate re-rank + exact side) consume the
+    # panel scores, and the candidate join broadcasts `cand`, so the
+    # two consumers share NO exchange — unpersisted, the panel Arrow
+    # pass (and its 5-row collect job) executed twice per run. Same
+    # scoped tag every other dual consumer uses (round 11).
+    scores = scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
