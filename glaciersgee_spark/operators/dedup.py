@@ -251,7 +251,18 @@ _SHINGLE_BASE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 _JV_TRUTH_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = register_cache({})
 
 
-def _shingle_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_base(
+    spark: SparkSession, sf_dir: str, re_persist: bool = True
+) -> DataFrame:
+    # re_persist=False serves a FRESH unpersisted plan (identical
+    # lineage, identical rows) without warming the shared cache: the
+    # round-11 repersist A/Bs showed q_e_minhash_union — whose two
+    # branches aggregate the explode by DIFFERENT keys, so the shared
+    # subtree ends before any reusable exchange — consistently LOSES
+    # ~0.4 s to the cache materialization (1.31–1.55 → 1.76 s across
+    # both family A/Bs), while every posting/banding consumer wins.
+    if not re_persist:
+        return _with_shingles(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHINGLE_BASE_CACHE.get(key)
     if cached is None:
@@ -2337,7 +2348,7 @@ def q_e_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| per posting, one shuffle); the pair grid is
     |sources|² rows — driver-free and broadcast-trivial.
     """
-    base = _shingle_base(spark, sf_dir)
+    base = _shingle_base(spark, sf_dir, re_persist=False)
     # No pre-distinct: MIN is duplicate-insensitive, so the signature
     # aggregate takes the raw explode and dedups the size with ONE
     # countDistinct — and the exact-intersection branch dedups as a

@@ -4761,3 +4761,32 @@ def test_beam_serve_explode_hop_matches_union_hop(spark):
     oldg = union_serve(eg, gens=["g1", "g2"])
     assert newg.exceptAll(oldg).count() == 0
     assert oldg.exceptAll(newg).count() == 0
+
+
+def test_shingle_base_bypass_serves_identical_rows(spark):
+    """The q_e_minhash_union re_persist=False fetch (round 11) is a
+    persist decision, never a plan change: the fresh frame must carry
+    the cached path's schema and exact row multiset, and must NOT be
+    persist-marked (the bypass exists because materializing the cache
+    measured ~0.4 s slower than recomputing for this one consumer).
+    With a WARM module cache the CacheManager substitutes the cached
+    copy by plan equality — free to ride — so the no-build claim is
+    probed on a cold cache."""
+    from glaciersgee_spark.caches import clear_caches
+    from glaciersgee_spark.operators.dedup import (
+        _SHINGLE_BASE_CACHE,
+        _shingle_base,
+    )
+
+    clear_caches()
+    spark.catalog.clearCache()
+    fresh = _shingle_base(spark, SF_SMOKE, re_persist=False)
+    # cold cache: the bypass neither builds the dict entry nor
+    # persist-marks anything
+    assert not _SHINGLE_BASE_CACHE
+    assert not fresh.storageLevel.useMemory
+    assert not fresh.storageLevel.useDisk
+    cached = _shingle_base(spark, SF_SMOKE)
+    assert fresh.schema == cached.schema
+    assert fresh.exceptAll(cached).count() == 0
+    assert cached.exceptAll(fresh).count() == 0
