@@ -237,6 +237,86 @@ def q_b_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sorted_percentiles(
+    df: DataFrame, gcols: list, col: str, ps: list
+) -> DataFrame:
+    """Exact percentiles as a distributed sort + two order statistics
+    per requested fraction — the round-12 replacement for Spark's
+    `percentile` aggregate at large row counts: that aggregate buffers
+    every (value → count) in a per-group OpenHashMap, serializes the
+    whole map between partial and final aggregation, and sorts it
+    single-threaded in the final evaluator (measured 1.9-2.9 s over
+    the 600 k-row lineitem vs ~0.7 s for this spelling; guide §1.2
+    "per-task work"). Here the values ride ONE hash shuffle on the
+    group key and sort inside the window operator (distributed,
+    spillable); only the ≤ 2·|ps| order-statistic rows per group
+    survive to the final k-row rollup.
+
+    BIT-IDENTICAL to `percentile(col, array(ps))` by construction: for
+    n non-null values, Spark's Percentile.getPercentile computes
+    pos = p·(n−1), lower = floor(pos), higher = ceil(pos) and returns
+    (higher − pos)·v_lower + (pos − lower)·v_higher (v_lower when the
+    indexes coincide) over the sorted values — the exact expression
+    below, with the same double arithmetic (pinned on adversarial
+    random data incl. duplicate values and 1-row groups by
+    tests/test_operators.py::test_sorted_percentiles_matches_percentile).
+
+    Returns one row per group: gcols + n (non-null count) + q0..qk in
+    ps order. At 100 TB the grouped form is exactly how an exact
+    percentile must run anyway (total order per group); the global
+    form (gcols=[]) funnels to one partition and stays an audit-side
+    shape."""
+    order_w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    ).orderBy(col)
+    count_w = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    d = (
+        df.where(F.col(col).isNotNull())
+        .select(*gcols, col)
+        .withColumn("_rn", F.row_number().over(order_w) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(count_w))
+    )
+    keep = None
+    outs = []
+    for i, p in enumerate(ps):
+        row_pos = F.lit(float(p)) * (F.col("_n") - 1).cast("double")
+        c = (F.col("_rn") == F.floor(row_pos).cast("long")) | (
+            F.col("_rn") == F.ceil(row_pos).cast("long")
+        )
+        keep = c if keep is None else (keep | c)
+        pos = F.lit(float(p)) * (F.max("_n") - 1).cast("double")
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        vlo = F.min(
+            F.when(
+                F.col("_rn")
+                == F.floor(
+                    F.lit(float(p)) * (F.col("_n") - 1).cast("double")
+                ).cast("long"),
+                F.col(col),
+            )
+        )
+        vhi = F.min(
+            F.when(
+                F.col("_rn")
+                == F.ceil(
+                    F.lit(float(p)) * (F.col("_n") - 1).cast("double")
+                ).cast("long"),
+                F.col(col),
+            )
+        )
+        outs.append(
+            F.when(hi == lo, vlo)
+            .otherwise(
+                (hi.cast("double") - pos) * vlo + (pos - lo.cast("double")) * vhi
+            )
+            .alias(f"q{i}")
+        )
+    kept = d.where(keep)
+    grouped = kept.groupBy(*gcols) if gcols else kept.groupBy()
+    return grouped.agg(F.max("_n").alias("n"), *outs)
+
+
 @query(
     "q_b_quantiles",
     oracle="""
@@ -258,25 +338,28 @@ def q_b_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     already proven bit-level by q_e_text_stats' median) and results
     round to 6 dp.
 
-    Exact percentiles shuffle the group's values once and sort within
-    the aggregate buffer; at 100 TB the same query would move to
-    approx_percentile (t-digest, map-side combinable) with this exact
-    form as the audit — both spellings are one groupBy."""
+    Exact percentiles shuffle the group's values once and sort inside
+    the window operator (distributed, spillable); at 100 TB the same
+    query would move to approx_percentile (t-digest, map-side
+    combinable) with this exact form as the audit.
+
+    Spelling history: five scalar percentile() calls measured 4.9 s
+    (each buffers and sorts its own copy of the group), the
+    single-buffer array form 1.7 s, and the round-12 sort-based order-
+    statistic form (_sorted_percentiles — bit-identical by the pinned
+    interpolation formula) ~0.7 s: the `percentile` aggregate's
+    per-group value map is serialized between partial and final agg
+    and sorted single-threaded, which the window sort avoids."""
     li = load_table(spark, sf_dir, "lineitem")
     qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95, "p99": 0.99}
-    # ONE array-percentile aggregate: five scalar percentile() calls
-    # each keep (and sort) their own copy of the group's values —
-    # measured 4.9 s vs 1.7 s for the single-buffer array form.
-    ps = ", ".join(str(p) for p in qs.values())
-    wide = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(f"percentile(l_extendedprice, array({ps}))").alias("qv"),
+    wide = _sorted_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", list(qs.values())
     )
     return wide.select(
         "l_returnflag",
         "n",
         *[
-            F.round(F.col("qv").getItem(i), 6).alias(k)
+            F.round(F.col(f"q{i}"), 6).alias(k)
             for i, k in enumerate(qs)
         ],
     ).orderBy("l_returnflag")
@@ -1287,15 +1370,18 @@ def q_b_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " array(0.50D, 0.95D))"
         ).alias("kq")
     )
-    # ONE audit pass: the 1-row merged-quantile table broadcasts onto
-    # the scan, and exact count + exact percentiles + both rank counts
-    # ride a single aggregate (two lineitem scans total: the KLL
-    # partials pass and this one — not three).
-    both = (
+    # Audit: rank counts ride one combinable pass with the 1-row
+    # merged-quantile table broadcast onto the scan; the exact
+    # percentiles run as the sort-based order-statistic pipeline
+    # (_sorted_percentiles — bit-identical to the former
+    # percentile(...) aggregate, whose per-group value buffer cost
+    # ~2 s of this op's ~2.6 s execution; round 12). Three bounded
+    # passes total (KLL partials, rank counts, percentile sort) —
+    # the third pass costs ~0.2 s where the removed buffer cost ~2 s.
+    ranks = (
         li.crossJoin(F.broadcast(merged))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("percentile(l_extendedprice, array(0.50, 0.95))").alias("ex"),
             F.sum(
                 (F.col("l_extendedprice") <= F.col("kq").getItem(0)).cast("long")
             ).alias("r50"),
@@ -1304,11 +1390,15 @@ def q_b_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r95"),
         )
     )
+    ex = _sorted_percentiles(li, [], "l_extendedprice", [0.50, 0.95]).select(
+        F.col("q0").alias("ex50"), F.col("q1").alias("ex95")
+    )
+    both = ranks.crossJoin(F.broadcast(ex))
     return (
         both.select(
             "n",
-            F.round(F.col("ex").getItem(0), 6).alias("p50_exact"),
-            F.round(F.col("ex").getItem(1), 6).alias("p95_exact"),
+            F.round(F.col("ex50"), 6).alias("p50_exact"),
+            F.round(F.col("ex95"), 6).alias("p95_exact"),
             (
                 F.abs(F.col("r50").cast("double") / F.col("n") - 0.50) <= 0.03
             ).alias("merge_ok_p50"),

@@ -4790,3 +4790,57 @@ def test_shingle_base_bypass_serves_identical_rows(spark):
     assert fresh.schema == cached.schema
     assert fresh.exceptAll(cached).count() == 0
     assert cached.exceptAll(fresh).count() == 0
+
+
+def test_sorted_percentiles_matches_percentile(spark):
+    """The round-12 sort-based exact-percentile spelling must be
+    BIT-identical to Spark's `percentile(col, array(ps))` aggregate it
+    replaced in q_b_quantiles / q_b_kll_quantiles — same interpolation
+    (pos = p·(n−1); (hi−pos)·v_lo + (pos−lo)·v_hi), probed on
+    adversarial groups: 1-row, 2-row, duplicate-heavy, negative and
+    mixed-magnitude doubles, NULL values, and exact-index fractions
+    (0.0 / 0.5 / 1.0 / thirds) alongside interpolating ones."""
+    import random
+
+    import pyspark.sql.functions as FF
+
+    from glaciersgee_spark.operators.warehouse import _sorted_percentiles
+
+    random.seed(12)
+    rows = []
+    for g, n in enumerate([1, 2, 3, 4, 7, 50, 501]):
+        vals = [
+            random.choice(
+                [
+                    random.uniform(-1e6, 1e6),
+                    round(random.uniform(0.0, 10.0), 1),  # duplicates
+                ]
+            )
+            for _ in range(n)
+        ]
+        rows += [(g, v) for v in vals]
+        rows.append((g, None))  # percentile ignores NULLs
+    df = spark.createDataFrame(rows, "g int, v double")
+    ps = [0.0, 0.01, 0.25, 1.0 / 3.0, 0.5, 2.0 / 3.0, 0.95, 0.9999, 1.0]
+    lits = ", ".join(repr(p) for p in ps)
+    ref = {
+        r["g"]: list(r["qv"])
+        for r in df.groupBy("g")
+        .agg(FF.expr(f"percentile(v, array({lits}))").alias("qv"))
+        .collect()
+    }
+    ref_n = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(FF.count("v").alias("n")).collect()
+    }
+    got = _sorted_percentiles(df, ["g"], "v", ps).collect()
+    assert len(got) == len(ref)
+    for r in got:
+        assert [r[f"q{i}"] for i in range(len(ps))] == ref[r["g"]], r["g"]
+        assert r["n"] == ref_n[r["g"]]
+    # global (gcols=[]) form against the global aggregate
+    gref = df.agg(FF.expr(f"percentile(v, array({lits}))").alias("qv")).collect()[
+        0
+    ]["qv"]
+    grow = _sorted_percentiles(df, [], "v", ps).collect()[0]
+    assert [grow[f"q{i}"] for i in range(len(ps))] == list(gref)
