@@ -4844,3 +4844,67 @@ def test_sorted_percentiles_matches_percentile(spark):
     ]["qv"]
     grow = _sorted_percentiles(df, [], "v", ps).collect()[0]
     assert [grow[f"q{i}"] for i in range(len(ps))] == list(gref)
+
+
+def test_langid_f1_role_explode_edge_cases(spark):
+    """The round-12 confusion-role reshape of q_e_langid_f1 (explode
+    each confusion cell into its true-language and predicted-language
+    metric roles, one aggregation, no join) must reproduce the old
+    two-rollup + left-broadcast-join metrics on the shapes the corpus
+    never exercises: a language NEVER predicted (fp row absent → the
+    old join read NULL fp, coalesced to 0), a language ONLY predicted
+    (absent from the old bytrue side → excluded), and a language with
+    ZERO correct predictions (tp 0, not NULL)."""
+    import pyspark.sql.functions as FF
+
+    rows = [
+        ("en", "en"), ("en", "en"), ("en", "de"),   # normal
+        ("de", "en"), ("de", "en"),                 # zero correct
+        ("fr", "fr"),                               # never a false pred
+        ("xx", "zz"),                               # zz only predicted
+    ]
+    pred = spark.createDataFrame(rows, "lang string, pred_lang string")
+    conf = pred.groupBy("lang", "pred_lang").agg(
+        FF.count(FF.lit(1)).cast("long").alias("c")
+    )
+    roles = conf.select(
+        FF.explode(
+            FF.array(
+                FF.struct(
+                    FF.col("lang").alias("k"),
+                    FF.col("c").alias("n"),
+                    FF.when(FF.col("lang") == FF.col("pred_lang"), FF.col("c"))
+                    .otherwise(FF.lit(0))
+                    .alias("tp"),
+                    FF.lit(0).cast("long").alias("fp"),
+                ),
+                FF.struct(
+                    FF.col("pred_lang").alias("k"),
+                    FF.lit(0).cast("long").alias("n"),
+                    FF.lit(0).cast("long").alias("tp"),
+                    FF.when(FF.col("lang") != FF.col("pred_lang"), FF.col("c"))
+                    .otherwise(FF.lit(0))
+                    .alias("fp"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    got = {
+        r["lang"]: (r["n_docs"], r["tp"], r["fp"])
+        for r in roles.groupBy(FF.col("k").alias("lang"))
+        .agg(
+            FF.sum("n").cast("long").alias("n_docs"),
+            FF.sum("tp").cast("long").alias("tp"),
+            FF.sum("fp").cast("long").alias("fp"),
+        )
+        .where(FF.col("n_docs") > 0)
+        .collect()
+    }
+    # expected, computed first-principles from `rows`
+    assert got == {
+        "en": (3, 2, 2),   # fp: the two de->en mispredictions
+        "de": (2, 0, 1),   # zero correct; fp: en->de
+        "fr": (1, 1, 0),   # never falsely predicted -> fp 0
+        "xx": (1, 0, 0),   # its one doc went to zz
+    }
+    assert "zz" not in got  # only-predicted language excluded
