@@ -642,6 +642,23 @@ def _panel_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("vec_id") != F.col("qid"))
 
 
+
+def _panel_scores_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared scoped persist of `_panel_scores` (ADVICE r11: one
+    helper instead of ~10 duplicated call sites). Rationale, stated
+    once: every consumer ranks the panel scores on at least two plan
+    branches (exact ground-truth side + candidate re-rank), and the
+    candidate side rides a broadcast join, so the branches share NO
+    exchange — unpersisted, the panel Arrow pass (and its bounded
+    5-row plan-build collect) would execute once per branch per run.
+    Same (app, sf_dir, "panel_scores") tag everywhere, so all
+    consumers inside one run serve from a single materialization and
+    the caches.py tag guard raises on any plan mismatch."""
+    return scoped_persist(
+        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
+    )
+
+
 @query(
     "q_e_ann_recall",
     oracle=f"""
@@ -721,9 +738,7 @@ def q_e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand = scoped_persist(cand, spark, sf_dir, "ann_recall_cand")
-    scores = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
+    scores = _panel_scores_persisted(spark, sf_dir)
     rk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     approx = (
         scores.join(cand, ["qid", "vec_id"])
@@ -824,14 +839,8 @@ def q_e_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    # Both rank branches (candidate re-rank + exact side) consume the
-    # panel scores, and the candidate join broadcasts `cand`, so the
-    # two consumers share NO exchange — unpersisted, the panel Arrow
-    # pass (and its 5-row collect job) executed twice per run. Same
-    # scoped tag every other dual consumer uses (round 11).
-    scores = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
+    # persist rationale: _panel_scores_persisted docstring
+    scores = _panel_scores_persisted(spark, sf_dir)
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -974,9 +983,7 @@ def q_e_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     cand = scoped_persist(cand, spark, sf_dir, "ivf_recall_cand")
-    scores = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
+    scores = _panel_scores_persisted(spark, sf_dir)
     rk = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     approx = (
         scores.join(cand, ["qid", "vec_id"])
@@ -2846,14 +2853,8 @@ def q_e_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    # Both rank branches (candidate re-rank + exact side) consume the
-    # panel scores, and the candidate join broadcasts `cand`, so the
-    # two consumers share NO exchange — unpersisted, the panel Arrow
-    # pass (and its 5-row collect job) executed twice per run. Same
-    # scoped tag every other dual consumer uses (round 11).
-    scores = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
+    # persist rationale: _panel_scores_persisted docstring
+    scores = _panel_scores_persisted(spark, sf_dir)
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -3017,13 +3018,8 @@ def q_e_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", "prank")
     )
-    # The exact side (below) ranks the same panel scores the probe
-    # candidates join against; unpersisted, the panel Arrow pass ran
-    # twice per run (the branches share no exchange). Same scoped tag
-    # every other dual consumer uses (round 11).
-    scores = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
+    # persist rationale: _panel_scores_persisted docstring
+    scores = _panel_scores_persisted(spark, sf_dir)
     scored = scoped_persist(
         cand.join(scores, ["qid", "vec_id"]), spark, sf_dir,
         "ivf_probe_scored",
@@ -4006,9 +4002,7 @@ def q_e_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores feeds BOTH the candidate re-rank and the exact ground
     # truth — persisted like q_e_ann_recall's copy (cell above has ONE
     # consumer, cand, and is deliberately NOT persisted)
-    scores = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
+    scores = _panel_scores_persisted(spark, sf_dir)
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -6007,14 +6001,8 @@ def q_e_retrieval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    # Both rank branches (candidate re-rank + exact side) consume the
-    # panel scores, and the candidate join broadcasts `cand`, so the
-    # two consumers share NO exchange — unpersisted, the panel Arrow
-    # pass (and its 5-row collect job) executed twice per run. Same
-    # scoped tag every other dual consumer uses (round 11).
-    scores = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
+    # persist rationale: _panel_scores_persisted docstring
+    scores = _panel_scores_persisted(spark, sf_dir)
     rk = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -6327,9 +6315,7 @@ def _beam_serve(
     With ``gens=None`` the plan is byte-identical to the historical
     single-generation serve."""
     gcols = ["gen"] if gens else []
-    qs = scoped_persist(
-        _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-    )
+    qs = _panel_scores_persisted(spark, sf_dir)
     beam = qs.where(F.col("vec_id") == _BEAM_ENTRY).select(
         "qid", "vec_id", F.col("score").alias("s")
     )
@@ -6732,9 +6718,7 @@ def q_e_beam_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").desc(), F.col("vec_id").asc()
     )
     exact = (
-        scoped_persist(
-            _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-        )
+        _panel_scores_persisted(spark, sf_dir)
         .withColumn("rk", F.row_number().over(rkw))
         .where(F.col("rk") <= _RECALL_K)
         .select("qid", "vec_id")
@@ -6816,9 +6800,7 @@ def q_e_beam_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").desc(), F.col("vec_id").asc()
     )
     exact = (
-        scoped_persist(
-            _panel_scores(spark, sf_dir), spark, sf_dir, "panel_scores"
-        )
+        _panel_scores_persisted(spark, sf_dir)
         .withColumn("rk", F.row_number().over(rkw))
         .where(F.col("rk") <= _RECALL_K)
         .select("qid", "vec_id")
